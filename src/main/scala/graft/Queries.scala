@@ -1,0 +1,14 @@
+package graft
+
+/** Central registry: every implemented operator family registers its
+  * driver-visible queries here (VERDICT.md round-1 fix: SparkEntry derives
+  * its `queries`/`oracleSql` maps mechanically from this Seq). */
+object Queries {
+  val all: Seq[Q] =
+    graft.queries.Relational.all ++
+    graft.queries.AnimeQueries.all ++
+    graft.queries.LlmQueries.all ++
+    graft.queries.PipelineQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Oracle-portable deterministic hashing.
+  *
+  * `hash60` is the engine's portable content hash: the first 15 hex digits
+  * of md5 parsed base-16 (60 bits, non-negative, < 2^60). The identical
+  * value is computable in DuckDB (`hash60Sql`), which is what makes the
+  * MinHash / SimHash / fingerprint / dedup queries oracle-checkable.
+  *
+  * For pure-Spark scale paths prefer `fastHash` (xxhash64): one codegen'd
+  * pass, no hex round-trip. Library operators in [[Dedup]] take the hash as
+  * a parameter so production runs use xxhash64 and oracle runs use hash60
+  * without touching operator logic.
+  */
+object Hashing {
+  /** 2^31 - 1, a Mersenne prime; keeps affine MinHash permutations inside
+    * 64-bit arithmetic (a,b,h < 2^31 so a*h+b < 2^62). */
+  val P31: Long = 2147483647L
+
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hash60Sql(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  /** Reduced to [0, 2^31-1). */
+  def hash31(c: Column): Column = hash60(c) % lit(P31)
+  def hash31Sql(expr: String): String = s"(${hash60Sql(expr)} % ${P31}::BIGINT)"
+
+  /** Production-scale hash (NOT oracle-portable). */
+  def fastHash(cols: Column*): Column = xxhash64(cols: _*)
+
+  /** Deterministic affine permutation coefficients (a_j, b_j) for MinHash:
+    * minhash_j = min over shingles s of (a_j * h31(s) + b_j) mod P31. */
+  def permCoeffs(k: Int): Seq[(Long, Long)] =
+    (1 to k).map { j =>
+      val a = (2654435761L * j) % P31
+      val b = (40503L * j * j + 17L) % P31
+      (if (a == 0L) 1L else a, b)
+    }
+}

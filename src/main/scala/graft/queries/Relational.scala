@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+
+/** Relational surface over the TPC-H-ish testdata (SURVEY.md §2.4 J6, §2.5,
+  * §2.6, §2.7 E7, §2.8 D1): FK joins with broadcast dimensions, hash
+  * aggregation, rollup, window functions, set ops, anti joins, sessionize.
+  *
+  * Scale notes (100 TB design):
+  *  - every dimension (region/nation/customer-at-small-SF, supplier, part)
+  *    joins via `broadcast()` — no shuffle of the fact table for dims;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *    reuse it for the groupBy where keys align;
+  *  - all filters sit directly on the scan so Catalyst pushes them into
+  *    the parquet reader (verified via explain: PushedFilters).
+  */
+object Relational {
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s + " 00:00:00"))
+
+  /** Q1-style pricing summary: filter → partial/final hash agg → sort
+    * (A1/A2/A5 analogues at TPC shape). */
+  val q01 = Q("q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q3-style top unshipped orders: 3-way join, revenue top-10. */
+  val q02 = Q("q02_top_orders",
+    """SELECT o_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1998-03-15"))
+    val li   = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1998-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style local-supplier revenue: 6-table star join, broadcast dims. */
+  val q03 = Q("q03_region_revenue",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, dir)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** ROLLUP over (mktsegment, nation) — grouping-sets surface (§2.5 ext). */
+  val q04 = Q("q04_rollup_revenue",
+    """SELECT coalesce(c_mktsegment, 'ALL') AS seg, coalesce(n_name, 'ALL') AS nat,
+      |  round(sum(o_totalprice), 2) AS rev, count(*) AS n
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(c_mktsegment, n_name)
+      |ORDER BY seg, nat""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("c_mktsegment"), col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"), count(lit(1)).as("n"))
+      .select(coalesce(col("c_mktsegment"), lit("ALL")).as("seg"),
+        coalesce(col("n_name"), lit("ALL")).as("nat"), col("rev"), col("n"))
+      .orderBy(col("seg"), col("nat"))
+  }
+
+  /** Window top-k: 3 priciest parts per brand (O2/O5 via row_number). */
+  val q05 = Q("q05_window_topk",
+    """SELECT p_brand, rn, p_partkey, round(p_retailprice, 2) AS price
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        row_number() OVER (PARTITION BY p_brand
+      |          ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |      FROM part)
+      |WHERE rn <= 3
+      |ORDER BY p_brand, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"),
+        round(col("p_retailprice"), 2).as("price"))
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  /** E7 INTERSECT: nations having both customers and suppliers. */
+  val q06 = Q("q06_set_intersect",
+    """SELECT n_name FROM nation
+      |WHERE n_nationkey IN (
+      |  SELECT c_nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey FROM supplier)
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val keys = Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("k")))
+    Tables.nation(s, dir).join(broadcast(keys), col("n_nationkey") === col("k"))
+      .select(col("n_name")).orderBy(col("n_name"))
+  }
+
+  /** E7 EXCEPT: nations with customers but no suppliers. */
+  val q07 = Q("q07_set_except",
+    """SELECT n_name FROM nation
+      |WHERE n_nationkey IN (
+      |  SELECT c_nationkey FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey FROM supplier)
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val keys = Tables.customer(s, dir).select(col("c_nationkey").as("k"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("k")))
+    Tables.nation(s, dir).join(broadcast(keys), col("n_nationkey") === col("k"))
+      .select(col("n_name")).orderBy(col("n_name"))
+  }
+
+  /** D1: hourly tumbling aggregation over the events stream table —
+    * the batch shape of the Structured Streaming pipeline in
+    * graft.streaming (same plan, readStream-able). */
+  val q08 = Q("q08_events_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Sessionization (gap > 30 min) via lag + running sum — the batch
+    * analogue of flatMapGroupsWithState sessionization (§2.10). */
+  val q09 = Q("q09_sessionize",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM b),
+      |per AS (
+      |  SELECT user_id, session_id,
+      |    (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS dur_s,
+      |    count(*) AS n_ev
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
+      |  round(avg(dur_s), 2) AS avg_session_s
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("pts", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("pts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("pts")) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / 1000000L).as("dur_s"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum("n_ev").as("n_events"),
+        round(avg("dur_s"), 2).as("avg_session_s"))
+      .orderBy(col("user_id"))
+  }
+
+  /** J5 last-write-wins upsert: base rows + prioritized updates, keep the
+    * highest-priority version per key (`merge_all_to_metadata.py:142-151`
+    * pattern as window dedup — distributed, no dict). */
+  val q10 = Q("q10_upsert_lastwin",
+    """WITH src AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS priority FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 1.1, 2 AS priority
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |keep AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |    ORDER BY priority DESC) AS rn FROM src)
+      |SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      |FROM keep WHERE rn = 1
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val ord = Tables.orders(s, dir)
+    val base = ord.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      lit(1).as("priority"))
+    val upd = ord.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+        (col("o_totalprice") * 1.1).as("o_totalprice"), lit(2).as("priority"))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("priority").desc)
+    base.unionByName(upd)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** F2/A6: anti-join error counting — customers with no orders, per
+    * nation (`run.py:83-91` missing-key skip + error total). */
+  val q11 = Q("q11_anti_join",
+    """SELECT n_name, count(*) AS n_customers_no_orders
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers_no_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** A3 coverage report: conditional-sum field coverage per language
+    * (`merge_all_to_metadata.py:111-129` Counter → one hash agg). */
+  val q12 = Q("q12_coverage",
+    """SELECT lang, count(*) AS n_docs,
+      |  sum(CASE WHEN NOT contains(text, 'spark') THEN 1 ELSE 0 END) AS missing_spark,
+      |  sum(CASE WHEN NOT contains(text, 'the') THEN 1 ELSE 0 END) AS missing_the,
+      |  round(avg(n_chars), 2) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!contains(col("text"), lit("spark")), 1L).otherwise(0L)).as("missing_spark"),
+        sum(when(!contains(col("text"), lit("the")), 1L).otherwise(0L)).as("missing_the"),
+        round(avg("n_chars"), 2).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** A4: exact distinct counts per group (DuckDB-checkable; the
+    * approx_count_distinct variant is q93, rows-only). */
+  val q13 = Q("q13_distinct_count",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
+}
