@@ -7,6 +7,7 @@ object Queries {
   val all: Seq[Q] =
     graft.queries.Relational.all ++
     graft.queries.AnimeQueries.all ++
+    graft.queries.BucketQueries.all ++
     graft.queries.LlmQueries.all ++
     graft.queries.PipelineQueries.all
 
