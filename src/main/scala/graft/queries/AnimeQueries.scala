@@ -174,7 +174,7 @@ object AnimeQueries {
       |      w -> contains(w, 'x') OR contains(w, ':') OR contains(w, 'ratio'))) AS n_trigger
       |  FROM documents)
       |SELECT lang, count(*) AS n_docs,
-      |  sum(CASE WHEN n_trigger > 0 THEN 1 ELSE 0 END) AS n_with_trigger,
+      |  CAST(sum(CASE WHEN n_trigger > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_trigger,
       |  arg_max(doc_id, n_chars * 10000 + doc_id) AS biggest_doc
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     val trig = filter(TagText.words(col("text")),

@@ -205,7 +205,7 @@ object Relational {
       |    (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000 AS dur_s,
       |    count(*) AS n_ev
       |  FROM sess GROUP BY user_id, session_id)
-      |SELECT user_id, count(*) AS n_sessions, sum(n_ev) AS n_events,
+      |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_ev) AS BIGINT) AS n_events,
       |  round(avg(dur_s), 2) AS avg_session_s
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -273,8 +273,8 @@ object Relational {
     * (`merge_all_to_metadata.py:111-129` Counter → one hash agg). */
   val q12 = Q("q12_coverage",
     """SELECT lang, count(*) AS n_docs,
-      |  sum(CASE WHEN NOT contains(text, 'spark') THEN 1 ELSE 0 END) AS missing_spark,
-      |  sum(CASE WHEN NOT contains(text, 'the') THEN 1 ELSE 0 END) AS missing_the,
+      |  CAST(sum(CASE WHEN NOT contains(text, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS missing_spark,
+      |  CAST(sum(CASE WHEN NOT contains(text, 'the') THEN 1 ELSE 0 END) AS BIGINT) AS missing_the,
       |  round(avg(n_chars), 2) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)

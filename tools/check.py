@@ -77,11 +77,20 @@ def main():
             print(f"FAIL {name}: cannot read spark output: {e}");  nfail += 1;  continue
         try:
             drel = con.execute(sql)
-            duck_cols = [d[0] for d in drel.description]
-            duck_rows = drel.fetchall()
+            duck_arrow = drel.fetch_arrow_table()
+            duck_cols = duck_arrow.column_names
+            duck_rows = con.execute(sql).fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}");  nfail += 1;  continue
         issues = compare(name, spark_rows, spark_cols, duck_rows, duck_cols)
+        # The driver hashes typed values: a DuckDB HUGEINT/decimal column
+        # (e.g. sum() over integers) hash-mismatches Spark's int64 even when
+        # the values compare equal in Python. Flag any decimal oracle column.
+        for f in duck_arrow.schema:
+            if "decimal" in str(f.type):
+                issues.append(
+                    f"type: oracle col {f.name} is {f.type} (HUGEINT/DECIMAL) — "
+                    f"CAST it (e.g. AS BIGINT) to match Spark's type")
         hard = [i for i in issues if not i.startswith("float-drift")]
         drift = [i for i in issues if i.startswith("float-drift")]
         if hard:
