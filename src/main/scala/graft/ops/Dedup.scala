@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for the LLM-training-data extension
+  * (brief: exact, MinHash+LSH, SimHash, n-gram Jaccard — over `documents`).
+  *
+  * Everything here is a pure `Column` builder over token/shingle arrays —
+  * codegen'd builtins, no UDFs — parameterized by the oracle-portable
+  * [[Hashing.hash31]] so the DuckDB oracle can compute bit-identical
+  * signatures. Production runs can swap [[Hashing.fastHash]] in.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - signatures/fingerprints are narrow per-row projections — no shuffle;
+  *   - near-dup candidate generation is LSH banding: explode to (band,
+  *     band_hash) keys and self-join on the band key. The join shuffles on
+  *     band_hash — uniformly distributed — so it parallelizes across
+  *     executors; there is never an all-pairs comparison. Candidate pairs
+  *     are then verified with exact Jaccard, touching only collided pairs.
+  */
+object Dedup {
+  import Hashing.P31
+
+  /** Distinct word n-gram shingles of a token array (caller guarantees
+    * `size(toks) >= n`; order-insensitive set semantics downstream). */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** DuckDB spelling of [[shingles]] (1-based inclusive list slicing). */
+  def shinglesSql(toks: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, len($toks) - ${n - 2}), " +
+      s"i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))"
+
+  /** Non-distinct shingle bag (multiset features, e.g. for SimHash votes). */
+  def shingleBag(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  def shingleBagSql(toks: String, n: Int): String =
+    s"list_transform(range(1, len($toks) - ${n - 2}), " +
+      s"i -> array_to_string(($toks)[i:i+${n - 1}], ' '))"
+
+  /** MinHash signature: for each of k affine permutations (a_j·h + b_j) mod
+    * P31, the minimum over the shingle-hash array. Returns array<long>[k]. */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    array(Hashing.permCoeffs(k).map { case (a, b) =>
+      array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % lit(P31)))
+    }: _*)
+
+  /** The k signature slots as DuckDB expressions over a hash-array column. */
+  def minhashSigSql(hs: String, k: Int): Seq[String] =
+    Hashing.permCoeffs(k).map { case (a, b) =>
+      s"list_min(list_transform($hs, h -> (${a}::BIGINT * h + ${b}::BIGINT) % ${P31}::BIGINT))"
+    }
+
+  /** LSH banding: slice the signature into `bands` bands of `r` rows and
+    * hash each band. Returns array<struct<band:int, bh:long>> for explode +
+    * equi-join on (band, bh). */
+  def bandHashes(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      val parts = (0 until r).map(i => element_at(sig, b * r + i + 1).cast("string"))
+      struct(lit(b).as("band"), Hashing.hash60(concat_ws("|", parts: _*)).as("bh"))
+    }: _*)
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  def jaccardSql(a: String, b: String): String =
+    s"len(list_intersect($a, $b)) / (len($a) + len($b) - len(list_intersect($a, $b)))"
+
+  /** 16-bit SimHash over a bag of 31-bit feature hashes: bit j is set iff
+    * the ±1 votes of feature bit j sum non-negative. Multiset semantics
+    * (duplicates vote repeatedly), matching the classic definition. */
+  def simhash16(featureHashes: Column): Column =
+    (0 until 16).map { j =>
+      val vote = aggregate(featureHashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(vote >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def simhash16Sql(hs: String): String =
+    "CAST(" + (0 until 16).map { j =>
+      s"(CASE WHEN list_sum(list_transform($hs, h -> ((h >> $j) & 1)*2 - 1)) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+
+  /** Character n-gram 31-bit hashes of a string (positions 1..len-n+1). */
+  def charGramHashes(text: Column, n: Int): Column =
+    transform(sequence(lit(1), length(text) - (n - 1)),
+      i => Hashing.hash31(text.substr(i, lit(n))))
+
+  def charGramHashesSql(text: String, n: Int): String =
+    s"list_transform(range(1, length($text) - ${n - 2}), " +
+      s"i -> ${Hashing.hash31Sql(s"substr($text, i, $n)")})"
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct
+    * per-window minima of the gram-hash sequence, window size w. A document
+    * sketch robust to local edits — the rolling-hash fingerprint the brief
+    * asks for. */
+  def winnowFingerprints(gramHashes: Column, w: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(gramHashes) - (w - 1)),
+      i => array_min(slice(gramHashes, i, lit(w)))))
+
+  def winnowFingerprintsSql(grams: String, w: Int): String =
+    s"list_distinct(list_transform(range(1, len($grams) - ${w - 2}), " +
+      s"i -> list_min(($grams)[i:i+${w - 1}])))"
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (brief: brute-force cosine top-k baseline +
+  * an LSH-bucketed approximate variant as the scale path) over the
+  * `embeddings` testdata table (`FIXTURES.md` §8: vec_id, embedding
+  * float[64], label).
+  *
+  * Determinism contract: every float op is spelled as the identical
+  * sequential expression tree in Spark and the DuckDB oracle — elements
+  * cast float→double (exact), products left-folded in index order — so
+  * cosine values are bit-identical and comparisons/top-k never diverge.
+  *
+  * Scale design: brute-force is a broadcast of the (small) query set over a
+  * narrow scan — linear, no shuffle of the corpus. The LSH variant buckets
+  * both sides by a 4-bit random-hyperplane code: the join shuffles on the
+  * bucket key only, cutting the candidate set ~16× (and generalizing to
+  * IVF-style partition pruning at 100 TB, where the bucket id becomes a
+  * partition column and Catalyst prunes scans to the probed buckets).
+  */
+object Similarity {
+
+  /** float[] → double[] (exact widening; keeps later arithmetic identical
+    * across engines). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential left-fold dot product — index order, like the oracle's
+    * list_reduce over range(1, dim+1). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+
+  /** Deterministic ±1 random hyperplanes, seeded from md5 — driver-side
+    * constants inlined into both plans (the Catalyst analogue of a
+    * broadcast variable; never recomputed per row). */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        val h = md.digest(s"plane_${j}_$i".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) 1 else -1
+      }
+    }
+  }
+
+  /** Random-hyperplane LSH bucket code: bit j = sign of dot(v, plane_j).
+    * With the plane as an int-literal array the product int→double
+    * promotion is exact in both engines. */
+  def lshBucket(vd: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = aggregate(zip_with(vd, typedLit(p), (x, s) => x * s),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def lshBucketSql(v: String, planes: Seq[Seq[Int]]): String =
+    "CAST(" + planes.zipWithIndex.map { case (p, j) =>
+      val lit = p.mkString("[", ", ", "]")
+      val d = s"list_reduce(list_transform(range(1, ${p.size + 1}), " +
+        s"i -> CAST(($v)[i] AS DOUBLE) * ($lit)[i]), (x, y) -> x + y)"
+      s"(CASE WHEN $d >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+}

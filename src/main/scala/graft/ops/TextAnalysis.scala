@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family for the LLM-training-data extension
+  * (brief: language-ID n-gram/marker heuristic, quality scoring, token
+  * counting, document fingerprinting — over `documents`).
+  *
+  * All codegen'd builtins over the token array; the quality formula uses
+  * only +·×·÷ (no libm transcendentals) so Spark and the DuckDB oracle
+  * produce bit-identical doubles. Narrow per-row projections — scan-speed
+  * at any scale, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Single-space tokenization matching the oracle's string_split(text,' ')
+    * with empties dropped. */
+  def toks(text: Column): Column = filter(split(text, " "), w => w =!= "")
+  val toksSql: String = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+  /** Marker-stopword language profiles. The testdata corpus shares one
+    * synthetic vocabulary across langs, so these are frequency markers, not
+    * real linguistics — the operator shape (per-language marker scoring +
+    * fixed-precedence argmax) is what a real lang-ID heuristic uses. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "scan"),
+    "es" -> Seq("data", "query", "row"),
+    "fr" -> Seq("fast", "slow", "merge"),
+    "de" -> Seq("join", "hash", "batch"),
+    "zh" -> Seq("filter", "sort", "line"))
+
+  /** Occurrence count of marker words (multiset). */
+  def markerScore(toksCol: Column, markers: Seq[String]): Column =
+    size(filter(toksCol, w => w.isin(markers.map(m => m: Any): _*)))
+
+  def markerScoreSql(toks: String, markers: Seq[String]): String = {
+    val lst = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+    s"len(list_filter($toks, w -> list_contains($lst, w)))"
+  }
+
+  /** Fixed-precedence argmax over the marker scores: the first language in
+    * [[LangMarkers]] order whose score is >= all later ones wins (ties go
+    * to the earlier language — deterministic in both engines). */
+  def predictLang(scores: Seq[(String, Column)]): Column = {
+    val langs = scores.map(_._1)
+    scores.zipWithIndex.foldRight(lit("unk")) { case (((lang, s), i), els) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      val isMax = rest.foldLeft(lit(true))((acc, o) => acc && s >= o)
+      when(isMax, lit(lang)).otherwise(els)
+    }
+  }
+
+  def predictLangSql(scores: Seq[(String, String)]): String = {
+    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      val cond = if (rest.isEmpty) "TRUE" else rest.map(o => s"$s >= $o").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE 'unk' END"
+  }
+
+  /** BPE-ish token pattern: letter runs, digit runs, single punctuation. */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  def bpeTokenCountSql(text: String): String =
+    s"len(regexp_extract_all($text, '$BpeTokenPattern'))"
+
+  /** Total character length of all tokens (for mean word length). */
+  def sumTokenLen(toksCol: Column): Column =
+    aggregate(toksCol, lit(0L), (acc, t) => acc + length(t))
+
+  def sumTokenLenSql(toks: String): String =
+    s"CAST(list_sum(list_transform($toks, t -> length(t))) AS BIGINT)"
+
+  val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Heuristic quality score in rational arithmetic only (deterministic
+    * across engines): rewards stopword density and longer words, damps
+    * very long documents. */
+  def qualityScore(nStop: Column, nWords: Column, sumLen: Column): Column =
+    (lit(2.0) * (nStop / nWords) + (sumLen / nWords) / lit(10.0)) /
+      (lit(1.0) + nWords / lit(500.0))
+
+  def qualityScoreSql(nStop: String, nWords: String, sumLen: String): String =
+    s"(2.0 * ($nStop / $nWords) + ($sumLen / $nWords) / 10.0) / (1.0 + $nWords / 500.0)"
+}

@@ -1,8 +1,367 @@
 package graft.queries
 
-import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
+import graft.ops.{Dedup, Hashing, Similarity, TextAnalysis}
 
-/** LLM-training-data pipeline queries (filled in slice 3). */
+/** LLM-training-data pipeline queries (brief north star; VERDICT.md round-1
+  * "LLM-data-pipeline operators" table): deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard), similarity search (brute-force cosine top-k +
+  * LSH-bucketed ANN), and text analysis (quality, lang-ID, token counts,
+  * winnowing fingerprints) over the `documents`/`embeddings` testdata.
+  *
+  * Near-dup queries run on a corpus salted with known near-duplicates
+  * (every 5th doc re-appears with one word prepended) and exact-dup queries
+  * with known exact copies (every 7th doc), so the answer set is non-trivial
+  * and fully oracle-checked.
+  *
+  * Scale notes (100 TB design):
+  *  - signatures (minhash/simhash/fingerprints/buckets) are narrow
+  *    projections — scan-speed, no shuffle;
+  *  - candidate generation always goes through a key-equi-join (LSH band
+  *    hash, simhash band, ANN bucket) — NEVER an all-pairs cartesian; the
+  *    one shuffle is on a uniformly-distributed hash key;
+  *  - verification (exact Jaccard / cosine) touches only collided pairs;
+  *  - the brute-force top-k broadcasts the tiny query set over the corpus
+  *    scan — linear, and the LSH variant is the sub-linear scale path.
+  */
 object LlmQueries {
-  val all: Seq[Q] = Seq()
+  private val P = Hashing.P31
+
+  // ---- shared corpus constructions (Spark + identical SQL) ----
+
+  /** documents ∪ near-duplicates: every 5th doc with one word prepended. */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zz "), col("text")).as("text")))
+  }
+  private val corpusNearSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, 'zz ' || text AS text
+      |  FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  private def toks(c: DataFrame): DataFrame =
+    c.select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+  private val toksSql =
+    s"SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM corpus"
+
+  // ---- Q40: exact dedup ----
+
+  /** Exact dedup via content hash: group identical texts, keep min doc_id
+    * (`dropDuplicates` semantics made deterministic + group sizes). */
+  val q40 = Q("q40_exact_dedup",
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0)
+      |SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val corpus = d.select(col("doc_id"), col("text")).unionByName(
+      d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    corpus.groupBy(md5(col("text")).as("content_key"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  // ---- Q41: MinHash + LSH near-dup ----
+
+  private val MinhashK = 12
+  private val LshBands = 4
+  private val LshRows  = 3
+
+  val q41 = Q("q41_minhash_lsh", {
+    val mh = Dedup.minhashSigSql("hs", MinhashK).zipWithIndex
+      .map { case (e, i) => s"$e AS m${i + 1}" }.mkString(",\n      |    ")
+    val bands = (0 until LshBands).map { b =>
+      val parts = (1 to LshRows).map(i => s"m${b * LshRows + i}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, ${Hashing.hash60Sql(s"$parts")} AS bh FROM sig"
+    }.mkString("\n      |  UNION ALL\n      |  ")
+    s"""WITH corpus AS (
+      |  $corpusNearSql),
+      |tok AS ($toksSql),
+      |sh AS (SELECT doc_id, ${Dedup.shinglesSql("toks", 3)} AS shingles
+      |       FROM tok WHERE len(toks) >= 3),
+      |hs AS (SELECT doc_id, shingles,
+      |         list_transform(shingles, s -> ${Hashing.hash31Sql("s")}) AS hs
+      |       FROM sh),
+      |sig AS (SELECT doc_id,
+      |    $mh
+      |  FROM hs),
+      |bands AS (
+      |  $bands),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y
+      |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+      |j AS (SELECT doc_a, doc_b,
+      |        round(${Dedup.jaccardSql("a.shingles", "b.shingles")}, 6) AS jaccard
+      |      FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+      |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }) { (s, dir) =>
+    val sh = toks(corpusNear(s, dir))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), Dedup.shingles(col("toks"), 3).as("shingles"))
+    val sig = sh.select(col("doc_id"),
+      Dedup.minhashSig(transform(col("shingles"), x => Hashing.hash31(x)), MinhashK).as("sig"))
+    val bands = sig
+      .select(col("doc_id"), explode(Dedup.bandHashes(col("sig"), LshBands, LshRows)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- Q42: SimHash near-dup ----
+
+  /** 16-bit SimHash over word-bigram bags; candidates via the two 8-bit
+    * half-bands (standard simhash block-permutation LSH), verified by
+    * Hamming distance <= 1. */
+  val q42 = Q("q42_simhash", {
+    s"""WITH corpus AS (
+      |  $corpusNearSql),
+      |tok AS ($toksSql),
+      |big AS (SELECT doc_id, ${Dedup.shingleBagSql("toks", 2)} AS grams
+      |        FROM tok WHERE len(toks) >= 2),
+      |wh AS (SELECT doc_id, list_transform(grams, g -> ${Hashing.hash31Sql("g")}) AS hs
+      |       FROM big),
+      |sh AS (SELECT doc_id, ${Dedup.simhash16Sql("hs")} AS sim16 FROM wh),
+      |cand AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sim16 AS sa, y.sim16 AS sb
+      |  FROM sh x JOIN sh y ON (x.sim16 >> 8) = (y.sim16 >> 8) AND x.doc_id < y.doc_id
+      |  UNION
+      |  SELECT x.doc_id, y.doc_id, x.sim16, y.sim16
+      |  FROM sh x JOIN sh y ON (x.sim16 & 255) = (y.sim16 & 255) AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }) { (s, dir) =>
+    val sh = toks(corpusNear(s, dir))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        Dedup.simhash16(
+          transform(Dedup.shingleBag(col("toks"), 2), g => Hashing.hash31(g))).as("sim16"))
+    def pairsOn(keyed: DataFrame): DataFrame =
+      keyed.as("x").join(keyed.as("y"),
+          col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sim16").as("sa"), col("y.sim16").as("sb"))
+    val hi = sh.select(col("doc_id"), col("sim16"), shiftright(col("sim16"), 8).as("k"))
+    val lo = sh.select(col("doc_id"), col("sim16"), col("sim16").bitwiseAND(lit(255L)).as("k"))
+    pairsOn(hi).unionByName(pairsOn(lo)).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- Q43: char-trigram Jaccard over neighbor pairs ----
+
+  /** n-gram Jaccard similarity: distinct char trigrams per doc, similarity
+    * of each doc to the next doc in its language (window, no join blowup). */
+  val q43 = Q("q43_ngram_jaccard",
+    s"""WITH g AS (SELECT doc_id, lang,
+      |  list_distinct(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, i, 3))) AS grams
+      |  FROM documents),
+      |p AS (SELECT doc_id, lang, grams,
+      |  lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS next_id,
+      |  lead(grams) OVER (PARTITION BY lang ORDER BY doc_id) AS next_grams
+      |  FROM g)
+      |SELECT lang, doc_id, next_id,
+      |  round(${Dedup.jaccardSql("grams", "next_grams")}, 6) AS trigram_jaccard
+      |FROM p WHERE next_id IS NOT NULL
+      |ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    val grams = array_distinct(transform(sequence(lit(1), length(col("text")) - 2),
+      i => col("text").substr(i, lit(3))))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), grams.as("grams"))
+      .withColumn("next_id", lead(col("doc_id"), 1).over(w))
+      .withColumn("next_grams", lead(col("grams"), 1).over(w))
+      .filter(col("next_id").isNotNull)
+      .select(col("lang"), col("doc_id"), col("next_id"),
+        round(Dedup.jaccard(col("grams"), col("next_grams")), 6).as("trigram_jaccard"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  // ---- Q44: per-document quality stats ----
+
+  val q44 = Q("q44_text_quality", {
+    val stopLst = TextAnalysis.StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+      |tok AS ($toksSql),
+      |m AS (SELECT doc_id, len(toks) AS n_words,
+      |  len(list_distinct(toks)) AS n_distinct,
+      |  ${TextAnalysis.sumTokenLenSql("toks")} AS sum_len,
+      |  len(list_filter(toks, w -> list_contains($stopLst, w))) AS n_stop
+      |  FROM tok)
+      |SELECT doc_id, n_words, n_distinct,
+      |  round(sum_len / n_words, 4) AS avg_word_len,
+      |  round(n_stop / n_words, 4) AS stop_ratio,
+      |  round(${TextAnalysis.qualityScoreSql("n_stop", "n_words", "sum_len")}, 6) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    toks(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        TextAnalysis.sumTokenLen(col("toks")).as("sum_len"),
+        size(filter(col("toks"),
+          w => w.isin(TextAnalysis.StopWords.map(x => x: Any): _*))).cast("long").as("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("sum_len") / col("n_words"), 4).as("avg_word_len"),
+        round(col("n_stop") / col("n_words"), 4).as("stop_ratio"),
+        round(TextAnalysis.qualityScore(col("n_stop"), col("n_words"), col("sum_len")), 6)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q45: language-ID heuristic + confusion matrix ----
+
+  val q45 = Q("q45_langid", {
+    val scores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> TextAnalysis.markerScoreSql("toks", ms)
+    }
+    val scoreCols = scores.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n      |  ")
+    val pred = TextAnalysis.predictLangSql(scores.map { case (l, _) => l -> s"s_$l" })
+    s"""WITH corpus AS (SELECT doc_id, text, lang FROM documents),
+      |tok AS (SELECT doc_id, lang, ${TextAnalysis.toksSql} AS toks FROM corpus),
+      |s AS (SELECT doc_id, lang,
+      |  $scoreCols
+      |  FROM tok),
+      |p AS (SELECT lang, $pred AS predicted FROM s)
+      |SELECT lang, predicted, count(*) AS n
+      |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin
+  }) { (s, dir) =>
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), TextAnalysis.toks(col("text")).as("toks"))
+    val scored = TextAnalysis.LangMarkers.foldLeft(t) { case (df, (l, ms)) =>
+      df.withColumn(s"s_$l", TextAnalysis.markerScore(col("toks"), ms))
+    }
+    scored
+      .withColumn("predicted",
+        TextAnalysis.predictLang(TextAnalysis.LangMarkers.map { case (l, _) => l -> col(s"s_$l") }))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  // ---- Q46: token counting ----
+
+  val q46 = Q("q46_token_count",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+      |tok AS ($toksSql)
+      |SELECT t.doc_id, len(t.toks) AS n_ws_tokens,
+      |  ${TextAnalysis.bpeTokenCountSql("d.text")} AS n_bpe_tokens,
+      |  length(d.text) AS n_chars_len
+      |FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("n_ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q47: winnowing fingerprints ----
+
+  private val GramN = 4
+  private val WinnowW = 5
+
+  val q47 = Q("q47_fingerprint",
+    s"""WITH g AS (SELECT doc_id, ${Dedup.charGramHashesSql("text", GramN)} AS grams
+      |  FROM documents WHERE length(text) >= ${GramN + WinnowW}),
+      |f AS (SELECT doc_id, len(grams) AS n_grams,
+      |  ${Dedup.winnowFingerprintsSql("grams", WinnowW)} AS fps FROM g)
+      |SELECT doc_id, n_grams, len(fps) AS n_fp,
+      |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .filter(length(col("text")) >= GramN + WinnowW)
+      .select(col("doc_id"), Dedup.charGramHashes(col("text"), GramN).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        Dedup.winnowFingerprints(col("grams"), WinnowW).as("fps"))
+      .select(col("doc_id"), col("n_grams"), size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q48: brute-force cosine top-k ----
+
+  val q48 = Q("q48_cosine_topk",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0),
+      |p AS (SELECT qid, vec_id, ${Similarity.cosineSql("qv", "embedding", 64)} AS sim
+      |      FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, sim,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |      FROM p)
+      |SELECT qid, rn AS rnk, vec_id, round(sim, 6) AS cosine
+      |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), Similarity.toDouble(col("embedding")).as("qv"))
+    val c = e.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("ev"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), Similarity.cosine(col("qv"), col("ev")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  // ---- Q49: LSH-bucketed approximate NN (the scale path) ----
+
+  private val AnnPlanes = Similarity.planes(4, 64)
+
+  val q49 = Q("q49_ann_lsh",
+    s"""WITH b AS (SELECT vec_id, embedding,
+      |    ${Similarity.lshBucketSql("embedding", AnnPlanes)} AS bkt
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qv, bkt AS qbkt
+      |      FROM b WHERE vec_id % 100 = 0),
+      |c AS (SELECT qid, qv, b.vec_id, b.embedding
+      |      FROM q JOIN b ON b.bkt = q.qbkt AND b.vec_id <> q.qid),
+      |p AS (SELECT qid, vec_id, ${Similarity.cosineSql("qv", "embedding", 64)} AS sim
+      |      FROM c),
+      |r AS (SELECT qid, vec_id, sim,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |      FROM p)
+      |SELECT qid, rn AS rnk, vec_id, round(sim, 6) AS cosine
+      |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("ev"))
+      .withColumn("bkt", Similarity.lshBucket(col("ev"), AnnPlanes))
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("ev").as("qv"), col("bkt").as("qbkt"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), Similarity.cosine(col("qv"), col("ev")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
 }
