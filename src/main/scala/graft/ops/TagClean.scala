@@ -1,19 +1,23 @@
 package graft.ops
 
+import java.util.regex.Pattern
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** clean_tags / clean_caption (SURVEY.md §2.8 T6–T8, §2.9 U4).
   *
   * Reference: `/root/reference/legacy/merge_all_to_metadata.py:14-109`.
-  * The whole of `clean_tags` — including the word-redundancy step T7 the
-  * survey expected to need a UDF — compiles to builtins: the per-found-word
-  * loop is a left fold, which Spark's `aggregate` HOF expresses directly
-  * (and DuckDB's `list_reduce`, keeping it oracle-checkable). Only the
-  * caption fixpoint T8 (replace-until-stable per pair) is a genuine UDF.
+  * `clean_tags` is a Scala UDF, exactly as SURVEY.md §7.3 predicted: a
+  * pure-builtin spelling exists (each step is `when`/`regexp_replace`/
+  * `aggregate`), but every conditional stage embeds its input expression
+  * 3×, so eight chained stages grow the Catalyst tree ~3^8× — analysis and
+  * codegen blow up. A deterministic per-row UDF is the idiomatic escape
+  * hatch for deep scalar pipelines; the DuckDB oracle spells the same
+  * steps as linear CTEs (each referenced once, so no blowup there).
   *
-  * Scale: `cleanTags` is one narrow codegen'd projection; `cleanCaptionUdf`
-  * is a pure deterministic scalar UDF — both shuffle-free, linear in rows.
+  * Scale: both UDFs are pure, deterministic scalar functions —
+  * shuffle-free, partition-parallel, linear in rows.
   */
 object TagClean {
   /** Regexes exactly as `merge_all_to_metadata.py:14-26` (Java and RE2
@@ -58,40 +62,60 @@ object TagClean {
     t.substr(lit(3), length(t) - 4)
   }
 
-  /** `if len(pat.findall(t)) > 1: t = pat.sub("", t)` as a column step. */
-  def removeIfMultiple(t: Column, pattern: String): Column =
-    when(size(regexp_extract_all(t, lit(pattern), lit(1))) > 1,
-      regexp_replace(t, pattern, "")).otherwise(t)
+  private lazy val CompiledRemoveInMulti = PatternsRemoveInMulti.map(Pattern.compile)
+  private lazy val HairLengthP = Pattern.compile(PatternHairLength)
+  private lazy val HairP       = Pattern.compile(PatternHair)
+  private lazy val WordP       = Pattern.compile(PatternWord)
+
+  /** `if len(pat.findall(t)) > 1: t = pat.sub("", t)` — Python findall
+    * counts non-overlapping matches left-to-right; `Matcher.find` ditto. */
+  private def removeIfMultipleStr(t: String, p: Pattern): String = {
+    val m = p.matcher(t)
+    var n = 0
+    while (m.find()) n += 1
+    if (n > 1) p.matcher(t).replaceAll("") else t
+  }
 
   /** T6+T7 composite `clean_tags` (`merge_all_to_metadata.py:58-100`):
     * underscore→space, rating cut, pad; in multi-person captions remove
     * duplicated hair/eye/sleeve/hairstyle tags with the hair-length
     * placeholder dance; then drop words made redundant by a longer
     * multi-word tag ending in them; unpad. */
-  def cleanTags(raw: Column): Column = {
-    val spaced = TagText.underscoreToSpace(raw)
-    val cut    = TagText.stripRatingSuffix(spaced)
-    val padded = pad(cut)
-    val multi  = contains(padded, lit("girls")) || contains(padded, lit("boys"))
-    val afterMulti = PatternsRemoveInMulti.foldLeft(padded) { (t, p) =>
-      when(multi, removeIfMultiple(t, p)).otherwise(t)
-    }
+  def cleanTagsStr(raw: String): String = {
+    // T1 underscore→space with kaomoji guard (`:59-61`).
+    var s = raw.replace("^_^", "^@@@^").replace("_", " ").replace("^@@@^", "^_^")
+    // T9 rating-suffix cut (`:63-70`).
+    val idx = s.indexOf(", rating")
+    if (idx >= 0) s = s.substring(0, idx)
+    // Pad with doubled separators (`:72`).
+    var t = ", " + s.replace(", ", ", , ") + ", "
+    val multi = t.contains("girls") || t.contains("boys")
+    if (multi) CompiledRemoveInMulti.foreach { p => t = removeIfMultipleStr(t, p) }
     // Hair-length placeholder: shield the length tag while de-duplicating
     // generic "<x> hair" tags, then restore it (`:80-90`).
-    val org    = regexp_extract(afterMulti, PatternHairLength, 0)
-    val hasLen = org =!= ""
-    val t1 = when(multi && hasLen,
-      regexp_replace(afterMulti, PatternHairLength, ", @@@, ")).otherwise(afterMulti)
-    val t2 = when(multi, removeIfMultiple(t1, PatternHair)).otherwise(t1)
-    val t3 = when(multi && hasLen, replace(t2, lit(", @@@, "), org)).otherwise(t2)
-    // T7: fold over words found in the ORIGINAL t3 (like Python's findall
-    // before the loop), dropping ", w, " when ", ((\w+) )+w, " matches.
-    val found = regexp_extract_all(t3, lit(PatternWord), lit(1))
-    val t4 = aggregate(found, t3, (acc, w) =>
-      when(regexp_like(acc, concat(lit(", ((\\w+) )+"), w, lit(", "))),
-        replace(acc, concat(lit(", "), w, lit(", ")), lit(""))).otherwise(acc))
-    unpad(t4)
+    val orgM = HairLengthP.matcher(t)
+    val org  = if (orgM.find()) orgM.group(0) else ""
+    if (multi && org.nonEmpty) t = HairLengthP.matcher(t).replaceAll(", @@@, ")
+    if (multi) t = removeIfMultipleStr(t, HairP)
+    if (multi && org.nonEmpty) t = t.replace(", @@@, ", org)
+    // T7: words found in the CURRENT string (Python findall before the
+    // loop), each dropped when a longer multi-word tag ends in it (`:92-95`).
+    val fm = WordP.matcher(t)
+    val found = scala.collection.mutable.ListBuffer.empty[String]
+    while (fm.find()) found += fm.group(1)
+    found.foreach { w =>
+      if (Pattern.compile(", ((\\w+) )+" + Pattern.quote(w) + ", ").matcher(t).find())
+        t = t.replace(", " + w + ", ", "")
+    }
+    // Unpad (`:97-99`).
+    t = t.replace(", , ", ", ")
+    t.substring(2, t.length - 2)
   }
+
+  val cleanTagsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (raw: String) => if (raw == null) null else cleanTagsStr(raw) }
+
+  def cleanTags(raw: Column): Column = cleanTagsUdf(raw)
 
   /** T8 `clean_caption` (`merge_all_to_metadata.py:102-109`): each pair
     * replaced repeatedly until stable, pairs in order. Pure, deterministic,

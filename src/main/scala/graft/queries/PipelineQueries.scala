@@ -1,8 +1,234 @@
 package graft.queries
 
-import graft.Q
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.{Bucketing, Hashing, TagClean, TagOrder, TagText, Tagger, TextAnalysis}
 
-/** End-to-end reference-pipeline queries incl. no-oracle stubs (slice 4). */
+/** Reference-pipeline composite queries (SURVEY.md §2.9 U1/U3/U4, §3.1):
+  * NovelAI tag ordering, clean_tags/clean_caption, the deterministic tagger
+  * stub, and the end-to-end modern-pipeline assembly — all over
+  * documents-derived anime-shaped inputs so the DuckDB oracle can check
+  * them cell for cell (q54 assembly is the one rows-only entry).
+  *
+  * Scale notes: tag ordering is explode → broadcast-vocab join → one hash
+  * re-aggregation (single shuffle); clean_tags/caption and the tagger stub
+  * are narrow codegen'd projections; the assembly composes those pieces
+  * into one lazy plan with exactly two shuffles (tag-order groupBy + final
+  * sort).
+  */
 object PipelineQueries {
-  val all: Seq[Q] = Seq()
+  private val P = Hashing.P31
+
+  // ---- Q50: NovelAI tag ordering (U3) ----
+
+  /** Tags per doc: a prefix tag, a trigger tag, a per-doc unknown
+    * (character) tag, plus the doc's sorted distinct words (known to the
+    * vocabulary = distinct words of docs 0..99). */
+  val q50 = Q("q50_tag_order", {
+    val trig = TagText.TriggerNonCharWords
+      .map(w => s"contains(t, '$w')").mkString("(", " OR ", ")")
+    s"""WITH v0 AS (SELECT DISTINCT unnest(${TextAnalysis.toksSql}) AS vtag
+      |  FROM documents WHERE doc_id < 100),
+      |v AS (SELECT list(vtag) AS vlist FROM v0),
+      |t AS (SELECT doc_id,
+      |  list_concat(['1girl', '16:9', 'oc' || CAST(doc_id AS VARCHAR)],
+      |    list_sort(list_distinct(${TextAnalysis.toksSql}))) AS tags
+      |  FROM documents),
+      |cls AS (SELECT doc_id,
+      |  list_filter(tags, t -> contains(t, 'girl') OR contains(t, 'boy')) AS pfx,
+      |  list_filter(tags, t -> NOT (contains(t, 'girl') OR contains(t, 'boy'))
+      |    AND NOT list_contains(vlist, t) AND NOT $trig) AS chars,
+      |  list_filter(tags, t -> NOT (contains(t, 'girl') OR contains(t, 'boy'))
+      |    AND (list_contains(vlist, t) OR $trig)) AS nonchars
+      |  FROM t CROSS JOIN v),
+      |j AS (SELECT doc_id,
+      |  array_to_string(pfx, ',') AS p,
+      |  array_to_string(list_transform(list_sort(list_transform(chars,
+      |    t -> lpad(CAST(9999 - length(t) AS VARCHAR), 4, '0') || t)), k -> substr(k, 5)), ',') AS c,
+      |  array_to_string(list_transform(list_sort(list_transform(nonchars,
+      |    t -> lpad(CAST(9999 - length(t) AS VARCHAR), 4, '0') || t)), k -> substr(k, 5)), ',') AS n
+      |  FROM cls)
+      |SELECT doc_id, regexp_replace(p || ',' || c || ',' || n, '^,+|,+$$', '', 'g') AS ordered_tags
+      |FROM j ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        array(lit("1girl"), lit("16:9"), concat(lit("oc"), col("doc_id").cast("string"))),
+        array_sort(array_distinct(TextAnalysis.toks(col("text"))))).as("tags"))
+    val vocab = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      .select(explode(TextAnalysis.toks(col("text"))).as("vtag")).distinct()
+    TagOrder.orderTags(docs, "doc_id", "tags", vocab, "vtag")
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q51: clean_tags (T6 multi-person + T7 redundant words) ----
+
+  private val RawTagLineSql =
+    "'2girls, long_hair, blonde_hair, blue_eyes, red_eyes, puffy_sleeves, " +
+      "ponytail, single_braid, ' || replace(substr(text, 1, 50), ' ', ', ') || ', rating_s'"
+
+  private def rawTagLine = concat(
+    lit("2girls, long_hair, blonde_hair, blue_eyes, red_eyes, puffy_sleeves, ponytail, single_braid, "),
+    replace(substring(col("text"), 1, 50), lit(" "), lit(", ")),
+    lit(", rating_s"))
+
+  val q51 = Q("q51_clean_tags", {
+    def rmStep(i: Int, from: String, pat: String): String =
+      s"""c$i AS (SELECT doc_id, multi,
+        |  CASE WHEN multi AND len(regexp_extract_all(t, '$pat', 0)) > 1
+        |       THEN regexp_replace(t, '$pat', '', 'g') ELSE t END AS t
+        |  FROM $from)""".stripMargin
+    val rmChain = TagClean.PatternsRemoveInMulti.zipWithIndex
+      .map { case (p, i) => rmStep(i + 2, if (i == 0) "c1" else s"c${i + 1}", p) }
+      .mkString(",\n")
+    val last = s"c${TagClean.PatternsRemoveInMulti.size + 1}"
+    s"""WITH src AS (SELECT doc_id, $RawTagLineSql AS raw FROM documents),
+      |sp AS (SELECT doc_id,
+      |  replace(replace(replace(raw, '^_^', '^@@@^'), '_', ' '), '^@@@^', '^_^') AS spaced
+      |  FROM src),
+      |ct AS (SELECT doc_id, split_part(spaced, ', rating', 1) AS cut FROM sp),
+      |c0 AS (SELECT doc_id, ', ' || replace(cut, ', ', ', , ') || ', ' AS t FROM ct),
+      |c1 AS (SELECT doc_id, t, (contains(t, 'girls') OR contains(t, 'boys')) AS multi FROM c0),
+      |$rmChain,
+      |h1 AS (SELECT doc_id, multi, t,
+      |  regexp_extract(t, '${TagClean.PatternHairLength}', 0) AS org FROM $last),
+      |h2 AS (SELECT doc_id, multi, org,
+      |  CASE WHEN multi AND org <> ''
+      |       THEN regexp_replace(t, '${TagClean.PatternHairLength}', ', @@@, ', 'g')
+      |       ELSE t END AS t FROM h1),
+      |h3 AS (SELECT doc_id, multi, org,
+      |  CASE WHEN multi AND len(regexp_extract_all(t, '${TagClean.PatternHair}', 0)) > 1
+      |       THEN regexp_replace(t, '${TagClean.PatternHair}', '', 'g') ELSE t END AS t
+      |  FROM h2),
+      |h4 AS (SELECT doc_id,
+      |  CASE WHEN multi AND org <> '' THEN replace(t, ', @@@, ', org) ELSE t END AS t
+      |  FROM h3),
+      |t7 AS (SELECT doc_id,
+      |  list_reduce(list_concat([t], regexp_extract_all(t, '${TagClean.PatternWord}', 1)),
+      |    (acc, w) -> CASE WHEN regexp_matches(acc, ', ((\\w+) )+' || w || ', ')
+      |                     THEN replace(acc, ', ' || w || ', ', '') ELSE acc END) AS t
+      |  FROM h4),
+      |u AS (SELECT doc_id, replace(t, ', , ', ', ') AS t FROM t7)
+      |SELECT doc_id, substr(t, 3, length(t) - 4) AS cleaned
+      |FROM u ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TagClean.cleanTags(rawTagLine).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q52: clean_caption (T8, bounded fixpoint) ----
+
+  private val CaptionSql =
+    "'young anime woman and a cartoon female , anime women and people . ' || substr(text, 1, 30)"
+
+  val q52 = Q("q52_clean_caption",
+    s"""WITH src AS (SELECT doc_id, $CaptionSql AS caption FROM documents)
+      |SELECT doc_id, ${TagClean.cleanCaptionBoundedSql("caption")} AS cleaned
+      |FROM src ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val caption = concat(
+      lit("young anime woman and a cartoon female , anime women and people . "),
+      substring(col("text"), 1, 30))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TagClean.cleanCaptionBounded(caption).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q53: deterministic tagger stub (U1) + F3 threshold + A7 argmax +
+  //      O2 confidence-desc sort ----
+
+  /** Stub vocabulary: fixed word list + the 4 rating categories
+    * (`assets/selected_tags.csv` category 9). */
+  val StubVocab: Seq[String] =
+    (TextAnalysis.LangMarkers.flatMap(_._2) ++ TextAnalysis.StopWords).distinct
+  val Ratings: Seq[String] = Seq("general", "sensitive", "questionable", "explicit")
+
+  val q53 = Q("q53_tagger_stub", {
+    val vocabLst = StubVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+    val ratingConfs = Ratings.map(r =>
+      s"${Tagger.stubConfSql("key", s"'$r'")} AS r_${r.take(1)}").mkString(",\n      |  ")
+    s"""WITH s AS (SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) AS key FROM documents),
+      |k AS (SELECT doc_id,
+      |  list_filter(list_transform($vocabLst,
+      |    t -> {'conf': ${Tagger.stubConfSql("key", "t")}, 'tag': t}),
+      |    x -> x.conf > 0.35) AS kept,
+      |  $ratingConfs
+      |  FROM s)
+      |SELECT doc_id,
+      |  CASE WHEN r_g >= r_s AND r_g >= r_q AND r_g >= r_e THEN 'general'
+      |       WHEN r_s >= r_q AND r_s >= r_e THEN 'sensitive'
+      |       WHEN r_q >= r_e THEN 'questionable'
+      |       ELSE 'explicit' END AS rating,
+      |  len(kept) AS n_kept,
+      |  array_to_string(list_transform(list_sort(list_transform(kept,
+      |    x -> lpad(CAST(99999999 - CAST(floor(x.conf * 100000000.0) AS BIGINT) AS VARCHAR), 8, '0') || x.tag)),
+      |    k -> substr(k, 9)), ',') AS top_tags
+      |FROM k ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val key = concat(lit("doc"), col("doc_id").cast("string"))
+    val kept = filter(
+      transform(typedLit(StubVocab),
+        t => struct(Tagger.stubConf(key, t).as("conf"), t.as("tag"))),
+      x => x.getField("conf") > 0.35)
+    val sortKey = (x: org.apache.spark.sql.Column) =>
+      concat(lpad((lit(99999999L) - floor(x.getField("conf") * 100000000.0).cast("long"))
+        .cast("string"), 8, "0"), x.getField("tag"))
+    val Seq(rg, rs, rq, re) = Ratings.map(r => Tagger.stubConf(key, lit(r)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(rg >= rs && rg >= rq && rg >= re, "general")
+          .when(rs >= rq && rs >= re, "sensitive")
+          .when(rq >= re, "questionable")
+          .otherwise("explicit").as("rating"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(transform(array_sort(transform(kept, sortKey)),
+          k => substring(k, 9, 1 << 24)), ",").as("top_tags"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q54: modern pipeline assembly (§3.1, rows-only) ----
+
+  /** `dataruu/run.py:30-118` as ONE lazy plan over documents-as-images:
+    * sidecar parse → synthetic dims → bucket assignment (upscale path) →
+    * aesthetic join+filter (broadcast scores) → NovelAI tag ordering →
+    * final keyed metadata projection. No oracle (the composition is
+    * checked piecewise by q20/q30/q50/q53); driver records rows>0. */
+  val q54 = Q.noOracle("q54_modern_pipeline") { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val line = concat(col("lang"), lit(", "), replace(col("text"), lit(" "), lit(", ")))
+    val resos = Bucketing.makeBucketResolutions()
+    val parsed = docs.select(
+      col("doc_id"),
+      concat(lit("doc"), col("doc_id").cast("string")).as("image_key"),
+      TagText.ratingOf(line).as("rating"),
+      TagText.tagsOf(line).as("tags"),
+      (lit(128) + Hashing.hash31(concat(lit("w"), col("doc_id").cast("string"))) % 1900)
+        .cast("int").as("w"),
+      (lit(128) + Hashing.hash31(concat(lit("h"), col("doc_id").cast("string"))) % 1900)
+        .cast("int").as("h"))
+    val bucketed = parsed
+      .withColumn("b", Bucketing.selectBucketUpscale(col("w"), col("h"), resos))
+      .withColumn("train_resolution",
+        Bucketing.trainResolution(col("b.reso_w"), col("b.reso_h")))
+    // Aesthetic scores: separate source keyed like run.py:72-76, inner join
+    // (F2 missing-key drop: every 13th image has no score) + threshold F1.
+    val scores = docs.select(
+      concat(lit("doc"), col("doc_id").cast("string")).as("image_key"),
+      (Hashing.hash31(concat(lit("s"), col("doc_id").cast("string"))) / lit(P.toDouble))
+        .as("aesthetic_score"))
+      .filter(col("image_key").isNotNull && Hashing.hash31(col("image_key")) % 13 =!= 0)
+    val filtered = bucketed
+      .join(broadcast(scores), Seq("image_key"), "inner")
+      .filter(col("aesthetic_score") >= 0.5)
+    val vocab = docs.filter(col("doc_id") < 100)
+      .select(explode(TextAnalysis.toks(col("text"))).as("vtag")).distinct()
+    val ordered = TagOrder.orderTags(
+      filtered.select(col("doc_id"), col("tags")), "doc_id", "tags", vocab, "vtag")
+    filtered.join(ordered, Seq("doc_id"))
+      .select(col("image_key"), col("train_resolution"), col("rating"),
+        round(col("aesthetic_score"), 6).as("aesthetic_score"), col("ordered_tags"))
+      .orderBy(col("image_key"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
 }
