@@ -302,5 +302,17 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13)
+  /** q08's plan as a real Structured Streaming query: readStream parquet →
+    * tumbling window agg → memory sink, drained with Trigger.AvailableNow.
+    * Checked against the SAME oracle as q08 — stream/batch agreement. */
+  val q55 = Q("q55_stream_hourly",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStream.hourlyAvailableNow(s, dir)
+  }
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q55)
 }

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.10 extension): the `events`
+  * table as a stream — tumbling-window aggregation and stateful
+  * sessionization, with the batch plans they must agree with.
+  *
+  * The reference has no streaming; its closest analogue is incremental
+  * batch (J5 upsert re-runs, `legacy/merge_all_to_metadata.py:182-188`).
+  * This module supplies the Spark-native streaming shape: `readStream` →
+  * event-time window agg → sink, and `flatMapGroupsWithState` for custom
+  * session state. The q55 driver query runs the windowed agg with
+  * Trigger.AvailableNow into a memory sink and is checked against the SAME
+  * DuckDB oracle as the batch q08 — stream/batch agreement is the
+  * correctness statement.
+  *
+  * Scale notes: the window agg is a streaming hash agg keyed by (window,
+  * event_type) — state size = live windows × types, independent of input
+  * volume; with a watermark (see [[hourlyWatermarked]]) state is evicted
+  * hour by hour. Sessionization state is one small record per active user.
+  */
+object EventStream {
+
+  /** Parquet schema of the events table with `ts` read as raw NANOS int64
+    * (`Tables.events` note: Spark's vectorized reader rejects
+    * TIMESTAMP(NANOS) unless read as long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of `events.parquet` with the same nanos→micros
+    * conversion as the batch loader. */
+  def read(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file-stream source wants a directory or glob (a bare file path is
+    // rejected: "Option 'basePath' must be a directory"), so glob the file.
+    spark.readStream.schema(rawSchema)
+      .parquet(s"$sfDir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+  }
+
+  /** Tumbling 1-hour window aggregation — works unchanged on a batch or
+    * streaming DataFrame (same plan the q08 batch query declares via
+    * date_trunc). */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** The watermarked append-mode variant (10-minute lateness bound): the
+    * production shape — state for an hour window is dropped once the
+    * watermark passes its end. Complete-mode q55 doesn't need it because
+    * AvailableNow drains a finite input. */
+  def hourlyWatermarked(events: DataFrame): DataFrame =
+    hourly(events.withWatermark("ts", "10 minutes"))
+
+  /** Run [[hourly]] over the streaming source with Trigger.AvailableNow
+    * into a memory sink; returns the drained result. Oracle-equivalent to
+    * the batch q08. */
+  def hourlyAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_hourly"
+    val q = hourly(read(spark, sfDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  final case class SessionState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  val SessionGapMicros: Long = 30L * 60 * 1000000
+
+  /** Custom session state over a user-keyed stream: counts sessions split
+    * on >30-minute gaps, carrying (lastTs, totals) across micro-batches —
+    * the stateful analogue of the q09 batch window sessionization. Events
+    * within a batch are processed in (ts, event_id) order. */
+  def sessionCounts(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+          val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          val end = sorted.foldLeft(init) { (st, e) =>
+            val tsMicros = e.ts.getTime * 1000
+            val newSession = st.lastTsMicros == Long.MinValue ||
+              tsMicros - st.lastTsMicros > SessionGapMicros
+            SessionState(tsMicros,
+              st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(end)
+          Iterator(UserSessions(uid, end.nSessions, end.nEvents))
+      }.toDF()
+  }
+}
