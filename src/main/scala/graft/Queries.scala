@@ -9,7 +9,8 @@ object Queries {
     graft.queries.AnimeQueries.all ++
     graft.queries.BucketQueries.all ++
     graft.queries.LlmQueries.all ++
-    graft.queries.PipelineQueries.all
+    graft.queries.PipelineQueries.all ++
+    graft.queries.MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
