@@ -103,10 +103,12 @@ object Bucketing {
       when(useW, floor(bwR / ar + 0.5)).otherwise(bhR.cast("long"))).otherwise(h.cast("long"))
     val bw = resizedW - resizedW % cfg.steps
     val bh = resizedH - resizedH % cfg.steps
+    // Degenerate inputs smaller than one step floor to a 0-sized bucket;
+    // numpy would yield nan for 0/0 — we pin null (ANSI mode would throw).
     struct(
       bw.as("reso_w"), bh.as("reso_h"),
       resizedW.as("resized_w"), resizedH.as("resized_h"),
-      (bw / bh - ar).as("ar_error"))
+      when(bh =!= 0, bw / bh - ar).as("ar_error"))
   }
 
   /** P3 (`bucket_manager.py:196`): latent-unit floor `(x - x%8, y - y%8)`. */

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, MapType, StringType}
+
+/** File-layout sources and sinks (SURVEY.md §2.1 S1–S9, §2.2 K1–K2): the
+  * anime-pipeline's on-disk formats as declarative Spark reads.
+  *
+  * Scale notes: every reader is a standard Spark source (binaryFile /
+  * text / json / csv) — file-splittable, predicate/column pruned, no
+  * driver-side listing loops. The one deliberate exception is the K1
+  * dict-keyed JSON sink, which the reference defines as ONE json object
+  * (`run.py:117-118`) — inherently single-file presentation output; the
+  * scale path is [[writeJsonl]] (K2, row-per-line, fully parallel).
+  */
+object Sources {
+
+  /** S1/S2: image directory scan (delegates to [[Multimodal.loadBinaryDir]];
+    * non-recursive like `run.py:38-41`, recursive like
+    * `glob_images_pathlib` with `--full_path`). */
+  def imageDir(spark: SparkSession, dir: String, recursive: Boolean = false): DataFrame =
+    Multimodal.loadBinaryDir(spark, dir, recursive = recursive)
+
+  /** S4/S5 core: one row per sidecar file of extension `ext` under `dir`:
+    * (image_key, line = first line of the file content). The key is the
+    * filename sans extension — sidecars are named `{id}.txt` next to
+    * `{id}_*.jpg` (`run.py:53-57`). */
+  def sidecarText(spark: SparkSession, dir: String, ext: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*.$ext").load(dir)
+      .select(
+        Paths.stripExt(Paths.baseName(col("path"))).as("image_key"),
+        element_at(split(decode(col("content"), "UTF-8"), "\n"), 1).as("line"))
+
+  /** S4: tag sidecars — `{id}.txt` first line `rating, tag1, tag2, …`
+    * parsed with the P2 split/trim/drop-empties rules. */
+  def sidecarTags(spark: SparkSession, dir: String): DataFrame =
+    sidecarText(spark, dir, "txt")
+      .select(col("image_key"),
+        TagText.ratingOf(col("line")).as("rating"),
+        TagText.tagsOf(col("line")).as("tags"))
+
+  /** S5: optional captions — `{id}.caption`
+    * (`legacy/merge_all_to_metadata.py:137-151`). */
+  def sidecarCaptions(spark: SparkSession, dir: String): DataFrame =
+    sidecarText(spark, dir, "caption")
+      .select(col("image_key"), trim(col("line")).as("caption"))
+
+  /** S6: dict-keyed JSON `{path: {fields…}}` → one row per key. The
+    * reference's metadata.json shape (`merge_final_train_metadata.py:9`);
+    * whole-file read + from_json(MapType) + explode. */
+  def keyedJson(spark: SparkSession, path: String, valueType: DataType): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(explode(from_json(col("value"), MapType(StringType, valueType)))
+        .as(Seq("key", "v")))
+      .select(col("key"), col("v.*"))
+
+  /** S7: JSON list-of-records across N files — multi-path read is an
+    * implicit UNION ALL (`run.py:72-74` score-file concat). */
+  def jsonList(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.json(paths: _*)
+
+  /** S8: headered CSV with explicit schema (`selected_tags.csv`,
+    * `tagger.py:32`). */
+  def csvWithHeader(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.read.option("header", "true").schema(ddl).csv(path)
+
+  /** S9: headerless manual CSV — project column `idx`, dropping the header
+    * row by value (`prepare_aesthetic_tags_metadata.py:11-12` reads raw
+    * lines, skips row 0, takes field 2). */
+  def csvColumn(spark: SparkSession, path: String, idx: Int, headerValue: String): DataFrame =
+    spark.read.csv(path)
+      .select(col(s"_c$idx").as("value"))
+      .filter(col("value") =!= headerValue)
+
+  /** K1: dict-keyed JSON dump `{key: {fields…}}` — the reference's
+    * presentation sink (`run.py:117-118`, single object, driver-sized by
+    * definition). Use [[writeJsonl]] for anything large. */
+  def writeKeyedJson(df: DataFrame, keyCol: String, path: String): Unit = {
+    val valueCols = df.columns.filterNot(_ == keyCol).map(c => col(c))
+    df.select(col(keyCol).cast("string").as("k"), struct(valueCols: _*).as("v"))
+      .agg(to_json(map_from_entries(sort_array(collect_list(struct(col("k"), col("v")))))).as("obj"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** K2: row-per-line JSON (list-of-records shape, fully parallel). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

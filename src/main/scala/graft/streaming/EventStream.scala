@@ -87,6 +87,10 @@ object EventStream {
 
   val SessionGapMicros: Long = 30L * 60 * 1000000
 
+  /** Full-precision micros (Timestamp.getTime truncates to millis). */
+  private def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Custom session state over a user-keyed stream: counts sessions split
     * on >30-minute gaps, carrying (lastTs, totals) across micro-batches —
     * the stateful analogue of the q09 batch window sessionization. Events
@@ -99,10 +103,10 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, UserSessions](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           val end = sorted.foldLeft(init) { (st, e) =>
-            val tsMicros = e.ts.getTime * 1000
+            val tsMicros = micros(e.ts)
             val newSession = st.lastTsMicros == Long.MinValue ||
               tsMicros - st.lastTsMicros > SessionGapMicros
             SessionState(tsMicros,

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Hashing, Similarity}
+
+/** Dedup / similarity operator semantics on planted fixtures. */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tokDF(rows: (Long, String)*) =
+    rows.toDF("id", "text").select(col("id"),
+      filter(split(col("text"), " "), w => w =!= "").as("toks"))
+
+  test("MinHash: identical shingle sets → identical signatures; disjoint → different") {
+    val df = tokDF(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .select(col("id"), Dedup.minhashSig(
+        transform(Dedup.shingles(col("toks"), 3), s => Hashing.hash31(s)), 12).as("sig"))
+    val sigs = df.orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+    assert(sigs(0).forall(v => v >= 0 && v < Hashing.P31))
+  }
+
+  test("LSH bands: near-identical docs collide on at least one band") {
+    val df = tokDF(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "zz w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .select(col("id"), Dedup.bandHashes(Dedup.minhashSig(
+        transform(Dedup.shingles(col("toks"), 3), s => Hashing.hash31(s)), 12), 4, 3).as("b"))
+    val bands = df.orderBy("id").collect().map(_.getSeq[org.apache.spark.sql.Row](1))
+    val shared = bands(0).map(r => (r.getInt(0), r.getLong(1)))
+      .intersect(bands(1).map(r => (r.getInt(0), r.getLong(1))))
+    assert(shared.nonEmpty)
+  }
+
+  test("Jaccard: exact on known sets") {
+    val j = Seq(1).toDF("i").select(
+      Dedup.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))).as("j"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-15)
+  }
+
+  test("SimHash: equal bags → hamming 0; one-word edit → small hamming") {
+    val df = tokDF(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),
+      (3L, "zz w1 w2 w3 w4 w5 w6 w7 w8"))
+      .select(col("id"), Dedup.simhash16(
+        transform(Dedup.shingleBag(col("toks"), 2), g => Hashing.hash31(g))).as("s"))
+    val s = df.orderBy("id").collect().map(_.getLong(1))
+    assert(s(0) === s(1))
+    assert(java.lang.Long.bitCount(s(0) ^ s(2)) <= 4)
+    assert(s.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("winnowing: fingerprints overlap heavily under a local edit") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "the quick brown fox jumps over the hazy dog again and again"))
+      .toDF("id", "text")
+      .select(col("id"), Dedup.winnowFingerprints(
+        Dedup.charGramHashes(col("text"), 4), 5).as("f"))
+    val fp = df.orderBy("id").collect().map(_.getSeq[Long](1).toSet)
+    val inter = fp(0).intersect(fp(1)).size.toDouble
+    assert(inter / math.max(fp(0).size, fp(1).size) > 0.5)
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0 (sequential fold)") {
+    val a = typedLit(Seq(1.0, 0.0, 2.0))
+    val b = typedLit(Seq(0.0, 3.0, 0.0))
+    val r = Seq(1).toDF("i").select(
+      Similarity.cosine(a, a).as("aa"), Similarity.cosine(a, b).as("ab"))
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(r.getDouble(1)) < 1e-15)
+  }
+
+  test("LSH buckets: identical vectors share a bucket; planes are ±1") {
+    val planes = Similarity.planes(4, 8)
+    assert(planes.flatten.forall(v => v == 1 || v == -1))
+    val v = typedLit(Seq(0.5, -1.0, 2.0, 0.1, -0.3, 0.9, -2.0, 1.1))
+    val r = Seq(1).toDF("i")
+      .select(Similarity.lshBucket(v, planes).as("b1"), Similarity.lshBucket(v, planes).as("b2"))
+      .collect()(0)
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(0) >= 0 && r.getLong(0) < 16)
+  }
+
+  test("exact dedup keeps min id per content group (q40 semantics)") {
+    val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("k"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+    val out = df.orderBy("keep").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 2L), (3L, 1L)))
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry contract + pipeline-assembly invariants at sf0.001. */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("registry: unique names, oracle keys subset of query keys") {
+    val names = Queries.all.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(Queries.all.count(_.oracle.isDefined) >= 40)
+  }
+
+  test("entry: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q54 modern pipeline: schema + semantic invariants") {
+    val df = Queries.byName("q54_modern_pipeline").fn(spark, TestSpark.Sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(df.columns.toSeq ===
+      Seq("image_key", "train_resolution", "rating", "aesthetic_score", "ordered_tags"))
+    rows.foreach { r =>
+      val tr = r.getStruct(1)
+      assert(tr.getInt(0) % 8 === 0 && tr.getInt(1) % 8 === 0) // P3 latent floor
+      assert(r.getDouble(3) >= 0.5)                            // F1 threshold
+      assert(r.getString(4).nonEmpty)                          // U3 produced tags
+    }
+  }
+}
