@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Parquet table loaders over the driver testdata layout
-  * (`TESTDATA.md`: one parquet file per table under the sf dir).
+/** Parquet table loaders over the driver testdata layout — one parquet
+  * file per table under the sf dir. The 8 relational tables are documented
+  * in `TESTDATA.md`; the `documents`/`embeddings` extension tables in
+  * `FIXTURES.md` §8.
   *
   * All loads go through `spark.read.parquet` so Catalyst sees a
   * declarative scan: filter pushdown, column pruning and partition

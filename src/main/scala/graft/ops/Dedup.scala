@@ -43,7 +43,15 @@ object Dedup {
       s"i -> array_to_string(($toks)[i:i+${n - 1}], ' '))"
 
   /** MinHash signature: for each of k affine permutations (a_j·h + b_j) mod
-    * P31, the minimum over the shingle-hash array. Returns array<long>[k]. */
+    * P31, the minimum over the shingle-hash array. Returns array<long>[k].
+    *
+    * PERF CONTRACT: pass a MATERIALIZED hash-array column (e.g. via
+    * `localCheckpoint` of the `transform(shingles, hash31)` projection),
+    * not the raw hash expression — the k per-slot mins each re-evaluate
+    * their input, so an inline md5 transform would be hashed k times.
+    * Over stored longs each slot is pure integer math. (A single-fold
+    * zip_with spelling avoids the re-evaluation but allocates two arrays
+    * per element in interpreted HOF mode — measured slower end to end.) */
   def minhashSig(shingleHashes: Column, k: Int): Column =
     array(Hashing.permCoeffs(k).map { case (a, b) =>
       array_min(transform(shingleHashes, h => (lit(a) * h + lit(b)) % lit(P31)))
@@ -75,7 +83,9 @@ object Dedup {
 
   /** 16-bit SimHash over a bag of 31-bit feature hashes: bit j is set iff
     * the ±1 votes of feature bit j sum non-negative. Multiset semantics
-    * (duplicates vote repeatedly), matching the classic definition. */
+    * (duplicates vote repeatedly), matching the classic definition.
+    * Same PERF CONTRACT as [[minhashSig]]: feed a materialized hash
+    * column — the 16 per-bit votes each re-evaluate their input. */
   def simhash16(featureHashes: Column): Column =
     (0 until 16).map { j =>
       val vote = aggregate(featureHashes, lit(0L),

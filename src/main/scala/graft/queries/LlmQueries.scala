@@ -106,14 +106,21 @@ object LlmQueries {
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
   }) { (s, dir) =>
+    // Materialize the md5-derived shingle hashes ONCE: the 12 signature
+    // slots and both sides of the self-join would otherwise each re-run
+    // the md5 transform (the cluster analogue is persisting the signature
+    // table before the LSH join — standard near-dup practice).
     val sh = toks(corpusNear(s, dir))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), Dedup.shingles(col("toks"), 3).as("shingles"))
-    val sig = sh.select(col("doc_id"),
-      Dedup.minhashSig(transform(col("shingles"), x => Hashing.hash31(x)), MinhashK).as("sig"))
+      .select(col("doc_id"), col("shingles"),
+        transform(col("shingles"), x => Hashing.hash31(x)).as("hs"))
+      .localCheckpoint()
+    val sig = sh.select(col("doc_id"), Dedup.minhashSig(col("hs"), MinhashK).as("sig"))
     val bands = sig
       .select(col("doc_id"), explode(Dedup.bandHashes(col("sig"), LshBands, LshRows)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .localCheckpoint()
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -152,11 +159,16 @@ object LlmQueries {
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
       |ORDER BY doc_a, doc_b""".stripMargin
   }) { (s, dir) =>
-    val sh = toks(corpusNear(s, dir))
+    // Same materialization discipline as q41: hash the bigram bag once,
+    // store it, compute the 16 bit votes over stored longs, and store the
+    // tiny (doc_id, sim16) table the four self-join branches read.
+    val wh = toks(corpusNear(s, dir))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
-        Dedup.simhash16(
-          transform(Dedup.shingleBag(col("toks"), 2), g => Hashing.hash31(g))).as("sim16"))
+        transform(Dedup.shingleBag(col("toks"), 2), g => Hashing.hash31(g)).as("hs"))
+      .localCheckpoint()
+    val sh = wh.select(col("doc_id"), Dedup.simhash16(col("hs")).as("sim16"))
+      .localCheckpoint()
     def pairsOn(keyed: DataFrame): DataFrame =
       keyed.as("x").join(keyed.as("y"),
           col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))
