@@ -79,4 +79,22 @@ object TagText {
     * analogue of a tag list. */
   def words(text: Column): Column =
     filter(split(text, " +"), w => w =!= "")
+
+  /** P4 (`legacy/prepare_aesthetic_tags_metadata.py:14-23`): parse
+    * `"Name (Series)"`. Character = trimmed prefix before the FIRST `(`;
+    * no-paren rows keep the whole name (the ValueError branch). */
+  def characterOf(raw: Column): Column = {
+    val i = instr(raw, "(")
+    when(i > 0, trim(raw.substr(lit(1), i - 1))).otherwise(raw)
+  }
+
+  /** P4 series: chars after the first `(` up to the last char (reference
+    * slices `[index+1:-1]`), trimmed, any remaining parens removed;
+    * null for no-paren rows (reference appends no series). */
+  def seriesOf(raw: Column): Column = {
+    val i = instr(raw, "(")
+    val inner = trim(raw.substr(i + 1, length(raw) - i - 1))
+    when(i > 0, replace(replace(inner, lit("("), lit("")), lit(")"), lit("")))
+      .otherwise(lit(null).cast("string"))
+  }
 }

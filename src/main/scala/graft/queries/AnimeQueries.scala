@@ -188,5 +188,61 @@ object AnimeQueries {
       .orderBy(col("lang"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27)
+  /** P4+A4 (`prepare_aesthetic_tags_metadata.py:11-26`): parse
+    * `"Name (Series)"` character rows (every 3rd has no parens — the
+    * ValueError branch) and report the distinct pairs with counts. */
+  val q57 = Q("q57_character_series",
+    """WITH src AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN replace(source || '_' || lang, '_', ' ')
+      |       ELSE replace(source || '_chan (' || lang || '_world)', '_', ' ') END AS raw
+      |  FROM documents),
+      |p AS (SELECT
+      |  CASE WHEN strpos(raw, '(') > 0
+      |       THEN trim(substr(raw, 1, strpos(raw, '(') - 1)) ELSE raw END AS character,
+      |  CASE WHEN strpos(raw, '(') > 0
+      |       THEN replace(replace(trim(substr(raw, strpos(raw, '(') + 1,
+      |              length(raw) - strpos(raw, '(') - 1)), '(', ''), ')', '')
+      |       ELSE NULL END AS series
+      |  FROM src)
+      |SELECT character, series, count(*) AS n
+      |FROM p GROUP BY character, series ORDER BY character, series""".stripMargin) { (s, dir) =>
+    val raw = when(col("doc_id") % 3 === 0,
+      TagText.underscoreToSpace(concat(col("source"), lit("_"), col("lang"))))
+      .otherwise(TagText.underscoreToSpace(
+        concat(col("source"), lit("_chan ("), col("lang"), lit("_world)"))))
+    Tables.documents(s, dir)
+      .select(raw.as("raw"))
+      .select(TagText.characterOf(col("raw")).as("character"),
+        TagText.seriesOf(col("raw")).as("series"))
+      .groupBy(col("character"), col("series"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("character"), col("series"))
+  }
+
+  /** A8+U5: exact top-5 words per language through the typed
+    * [[graft.ops.Aggregators.TopKWords]] Aggregator (registered via
+    * `functions.udaf`), over pre-aggregated (word, cnt) rows so the UDAF
+    * buffer stays small at scale. Oracle = plain window top-k. */
+  val q59 = Q("q59_tag_topk_udaf",
+    """WITH w AS (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+      |  FROM documents),
+      |c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word),
+      |r AS (SELECT lang, word, cnt,
+      |  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rnk FROM c)
+      |SELECT lang, rnk, word, cnt FROM r WHERE rnk <= 5
+      |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+    val topk = udaf(new graft.ops.Aggregators.TopKWords(5))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(TagText.words(col("text"))).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("lang"))
+      .agg(topk(col("word"), col("cnt")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "wc")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("wc.word").as("word"), col("wc.cnt").as("cnt"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q57, q59)
 }

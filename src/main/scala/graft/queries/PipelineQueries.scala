@@ -230,5 +230,56 @@ object PipelineQueries {
       .orderBy(col("image_key"))
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54)
+  /** J3+O5+O1 (`legacy/merge_final_train_metadata.py:9-22`): final train
+    * merge — ordered-tag records filtered at the 0.8 legacy threshold,
+    * inner-joined to bucketing metadata, tags overwritten by ordered_tags,
+    * cut at N. The reference's insertion-order `break` is nondeterministic
+    * across engines, so the order is pinned with a seeded hash shuffle key
+    * (the oracle-portable spelling of `random.shuffle(seed)`, O1). */
+  val q58 = Q("q58_final_merge", {
+    val shuf = Hashing.hash31Sql("'shuf' || CAST(d.doc_id AS VARCHAR)")
+    s"""WITH lat AS (SELECT doc_id,
+      |  CAST(128 + ${Hashing.hash31Sql("'w' || CAST(doc_id AS VARCHAR)")} % 1900 AS INT) AS w,
+      |  CAST(128 + ${Hashing.hash31Sql("'h' || CAST(doc_id AS VARCHAR)")} % 1900 AS INT) AS h
+      |  FROM documents),
+      |tr AS (SELECT doc_id, w - w % 8 AS train_w, h - h % 8 AS train_h FROM lat),
+      |data AS (SELECT doc_id,
+      |  ${Hashing.hash31Sql("'s' || CAST(doc_id AS VARCHAR)")} / 2147483647.0 AS score,
+      |  array_to_string(list_sort(list_distinct(list_filter(string_split(text, ' '),
+      |    x -> x <> ''))), ',') AS ordered_tags
+      |  FROM documents),
+      |merged AS (
+      |  SELECT d.doc_id, t.train_w, t.train_h, round(d.score, 6) AS aesthetic_score,
+      |         d.ordered_tags AS tags, $shuf AS shuf
+      |  FROM data d JOIN tr t ON t.doc_id = d.doc_id
+      |  WHERE d.score >= 0.8),
+      |cut AS (SELECT * FROM merged ORDER BY shuf, doc_id LIMIT 50)
+      |SELECT doc_id, train_w, train_h, aesthetic_score, tags
+      |FROM cut ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val key = col("doc_id").cast("string")
+    val tr = docs.select(col("doc_id"),
+      (lit(128) + Hashing.hash31(concat(lit("w"), key)) % 1900).cast("int").as("w"),
+      (lit(128) + Hashing.hash31(concat(lit("h"), key)) % 1900).cast("int").as("h"))
+      .select(col("doc_id"),
+        (col("w") - col("w") % 8).as("train_w"), (col("h") - col("h") % 8).as("train_h"))
+    val data = docs.select(col("doc_id"),
+      (Hashing.hash31(concat(lit("s"), key)) / lit(P.toDouble)).as("score"),
+      array_join(array_sort(array_distinct(TextAnalysis.toks(col("text")))), ",")
+        .as("ordered_tags"))
+    data.filter(col("score") >= 0.8)
+      .join(tr, Seq("doc_id"))
+      .select(col("doc_id"), col("train_w"), col("train_h"),
+        round(col("score"), 6).as("aesthetic_score"),
+        col("ordered_tags").as("tags"),
+        Hashing.hash31(concat(lit("shuf"), key)).as("shuf"))
+      .orderBy(col("shuf"), col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("train_w"), col("train_h"),
+        col("aesthetic_score"), col("tags"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q58)
 }
