@@ -186,5 +186,34 @@ object BucketQueries {
       .orderBy(col("reso_w"), col("reso_h"))
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33)
+  /** U2 native path: the bucket argmin as a custom codegen'd Catalyst
+    * expression ([[graft.plans.BucketArgMin]], registered on the session
+    * via [[graft.plans.GraftFunctions.register]] and callable as SQL
+    * `graft_bucket_argmin(w, h)`), composed with a literal-array lookup.
+    * Same oracle as the builtin q30 selection — the two implementations
+    * must agree cell for cell. */
+  val q61 = Q("q61_bucket_argmin_native",
+    s"""WITH src AS ($srcSql),
+      |c AS (SELECT *, w / h AS ar, $resosSql AS resos FROM src),
+      |m AS (SELECT *,
+      |  list_transform(resos, r -> abs(r.rw / r.rh - ar)) AS errs,
+      |  len(list_filter(resos, r -> r.rw = w AND r.rh = h)) > 0 AS exact
+      |  FROM c),
+      |r AS (SELECT *,
+      |  CASE WHEN exact THEN w
+      |       ELSE resos[list_position(errs, list_aggregate(errs, 'min'))].rw END AS reso_w,
+      |  CASE WHEN exact THEN h
+      |       ELSE resos[list_position(errs, list_aggregate(errs, 'min'))].rh END AS reso_h
+      |  FROM m)
+      |SELECT id, reso_w, reso_h FROM r ORDER BY id""".stripMargin) { (s, dir) =>
+    graft.plans.GraftFunctions.register(s, cfg)
+    val best = element_at(Bucketing.resosLit(resos),
+      call_function(graft.plans.GraftFunctions.BucketArgMinName, col("w"), col("h")))
+    srcWH(s, dir)
+      .select(col("id"),
+        best.getField("rw").as("reso_w"), best.getField("rh").as("reso_h"))
+      .orderBy(col("id"))
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q61)
 }

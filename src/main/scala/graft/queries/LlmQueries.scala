@@ -375,5 +375,45 @@ object LlmQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49)
+  // ---- Q60: embedding-cosine near-duplicates (bucketed) ----
+
+  /** Near-dup detection in embedding space: corpus salted with perturbed
+    * copies (every 20th vector, +0.2 on dim 1), LSH-bucketed self-join
+    * (same 4-plane code — never all-pairs), exact cosine ≥ 0.95 verify.
+    * The embedding analogue of q41's shingle near-dup. */
+  val q60 = Q("q60_embed_neardup", {
+    val mut = "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) + " +
+      "CASE WHEN i = 1 THEN 0.2 ELSE 0.0 END)"
+    val base = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    s"""WITH corpus AS (
+      |  SELECT vec_id, $base AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id, $mut AS v
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |b AS (SELECT vec_id, v, ${Similarity.lshBucketSql("v", AnnPlanes)} AS bkt FROM corpus),
+      |cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.v AS va, y.v AS vb
+      |         FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
+      |p AS (SELECT vec_a, vec_b, round(${Similarity.cosineSql("va", "vb", 64)}, 6) AS cosine
+      |      FROM cand)
+      |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.95
+      |ORDER BY vec_a, vec_b""".stripMargin
+  }) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val base = e.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val mut = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        zip_with(Similarity.toDouble(col("embedding")), sequence(lit(1), lit(64)),
+          (x, i) => x + when(i === 1, lit(0.2)).otherwise(lit(0.0))).as("v"))
+    val b = base.unionByName(mut)
+      .withColumn("bkt", Similarity.lshBucket(col("v"), AnnPlanes))
+      .localCheckpoint() // bucket/vec table read by both self-join sides
+    b.as("x").join(b.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(Similarity.cosine(col("x.v"), col("y.v")), 6).as("cosine"))
+      .filter(col("cosine") >= 0.95)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60)
 }
