@@ -75,6 +75,15 @@ class TagTextSpec extends AnyFunSuite {
     assert(r.toSeq === Seq("123", "a.b", "x"))
   }
 
+  test("E5: zip names+categories to map with _-to-space keys (novelai_order.py:9)") {
+    val r = Seq(1).toDF("i")
+      .select(map_from_arrays(
+        transform(typedLit(Seq("long_hair", "^_^")), t => TagText.underscoreToSpace(t)),
+        typedLit(Seq(0, 4))).as("m"))
+      .collect()(0).getMap[String, Int](0)
+    assert(r === Map("long hair" -> 0, "^_^" -> 4))
+  }
+
   test("P1: sidecar path derivation") {
     val r = Seq("/data/img/123_tail.jpg").toDF("p")
       .select(Paths.sidecarPath($"p", "txt")).collect()(0).getString(0)
