@@ -41,6 +41,15 @@ object Similarity {
   def cosineSql(a: String, b: String, dim: Int): String =
     s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
 
+  /** Euclidean norm — precompute ONCE per vector before a pairwise stage:
+    * `dot(a,b)/(na*nb)` is bit-identical to [[cosine]] (same op order) but
+    * folds each vector once per corpus instead of twice per pair. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+  def normSql(v: String, dim: Int): String = s"sqrt(${dotSql(v, v, dim)})"
+
+  /** Cosine from a precomputed-norm pair. */
+  def cosinePre(dotAB: Column, na: Column, nb: Column): Column = dotAB / (na * nb)
+
   /** Deterministic ±1 random hyperplanes, seeded from md5 — driver-side
     * constants inlined into both plans (the Catalyst analogue of a
     * broadcast variable; never recomputed per row). */

@@ -319,23 +319,31 @@ object LlmQueries {
   // ---- Q48: brute-force cosine top-k ----
 
   val q48 = Q("q48_cosine_topk",
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
-      |  FROM embeddings WHERE vec_id % 100 = 0),
-      |p AS (SELECT qid, vec_id, ${Similarity.cosineSql("qv", "embedding", 64)} AS sim
-      |      FROM q CROSS JOIN embeddings WHERE vec_id <> qid),
+    s"""WITH b AS (SELECT vec_id, embedding,
+      |    ${Similarity.normSql("embedding", 64)} AS nrm FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn
+      |  FROM b WHERE vec_id % 100 = 0),
+      |p AS (SELECT qid, vec_id,
+      |        ${Similarity.dotSql("qv", "embedding", 64)} / (qn * nrm) AS sim
+      |      FROM q CROSS JOIN b WHERE vec_id <> qid),
       |r AS (SELECT qid, vec_id, sim,
       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
       |      FROM p)
       |SELECT qid, rn AS rnk, vec_id, round(sim, 6) AS cosine
       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    // Norms precomputed per vector (once per corpus, not twice per pair) —
+    // dot/(qn*en) is the identical float expression, see Similarity.norm.
     val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("ev"))
+      .withColumn("nrm", Similarity.norm(col("ev")))
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), Similarity.toDouble(col("embedding")).as("qv"))
-    val c = e.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("ev"))
+      .select(col("vec_id").as("qid"), col("ev").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    c.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), Similarity.cosine(col("qv"), col("ev")).as("sim"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosinePre(Similarity.dot(col("qv"), col("ev")), col("qn"), col("nrm"))
+          .as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
@@ -345,16 +353,19 @@ object LlmQueries {
   // ---- Q49: LSH-bucketed approximate NN (the scale path) ----
 
   private val AnnPlanes = Similarity.planes(4, 64)
+  private val NearDupPlanes = Similarity.planes(8, 64)
 
   val q49 = Q("q49_ann_lsh",
     s"""WITH b AS (SELECT vec_id, embedding,
-      |    ${Similarity.lshBucketSql("embedding", AnnPlanes)} AS bkt
+      |    ${Similarity.lshBucketSql("embedding", AnnPlanes)} AS bkt,
+      |    ${Similarity.normSql("embedding", 64)} AS nrm
       |  FROM embeddings),
-      |q AS (SELECT vec_id AS qid, embedding AS qv, bkt AS qbkt
+      |q AS (SELECT vec_id AS qid, embedding AS qv, bkt AS qbkt, nrm AS qn
       |      FROM b WHERE vec_id % 100 = 0),
-      |c AS (SELECT qid, qv, b.vec_id, b.embedding
+      |c AS (SELECT qid, qv, qn, b.vec_id, b.embedding, b.nrm
       |      FROM q JOIN b ON b.bkt = q.qbkt AND b.vec_id <> q.qid),
-      |p AS (SELECT qid, vec_id, ${Similarity.cosineSql("qv", "embedding", 64)} AS sim
+      |p AS (SELECT qid, vec_id,
+      |        ${Similarity.dotSql("qv", "embedding", 64)} / (qn * nrm) AS sim
       |      FROM c),
       |r AS (SELECT qid, vec_id, sim,
       |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
@@ -364,11 +375,15 @@ object LlmQueries {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("ev"))
       .withColumn("bkt", Similarity.lshBucket(col("ev"), AnnPlanes))
+      .withColumn("nrm", Similarity.norm(col("ev")))
     val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("ev").as("qv"), col("bkt").as("qbkt"))
+      .select(col("vec_id").as("qid"), col("ev").as("qv"), col("bkt").as("qbkt"),
+        col("nrm").as("qn"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), Similarity.cosine(col("qv"), col("ev")).as("sim"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.cosinePre(Similarity.dot(col("qv"), col("ev")), col("qn"), col("nrm"))
+          .as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
@@ -379,21 +394,29 @@ object LlmQueries {
 
   /** Near-dup detection in embedding space: corpus salted with perturbed
     * copies (every 20th vector, +0.2 on dim 1), LSH-bucketed self-join
-    * (same 4-plane code — never all-pairs), exact cosine ≥ 0.95 verify.
-    * The embedding analogue of q41's shingle near-dup. */
+    * (8 planes → 256 buckets — never all-pairs; finer than q49's probe
+    * buckets because near-dup only needs tiny-angle recall), exact cosine
+    * ≥ 0.95 verify with precomputed norms. The embedding analogue of
+    * q41's shingle near-dup. */
   val q60 = Q("q60_embed_neardup", {
     val mut = "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) + " +
       "CASE WHEN i = 1 THEN 0.2 ELSE 0.0 END)"
     val base = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    val dimd = "list_reduce(list_transform(range(1, 65), i -> (v)[i] * (v)[i]), (x, y) -> x + y)"
     s"""WITH corpus AS (
       |  SELECT vec_id, $base AS v FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 10000 AS vec_id, $mut AS v
       |  FROM embeddings WHERE vec_id % 20 = 0),
-      |b AS (SELECT vec_id, v, ${Similarity.lshBucketSql("v", AnnPlanes)} AS bkt FROM corpus),
-      |cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.v AS va, y.v AS vb
+      |b AS (SELECT vec_id, v, ${Similarity.lshBucketSql("v", NearDupPlanes)} AS bkt,
+      |        sqrt($dimd) AS nrm
+      |      FROM corpus),
+      |cand AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.v AS va, y.v AS vb,
+      |                x.nrm AS na, y.nrm AS nb
       |         FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
-      |p AS (SELECT vec_a, vec_b, round(${Similarity.cosineSql("va", "vb", 64)}, 6) AS cosine
+      |p AS (SELECT vec_a, vec_b,
+      |        round(list_reduce(list_transform(range(1, 65), i -> (va)[i] * (vb)[i]),
+      |          (x, y) -> x + y) / (na * nb), 6) AS cosine
       |      FROM cand)
       |SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.95
       |ORDER BY vec_a, vec_b""".stripMargin
@@ -405,12 +428,14 @@ object LlmQueries {
         zip_with(Similarity.toDouble(col("embedding")), sequence(lit(1), lit(64)),
           (x, i) => x + when(i === 1, lit(0.2)).otherwise(lit(0.0))).as("v"))
     val b = base.unionByName(mut)
-      .withColumn("bkt", Similarity.lshBucket(col("v"), AnnPlanes))
-      .localCheckpoint() // bucket/vec table read by both self-join sides
+      .withColumn("bkt", Similarity.lshBucket(col("v"), NearDupPlanes))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .localCheckpoint() // bucket/vec/norm table read by both self-join sides
     b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(Similarity.cosine(col("x.v"), col("y.v")), 6).as("cosine"))
+        round(Similarity.cosinePre(Similarity.dot(col("x.v"), col("y.v")),
+          col("x.nrm"), col("y.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= 0.95)
       .orderBy(col("vec_a"), col("vec_b"))
   }

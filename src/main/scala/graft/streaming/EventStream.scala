@@ -79,6 +79,53 @@ object EventStream {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  // ---- foreachBatch upsert sink (J5's streaming analogue) ----
+
+  /** The reference's incremental re-run upsert
+    * (`legacy/merge_all_to_metadata.py:182-188`: load prior state, new
+    * records overwrite by key) as a streaming foreachBatch sink: each
+    * micro-batch window-dedups against the current state parquet and
+    * rewrites it, newest batch winning per key. At cluster scale the
+    * rewrite becomes a transactional-table MERGE; the dedup logic
+    * (union + row_number over priority) is identical — same pattern as
+    * the q10 batch upsert. */
+  def upsertAvailableNow(spark: SparkSession, sfDir: String, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = read(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sp = batch.sparkSession
+        val prior =
+          try sp.read.parquet(stateDir).withColumn("gen", lit(0L))
+          catch { case _: Throwable =>
+            sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema).withColumn("gen", lit(0L))
+          }
+        val w = Window.partitionBy(col("user_id")).orderBy(col("gen").desc, col("ts").desc,
+          col("event_id").desc)
+        val merged = prior.unionByName(batch.withColumn("gen", lit(id + 1)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn", "gen")
+        // Write the new generation beside the old and swap — the merge plan
+        // reads the dir being replaced, and state must stay distributed
+        // (no driver collect). A transactional table makes this a MERGE.
+        val tmp = stateDir + "_next"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          sp.sparkContext.hadoopConfiguration)
+        val cur = new org.apache.hadoop.fs.Path(stateDir)
+        fs.delete(cur, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(stateDir)
+  }
+
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)

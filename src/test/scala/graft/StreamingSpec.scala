@@ -25,6 +25,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("foreachBatch upsert: stream state == batch last-write-wins per user") {
+    import org.apache.spark.sql.expressions.Window
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert")
+      .resolve("state").toString
+    val state = EventStream.upsertAvailableNow(spark, TestSpark.Sf0001, stateDir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batchExpected = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    assert(state.count() === batchExpected.count()) // one row per user
+    assert(state.exceptAll(batchExpected).count() === 0)
+  }
+
   test("watermarked variant builds a valid streaming plan") {
     val plan = EventStream.hourlyWatermarked(EventStream.read(spark, TestSpark.Sf0001))
     assert(plan.isStreaming)
