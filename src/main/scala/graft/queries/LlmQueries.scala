@@ -76,6 +76,7 @@ object LlmQueries {
   private val MinhashK = 12
   private val LshBands = 4
   private val LshRows  = 3
+  private val MaxBucket = 1000 // hot-bucket cap: skew guard for the LSH self-join
 
   val q41 = Q("q41_minhash_lsh", {
     val mh = Dedup.minhashSigSql("hs", MinhashK).zipWithIndex
@@ -97,8 +98,10 @@ object LlmQueries {
       |  FROM hs),
       |bands AS (
       |  $bands),
+      |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= $MaxBucket),
+      |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      |         FROM bands x JOIN bands y
+      |         FROM capped x JOIN capped y
       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
       |j AS (SELECT doc_a, doc_b,
       |        round(${Dedup.jaccardSql("a.shingles", "b.shingles")}, 6) AS jaccard
@@ -121,7 +124,15 @@ object LlmQueries {
       .select(col("doc_id"), explode(Dedup.bandHashes(col("sig"), LshBands, LshRows)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
       .localCheckpoint()
-    val cand = bands.as("x").join(bands.as("y"),
+    // Hot-bucket cap (SCALE.md skew guard): a band hash shared by millions
+    // of boilerplate near-identical docs would square inside its bucket;
+    // buckets over the cap are dropped before pairing. No effect at test
+    // SF (max observed bucket ~3) — the guard is for 100 TB skew.
+    val ok = bands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
+      .select(col("band"), col("bh"))
+    val capped = bands.join(ok, Seq("band", "bh"))
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -314,5 +314,60 @@ object Relational {
     graft.streaming.EventStream.hourlyAvailableNow(s, dir)
   }
 
-  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q55)
+  /** Skew-proof aggregation via salting: event_type has only 5 hot keys, so
+    * a direct groupBy funnels 100k+ rows/key through 5 reducers at scale.
+    * Phase 1 pre-aggregates on (key, salt=event_id%16) — 80 evenly-loaded
+    * groups — phase 2 folds the 16 partials per key. Same result as the
+    * plain GROUP BY the oracle runs. */
+  val q62 = Q("q62_salted_agg",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), (col("event_id") % 16).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum("value").as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum("pn").as("n"), round(sum("ps"), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** As-of join (operator Spark lacks natively — composed per the brief's
+    * preference order (a): union + last-ignore-nulls window, ONE shuffle on
+    * user_id): for every click, the most recent purchase value at-or-before
+    * it for the same user. Refs sort before needles at equal ts. The oracle
+    * spells the identical window logic (portable ties, unlike engine ASOF
+    * keywords). */
+  val q63 = Q("q63_asof_join",
+    """WITH tagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    (event_type = 'purchase') AS is_ref, (event_type = 'click') AS is_needle
+      |  FROM events WHERE event_type IN ('purchase', 'click')),
+      |w AS (
+      |  SELECT *, last_value(CASE WHEN is_ref THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id
+      |          ORDER BY ts, is_ref DESC, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+      |  FROM tagged)
+      |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  round(asof_value, 2) AS last_purchase_value
+      |FROM w WHERE is_needle ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+    val tagged = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (col("event_type") === "purchase").as("is_ref"),
+        (col("event_type") === "click").as("is_needle"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_ref").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_value",
+        last(when(col("is_ref"), col("value")), ignoreNulls = true).over(w))
+      .filter(col("is_needle"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        round(col("asof_value"), 2).as("last_purchase_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q55, q62, q63)
 }
