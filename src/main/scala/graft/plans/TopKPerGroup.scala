@@ -1,0 +1,117 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator Catalyst surface (SURVEY.md §2.9/§7.2 step 8; the
+  * preference-order (c) path): exact top-k rows per group as a custom
+  * LogicalPlan + SparkStrategy + SparkPlan — the rank-limit operator Spark
+  * spells as `row_number().over(window)` + `filter(rn <= k)`.
+  *
+  * Why a custom operator: the window spelling SORTS every partition of
+  * every group (O(n log n) per group, full materialization in the sort
+  * buffer) to keep k rows. This exec keeps a bounded k-row heap per group
+  * (O(n log k), memory k·groups), which is the difference between sorting
+  * 100 TB and scanning it when k « group size.
+  *
+  * Scale behavior: `requiredChildDistribution = ClusteredDistribution`
+  * makes Catalyst insert the one hash exchange on the group keys; after
+  * it, each task folds its groups' rows into heaps — no sort, no spill
+  * proportional to group size. (A partial pre-exchange top-k would cut
+  * shuffle volume too — left out to keep the operator minimal.)
+  *
+  * Registered two ways: config-driven via [[GraftExtensions]]
+  * (injectPlannerStrategy) and programmatically via
+  * `spark.experimental.extraStrategies` ([[TopK.perGroup]] does this).
+  * Correctness: q64 checks it against the DuckDB window spelling;
+  * `TopKPerGroupSpec` checks it against Spark's own window spelling.
+  */
+case class TopKPerGroup(
+    groupCols: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(
+    groupCols: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  /** One hash exchange on the group keys; heaps then run shuffle-free. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupCols) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val groupExprs = groupCols
+    val sortOrder = ordering
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+      val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      val worstFirst = ord.reverse // heap head = current worst of the k kept
+      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kLocal) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap { heap =>
+        val rows = heap.toArray(Array.empty[InternalRow])
+        java.util.Arrays.sort(rows, ord)
+        rows.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends org.apache.spark.sql.classic.Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) => TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Top-k rows per group of `df`, ordered by `orderBy` (col, ascending?).
+    * Resolves columns against df's analyzed plan, installs the strategy on
+    * the session, and returns the custom-plan DataFrame. */
+  def perGroup(df: DataFrame, groupCols: Seq[String],
+               orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column $n"))
+    val ordering = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    GraftSqlBridge.ofRows(spark,
+      TopKPerGroup(groupCols.map(attr), ordering, k, analyzed))
+  }
+}

@@ -368,6 +368,25 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** q05's rank-limit through the CUSTOM whole-operator path
+    * ([[graft.plans.TopKPerGroup]]: LogicalPlan + Strategy + heap-based
+    * SparkPlan, O(n log k) instead of the window sort) — checked against
+    * the same window-spelled oracle. */
+  val q64 = Q("q64_topk_custom_operator",
+    """SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        row_number() OVER (PARTITION BY p_brand
+      |          ORDER BY p_retailprice DESC, p_partkey) AS rn
+      |      FROM part)
+      |WHERE rn <= 3
+      |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin) { (s, dir) =>
+    graft.plans.TopK.perGroup(
+        Tables.part(s, dir).select(col("p_brand"), col("p_partkey"), col("p_retailprice")),
+        Seq("p_brand"), Seq(("p_retailprice", false), ("p_partkey", true)), 3)
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+      .select(col("p_brand"), col("p_partkey"), round(col("p_retailprice"), 2).as("price"))
+  }
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q55, q62, q63)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q55, q62, q63, q64)
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TopK
+
+/** Custom whole-operator TopKPerGroup vs Spark's window spelling. */
+class TopKPerGroupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("custom exec == window row_number spelling on part (incl. ties)") {
+    val src = Tables.part(spark, TestSpark.Sf0001)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+    val custom = TopK.perGroup(src, Seq("p_brand"),
+      Seq(("p_retailprice", false), ("p_partkey", true)), 3)
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val window = src.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(custom.count() === window.count())
+    assert(custom.exceptAll(window).count() === 0)
+    assert(window.exceptAll(custom).count() === 0)
+  }
+
+  test("physical plan uses TopKPerGroupExec (no window sort)") {
+    val src = Tables.part(spark, TestSpark.Sf0001)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+    val custom = TopK.perGroup(src, Seq("p_brand"), Seq(("p_retailprice", false)), 2)
+    custom.count() // materialize so AQE finalizes the inner plan
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("k larger than group size returns whole groups") {
+    val src = Tables.nation(spark, TestSpark.Sf0001)
+      .select(col("n_regionkey"), col("n_nationkey"))
+    val custom = TopK.perGroup(src, Seq("n_regionkey"), Seq(("n_nationkey", true)), 1000)
+    assert(custom.count() === src.count())
+  }
+}
