@@ -33,13 +33,15 @@ object Tables {
     * vectorized parquet reader rejects by default. Read nanos as long
     * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
     * timestamp — same truncation DuckDB applies when loading NANOS into its
-    * micros-precision TIMESTAMP, so oracle comparisons stay exact. */
+    * micros-precision TIMESTAMP, so oracle comparisons stay exact.
+    * INTEGER division (`div`) is load-bearing: `/` promotes the ~1.7e18
+    * nanos to double, which is past 2^53 and drops microseconds. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -387,6 +387,65 @@ object Relational {
       .select(col("p_brand"), col("p_partkey"), round(col("p_retailprice"), 2).as("price"))
   }
 
+  /** CUBE grouping sets (§2.5 extension alongside q04's ROLLUP). */
+  val q65 = Q("q65_cube_qty",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("n"), col("qty"))
+      .orderBy(col("flag"), col("status"))
+  }
+
+  /** HLL sketch surface: approx_count_distinct next to the exact count.
+    * No oracle — Spark's HLL++ and DuckDB's HLL give different estimates
+    * by construction; driver records the rows-only check. */
+  val q66 = Q.noOracle("q66_approx_distinct") { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Range join (operator Spark plans as a nested-loop theta join): event
+    * pairs per user within a 5-minute window, spelled scalably as a BINNED
+    * equi-join — left side exploded to its two candidate 5-minute bins, so
+    * the join key is (user, bin) and the exact range predicate filters
+    * only in-bin candidates. One shuffle, no cartesian. The oracle runs
+    * the naive inequality join — same result. */
+  val q67 = Q("q67_range_join",
+    """SELECT a.user_id, count(*) AS n_pairs,
+      |  round(avg(epoch_us(b.ts) - epoch_us(a.ts)), 2) AS avg_gap_us
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      |  AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 300000000
+      |  AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val binSize = 300000000L
+    val a = ev.select(col("user_id"), col("event_id").as("a_id"), col("us").as("a_us"),
+      explode(array((col("us") / binSize).cast("long"),
+        (col("us") / binSize).cast("long") + 1)).as("bin"))
+    val b = ev.select(col("user_id"), col("event_id").as("b_id"), col("us").as("b_us"),
+      (col("us") / binSize).cast("long").as("bin"))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("b_us") - col("a_us") >= 0 && col("b_us") - col("a_us") <= binSize &&
+        (col("a_us") < col("b_us") ||
+          (col("a_us") === col("b_us") && col("a_id") < col("b_id"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("b_us") - col("a_us")), 2).as("avg_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q55, q62, q63, q64)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+      q55, q62, q63, q64, q65, q66, q67)
 }

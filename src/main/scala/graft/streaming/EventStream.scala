@@ -44,7 +44,8 @@ object EventStream {
     // rejected: "Option 'basePath' must be a directory"), so glob the file.
     spark.readStream.schema(rawSchema)
       .parquet(s"$sfDir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      // integer div: `/` would round-trip 1.7e18 nanos through double
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling 1-hour window aggregation — works unchanged on a batch or
