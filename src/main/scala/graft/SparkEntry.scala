@@ -4,9 +4,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * `queries`/`oracleSql` derive mechanically from the [[Queries]] registry;
   * operator implementations live under graft.ops / graft.queries. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full modern-pipeline assembly (§3.1) — parse → bucket → score
+    * join/filter → tag ordering — as one lazy plan. */
   def entry(spark: SparkSession): DataFrame =
-    Queries.byName("q01_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+    Queries.byName("q54_modern_pipeline").fn(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all.map(q => q.name -> q.fn).toMap
