@@ -445,7 +445,27 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** SQL-text API surface: the same engine through `spark.sql(...)` over
+    * temp views, with a correlated EXISTS Catalyst decorrelates into a
+    * left-semi join (SURVEY §4: subquery decorrelation exercised here). */
+  val q68 = Q("q68_sql_exists",
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql("""SELECT o_orderpriority, count(*) AS n
+            |FROM orders o
+            |WHERE EXISTS (SELECT 1 FROM lineitem l
+            |              WHERE l.l_orderkey = o.o_orderkey
+            |                AND l.l_shipdate > o.o_orderdate)
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q55, q62, q63, q64, q65, q66, q67)
+      q55, q62, q63, q64, q65, q66, q67, q68)
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale evidence: partitioned layouts prune at the scan (what SCALE.md
+  * promises for the 100 TB directory-tree layout) and filters push into
+  * the parquet reader. */
+class PruningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("partition pruning: event_type-partitioned layout reads one partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").resolve("events").toString
+    Tables.events(spark, TestSpark.Sf0001)
+      .write.partitionBy("event_type").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"no partition filter in:\n$scan")
+    // and the pruned read returns exactly the one type
+    assert(q.select(countDistinct(col("event_type"))).collect()(0).getLong(0) === 1L)
+  }
+
+  test("predicate pushdown: filter reaches the parquet scan (PushedFilters)") {
+    val q = Tables.lineitem(spark, TestSpark.Sf0001)
+      .filter(col("l_quantity") > 30.0).select(col("l_orderkey"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.matches("(?s).*PushedFilters: \\[[^\\]]*l_quantity[^\\]]*\\].*"),
+      s"no pushed filter in:\n$scan")
+    // column pruning: scan schema holds only the two needed columns
+    assert(scan.matches("(?s).*ReadSchema: [^\\n]*l_orderkey[^\\n]*l_quantity.*"))
+    assert(!scan.matches("(?s).*ReadSchema: [^\\n]*l_comment.*"))
+  }
+}

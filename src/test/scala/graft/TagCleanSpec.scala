@@ -52,6 +52,27 @@ class TagCleanSpec extends AnyFunSuite {
     assert(f.nonEmpty)
   }
 
+  test("T8: clean_caption is idempotent (fixpoint property)") {
+    val caption = concat(
+      lit("young anime woman and a cartoon female , anime women and people . "),
+      substring($"text", 1, 30))
+    val once = TagClean.cleanCaptionUdf(caption)
+    val twice = TagClean.cleanCaptionUdf(once)
+    val d = Tables.documents(spark, TestSpark.Sf0001).select(once.as("a"), twice.as("b"))
+    assert(d.filter($"a" =!= $"b").count() === 0)
+  }
+
+  test("P2/T3 roundtrip: tagsOf(rating + joinTags(tags)) == tags for clean inputs") {
+    import graft.ops.TagText
+    import org.scalacheck.Gen
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val tagsGen = Gen.nonEmptyListOf(word).map(_.distinct)
+    val samples = Iterator.continually(tagsGen.sample).flatten.take(60).toSeq
+    val df = samples.map(t => ("s, " + t.mkString(","), t)).toDF("line", "expected")
+      .select(TagText.tagsOf($"line").as("got"), $"expected")
+    assert(df.filter($"got" =!= $"expected").count() === 0)
+  }
+
   test("T8: UDF fixpoint == bounded builtin expansion on the q52 corpus") {
     val caption = concat(
       lit("young anime woman and a cartoon female , anime women and people . "),
