@@ -108,6 +108,50 @@ object Dedup {
     s"list_transform(range(1, length($text) - ${n - 2}), " +
       s"i -> ${Hashing.hash31Sql(s"substr($text, i, $n)")})"
 
+  /** The full MinHash+LSH near-duplicate operator over (id, tokens):
+    * shingle → hash → k-slot signature → banding → band-hash equi-join →
+    * exact-Jaccard verification. Returns (doc_a, doc_b, jaccard) pairs at
+    * or above `threshold`. `hashFn` picks the hash (oracle-portable
+    * [[Hashing.hash31]] for checked runs, [[Hashing.fastHash]]-based for
+    * production).
+    *
+    * Scale shape: the hash arrays are materialized once
+    * (localCheckpoint → persist/staging table on a cluster) per the PERF
+    * CONTRACT; candidates come from a uniformly-keyed equi-join, with
+    * buckets over `maxBucket` dropped (boilerplate-dup skew guard). */
+  def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+      hashFn: Column => Column, n: Int = 3, k: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val r = k / bands
+    val sh = df
+      .filter(size(col(toksCol)) >= n)
+      .select(col(idCol).as("doc_id"), shingles(col(toksCol), n).as("shingles"))
+      .select(col("doc_id"), col("shingles"),
+        transform(col("shingles"), x => hashFn(x)).as("hs"))
+      .localCheckpoint()
+    val sig = sh.select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
+    val bandsDf = sig
+      .select(col("doc_id"), explode(bandHashes(col("sig"), bands, r)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .localCheckpoint()
+    val ok = bandsDf.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
+      .select(col("band"), col("bh"))
+    val capped = bandsDf.join(ok, Seq("band", "bh"))
+    val cand = capped.as("x").join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct
     * per-window minima of the gram-hash sequence, window size w. A document
     * sketch robust to local edits — the rolling-hash fingerprint the brief

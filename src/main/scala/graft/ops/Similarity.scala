@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (brief: brute-force cosine top-k baseline +
@@ -49,6 +50,62 @@ object Similarity {
 
   /** Cosine from a precomputed-norm pair. */
   def cosinePre(dotAB: Column, na: Column, nb: Column): Column = dotAB / (na * nb)
+
+  /** Corpus preparation for the pairwise operators: (vec_id, ev double[],
+    * nrm) — widening + norm computed once per vector. */
+  def prepare(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("ev"))
+      .withColumn("nrm", norm(col("ev")))
+
+  /** Brute-force cosine top-k: the (small) query set broadcasts over one
+    * corpus scan; per-query ranking via row_number. The exact baseline. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosinePre(dot(col("qv"), col("ev")), col("qn"), col("nrm")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates restricted to the query's
+    * hyperplane bucket (the IVF-style scale path — at 100 TB the bucket id
+    * becomes a partition column and pruning does the fan-out cut). */
+  def annTopK(corpus: DataFrame, queryFilter: Column, planes: Seq[Seq[Int]],
+              k: Int): DataFrame = {
+    val e = corpus.withColumn("bkt", lshBucket(col("ev"), planes))
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("ev").as("qv"), col("bkt").as("qbkt"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosinePre(dot(col("qv"), col("ev")), col("qn"), col("nrm")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Embedding-space near-duplicate pairs: bucketed self-join (never
+    * all-pairs) + exact-cosine threshold. `vectors` = (vec_id, v double[]). */
+  def embedNearDupPairs(vectors: DataFrame, planes: Seq[Seq[Int]],
+                        threshold: Double): DataFrame = {
+    val b = vectors
+      .withColumn("bkt", lshBucket(col("v"), planes))
+      .withColumn("nrm", norm(col("v")))
+      .localCheckpoint() // bucket/vec/norm table read by both self-join sides
+    b.as("x").join(b.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(cosinePre(dot(col("x.v"), col("y.v")), col("x.nrm"), col("y.nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
 
   /** Deterministic ±1 random hyperplanes, seeded from md5 — driver-side
     * constants inlined into both plans (the Catalyst analogue of a

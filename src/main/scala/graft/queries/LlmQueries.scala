@@ -109,41 +109,9 @@ object LlmQueries {
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
   }) { (s, dir) =>
-    // Materialize the md5-derived shingle hashes ONCE: the 12 signature
-    // slots and both sides of the self-join would otherwise each re-run
-    // the md5 transform (the cluster analogue is persisting the signature
-    // table before the LSH join — standard near-dup practice).
-    val sh = toks(corpusNear(s, dir))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), Dedup.shingles(col("toks"), 3).as("shingles"))
-      .select(col("doc_id"), col("shingles"),
-        transform(col("shingles"), x => Hashing.hash31(x)).as("hs"))
-      .localCheckpoint()
-    val sig = sh.select(col("doc_id"), Dedup.minhashSig(col("hs"), MinhashK).as("sig"))
-    val bands = sig
-      .select(col("doc_id"), explode(Dedup.bandHashes(col("sig"), LshBands, LshRows)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .localCheckpoint()
-    // Hot-bucket cap (SCALE.md skew guard): a band hash shared by millions
-    // of boilerplate near-identical docs would square inside its bucket;
-    // buckets over the cap are dropped before pairing. No effect at test
-    // SF (max observed bucket ~3) — the guard is for 100 TB skew.
-    val ok = bands.groupBy(col("band"), col("bh"))
-      .agg(count(lit(1)).as("bn")).filter(col("bn") <= MaxBucket)
-      .select(col("band"), col("bh"))
-    val capped = bands.join(ok, Seq("band", "bh"))
-    val cand = capped.as("x").join(capped.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(Dedup.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+    Dedup.nearDupPairs(toks(corpusNear(s, dir)), "doc_id", "toks",
+      x => Hashing.hash31(x), n = 3, k = MinhashK, bands = LshBands,
+      threshold = 0.5, maxBucket = MaxBucket)
   }
 
   // ---- Q42: SimHash near-dup ----
@@ -344,21 +312,10 @@ object LlmQueries {
       |FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
     // Norms precomputed per vector (once per corpus, not twice per pair) —
     // dot/(qn*en) is the identical float expression, see Similarity.norm.
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("ev"))
-      .withColumn("nrm", Similarity.norm(col("ev")))
+    val e = Similarity.prepare(Tables.embeddings(s, dir), "vec_id", "embedding")
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("ev").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        Similarity.cosinePre(Similarity.dot(col("qv"), col("ev")), col("qn"), col("nrm"))
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
-      .orderBy(col("qid"), col("rn"))
+    Similarity.bruteForceTopK(e, q, 5)
   }
 
   // ---- Q49: LSH-bucketed approximate NN (the scale path) ----
@@ -383,22 +340,8 @@ object LlmQueries {
       |      FROM p)
       |SELECT qid, rn AS rnk, vec_id, round(sim, 6) AS cosine
       |FROM r WHERE rn <= 3 ORDER BY qid, rn""".stripMargin) { (s, dir) =>
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("ev"))
-      .withColumn("bkt", Similarity.lshBucket(col("ev"), AnnPlanes))
-      .withColumn("nrm", Similarity.norm(col("ev")))
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("ev").as("qv"), col("bkt").as("qbkt"),
-        col("nrm").as("qn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        Similarity.cosinePre(Similarity.dot(col("qv"), col("ev")), col("qn"), col("nrm"))
-          .as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
-      .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
-      .orderBy(col("qid"), col("rn"))
+    Similarity.annTopK(Similarity.prepare(Tables.embeddings(s, dir), "vec_id", "embedding"),
+      col("vec_id") % 100 === 0, AnnPlanes, 3)
   }
 
   // ---- Q60: embedding-cosine near-duplicates (bucketed) ----
@@ -438,17 +381,7 @@ object LlmQueries {
       .select((col("vec_id") + 10000).as("vec_id"),
         zip_with(Similarity.toDouble(col("embedding")), sequence(lit(1), lit(64)),
           (x, i) => x + when(i === 1, lit(0.2)).otherwise(lit(0.0))).as("v"))
-    val b = base.unionByName(mut)
-      .withColumn("bkt", Similarity.lshBucket(col("v"), NearDupPlanes))
-      .withColumn("nrm", Similarity.norm(col("v")))
-      .localCheckpoint() // bucket/vec/norm table read by both self-join sides
-    b.as("x").join(b.as("y"),
-        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(Similarity.cosinePre(Similarity.dot(col("x.v"), col("y.v")),
-          col("x.nrm"), col("y.nrm")), 6).as("cosine"))
-      .filter(col("cosine") >= 0.95)
-      .orderBy(col("vec_a"), col("vec_b"))
+    Similarity.embedNearDupPairs(base.unionByName(mut), NearDupPlanes, 0.95)
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60)

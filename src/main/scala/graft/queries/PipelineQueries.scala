@@ -195,39 +195,23 @@ object PipelineQueries {
     * checked piecewise by q20/q30/q50/q53); driver records rows>0. */
   val q54 = Q.noOracle("q54_modern_pipeline") { (s, dir) =>
     val docs = Tables.documents(s, dir)
-    val line = concat(col("lang"), lit(", "), replace(col("text"), lit(" "), lit(", ")))
-    val resos = Bucketing.makeBucketResolutions()
-    val parsed = docs.select(
+    val key = col("doc_id").cast("string")
+    val images = docs.select(
       col("doc_id"),
-      concat(lit("doc"), col("doc_id").cast("string")).as("image_key"),
-      TagText.ratingOf(line).as("rating"),
-      TagText.tagsOf(line).as("tags"),
-      (lit(128) + Hashing.hash31(concat(lit("w"), col("doc_id").cast("string"))) % 1900)
-        .cast("int").as("w"),
-      (lit(128) + Hashing.hash31(concat(lit("h"), col("doc_id").cast("string"))) % 1900)
-        .cast("int").as("h"))
-    val bucketed = parsed
-      .withColumn("b", Bucketing.selectBucketUpscale(col("w"), col("h"), resos))
-      .withColumn("train_resolution",
-        Bucketing.trainResolution(col("b.reso_w"), col("b.reso_h")))
-    // Aesthetic scores: separate source keyed like run.py:72-76, inner join
-    // (F2 missing-key drop: every 13th image has no score) + threshold F1.
+      concat(lit("doc"), key).as("image_key"),
+      (lit(128) + Hashing.hash31(concat(lit("w"), key)) % 1900).cast("int").as("w"),
+      (lit(128) + Hashing.hash31(concat(lit("h"), key)) % 1900).cast("int").as("h"),
+      col("lang"), col("text"))
+    val line = concat(col("lang"), lit(", "), replace(col("text"), lit(" "), lit(", ")))
+    // Aesthetic scores: separate source keyed like run.py:72-76; every 13th
+    // image has no score (F2 missing-key drop).
     val scores = docs.select(
-      concat(lit("doc"), col("doc_id").cast("string")).as("image_key"),
-      (Hashing.hash31(concat(lit("s"), col("doc_id").cast("string"))) / lit(P.toDouble))
-        .as("aesthetic_score"))
-      .filter(col("image_key").isNotNull && Hashing.hash31(col("image_key")) % 13 =!= 0)
-    val filtered = bucketed
-      .join(broadcast(scores), Seq("image_key"), "inner")
-      .filter(col("aesthetic_score") >= 0.5)
+      concat(lit("doc"), key).as("image_key"),
+      (Hashing.hash31(concat(lit("s"), key)) / lit(P.toDouble)).as("aesthetic_score"))
+      .filter(Hashing.hash31(col("image_key")) % 13 =!= 0)
     val vocab = docs.filter(col("doc_id") < 100)
       .select(explode(TextAnalysis.toks(col("text"))).as("vtag")).distinct()
-    val ordered = TagOrder.orderTags(
-      filtered.select(col("doc_id"), col("tags")), "doc_id", "tags", vocab, "vtag")
-    filtered.join(ordered, Seq("doc_id"))
-      .select(col("image_key"), col("train_resolution"), col("rating"),
-        round(col("aesthetic_score"), 6).as("aesthetic_score"), col("ordered_tags"))
-      .orderBy(col("image_key"))
+    graft.pipeline.ModernPipeline.run(images, line, "doc_id", scores, vocab, "vtag")
   }
 
   /** J3+O5+O1 (`legacy/merge_final_train_metadata.py:9-22`): final train
