@@ -249,19 +249,14 @@ object PipelineQueries {
       .select(col("doc_id"),
         (col("w") - col("w") % 8).as("train_w"), (col("h") - col("h") % 8).as("train_h"))
     val data = docs.select(col("doc_id"),
-      (Hashing.hash31(concat(lit("s"), key)) / lit(P.toDouble)).as("score"),
+      (Hashing.hash31(concat(lit("s"), key)) / lit(P.toDouble)).as("aesthetic_score"),
       array_join(array_sort(array_distinct(TextAnalysis.toks(col("text")))), ",")
-        .as("ordered_tags"))
-    data.filter(col("score") >= 0.8)
-      .join(tr, Seq("doc_id"))
+        .as("ordered_tags"),
+      Hashing.hash31(concat(lit("shuf"), key)).as("shuf"))
+    graft.pipeline.LegacyMerge
+      .finalTrainMerge(data, tr, "doc_id", 0.8, 50, Seq(col("shuf"), col("doc_id")))
       .select(col("doc_id"), col("train_w"), col("train_h"),
-        round(col("score"), 6).as("aesthetic_score"),
-        col("ordered_tags").as("tags"),
-        Hashing.hash31(concat(lit("shuf"), key)).as("shuf"))
-      .orderBy(col("shuf"), col("doc_id"))
-      .limit(50)
-      .select(col("doc_id"), col("train_w"), col("train_h"),
-        col("aesthetic_score"), col("tags"))
+        round(col("aesthetic_score"), 6).as("aesthetic_score"), col("tags"))
       .orderBy(col("doc_id"))
   }
 

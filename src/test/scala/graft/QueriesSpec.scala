@@ -18,6 +18,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("J5 upsert: updates overwrite base rows by key") {
+    import org.apache.spark.sql.functions.col
+    val sp = spark
+    import sp.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val upd  = Seq((2L, "B"), (3L, "C")).toDF("k", "v")
+    val out = graft.pipeline.LegacyMerge.upsert(base, upd, Seq("k"))
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, "a"), (2L, "B"), (3L, "C")))
+  }
+
   test("q54 modern pipeline: schema + semantic invariants") {
     val df = Queries.byName("q54_modern_pipeline").fn(spark, TestSpark.Sf0001)
     val rows = df.collect()
