@@ -465,7 +465,30 @@ object Relational {
             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Sliding event-time windows (1h window, 30min slide — each event lands
+    * in exactly two windows). Spark's `window()` is epoch-aligned, so the
+    * oracle unnests the two candidate starts floor30(ts) and
+    * floor30(ts)−30min. Same plan readStream-able (streaming slide). */
+  val q69 = Q("q69_sliding_window",
+    """WITH x AS (SELECT ts, event_type, value,
+      |    to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)) AS f
+      |  FROM events),
+      |w AS (SELECT event_type, value,
+      |    unnest([f, f - INTERVAL 30 MINUTE]) AS win_start
+      |  FROM x)
+      |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM w GROUP BY win_start, event_type
+      |ORDER BY win, event_type""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win"), col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q55, q62, q63, q64, q65, q66, q67, q68)
+      q55, q62, q63, q64, q65, q66, q67, q68, q69)
 }
