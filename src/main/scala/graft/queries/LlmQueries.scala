@@ -384,5 +384,26 @@ object LlmQueries {
     Similarity.embedNearDupPairs(base.unionByName(mut), NearDupPlanes, 0.95)
   }
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60)
+  /** Edit-distance (Levenshtein) near-dup verification over window
+    * neighbor pairs — exact integer metric, the character-level
+    * complement of q43's trigram Jaccard. */
+  val q72 = Q("q72_edit_distance",
+    """WITH p AS (SELECT doc_id, lang, substr(text, 1, 40) AS s,
+      |  lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS nid,
+      |  lead(substr(text, 1, 40)) OVER (PARTITION BY lang ORDER BY doc_id) AS ns
+      |  FROM documents)
+      |SELECT lang, doc_id, nid, CAST(levenshtein(s, ns) AS BIGINT) AS edit_dist
+      |FROM p WHERE nid IS NOT NULL ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("s"))
+      .withColumn("nid", lead(col("doc_id"), 1).over(w))
+      .withColumn("ns", lead(col("s"), 1).over(w))
+      .filter(col("nid").isNotNull)
+      .select(col("lang"), col("doc_id"), col("nid"),
+        levenshtein(col("s"), col("ns")).cast("long").as("edit_dist"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60, q72)
 }

@@ -488,7 +488,49 @@ object Relational {
       .orderBy(col("win"), col("event_type"))
   }
 
+  /** E7 multiset variants: INTERSECT ALL / EXCEPT ALL over the suppkey
+    * multiset of two lineitem slices, then counted per key. */
+  val q70 = Q("q70_set_ops_all",
+    """WITH a AS (SELECT l_suppkey % 100 AS k FROM lineitem WHERE l_returnflag = 'A'),
+      |b AS (SELECT l_suppkey % 100 AS k FROM lineitem WHERE l_returnflag = 'R'),
+      |i AS (SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)),
+      |e AS (SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b))
+      |SELECT op, k, count(*) AS n
+      |FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+      |GROUP BY op, k ORDER BY op, k""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val a = li.filter(col("l_returnflag") === "A").select((col("l_suppkey") % 100).as("k"))
+    val b = li.filter(col("l_returnflag") === "R").select((col("l_suppkey") % 100).as("k"))
+    a.intersectAll(b).select(lit("intersect").as("op"), col("k"))
+      .unionByName(a.exceptAll(b).select(lit("except").as("op"), col("k")))
+      .groupBy(col("op"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("op"), col("k"))
+  }
+
+  /** Exact interpolated quantiles + an explicitly-spelled sample stddev
+    * (the same arithmetic expression on both engines — engine-native
+    * stddev implementations differ in low bits). */
+  val q71 = Q("q71_quantiles",
+    """SELECT l_returnflag,
+      |  round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS median_price,
+      |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price,
+      |  round(sqrt((sum(l_extendedprice * l_extendedprice)
+      |    - sum(l_extendedprice) * sum(l_extendedprice) / count(*)) / (count(*) - 1)), 4)
+      |    AS stddev_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(sqrt((sum(col("l_extendedprice") * col("l_extendedprice"))
+          - sum(col("l_extendedprice")) * sum(col("l_extendedprice")) / count(lit(1)))
+          / (count(lit(1)) - 1)), 4).as("stddev_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q55, q62, q63, q64, q65, q66, q67, q68, q69)
+      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }
