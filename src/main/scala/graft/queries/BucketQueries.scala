@@ -215,5 +215,49 @@ object BucketQueries {
       .orderBy(col("id"))
   }
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q61)
+  /** U2 dynamic-reso state (`bucket_manager.py:87-93,156` add_if_new_reso):
+    * the no-upscale path grows the bucket set as new shapes appear; since
+    * each bucket derives deterministically from (w,h), the "shared state"
+    * is just derive-then-dropDuplicates (SURVEY §2.9) — no mutable state,
+    * fully distributed. Output = the discovered bucket list with first
+    * image id per bucket. */
+  val q73 = Q("q73_dynamic_resos",
+    s"""WITH src AS ($srcSql),
+      |c AS (SELECT *, w / h AS ar,
+      |  CAST(w AS BIGINT) * CAST(h AS BIGINT) > ${cfg.maxArea} AS too_big FROM src),
+      |f AS (SELECT *, sqrt(${cfg.maxArea.toDouble} * ar) AS rw_f FROM c),
+      |g AS (SELECT *, ${cfg.maxArea.toDouble} / rw_f AS rh_f FROM f),
+      |r1 AS (SELECT *,
+      |  CAST(floor(rw_f + 0.5) - floor(rw_f + 0.5) % ${cfg.steps} AS INT) AS bw_r,
+      |  CAST(floor(rh_f + 0.5) - floor(rh_f + 0.5) % ${cfg.steps} AS INT) AS bh_r
+      |  FROM g),
+      |r2 AS (SELECT *,
+      |  CAST(floor(bw_r / ar + 0.5) - floor(bw_r / ar + 0.5) % ${cfg.steps} AS INT) AS bh_in_wr,
+      |  CAST(floor(bh_r * ar + 0.5) - floor(bh_r * ar + 0.5) % ${cfg.steps} AS INT) AS bw_in_hr
+      |  FROM r1),
+      |ch AS (SELECT *,
+      |  abs(bw_r / bh_in_wr - ar) < abs(bw_in_hr / bh_r - ar) AS use_w
+      |  FROM r2),
+      |rs AS (SELECT *,
+      |  CASE WHEN too_big THEN
+      |    CASE WHEN use_w THEN CAST(bw_r AS BIGINT)
+      |         ELSE CAST(floor(bh_r * ar + 0.5) AS BIGINT) END
+      |  ELSE CAST(w AS BIGINT) END AS resized_w,
+      |  CASE WHEN too_big THEN
+      |    CASE WHEN use_w THEN CAST(floor(bw_r / ar + 0.5) AS BIGINT)
+      |         ELSE CAST(bh_r AS BIGINT) END
+      |  ELSE CAST(h AS BIGINT) END AS resized_h
+      |  FROM ch)
+      |SELECT resized_w - resized_w % ${cfg.steps} AS reso_w,
+      |  resized_h - resized_h % ${cfg.steps} AS reso_h,
+      |  count(*) AS n_images, min(id) AS first_id
+      |FROM rs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    srcWH(s, dir)
+      .withColumn("b", Bucketing.selectBucketNoUpscale(col("w"), col("h"), cfg))
+      .groupBy(col("b.reso_w").as("reso_w"), col("b.reso_h").as("reso_h"))
+      .agg(count(lit(1)).as("n_images"), min(col("id")).as("first_id"))
+      .orderBy(col("reso_w"), col("reso_h"))
+  }
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q61, q73)
 }

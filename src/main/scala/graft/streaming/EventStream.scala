@@ -80,6 +80,41 @@ object EventStream {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  // ---- stream-stream join ----
+
+  /** Watermarked stream-stream inner join: each click joined to the same
+    * user's purchases within the following 10 minutes. Both sides carry a
+    * 1-hour watermark, so join state for a click is dropped once the
+    * purchase-side watermark passes click_ts + 10min — bounded state at
+    * any input rate. Batch-equivalence is checked in StreamingSpec. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Drain [[clickPurchaseJoin]] over the file stream with AvailableNow. */
+  def clickPurchaseJoinAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = "graft_stream_ssjoin"
+    val q = clickPurchaseJoin(read(spark, sfDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   // ---- foreachBatch upsert sink (J5's streaming analogue) ----
 
   /** The reference's incremental re-run upsert

@@ -39,6 +39,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.exceptAll(batchExpected).count() === 0)
   }
 
+  test("stream-stream join (watermarked) == batch time-range join") {
+    val streamed = EventStream.clickPurchaseJoinAvailableNow(spark, TestSpark.Sf0001)
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("watermarked variant builds a valid streaming plan") {
     val plan = EventStream.hourlyWatermarked(EventStream.read(spark, TestSpark.Sf0001))
     assert(plan.isStreaming)
