@@ -186,6 +186,57 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q74: tagger category partition (E6 + per-category F3 thresholds) ----
+
+  /** `tagger.py:34-38,70-82`: the 9k-label prob vector split by category —
+    * ratings argmaxed, general kept at conf > 0.35, characters at
+    * conf > 0.8 — over the deterministic stub confidences. */
+  val CharVocab: Seq[String] = Seq("hatsune miku", "oc alpha", "oc beta", "kagamine rin")
+
+  val q74 = Q("q74_tagger_categories", {
+    val genLst = StubVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+    val chrLst = CharVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+    val ratingConfs = Ratings.map(r =>
+      s"${Tagger.stubConfSql("key", s"'$r'")} AS r_${r.take(1)}").mkString(",\n      |  ")
+    s"""WITH s AS (SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) AS key FROM documents),
+      |k AS (SELECT doc_id,
+      |  list_filter(list_transform($genLst,
+      |    t -> {'conf': ${Tagger.stubConfSql("key", "t")}, 'tag': t}),
+      |    x -> x.conf > 0.35) AS gen,
+      |  list_filter(list_transform($chrLst,
+      |    t -> {'conf': ${Tagger.stubConfSql("key", "t")}, 'tag': t}),
+      |    x -> x.conf > 0.8) AS chr,
+      |  $ratingConfs
+      |  FROM s),
+      |m AS (SELECT doc_id, gen, chr,
+      |  CASE WHEN r_g >= r_s AND r_g >= r_q AND r_g >= r_e THEN 'general'
+      |       WHEN r_s >= r_q AND r_s >= r_e THEN 'sensitive'
+      |       WHEN r_q >= r_e THEN 'questionable'
+      |       ELSE 'explicit' END AS rating
+      |  FROM k)
+      |SELECT doc_id, rating, len(gen) AS n_general, len(chr) AS n_char,
+      |  list_aggregate(list_transform(gen, x -> x.conf), 'max') AS max_gen_conf
+      |FROM m ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val key = concat(lit("doc"), col("doc_id").cast("string"))
+    def kept(vocab: Seq[String], thresh: Double) = filter(
+      transform(typedLit(vocab),
+        t => struct(Tagger.stubConf(key, t).as("conf"), t.as("tag"))),
+      x => x.getField("conf") > thresh)
+    val Seq(rg, rs, rq, re) = Ratings.map(r => Tagger.stubConf(key, lit(r)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(rg >= rs && rg >= rq && rg >= re, "general")
+          .when(rs >= rq && rs >= re, "sensitive")
+          .when(rq >= re, "questionable")
+          .otherwise("explicit").as("rating"),
+        size(kept(StubVocab, 0.35)).cast("long").as("n_general"),
+        size(kept(CharVocab, 0.8)).cast("long").as("n_char"),
+        array_max(transform(kept(StubVocab, 0.35), x => x.getField("conf")))
+          .as("max_gen_conf"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Q54: modern pipeline assembly (§3.1, rows-only) ----
 
   /** `dataruu/run.py:30-118` as ONE lazy plan over documents-as-images:
@@ -260,5 +311,5 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q58)
+  val all: Seq[Q] = Seq(q50, q51, q52, q53, q54, q58, q74)
 }
