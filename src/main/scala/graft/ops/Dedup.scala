@@ -64,12 +64,15 @@ object Dedup {
     }
 
   /** LSH banding: slice the signature into `bands` bands of `r` rows and
-    * hash each band. Returns array<struct<band:int, bh:long>> for explode +
-    * equi-join on (band, bh). */
+    * combine each band's slots into one key via pure integer mixing
+    * ([[Hashing.mix31]] — no md5 re-hash of the already-hashed longs).
+    * Returns array<struct<band:int, bh:long>> for explode + equi-join on
+    * (band, bh). A mix collision only adds a candidate pair that the exact
+    * verify stage rejects — correctness is unaffected. */
   def bandHashes(sig: Column, bands: Int, r: Int): Column =
     array((0 until bands).map { b =>
-      val parts = (0 until r).map(i => element_at(sig, b * r + i + 1).cast("string"))
-      struct(lit(b).as("band"), Hashing.hash60(concat_ws("|", parts: _*)).as("bh"))
+      val parts = (0 until r).map(i => element_at(sig, b * r + i + 1))
+      struct(lit(b).as("band"), Hashing.mix31(parts).as("bh"))
     }: _*)
 
   /** Jaccard similarity of two distinct-element arrays. */
@@ -115,25 +118,28 @@ object Dedup {
     * [[Hashing.hash31]] for checked runs, [[Hashing.fastHash]]-based for
     * production).
     *
-    * Scale shape: the hash arrays are materialized once
-    * (localCheckpoint → persist/staging table on a cluster) per the PERF
-    * CONTRACT; candidates come from a uniformly-keyed equi-join, with
-    * buckets over `maxBucket` dropped (boilerplate-dup skew guard). */
+    * Scale shape: the hash arrays are materialized once via `mat`
+    * ([[Materialize.Local]] for local runs, `Persist`/`Stage` at cluster
+    * scale) per the PERF CONTRACT; candidates come from a uniformly-keyed
+    * equi-join, with buckets over `maxBucket` dropped (boilerplate-dup
+    * skew guard). Only the HASH arrays are stored and verified against —
+    * Jaccard over the distinct hash sets equals Jaccard over the shingle
+    * strings for every pair both engines see identically (the hash is
+    * deterministic, so even a collision is the same collision on both
+    * sides), and longs intersect far cheaper than strings. */
   def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
       hashFn: Column => Column, n: Int = 3, k: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5, maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
     val r = k / bands
-    val sh = df
+    val sh = mat(df
       .filter(size(col(toksCol)) >= n)
-      .select(col(idCol).as("doc_id"), shingles(col(toksCol), n).as("shingles"))
-      .select(col("doc_id"), col("shingles"),
-        transform(col("shingles"), x => hashFn(x)).as("hs"))
-      .localCheckpoint()
+      .select(col(idCol).as("doc_id"),
+        array_distinct(transform(shingles(col(toksCol), n), x => hashFn(x))).as("hs")))
     val sig = sh.select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
-    val bandsDf = sig
+    val bandsDf = mat(sig
       .select(col("doc_id"), explode(bandHashes(col("sig"), bands, r)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .localCheckpoint()
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh")))
     val ok = bandsDf.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
       .select(col("band"), col("bh"))
@@ -143,8 +149,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sa"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sb"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("hs").as("sa"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("hs").as("sb"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))

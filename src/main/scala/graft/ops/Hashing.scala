@@ -33,6 +33,22 @@ object Hashing {
   /** Production-scale hash (NOT oracle-portable). */
   def fastHash(cols: Column*): Column = xxhash64(cols: _*)
 
+  /** Multiplier for [[mix31]]; any odd constant < 2^31 works. */
+  val MixA: Long = 1099087573L
+
+  /** Order-dependent integer mix of non-negative 31-bit values into
+    * [0, P31): fold `(acc * MixA + h) mod P31`. Pure integer arithmetic —
+    * acc,h < 2^31 keeps every product under 2^62, so it is overflow-free
+    * AND bit-identical in Spark and DuckDB ([[mix31Sql]]). Used to derive
+    * LSH band keys from already-materialized hash longs without another
+    * md5 pass (VERDICT r3 next-round #3). */
+  def mix31(parts: Seq[Column]): Column =
+    parts.foldLeft(lit(0L): Column)((acc, h) => (acc * lit(MixA) + h) % lit(P31))
+
+  def mix31Sql(parts: Seq[String]): String =
+    parts.foldLeft(s"0::BIGINT")((acc, h) =>
+      s"(($acc * ${MixA}::BIGINT + $h) % ${P31}::BIGINT)")
+
   /** Deterministic affine permutation coefficients (a_j, b_j) for MinHash:
     * minhash_j = min over shingles s of (a_j * h31(s) + b_j) mod P31. */
   def permCoeffs(k: Int): Seq[(Long, Long)] =

@@ -13,13 +13,16 @@ import org.apache.spark.sql.types._
   * files logged and skipped) and `dataruu/tagger/tagger.py:49-62`
   * (decode → preprocess → batched model input).
   *
-  * The actual image codecs are NOT in this container, so [[StubDecoder]]
-  * is a clearly-marked deterministic fake (dims derived from the content
-  * hash) — but every Spark-side piece is real: the binaryFile source
-  * schema, the per-partition decoder lifecycle in mapPartitions (the
-  * Scala analogue of a pandas mapInPandas batch UDF), the nullable-decode
-  * → filter (F4) corrupt handling, and the downstream bucket/resize math
-  * shared with [[Bucketing]].
+  * Full pixel decode is stubbed ([[StubDecoder]], a clearly-marked
+  * deterministic fake whose dims the DuckDB oracle can recompute — q56),
+  * but the metadata pass is REAL: [[HeaderDecoder]] parses JPEG/PNG/GIF
+  * headers for (mime, width, height) with pure JVM byte reads, which is
+  * all the reference's bucketing decode actually consumes. Every
+  * Spark-side piece is real for both: the binaryFile source schema, the
+  * per-partition decoder lifecycle in mapPartitions (the Scala analogue
+  * of a pandas mapInPandas batch UDF), the nullable-decode → filter (F4)
+  * corrupt handling, and the downstream bucket/resize math shared with
+  * [[Bucketing]].
   *
   * Scale: decode is embarrassingly parallel over partitions (no shuffle);
   * binaryFile scans split per file, so 100 TB of images parallelize across
@@ -77,6 +80,75 @@ object Multimodal {
           (1 + h31(chash + "f") % 64).toInt,
           16000))
       }
+    }
+  }
+
+  /** REAL decoder: parses JPEG/PNG/GIF headers for (mime, width, height)
+    * with pure JVM byte reads — no codec libraries, no pixel decode. The
+    * reference's decode (`bucket_manager.py:183-189`) exists to get dims
+    * + RGB for bucketing; dims come from the header, so the metadata pass
+    * at 100 TB should never touch pixel data (the Decoder contract's
+    * "may stop reading early"). Malformed/unknown headers → None
+    * (corrupt-skip, F4). Frame count / sample rate aren't in these
+    * headers → 1 / 0. */
+  final class HeaderDecoder extends Decoder {
+    def decode(path: String, bytes: Array[Byte]): Option[Decoded] =
+      HeaderDecoder.sniff(bytes).map { case (mime, w, h) => Decoded(mime, w, h, 1, 0) }
+  }
+
+  object HeaderDecoder {
+    private def u8(b: Array[Byte], i: Int): Int  = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+    /** (mime, width, height) from the first bytes of a JPEG/PNG/GIF. */
+    def sniff(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b == null) None
+      else if (isPng(b)) {
+        val w = be32(b, 16); val h = be32(b, 20)
+        if (w > 0 && h > 0) Some(("image/png", w, h)) else None
+      } else if (isGif(b)) {
+        val w = le16(b, 6); val h = le16(b, 8)
+        if (w > 0 && h > 0) Some(("image/gif", w, h)) else None
+      } else if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) jpegDims(b)
+      else None
+    }
+
+    private def isPng(b: Array[Byte]): Boolean =
+      b.length >= 24 && u8(b, 0) == 0x89 && u8(b, 1) == 'P' && u8(b, 2) == 'N' &&
+        u8(b, 3) == 'G' && u8(b, 4) == 0x0d && u8(b, 5) == 0x0a &&
+        u8(b, 6) == 0x1a && u8(b, 7) == 0x0a &&
+        // IHDR must be the first chunk (PNG spec) — dims sit at fixed offsets
+        u8(b, 12) == 'I' && u8(b, 13) == 'H' && u8(b, 14) == 'D' && u8(b, 15) == 'R'
+
+    private def isGif(b: Array[Byte]): Boolean =
+      b.length >= 10 && u8(b, 0) == 'G' && u8(b, 1) == 'I' && u8(b, 2) == 'F' &&
+        u8(b, 3) == '8' && (u8(b, 4) == '7' || u8(b, 4) == '9') && u8(b, 5) == 'a'
+
+    /** Walk JPEG marker segments to the first SOFn frame header. */
+    private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None // desync → corrupt
+        var m = u8(b, i + 1)
+        while (m == 0xff && i + 2 < b.length) { i += 1; m = u8(b, i + 1) } // fill bytes
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // standalone
+        else if (m == 0xd9) return None // EOI before any SOF
+        else {
+          val len = be16(b, i + 2)
+          if (len < 2) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) {
+            if (i + 8 >= b.length) return None
+            val h = be16(b, i + 5); val w = be16(b, i + 7)
+            return if (w > 0 && h > 0) Some(("image/jpeg", w, h)) else None
+          }
+          i += 2 + len
+        }
+      }
+      None
     }
   }
 

@@ -91,13 +91,16 @@ object Similarity {
   }
 
   /** Embedding-space near-duplicate pairs: bucketed self-join (never
-    * all-pairs) + exact-cosine threshold. `vectors` = (vec_id, v double[]). */
+    * all-pairs) + exact-cosine threshold. `vectors` = (vec_id, v double[]).
+    * `mat` materializes the bucket/vec/norm table both self-join sides
+    * read — [[Materialize.Local]] for local runs, `Persist`/`Stage` at
+    * cluster scale. */
   def embedNearDupPairs(vectors: DataFrame, planes: Seq[Seq[Int]],
-                        threshold: Double): DataFrame = {
-    val b = vectors
+                        threshold: Double,
+                        mat: Materialize = Materialize.Local): DataFrame = {
+    val b = mat(vectors
       .withColumn("bkt", lshBucket(col("v"), planes))
-      .withColumn("nrm", norm(col("v")))
-      .localCheckpoint() // bucket/vec/norm table read by both self-join sides
+      .withColumn("nrm", norm(col("v"))))
     b.as("x").join(b.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),

@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
   * shuffle-free, partition-parallel, linear in rows.
   */
 object TagClean {
-  /** Regexes exactly as `merge_all_to_metadata.py:14-26` (Java and RE2
-    * agree with Python `re` on these: no backrefs, ASCII word chars). */
+  /** Regexes exactly as `merge_all_to_metadata.py:14-26`. Python `re`'s
+    * `\w` is Unicode-aware by default, so the UDF compiles every pattern
+    * with UNICODE_CHARACTER_CLASS to match the reference on non-ASCII tags
+    * (common in booru data). The DuckDB oracle regexes stay RE2/ASCII —
+    * the driver fixture corpus is ASCII-only, where the two agree; the
+    * divergence exists only for non-ASCII input, where the UDF (not the
+    * oracle) is the reference-faithful one. */
   val PatternHairLength = ", (long|short|medium) hair, "
   val PatternHairCut    = ", (bob|hime) cut, "
   val PatternHair       = ", ([\\w\\-]+) hair, "
@@ -62,10 +67,14 @@ object TagClean {
     t.substr(lit(3), length(t) - 4)
   }
 
-  private lazy val CompiledRemoveInMulti = PatternsRemoveInMulti.map(Pattern.compile)
-  private lazy val HairLengthP = Pattern.compile(PatternHairLength)
-  private lazy val HairP       = Pattern.compile(PatternHair)
-  private lazy val WordP       = Pattern.compile(PatternWord)
+  /** Python-`re`-compatible compile: `\w` covers Unicode word chars. */
+  private def pyCompile(p: String): Pattern =
+    Pattern.compile(p, Pattern.UNICODE_CHARACTER_CLASS)
+
+  private lazy val CompiledRemoveInMulti = PatternsRemoveInMulti.map(pyCompile)
+  private lazy val HairLengthP = pyCompile(PatternHairLength)
+  private lazy val HairP       = pyCompile(PatternHair)
+  private lazy val WordP       = pyCompile(PatternWord)
 
   /** `if len(pat.findall(t)) > 1: t = pat.sub("", t)` — Python findall
     * counts non-overlapping matches left-to-right; `Matcher.find` ditto. */
@@ -104,7 +113,7 @@ object TagClean {
     val found = scala.collection.mutable.ListBuffer.empty[String]
     while (fm.find()) found += fm.group(1)
     found.foreach { w =>
-      if (Pattern.compile(", ((\\w+) )+" + Pattern.quote(w) + ", ").matcher(t).find())
+      if (pyCompile(", ((\\w+) )+" + Pattern.quote(w) + ", ").matcher(t).find())
         t = t.replace(", " + w + ", ", "")
     }
     // Unpad (`:97-99`).

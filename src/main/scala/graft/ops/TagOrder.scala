@@ -39,7 +39,10 @@ object TagOrder {
     * in-memory dict (`novelai_order.py:9`). */
   def orderTags(docs: DataFrame, idCol: String, tagsCol: String,
                 vocab: DataFrame, vocabCol: String): DataFrame = {
-    val ex = docs.select(col(idCol), posexplode(col(tagsCol)).as(Seq("pos", "tag")))
+    // E1 (`novelai_order.py:17`): dedup before partitioning; first-occurrence
+    // order pinned (array_distinct) where the reference's set() is unordered.
+    val ex = docs.select(col(idCol),
+      posexplode(TagText.dedupTags(col(tagsCol))).as(Seq("pos", "tag")))
     val j = ex.join(
       broadcast(vocab.select(col(vocabCol).as("__vtag")).distinct()),
       col("tag") === col("__vtag"), "left")

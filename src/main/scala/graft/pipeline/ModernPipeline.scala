@@ -53,9 +53,15 @@ object ModernPipeline {
     df.join(TagOrder.orderTags(df.select(col(idCol), col("tags")), idCol, "tags",
       vocab, vocabCol), Seq(idCol))
 
-  /** Final keyed-metadata projection (the K1/K2 sink schema). */
+  /** Final keyed-metadata projection (the K1/K2 sink schema). The
+    * `train_resolution` struct is flattened to scalar `train_w`/`train_h`
+    * here — structs stay internal; the sink row is flat like the
+    * reference's final JSON values (`run.py:117-118`). */
   def finalMetadata(df: DataFrame): DataFrame =
-    df.select(col("image_key"), col("train_resolution"), col("rating"),
+    df.select(col("image_key"),
+        col("train_resolution.train_w").as("train_w"),
+        col("train_resolution.train_h").as("train_h"),
+        col("rating"),
         round(col("aesthetic_score"), 6).as("aesthetic_score"), col("ordered_tags"))
       .orderBy(col("image_key"))
 

@@ -98,7 +98,18 @@ object TopKStrategy extends org.apache.spark.sql.classic.Strategy {
 object TopK {
   /** Top-k rows per group of `df`, ordered by `orderBy` (col, ascending?).
     * Resolves columns against df's analyzed plan, installs the strategy on
-    * the session, and returns the custom-plan DataFrame. */
+    * the session, and returns the custom-plan DataFrame.
+    *
+    * ORDERING CONTRACT: `orderBy` must be a TOTAL order within each group
+    * (make the last key unique, e.g. the row id) — with ties at the k-th
+    * position, WHICH tied row survives the heap depends on arrival order,
+    * exactly as `row_number().over(window)` depends on partition order.
+    * q64 satisfies this via the unique `p_partkey` tiebreak.
+    *
+    * MEMORY BOUND: each task holds k rows per group it sees — O(k ·
+    * groups-per-partition · row size), with NO spill path. Right when
+    * k « group size (the operator's whole point); for huge k or very many
+    * tiny groups per partition, prefer the window spelling, which spills. */
   def perGroup(df: DataFrame, groupCols: Seq[String],
                orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession

@@ -82,20 +82,19 @@ object LlmQueries {
     val mh = Dedup.minhashSigSql("hs", MinhashK).zipWithIndex
       .map { case (e, i) => s"$e AS m${i + 1}" }.mkString(",\n      |    ")
     val bands = (0 until LshBands).map { b =>
-      val parts = (1 to LshRows).map(i => s"m${b * LshRows + i}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, ${Hashing.hash60Sql(s"$parts")} AS bh FROM sig"
+      val parts = (1 to LshRows).map(i => s"m${b * LshRows + i}")
+      s"SELECT doc_id, $b AS band, ${Hashing.mix31Sql(parts)} AS bh FROM sig"
     }.mkString("\n      |  UNION ALL\n      |  ")
     s"""WITH corpus AS (
       |  $corpusNearSql),
       |tok AS ($toksSql),
-      |sh AS (SELECT doc_id, ${Dedup.shinglesSql("toks", 3)} AS shingles
+      |sh AS (SELECT doc_id,
+      |         list_distinct(list_transform(${Dedup.shinglesSql("toks", 3)},
+      |           s -> ${Hashing.hash31Sql("s")})) AS hs
       |       FROM tok WHERE len(toks) >= 3),
-      |hs AS (SELECT doc_id, shingles,
-      |         list_transform(shingles, s -> ${Hashing.hash31Sql("s")}) AS hs
-      |       FROM sh),
       |sig AS (SELECT doc_id,
       |    $mh
-      |  FROM hs),
+      |  FROM sh),
       |bands AS (
       |  $bands),
       |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= $MaxBucket),
@@ -104,7 +103,7 @@ object LlmQueries {
       |         FROM capped x JOIN capped y
       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
       |j AS (SELECT doc_a, doc_b,
-      |        round(${Dedup.jaccardSql("a.shingles", "b.shingles")}, 6) AS jaccard
+      |        round(${Dedup.jaccardSql("a.hs", "b.hs")}, 6) AS jaccard
       |      FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
@@ -141,13 +140,12 @@ object LlmQueries {
     // Same materialization discipline as q41: hash the bigram bag once,
     // store it, compute the 16 bit votes over stored longs, and store the
     // tiny (doc_id, sim16) table the four self-join branches read.
-    val wh = toks(corpusNear(s, dir))
+    val mat = graft.ops.Materialize.Local
+    val wh = mat(toks(corpusNear(s, dir))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
-        transform(Dedup.shingleBag(col("toks"), 2), g => Hashing.hash31(g)).as("hs"))
-      .localCheckpoint()
-    val sh = wh.select(col("doc_id"), Dedup.simhash16(col("hs")).as("sim16"))
-      .localCheckpoint()
+        transform(Dedup.shingleBag(col("toks"), 2), g => Hashing.hash31(g)).as("hs")))
+    val sh = mat(wh.select(col("doc_id"), Dedup.simhash16(col("hs")).as("sim16")))
     def pairsOn(keyed: DataFrame): DataFrame =
       keyed.as("x").join(keyed.as("y"),
           col("x.k") === col("y.k") && col("x.doc_id") < col("y.doc_id"))

@@ -237,14 +237,71 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  // ---- Q54: modern pipeline assembly (§3.1, rows-only) ----
+  // ---- Q54: modern pipeline assembly (§3.1, flagship) ----
 
   /** `dataruu/run.py:30-118` as ONE lazy plan over documents-as-images:
     * sidecar parse → synthetic dims → bucket assignment (upscale path) →
     * aesthetic join+filter (broadcast scores) → NovelAI tag ordering →
-    * final keyed metadata projection. No oracle (the composition is
-    * checked piecewise by q20/q30/q50/q53); driver records rows>0. */
-  val q54 = Q.noOracle("q54_modern_pipeline") { (s, dir) =>
+    * final keyed metadata projection (flat train_w/train_h scalars).
+    * Fully oracle-checked end to end: the SQL replays every stage —
+    * the q20 parse, q30 bucket argmin, the score join/threshold, and the
+    * q50 ordering (with E1 first-occurrence dedup) — in one WITH chain. */
+  val q54 = Q("q54_modern_pipeline", {
+    val resosSql = Bucketing.resosSqlLiteral(
+      Bucketing.makeBucketResolutions(Bucketing.BucketConfig()))
+    val trig = TagText.TriggerNonCharWords
+      .map(w => s"contains(t, '$w')").mkString("(", " OR ", ")")
+    def key(prefix: String) = Hashing.hash31Sql(s"'$prefix' || CAST(doc_id AS VARCHAR)")
+    def lenDescJoin(arr: String) =
+      s"coalesce(array_to_string(list_transform(list_sort(list_transform($arr,\n" +
+        s"      |    t -> lpad(CAST(9999 - length(t) AS VARCHAR), 4, '0') || t)), k -> substr(k, 5)), ','), '')"
+    s"""WITH img AS (
+      |  SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) AS image_key,
+      |    CAST(128 + ${key("w")} % 1900 AS INT) AS w,
+      |    CAST(128 + ${key("h")} % 1900 AS INT) AS h,
+      |    lang || ', ' || replace(text, ' ', ', ') AS line
+      |  FROM documents),
+      |pr AS (SELECT doc_id, image_key, w, h,
+      |    trim(split_part(line, ',', 1)) AS rating,
+      |    list_filter(list_transform(string_split(substr(line, instr(line, ',') + 1), ','),
+      |      x -> trim(x)), x -> x <> '') AS rawtags
+      |  FROM img),
+      |dd AS (SELECT *, list_filter(rawtags, (t, i) -> list_position(rawtags, t) = i) AS tags
+      |  FROM pr),
+      |c AS (SELECT *, w / h AS ar, $resosSql AS resos FROM dd),
+      |m AS (SELECT *, list_transform(resos, r -> abs(r.rw / r.rh - ar)) AS errs,
+      |  len(list_filter(resos, r -> r.rw = w AND r.rh = h)) > 0 AS exact FROM c),
+      |r AS (SELECT *,
+      |  CASE WHEN exact THEN w ELSE resos[list_position(errs, list_aggregate(errs, 'min'))].rw END AS reso_w,
+      |  CASE WHEN exact THEN h ELSE resos[list_position(errs, list_aggregate(errs, 'min'))].rh END AS reso_h
+      |  FROM m),
+      |tr AS (SELECT doc_id, image_key, rating, tags,
+      |    reso_w - reso_w % 8 AS train_w, reso_h - reso_h % 8 AS train_h FROM r),
+      |sc AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS image_key,
+      |    ${key("s")} / $P.0 AS aesthetic_score
+      |  FROM documents
+      |  WHERE ${key("doc")} % 13 <> 0),
+      |fj AS (SELECT t.*, s.aesthetic_score FROM tr t JOIN sc s ON s.image_key = t.image_key
+      |       WHERE s.aesthetic_score >= 0.5),
+      |v0 AS (SELECT DISTINCT unnest(${TextAnalysis.toksSql}) AS vtag
+      |       FROM documents WHERE doc_id < 100),
+      |v AS (SELECT list(vtag) AS vlist FROM v0),
+      |cls AS (SELECT image_key, rating, train_w, train_h, aesthetic_score,
+      |  list_filter(tags, t -> contains(t, 'girl') OR contains(t, 'boy')) AS pfx,
+      |  list_filter(tags, t -> NOT (contains(t, 'girl') OR contains(t, 'boy'))
+      |    AND NOT list_contains(vlist, t) AND NOT $trig) AS chars,
+      |  list_filter(tags, t -> NOT (contains(t, 'girl') OR contains(t, 'boy'))
+      |    AND (list_contains(vlist, t) OR $trig)) AS nonchars
+      |  FROM fj CROSS JOIN v),
+      |j AS (SELECT image_key, rating, train_w, train_h, aesthetic_score,
+      |  coalesce(array_to_string(pfx, ','), '') AS p,
+      |  ${lenDescJoin("chars")} AS c,
+      |  ${lenDescJoin("nonchars")} AS n
+      |  FROM cls)
+      |SELECT image_key, train_w, train_h, rating, round(aesthetic_score, 6) AS aesthetic_score,
+      |  regexp_replace(p || ',' || c || ',' || n, '^,+|,+$$', '', 'g') AS ordered_tags
+      |FROM j ORDER BY image_key""".stripMargin
+  }) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val key = col("doc_id").cast("string")
     val images = docs.select(

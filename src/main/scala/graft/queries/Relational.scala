@@ -455,14 +455,21 @@ object Relational {
       |              WHERE l.l_orderkey = o.o_orderkey
       |                AND l.l_shipdate > o.o_orderdate)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
-    Tables.orders(s, dir).createOrReplaceTempView("orders")
-    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
-    s.sql("""SELECT o_orderpriority, count(*) AS n
-            |FROM orders o
-            |WHERE EXISTS (SELECT 1 FROM lineitem l
-            |              WHERE l.l_orderkey = o.o_orderkey
-            |                AND l.l_shipdate > o.o_orderdate)
-            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    // Registry fns must be side-effect-free (VERDICT r3 "What's wrong" #4):
+    // unique per-call view names, dropped right after `spark.sql` — whose
+    // analysis is EAGER, so the returned plan no longer needs the views.
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ov = s"graft_q68_orders_$tag"
+    val lv = s"graft_q68_lineitem_$tag"
+    Tables.orders(s, dir).createOrReplaceTempView(ov)
+    Tables.lineitem(s, dir).createOrReplaceTempView(lv)
+    try s.sql(s"""SELECT o_orderpriority, count(*) AS n
+                 |FROM $ov o
+                 |WHERE EXISTS (SELECT 1 FROM $lv l
+                 |              WHERE l.l_orderkey = o.o_orderkey
+                 |                AND l.l_shipdate > o.o_orderdate)
+                 |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    finally { s.catalog.dropTempView(ov); s.catalog.dropTempView(lv) }
   }
 
   /** Sliding event-time windows (1h window, 30min slide — each event lands

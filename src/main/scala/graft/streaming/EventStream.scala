@@ -65,18 +65,34 @@ object EventStream {
   def hourlyWatermarked(events: DataFrame): DataFrame =
     hourly(events.withWatermark("ts", "10 minutes"))
 
+  /** A child session with a small shuffle/state partition count. Streaming
+    * state is partitioned by `spark.sql.shuffle.partitions` AT QUERY START
+    * (baked into the checkpoint); the hourly agg keeps ~3.4k (window, type)
+    * state rows, so the session's 32-wide shuffle buys nothing and costs a
+    * state-store file + task per partition per micro-batch — most of q55's
+    * fixed overhead (VERDICT r3 next-round #2). `newSession` shares the
+    * SparkContext but scopes the conf, so the caller's session is never
+    * mutated. At real volume, size this to state row count, not input. */
+  private def scopedSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    ss
+  }
+
   /** Run [[hourly]] over the streaming source with Trigger.AvailableNow
     * into a memory sink; returns the drained result. Oracle-equivalent to
     * the batch q08. */
-  def hourlyAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyAvailableNow(spark: SparkSession, sfDir: String,
+                         statePartitions: Int = 8): DataFrame = {
+    val ss = scopedSession(spark, statePartitions)
     val name = "graft_stream_hourly"
-    val q = hourly(read(spark, sfDir))
+    val q = hourly(read(ss, sfDir))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    ss.table(name)
       .orderBy(col("hour"), col("event_type"))
   }
 
@@ -104,15 +120,17 @@ object EventStream {
   }
 
   /** Drain [[clickPurchaseJoin]] over the file stream with AvailableNow. */
-  def clickPurchaseJoinAvailableNow(spark: SparkSession, sfDir: String): DataFrame = {
+  def clickPurchaseJoinAvailableNow(spark: SparkSession, sfDir: String,
+                                    statePartitions: Int = 8): DataFrame = {
+    val ss = scopedSession(spark, statePartitions)
     val name = "graft_stream_ssjoin"
-    val q = clickPurchaseJoin(read(spark, sfDir))
+    val q = clickPurchaseJoin(read(ss, sfDir))
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name).orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    ss.table(name).orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
   // ---- foreachBatch upsert sink (J5's streaming analogue) ----
@@ -132,28 +150,34 @@ object EventStream {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val sp = batch.sparkSession
+        val cur = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = cur.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // Missing state dir = first batch (empty prior); any OTHER read
+        // failure (IO error, corrupt parquet) must fail the batch — a
+        // catch-all here would silently discard all accumulated state.
         val prior =
-          try sp.read.parquet(stateDir).withColumn("gen", lit(0L))
-          catch { case _: Throwable =>
-            sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              batch.schema).withColumn("gen", lit(0L))
-          }
+          if (fs.exists(cur)) sp.read.parquet(stateDir).withColumn("gen", lit(0L))
+          else sp.createDataFrame(sp.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema).withColumn("gen", lit(0L))
         val w = Window.partitionBy(col("user_id")).orderBy(col("gen").desc, col("ts").desc,
           col("event_id").desc)
         val merged = prior.unionByName(batch.withColumn("gen", lit(id + 1)))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .drop("rn", "gen")
-        // Write the new generation beside the old and swap — the merge plan
-        // reads the dir being replaced, and state must stay distributed
-        // (no driver collect). A transactional table makes this a MERGE.
-        val tmp = stateDir + "_next"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          sp.sparkContext.hadoopConfiguration)
-        val cur = new org.apache.hadoop.fs.Path(stateDir)
-        fs.delete(cur, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
+        // Write the new generation beside the old, then promote: move the
+        // old generation aside BEFORE renaming the new one in, so a crash
+        // at any point leaves either the old or the new state present —
+        // never neither. (The merge plan reads the dir being replaced, and
+        // state must stay distributed — no driver collect. A transactional
+        // table makes this whole dance a MERGE.)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "_next")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(cur)) fs.rename(cur, old)
+        fs.rename(tmp, cur)
+        fs.delete(old, true)
         ()
       }
       .trigger(Trigger.AvailableNow())

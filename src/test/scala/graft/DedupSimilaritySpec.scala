@@ -87,6 +87,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(r.getLong(0) >= 0 && r.getLong(0) < 16)
   }
 
+  test("nearDupPairs: Persist materialization ≡ Local (cluster-scale path)") {
+    val df = tokDF(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (2L, "zz w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (3L, "q r s t u v x y z q2 r2 s2"),
+      (4L, "q r s t u v x y z q2 r2 s2"))
+    def run(m: graft.ops.Materialize) =
+      Dedup.nearDupPairs(df, "id", "toks", x => Hashing.hash31(x), mat = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val local   = run(graft.ops.Materialize.Local)
+    val persist = run(graft.ops.Materialize.Persist())
+    assert(local === persist)
+    assert(local.map(p => (p._1, p._2)).contains((1L, 2L)))   // planted near-dup
+    assert(local.map(p => (p._1, p._2)).contains((3L, 4L)))   // exact dup
+  }
+
   test("exact dedup keeps min id per content group (q40 semantics)") {
     val df = Seq((1L, "same text"), (5L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")

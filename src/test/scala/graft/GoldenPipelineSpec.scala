@@ -64,21 +64,20 @@ class GoldenPipelineSpec extends AnyFunSuite {
     // 300 dropped by the 0.5 threshold → exactly two survivors
     assert(rows.map(_.getString(0)).toSeq === Seq("100", "200"))
     val r100 = rows(0)
-    assert(r100.getString(2) === "s")
-    assert(r100.getDouble(3) === 0.9)
+    assert(r100.getString(3) === "s")
+    assert(r100.getDouble(4) === 0.9)
     // U3 golden: prefix 1girl; 'hatsune miku' unknown → character;
     // 'long_hair' not in spaced vocab (underscore form) → character too,
     // length-desc; no non-character tags
-    assert(r100.getString(4) === "1girl,hatsune miku,long_hair")
+    assert(r100.getString(5) === "1girl,hatsune miku,long_hair")
     val r200 = rows(1)
-    assert(r200.getString(2) === "general")
-    assert(r200.getDouble(3) === 0.8)
+    assert(r200.getString(3) === "general")
+    assert(r200.getDouble(4) === 0.8)
     // 'smile' known → non-char; '16:9' trigger → non-char, length-desc
-    assert(r200.getString(4) === "smile,16:9")
-    // bucket sanity: train resolution on the grid and %8-aligned
+    assert(r200.getString(5) === "smile,16:9")
+    // bucket sanity: train resolution flat scalars, %8-aligned
     rows.foreach { r =>
-      val tr = r.getStruct(1)
-      assert(tr.getInt(0) % 8 === 0 && tr.getInt(1) % 8 === 0)
+      assert(r.getInt(1) % 8 === 0 && r.getInt(2) % 8 === 0)
     }
   }
 }

@@ -34,12 +34,11 @@ class QueriesSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.nonEmpty)
     assert(df.columns.toSeq ===
-      Seq("image_key", "train_resolution", "rating", "aesthetic_score", "ordered_tags"))
+      Seq("image_key", "train_w", "train_h", "rating", "aesthetic_score", "ordered_tags"))
     rows.foreach { r =>
-      val tr = r.getStruct(1)
-      assert(tr.getInt(0) % 8 === 0 && tr.getInt(1) % 8 === 0) // P3 latent floor
-      assert(r.getDouble(3) >= 0.5)                            // F1 threshold
-      assert(r.getString(4).nonEmpty)                          // U3 produced tags
+      assert(r.getInt(1) % 8 === 0 && r.getInt(2) % 8 === 0)   // P3 latent floor
+      assert(r.getDouble(4) >= 0.5)                            // F1 threshold
+      assert(r.getString(5).nonEmpty)                          // U3 produced tags
     }
   }
 }

@@ -107,6 +107,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.toSeq === Seq(("k1", "s", 0.9), ("k2", "g", 0.1)))
   }
 
+  test("K1 streams: many-row dump is valid JSON with no driver-sized row") {
+    val df = spark.range(0, 5000)
+      .selectExpr("concat('key', lpad(cast(id as string), 6, '0')) AS image_key",
+        "cast(id as double) / 10 AS score")
+    val out = Files.createTempDirectory("graft_k1big").resolve("meta").toString
+    Sources.writeKeyedJson(df, "image_key", out)
+    val back = Sources.keyedJson(spark, out,
+        org.apache.spark.sql.types.StructType.fromDDL("score DOUBLE"))
+    assert(back.count() === 5000)
+    assert(back.filter(col("key") === "key004999").collect()(0).getDouble(1) === 499.9)
+  }
+
   test("K2: jsonl roundtrip (row-per-line, parallel)") {
     val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
     val out = Files.createTempDirectory("graft_k2").resolve("rows").toString

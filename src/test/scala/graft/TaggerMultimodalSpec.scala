@@ -55,6 +55,33 @@ class TaggerMultimodalSpec extends AnyFunSuite {
     assert(j.filter(col("width") =!= col("cw") || col("height") =!= col("ch")).count() === 0)
   }
 
+  test("multimodal: HeaderDecoder reads REAL JPEG/PNG/GIF dims, skips corrupt") {
+    // Real files written by the JDK's own encoders — no external codecs.
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val d = Files.createTempDirectory("graft_hdr")
+    def img(w: Int, h: Int) = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    ImageIO.write(img(320, 200), "jpg", d.resolve("10_a.jpg").toFile)
+    ImageIO.write(img(640, 480), "png", d.resolve("20_b.png").toFile)
+    ImageIO.write(img(17, 31), "gif", d.resolve("30_c.jpeg").toFile) // gif bytes, jpeg name
+    Files.write(d.resolve("40_d.jpg"), "not an image at all".getBytes(UTF_8))
+    val out = Multimodal.decodeDF(
+        Multimodal.loadBinaryDir(spark, d.toString, glob = "*.{jpg,png,jpeg,gif}"),
+        () => new Multimodal.HeaderDecoder)
+      .select(regexp_extract(col("path"), "([0-9]+)_[a-z]", 1).cast("int").as("id"),
+        col("mime"), col("width"), col("height"), col("ok"))
+      .orderBy(col("id")).collect()
+    assert(out.map(r => (r.getInt(0), r.getBoolean(4))).toSeq ===
+      Seq((10, true), (20, true), (30, true), (40, false)))
+    assert(out(0).getString(1) === "image/jpeg" &&
+      out(0).getInt(2) === 320 && out(0).getInt(3) === 200)
+    assert(out(1).getString(1) === "image/png" &&
+      out(1).getInt(2) === 640 && out(1).getInt(3) === 480)
+    // content sniffing, not extension sniffing
+    assert(out(2).getString(1) === "image/gif" &&
+      out(2).getInt(2) === 17 && out(2).getInt(3) === 31)
+  }
+
   test("multimodal: frame sampling every k-th frame") {
     val r = Seq(10).toDF("n")
       .select(Multimodal.frameSampleIndices(col("n"), 3).as("f")).collect()(0).getSeq[Int](0)
