@@ -33,6 +33,27 @@ object Dedup {
     s"list_distinct(list_transform(range(1, len($toks) - ${n - 2}), " +
       s"i -> array_to_string(($toks)[i:i+${n - 1}], ' ')))"
 
+  /** Distinct hashed word n-gram shingles from a PRE-HASHED token array:
+    * shingle hash = [[Hashing.mix31]] of the n consecutive token hashes.
+    * The shingle strings are never needed downstream, so this skips
+    * building them just to md5 them — each token is hashed once and every
+    * shingle is pure integer mixing (q41's hot path; the mix is spelled
+    * identically in DuckDB via [[shingleHashesSql]], so a rare mix
+    * collision is the SAME collision in both engines).
+    *
+    * PERF CONTRACT (same as [[minhashSig]]): `tokHashes` must be a
+    * MATERIALIZED column, not an inline `transform(toks, hash)` — the n
+    * `element_at`s per shingle each re-evaluate their input expression in
+    * interpreted HOF mode, which would re-hash the whole token array per
+    * shingle (measured 20× slower end to end). */
+  def shingleHashes(tokHashes: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(tokHashes) - (n - 1)),
+      i => Hashing.mix31((0 until n).map(j => element_at(tokHashes, i + j)))))
+
+  def shingleHashesSql(th: String, n: Int): String =
+    s"list_distinct(list_transform(range(1, len($th) - ${n - 2}), " +
+      s"i -> ${Hashing.mix31Sql((0 until n).map(j => s"($th)[i + $j]"))}))"
+
   /** Non-distinct shingle bag (multiset features, e.g. for SimHash votes). */
   def shingleBag(toks: Column, n: Int): Column =
     transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -132,10 +153,14 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Int = 1000,
       mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
     val r = k / bands
-    val sh = mat(df
+    // Token hashes materialized BEFORE shingling (PERF CONTRACT above —
+    // Catalyst would otherwise collapse the projections and re-hash the
+    // token array once per shingle element).
+    val th = mat(df
       .filter(size(col(toksCol)) >= n)
       .select(col(idCol).as("doc_id"),
-        array_distinct(transform(shingles(col(toksCol), n), x => hashFn(x))).as("hs")))
+        transform(col(toksCol), x => hashFn(x)).as("th")))
+    val sh = mat(th.select(col("doc_id"), shingleHashes(col("th"), n).as("hs")))
     val sig = sh.select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
     val bandsDf = mat(sig
       .select(col("doc_id"), explode(bandHashes(col("sig"), bands, r)).as("b"))

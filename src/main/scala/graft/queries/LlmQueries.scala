@@ -88,10 +88,9 @@ object LlmQueries {
     s"""WITH corpus AS (
       |  $corpusNearSql),
       |tok AS ($toksSql),
-      |sh AS (SELECT doc_id,
-      |         list_distinct(list_transform(${Dedup.shinglesSql("toks", 3)},
-      |           s -> ${Hashing.hash31Sql("s")})) AS hs
+      |th AS (SELECT doc_id, list_transform(toks, t -> ${Hashing.hash31Sql("t")}) AS th
       |       FROM tok WHERE len(toks) >= 3),
+      |sh AS (SELECT doc_id, ${Dedup.shingleHashesSql("th", 3)} AS hs FROM th),
       |sig AS (SELECT doc_id,
       |    $mh
       |  FROM sh),
