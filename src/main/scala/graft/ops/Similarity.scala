@@ -110,6 +110,42 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ---- IVF-style bucket-partitioned layout (the 100 TB ANN path) ----
+
+  /** Driver-side bucket code of a literal query vector — same fold order
+    * as [[lshBucket]]. */
+  def bucketOf(v: Seq[Double], planes: Seq[Seq[Int]]): Long =
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = v.zip(p).foldLeft(0.0)((acc, t) => acc + t._1 * t._2)
+      if (d >= 0) 1L << j else 0L
+    }.sum
+
+  /** Write `(vec_id, v)` vectors as a parquet tree PARTITIONED BY the LSH
+    * bucket code, with per-vector norms precomputed — the IVF-style layout
+    * the [[annTopK]] docs promise for 100 TB: a probe's filter on `bkt`
+    * becomes Catalyst PARTITION PRUNING, so the scan touches only the
+    * probed bucket's files instead of the whole corpus
+    * (`PruningSpec` asserts the pruned scan). */
+  def writeBucketed(vectors: DataFrame, planes: Seq[Seq[Int]], path: String): Unit =
+    vectors
+      .withColumn("bkt", lshBucket(col("v"), planes))
+      .withColumn("nrm", norm(col("v")))
+      .write.partitionBy("bkt").mode("overwrite").parquet(path)
+
+  /** Probe a [[writeBucketed]] layout: top-k cosine inside the query's
+    * bucket only. The `bkt` equality is a pure partition filter — zero
+    * data rows outside the bucket are read. */
+  def probeBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    query: Seq[Double], planes: Seq[Seq[Int]], k: Int): DataFrame = {
+    val qn = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
+    spark.read.parquet(path)
+      .filter(col("bkt") === lit(bucketOf(query, planes)))
+      .select(col("vec_id"),
+        cosinePre(dot(typedLit(query), col("v")), lit(qn), col("nrm")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic ±1 random hyperplanes, seeded from md5 — driver-side
     * constants inlined into both plans (the Catalyst analogue of a
     * broadcast variable; never recomputed per row). */

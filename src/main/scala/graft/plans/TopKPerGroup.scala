@@ -23,8 +23,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * Scale behavior: `requiredChildDistribution = ClusteredDistribution`
   * makes Catalyst insert the one hash exchange on the group keys; after
   * it, each task folds its groups' rows into heaps — no sort, no spill
-  * proportional to group size. (A partial pre-exchange top-k would cut
-  * shuffle volume too — left out to keep the operator minimal.)
+  * proportional to group size. A PARTIAL top-k ([[TopKPartialExec]]) runs
+  * below the exchange — each map task pre-filters its partition to at
+  * most k rows per group it sees (a strict superset of the global
+  * answer, like partial aggregation), so the shuffle moves
+  * ≤ k·groups·tasks rows instead of the full input. At 100 TB with
+  * k=10 over thousands of groups, that is the difference between
+  * shuffling terabytes and shuffling megabytes.
   *
   * Registered two ways: config-driven via [[GraftExtensions]]
   * (injectPlannerStrategy) and programmatically via
@@ -42,6 +47,60 @@ case class TopKPerGroup(
     copy(child = newChild)
 }
 
+/** The shared per-partition heap fold: at most k rows per group seen in
+  * this partition, emitted group by group in `ord` order. */
+private[plans] object TopKHeaps {
+  def fold(iter: Iterator[InternalRow], groupExprs: Seq[Expression],
+           sortOrder: Seq[SortOrder], childOutput: Seq[Attribute],
+           k: Int): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+    val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
+    val worstFirst = ord.reverse // heap head = current worst of the k kept
+    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k + 1, worstFirst)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.values().asScala.iterator.flatMap { heap =>
+      val rows = heap.toArray(Array.empty[InternalRow])
+      java.util.Arrays.sort(rows, ord)
+      rows.iterator
+    }
+  }
+}
+
+/** Map-side partial: runs BELOW the exchange, cutting each input
+  * partition to ≤ k rows per group it contains — a strict superset of the
+  * global top-k (any globally-kept row is locally top-k wherever it
+  * lives), so the final exec over the shuffled superset is exact. */
+case class TopKPartialExec(
+    groupCols: Seq[Expression],
+    ordering: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (g, o, kk, out) = (groupCols, ordering, k, child.output)
+    child.execute().mapPartitions(TopKHeaps.fold(_, g, o, out, kk),
+      preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+    copy(child = newChild)
+}
+
 case class TopKPerGroupExec(
     groupCols: Seq[Expression],
     ordering: Seq[SortOrder],
@@ -55,33 +114,9 @@ case class TopKPerGroupExec(
     ClusteredDistribution(groupCols) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val kLocal = k
-    val groupExprs = groupCols
-    val sortOrder = ordering
-    val childOutput = child.output
-    child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(groupExprs, childOutput)
-      val ord = new LazilyGeneratedOrdering(sortOrder, childOutput)
-      val worstFirst = ord.reverse // heap head = current worst of the k kept
-      val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < kLocal) heap.add(row.copy())
-        else if (ord.compare(row, heap.peek()) < 0) { heap.poll(); heap.add(row.copy()) }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap { heap =>
-        val rows = heap.toArray(Array.empty[InternalRow])
-        java.util.Arrays.sort(rows, ord)
-        rows.iterator
-      }
-    }, preservesPartitioning = true)
+    val (g, o, kk, out) = (groupCols, ordering, k, child.output)
+    child.execute().mapPartitions(TopKHeaps.fold(_, g, o, out, kk),
+      preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
@@ -90,7 +125,11 @@ case class TopKPerGroupExec(
 
 object TopKStrategy extends org.apache.spark.sql.classic.Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroup(g, o, k, child) => TopKPerGroupExec(g, o, k, planLater(child)) :: Nil
+    case TopKPerGroup(g, o, k, child) =>
+      // partial below the exchange (planner inserts it to satisfy the
+      // final exec's required distribution), final above — the two-phase
+      // shape of partial aggregation, for rank-limits.
+      TopKPerGroupExec(g, o, k, TopKPartialExec(g, o, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -314,6 +314,17 @@ object Relational {
     graft.streaming.EventStream.hourlyAvailableNow(s, dir)
   }
 
+  /** Streaming exact dedup: watermarked dropDuplicatesWithinWatermark over
+    * the events stream — one bounded state entry per live key, the
+    * streaming shape of the q40 exact-dedup operator. Deterministic
+    * because only the KEYS are emitted (which row survives is racy; its
+    * key is not), so the oracle is the batch DISTINCT. */
+  val q75 = Q("q75_stream_dedup",
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStream.dedupKeysAvailableNow(s, dir, Seq("user_id", "event_type"))
+  }
+
   /** Skew-proof aggregation via salting: event_type has only 5 hot keys, so
     * a direct groupBy funnels 100k+ rows/key through 5 reducers at scale.
     * Phase 1 pre-aggregates on (key, salt=event_id%16) — 80 evenly-loaded
@@ -539,5 +550,5 @@ object Relational {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75)
 }

@@ -96,6 +96,35 @@ object EventStream {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  // ---- streaming exact dedup (the LLM dedup operator's streaming shape) ----
+
+  /** Watermarked streaming dedup: `dropDuplicatesWithinWatermark` keeps ONE
+    * state entry per key inside the lateness horizon — state is bounded by
+    * the key cardinality of the watermark window, not the stream length
+    * (keys recurring after eviction re-emit, the documented semantics of
+    * bounded-state dedup). The projection to the key columns makes the
+    * output deterministic: WHICH physical row survives per key is a race,
+    * but its key is not — so the batch oracle is a plain DISTINCT. */
+  def dedupKeys(events: DataFrame, keys: Seq[String],
+                lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+
+  /** Drain [[dedupKeys]] over the file stream with AvailableNow. */
+  def dedupKeysAvailableNow(spark: SparkSession, sfDir: String, keys: Seq[String],
+                            statePartitions: Int = 8): DataFrame = {
+    val ss = scopedSession(spark, statePartitions)
+    val name = "graft_stream_dedup"
+    val q = dedupKeys(read(ss, sfDir), keys)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy(keys.map(col): _*)
+  }
+
   // ---- stream-stream join ----
 
   /** Watermarked stream-stream inner join: each click joined to the same

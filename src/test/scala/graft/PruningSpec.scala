@@ -22,6 +22,26 @@ class PruningSpec extends AnyFunSuite {
     assert(q.select(countDistinct(col("event_type"))).collect()(0).getLong(0) === 1L)
   }
 
+  test("IVF-style ANN: bucket-partitioned layout prunes the probe scan") {
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").resolve("emb").toString
+    val planes = Similarity.planes(4, 8)
+    val vecs = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"),
+        Similarity.toDouble(slice(col("embedding"), 1, 8)).as("v"))
+    Similarity.writeBucketed(vecs, planes, dir)
+    val query = vecs.filter(col("vec_id") === 0)
+      .collect()(0).getSeq[Double](1).toIndexedSeq
+    val probe = Similarity.probeBucketed(spark, dir, query, planes, 5)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.matches("(?s).*PartitionFilters: \\[[^\\]]*bkt[^\\]]*\\].*"),
+      s"no bkt partition filter in:\n$scan")
+    val rows = probe.collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    // the query vector itself lives in its own bucket with cosine 1
+    assert(rows.exists(r => r.getLong(0) === 0L && math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
   test("predicate pushdown: filter reaches the parquet scan (PushedFilters)") {
     val q = Tables.lineitem(spark, TestSpark.Sf0001)
       .filter(col("l_quantity") > 30.0).select(col("l_orderkey"))

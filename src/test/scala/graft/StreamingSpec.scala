@@ -58,6 +58,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) == batch DISTINCT keys") {
+    val streamed = EventStream.dedupKeysAvailableNow(
+      spark, TestSpark.Sf0001, Seq("user_id", "event_type"))
+    val batch = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
   test("watermarked variant builds a valid streaming plan") {
     val plan = EventStream.hourlyWatermarked(EventStream.read(spark, TestSpark.Sf0001))
     assert(plan.isStreaming)

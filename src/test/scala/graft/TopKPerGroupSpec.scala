@@ -33,6 +33,20 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(!plan.contains("Window"))
   }
 
+  test("two-phase: partial top-k sits below the exchange, final above") {
+    val src = Tables.part(spark, TestSpark.Sf0001)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+    val custom = TopK.perGroup(src, Seq("p_brand"),
+      Seq(("p_retailprice", false), ("p_partkey", true)), 3)
+    custom.count()
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPartial"))
+    val iFinal = plan.indexOf("TopKPerGroup")
+    val iEx = plan.indexOf("Exchange")
+    val iPart = plan.indexOf("TopKPartial")
+    assert(iFinal >= 0 && iEx > iFinal && iPart > iEx) // final ← shuffle ← partial
+  }
+
   test("k larger than group size returns whole groups") {
     val src = Tables.nation(spark, TestSpark.Sf0001)
       .select(col("n_regionkey"), col("n_nationkey"))
