@@ -51,17 +51,45 @@ object Tagger {
   def stubConfSql(key: String, tag: String): String =
     s"${Hashing.hash31Sql(s"$key || '|' || $tag")} / ${Hashing.P31}.0"
 
+  /** Vectorized scorer contract: score a whole batch in one call — the
+    * `session.run(batch)` shape real ONNX inference wants (the reference
+    * runs batch=1, `tagger.py:62` `np.expand_dims`; this generalizes it —
+    * the brief's `mapInPandas` batch-UDF analogue). Must return one
+    * confidence row per input key, in order. */
+  trait BatchScorer extends Serializable {
+    def vocab: Seq[String]
+    def scoreBatch(keys: Seq[String]): Seq[Seq[Double]]
+  }
+
+  /** Any row-at-a-time [[Scorer]] lifted to the batch contract. */
+  final class RowwiseBatch(inner: Scorer) extends BatchScorer {
+    def vocab: Seq[String] = inner.vocab
+    def scoreBatch(keys: Seq[String]): Seq[Seq[Double]] = keys.map(inner.confidences)
+  }
+
   /** U1 integration path: score every row's `keyCol` against the scorer's
     * vocabulary via mapPartitions (scorer constructed once per partition),
     * producing (key, tags array<struct<tag, conf>>). */
-  def scoreDF(df: DataFrame, keyCol: String, mkScorer: () => Scorer): DataFrame = {
+  def scoreDF(df: DataFrame, keyCol: String, mkScorer: () => Scorer): DataFrame =
+    scoreDFBatched(df, keyCol, () => new RowwiseBatch(mkScorer()), batchSize = 1)
+
+  /** Batched variant: rows are fed to the scorer `batchSize` at a time
+    * (grouped lazily inside each partition — no partition-wide
+    * materialization), amortizing per-call model overhead exactly like the
+    * batch dimension of an ONNX input tensor. */
+  def scoreDFBatched(df: DataFrame, keyCol: String, mkScorer: () => BatchScorer,
+                     batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = df.select(col(keyCol).cast("string")).as[String]
     keys.mapPartitions { it =>
       val scorer = mkScorer() // per-partition init, like an ONNX session
       val vocab = scorer.vocab
-      it.map { k => (k, vocab.zip(scorer.confidences(k))) }
+      it.grouped(batchSize).flatMap { batch =>
+        batch.zip(scorer.scoreBatch(batch)).map { case (k, confs) =>
+          (k, vocab.zip(confs))
+        }
+      }
     }.toDF(keyCol, "scores")
       .withColumn("scores",
         transform(col("scores"), s =>

@@ -98,7 +98,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val local   = run(graft.ops.Materialize.Local)
     val persist = run(graft.ops.Materialize.Persist())
+    val stage   = run(graft.ops.Materialize.Stage(
+      java.nio.file.Files.createTempDirectory("graft_stage").toString))
     assert(local === persist)
+    assert(local === stage)
     assert(local.map(p => (p._1, p._2)).contains((1L, 2L)))   // planted near-dup
     assert(local.map(p => (p._1, p._2)).contains((3L, 4L)))   // exact dup
   }

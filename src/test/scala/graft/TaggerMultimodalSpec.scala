@@ -28,6 +28,21 @@ class TaggerMultimodalSpec extends AnyFunSuite {
     assert(joined.filter(col("conf") =!= col("cconf")).count() === 0)
   }
 
+  test("U1: batched scoring (batchSize 3) == row-at-a-time path") {
+    val vocab = Seq("long hair", "smile", "general")
+    val keys = (1 to 10).map(i => s"doc$i").toDF("key")
+    val rowwise = Tagger.scoreDF(keys, "key", () => new Tagger.StubScorer(vocab))
+      .select(col("key"), explode(col("scores")).as("s"))
+      .select(col("key"), col("s.tag"), col("s.conf"))
+    val batched = Tagger.scoreDFBatched(keys, "key",
+        () => new Tagger.RowwiseBatch(new Tagger.StubScorer(vocab)), batchSize = 3)
+      .select(col("key"), explode(col("scores")).as("s"))
+      .select(col("key"), col("s.tag"), col("s.conf").as("bconf"))
+    val j = rowwise.join(batched, Seq("key", "tag"))
+    assert(j.count() === 30)
+    assert(j.filter(col("conf") =!= col("bconf")).count() === 0)
+  }
+
   test("U1: F3 threshold semantics on stub scores") {
     val vocab = (1 to 50).map(i => s"tag$i")
     val df = Tagger.scoreDF(Seq("k").toDF("key"), "key", () => new Tagger.StubScorer(vocab))
