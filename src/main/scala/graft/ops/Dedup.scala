@@ -108,9 +108,18 @@ object Dedup {
   /** 16-bit SimHash over a bag of 31-bit feature hashes: bit j is set iff
     * the ±1 votes of feature bit j sum non-negative. Multiset semantics
     * (duplicates vote repeatedly), matching the classic definition.
-    * Same PERF CONTRACT as [[minhashSig]]: feed a materialized hash
-    * column — the 16 per-bit votes each re-evaluate their input. */
+    * Native codegen'd single pass ([[graft.plans.SimHash16]]) — exact
+    * integer equivalence with the 16-fold HOF spelling [[simhash16Hof]]
+    * is proven in VectorExprsSpec. */
   def simhash16(featureHashes: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.SimHash16(
+      org.apache.spark.sql.GraftSqlBridge.expression(featureHashes)))
+
+  /** The 16-fold builtin vote spelling — equivalence baseline for the
+    * native expression. Same PERF CONTRACT as [[minhashSig]]: feed a
+    * materialized hash column — each of the 16 per-bit votes re-evaluates
+    * its input. */
+  def simhash16Hof(featureHashes: Column): Column =
     (0 until 16).map { j =>
       val vote = aggregate(featureHashes, lit(0L),
         (acc, h) => acc + (shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1))

@@ -28,8 +28,18 @@ object Similarity {
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Sequential left-fold dot product — index order, like the oracle's
-    * list_reduce over range(1, dim+1). */
+    * list_reduce over range(1, dim+1). Native codegen'd expression
+    * ([[graft.plans.DotProduct]]): a primitive loop inside whole-stage
+    * codegen instead of the interpreted HOF walk, bit-identical to
+    * [[dotHof]] (same index order and accumulation — VectorExprsSpec). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.DotProduct(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** The pure-builtin HOF spelling — the equivalence baseline [[dot]] is
+    * tested against (interpreted; ~an order of magnitude slower per row). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def dotSql(a: String, b: String, dim: Int): String =

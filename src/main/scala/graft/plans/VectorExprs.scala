@@ -1,0 +1,148 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Native codegen'd vector expressions for the similarity/dedup hot paths.
+  *
+  * Spark's array higher-order functions (`aggregate`, `zip_with`) run
+  * INTERPRETED — each element evaluation walks an expression tree and
+  * boxes intermediates, and `zip_with` materializes a paired array per
+  * row. For a 64-dim dot product evaluated 250k× per query (q48) that
+  * interpretation tax dominates. These expressions compile the identical
+  * arithmetic — same index order, same left-to-right double additions, so
+  * results are BIT-IDENTICAL to the HOF spelling (proven in
+  * `VectorExprsSpec`) and the DuckDB oracles keep matching — into a tight
+  * primitive loop inside whole-stage codegen.
+  */
+
+/** Sequential-fold dot product of two double arrays:
+  * `Σ_i a(i)*b(i)` accumulated left to right — the codegen'd twin of
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`. Null result when either
+  * array is null, lengths differ, or any element is null (matching the
+  * HOF spelling's null propagation). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def ok(t: DataType) = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<DOUBLE>, ARRAY<DOUBLE>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 16-bit SimHash of a bag of long feature hashes in ONE pass: bit j of
+  * the result is set iff `Σ_h ((h>>j)&1)*2-1 >= 0`. The codegen'd twin of
+  * the 16-fold `aggregate` vote spelling in `Dedup.simhash16` — pure
+  * integer arithmetic, so exact equivalence (proven in `VectorExprsSpec`).
+  * Null when the array is null or contains nulls. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got $t")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash16"
+
+  override protected def nullSafeEval(hv: Any): Any = {
+    val hs = hv.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) return null
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < 16) { votes(j) += ((h >> j) & 1L) * 2L - 1L; j += 1 }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) >= 0L) out |= 1L << j; j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $hs.numElements();
+         |long[] $votes = new long[16];
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($hs.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $h = $hs.getLong($i);
+         |  for (int $j = 0; $j < 16; $j++) {
+         |    $votes[$j] += (($h >> $j) & 1L) * 2L - 1L;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $out = 0L;
+         |  for (int $j = 0; $j < 16; $j++) {
+         |    if ($votes[$j] >= 0L) { $out |= 1L << $j; }
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}

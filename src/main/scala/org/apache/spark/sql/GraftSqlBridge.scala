@@ -1,13 +1,21 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into `private[sql]` constructors that a library building custom
-  * logical plans needs: turning a [[LogicalPlan]] back into a DataFrame.
-  * Spark offers no public API for this (SPARK-31561); every library that
-  * ships custom plan nodes uses a package-located accessor like this one.
-  * Single call site: `graft.plans.TopK`. */
+  * plan nodes and expressions needs: turning a [[LogicalPlan]] back into a
+  * DataFrame (SPARK-31561) and converting Expression ↔ Column (Spark 4's
+  * Column wraps a backend-agnostic ColumnNode, so both directions go
+  * through `classic.ExpressionUtils`). Spark offers no public API for
+  * either; every library that ships custom plans/expressions uses a
+  * package-located accessor like this one. Call sites:
+  * `graft.plans.TopK`, `graft.plans.VectorExprs` users. */
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Hashing, Similarity, TextAnalysis}
+
+/** Native codegen'd vector expressions vs their builtin HOF twins —
+  * BIT-exact equivalence on real testdata, plus null-propagation parity. */
+class VectorExprsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("DotProduct == aggregate(zip_with) HOF spelling, bit for bit") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .limit(500)
+      .select(
+        Similarity.dot(col("x.v"), col("y.v")).as("native"),
+        Similarity.dotHof(col("x.v"), col("y.v")).as("hof"))
+    val rows = pairs.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("DotProduct null propagation: null array, length mismatch, null element") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),
+      (2L, Seq(1.0, 2.0), Seq(3.0))).toDF("id", "a", "b")
+      .withColumn("a", when(col("id") === 3, lit(null)).otherwise(col("a")))
+    val out = df.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(out(0).getDouble(1) === 11.0)
+    assert(out(1).isNullAt(1)) // length mismatch → null, like zip_with padding
+    val withNullArr = df.select(
+      Similarity.dot(lit(null).cast("array<double>"), col("b")).as("d")).collect()
+    assert(withNullArr.forall(_.isNullAt(0)))
+  }
+
+  test("SimHash16 == 16-fold aggregate vote spelling on real bigram bags") {
+    val wh = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        transform(Dedup.shingleBag(col("toks"), 2), g => Hashing.hash31(g)).as("hs"))
+      .localCheckpoint()
+    val out = wh.select(
+      Dedup.simhash16(col("hs")).as("native"),
+      Dedup.simhash16Hof(col("hs")).as("hof"))
+    assert(out.count() > 0)
+    assert(out.filter(col("native") =!= col("hof")).count() === 0)
+    assert(out.filter(col("native") < 0 || col("native") >= 65536).count() === 0)
+  }
+}
