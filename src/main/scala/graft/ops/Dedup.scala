@@ -158,17 +158,19 @@ object Dedup {
     * deterministic, so even a collision is the same collision on both
     * sides), and longs intersect far cheaper than strings. */
   def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
-      hashFn: Column => Column, n: Int = 3, k: Int = 12, bands: Int = 4,
-      threshold: Double = 0.5, maxBucket: Int = 1000,
+      tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
       mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
     val r = k / bands
     // Token hashes materialized BEFORE shingling (PERF CONTRACT above —
     // Catalyst would otherwise collapse the projections and re-hash the
-    // token array once per shingle element).
+    // token array once per shingle element). `tokHash` maps the whole
+    // token array to its hash array: the oracle-portable default is the
+    // native [[Hashing.hash31Array]]; the production swap is
+    // `arr => transform(arr, xxhash64(_))`.
     val th = mat(df
       .filter(size(col(toksCol)) >= n)
-      .select(col(idCol).as("doc_id"),
-        transform(col(toksCol), x => hashFn(x)).as("th")))
+      .select(col(idCol).as("doc_id"), tokHash(col(toksCol)).as("th")))
     val sh = mat(th.select(col("doc_id"), shingleHashes(col("th"), n).as("hs")))
     val sig = sh.select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
     val bandsDf = mat(sig

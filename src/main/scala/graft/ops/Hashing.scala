@@ -30,6 +30,15 @@ object Hashing {
   def hash31(c: Column): Column = hash60(c) % lit(P31)
   def hash31Sql(expr: String): String = s"(${hash60Sql(expr)} % ${P31}::BIGINT)"
 
+  /** Array-at-a-time [[hash31]] of every element of a string array —
+    * identical values to `transform(arr, hash31)` but ONE native
+    * expression call per row instead of an interpreted HOF walk per
+    * element ([[graft.plans.ArrayHash31]]). Use for hashing token/shingle
+    * arrays on hot paths. */
+  def hash31Array(arr: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.ArrayHash31(
+      org.apache.spark.sql.GraftSqlBridge.expression(arr)))
+
   /** Production-scale hash (NOT oracle-portable). */
   def fastHash(cols: Column*): Column = xxhash64(cols: _*)
 

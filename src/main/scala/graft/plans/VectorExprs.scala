@@ -3,8 +3,8 @@ package graft.plans
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Native codegen'd vector expressions for the similarity/dedup hot paths.
   *
@@ -145,4 +145,64 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
+}
+
+/** Array-at-a-time oracle-portable hash: every element of a string array
+  * hashed to `hash31` (= first 15 md5 hex digits base-16, mod 2^31-1) in
+  * ONE expression evaluation per row — the codegen'd twin of
+  * `transform(arr, Hashing.hash31)`, whose HOF walk re-interprets the
+  * md5/conv expression tree per element. Values are IDENTICAL (the 15
+  * hex digits are the top 60 bits of the digest, read here directly from
+  * the digest bytes; VectorExprsSpec proves equality). Null elements map
+  * to null elements, like the HOF. */
+case class ArrayHash31(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_hash31_array"
+
+  /** Shared by eval and the generated code (one call per row). */
+  def hashAll(av: ArrayData): ArrayData = {
+    val md = ArrayHash31.mdLocal.get()
+    val n = av.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!av.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(av.getUTF8String(i).getBytes)
+        // top 60 bits of the digest == parseLong(hex.substring(0, 15), 16)
+        val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        out(i) = (top >>> 4) % graft.ops.Hashing.P31
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(av: Any): Any =
+    hashAll(av.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("arrayHash31", this, classOf[ArrayHash31].getName)
+      s"${ev.value} = $ref.hashAll($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayHash31 =
+    copy(child = newChild)
+}
+
+object ArrayHash31 {
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
 }

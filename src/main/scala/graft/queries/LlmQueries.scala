@@ -108,7 +108,7 @@ object LlmQueries {
       |ORDER BY doc_a, doc_b""".stripMargin
   }) { (s, dir) =>
     Dedup.nearDupPairs(toks(corpusNear(s, dir)), "doc_id", "toks",
-      x => Hashing.hash31(x), n = 3, k = MinhashK, bands = LshBands,
+      Hashing.hash31Array, n = 3, k = MinhashK, bands = LshBands,
       threshold = 0.5, maxBucket = MaxBucket)
   }
 
@@ -143,7 +143,7 @@ object LlmQueries {
     val wh = mat(toks(corpusNear(s, dir))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"),
-        transform(Dedup.shingleBag(col("toks"), 2), g => Hashing.hash31(g)).as("hs")))
+        Hashing.hash31Array(Dedup.shingleBag(col("toks"), 2)).as("hs")))
     val sh = mat(wh.select(col("doc_id"), Dedup.simhash16(col("hs")).as("sim16")))
     def pairsOn(keyed: DataFrame): DataFrame =
       keyed.as("x").join(keyed.as("y"),

@@ -94,7 +94,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, "q r s t u v x y z q2 r2 s2"),
       (4L, "q r s t u v x y z q2 r2 s2"))
     def run(m: graft.ops.Materialize) =
-      Dedup.nearDupPairs(df, "id", "toks", x => Hashing.hash31(x), mat = m)
+      Dedup.nearDupPairs(df, "id", "toks", Hashing.hash31Array, mat = m)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val local   = run(graft.ops.Materialize.Local)
     val persist = run(graft.ops.Materialize.Persist())

@@ -40,6 +40,19 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(withNullArr.forall(_.isNullAt(0)))
   }
 
+  test("ArrayHash31 == transform(arr, hash31), incl. null elements") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(TextAnalysis.toks(col("text")).as("toks"))
+      .withColumn("toks",
+        // plant a null element to check null mapping parity
+        concat(col("toks"), array(lit(null).cast("string"))))
+    val out = docs.select(
+      Hashing.hash31Array(col("toks")).as("native"),
+      transform(col("toks"), t => Hashing.hash31(t)).as("hof"))
+    assert(out.count() > 0)
+    assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
   test("SimHash16 == 16-fold aggregate vote spelling on real bigram bags") {
     val wh = Tables.documents(spark, TestSpark.Sf0001)
       .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
