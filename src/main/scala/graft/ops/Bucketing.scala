@@ -81,6 +81,33 @@ object Bucketing {
       (arReso - ar).as("ar_error"))
   }
 
+  /** M3+M6 via the native argmin expression ([[graft.plans.BucketArgMin]])
+    * — identical values to [[selectBucketUpscale]] (q61 ≡ q30 proves the
+    * argmins agree, including the exact-match branch and np.argmin tie
+    * order), but the argmin is ONE codegen'd primitive loop instead of a
+    * per-struct-field HOF tree: the builtin spelling embeds the
+    * exists/array_position/transform walk in every output field, and HOFs
+    * are CodegenFallback so nothing de-duplicates them. This variant stays
+    * inside whole-stage codegen, where common subexpressions are
+    * eliminated. Used by the pipeline assembly; q30 keeps the builtin
+    * spelling as the oracle-checked reference. */
+  def selectBucketUpscaleNative(w: Column, h: Column, resos: Seq[(Int, Int)]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+    val idx = toCol(graft.plans.BucketArgMin(toExpr(w), toExpr(h),
+      resos.map(_._1).toArray, resos.map(_._2).toArray))
+    val best  = element_at(resosLit(resos), idx)
+    val resoW = best.getField("rw")
+    val resoH = best.getField("rh")
+    val ar = w / h
+    val arReso = resoW / resoH
+    val scale = when(ar > arReso, resoH / h).otherwise(resoW / w)
+    struct(
+      resoW.as("reso_w"), resoH.as("reso_h"),
+      floor(w * scale + 0.5).as("resized_w"),
+      floor(h * scale + 0.5).as("resized_h"),
+      (arReso - ar).as("ar_error"))
+  }
+
   /** M4 (`bucket_manager.py:120-154`): no-upscale path. Oversized images
     * shrink to max_area preserving AR, rounding whichever side keeps AR
     * error smaller; then the bucket is the resized size floored to steps. */

@@ -33,10 +33,13 @@ object ModernPipeline {
       TagText.ratingOf(line).as("rating") :+
       TagText.tagsOf(line).as("tags"): _*)
 
-  /** Bucket assignment (upscale path) + P3 train resolution from (w, h). */
+  /** Bucket assignment (upscale path) + P3 train resolution from (w, h).
+    * Uses the NATIVE argmin spelling (one codegen'd loop; q61 proves it
+    * equal to the builtin q30 tree, which would otherwise re-embed the
+    * HOF argmin walk in every struct field). */
   def assignBuckets(df: DataFrame, cfg: BucketConfig = BucketConfig()): DataFrame = {
     val resos = Bucketing.makeBucketResolutions(cfg)
-    df.withColumn("b", Bucketing.selectBucketUpscale(col("w"), col("h"), resos))
+    df.withColumn("b", Bucketing.selectBucketUpscaleNative(col("w"), col("h"), resos))
       .withColumn("train_resolution",
         Bucketing.trainResolution(col("b.reso_w"), col("b.reso_h")))
   }

@@ -146,7 +146,9 @@ object BucketQueries {
       |  floor((bw - rw) / 2) + rw AS crop_right,
       |  floor((bh - rh) / 2) + rh AS crop_bottom
       |FROM y ORDER BY id""".stripMargin) { (s, dir) =>
-    val b = Bucketing.selectBucketUpscale(col("w"), col("h"), resos)
+    // native argmin spelling (== builtin, proven by q61/BucketingSpec);
+    // q30 keeps the builtin tree as the oracle-checked reference.
+    val b = Bucketing.selectBucketUpscaleNative(col("w"), col("h"), resos)
     val crop = Bucketing.cropLtrb(col("bw"), col("bh"), col("w"), col("h"))
     srcWH(s, dir)
       .withColumn("b", b)
@@ -177,7 +179,7 @@ object BucketQueries {
       |SELECT reso_w, reso_h, count(*) AS n_images,
       |  round(avg(abs(reso_w / reso_h - ar)), 6) AS mean_ar_error
       |FROM r GROUP BY reso_w, reso_h ORDER BY reso_w, reso_h""".stripMargin) { (s, dir) =>
-    val b = Bucketing.selectBucketUpscale(col("w"), col("h"), resos)
+    val b = Bucketing.selectBucketUpscaleNative(col("w"), col("h"), resos)
     srcWH(s, dir)
       .withColumn("b", b)
       .groupBy(col("b.reso_w").as("reso_w"), col("b.reso_h").as("reso_h"))

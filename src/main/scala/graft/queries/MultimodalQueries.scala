@@ -58,7 +58,7 @@ object MultimodalQueries {
         Multimodal.stubWidth(col("chash")).as("w"),
         Multimodal.stubHeight(col("chash")).as("h"))
     decoded
-      .withColumn("b", Bucketing.selectBucketUpscale(col("w"), col("h"), resos))
+      .withColumn("b", Bucketing.selectBucketUpscaleNative(col("w"), col("h"), resos))
       .groupBy(col("b.reso_w").as("reso_w"), col("b.reso_h").as("reso_h"))
       .agg(count(lit(1)).as("n_images"),
         sum("n_bytes").as("total_bytes"),

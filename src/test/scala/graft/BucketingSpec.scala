@@ -27,6 +27,14 @@ class BucketingSpec extends AnyFunSuite {
     sampled ++ Seq((640, 1024), (1024, 1024), (4096, 64), (64, 4096), (16, 16), (4000, 4000))
   }
 
+  test("native-argmin upscale bucket == builtin HOF spelling, field for field") {
+    val df = dims.toDF("w", "h")
+      .select(
+        Bucketing.selectBucketUpscale(col("w"), col("h"), resos).as("b"),
+        Bucketing.selectBucketUpscaleNative(col("w"), col("h"), resos).as("n"))
+    assert(df.filter(not(col("b") <=> col("n"))).count() === 0)
+  }
+
   test("M2: reso grid — all step-aligned, within area, both orientations, sorted") {
     assert(resos.nonEmpty)
     resos.foreach { case (w, h) =>
