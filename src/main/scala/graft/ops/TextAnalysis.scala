@@ -78,6 +78,51 @@ object TextAnalysis {
 
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  // ---- PII redaction (training-data scrubbing) ----
+
+  /** Simple-by-design patterns (char classes + quantifiers only, so Java
+    * regex and DuckDB's RE2 agree exactly). */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
+  val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
+
+  /** Replace every e-mail / phone match with a typed placeholder — the
+    * standard pre-training scrub pass. Codegen'd regexp_replace; at scale
+    * a narrow per-row projection. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def redactPiiSql(c: String): String =
+    s"regexp_replace(regexp_replace($c, '$EmailPattern', '<EMAIL>', 'g'), " +
+      s"'$PhonePattern', '<PHONE>', 'g')"
+
+  def piiCount(c: Column, pattern: String): Column = regexp_count(c, lit(pattern))
+  def piiCountSql(c: String, pattern: String): String =
+    s"len(regexp_extract_all($c, '$pattern'))"
+
+  // ---- Repetition signals (Gopher-style quality filtering) ----
+
+  /** Fixed-width token chunks ("lines" of n tokens) — the unit for the
+    * duplicate-line-fraction repetition signal when the corpus has no
+    * physical line structure. */
+  def tokenChunks(toksCol: Column, n: Int): Column =
+    transform(sequence(lit(0), floor((size(toksCol) - 1) / lit(n)).cast("int")),
+      i => concat_ws(" ", slice(toksCol, i * n + 1, lit(n))))
+
+  def tokenChunksSql(toks: String, n: Int): String =
+    s"list_transform(range(0, CAST(floor((len($toks) - 1) / $n) AS BIGINT) + 1), " +
+      s"i -> array_to_string(($toks)[i*$n+1:i*$n+$n], ' '))"
+
+  /** Repeated-element fraction `1 - distinct/total` of an array — applied
+    * to token chunks, bigrams, and words it gives the duplicate-line /
+    * repeated-bigram / repeated-word signals a Gopher-style repetition
+    * filter thresholds on. */
+  def repeatedFrac(arr: Column): Column =
+    lit(1.0) - size(array_distinct(arr)).cast("double") / size(arr)
+
+  def repeatedFracSql(arr: String): String =
+    s"1.0 - len(list_distinct($arr)) / CAST(len($arr) AS DOUBLE)"
+
   /** Heuristic quality score in rational arithmetic only (deterministic
     * across engines): rewards stopword density and longer words, damps
     * very long documents. */

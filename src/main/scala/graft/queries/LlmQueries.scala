@@ -381,6 +381,67 @@ object LlmQueries {
     Similarity.embedNearDupPairs(base.unionByName(mut), NearDupPlanes, 0.95)
   }
 
+  // ---- Q76: PII redaction scrub pass ----
+
+  /** Training-data scrubbing: plant a deterministic e-mail + phone per
+    * doc, count and redact both. Narrow regexp projection — scan-speed. */
+  val q76 = Q("q76_pii_redact", {
+    val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    s"""WITH src AS (SELECT doc_id, $aug AS t FROM documents)
+      |SELECT doc_id,
+      |  CAST(${TextAnalysis.piiCountSql("t", TextAnalysis.EmailPattern)} AS BIGINT) AS n_email,
+      |  CAST(${TextAnalysis.piiCountSql("t", TextAnalysis.PhonePattern)} AS BIGINT) AS n_phone,
+      |  substr(${TextAnalysis.redactPiiSql("t")}, length(t) - 60, 61) AS tail_redacted
+      |FROM src ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), aug.as("t"))
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.EmailPattern).cast("long").as("n_email"),
+        TextAnalysis.piiCount(col("t"), TextAnalysis.PhonePattern).cast("long").as("n_phone"),
+        TextAnalysis.redactPii(col("t"))
+          .substr(length(col("t")) - 60, lit(61)).as("tail_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q77: Gopher-style repetition signals ----
+
+  /** Quality filtering by repetition: duplicate token-chunk ("line"),
+    * repeated-bigram, and repeated-word fractions, plus the keep/drop
+    * verdict at Gopher-ish thresholds. All list arithmetic — scan-speed,
+    * identical rational expressions in both engines. */
+  val q77 = Q("q77_repetition_filter", {
+    val toks = TextAnalysis.toksSql
+    val chunks = TextAnalysis.tokenChunksSql("toks", 8)
+    val bigrams = Dedup.shingleBagSql("toks", 2)
+    s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+      |f AS (SELECT doc_id,
+      |  round(${TextAnalysis.repeatedFracSql(chunks)}, 6) AS dup_chunk_frac,
+      |  round(${TextAnalysis.repeatedFracSql(bigrams)}, 6) AS rep_bigram_frac,
+      |  round(${TextAnalysis.repeatedFracSql("toks")}, 6) AS rep_word_frac
+      |  FROM tok WHERE len(toks) >= 2)
+      |SELECT doc_id, dup_chunk_frac, rep_bigram_frac, rep_word_frac,
+      |  (dup_chunk_frac <= 0.3 AND rep_bigram_frac <= 0.9) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val t = toks(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        round(TextAnalysis.repeatedFrac(TextAnalysis.tokenChunks(col("toks"), 8)), 6)
+          .as("dup_chunk_frac"),
+        round(TextAnalysis.repeatedFrac(Dedup.shingleBag(col("toks"), 2)), 6)
+          .as("rep_bigram_frac"),
+        round(TextAnalysis.repeatedFrac(col("toks")), 6).as("rep_word_frac"))
+    t.select(col("doc_id"), col("dup_chunk_frac"), col("rep_bigram_frac"),
+        col("rep_word_frac"),
+        (col("dup_chunk_frac") <= 0.3 && col("rep_bigram_frac") <= 0.9).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup verification over window
     * neighbor pairs — exact integer metric, the character-level
     * complement of q43's trigram Jaccard. */
@@ -402,5 +463,6 @@ object LlmQueries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60, q72)
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
+    q72, q76, q77)
 }
