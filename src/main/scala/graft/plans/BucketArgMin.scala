@@ -115,13 +115,15 @@ object GraftFunctions {
       FunctionIdentifier(BucketArgMinName), info, bucketArgMinBuilder(cfg))
 }
 
-/** `spark.sql.extensions` entry point: the native function and the
-  * whole-operator strategy ([[TopKStrategy]]). */
+/** `spark.sql.extensions` entry point: the native function, the
+  * whole-operator strategy ([[TopKStrategy]]), and the rank-limit
+  * optimizer rewrite ([[RankLimitRewrite]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier(GraftFunctions.BucketArgMinName),
       new ExpressionInfo(classOf[BucketArgMin].getName, GraftFunctions.BucketArgMinName),
       GraftFunctions.bucketArgMinBuilder()))
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectOptimizerRule(_ => RankLimitRewrite)
   }
 }

@@ -3,10 +3,11 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, EqualTo, Expression, LessThan, LessThanOrEqual, Literal, RowNumber, SortOrder, UnsafeProjection, UnsafeRow, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Whole-operator Catalyst surface (SURVEY.md §2.9/§7.2 step 8; the
@@ -131,6 +132,48 @@ object TopKStrategy extends org.apache.spark.sql.classic.Strategy {
       // shape of partial aggregation, for rank-limits.
       TopKPerGroupExec(g, o, k, TopKPartialExec(g, o, k, planLater(child))) :: Nil
     case _ => Nil
+  }
+}
+
+/** Optimizer rule (the `Rule[LogicalPlan]` surface): rewrites the standard
+  * rank-limit window spelling
+  *
+  *   Project(cols without rn,
+  *     Filter(rn <= k, Window(rn := row_number() over (partition p order o))))
+  *
+  * into [[TopKPerGroup]](p, o, k) — so USER-written `row_number().over(w)
+  * .filter(≤ k)` plans get the two-phase heap operator (bounded memory,
+  * partial below the shuffle) without calling `TopK.perGroup` explicitly.
+  * Strictly matched: exactly one row_number window expression, the filter
+  * is a single bound on it (`<= k`, `< k+1`, or `= 1`), and the rank
+  * column is NOT referenced above the filter (the operator doesn't emit
+  * it). Ties at the k-th position are arrival-order nondeterministic in
+  * BOTH spellings, so the rewrite never changes a deterministic result
+  * (same contract as `TopK.perGroup`). */
+object RankLimitRewrite extends Rule[LogicalPlan] {
+  private def bound(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList,
+          Filter(cond, w @ Window(Seq(al @ Alias(
+            WindowExpression(_: RowNumber, _), _)), partSpec, orderSpec, child, _)))
+        if partSpec.nonEmpty && orderSpec.nonEmpty &&
+          bound(cond, al.toAttribute).exists(_ >= 1) &&
+          projList.forall(e => !e.references.contains(al.toAttribute)) =>
+      val k = bound(cond, al.toAttribute).get
+      // Spark's own InferWindowGroupLimit (3.5+) may already have inserted
+      // a WindowGroupLimit pre-filter for this window — redundant under
+      // the heap operator, which IS a group limit; strip it.
+      val cleanChild = child match {
+        case wgl: WindowGroupLimit if wgl.limit >= k => wgl.child
+        case c => c
+      }
+      Project(projList, TopKPerGroup(partSpec, orderSpec, k, cleanChild))
   }
 }
 

@@ -47,6 +47,36 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(iFinal >= 0 && iEx > iFinal && iPart > iEx) // final ← shuffle ← partial
   }
 
+  test("RankLimitRewrite: user window rank-limit spelling becomes TopKPerGroup") {
+    import graft.plans.{RankLimitRewrite, TopKStrategy}
+    val src = Tables.part(spark, TestSpark.Sf0001)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    def q = src.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    val expected = q.collect().toSet // rule not yet installed → window plan
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RankLimitRewrite
+    try {
+      val rewritten = q
+      rewritten.count()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), s"not rewritten:\n$plan")
+      assert(!plan.contains("Window"))
+      assert(rewritten.collect().toSet === expected)
+      // a query that KEEPS the rank column must NOT be rewritten
+      val keepsRn = src.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      keepsRn.count()
+      assert(keepsRn.queryExecution.executedPlan.toString.contains("Window"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RankLimitRewrite)
+    }
+  }
+
   test("k larger than group size returns whole groups") {
     val src = Tables.nation(spark, TestSpark.Sf0001)
       .select(col("n_regionkey"), col("n_nationkey"))
