@@ -105,4 +105,14 @@ object Sources {
   /** K2: row-per-line JSON (list-of-records shape, fully parallel). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Co-located join layout: save as a bucketed + in-bucket-sorted table
+    * so equi-joins and aggregations on `key` between tables bucketed the
+    * same way plan WITHOUT an exchange — at 100 TB this turns the
+    * repeated fact-fact join shuffle into a one-time layout cost
+    * (BucketedJoinSpec asserts the exchange-free plan). */
+  def writeBucketedTable(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
 }
