@@ -34,6 +34,38 @@ class GoldenPipelineSpec extends AnyFunSuite {
     d.toString
   }
 
+  test("real-image pipeline: HeaderDecoder dims drive bucket assignment") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val d = Files.createTempDirectory("graft_golden_real")
+    def img(w: Int, h: Int) = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    ImageIO.write(img(640, 1024), "png", d.resolve("100_a.png").toFile) // exact grid reso
+    ImageIO.write(img(800, 600), "png", d.resolve("200_b.png").toFile)  // argmin case
+    Files.write(d.resolve("100.txt"), "s, 1girl\n".getBytes(UTF_8))
+    Files.write(d.resolve("200.txt"), "g, smile\n".getBytes(UTF_8))
+    val decoded = Multimodal.decodeDF(
+        Multimodal.loadBinaryDir(spark, d.toString, glob = "*.png"),
+        () => new Multimodal.HeaderDecoder)
+      .filter(col("ok"))
+      .select(Paths.imageKey(col("path")).as("image_key"),
+        col("width").as("w"), col("height").as("h"))
+    val bucketed = ModernPipeline.assignBuckets(decoded)
+      .select(col("image_key"), col("w"), col("h"),
+        col("train_resolution.train_w").as("tw"), col("train_resolution.train_h").as("th"))
+      .orderBy(col("image_key")).collect()
+    // REAL dims came out of the png headers
+    assert(bucketed.map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ===
+      Seq(("100", 640, 1024), ("200", 800, 600)))
+    // exact-grid image keeps its resolution (bucket_manager.py:104-106)
+    assert((bucketed(0).getInt(3), bucketed(0).getInt(4)) === ((640, 1024)))
+    // argmin case: recompute expected bucket independently in plain Scala
+    val resos = graft.ops.Bucketing.makeBucketResolutions()
+    val ar = 800.0 / 600.0
+    val expected = resos.minBy { case (rw, rh) => math.abs(rw.toDouble / rh - ar) }
+    assert((bucketed(1).getInt(3), bucketed(1).getInt(4)) ===
+      ((expected._1 - expected._1 % 8, expected._2 - expected._2 % 8)))
+  }
+
   test("file-based modern pipeline produces the golden metadata") {
     // S1+S3: binary scan + stub decode (dims from content hash)
     val decoded = Multimodal.decodeDF(
