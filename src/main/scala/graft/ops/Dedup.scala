@@ -132,8 +132,15 @@ object Dedup {
         s"THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ") + " AS BIGINT)"
 
-  /** Character n-gram 31-bit hashes of a string (positions 1..len-n+1). */
+  /** Character n-gram 31-bit hashes of a string (positions 1..len-n+1).
+    * Native one-pass expression ([[graft.plans.CharGramHash31]]); the HOF
+    * twin [[charGramHashesHof]] stays as the equivalence baseline. Only
+    * defined for strings of >= n chars (callers filter shorter). */
   def charGramHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.CharGramHash31(
+      org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+
+  def charGramHashesHof(text: Column, n: Int): Column =
     transform(sequence(lit(1), length(text) - (n - 1)),
       i => Hashing.hash31(text.substr(i, lit(n))))
 
@@ -197,8 +204,14 @@ object Dedup {
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct
     * per-window minima of the gram-hash sequence, window size w. A document
     * sketch robust to local edits — the rolling-hash fingerprint the brief
-    * asks for. */
+    * asks for. Native monotonic-deque pass, O(len)
+    * ([[graft.plans.WinnowMin]]); HOF twin [[winnowFingerprintsHof]] is
+    * the O(len·w) equivalence baseline. */
   def winnowFingerprints(gramHashes: Column, w: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.WinnowMin(
+      org.apache.spark.sql.GraftSqlBridge.expression(gramHashes), w))
+
+  def winnowFingerprintsHof(gramHashes: Column, w: Int): Column =
     array_distinct(transform(sequence(lit(1), size(gramHashes) - (w - 1)),
       i => array_min(slice(gramHashes, i, lit(w)))))
 

@@ -203,6 +203,104 @@ case class ArrayHash31(child: Expression) extends UnaryExpression {
 }
 
 object ArrayHash31 {
-  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+  private[plans] val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
+/** All character n-gram `hash31`s of a string in one pass — the native
+  * twin of `transform(sequence(1, len-n+1), i -> hash31(substr(text,i,n)))`
+  * (`Dedup.charGramHashesHof`). Gram extraction uses UTF8String's own
+  * `substringSQL`, i.e. exactly Spark's `substr` code-point semantics.
+  * Defined for strings of at least n chars (callers filter shorter ones,
+  * as the HOF twin's `sequence` would be descending there). */
+case class CharGramHash31(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_chargram_hash31"
+
+  def hashGrams(uv: Any): ArrayData = {
+    val u = uv.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val md = ArrayHash31.mdLocal.get()
+    val m = u.numChars() - n + 1
+    val out = new Array[Any](math.max(m, 0))
+    var i = 0
+    while (i < m) {
+      md.reset()
+      val d = md.digest(u.substringSQL(i + 1, n).getBytes)
+      val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      out(i) = (top >>> 4) % graft.ops.Hashing.P31
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = hashGrams(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("charGram", this, classOf[CharGramHash31].getName)
+      s"${ev.value} = $ref.hashGrams($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHash31 =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprints (distinct per-window minima, window w) in one
+  * pass with a monotonic deque — O(len) vs the HOF twin's O(len·w)
+  * slice-and-min walk (`Dedup.winnowFingerprintsHof`). Emission order is
+  * window order with first-occurrence dedup, exactly `array_distinct` of
+  * the per-window minima. Input must be a non-null array of longs. */
+case class WinnowMin(child: Expression, w: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<BIGINT>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_min"
+
+  def winnow(av: Any): ArrayData = {
+    val a = av.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val m = n - w + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m > 0) {
+      // monotonic increasing deque of indices; head = min of current window
+      val deque = new java.util.ArrayDeque[Int]()
+      var i = 0
+      while (i < n) {
+        val v = a.getLong(i)
+        while (!deque.isEmpty && a.getLong(deque.peekLast()) >= v) deque.pollLast()
+        deque.addLast(i)
+        if (deque.peekFirst() <= i - w) deque.pollFirst()
+        if (i >= w - 1) seen.add(a.getLong(deque.peekFirst()))
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator(); var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = winnow(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowMin].getName)
+      s"${ev.value} = $ref.winnow($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowMin =
+    copy(child = newChild)
 }

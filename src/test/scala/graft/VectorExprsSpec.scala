@@ -53,6 +53,28 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("CharGramHash31 == HOF substr/hash31 spelling on real text") {
+    val out = Tables.documents(spark, TestSpark.Sf0001)
+      .filter(length(col("text")) >= 4)
+      .select(
+        Dedup.charGramHashes(col("text"), 4).as("native"),
+        Dedup.charGramHashesHof(col("text"), 4).as("hof"))
+    assert(out.count() > 0)
+    assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("WinnowMin == HOF slice/array_min/array_distinct spelling") {
+    val out = Tables.documents(spark, TestSpark.Sf0001)
+      .filter(length(col("text")) >= 9)
+      .select(Dedup.charGramHashes(col("text"), 4).as("g"))
+      .localCheckpoint() // materialize so both spellings read stored longs
+      .select(
+        Dedup.winnowFingerprints(col("g"), 5).as("native"),
+        Dedup.winnowFingerprintsHof(col("g"), 5).as("hof"))
+    assert(out.count() > 0)
+    assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
   test("SimHash16 == 16-fold aggregate vote spelling on real bigram bags") {
     val wh = Tables.documents(spark, TestSpark.Sf0001)
       .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
