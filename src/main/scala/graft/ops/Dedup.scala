@@ -186,7 +186,10 @@ object Dedup {
     val ok = bandsDf.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
       .select(col("band"), col("bh"))
-    val capped = bandsDf.join(ok, Seq("band", "bh"))
+    // Materialized: both self-join sides read the capped table — without
+    // this the bucket-count aggregate and cap join are PLANNED TWICE
+    // (observed in the executed plan), once per side.
+    val capped = mat(bandsDf.join(ok, Seq("band", "bh")))
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
