@@ -10,9 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM (codegen, parquet reader, shuffle machinery) outside the
-    // timed loop so the first measured query doesn't absorb JIT cost.
+    // Warm the JVM (codegen, parquet reader, shuffle machinery, AND the
+    // Structured Streaming execution machinery — state store, offset/commit
+    // logs, micro-batch planner) outside the timed loop so the first
+    // measured query doesn't absorb one-time JIT/classload cost. Warmup
+    // runs at sf0.001 — it never touches the measured sfDir data.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    try graft.streaming.EventStream
+      .hourlyAvailableNow(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

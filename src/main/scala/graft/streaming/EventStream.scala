@@ -83,7 +83,7 @@ object EventStream {
     * into a memory sink; returns the drained result. Oracle-equivalent to
     * the batch q08. */
   def hourlyAvailableNow(spark: SparkSession, sfDir: String,
-                         statePartitions: Int = 8): DataFrame = {
+                         statePartitions: Int = 4): DataFrame = {
     val ss = scopedSession(spark, statePartitions)
     val name = "graft_stream_hourly"
     val q = hourly(read(ss, sfDir))
@@ -113,7 +113,7 @@ object EventStream {
 
   /** Drain [[dedupKeys]] over the file stream with AvailableNow. */
   def dedupKeysAvailableNow(spark: SparkSession, sfDir: String, keys: Seq[String],
-                            statePartitions: Int = 8): DataFrame = {
+                            statePartitions: Int = 4): DataFrame = {
     val ss = scopedSession(spark, statePartitions)
     val name = "graft_stream_dedup"
     val q = dedupKeys(read(ss, sfDir), keys)
