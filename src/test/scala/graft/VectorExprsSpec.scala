@@ -26,6 +26,26 @@ class VectorExprsSpec extends AnyFunSuite {
     }
   }
 
+  test("DotProduct == HOF on adversarial doubles (NaN, ±Inf, denormal, ±0.0)") {
+    val specials = Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.MinPositiveValue, -0.0, 0.0, 1e308, -1e308, 1e-300, math.Pi)
+    val gen = new scala.util.Random(42)
+    val rows = (1 to 200).map { _ =>
+      def v = (1 to 16).map { _ =>
+        if (gen.nextDouble() < 0.2) specials(gen.nextInt(specials.length))
+        else gen.nextDouble() * math.pow(10, gen.nextInt(600) - 300)
+      }
+      (v, v.map(x => if (gen.nextBoolean()) x else gen.nextDouble()))
+    }
+    val out = rows.toDF("a", "b").select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("DotProduct null propagation: null array, length mismatch, null element") {
     val df = Seq(
       (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),
