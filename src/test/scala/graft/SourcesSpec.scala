@@ -97,6 +97,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(out.toSeq === Seq("Miku (Vocaloid)", "Solo Char"))
   }
 
+  test("S4 as a DataSource V2 connector: format() read == binaryFile spelling") {
+    val raw = spark.read.format(graft.sources.SidecarDataSource.Name)
+      .option("ext", "txt").load(dir.toString)
+    val v1 = Sources.sidecarText(spark, dir.toString, "txt").orderBy("image_key")
+    val a = raw.orderBy("image_key").collect().map(r => (r.getString(0), r.getString(1)))
+    val b = v1.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+    // file-granularity parallelism: one input partition per sidecar file
+    assert(raw.rdd.getNumPartitions === a.length)
+  }
+
   test("K1 ↔ S6 roundtrip: dict-keyed sink reads back identically") {
     val df = Seq(("k1", "s", 0.9), ("k2", "g", 0.1)).toDF("image_key", "rating", "score")
     val out = Files.createTempDirectory("graft_k1").resolve("meta").toString
