@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -57,15 +57,23 @@ private[sources] class SidecarTable(props: Map[String, String])
       .orElse(props.get("path"))
       .getOrElse(throw new IllegalArgumentException("sidecar source needs a path"))
     val ext = Option(options.get("ext")).orElse(props.get("ext")).getOrElse("txt")
-    new ScanBuilder { override def build(): Scan = SidecarScan(path, ext) }
+    // Column pruning pushes into the source: a key-only projection never
+    // OPENS the sidecar files — the key is derived from the listing alone.
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = SidecarDataSource.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = SidecarScan(path, ext, required)
+    }
   }
 }
 
-private[sources] case class SidecarScan(path: String, ext: String)
-    extends Scan with Batch {
-  override def readSchema(): StructType = SidecarDataSource.schema
+private[sources] case class SidecarScan(path: String, ext: String,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"SidecarScan(path=$path, ext=$ext)"
+  override def description(): String =
+    s"SidecarScan(path=$path, ext=$ext, columns=${required.fieldNames.mkString(",")})"
 
   /** Driver-side listing, once; one partition per file so a directory of
     * millions of sidecars fans out across executors like binaryFile. */
@@ -79,12 +87,14 @@ private[sources] case class SidecarScan(path: String, ext: String)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new SidecarReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SidecarReaderFactory(required.fieldNames)
 }
 
 private[sources] case class SidecarFilePartition(file: String) extends InputPartition
 
-private[sources] class SidecarReaderFactory extends PartitionReaderFactory {
+private[sources] class SidecarReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SidecarFilePartition].file
     new PartitionReader[InternalRow] {
@@ -94,18 +104,23 @@ private[sources] class SidecarReaderFactory extends PartitionReaderFactory {
       override def next(): Boolean = {
         if (done) return false
         val p = new Path(file)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val in = fs.open(p)
-        val line =
+        // Open the file ONLY if the pruned schema asks for `line`.
+        lazy val line: String = {
+          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val in = fs.open(p)
           try {
             val br = new java.io.BufferedReader(
               new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
             br.readLine() // only the first line, like the reference parse
           } finally in.close()
+        }
         val base = p.getName
         val key = base.substring(0, base.lastIndexOf('.'))
-        row = InternalRow(UTF8String.fromString(key),
-          if (line == null) null else UTF8String.fromString(line))
+        val values: Array[Any] = columns.map {
+          case "image_key" => UTF8String.fromString(key)
+          case "line" => if (line == null) null else UTF8String.fromString(line)
+        }
+        row = InternalRow.fromSeq(values.toIndexedSeq)
         done = true
         true
       }

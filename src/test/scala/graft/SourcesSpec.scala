@@ -106,6 +106,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.toSeq === b.toSeq)
     // file-granularity parallelism: one input partition per sidecar file
     assert(raw.rdd.getNumPartitions === a.length)
+    // column pruning pushes into the connector: key-only projection scans
+    // with a pruned schema (and never opens the files)
+    val keysOnly = raw.select("image_key")
+    val plan = keysOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=image_key"), s"not pruned:\n$plan")
+    assert(keysOnly.collect().map(_.getString(0)).sorted.toSeq === a.map(_._1).toSeq)
   }
 
   test("K1 ↔ S6 roundtrip: dict-keyed sink reads back identically") {
