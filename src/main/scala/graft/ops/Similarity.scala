@@ -100,6 +100,32 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Multi-probe variant of [[annTopK]]: each query probes its own bucket
+    * PLUS every Hamming-1 neighbor bucket (one hyperplane flipped) — the
+    * standard LSH recall booster: vectors just across one boundary stop
+    * being missed, at (planes+1)× the candidate cost instead of the
+    * 2^planes× of exact search. The probe set stays a broadcast equi-join
+    * key list, so the scale shape is unchanged (and under the IVF layout
+    * the probes are exactly the partitions read). Recall ≥ single-probe
+    * by construction; measured against brute force in AnnRecallSpec. */
+  def annTopKMultiProbe(corpus: DataFrame, queryFilter: Column,
+                        planes: Seq[Seq[Int]], k: Int): DataFrame = {
+    val e = corpus.withColumn("bkt", lshBucket(col("ev"), planes))
+    val probeSet = (c: Column) =>
+      array(c +: planes.indices.map(j => c.bitwiseXOR(lit(1L << j))): _*)
+    val q = e.filter(queryFilter)
+      .select(col("vec_id").as("qid"), col("ev").as("qv"), col("nrm").as("qn"),
+        explode(probeSet(col("bkt"))).as("qbkt"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    e.join(broadcast(q), col("bkt") === col("qbkt") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosinePre(dot(col("qv"), col("ev")), col("qn"), col("nrm")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn").as("rnk"), col("vec_id"), round(col("sim"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Embedding-space near-duplicate pairs: bucketed self-join (never
     * all-pairs) + exact-cosine threshold. `vectors` = (vec_id, v double[]).
     * `mat` materializes the bucket/vec/norm table both self-join sides
