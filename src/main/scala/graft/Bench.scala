@@ -14,11 +14,19 @@ object Bench {
     // Structured Streaming execution machinery — state store, offset/commit
     // logs, micro-batch planner) outside the timed loop so the first
     // measured query doesn't absorb one-time JIT/classload cost. Warmup
-    // runs at sf0.001 — it never touches the measured sfDir data.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    try graft.streaming.EventStream
-      .hourlyAvailableNow(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // prefers the sf0.001 SIBLING of the measured sfDir (so it never
+    // touches the measured data); if that directory doesn't exist it
+    // falls back to sfDir itself — warming with measured data beats a
+    // silently cold first streaming query. Failures are logged, not
+    // swallowed silently.
+    val warmDir = Option(new java.io.File(sfDir).getAbsoluteFile.getParentFile)
+      .map(p => new java.io.File(p, "sf0.001"))
+      .filter(_.isDirectory)
+      .fold(sfDir)(_.getPath)
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] entry warmup skipped: $e") }
+    try graft.streaming.EventStream.hourlyAvailableNow(spark, warmDir).count()
+    catch { case e: Throwable => System.err.println(s"[bench] streaming warmup skipped: $e") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -149,8 +149,21 @@ object TopKStrategy extends org.apache.spark.sql.classic.Strategy {
   * column is NOT referenced above the filter (the operator doesn't emit
   * it). Ties at the k-th position are arrival-order nondeterministic in
   * BOTH spellings, so the rewrite never changes a deterministic result
-  * (same contract as `TopK.perGroup`). */
+  * (same contract as `TopK.perGroup`).
+  *
+  * MEMORY GATE: the heap exec holds k rows per group per task with no
+  * spill path, so the rewrite only fires for k ≤
+  * `spark.graft.topk.rewriteMaxK` (default 4096). A rank-limit above the
+  * cap keeps the window spelling, whose sort spills — rewriting
+  * `rn <= 10_000_000` into an unbounded executor heap would trade a
+  * spill for an OOM. Explicit `TopK.perGroup` calls are NOT gated: the
+  * caller chose the operator and its documented memory bound. */
 object RankLimitRewrite extends Rule[LogicalPlan] {
+  val MaxKConf = "spark.graft.topk.rewriteMaxK"
+  val MaxKDefault = 4096
+
+  private def maxK: Int = conf.getConfString(MaxKConf, MaxKDefault.toString).toInt
+
   private def bound(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
     case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
@@ -163,7 +176,7 @@ object RankLimitRewrite extends Rule[LogicalPlan] {
           Filter(cond, w @ Window(Seq(al @ Alias(
             WindowExpression(_: RowNumber, _), _)), partSpec, orderSpec, child, _)))
         if partSpec.nonEmpty && orderSpec.nonEmpty &&
-          bound(cond, al.toAttribute).exists(_ >= 1) &&
+          bound(cond, al.toAttribute).exists(k => k >= 1 && k <= maxK) &&
           projList.forall(e => !e.references.contains(al.toAttribute)) =>
       val k = bound(cond, al.toAttribute).get
       // Spark's own InferWindowGroupLimit (3.5+) may already have inserted

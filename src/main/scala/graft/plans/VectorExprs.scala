@@ -258,7 +258,10 @@ case class CharGramHash31(child: Expression, n: Int) extends UnaryExpression {
   * pass with a monotonic deque — O(len) vs the HOF twin's O(len·w)
   * slice-and-min walk (`Dedup.winnowFingerprintsHof`). Emission order is
   * window order with first-occurrence dedup, exactly `array_distinct` of
-  * the per-window minima. Input must be a non-null array of longs. */
+  * the per-window minima. Null when the array is null or contains null
+  * elements — the same null contract as [[DotProduct]]/[[SimHash16]]
+  * (a null hash slot must never be read as 0 and leak into emitted
+  * fingerprints). */
 case class WinnowMin(child: Expression, w: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -267,11 +270,15 @@ case class WinnowMin(child: Expression, w: Int) extends UnaryExpression {
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_winnow_min"
 
+  /** Returns null (not an array) when any element is null. */
   def winnow(av: Any): ArrayData = {
     val a = av.asInstanceOf[ArrayData]
     val n = a.numElements()
+    var c = 0
+    while (c < n) { if (a.isNullAt(c)) return null; c += 1 }
     val m = n - w + 1
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (m > 0) {
@@ -298,7 +305,10 @@ case class WinnowMin(child: Expression, w: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowMin].getName)
-      s"${ev.value} = $ref.winnow($c);"
+      s"""
+         |${ev.value} = $ref.winnow($c);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): WinnowMin =

@@ -87,13 +87,21 @@ private[sources] case class SidecarScan(path: String, ext: String,
       .toArray
   }
 
+  /** The session's Hadoop configuration is shipped to the executor-side
+    * readers (SerializableConfiguration), so custom FS settings — s3a
+    * credentials, endpoints, defaultFS — resolve the SAME filesystem the
+    * driver listed. A fresh `new Configuration()` on the executor would
+    * silently drop them. */
   override def createReaderFactory(): PartitionReaderFactory =
-    new SidecarReaderFactory(required.fieldNames)
+    new SidecarReaderFactory(required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 private[sources] case class SidecarFilePartition(file: String) extends InputPartition
 
-private[sources] class SidecarReaderFactory(columns: Array[String])
+private[sources] class SidecarReaderFactory(columns: Array[String],
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[SidecarFilePartition].file
@@ -106,7 +114,7 @@ private[sources] class SidecarReaderFactory(columns: Array[String])
         val p = new Path(file)
         // Open the file ONLY if the pruned schema asks for `line`.
         lazy val line: String = {
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val fs = p.getFileSystem(hadoopConf.value)
           val in = fs.open(p)
           try {
             val br = new java.io.BufferedReader(

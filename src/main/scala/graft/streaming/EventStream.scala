@@ -181,6 +181,21 @@ object EventStream {
         val sp = batch.sparkSession
         val cur = new org.apache.hadoop.fs.Path(stateDir)
         val fs = cur.getFileSystem(sp.sparkContext.hadoopConfiguration)
+        // CRASH RECOVERY before the prior read: the promote dance below can
+        // die between rename(cur→old) and rename(tmp→cur), leaving cur
+        // absent. Treating that as "first batch" would discard all
+        // accumulated state the moment the next batch commits and deletes
+        // _old — so restore a generation first. A fully-written _next
+        // (it carries parquet's _SUCCESS marker) is the merged result of
+        // the interrupted batch, which the stream WILL replay: promoting
+        // it is idempotent (the replayed merge is a no-op re-merge).
+        // Otherwise fall back to _old, the pre-batch state.
+        val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "_next")
+        if (!fs.exists(cur)) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) fs.rename(tmp, cur)
+          else if (fs.exists(old)) fs.rename(old, cur)
+        }
         // Missing state dir = first batch (empty prior); any OTHER read
         // failure (IO error, corrupt parquet) must fail the batch — a
         // catch-all here would silently discard all accumulated state.
@@ -195,14 +210,15 @@ object EventStream {
           .filter(col("rn") === 1)
           .drop("rn", "gen")
         // Write the new generation beside the old, then promote: move the
-        // old generation aside BEFORE renaming the new one in, so a crash
-        // at any point leaves either the old or the new state present —
-        // never neither. (The merge plan reads the dir being replaced, and
-        // state must stay distributed — no driver collect. A transactional
-        // table makes this whole dance a MERGE.)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "_next")
+        // old generation aside BEFORE renaming the new one in. Combined
+        // with the recovery above, a crash at any point leaves a
+        // restorable generation: during the write → cur intact; after
+        // rename(cur→old) → _next (complete, _SUCCESS) or _old; after
+        // rename(tmp→cur) → cur. _old is deleted only once the new
+        // generation is committed at cur. (The merge plan reads the dir
+        // being replaced, and state must stay distributed — no driver
+        // collect. A transactional table makes this whole dance a MERGE.)
         merged.write.mode("overwrite").parquet(tmp.toString)
-        val old = new org.apache.hadoop.fs.Path(stateDir + "_old")
         if (fs.exists(old)) fs.delete(old, true)
         if (fs.exists(cur)) fs.rename(cur, old)
         fs.rename(tmp, cur)

@@ -71,6 +71,22 @@ class TopKPerGroupSpec extends AnyFunSuite {
       val keepsRn = src.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
       keepsRn.count()
       assert(keepsRn.queryExecution.executedPlan.toString.contains("Window"))
+      // k above the memory gate keeps the (spilling) window spelling —
+      // the heap exec has no spill path, so a huge k must not be
+      // silently routed into unbounded executor memory.
+      val hugeK = src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10000000).drop("rn")
+      hugeK.count()
+      assert(hugeK.queryExecution.executedPlan.toString.contains("Window"),
+        "huge-k rank limit must not be rewritten into the heap operator")
+      // ...and raising the conf re-enables the rewrite at that k.
+      spark.conf.set(graft.plans.RankLimitRewrite.MaxKConf, "20000000")
+      try {
+        val gated = src.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10000000).drop("rn")
+        gated.count()
+        assert(gated.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      } finally spark.conf.unset(graft.plans.RankLimitRewrite.MaxKConf)
     } finally {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations.filterNot(_ == RankLimitRewrite)

@@ -95,6 +95,20 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(out.filter(not(col("native") <=> col("hof"))).count() === 0)
   }
 
+  test("WinnowMin null contract: null element → null result, like DotProduct/SimHash16") {
+    val df = Seq(
+      (1L, Seq[java.lang.Long](5L, 3L, 7L, 2L, 9L, 4L)),
+      (2L, Seq[java.lang.Long](5L, null, 7L, 2L, 9L, 4L))).toDF("id", "g")
+    val out = df.select(col("id"), Dedup.winnowFingerprints(col("g"), 3).as("fp"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && out(0).getSeq[Long](1).nonEmpty)
+    assert(out(1).isNullAt(1), "a null hash slot must not leak into fingerprints")
+    // whole-array null propagates too
+    val nullArr = df.select(
+      Dedup.winnowFingerprints(lit(null).cast("array<bigint>"), 3).as("fp")).collect()
+    assert(nullArr.forall(_.isNullAt(0)))
+  }
+
   test("SimHash16 == 16-fold aggregate vote spelling on real bigram bags") {
     val wh = Tables.documents(spark, TestSpark.Sf0001)
       .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
