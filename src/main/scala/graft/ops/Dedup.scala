@@ -204,6 +204,57 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over an undirected pair list — the cluster
+    * assignment a dedup pipeline runs AFTER pair generation
+    * ([[nearDupPairs]]): near-duplication is transitive in intent (A≈B and
+    * B≈C ⇒ keep one of {A,B,C}) even when A and C themselves fall below
+    * the pair threshold, so pairs must be closed into groups before
+    * keep-one selection. Returns `(node, cluster_id)` where `cluster_id`
+    * is the MINIMUM node id of the component — the deterministic "keep
+    * the first copy" representative.
+    *
+    * Algorithm: distributed min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels (one
+    * equi-join on node id + one min-aggregate per round), until a round
+    * changes nothing. Converges in O(component diameter) rounds; dedup
+    * components are near-stars/cliques (a duplicate matches most of its
+    * group), so 2–4 rounds in practice. For adversarially path-shaped
+    * graphs the large-star/small-star rewiring (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) brings
+    * rounds to O(log n); the simple fixpoint is kept here because dedup
+    * graphs are shallow by construction and each extra round is one
+    * cheap shuffle of (node, label) pairs — never the documents.
+    *
+    * Scale shape: edges are materialized once and labels re-materialized
+    * per round via `mat`, cutting the iterative lineage (the classic
+    * iterative-plan blowup); every shuffle is keyed on node id. The
+    * convergence check is one count per round over the label join. */
+  def connectedComponents(pairs: org.apache.spark.sql.DataFrame,
+      aCol: String, bCol: String, mat: Materialize = Materialize.Local,
+      maxRounds: Int = 50): org.apache.spark.sql.DataFrame = {
+    val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val edges = mat(sym.distinct())
+    var labels = mat(edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val viaNeighbor = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), labels("lbl"))
+      val next = mat(labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("lbl").as("lbl")))
+      val changed = next
+        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      done = changed == 0L
+      round += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxRounds rounds")
+    labels.select(col("node"), col("lbl").as("cluster_id"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct
     * per-window minima of the gram-hash sequence, window size w. A document
     * sketch robust to local edits — the rolling-hash fingerprint the brief

@@ -78,16 +78,18 @@ object LlmQueries {
   private val LshRows  = 3
   private val MaxBucket = 1000 // hot-bucket cap: skew guard for the LSH self-join
 
-  val q41 = Q("q41_minhash_lsh", {
+  /** The MinHash+LSH pipeline as a DuckDB CTE chain over a `corpus(doc_id,
+    * text)` CTE: tok → th → sh → sig → bands → ok → capped → cand → j,
+    * where `j` holds (doc_a, doc_b, jaccard). Shared by q41 (pair output)
+    * and q78 (clusters closed over the pairs). */
+  private val minhashPairCtes: String = {
     val mh = Dedup.minhashSigSql("hs", MinhashK).zipWithIndex
       .map { case (e, i) => s"$e AS m${i + 1}" }.mkString(",\n      |    ")
     val bands = (0 until LshBands).map { b =>
       val parts = (1 to LshRows).map(i => s"m${b * LshRows + i}")
       s"SELECT doc_id, $b AS band, ${Hashing.mix31Sql(parts)} AS bh FROM sig"
     }.mkString("\n      |  UNION ALL\n      |  ")
-    s"""WITH corpus AS (
-      |  $corpusNearSql),
-      |tok AS ($toksSql),
+    s"""tok AS ($toksSql),
       |th AS (SELECT doc_id, list_transform(toks, t -> ${Hashing.hash31Sql("t")}) AS th
       |       FROM tok WHERE len(toks) >= 3),
       |sh AS (SELECT doc_id, ${Dedup.shingleHashesSql("th", 3)} AS hs FROM th),
@@ -103,13 +105,74 @@ object LlmQueries {
       |           ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
       |j AS (SELECT doc_a, doc_b,
       |        round(${Dedup.jaccardSql("a.hs", "b.hs")}, 6) AS jaccard
-      |      FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)
+      |      FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)""".stripMargin
+  }
+
+  val q41 = Q("q41_minhash_lsh",
+    s"""WITH corpus AS (
+      |  $corpusNearSql),
+      |$minhashPairCtes
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
-      |ORDER BY doc_a, doc_b""".stripMargin
-  }) { (s, dir) =>
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     Dedup.nearDupPairs(toks(corpusNear(s, dir)), "doc_id", "toks",
       Hashing.hash31Array, n = 3, k = MinhashK, bands = LshBands,
       threshold = 0.5, maxBucket = MaxBucket)
+  }
+
+  // ---- Q78: dedup clusters (connected components over near-dup pairs) ----
+
+  /** Corpus with CHAINED near-duplicates: every 5th doc plus a 'zz '-
+    * prepended and a 'yy zz '-prepended copy — so components form through
+    * transitivity (base↔zz and zz↔yyzz always pair; base↔yyzz may fall
+    * below the pair threshold and still belongs to the same cluster). */
+  private val corpusChainSql =
+    """SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, 'zz ' || text AS text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, 'yy zz ' || text AS text
+      |  FROM documents WHERE doc_id % 5 = 0""".stripMargin
+
+  /** Cluster assignment: MinHash+LSH pairs ([[Dedup.nearDupPairs]]) closed
+    * into components ([[Dedup.connectedComponents]]); every corpus doc gets
+    * cluster_id = min doc_id of its duplicate group (itself if unpaired)
+    * and the group size. The oracle spells the same closure as a DuckDB
+    * recursive CTE (min label over the reachability set). */
+  val q78 = Q("q78_dedup_clusters",
+    s"""WITH RECURSIVE corpus AS (
+      |  $corpusChainSql),
+      |$minhashPairCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |walk(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+      |cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+      |SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id,
+      |  count(*) OVER (PARTITION BY coalesce(k.cluster_id, c.doc_id)) AS cluster_size
+      |FROM corpus c LEFT JOIN cc k ON k.node = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+    val corpus = base
+      .unionByName(base.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("zz "), col("text")).as("text")))
+      .unionByName(base.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("yy zz "), col("text")).as("text")))
+    val pairs = Dedup.nearDupPairs(toks(corpus), "doc_id", "toks",
+      Hashing.hash31Array, n = 3, k = MinhashK, bands = LshBands,
+      threshold = 0.5, maxBucket = MaxBucket)
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    corpus.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
   }
 
   // ---- Q42: SimHash near-dup ----
@@ -464,5 +527,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77)
+    q72, q76, q77, q78)
 }

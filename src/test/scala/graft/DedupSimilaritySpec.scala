@@ -114,4 +114,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val out = df.orderBy("keep").collect().map(r => (r.getLong(1), r.getLong(2)))
     assert(out.toSeq === Seq((1L, 2L), (3L, 1L)))
   }
+  test("connectedComponents: chain, triangle, and singletons get min-id clusters") {
+    // Components: chain 1-2-3-4 (diameter 3 — needs real propagation),
+    // triangle 10-11-12 (cycle), pair 20-21. Node 30 appears only via a
+    // self-contained pair with 31. Min id labels each component.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (30L, 31L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("connectedComponents agrees across materialization strategies") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    def run(m: graft.ops.Materialize) =
+      Dedup.connectedComponents(pairs, "a", "b", m)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    assert(run(graft.ops.Materialize.Local) === expected)
+    assert(run(graft.ops.Materialize.Persist()) === expected)
+  }
 }
