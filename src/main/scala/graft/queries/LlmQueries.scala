@@ -134,34 +134,21 @@ object LlmQueries {
       |  SELECT doc_id + 200000 AS doc_id, 'yy zz ' || text AS text
       |  FROM documents WHERE doc_id % 5 = 0""".stripMargin
 
-  /** Cluster assignment: MinHash+LSH pairs ([[Dedup.nearDupPairs]]) closed
-    * into components ([[Dedup.connectedComponents]]); every corpus doc gets
-    * cluster_id = min doc_id of its duplicate group (itself if unpaired)
-    * and the group size. The oracle spells the same closure as a DuckDB
-    * recursive CTE (min label over the reachability set). */
-  val q78 = Q("q78_dedup_clusters",
-    s"""WITH RECURSIVE corpus AS (
-      |  $corpusChainSql),
-      |$minhashPairCtes,
-      |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-      |walk(node, lbl) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-      |cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
-      |SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id,
-      |  count(*) OVER (PARTITION BY coalesce(k.cluster_id, c.doc_id)) AS cluster_size
-      |FROM corpus c LEFT JOIN cc k ON k.node = c.doc_id
-      |ORDER BY c.doc_id""".stripMargin) { (s, dir) =>
+  /** Spark twin of [[corpusChainSql]]. */
+  private def chainCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"))
-    val corpus = base
+    base
       .unionByName(base.select((col("doc_id") + 100000).as("doc_id"),
         concat(lit("zz "), col("text")).as("text")))
       .unionByName(base.select((col("doc_id") + 200000).as("doc_id"),
         concat(lit("yy zz "), col("text")).as("text")))
+  }
+
+  /** (doc_id, cluster_id) for every chain-corpus doc: MinHash+LSH pairs
+    * closed into components, min doc_id as representative, unpaired docs
+    * labeling themselves. */
+  private def chainClusterAssign(corpus: DataFrame): DataFrame = {
     val pairs = Dedup.nearDupPairs(toks(corpus), "doc_id", "toks",
       Hashing.hash31Array, n = 3, k = MinhashK, bands = LshBands,
       threshold = 0.5, maxBucket = MaxBucket)
@@ -170,9 +157,63 @@ object LlmQueries {
     corpus.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** The pair CTEs + recursive closure + per-doc assignment, shared by
+    * q78 (assignment output) and q79 (keep-one application). */
+  private val clusterAssignCtes: String =
+    s"""$minhashPairCtes,
+      |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |walk(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+      |cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+      |assign AS (SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id, c.text
+      |           FROM corpus c LEFT JOIN cc k ON k.node = c.doc_id)""".stripMargin
+
+  /** Cluster assignment: MinHash+LSH pairs ([[Dedup.nearDupPairs]]) closed
+    * into components ([[Dedup.connectedComponents]]); every corpus doc gets
+    * cluster_id = min doc_id of its duplicate group (itself if unpaired)
+    * and the group size. The oracle spells the same closure as a DuckDB
+    * recursive CTE (min label over the reachability set). */
+  val q78 = Q("q78_dedup_clusters",
+    s"""WITH RECURSIVE corpus AS (
+      |  $corpusChainSql),
+      |$clusterAssignCtes
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM assign
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    chainClusterAssign(chainCorpus(s, dir))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("doc_id"))
+  }
+
+  /** Keep-one application of the clusters: the deduplicated corpus — one
+    * row per duplicate group, the min-id doc kept, with how many copies
+    * were dropped and the kept text's prefix (verifying the KEPT doc is
+    * the base one, not a prepended copy). This is the step that actually
+    * shrinks 100 TB: everything upstream is metadata-sized. */
+  val q79 = Q("q79_dedup_keep_one",
+    s"""WITH RECURSIVE corpus AS (
+      |  $corpusChainSql),
+      |$clusterAssignCtes
+      |SELECT cluster_id AS keep_id, CAST(count(*) - 1 AS BIGINT) AS n_removed,
+      |  substr(min(CASE WHEN doc_id = cluster_id THEN text END), 1, 30) AS kept_prefix
+      |FROM assign GROUP BY cluster_id
+      |ORDER BY keep_id""".stripMargin) { (s, dir) =>
+    val corpus = chainCorpus(s, dir)
+    chainClusterAssign(corpus)
+      .join(corpus, Seq("doc_id"))
+      .groupBy(col("cluster_id").as("keep_id"))
+      .agg((count(lit(1)) - 1).as("n_removed"),
+        substring(min(when(col("doc_id") === col("cluster_id"), col("text"))),
+          1, 30).as("kept_prefix"))
+      .orderBy(col("keep_id"))
   }
 
   // ---- Q42: SimHash near-dup ----
@@ -505,6 +546,44 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q80: corpus term-frequency rarity scoring ----
+
+  /** Unigram-LM-style quality signal without float-transcendental drift:
+    * per doc, the mean corpus term frequency of its tokens and the
+    * fraction of rare tokens (tf ≤ 2). All aggregates are INTEGER sums
+    * (exact in both engines); the only float ops are two final divisions
+    * (IEEE-deterministic), so the oracle hash is stable — unlike a
+    * sum-of-logs perplexity whose libm/accumulation order differs across
+    * engines. Shape: explode → tf count (one shuffle on token) → join
+    * back → per-doc agg; at scale the tf table is Zipf-skewed, so AQE
+    * skew-join or a broadcast of the top-k head handles the hot tokens. */
+  val q80 = Q("q80_tf_rarity",
+    s"""WITH tok AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM documents),
+      |ex AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+      |tf AS (SELECT t, count(*) AS tf FROM ex GROUP BY t),
+      |sc AS (SELECT e.doc_id, count(*) AS n_toks,
+      |         CAST(sum(tf.tf) AS BIGINT) AS sum_tf,
+      |         CAST(sum(CASE WHEN tf.tf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |       FROM ex e JOIN tf ON tf.t = e.t GROUP BY e.doc_id)
+      |SELECT doc_id, n_toks, sum_tf,
+      |  round(CAST(sum_tf AS DOUBLE) / n_toks, 6) AS avg_tf,
+      |  round(CAST(n_rare AS DOUBLE) / n_toks, 6) AS rare_frac
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+    val ex = tok.select(col("doc_id"), explode(col("toks")).as("t"))
+    val tf = ex.groupBy("t").agg(count(lit(1)).as("tf"))
+    ex.join(tf, "t")
+      .groupBy("doc_id")
+      // integer sums only — see the oracle-stability note above
+      .agg(count(lit(1)).as("n_toks"), sum("tf").as("sum_tf"),
+        sum(when(col("tf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_toks"), col("sum_tf"),
+        round(col("sum_tf").cast("double") / col("n_toks"), 6).as("avg_tf"),
+        round(col("n_rare").cast("double") / col("n_toks"), 6).as("rare_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup verification over window
     * neighbor pairs — exact integer metric, the character-level
     * complement of q43's trigram Jaccard. */
@@ -527,5 +606,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78)
+    q72, q76, q77, q78, q79, q80)
 }

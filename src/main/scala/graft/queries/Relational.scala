@@ -325,6 +325,44 @@ object Relational {
     graft.streaming.EventStream.dedupKeysAvailableNow(s, dir, Seq("user_id", "event_type"))
   }
 
+  /** Native session windows: Spark's `session_window` (gap-merged event
+    * windows, window end = last event + gap) instead of q09's manual
+    * lag/running-sum spelling — the same operator works unchanged in a
+    * streaming aggregation (watermark + session_window is the streaming
+    * sessionization shape, complementing the fMGWS custom-state variant
+    * in [[graft.streaming.EventStream.sessionCounts]]). The oracle spells
+    * the merge as the standard gaps-and-islands SQL. */
+  val q81 = Q("q81_session_window",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM b)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Skew-proof aggregation via salting: event_type has only 5 hot keys, so
     * a direct groupBy funnels 100k+ rows/key through 5 reducers at scale.
     * Phase 1 pre-aggregates on (key, salt=event_id%16) — 80 evenly-loaded
@@ -550,5 +588,5 @@ object Relational {
 
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75)
+      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81)
 }

@@ -95,4 +95,13 @@ class StreamingSpec extends AnyFunSuite {
     val plan = EventStream.hourlyWatermarked(EventStream.read(spark, TestSpark.Sf0001))
     assert(plan.isStreaming)
   }
+  test("native session_window (q81) agrees with manual sessionization (q09) per user") {
+    val byWindow = Queries.byName("q81_session_window").fn(spark, TestSpark.Sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val manual = Queries.byName("q09_sessionize").fn(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("n_sessions"))
+    assert(byWindow.count() > 0)
+    assert(byWindow.exceptAll(manual).count() === 0)
+    assert(manual.exceptAll(byWindow).count() === 0)
+  }
 }
