@@ -235,8 +235,12 @@ object Dedup {
     val sym = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
     val edges = mat(sym.distinct())
-    var labels = mat(edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")))
+    // Initialize each node at min(self, neighbors) — the first propagation
+    // round fused into one aggregation (no join, same node-keyed shuffle).
+    // Stars and cliques — the common dedup components — converge HERE, so
+    // the loop below only runs its one confirming round for them.
+    var labels = mat(edges.groupBy("dst").agg(min("src").as("m"))
+      .select(col("dst").as("node"), least(col("dst"), col("m")).as("lbl")))
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
