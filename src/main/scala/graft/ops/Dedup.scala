@@ -164,17 +164,21 @@ object Dedup {
     * strings for every pair both engines see identically (the hash is
     * deterministic, so even a collision is the same collision on both
     * sides), and longs intersect far cheaper than strings. */
-  def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+  /** The (shingle-hash table, exploded band table) pair for a corpus —
+    * `sh(doc_id, hs)` and `bands(doc_id, band, bh)`. These ARE the dedup
+    * index: a production pipeline stores both and matches new data against
+    * them ([[incrementalNearDup]]) instead of re-deriving the corpus side.
+    * Token hashes are materialized BEFORE shingling (PERF CONTRACT on
+    * [[shingleHashes]]/[[minhashSig]] — Catalyst would otherwise collapse
+    * the projections and re-hash the token array once per shingle
+    * element). `tokHash` maps the whole token array to its hash array:
+    * oracle-portable default [[Hashing.hash31Array]]; production swap
+    * `arr => transform(arr, xxhash64(_))`. */
+  def shingleBandIndex(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
       tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
-      bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
-      mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
+      bands: Int = 4, mat: Materialize = Materialize.Local)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val r = k / bands
-    // Token hashes materialized BEFORE shingling (PERF CONTRACT above —
-    // Catalyst would otherwise collapse the projections and re-hash the
-    // token array once per shingle element). `tokHash` maps the whole
-    // token array to its hash array: the oracle-portable default is the
-    // native [[Hashing.hash31Array]]; the production swap is
-    // `arr => transform(arr, xxhash64(_))`.
     val th = mat(df
       .filter(size(col(toksCol)) >= n)
       .select(col(idCol).as("doc_id"), tokHash(col(toksCol)).as("th")))
@@ -183,6 +187,14 @@ object Dedup {
     val bandsDf = mat(sig
       .select(col("doc_id"), explode(bandHashes(col("sig"), bands, r)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh")))
+    (sh, bandsDf)
+  }
+
+  def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+      tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
+      mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
+    val (sh, bandsDf) = shingleBandIndex(df, idCol, toksCol, tokHash, n, k, bands, mat)
     val ok = bandsDf.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
       .select(col("band"), col("bh"))
@@ -202,6 +214,54 @@ object Dedup {
         round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental near-dup: match a NEW batch of documents against an
+    * already-indexed corpus — the ingestion shape at 100 TB, where the
+    * corpus index ([[shingleBandIndex]]: shingle-hash + band tables) is
+    * stored once and each arriving batch probes it, instead of
+    * re-running the corpus×corpus self-join per batch. Returns one row
+    * per DUPLICATE batch doc: `(batch_id, dup_of, jaccard)` with the best
+    * corpus match (max jaccard, ties to min corpus id); batch docs with
+    * no match at `threshold` are absent (the caller anti-joins to keep
+    * them).
+    *
+    * Scale shape: the probe is an equi-join on (band, band-hash) between
+    * the small batch band table and the corpus index — broadcast the
+    * batch side when it fits (`broadcastBatch`, default true: a batch is
+    * ordinarily orders of magnitude smaller than the corpus), making the
+    * whole match a map-side pass over the index with NO corpus shuffle.
+    * Hot corpus bands (boilerplate) are capped at `maxBucket` like
+    * [[nearDupPairs]]. Exact-Jaccard verification touches only collided
+    * pairs. */
+  def incrementalNearDup(corpus: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+      tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
+      broadcastBatch: Boolean = true,
+      mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (csh, cbands) = shingleBandIndex(corpus, idCol, toksCol, tokHash, n, k, bands, mat)
+    val (bsh, bbandsRaw) = shingleBandIndex(batch, idCol, toksCol, tokHash, n, k, bands, mat)
+    val ok = cbands.groupBy(col("band"), col("bh"))
+      .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
+      .select(col("band"), col("bh"))
+    val capped = cbands.join(ok, Seq("band", "bh"))
+    val bbands = if (broadcastBatch) broadcast(bbandsRaw) else bbandsRaw
+    val cand = bbands.select(col("doc_id").as("batch_id"), col("band"), col("bh"))
+      .join(capped.select(col("doc_id").as("corpus_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id")).distinct()
+    val verified = cand
+      .join(bsh.select(col("doc_id").as("batch_id"), col("hs").as("bs")), "batch_id")
+      .join(csh.select(col("doc_id").as("corpus_id"), col("hs").as("cs")), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        round(jaccard(col("bs"), col("cs")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val best = Window.partitionBy(col("batch_id"))
+      .orderBy(col("jaccard").desc, col("corpus_id"))
+    verified.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
+      .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
   }
 
   /** Connected components over an undirected pair list — the cluster

@@ -78,26 +78,34 @@ object LlmQueries {
   private val LshRows  = 3
   private val MaxBucket = 1000 // hot-bucket cap: skew guard for the LSH self-join
 
-  /** The MinHash+LSH pipeline as a DuckDB CTE chain over a `corpus(doc_id,
-    * text)` CTE: tok → th → sh → sig → bands → ok → capped → cand → j,
-    * where `j` holds (doc_a, doc_b, jaccard). Shared by q41 (pair output)
-    * and q78 (clusters closed over the pairs). */
-  private val minhashPairCtes: String = {
+  /** The MinHash index CTE chain ({p}tok → {p}th → {p}sh → {p}sig →
+    * {p}bands) over a `(doc_id, text)` CTE named `srcCte` — the DuckDB
+    * spelling of [[Dedup.shingleBandIndex]], prefixable so q82 can build
+    * TWO indexes (corpus + batch) in one statement. */
+  private def mhIndexCtes(srcCte: String, p: String): String = {
     val mh = Dedup.minhashSigSql("hs", MinhashK).zipWithIndex
       .map { case (e, i) => s"$e AS m${i + 1}" }.mkString(",\n      |    ")
     val bands = (0 until LshBands).map { b =>
       val parts = (1 to LshRows).map(i => s"m${b * LshRows + i}")
-      s"SELECT doc_id, $b AS band, ${Hashing.mix31Sql(parts)} AS bh FROM sig"
+      s"SELECT doc_id, $b AS band, ${Hashing.mix31Sql(parts)} AS bh FROM ${p}sig"
     }.mkString("\n      |  UNION ALL\n      |  ")
-    s"""tok AS ($toksSql),
-      |th AS (SELECT doc_id, list_transform(toks, t -> ${Hashing.hash31Sql("t")}) AS th
-      |       FROM tok WHERE len(toks) >= 3),
-      |sh AS (SELECT doc_id, ${Dedup.shingleHashesSql("th", 3)} AS hs FROM th),
-      |sig AS (SELECT doc_id,
+    s"""${p}tok AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM $srcCte),
+      |${p}th AS (SELECT doc_id, list_transform(toks, t -> ${Hashing.hash31Sql("t")}) AS th
+      |       FROM ${p}tok WHERE len(toks) >= 3),
+      |${p}sh AS (SELECT doc_id, ${Dedup.shingleHashesSql("th", 3)} AS hs FROM ${p}th),
+      |${p}sig AS (SELECT doc_id,
       |    $mh
-      |  FROM sh),
-      |bands AS (
-      |  $bands),
+      |  FROM ${p}sh),
+      |${p}bands AS (
+      |  $bands)""".stripMargin
+  }
+
+  /** The MinHash+LSH pipeline as a DuckDB CTE chain over a `corpus(doc_id,
+    * text)` CTE: index CTEs + ok → capped → cand → j, where `j` holds
+    * (doc_a, doc_b, jaccard). Shared by q41 (pair output) and q78/q79
+    * (clusters closed over the pairs). */
+  private val minhashPairCtes: String =
+    s"""${mhIndexCtes("corpus", "")},
       |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= $MaxBucket),
       |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -106,7 +114,6 @@ object LlmQueries {
       |j AS (SELECT doc_a, doc_b,
       |        round(${Dedup.jaccardSql("a.hs", "b.hs")}, 6) AS jaccard
       |      FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)""".stripMargin
-  }
 
   val q41 = Q("q41_minhash_lsh",
     s"""WITH corpus AS (
@@ -584,6 +591,59 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q82: incremental dedup (new batch vs indexed corpus) ----
+
+  /** A "new batch" probing the indexed corpus ([[Dedup.incrementalNearDup]]):
+    * near-copies of every 5th doc ('zz ' prepended) should match their
+    * original; token-reversed copies of every 7th≡3 doc share almost no
+    * order-sensitive shingles and should come back clean. Per batch doc:
+    * best corpus match (max jaccard, ties to min id) or null = genuinely
+    * new. The index side is the stored [[Dedup.shingleBandIndex]]; the
+    * batch band table is broadcast — no corpus shuffle. */
+  val q82 = Q("q82_incremental_dedup",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+      |batch AS (
+      |  SELECT doc_id + 100000 AS doc_id, 'zz ' || text AS text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id,
+      |    array_to_string(list_reverse(${TextAnalysis.toksSql}), ' ') AS text
+      |  FROM documents WHERE doc_id % 7 = 3),
+      |${mhIndexCtes("corpus", "c")},
+      |${mhIndexCtes("batch", "b")},
+      |ok AS (SELECT band, bh FROM cbands GROUP BY band, bh HAVING count(*) <= $MaxBucket),
+      |capped AS (SELECT c.* FROM cbands c JOIN ok USING (band, bh)),
+      |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |         FROM bbands b JOIN capped c USING (band, bh)),
+      |v AS (SELECT batch_id, corpus_id,
+      |        round(${Dedup.jaccardSql("bs.hs", "cs.hs")}, 6) AS jaccard
+      |      FROM cand JOIN bsh bs ON bs.doc_id = batch_id
+      |                JOIN csh cs ON cs.doc_id = corpus_id),
+      |f AS (SELECT batch_id, corpus_id, jaccard,
+      |        row_number() OVER (PARTITION BY batch_id
+      |          ORDER BY jaccard DESC, corpus_id) AS rn
+      |      FROM v WHERE jaccard >= 0.5),
+      |m AS (SELECT batch_id, corpus_id AS dup_of, jaccard FROM f WHERE rn = 1)
+      |SELECT b.doc_id, m.dup_of, m.jaccard, m.dup_of IS NOT NULL AS is_dup
+      |FROM batch b LEFT JOIN m ON m.batch_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val batch = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("zz "), col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", reverse(TextAnalysis.toks(col("text")))).as("text")))
+    val matches = Dedup.incrementalNearDup(toks(d), toks(batch), "doc_id", "toks",
+        Hashing.hash31Array, n = 3, k = MinhashK, bands = LshBands,
+        threshold = 0.5, maxBucket = MaxBucket)
+      .withColumnRenamed("batch_id", "doc_id")
+    batch.select(col("doc_id")).join(matches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"), col("jaccard"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup verification over window
     * neighbor pairs — exact integer metric, the character-level
     * complement of q43's trigram Jaccard. */
@@ -606,5 +666,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78, q79, q80)
+    q72, q76, q77, q78, q79, q80, q82)
 }

@@ -139,4 +139,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(run(graft.ops.Materialize.Local) === expected)
     assert(run(graft.ops.Materialize.Persist()) === expected)
   }
+  test("incrementalNearDup: batch near-copy matches its original; novel doc is clean") {
+    val corpus = tokDF(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark catalyst plans"),
+      (3L, "a third document with its own words and phrases here"))
+    val batch = tokDF(
+      (10L, "zz the quick brown fox jumps over the lazy dog today"), // near-copy of 1
+      (11L, "nothing like anything in the corpus whatsoever at all"))
+    val m = Dedup.incrementalNearDup(
+        corpus.withColumnRenamed("id", "doc_id"),
+        batch.withColumnRenamed("id", "doc_id"), "doc_id", "toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m.get(10L) === Some(1L))
+    assert(!m.contains(11L))
+  }
 }
