@@ -644,6 +644,65 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q83: deterministic stratified sampling ----
+
+  /** Per-language sampling quota — the "balance the training mix" step.
+    * Deterministic pseudo-random order via the oracle-portable hash of the
+    * doc id (NOT rand(): reproducible across engines, runs, and retries —
+    * what a production pipeline wants anyway so a re-run ships the same
+    * dataset), then keep the first 20 per language. The rank-limit shape
+    * is exactly what [[graft.plans.RankLimitRewrite]] turns into the
+    * two-phase heap operator under GraftExtensions — O(k) memory per
+    * group instead of a per-group sort. */
+  val q83 = Q("q83_stratified_sample",
+    s"""WITH h AS (SELECT doc_id, lang,
+      |  ${Hashing.hash31Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+      |r AS (SELECT doc_id, lang, h,
+      |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk FROM h)
+      |SELECT lang, rnk, doc_id, h FROM r WHERE rnk <= 20
+      |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        Hashing.hash31(col("doc_id").cast("string")).as("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("h"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  // ---- Q84: sequence packing (token-budget chunking) ----
+
+  private val ChunkBudget = 2048
+
+  /** Pack documents into fixed-token-budget training chunks: concatenate
+    * per language in doc order, cut every $ChunkBudget tokens (chunk_id =
+    * preceding-token-count div budget — the concat-then-chunk packing
+    * used for LLM pretraining). Pure integer window arithmetic: one
+    * running sum per language partition, no shuffle beyond the window's
+    * partition exchange. */
+  val q84 = Q("q84_sequence_pack",
+    s"""WITH tok AS (SELECT doc_id, lang, ${TextAnalysis.toksSql} AS toks FROM documents),
+      |t AS (SELECT doc_id, lang, len(toks) AS n_toks FROM tok),
+      |c AS (SELECT doc_id, lang, n_toks,
+      |  sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) - n_toks AS pre
+      |  FROM t)
+      |SELECT doc_id, lang, n_toks, CAST(pre // $ChunkBudget AS BIGINT) AS chunk_id,
+      |  CAST(pre % $ChunkBudget AS BIGINT) AS chunk_offset
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("n_toks"))
+      .withColumn("pre", sum("n_toks").over(w) - col("n_toks"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        expr(s"pre div $ChunkBudget").as("chunk_id"),
+        (col("pre") % ChunkBudget).as("chunk_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup verification over window
     * neighbor pairs — exact integer metric, the character-level
     * complement of q43's trigram Jaccard. */
@@ -666,5 +725,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78, q79, q80, q82)
+    q72, q76, q77, q78, q79, q80, q82, q83, q84)
 }
