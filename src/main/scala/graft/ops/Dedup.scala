@@ -306,13 +306,13 @@ object Dedup {
     while (!done && round < maxRounds) {
       val viaNeighbor = edges.join(labels, edges("src") === labels("node"))
         .select(edges("dst").as("node"), labels("lbl"))
-      val next = mat(labels.unionByName(viaNeighbor)
-        .groupBy("node").agg(min("lbl").as("lbl")))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("lbl").as("lbl"))
       val changed = next
         .join(labels.select(col("node"), col("lbl").as("prev")), "node")
         .filter(col("lbl") =!= col("prev")).count()
-      labels = next
-      done = changed == 0L
+      if (changed == 0L) done = true // next ≡ labels: keep the materialized one
+      else labels = mat(next) // materialize only label tables that moved
       round += 1
     }
     require(done, s"connectedComponents did not converge in $maxRounds rounds")
