@@ -240,8 +240,24 @@ object Dedup {
       bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
       broadcastBatch: Boolean = true,
       mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (csh, cbands) = shingleBandIndex(corpus, idCol, toksCol, tokHash, n, k, bands, mat)
+    probeIndex(csh, cbands, batch, idCol, toksCol, tokHash, n, k, bands,
+      threshold, maxBucket, broadcastBatch, mat)
+  }
+
+  /** [[incrementalNearDup]] against a PREBUILT corpus index — the repeated-
+    * ingestion entry point: build ([[shingleBandIndex]]) or load the
+    * (shingle-hash, band) tables once, then probe them per batch / per
+    * micro-batch ([[graft.streaming.DocIngest]]) without recomputing the
+    * corpus side. */
+  def probeIndex(csh: org.apache.spark.sql.DataFrame,
+      cbands: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+      tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
+      bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
+      broadcastBatch: Boolean = true,
+      mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val (bsh, bbandsRaw) = shingleBandIndex(batch, idCol, toksCol, tokHash, n, k, bands, mat)
     val ok = cbands.groupBy(col("band"), col("bh"))
       .agg(count(lit(1)).as("bn")).filter(col("bn") <= maxBucket)
@@ -317,6 +333,63 @@ object Dedup {
     }
     require(done, s"connectedComponents did not converge in $maxRounds rounds")
     labels.select(col("node"), col("lbl").as("cluster_id"))
+  }
+
+  /** Connected components by alternating large-star / small-star edge
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — same contract as [[connectedComponents]]
+    * (`(node, cluster_id = component min)`), but O(log n) rounds on ANY
+    * graph shape versus min-label propagation's O(diameter). Use this
+    * when components can be deep (chained near-duplicates: A≈B≈C≈…,
+    * each link above threshold, endpoints unrelated) — a 10k-long chain
+    * converges in ~a dozen rounds here and would time out the label
+    * propagator. Per round: two node-keyed aggregations + two joins over
+    * the CURRENT edge set, which contracts toward one star per
+    * component.
+    *
+    *  - large-star(u): attach every neighbor LARGER than u to the
+    *    minimum of u's closed neighborhood — long tails fold in half;
+    *  - small-star(u): attach u and its smaller neighbors to their
+    *    minimum — stars flatten onto the root.
+    *
+    * Fixpoint = the edge set stops changing; it is then a union of
+    * depth-1 stars rooted at each component's min node. */
+  def connectedComponentsStar(pairs: org.apache.spark.sql.DataFrame,
+      aCol: String, bCol: String, mat: Materialize = Materialize.Local,
+      maxRounds: Int = 30): org.apache.spark.sql.DataFrame = {
+    // canonical (hi > lo) edges
+    var edges = mat(pairs
+      .select(greatest(col(aCol), col(bCol)).as("hi"),
+        least(col(aCol), col(bCol)).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct())
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // v > u ≥ m
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      val smins = large.groupBy("hi").agg(min(col("lo")).as("m"))
+      val withS = large.join(smins, "hi")
+      val next = mat(withS.select(col("hi"), col("m").as("lo"))
+        .unionByName(withS.filter(col("lo") =!= col("m"))
+          .select(col("lo").as("hi"), col("m").as("lo")))
+        .distinct())
+      val same = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0L
+      if (same) done = true else edges = next
+      round += 1
+    }
+    require(done, s"connectedComponentsStar did not converge in $maxRounds rounds")
+    edges.select(col("hi").as("node"), col("lo").as("cluster_id"))
+      .unionByName(edges.select(col("lo").as("node"), col("lo").as("cluster_id"))
+        .distinct())
+      .distinct()
   }
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct

@@ -154,4 +154,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(m.get(10L) === Some(1L))
     assert(!m.contains(11L))
   }
+  test("incrementalNearDup plan: batch band table is broadcast (no corpus shuffle join)") {
+    val corpus = tokDF(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely different content about spark catalyst plans"))
+    val batch = tokDF((10L, "zz the quick brown fox jumps over the lazy dog today"))
+    val m = Dedup.incrementalNearDup(
+      corpus.withColumnRenamed("id", "doc_id"),
+      batch.withColumnRenamed("id", "doc_id"), "doc_id", "toks")
+    m.count()
+    val plan = m.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+  }
+  test("connectedComponentsStar == min-label CC on random graphs; handles deep chains") {
+    val rnd = new scala.util.Random(7)
+    val randomPairs = Seq.fill(150)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val pairsDf = randomPairs.toDF("a", "b")
+    val byLabel = Dedup.connectedComponents(pairsDf, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byStar = Dedup.connectedComponentsStar(pairsDf, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byStar === byLabel)
+    // A 400-node path: diameter 399 — far past the label propagator's
+    // round budget, but star contraction folds it in O(log n) rounds.
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("a", "b")
+    val chainCc = Dedup.connectedComponentsStar(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(chainCc.length === 400)
+    assert(chainCc.forall(_._2 === 0L))
+  }
 }

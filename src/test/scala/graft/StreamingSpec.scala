@@ -104,4 +104,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(byWindow.exceptAll(manual).count() === 0)
     assert(manual.exceptAll(byWindow).count() === 0)
   }
+  test("streaming doc ingestion: dedup gate == batch incrementalNearDup") {
+    import graft.ops.{Dedup, TextAnalysis}
+    val all = Tables.documents(spark, TestSpark.Sf0001)
+    val corpus = all.filter(col("doc_id") % 2 === 0)
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val (clean, dups) = graft.streaming.DocIngest.ingestAvailableNow(
+      spark, corpus, TestSpark.Sf0001, out)
+    val batchMatches = Dedup.incrementalNearDup(toks(corpus), toks(all), "doc_id", "toks")
+    // same docs flagged as duplicates, same best match
+    assert(dups.count() === batchMatches.count())
+    assert(dups.exceptAll(batchMatches).count() === 0)
+    // clean + dup ids partition the input
+    assert(clean.count() + dups.count() === all.count())
+    val overlap = clean.select(col("doc_id"))
+      .join(dups.select(col("batch_id").as("doc_id")), "doc_id")
+    assert(overlap.count() === 0)
+    // every corpus-member doc matches itself (jaccard 1 vs its own index entry)
+    assert(dups.filter(col("batch_id") === col("dup_of")).count() === corpus.count())
+  }
 }
