@@ -182,6 +182,73 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- deterministic integer k-means (IVF centroid training) ----
+
+  /** Quantize a float vector to integers: round(x·scale). Exact and
+    * identical across engines (double product + half-away-from-zero
+    * rounding on both sides), so every k-means iteration below runs in
+    * pure INTEGER arithmetic — squared distances, sums, and truncating
+    * floor-mean centroids are all exact, which is what makes distributed
+    * k-means reproducible: float mean accumulation order varies with
+    * partitioning, integer sums do not. The quantization error (≤ 1/(2·
+    * scale) per dim) is irrelevant to centroid TRAINING quality. */
+  def quantize(v: Column, scale: Int): Column =
+    transform(v, x => round(x.cast("double") * scale).cast("long"))
+
+  def quantizeSql(v: String, scale: Int): String =
+    s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
+
+  /** Integer squared L2 distance. */
+  def sqDistInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  def sqDistIntSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), " +
+      s"i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x, y) -> x + y)"
+
+  /** Lloyd's k-means over integer-quantized vectors — the IVF coarse
+    * quantizer trained for real (the hyperplane buckets above are the
+    * data-independent alternative): `iters` rounds of (assign to nearest
+    * centroid, recompute centroids as truncating per-dim mean), then a
+    * final assignment. Returns (assignments `(vec_id, cid, dist)`,
+    * centroids `(cid, cv)`).
+    *
+    * Determinism: distances/sums are exact integers; argmin ties break to
+    * the min cid; the truncating mean (`sum div n` — toward-zero in BOTH
+    * engines) keeps centroids integer. Every step is order-insensitive,
+    * so the result is identical across partitionings, retries, and
+    * engines (q85's oracle re-runs the whole training in DuckDB).
+    *
+    * Scale shape: centroids (k × dim, driver-tiny) BROADCAST to the
+    * assignment join — the corpus never shuffles for assignment; the
+    * update is one posexplode + (cid, dim)-keyed partial-aggregated sum,
+    * i.e. one narrow shuffle of k·dim·tasks partial rows per iteration.
+    * Assignments re-materialize per iteration via `mat` (lineage cut).
+    * At 100 TB: identical plan, with `mat = Persist/Stage`. */
+  def kmeans(vecs: DataFrame, seeds: DataFrame, iters: Int,
+             mat: Materialize = Materialize.Local): (DataFrame, DataFrame) = {
+    def assignTo(cent: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      vecs.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("qv"), col("cid"),
+          sqDistInt(col("qv"), col("cv")).as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
+    }
+    var cent = seeds
+    for (_ <- 1 to iters) {
+      val assign = mat(assignTo(cent))
+      cent = mat(assign
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"), expr("s div n").as("cx"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pc"))
+        .select(col("cid"), transform(col("pc"), p => p.getField("cx")).as("cv")))
+    }
+    (assignTo(cent).select(col("vec_id"), col("cid"), col("dist")), cent)
+  }
+
   /** Deterministic ±1 random hyperplanes, seeded from md5 — driver-side
     * constants inlined into both plans (the Catalyst analogue of a
     * broadcast variable; never recomputed per row). */

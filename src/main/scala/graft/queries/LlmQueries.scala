@@ -703,6 +703,47 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q85: k-means IVF centroid training over embeddings ----
+
+  /** Real IVF coarse-quantizer training ([[Similarity.kmeans]]): two Lloyd
+    * iterations over integer-quantized embeddings from deterministic seeds
+    * (every 125th vector), then the final assignment. The oracle re-runs
+    * the IDENTICAL training in DuckDB — possible only because every step
+    * is exact integer arithmetic (quantized vectors, integer squared
+    * distances, truncating floor-mean centroids): float-mean k-means
+    * could never hash-match across engines or even across partitionings. */
+  val q85 = Q("q85_kmeans_ivf", {
+    def assignCte(name: String, cent: String, proj: String) =
+      s"""$name AS (SELECT $proj FROM (
+        |  SELECT v.vec_id AS vec_id, v.qv AS qv, c.cid AS cid,
+        |    ${Similarity.sqDistIntSql("v.qv", "c.cv", 64)} AS dist
+        |  FROM vecs v CROSS JOIN $cent c) x
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
+        .stripMargin
+    def updateCte(name: String, assign: String) =
+      s"""$name AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) // count(*) AS cx
+        |    FROM $assign, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)"""
+        .stripMargin
+    s"""WITH vecs AS (SELECT vec_id, ${Similarity.quantizeSql("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id // 125 AS cid, qv AS cv FROM vecs WHERE vec_id % 125 = 0),
+      |${assignCte("a1", "c0", "vec_id, qv, cid")},
+      |${updateCte("c1", "a1")},
+      |${assignCte("a2", "c1", "vec_id, qv, cid")},
+      |${updateCte("c2", "a2")},
+      |${assignCte("fin", "c2", "vec_id, cid, dist")}
+      |SELECT vec_id, cid, dist FROM fin ORDER BY vec_id""".stripMargin
+  }) { (s, dir) =>
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding"), 1000).as("qv"))
+    val seeds = vecs.filter(col("vec_id") % 125 === 0)
+      .select(expr("vec_id div 125").as("cid"), col("qv").as("cv"))
+    val (assign, _) = Similarity.kmeans(vecs, seeds, iters = 2)
+    assign.orderBy(col("vec_id"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup verification over window
     * neighbor pairs — exact integer metric, the character-level
     * complement of q43's trigram Jaccard. */
@@ -725,5 +766,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78, q79, q80, q82, q83, q84)
+    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85)
 }

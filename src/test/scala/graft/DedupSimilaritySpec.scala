@@ -184,4 +184,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(chainCc.length === 400)
     assert(chainCc.forall(_._2 === 0L))
   }
+  test("kmeans: separated blobs cluster correctly; deterministic across materializations") {
+    import graft.ops.Similarity
+    // Two tight 4-dim blobs around (0,0,0,0) and (100,100,100,100); seeds
+    // one vector from each blob.
+    val rnd = new scala.util.Random(3)
+    def blob(base: Long, off: Int) = (0 until 20).map { i =>
+      (base + i, (1 to 4).map(_ => (off + rnd.nextInt(5)).toLong))
+    }
+    val vecs = (blob(0L, 0) ++ blob(100L, 100)).toDF("vec_id", "qv")
+    val seeds = vecs.filter(col("vec_id") === 0L || col("vec_id") === 100L)
+      .select((col("vec_id") / 100).cast("long").as("cid"), col("qv").as("cv"))
+    def run(m: graft.ops.Materialize) = {
+      val (assign, cent) = Similarity.kmeans(vecs, seeds, iters = 2, mat = m)
+      (assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+        cent.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap)
+    }
+    val (asgn, cent) = run(graft.ops.Materialize.Local)
+    assert(asgn.count { case (id, c) => id < 100 && c === 0L } === 20)
+    assert(asgn.count { case (id, c) => id >= 100 && c === 1L } === 20)
+    // centroids land inside their blobs
+    assert(cent(0L).forall(x => x >= 0 && x <= 5))
+    assert(cent(1L).forall(x => x >= 100 && x <= 105))
+    assert(run(graft.ops.Materialize.Persist()) === ((asgn, cent)))
+  }
 }
