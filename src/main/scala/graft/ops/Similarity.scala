@@ -198,8 +198,15 @@ object Similarity {
   def quantizeSql(v: String, scale: Int): String =
     s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
 
-  /** Integer squared L2 distance. */
+  /** Integer squared L2 distance — native codegen'd single pass
+    * ([[graft.plans.SqDistLong]]); [[sqDistIntHof]] is the builtin twin it
+    * is equivalence-tested against. */
   def sqDistInt(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.SqDistLong(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  def sqDistIntHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
   def sqDistIntSql(a: String, b: String, dim: Int): String =

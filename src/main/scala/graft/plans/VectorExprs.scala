@@ -80,6 +80,72 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer squared L2 distance of two long arrays: `Σ_i (a(i)-b(i))²` —
+  * the codegen'd twin of `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)),
+  * 0L, _+_)` ([[graft.ops.Similarity.sqDistIntHof]]), the k-means
+  * assignment hot loop (k distance evaluations per vector per
+  * iteration). Pure integer arithmetic — exact equivalence with the HOF
+  * spelling. Null on null array, length mismatch, or null element (the
+  * [[DotProduct]] null contract). */
+case class SqDistLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def ok(t: DataType) = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<BIGINT>, ARRAY<BIGINT>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_sqdist"
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 16-bit SimHash of a bag of long feature hashes in ONE pass: bit j of
   * the result is set iff `Σ_h ((h>>j)&1)*2-1 >= 0`. The codegen'd twin of
   * the 16-fold `aggregate` vote spelling in `Dedup.simhash16` — pure

@@ -123,4 +123,19 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(out.filter(col("native") =!= col("hof")).count() === 0)
     assert(out.filter(col("native") < 0 || col("native") >= 65536).count() === 0)
   }
+  test("SqDistLong == HOF zip_with spelling on quantized embeddings, incl. null contract") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), Similarity.quantize(col("embedding"), 1000).as("q"))
+    val pairs = e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id")).limit(300)
+      .select(
+        Similarity.sqDistInt(col("x.q"), col("y.q")).as("native"),
+        Similarity.sqDistIntHof(col("x.q"), col("y.q")).as("hof"))
+    assert(pairs.count() === 300)
+    assert(pairs.filter(col("native") =!= col("hof")).count() === 0)
+    val nulls = Seq(
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](1L, null)),
+      (Seq[java.lang.Long](1L, 2L), Seq[java.lang.Long](3L))).toDF("a", "b")
+      .select(Similarity.sqDistInt(col("a"), col("b")).as("d")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
 }
