@@ -109,13 +109,47 @@ object GraftFunctions {
 
   private def info = new ExpressionInfo(classOf[BucketArgMin].getName, BucketArgMinName)
 
+  /** A literal-int argument of a SQL function call (the gram/window size
+    * of the chargram/winnow functions must be a constant, it is baked
+    * into the expression). */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+      org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT, got $other")
+  }
+
+  /** The whole native-expression family as SQL functions — `spark.sql`
+    * users get the codegen'd hot-path expressions without touching the
+    * Scala API. */
+  val vectorFunctions: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    ("graft_sqdist", classOf[SqDistLong],
+      (args: Seq[Expression]) => SqDistLong(args(0), args(1))),
+    ("graft_simhash16", classOf[SimHash16],
+      (args: Seq[Expression]) => SimHash16(args(0))),
+    ("graft_hash31_array", classOf[ArrayHash31],
+      (args: Seq[Expression]) => ArrayHash31(args(0))),
+    ("graft_chargram_hash31", classOf[CharGramHash31],
+      (args: Seq[Expression]) =>
+        CharGramHash31(args(0), litInt(args(1), "graft_chargram_hash31"))),
+    ("graft_winnow_min", classOf[WinnowMin],
+      (args: Seq[Expression]) =>
+        WinnowMin(args(0), litInt(args(1), "graft_winnow_min"))))
+
   /** Register on an existing session (tests / driver queries). */
-  def register(spark: SparkSession, cfg: BucketConfig = BucketConfig()): Unit =
+  def register(spark: SparkSession, cfg: BucketConfig = BucketConfig()): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(BucketArgMinName), info, bucketArgMinBuilder(cfg))
+    vectorFunctions.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+    }
+  }
 }
 
-/** `spark.sql.extensions` entry point: the native function, the
+/** `spark.sql.extensions` entry point: the native functions, the
   * whole-operator strategy ([[TopKStrategy]]), and the rank-limit
   * optimizer rewrite ([[RankLimitRewrite]]). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
@@ -123,6 +157,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction((FunctionIdentifier(GraftFunctions.BucketArgMinName),
       new ExpressionInfo(classOf[BucketArgMin].getName, GraftFunctions.BucketArgMinName),
       GraftFunctions.bucketArgMinBuilder()))
+    GraftFunctions.vectorFunctions.foreach { case (name, cls, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), builder))
+    }
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RankLimitRewrite)
   }
