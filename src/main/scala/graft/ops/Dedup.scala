@@ -50,6 +50,16 @@ object Dedup {
     array_distinct(transform(sequence(lit(1), size(tokHashes) - (n - 1)),
       i => Hashing.mix31((0 until n).map(j => element_at(tokHashes, i + j)))))
 
+  /** Fused tokens → distinct shingle hashes in ONE native expression
+    * ([[graft.plans.TokenShingleHash31]]): md5-hash31 each token once in a
+    * local array, mix the windows, dedup — identical values to
+    * `shingleHashes(hash31Array(toks), n)` WITHOUT the materialized
+    * token-hash intermediate the two-stage chain requires (one less
+    * checkpoint per index build). */
+  def tokenShingleHashes(toks: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.TokenShingleHash31(
+      org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
+
   def shingleHashesSql(th: String, n: Int): String =
     s"list_distinct(list_transform(range(1, len($th) - ${n - 2}), " +
       s"i -> ${Hashing.mix31Sql((0 until n).map(j => s"($th)[i + $j]"))}))"
@@ -175,14 +185,24 @@ object Dedup {
     * oracle-portable default [[Hashing.hash31Array]]; production swap
     * `arr => transform(arr, xxhash64(_))`. */
   def shingleBandIndex(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
-      tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
+      tokHash: Column => Column = Hashing.DefaultTokHash, n: Int = 3, k: Int = 12,
       bands: Int = 4, mat: Materialize = Materialize.Local)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val r = k / bands
-    val th = mat(df
-      .filter(size(col(toksCol)) >= n)
-      .select(col(idCol).as("doc_id"), tokHash(col(toksCol)).as("th")))
-    val sh = mat(th.select(col("doc_id"), shingleHashes(col("th"), n).as("hs")))
+    val filtered = df.filter(size(col(toksCol)) >= n)
+    // Oracle-portable default hash → the fused single-expression path
+    // (tokens → shingle hashes in one pass, no token-hash intermediate
+    // to checkpoint); a custom tokHash (production xxhash64) keeps the
+    // two-stage chain with the PERF-CONTRACT materialization between.
+    val sh =
+      if (tokHash eq Hashing.DefaultTokHash)
+        mat(filtered.select(col(idCol).as("doc_id"),
+          tokenShingleHashes(col(toksCol), n).as("hs")))
+      else {
+        val th = mat(filtered
+          .select(col(idCol).as("doc_id"), tokHash(col(toksCol)).as("th")))
+        mat(th.select(col("doc_id"), shingleHashes(col("th"), n).as("hs")))
+      }
     val sig = sh.select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
     val bandsDf = mat(sig
       .select(col("doc_id"), explode(bandHashes(col("sig"), bands, r)).as("b"))
@@ -191,7 +211,7 @@ object Dedup {
   }
 
   def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
-      tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
+      tokHash: Column => Column = Hashing.DefaultTokHash, n: Int = 3, k: Int = 12,
       bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
       mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
     val (sh, bandsDf) = shingleBandIndex(df, idCol, toksCol, tokHash, n, k, bands, mat)
@@ -236,7 +256,7 @@ object Dedup {
     * pairs. */
   def incrementalNearDup(corpus: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
-      tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
+      tokHash: Column => Column = Hashing.DefaultTokHash, n: Int = 3, k: Int = 12,
       bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
       broadcastBatch: Boolean = true,
       mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
@@ -253,7 +273,7 @@ object Dedup {
   def probeIndex(csh: org.apache.spark.sql.DataFrame,
       cbands: org.apache.spark.sql.DataFrame,
       batch: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
-      tokHash: Column => Column = Hashing.hash31Array, n: Int = 3, k: Int = 12,
+      tokHash: Column => Column = Hashing.DefaultTokHash, n: Int = 3, k: Int = 12,
       bands: Int = 4, threshold: Double = 0.5, maxBucket: Int = 1000,
       broadcastBatch: Boolean = true,
       mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {

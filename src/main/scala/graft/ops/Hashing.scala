@@ -39,6 +39,12 @@ object Hashing {
     org.apache.spark.sql.GraftSqlBridge.column(graft.plans.ArrayHash31(
       org.apache.spark.sql.GraftSqlBridge.expression(arr)))
 
+  /** Stable reference for the [[hash31Array]] default in
+    * [[Dedup.shingleBandIndex]] — lets the operator detect "caller kept
+    * the oracle-portable default" (eq check) and take the fused
+    * single-expression shingle path. */
+  val DefaultTokHash: Column => Column = hash31Array
+
   /** Production-scale hash (NOT oracle-portable). */
   def fastHash(cols: Column*): Column = xxhash64(cols: _*)
 

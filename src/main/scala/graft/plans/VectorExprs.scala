@@ -320,6 +320,83 @@ case class CharGramHash31(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused token-array → distinct shingle-hash array: md5-hash31 every
+  * token ONCE into a local array, then mix each window of n consecutive
+  * token hashes ([[graft.ops.Hashing.mix31]] fold) with first-occurrence
+  * dedup — one expression call per row replacing the two-stage
+  * `transform(toks, hash31)` → `shingleHashes` chain AND the
+  * materialization between them (the PERF CONTRACT's reason to exist:
+  * without a stored intermediate, the HOF chain re-hashes the whole
+  * token array once per shingle). Values identical to the chain,
+  * including a null token yielding null shingle hashes for the windows
+  * covering it (proven in VectorExprsSpec). Callers filter inputs
+  * shorter than n, as with the HOF twin. */
+case class TokenShingleHash31(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_token_shingle_hash31"
+
+  def shingle(av: Any): ArrayData = {
+    val arr = av.asInstanceOf[ArrayData]
+    val md = ArrayHash31.mdLocal.get()
+    val len = arr.numElements()
+    val hs = new Array[java.lang.Long](len)
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        hs(i) = java.lang.Long.valueOf((top >>> 4) % graft.ops.Hashing.P31)
+      }
+      i += 1
+    }
+    val m = len - n + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s < m) {
+      var acc = 0L
+      var ok = true
+      var j = 0
+      while (j < n && ok) {
+        val h = hs(s + j)
+        if (h == null) ok = false
+        else acc = (acc * graft.ops.Hashing.MixA + h.longValue()) % graft.ops.Hashing.P31
+        j += 1
+      }
+      seen.add(if (ok) java.lang.Long.valueOf(acc) else null)
+      s += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator(); var o = 0
+    while (it.hasNext) {
+      val v = it.next()
+      out(o) = if (v == null) null else v.longValue()
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = shingle(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokShingle", this, classOf[TokenShingleHash31].getName)
+      s"${ev.value} = $ref.shingle($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingleHash31 =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (distinct per-window minima, window w) in one
   * pass with a monotonic deque — O(len) vs the HOF twin's O(len·w)
   * slice-and-min walk (`Dedup.winnowFingerprintsHof`). Emission order is

@@ -122,7 +122,7 @@ object LlmQueries {
       |SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     Dedup.nearDupPairs(toks(corpusNear(s, dir)), "doc_id", "toks",
-      Hashing.hash31Array, n = 3, k = MinhashK, bands = LshBands,
+      Hashing.DefaultTokHash, n = 3, k = MinhashK, bands = LshBands,
       threshold = 0.5, maxBucket = MaxBucket)
   }
 
@@ -157,7 +157,7 @@ object LlmQueries {
     * labeling themselves. */
   private def chainClusterAssign(corpus: DataFrame): DataFrame = {
     val pairs = Dedup.nearDupPairs(toks(corpus), "doc_id", "toks",
-      Hashing.hash31Array, n = 3, k = MinhashK, bands = LshBands,
+      Hashing.DefaultTokHash, n = 3, k = MinhashK, bands = LshBands,
       threshold = 0.5, maxBucket = MaxBucket)
     val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("node", "doc_id")
@@ -635,7 +635,7 @@ object LlmQueries {
         .select((col("doc_id") + 300000).as("doc_id"),
           concat_ws(" ", reverse(TextAnalysis.toks(col("text")))).as("text")))
     val matches = Dedup.incrementalNearDup(toks(d), toks(batch), "doc_id", "toks",
-        Hashing.hash31Array, n = 3, k = MinhashK, bands = LshBands,
+        Hashing.DefaultTokHash, n = 3, k = MinhashK, bands = LshBands,
         threshold = 0.5, maxBucket = MaxBucket)
       .withColumnRenamed("batch_id", "doc_id")
     batch.select(col("doc_id")).join(matches, Seq("doc_id"), "left")

@@ -138,4 +138,24 @@ class VectorExprsSpec extends AnyFunSuite {
       .select(Similarity.sqDistInt(col("a"), col("b")).as("d")).collect()
     assert(nulls.forall(_.isNullAt(0)))
   }
+  test("TokenShingleHash31 == hash31Array + shingleHashes chain, incl. null tokens") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(TextAnalysis.toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val out = docs
+      .withColumn("th", Hashing.hash31Array(col("toks")))
+      .select(
+        Dedup.tokenShingleHashes(col("toks"), 3).as("fused"),
+        Dedup.shingleHashes(col("th"), 3).as("chain"))
+    assert(out.count() > 0)
+    assert(out.filter(not(col("fused") <=> col("chain"))).count() === 0)
+    // null token → null shingle hashes for its windows, same as the chain
+    val withNull = Seq(Seq[String]("a", "b", null, "c", "d", "e")).toDF("toks")
+      .withColumn("th", Hashing.hash31Array(col("toks")))
+      .select(
+        Dedup.tokenShingleHashes(col("toks"), 3).as("fused"),
+        Dedup.shingleHashes(col("th"), 3).as("chain"))
+      .collect()(0)
+    assert(withNull.getSeq[Any](0) === withNull.getSeq[Any](1))
+  }
 }
