@@ -100,12 +100,12 @@ object LlmQueries {
       |  $bands)""".stripMargin
   }
 
-  /** The MinHash+LSH pipeline as a DuckDB CTE chain over a `corpus(doc_id,
-    * text)` CTE: index CTEs + ok → capped → cand → j, where `j` holds
-    * (doc_a, doc_b, jaccard). Shared by q41 (pair output) and q78/q79
-    * (clusters closed over the pairs). */
-  private val minhashPairCtes: String =
-    s"""${mhIndexCtes("corpus", "")},
+  /** The MinHash+LSH pipeline as a DuckDB CTE chain over a `(doc_id,
+    * text)` CTE named `srcCte`: index CTEs + ok → capped → cand → j,
+    * where `j` holds (doc_a, doc_b, jaccard). Shared by q41 (pair
+    * output), q78/q79 (clusters), and q86 (full corpus pipeline). */
+  private def pairCtes(srcCte: String): String =
+    s"""${mhIndexCtes(srcCte, "")},
       |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= $MaxBucket),
       |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -114,6 +114,20 @@ object LlmQueries {
       |j AS (SELECT doc_a, doc_b,
       |        round(${Dedup.jaccardSql("a.hs", "b.hs")}, 6) AS jaccard
       |      FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b)""".stripMargin
+
+  private val minhashPairCtes: String = pairCtes("corpus")
+
+  /** Recursive-CTE connected components over `j` (threshold-filtered
+    * pairs → symmetric edges → min-label reachability closure). */
+  private val ccCtes: String =
+    """pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+      |walk(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+      |cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)""".stripMargin
 
   val q41 = Q("q41_minhash_lsh",
     s"""WITH corpus AS (
@@ -170,14 +184,7 @@ object LlmQueries {
     * q78 (assignment output) and q79 (keep-one application). */
   private val clusterAssignCtes: String =
     s"""$minhashPairCtes,
-      |pairs AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.5),
-      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
-      |walk(node, lbl) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-      |cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+      |$ccCtes,
       |assign AS (SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id, c.text
       |           FROM corpus c LEFT JOIN cc k ON k.node = c.doc_id)""".stripMargin
 
@@ -744,6 +751,59 @@ object LlmQueries {
     assign.orderBy(col("vec_id"))
   }
 
+  // ---- Q86: full corpus-preparation pipeline (the LLM-side flagship) ----
+
+  /** [[graft.pipeline.CorpusPipeline.run]] end to end on a corpus salted
+    * with exact copies (every 7th doc) AND near-copies (every 5th, 'zz '
+    * prepended): exact dedup → near-dup keep-one → repetition gate →
+    * per-language quota sample → token-budget packing, all five stages
+    * re-run by the DuckDB oracle in one recursive statement. */
+  val q86 = Q("q86_corpus_pipeline", {
+    val t = TextAnalysis.toksSql
+    val chunks = TextAnalysis.tokenChunksSql("toks", 8)
+    val bigrams = Dedup.shingleBagSql("toks", 2)
+    s"""WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text, lang
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, 'zz ' || text AS text, lang
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |s1 AS (SELECT doc_id, text, lang FROM (
+      |  SELECT doc_id, text, lang,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM corpus) x WHERE rn = 1),
+      |${pairCtes("s1")},
+      |$ccCtes,
+      |s2 AS (SELECT * FROM s1
+      |       WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)),
+      |tok2 AS (SELECT doc_id, lang, $t AS toks FROM s2),
+      |q AS (SELECT doc_id, lang, toks FROM tok2 WHERE len(toks) >= 2
+      |      AND ${TextAnalysis.repeatedFracSql(chunks)} <= 0.3
+      |      AND ${TextAnalysis.repeatedFracSql(bigrams)} <= 0.9),
+      |r AS (SELECT doc_id, lang, toks, row_number() OVER (PARTITION BY lang
+      |        ORDER BY ${Hashing.hash31Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+      |      FROM q),
+      |s4 AS (SELECT doc_id, lang, toks FROM r WHERE rnk <= 50),
+      |c AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks,
+      |  sum(len(toks)) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) - len(toks) AS pre
+      |  FROM s4)
+      |SELECT doc_id, lang, n_toks, CAST(pre // 2048 AS BIGINT) AS chunk_id,
+      |  CAST(pre % 2048 AS BIGINT) AS chunk_offset
+      |FROM c ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"), col("lang")))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zz "), col("text")).as("text"), col("lang")))
+    graft.pipeline.CorpusPipeline.run(corpus).orderBy(col("doc_id"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup verification over window
     * neighbor pairs — exact integer metric, the character-level
     * complement of q43's trigram Jaccard. */
@@ -766,5 +826,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85)
+    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86)
 }

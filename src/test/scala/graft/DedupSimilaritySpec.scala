@@ -208,4 +208,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cent(1L).forall(x => x >= 100 && x <= 105))
     assert(run(graft.ops.Materialize.Persist()) === ((asgn, cent)))
   }
+  test("CorpusPipeline stages: exact dedup, near-dup keep-one, quality, quota, packing") {
+    import graft.pipeline.CorpusPipeline
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog today", "en"),  // exact dup of 1
+      (3L, "zz the quick brown fox jumps over the lazy dog today", "en"), // near dup of 1
+      (4L, Seq.fill(30)("spam").mkString(" "), "en"),                    // repetitive
+      (5L, "a completely different and varied sentence with many unique words", "en"),
+      (6L, "ein ganz anderer deutscher satz mit vielen verschiedenen worten", "de"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = CorpusPipeline.Config(quotaPerLang = 10, chunkBudget = 8)
+    val out = CorpusPipeline.run(docs, cfg).orderBy("doc_id").collect()
+    val ids = out.map(_.getLong(0)).toSet
+    assert(!ids.contains(2L), "exact duplicate must be dropped")
+    assert(!ids.contains(3L), "near duplicate must be dropped")
+    assert(!ids.contains(4L), "repetitive doc must be dropped")
+    assert(ids.contains(1L) && ids.contains(5L) && ids.contains(6L))
+    // packing: budget 8 tokens — doc 1 (10 toks) fills chunk 0 and spills;
+    // whichever en doc comes first by hash, offsets are cumulative.
+    val en = out.filter(_.getString(1) == "en")
+    assert(en.map(_.getLong(2)).sum === 10 + 10) // n_toks of docs 1 and 5
+    assert(out.forall(r => r.getLong(4) < 8 || r.getLong(3) > 0))
+  }
 }
