@@ -123,6 +123,35 @@ object TextAnalysis {
   def repeatedFracSql(arr: String): String =
     s"1.0 - len(list_distinct($arr)) / CAST(len($arr) AS DOUBLE)"
 
+  /** Hashed repetition fraction — `repeatedFrac` of the mix31 hashes of
+    * the token windows (width n, step `stride`, trailing partial window
+    * when `partial`) computed in ONE native pass
+    * ([[graft.plans.RepeatedHashFrac]]): no window strings are built,
+    * which is what makes the [[graft.pipeline.CorpusPipeline]] quality
+    * gate scan-speed. A mix collision merges the same two windows in the
+    * oracle too ([[repeatedHashFracSql]] spells the identical hash), so
+    * values stay engine-exact. */
+  def repeatedHashFrac(toks: Column, n: Int, stride: Int, partial: Boolean): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.RepeatedHashFrac(
+      org.apache.spark.sql.GraftSqlBridge.expression(toks), n, stride, partial))
+
+  /** DuckDB spelling of [[repeatedHashFrac]] over a token-HASH list
+    * expression `th` (`list_transform(toks, t -> hash31(t))`). The
+    * mix-from-zero fold equals `list_reduce` seeded by the first element
+    * because `(0*A + h) mod P = h` for h < P. */
+  def repeatedHashFracSql(th: String, n: Int, stride: Int, partial: Boolean): String = {
+    val hb =
+      if (partial)
+        s"list_transform(range(0, CAST(floor((len($th) - 1) / $stride) AS BIGINT) + 1), " +
+          s"i -> list_reduce(($th)[i*$stride+1:i*$stride+$n], " +
+          s"(x, y) -> (x * ${Hashing.MixA}::BIGINT + y) % ${Hashing.P31}::BIGINT))"
+      else
+        s"list_transform(range(1, len($th) - ${n - 2}), " +
+          s"i -> list_reduce(($th)[i:i+${n - 1}], " +
+          s"(x, y) -> (x * ${Hashing.MixA}::BIGINT + y) % ${Hashing.P31}::BIGINT))"
+    s"(1.0 - len(list_distinct($hb)) / CAST(len($hb) AS DOUBLE))"
+  }
+
   /** Heuristic quality score in rational arithmetic only (deterministic
     * across engines): rewards stopword density and longer words, damps
     * very long documents. */

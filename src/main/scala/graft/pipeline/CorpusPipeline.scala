@@ -66,14 +66,18 @@ object CorpusPipeline {
     docs.join(drop, Seq("doc_id"), "left_anti")
   }
 
-  /** Gopher-style repetition gate (q77 semantics): docs under 2 tokens or
-    * over the duplicate-chunk / repeated-bigram fractions are dropped. */
+  /** Gopher-style repetition gate (q77's thresholds over HASHED windows —
+    * [[TextAnalysis.repeatedHashFrac]]): docs under 2 tokens or over the
+    * duplicate-chunk / repeated-bigram fractions are dropped. Hashed
+    * windows make the gate a single native pass per doc instead of
+    * building every chunk/bigram string interpretively. */
   def qualityFilter(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val t = TextAnalysis.toks(col("text"))
     docs
       .filter(size(t) >= 2)
-      .filter(TextAnalysis.repeatedFrac(TextAnalysis.tokenChunks(t, 8)) <= cfg.dupChunkMax &&
-        TextAnalysis.repeatedFrac(Dedup.shingleBag(t, 2)) <= cfg.repBigramMax)
+      .filter(
+        TextAnalysis.repeatedHashFrac(t, 8, 8, partial = true) <= cfg.dupChunkMax &&
+          TextAnalysis.repeatedHashFrac(t, 2, 1, partial = false) <= cfg.repBigramMax)
   }
 
   /** Deterministic per-language quota (q83 semantics): hash-ordered

@@ -271,6 +271,95 @@ case class ArrayHash31(child: Expression) extends UnaryExpression {
 object ArrayHash31 {
   private[plans] val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** hash31 every element of a string array into a boxed-long array
+    * (null elements → null) — shared by the fused shingle/fraction
+    * expressions. */
+  private[plans] def hashTokens(arr: ArrayData): Array[java.lang.Long] = {
+    val md = mdLocal.get()
+    val len = arr.numElements()
+    val hs = new Array[java.lang.Long](len)
+    var i = 0
+    while (i < len) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+        hs(i) = java.lang.Long.valueOf((top >>> 4) % graft.ops.Hashing.P31)
+      }
+      i += 1
+    }
+    hs
+  }
+}
+
+/** Repeated-window fraction over HASHED token windows in one pass:
+  * `1 - distinct/total` of the mix31 hashes of every window of `n`
+  * consecutive tokens taken at `stride` (with a trailing partial window
+  * when `partial` — the tokenChunks shape; full windows only otherwise —
+  * the bigram-bag shape). The hashed twin of
+  * `repeatedFrac(tokenChunks/shingleBag(toks, n))`: building no window
+  * STRINGS makes it an order of magnitude cheaper, and because the
+  * oracle spells the identical hash (including any collision, which
+  * merges the same two windows on both sides) the value is engine-exact.
+  * Null when the array is null or `total` would be 0 (input shorter than
+  * one full window with `partial=false`). */
+case class RepeatedHashFrac(child: Expression, n: Int, stride: Int, partial: Boolean)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>, got $t")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_repeated_hash_frac"
+
+  def frac(av: Any): Any = {
+    val arr = av.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val hs = ArrayHash31.hashTokens(arr)
+    val lastStart = if (partial) len - 1 else len - n
+    if (lastStart < 0) return null
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var total = 0L
+    var start = 0
+    while (start <= lastStart) {
+      val w = math.min(n, len - start)
+      var acc = 0L
+      var ok = true
+      var j = 0
+      while (j < w && ok) {
+        val h = hs(start + j)
+        if (h == null) ok = false
+        else acc = (acc * graft.ops.Hashing.MixA + h.longValue()) % graft.ops.Hashing.P31
+        j += 1
+      }
+      seen.add(if (ok) java.lang.Long.valueOf(acc) else null)
+      total += 1
+      start += stride
+    }
+    1.0 - seen.size().toDouble / total
+  }
+
+  override protected def nullSafeEval(v: Any): Any = frac(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("repFrac", this, classOf[RepeatedHashFrac].getName)
+      s"""
+         |Object r = $ref.frac($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) r).doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepeatedHashFrac =
+    copy(child = newChild)
 }
 
 /** All character n-gram `hash31`s of a string in one pass — the native
@@ -343,22 +432,8 @@ case class TokenShingleHash31(child: Expression, n: Int) extends UnaryExpression
 
   def shingle(av: Any): ArrayData = {
     val arr = av.asInstanceOf[ArrayData]
-    val md = ArrayHash31.mdLocal.get()
     val len = arr.numElements()
-    val hs = new Array[java.lang.Long](len)
-    var i = 0
-    while (i < len) {
-      if (!arr.isNullAt(i)) {
-        md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
-        val top = ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
-        hs(i) = java.lang.Long.valueOf((top >>> 4) % graft.ops.Hashing.P31)
-      }
-      i += 1
-    }
+    val hs = ArrayHash31.hashTokens(arr)
     val m = len - n + 1
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var s = 0

@@ -760,8 +760,6 @@ object LlmQueries {
     * re-run by the DuckDB oracle in one recursive statement. */
   val q86 = Q("q86_corpus_pipeline", {
     val t = TextAnalysis.toksSql
-    val chunks = TextAnalysis.tokenChunksSql("toks", 8)
-    val bigrams = Dedup.shingleBagSql("toks", 2)
     s"""WITH RECURSIVE corpus AS (
       |  SELECT doc_id, text, lang FROM documents
       |  UNION ALL
@@ -779,9 +777,12 @@ object LlmQueries {
       |s2 AS (SELECT * FROM s1
       |       WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)),
       |tok2 AS (SELECT doc_id, lang, $t AS toks FROM s2),
-      |q AS (SELECT doc_id, lang, toks FROM tok2 WHERE len(toks) >= 2
-      |      AND ${TextAnalysis.repeatedFracSql(chunks)} <= 0.3
-      |      AND ${TextAnalysis.repeatedFracSql(bigrams)} <= 0.9),
+      |th2 AS (SELECT doc_id, lang, toks,
+      |        list_transform(toks, t -> ${Hashing.hash31Sql("t")}) AS th2h
+      |        FROM tok2 WHERE len(toks) >= 2),
+      |q AS (SELECT doc_id, lang, toks FROM th2
+      |      WHERE ${TextAnalysis.repeatedHashFracSql("th2h", 8, 8, partial = true)} <= 0.3
+      |      AND ${TextAnalysis.repeatedHashFracSql("th2h", 2, 1, partial = false)} <= 0.9),
       |r AS (SELECT doc_id, lang, toks, row_number() OVER (PARTITION BY lang
       |        ORDER BY ${Hashing.hash31Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
       |      FROM q),

@@ -158,4 +158,22 @@ class VectorExprsSpec extends AnyFunSuite {
       .collect()(0)
     assert(withNull.getSeq[Any](0) === withNull.getSeq[Any](1))
   }
+  test("RepeatedHashFrac == string-window repeatedFrac when windows are collision-free") {
+    // On real text the mix-hash windows collide with negligible probability,
+    // so hashed and string fractions agree exactly; assert doc by doc.
+    val out = Tables.documents(spark, TestSpark.Sf0001)
+      .select(TextAnalysis.toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        TextAnalysis.repeatedHashFrac(col("toks"), 8, 8, partial = true).as("hc"),
+        TextAnalysis.repeatedFrac(TextAnalysis.tokenChunks(col("toks"), 8)).as("sc"),
+        TextAnalysis.repeatedHashFrac(col("toks"), 2, 1, partial = false).as("hb"),
+        TextAnalysis.repeatedFrac(Dedup.shingleBag(col("toks"), 2)).as("sb"))
+    assert(out.count() > 0)
+    assert(out.filter(col("hc") =!= col("sc") || col("hb") =!= col("sb")).count() === 0)
+    // degenerate repetition: 30 identical tokens → both fracs near 1
+    val spam = Seq(Seq.fill(30)("spam")).toDF("toks").select(
+      TextAnalysis.repeatedHashFrac(col("toks"), 2, 1, partial = false).as("hb")).collect()
+    assert(spam(0).getDouble(0) > 0.95)
+  }
 }
