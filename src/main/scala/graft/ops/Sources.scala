@@ -61,6 +61,31 @@ object Sources {
   def jsonList(spark: SparkSession, paths: Seq[String]): DataFrame =
     spark.read.json(paths: _*)
 
+  /** [[jsonList]] with explicit corrupt-row tolerance — the production
+    * ingestion shape the reference lacks (its `json.load` throws on the
+    * first bad byte and loses the whole file): PERMISSIVE mode parses
+    * what it can and lands the raw text of each unparseable row in
+    * `_corrupt` instead of failing the job, so callers split
+    * `(good, bad)` and quarantine the bad rows — at 100 TB a few corrupt
+    * records per billion are a certainty, not an edge case. An explicit
+    * schema is required: schema inference would silently ABSORB the
+    * corrupt column's shape. */
+  def jsonListPermissive(spark: SparkSession, paths: Seq[String], ddl: String)
+      : (DataFrame, DataFrame) = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .add("_corrupt", StringType)
+    val all = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(paths: _*)
+      // the corrupt column can only be filtered from a materialized
+      // frame (Spark disallows filtering it straight off the scan)
+      .cache()
+    (all.filter(col("_corrupt").isNull).drop("_corrupt"),
+      all.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw")))
+  }
+
   /** S8: headered CSV with explicit schema (`selected_tags.csv`,
     * `tagger.py:32`). */
   def csvWithHeader(spark: SparkSession, path: String, ddl: String): DataFrame =

@@ -84,6 +84,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.agg(round(sum("aesthetic_score"), 2)).collect()(0).getDouble(0) === 1.25)
   }
 
+  test("S7 permissive: corrupt JSON rows are quarantined, not fatal") {
+    val mixed = java.nio.file.Files.createTempDirectory("graft_perm")
+      .resolve("mixed.jsonl")
+    java.nio.file.Files.write(mixed, java.util.Arrays.asList(
+      """{"image_path": "a.jpg", "aesthetic_score": 0.9}""",
+      """{"image_path": "b.jpg", "aesthetic_score": NOT_JSON}""",
+      """{"image_path": "c.jpg", "aesthetic_score": 0.4}"""))
+    val (good, bad) = Sources.jsonListPermissive(spark, Seq(mixed.toString),
+      "image_path STRING, aesthetic_score DOUBLE")
+    assert(good.count() === 2)
+    assert(good.columns.toSeq === Seq("image_path", "aesthetic_score"))
+    assert(bad.count() === 1)
+    assert(bad.collect()(0).getString(0).contains("NOT_JSON"))
+  }
+
   test("S8: headered CSV with schema (selected_tags shape)") {
     val df = Sources.csvWithHeader(spark, dir.resolve("vocab.csv").toString,
       "tag_id LONG, name STRING, category INT, count LONG")
