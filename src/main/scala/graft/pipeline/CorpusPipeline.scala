@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Hashing, Materialize, TextAnalysis}
+import graft.ops.{Dedup, Hashing, Materialize, PrefixSum, TextAnalysis}
 
 /** End-to-end LLM training-corpus preparation — the LLM-side flagship
   * assembly, the analogue of [[ModernPipeline]] for the anime chain: one
@@ -40,7 +40,8 @@ object CorpusPipeline {
       dupChunkMax: Double = 0.3,
       repBigramMax: Double = 0.9,
       quotaPerLang: Int = 50,
-      chunkBudget: Int = 2048)
+      chunkBudget: Int = 2048,
+      packBucketDocs: Long = 4096L)
 
   private def toks(df: DataFrame): DataFrame =
     df.select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
@@ -81,26 +82,31 @@ object CorpusPipeline {
   }
 
   /** Deterministic per-language quota (q83 semantics): hash-ordered
-    * rank-limit — reproducible across engines, runs, and retries. */
-  def sample(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(Hashing.hash31(col("doc_id").cast("string")), col("doc_id"))
-    docs.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= cfg.quotaPerLang).drop("rnk")
-  }
+    * rank-limit — reproducible across engines, runs, and retries.
+    * Runs through the two-phase [[graft.plans.TopKPerGroup]] heap
+    * operator: each map task pre-cuts its partition to ≤ quota rows per
+    * language below the exchange, so the dominant language of a real
+    * corpus never serializes through one sorting window task. */
+  def sample(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    graft.plans.TopK.perGroup(
+        docs.withColumn("smp_h", Hashing.hash31(col("doc_id").cast("string"))),
+        Seq("lang"), Seq(("smp_h", true), ("doc_id", true)), cfg.quotaPerLang)
+      .drop("smp_h")
 
   /** Token-budget chunk assignment (q84 semantics): concat-then-cut per
-    * language in doc order. Output adds n_toks, chunk_id, chunk_offset. */
-  def pack(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("n_toks", size(TextAnalysis.toks(col("text"))).cast("long"))
-      .withColumn("pre", sum("n_toks").over(w) - col("n_toks"))
+    * language in doc order. Output adds n_toks, chunk_id, chunk_offset.
+    * The token ledger is the two-phase [[PrefixSum.exclusiveRunningSum]]
+    * — per-(lang, id-bucket) subtotals, broadcast offsets, bounded
+    * within-bucket windows — NOT a per-language unbounded window, so the
+    * dominant language of a real corpus never serializes its whole token
+    * ledger through one task. */
+  def pack(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    PrefixSum.exclusiveRunningSum(
+        docs.withColumn("n_toks", size(TextAnalysis.toks(col("text"))).cast("long")),
+        "lang", "doc_id", "n_toks", "pre", cfg.packBucketDocs)
       .withColumn("chunk_id", expr(s"pre div ${cfg.chunkBudget}"))
       .withColumn("chunk_offset", col("pre") % cfg.chunkBudget)
       .drop("pre")
-  }
 
   /** The full chain. Output: (doc_id, lang, n_toks, chunk_id,
     * chunk_offset), one row per surviving document. */

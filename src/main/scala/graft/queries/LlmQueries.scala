@@ -81,12 +81,15 @@ object LlmQueries {
   /** The MinHash index CTE chain ({p}tok → {p}th → {p}sh → {p}sig →
     * {p}bands) over a `(doc_id, text)` CTE named `srcCte` — the DuckDB
     * spelling of [[Dedup.shingleBandIndex]], prefixable so q82 can build
-    * TWO indexes (corpus + batch) in one statement. */
-  private def mhIndexCtes(srcCte: String, p: String): String = {
-    val mh = Dedup.minhashSigSql("hs", MinhashK).zipWithIndex
+    * TWO indexes (corpus + batch) in one statement; (k, nBands)
+    * parameterized so q87 can trade rows-per-band for link recall. */
+  private def mhIndexCtes(srcCte: String, p: String,
+      k: Int = MinhashK, nBands: Int = LshBands): String = {
+    val rows = k / nBands
+    val mh = Dedup.minhashSigSql("hs", k).zipWithIndex
       .map { case (e, i) => s"$e AS m${i + 1}" }.mkString(",\n      |    ")
-    val bands = (0 until LshBands).map { b =>
-      val parts = (1 to LshRows).map(i => s"m${b * LshRows + i}")
+    val bands = (0 until nBands).map { b =>
+      val parts = (1 to rows).map(i => s"m${b * rows + i}")
       s"SELECT doc_id, $b AS band, ${Hashing.mix31Sql(parts)} AS bh FROM ${p}sig"
     }.mkString("\n      |  UNION ALL\n      |  ")
     s"""${p}tok AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM $srcCte),
@@ -104,8 +107,9 @@ object LlmQueries {
     * text)` CTE named `srcCte`: index CTEs + ok → capped → cand → j,
     * where `j` holds (doc_a, doc_b, jaccard). Shared by q41 (pair
     * output), q78/q79 (clusters), and q86 (full corpus pipeline). */
-  private def pairCtes(srcCte: String): String =
-    s"""${mhIndexCtes(srcCte, "")},
+  private def pairCtes(srcCte: String, k: Int = MinhashK,
+      nBands: Int = LshBands): String =
+    s"""${mhIndexCtes(srcCte, "", k, nBands)},
       |ok AS (SELECT band, bh FROM bands GROUP BY band, bh HAVING count(*) <= $MaxBucket),
       |capped AS (SELECT b.* FROM bands b JOIN ok USING (band, bh)),
       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -228,6 +232,63 @@ object LlmQueries {
         substring(min(when(col("doc_id") === col("cluster_id"), col("text"))),
           1, 30).as("kept_prefix"))
       .orderBy(col("keep_id"))
+  }
+
+  // ---- Q87: DEEP-chain dedup clusters (star-contraction CC) ----
+
+  private val ChainW = 24 // tokens per sliding window
+  private val ChainS = 4  // window step
+  private val ChainL = 10 // links per chain
+
+  /** Adversarially DEEP duplicate chains: each source doc becomes $ChainL
+    * overlapping token windows (step $ChainS of width $ChainW) — adjacent
+    * windows share ${ChainW - ChainS} tokens (high Jaccard, always a
+    * pair), windows two+ steps apart fall under the 0.5 threshold, so the
+    * TRUE component is a length-$ChainL path, not a star/clique like
+    * q78's. Clusters are closed with [[Dedup.connectedComponentsStar]]
+    * (large-star/small-star contraction, O(log n) rounds on any shape) —
+    * min-label propagation would need O(chain length) rounds here, which
+    * is exactly the case the star variant exists for. LSH uses 6 bands ×
+    * 2 rows (vs q41's 4×3) because link Jaccard ≈ 0.6 needs the gentler
+    * band exponent for recall; the oracle re-runs the identical banding
+    * and closes the same pairs with a recursive CTE. */
+  val q87 = Q("q87_dedup_chains_star",
+    s"""WITH RECURSIVE corpus AS (
+      |  SELECT doc_id + (j + 1) * 100000 AS doc_id,
+      |    array_to_string((toks)[j*$ChainS + 1 : j*$ChainS + $ChainW], ' ') AS text
+      |  FROM (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM documents
+      |        WHERE doc_id % 5 = 0) t,
+      |       range(0, $ChainL) r(j)
+      |  WHERE len(toks) >= ${ChainW + (ChainL - 1) * ChainS}),
+      |${pairCtes("corpus", MinhashK, 6)},
+      |$ccCtes,
+      |assign AS (SELECT c.doc_id, coalesce(k.cluster_id, c.doc_id) AS cluster_id
+      |           FROM corpus c LEFT JOIN cc k ON k.node = c.doc_id)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM assign
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val need = ChainW + (ChainL - 1) * ChainS
+    val corpus = Tables.documents(s, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= need)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), lit(ChainL - 1))).as("j"))
+      .select((col("doc_id") + (col("j") + 1) * 100000L).as("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("j") * ChainS + 1, lit(ChainW)))
+          .as("text"))
+    val pairs = Dedup.nearDupPairs(toks(corpus), "doc_id", "toks",
+      Hashing.DefaultTokHash, n = 3, k = MinhashK, bands = 6,
+      threshold = 0.5, maxBucket = MaxBucket)
+    val cc = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    corpus.select(col("doc_id")).join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
   }
 
   // ---- Q42: SimHash near-dup ----
@@ -657,10 +718,15 @@ object LlmQueries {
     * Deterministic pseudo-random order via the oracle-portable hash of the
     * doc id (NOT rand(): reproducible across engines, runs, and retries —
     * what a production pipeline wants anyway so a re-run ships the same
-    * dataset), then keep the first 20 per language. The rank-limit shape
-    * is exactly what [[graft.plans.RankLimitRewrite]] turns into the
-    * two-phase heap operator under GraftExtensions — O(k) memory per
-    * group instead of a per-group sort. */
+    * dataset), then keep the first 20 per language. SHIPPED through the
+    * two-phase [[graft.plans.TopKPerGroup]] heap operator directly (not
+    * just when [[graft.plans.RankLimitRewrite]] is installed): the map
+    * side cuts each partition to ≤ 20 rows per language BELOW the
+    * exchange, so the dominant language never funnels its full corpus
+    * through one sorting task — at 100× scale the window spelling
+    * serializes most of the data through the biggest language's single
+    * window partition. The rank is recomputed by a window AFTER the cut,
+    * over ≤ 20·languages rows — trivially small by construction. */
   val q83 = Q("q83_stratified_sample",
     s"""WITH h AS (SELECT doc_id, lang,
       |  ${Hashing.hash31Sql("CAST(doc_id AS VARCHAR)")} AS h FROM documents),
@@ -668,12 +734,13 @@ object LlmQueries {
       |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk FROM h)
       |SELECT lang, rnk, doc_id, h FROM r WHERE rnk <= 20
       |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, dir)
+    val h = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         Hashing.hash31(col("doc_id").cast("string")).as("h"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 20)
+    val top = graft.plans.TopK.perGroup(h, Seq("lang"),
+      Seq(("h", true), ("doc_id", true)), 20)
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    top.withColumn("rnk", row_number().over(w))
       .select(col("lang"), col("rnk"), col("doc_id"), col("h"))
       .orderBy(col("lang"), col("rnk"))
   }
@@ -685,9 +752,12 @@ object LlmQueries {
   /** Pack documents into fixed-token-budget training chunks: concatenate
     * per language in doc order, cut every $ChunkBudget tokens (chunk_id =
     * preceding-token-count div budget — the concat-then-chunk packing
-    * used for LLM pretraining). Pure integer window arithmetic: one
-    * running sum per language partition, no shuffle beyond the window's
-    * partition exchange. */
+    * used for LLM pretraining). The running token ledger is the two-phase
+    * [[graft.ops.PrefixSum.exclusiveRunningSum]] — per-(lang, id-bucket)
+    * subtotals, broadcast offsets, bounded within-bucket windows — so the
+    * dominant language never serializes through one task; the ORACLE
+    * spells the single unbounded window, proving the two-phase sum is
+    * bit-identical. */
   val q84 = Q("q84_sequence_pack",
     s"""WITH tok AS (SELECT doc_id, lang, ${TextAnalysis.toksSql} AS toks FROM documents),
       |t AS (SELECT doc_id, lang, len(toks) AS n_toks FROM tok),
@@ -698,12 +768,10 @@ object LlmQueries {
       |SELECT doc_id, lang, n_toks, CAST(pre // $ChunkBudget AS BIGINT) AS chunk_id,
       |  CAST(pre % $ChunkBudget AS BIGINT) AS chunk_offset
       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val t = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(TextAnalysis.toks(col("text"))).cast("long").as("n_toks"))
-      .withColumn("pre", sum("n_toks").over(w) - col("n_toks"))
+    graft.ops.PrefixSum.exclusiveRunningSum(t, "lang", "doc_id", "n_toks", "pre")
       .select(col("doc_id"), col("lang"), col("n_toks"),
         expr(s"pre div $ChunkBudget").as("chunk_id"),
         (col("pre") % ChunkBudget).as("chunk_offset"))
@@ -827,5 +895,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86)
+    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87)
 }

@@ -287,7 +287,7 @@ object Relational {
   }
 
   /** A4: exact distinct counts per group (DuckDB-checkable; the
-    * approx_count_distinct variant is q93, rows-only). */
+    * approximate-sketch variant is q66's KMV estimator). */
   val q13 = Q("q13_distinct_count",
     """SELECT l_returnflag,
       |  count(DISTINCT l_partkey) AS n_parts,
@@ -451,15 +451,58 @@ object Relational {
       .orderBy(col("flag"), col("status"))
   }
 
-  /** HLL sketch surface: approx_count_distinct next to the exact count.
-    * No oracle — Spark's HLL++ and DuckDB's HLL give different estimates
-    * by construction; driver records the rows-only check. */
-  val q66 = Q.noOracle("q66_approx_distinct") { (s, dir) =>
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-      .orderBy(col("l_returnflag"))
+  /** Approximate-distinct sketch surface, ORACLE-PORTABLE spelling: a KMV
+    * (k-minimum-values) estimator over [[graft.ops.Hashing.hash31]] instead
+    * of approx_count_distinct — Spark's HLL++ and DuckDB's HLL sketches can
+    * never hash-match across engines, but KMV over the shared portable hash
+    * is bit-identical: both engines keep the k smallest distinct hash
+    * values and estimate D ≈ (k-1)·P31 div kth_min (integer division, so
+    * no float drift). distinct < k falls back to the exact stored count —
+    * the standard KMV small-cardinality exact regime.
+    *
+    * Scale shape: the sketch is one narrow distinct on (group, hash) —
+    * partial-aggregated map-side — then the k-smallest per group go
+    * through the two-phase [[graft.plans.TopKPerGroup]] heap operator
+    * (≤ k·groups rows past the exchange), NOT a per-group sort. The exact
+    * count_distinct column rides along for the error comparison. */
+  val q66 = {
+    val K = 64
+    val P = graft.ops.Hashing.P31
+    Q("q66_approx_distinct",
+      s"""WITH h AS (SELECT DISTINCT l_returnflag,
+        |    ${graft.ops.Hashing.hash31Sql("CAST(l_partkey AS VARCHAR)")} AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn FROM h),
+        |s AS (SELECT l_returnflag, count(*) AS n_h, max(h) AS kth
+        |      FROM r WHERE rn <= $K GROUP BY l_returnflag),
+        |e AS (SELECT l_returnflag,
+        |        CASE WHEN n_h < $K THEN n_h
+        |             ELSE (${K - 1}::BIGINT * ${P}::BIGINT) // kth END AS kmv_parts
+        |      FROM s),
+        |x AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts
+        |      FROM lineitem GROUP BY l_returnflag)
+        |SELECT e.l_returnflag, CAST(kmv_parts AS BIGINT) AS kmv_parts, exact_parts
+        |FROM e JOIN x USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val dh = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          graft.ops.Hashing.hash31(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+      val sketch = graft.plans.TopK
+        .perGroup(dh, Seq("l_returnflag"), Seq(("h", true)), K)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_h"), max(col("h")).as("kth"))
+        .select(col("l_returnflag"),
+          when(col("n_h") < K, col("n_h"))
+            .otherwise(expr(s"(${K - 1}L * ${P}L) div kth")).cast("long")
+            .as("kmv_parts"))
+      val exact = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      sketch.join(exact, Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }
   }
 
   /** Range join (operator Spark plans as a nested-loop theta join): event

@@ -93,6 +93,26 @@ class TopKPerGroupSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-contract q83 ships the two-phase heap operator") {
+    // The driver's Bench/Verify sessions are built plain (no
+    // GraftExtensions), so q83 must compose TopKPerGroup DIRECTLY — this
+    // asserts the executed plan on the driver path, not a library path.
+    val q83 = Queries.byName("q83_stratified_sample").fn(spark, TestSpark.Sf0001)
+    q83.count()
+    val plan = q83.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"q83 lost the heap operator:\n$plan")
+    assert(plan.contains("TopKPartial"))
+    // the only Window left is the rank recompute over ≤ k·languages rows,
+    // ABOVE the top-k cut (appears before it in the plan tree print)
+    assert(plan.indexOf("Window") < plan.indexOf("TopKPerGroup"))
+    // CorpusPipeline.sample ships the same operator
+    val s = graft.pipeline.CorpusPipeline.sample(
+      Tables.documents(spark, TestSpark.Sf0001))
+    s.count()
+    val sPlan = s.queryExecution.executedPlan.toString
+    assert(sPlan.contains("TopKPerGroup") && !sPlan.contains("Window"))
+  }
+
   test("k larger than group size returns whole groups") {
     val src = Tables.nation(spark, TestSpark.Sf0001)
       .select(col("n_regionkey"), col("n_nationkey"))
