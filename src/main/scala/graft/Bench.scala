@@ -27,15 +27,31 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] entry warmup skipped: $e") }
     try graft.streaming.EventStream.hourlyAvailableNow(spark, warmDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] streaming warmup skipped: $e") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      math.rint((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jsonMap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Same-window contention evidence: a 5-query canary subset timed at
+    // the START and again at the END of the run. Host contention (the
+    // 1.5–3× swings BASELINE.md documents) shows up as a start/end delta
+    // INSIDE this artifact, so a slow total is attributable without
+    // cross-round prose.
+    val canaryNames = Seq("q01_pricing_summary", "q41_minhash_lsh",
+      "q54_modern_pipeline", "q80_tf_rarity", "q85_kmeans_ivf")
+    val canaryStart = canaryNames.map(n => n -> timeOne(n))
+    val results = SparkEntry.queries.keys.toSeq.map(n => n -> timeOne(n))
+    val canaryEnd = canaryNames.map(n => n -> timeOne(n))
+    val total = math.rint(results.map(_._2).sum * 1e3) / 1e3
+    // headline keys LAST: the driver records a bounded tail of stdout, so
+    // the total/sf/canary fields must survive truncation from the left.
+    println(s"""{"queries":${jsonMap(results)},""" +
+      s""""canary_start":${jsonMap(canaryStart)},""" +
+      s""""canary_end":${jsonMap(canaryEnd)},""" +
+      s""""metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -560,6 +560,106 @@ object LlmQueries {
     Similarity.embedNearDupPairs(base.unionByName(mut), NearDupPlanes, 0.95)
   }
 
+  // ---- Q88: IVF bucket-partitioned ANN probe (the stored-layout path) ----
+
+  /** Drives [[Similarity.writeBucketed]]/[[Similarity.probeBucketed]] — the
+    * 100 TB ANN layout — as a driver query: write the embeddings as a
+    * parquet tree PARTITIONED BY LSH bucket code, then probe it per query
+    * vector; the `bkt = literal` filter is pure Catalyst partition pruning
+    * (PruningSpec asserts PartitionFilters on this exact path), so each
+    * probe reads ONLY its bucket's files. The query set (vec_id % 200) is
+    * collected driver-side — it is the handful of probe vectors, tiny by
+    * contract, exactly like a literal query embedding arriving from a
+    * user. The oracle recomputes bucket codes and ranks in-bucket cosine
+    * — top-k per probe must match file-layout pruning bit-for-bit. */
+  val q88 = Q("q88_ivf_probe",
+    s"""WITH b AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    ${Similarity.lshBucketSql("embedding", AnnPlanes)} AS bkt,
+      |    ${Similarity.normSql("embedding", 64)} AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, bkt AS qbkt, nrm AS qn
+      |      FROM b WHERE vec_id % 200 = 0),
+      |c AS (SELECT qid, b.vec_id,
+      |        ${Similarity.dotSql("qv", "b.v", 64)} / (qn * nrm) AS sim
+      |      FROM q JOIN b ON b.bkt = q.qbkt),
+      |r AS (SELECT qid, vec_id, sim,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |      FROM c)
+      |SELECT qid, rn AS rnk, vec_id, round(sim, 6) AS cosine
+      |FROM r WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    val path = s"/tmp/graft_ivf_${new java.io.File(dir).getName}"
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    Similarity.writeBucketed(vecs, AnnPlanes, path)
+    val probes = vecs.filter(col("vec_id") % 200 === 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
+      .sortBy(_._1)
+    val perProbe = probes.map { case (qid, qv) =>
+      Similarity.probeBucketed(s, path, qv, AnnPlanes, 5)
+        .select(lit(qid).as("qid"), col("vec_id"), col("sim"))
+    }
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    perProbe.reduce(_ unionByName _)
+      .withColumn("rnk", row_number().over(w)) // over ≤ k rows per probe
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        round(col("sim"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  // ---- Q89: streaming ingestion gate (DocIngest over the corpus index) ----
+
+  /** [[graft.streaming.DocIngest.ingestAvailableNow]] as a driver query:
+    * the documents table arrives as a FILE STREAM, each micro-batch is
+    * probed (broadcast, no corpus shuffle) against the stored index of
+    * the even-id half of the corpus inside foreachBatch, and the
+    * clean/duplicate split is read back from the two output tables. Even
+    * docs are self-duplicates (jaccard 1.0, dup_of = self), odd docs pass
+    * unless they genuinely near-match an even doc — the oracle re-runs
+    * the identical probe as the q82-shaped batch SQL, proving
+    * stream/batch agreement for the ingestion gate. */
+  val q89 = Q("q89_stream_ingest",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (SELECT doc_id, text FROM documents),
+      |${mhIndexCtes("corpus", "c")},
+      |${mhIndexCtes("batch", "b")},
+      |ok AS (SELECT band, bh FROM cbands GROUP BY band, bh HAVING count(*) <= $MaxBucket),
+      |capped AS (SELECT c.* FROM cbands c JOIN ok USING (band, bh)),
+      |cand AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      |         FROM bbands b JOIN capped c USING (band, bh)),
+      |v AS (SELECT batch_id, corpus_id,
+      |        round(${Dedup.jaccardSql("bs.hs", "cs.hs")}, 6) AS jaccard
+      |      FROM cand JOIN bsh bs ON bs.doc_id = batch_id
+      |                JOIN csh cs ON cs.doc_id = corpus_id),
+      |f AS (SELECT batch_id, corpus_id, jaccard,
+      |        row_number() OVER (PARTITION BY batch_id
+      |          ORDER BY jaccard DESC, corpus_id) AS rn
+      |      FROM v WHERE jaccard >= 0.5),
+      |m AS (SELECT batch_id, corpus_id AS dup_of, jaccard FROM f WHERE rn = 1)
+      |SELECT b.doc_id, m.dup_of, m.jaccard, m.dup_of IS NOT NULL AS is_dup
+      |FROM batch b LEFT JOIN m ON m.batch_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val out = s"/tmp/graft_ingest_${new java.io.File(dir).getName}"
+    // append-mode sinks: wipe between calls so a re-run starts clean
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(out))
+    val corpus = Tables.documents(s, dir)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val (clean, dups) =
+      graft.streaming.DocIngest.ingestAvailableNow(s, corpus, dir, out)
+    clean.select(col("doc_id"),
+        lit(null).cast("long").as("dup_of"),
+        lit(null).cast("double").as("jaccard"),
+        lit(false).as("is_dup"))
+      .unionByName(dups.select(col("batch_id").as("doc_id"), col("dup_of"),
+        col("jaccard"), lit(true).as("is_dup")))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Q76: PII redaction scrub pass ----
 
   /** Training-data scrubbing: plant a deterministic e-mail + phone per
@@ -895,5 +995,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87)
+    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89)
 }
