@@ -67,6 +67,32 @@ object Tagger {
     def scoreBatch(keys: Seq[String]): Seq[Seq[Double]] = keys.map(inner.confidences)
   }
 
+  /** Tensor-input batch scorer — the contract a REAL ONNX session
+    * implements: one float32 HWC tensor per image (the batch Seq is the
+    * NHWC batch dimension), one confidence row per tensor, in order.
+    * Fed by [[ImagePreproc.scoreImagesDF]] with real decoded pixels;
+    * only the model behind this trait is out of the data plane. */
+  trait TensorBatchScorer extends Serializable {
+    def vocab: Seq[String]
+    def scoreBatch(tensors: Seq[Array[Float]]): Seq[Seq[Double]]
+  }
+
+  /** Deterministic stand-in model (no ONNX runtime in this container):
+    * conf(tensor, tag_j) = hash-mix of the tensor's exact integer pixel
+    * sum with j — a pure function of the REAL preprocessed pixels, so
+    * golden tests pin end-to-end decode → preprocess → score values. */
+  final class StubTensorScorer(val vocab: Seq[String]) extends TensorBatchScorer {
+    def scoreBatch(tensors: Seq[Array[Float]]): Seq[Seq[Double]] =
+      tensors.map { t =>
+        var s = 0L
+        var i = 0
+        while (i < t.length) { s += t(i).toLong; i += 1 } // exact: uint8 values
+        vocab.indices.map { j =>
+          ((s * Hashing.MixA + j) % Hashing.P31).toDouble / Hashing.P31
+        }
+      }
+  }
+
   /** U1 integration path: score every row's `keyCol` against the scorer's
     * vocabulary via mapPartitions (scorer constructed once per partition),
     * producing (key, tags array<struct<tag, conf>>). */
