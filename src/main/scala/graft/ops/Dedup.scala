@@ -337,18 +337,27 @@ object Dedup {
     // the loop below only runs its one confirming round for them.
     var labels = mat(edges.groupBy("dst").agg(min("src").as("m"))
       .select(col("dst").as("node"), least(col("dst"), col("m")).as("lbl")))
-    var done = false
+    // Convergence via the monotone label invariant instead of a per-round
+    // join: min-label propagation only ever DECREASES labels and the node
+    // set is fixed, so sum(lbl) strictly decreases on any change and the
+    // fixpoint is exactly "sum unchanged". One partial-aggregated scalar
+    // per round (no shuffle) replaces the old labels⋈next changed-count
+    // join, which shuffled both label tables every round.
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("lbl")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = sig(labels)
+    var done = prev._1 == 0L // no edges → nothing to propagate
     var round = 0
     while (!done && round < maxRounds) {
       val viaNeighbor = edges.join(labels, edges("src") === labels("node"))
         .select(edges("dst").as("node"), labels("lbl"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("node").agg(min("lbl").as("lbl"))
-      val changed = next
-        .join(labels.select(col("node"), col("lbl").as("prev")), "node")
-        .filter(col("lbl") =!= col("prev")).count()
-      if (changed == 0L) done = true // next ≡ labels: keep the materialized one
-      else labels = mat(next) // materialize only label tables that moved
+      val next = mat(labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("lbl").as("lbl")))
+      val cur = sig(next)
+      labels = next
+      if (cur == prev) done = true else prev = cur
       round += 1
     }
     require(done, s"connectedComponents did not converge in $maxRounds rounds")
@@ -384,6 +393,10 @@ object Dedup {
       .filter(col("hi") =!= col("lo")).distinct())
     var done = false
     var round = 0
+    // one count job per round: the previous round's next.count() IS this
+    // round's edges.count(); the subset probe only runs on count equality
+    var edgeCount = edges.count()
+    done = edgeCount == 0L
     while (!done && round < maxRounds) {
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
@@ -400,9 +413,11 @@ object Dedup {
         .unionByName(withS.filter(col("lo") =!= col("m"))
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct())
-      val same = next.count() == edges.count() &&
+      val nextCount = next.count()
+      // equal-size distinct sets are equal iff next ⊆ edges
+      val same = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0L
-      if (same) done = true else edges = next
+      if (same) done = true else { edges = next; edgeCount = nextCount }
       round += 1
     }
     require(done, s"connectedComponentsStar did not converge in $maxRounds rounds")
