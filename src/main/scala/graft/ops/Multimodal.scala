@@ -127,6 +127,74 @@ object Multimodal {
       b.length >= 10 && u8(b, 0) == 'G' && u8(b, 1) == 'I' && u8(b, 2) == 'F' &&
         u8(b, 3) == '8' && (u8(b, 4) == '7' || u8(b, 4) == '9') && u8(b, 5) == 'a'
 
+    /** Count the top-level image descriptors (0x2C) of a GIF — the REAL
+      * animation frame count, by walking the block structure: header +
+      * logical screen descriptor (+ global color table), then extension
+      * blocks (0x21, length-prefixed sub-blocks), image descriptors
+      * (0x2C: 9-byte descriptor + optional local color table + LZW min
+      * code byte + data sub-blocks), trailer (0x3B). Malformed → None. */
+    def gifFrames(b: Array[Byte]): Option[Int] = {
+      if (!isGif(b)) return None
+      var i = 13 // header(6) + logical screen descriptor(7)
+      val packed = u8(b, 10)
+      if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 0x07) + 1)) // global color table
+      var frames = 0
+      def skipSubBlocks(): Boolean = {
+        while (i < b.length && u8(b, i) != 0) {
+          i += 1 + u8(b, i)
+          if (i > b.length) return false
+        }
+        if (i >= b.length) return false
+        i += 1 // block terminator
+        true
+      }
+      while (i < b.length) {
+        u8(b, i) match {
+          case 0x3b => return if (frames > 0) Some(frames) else None // trailer
+          case 0x21 => // extension: label byte then sub-blocks
+            i += 2
+            if (!skipSubBlocks()) return None
+          case 0x2c => // image descriptor
+            if (i + 10 > b.length) return None
+            val lp = u8(b, i + 9)
+            i += 10
+            if ((lp & 0x80) != 0) i += 3 * (1 << ((lp & 0x07) + 1)) // local color table
+            i += 1 // LZW minimum code size
+            if (!skipSubBlocks()) return None
+            frames += 1
+          case _ => return None // desync → corrupt
+        }
+      }
+      None // ran off the end without a trailer
+    }
+
+    /** WAV (RIFF) audio metadata: (sample_rate, n_samples) from the fmt
+      * and data chunks — real chunk walking, no codec. */
+    def wavMeta(b: Array[Byte]): Option[(Int, Int)] = {
+      def le32(i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8) |
+        (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+      def tag(i: Int, t: String): Boolean =
+        i + 4 <= b.length && (0 until 4).forall(j => u8(b, i + j) == t.charAt(j))
+      if (b == null || b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+      var i = 12
+      var rate = 0
+      var blockAlign = 0
+      while (i + 8 <= b.length) {
+        val size = le32(i + 4)
+        if (size < 0) return None
+        if (tag(i, "fmt ")) {
+          if (i + 8 + 16 > b.length) return None
+          rate = le32(i + 12)
+          blockAlign = le16(b, i + 20)
+        } else if (tag(i, "data")) {
+          if (rate <= 0 || blockAlign <= 0) return None
+          return Some((rate, size / blockAlign))
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+
     /** Walk JPEG marker segments to the first SOFn frame header. */
     private def jpegDims(b: Array[Byte]): Option[(String, Int, Int)] = {
       var i = 2
@@ -150,6 +218,26 @@ object Multimodal {
       }
       None
     }
+  }
+
+  /** REAL cross-media decoder — the "image/audio/video as opaque binary +
+    * typed metadata" surface in one Decoder: image headers (JPEG/PNG/GIF
+    * dims via [[HeaderDecoder.sniff]]), GIF ANIMATION frame counts
+    * (real block walk — the n_frames that [[frameSampleIndices]]
+    * consumes), and WAV audio (sample_rate + sample count from the RIFF
+    * chunk list). All pure JVM byte reads that stop early — the 100 TB
+    * metadata pass never touches pixel/sample payloads. */
+  final class MediaDecoder extends Decoder {
+    def decode(path: String, bytes: Array[Byte]): Option[Decoded] =
+      HeaderDecoder.sniff(bytes) match {
+        case Some((mime @ "image/gif", w, h)) =>
+          Some(Decoded(mime, w, h, HeaderDecoder.gifFrames(bytes).getOrElse(1), 0))
+        case Some((mime, w, h)) => Some(Decoded(mime, w, h, 1, 0))
+        case None =>
+          HeaderDecoder.wavMeta(bytes).map { case (rate, samples) =>
+            Decoded("audio/wav", 0, 0, samples, rate)
+          }
+      }
   }
 
   /** Column-expression spelling of the stub dims (oracle-portable; equals

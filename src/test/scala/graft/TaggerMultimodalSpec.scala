@@ -97,6 +97,51 @@ class TaggerMultimodalSpec extends AnyFunSuite {
       out(2).getInt(2) === 17 && out(2).getInt(3) === 31)
   }
 
+  test("multimodal: MediaDecoder — animated-GIF frame counts + WAV audio meta") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val d = Files.createTempDirectory("graft_media")
+    def img(w: Int, h: Int, c: Int) = {
+      val i = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) i.setRGB(x, y, c)
+      i
+    }
+    // 3-frame animated GIF via the JDK's own sequence writer
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(d.resolve("1_anim.gif").toFile)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    Seq(0xff0000, 0x00ff00, 0x0000ff).foreach(c =>
+      writer.writeToSequence(new javax.imageio.IIOImage(img(12, 9, c), null, null), null))
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    // single-frame GIF
+    ImageIO.write(img(7, 5, 0x123456), "gif", d.resolve("2_still.gif").toFile)
+    // canonical PCM WAV: 16 kHz, mono, 16-bit, 1234 samples
+    val (rate, samples, blockAlign) = (16000, 1234, 2)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples * blockAlign)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + samples * blockAlign); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16); bb.putShort(1); bb.putShort(1)
+    bb.putInt(rate); bb.putInt(rate * blockAlign); bb.putShort(blockAlign.toShort)
+    bb.putShort(16); bb.put("data".getBytes); bb.putInt(samples * blockAlign)
+    Files.write(d.resolve("3_tone.wav"), bb.array())
+    Files.write(d.resolve("4_junk.wav"), "RIFFnot really wave data".getBytes(UTF_8))
+    val out = Multimodal.decodeDF(
+        Multimodal.loadBinaryDir(spark, d.toString, glob = "*.{gif,wav}"),
+        () => new Multimodal.MediaDecoder)
+      .select(regexp_extract(col("path"), "([0-9]+)_", 1).cast("int").as("id"),
+        col("mime"), col("width"), col("height"), col("n_frames"),
+        col("sample_rate"), col("ok"))
+      .orderBy(col("id")).collect()
+    assert(out.map(r => (r.getInt(0), r.getBoolean(6))).toSeq ===
+      Seq((1, true), (2, true), (3, true), (4, false)))
+    assert(out(0).getString(1) === "image/gif" && out(0).getInt(2) === 12 &&
+      out(0).getInt(3) === 9 && out(0).getInt(4) === 3) // real frame count
+    assert(out(1).getString(1) === "image/gif" && out(1).getInt(4) === 1)
+    assert(out(2).getString(1) === "audio/wav" && out(2).getInt(5) === rate &&
+      out(2).getInt(4) === samples)
+  }
+
   test("multimodal: frame sampling every k-th frame") {
     val r = Seq(10).toDF("n")
       .select(Multimodal.frameSampleIndices(col("n"), 3).as("f")).collect()(0).getSeq[Int](0)
