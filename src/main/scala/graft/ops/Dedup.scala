@@ -300,6 +300,51 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id").as("dup_of"), col("jaccard"))
   }
 
+  // ---- persisted index lifecycle (the production ingestion shape) ----
+
+  /** Index format version written by [[writeIndex]] / required by
+    * [[loadIndex]]. Bump on any change to the shingle/band table schemas
+    * or hashing so an old stored index fails FAST at load instead of
+    * silently matching nothing. */
+  val IndexFormatVersion = 1
+
+  /** A [[shingleBandIndex]] loaded from disk, with the signature
+    * parameters it was built with — probe with THESE (n, k, bands), not
+    * the caller's defaults: mismatched parameters produce disjoint band
+    * hashes and a probe that silently finds no duplicates. */
+  final case class StoredIndex(shingles: org.apache.spark.sql.DataFrame,
+      bands: org.apache.spark.sql.DataFrame, n: Int, k: Int, bandCount: Int)
+
+  /** Persist a built [[shingleBandIndex]] as two parquet tables plus a
+    * one-row version/params manifest — the 100 TB lifecycle: the corpus
+    * index is built ONCE, stored, and every later ingestion run (batch
+    * [[probeIndex]] or the streaming gate
+    * [[graft.streaming.DocIngest]]) loads and probes it with zero corpus
+    * recompute. */
+  def writeIndex(csh: org.apache.spark.sql.DataFrame,
+      cbands: org.apache.spark.sql.DataFrame, path: String,
+      n: Int = 3, k: Int = 12, bands: Int = 4): Unit = {
+    csh.write.mode("overwrite").parquet(s"$path/shingles")
+    cbands.write.mode("overwrite").parquet(s"$path/bands")
+    val spark = csh.sparkSession
+    import spark.implicits._
+    Seq((IndexFormatVersion, n, k, bands)).toDF("version", "n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeIndex]] layout, failing fast on a format-version
+    * mismatch. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): StoredIndex = {
+    val m = spark.read.parquet(s"$path/meta")
+      .select("version", "n", "k", "bands").head()
+    require(m.getInt(0) == IndexFormatVersion,
+      s"stored index at $path has format version ${m.getInt(0)}; " +
+        s"this build reads version $IndexFormatVersion — rebuild the index")
+    StoredIndex(spark.read.parquet(s"$path/shingles"),
+      spark.read.parquet(s"$path/bands"), m.getInt(1), m.getInt(2), m.getInt(3))
+  }
+
   /** Connected components over an undirected pair list — the cluster
     * assignment a dedup pipeline runs AFTER pair generation
     * ([[nearDupPairs]]): near-duplication is transitive in intent (A≈B and
@@ -337,14 +382,18 @@ object Dedup {
     // the loop below only runs its one confirming round for them.
     var labels = mat(edges.groupBy("dst").agg(min("src").as("m"))
       .select(col("dst").as("node"), least(col("dst"), col("m")).as("lbl")))
-    // Convergence via the monotone label invariant instead of a per-round
-    // join: min-label propagation only ever DECREASES labels and the node
-    // set is fixed, so sum(lbl) strictly decreases on any change and the
-    // fixpoint is exactly "sum unchanged". One partial-aggregated scalar
-    // per round (no shuffle) replaces the old labels⋈next changed-count
+    // Convergence via a content signature instead of a per-round join:
+    // the node set is fixed and each node carries exactly one label, so
+    // the label table changed iff the XOR of per-row hashes changed
+    // (rows are unique (node, lbl) pairs, so the XOR is a set signature;
+    // a missed change needs a 2^-64 hash coincidence). XOR — unlike a
+    // long SUM of labels — cannot overflow (no ANSI throw, no silent
+    // wrap-to-equal at extreme scale). One partial-aggregated scalar per
+    // round (no shuffle) replaces the old labels⋈next changed-count
     // join, which shuffled both label tables every round.
     def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum("lbl")).head()
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("node"), col("lbl")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prev = sig(labels)

@@ -190,7 +190,13 @@ object Multimodal {
           if (rate <= 0 || blockAlign <= 0) return None
           return Some((rate, size / blockAlign))
         }
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        // advance with a Long bound check: a corrupt chunk size near
+        // Int.MaxValue would overflow `i` negative and index the array at
+        // a negative offset (AIOOBE → task failure, breaking the
+        // malformed→None contract) if added in Int arithmetic
+        val adv = i.toLong + 8L + size + (size & 1) // chunks are word-aligned
+        if (adv > b.length) return None
+        i = adv.toInt
       }
       None
     }

@@ -39,19 +39,26 @@ object PrefixSum {
   def exclusiveRunningSum(df: DataFrame, grp: String, ord: String,
       value: String, out: String, bucketWidth: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val withB = df.withColumn("ps_b", expr(s"$ord div ${bucketWidth}L"))
-    val sub = withB.groupBy(col(grp), col("ps_b"))
-      .agg(sum(col(value)).as("ps_t"))
-    val wOff = Window.partitionBy(col(grp)).orderBy(col("ps_b"))
+    // working-column names must not shadow caller columns: withColumn
+    // silently REPLACES an existing column of the same name, which would
+    // corrupt the join below with no error — uniquify deterministically
+    val taken = df.columns.toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val bC = fresh("ps_b"); val tC = fresh("ps_t"); val offC = fresh("ps_off")
+    val withB = df.withColumn(bC, expr(s"$ord div ${bucketWidth}L"))
+    val sub = withB.groupBy(col(grp), col(bC))
+      .agg(sum(col(value)).as(tC))
+    val wOff = Window.partitionBy(col(grp)).orderBy(col(bC))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off = sub
-      .withColumn("ps_off", sum(col("ps_t")).over(wOff) - col("ps_t"))
-      .select(col(grp), col("ps_b"), col("ps_off"))
-    val wIn = Window.partitionBy(col(grp), col("ps_b")).orderBy(col(ord))
+      .withColumn(offC, sum(col(tC)).over(wOff) - col(tC))
+      .select(col(grp), col(bC), col(offC))
+    val wIn = Window.partitionBy(col(grp), col(bC)).orderBy(col(ord))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    withB.join(broadcast(off), Seq(grp, "ps_b"))
+    withB.join(broadcast(off), Seq(grp, bC))
       .withColumn(out,
-        col("ps_off") + sum(col(value)).over(wIn) - col(value))
-      .drop("ps_b", "ps_off")
+        col(offC) + sum(col(value)).over(wIn) - col(value))
+      .drop(bC, offC)
   }
 }

@@ -182,6 +182,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Probe a [[writeBucketed]] layout with a whole probe SET in ONE plan —
+    * the scale spelling of [[probeBucketed]]: `probes` is `(qid, qv
+    * double[])`; bucket codes and norms derive in-plan, the probe side
+    * BROADCASTS into an equi-join on the layout's partition column, and
+    * Catalyst's dynamic partition pruning turns the join key into a
+    * runtime partition filter on the parquet scan (PruningSpec asserts the
+    * `dynamicpruning` filter) — so only probed buckets are read, the plan
+    * has exactly ONE layout subtree regardless of probe count, and nothing
+    * is collected to the driver. Top-k per probe runs through
+    * [[graft.plans.TopK.perGroup]] (bounded heap, ≤ k rows per probe cross
+    * the exchange), then ranks are numbered over those ≤ k survivors.
+    *
+    * `multiProbe = true` additionally probes every Hamming-1 neighbor
+    * bucket of each query (one hyperplane flipped — the standard LSH
+    * recall booster, see [[annTopKMultiProbe]]): the probe side explodes
+    * to (planes+1) rows per query BEFORE the broadcast, so the join/DPP
+    * shape is unchanged and the partitions read are exactly the probed
+    * bucket set. Each corpus vector lives in exactly one bucket, so no
+    * candidate is seen twice and no dedup stage is needed. Recall ≥
+    * single-probe by construction (AnnRecallSpec measures both paths). */
+  def probeBucketedMany(spark: org.apache.spark.sql.SparkSession, path: String,
+                        probes: DataFrame, planes: Seq[Seq[Int]], k: Int,
+                        multiProbe: Boolean = false): DataFrame = {
+    val layout = spark.read.parquet(path)
+    // partition-column types are directory-inferred (a small bucket code
+    // reads back as int) — cast the PROBE side so the layout's partition
+    // column stays a bare reference, which DPP insertion requires
+    val bktType = layout.schema("bkt").dataType
+    val base = probes.select(col("qid"), col("qv"),
+      lshBucket(col("qv"), planes).as("qb0"), norm(col("qv")).as("qn"))
+    val q = (if (!multiProbe) base.withColumnRenamed("qb0", "qbkt")
+      else base.select(col("qid"), col("qv"), col("qn"),
+        explode(array(col("qb0") +:
+          planes.indices.map(j => col("qb0").bitwiseXOR(lit(1L << j))): _*))
+          .as("qbkt")))
+      .withColumn("qbkt", col("qbkt").cast(bktType))
+    val cand = layout.join(broadcast(q), col("bkt") === col("qbkt"))
+      .select(col("qid"), col("vec_id"),
+        cosinePre(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("sim"))
+    val top = graft.plans.TopK.perGroup(cand, Seq("qid"),
+      Seq(("sim", false), ("vec_id", true)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w)) // over ≤ k rows per probe
+      .select(col("qid"), col("rnk"), col("vec_id"),
+        round(col("sim"), 6).as("cosine"))
+  }
+
   // ---- deterministic integer k-means (IVF centroid training) ----
 
   /** Quantize a float vector to integers: round(x·scale). Exact and

@@ -30,6 +30,19 @@ import graft.ops.{Dedup, Hashing, Similarity, TextAnalysis}
 object LlmQueries {
   private val P = Hashing.P31
 
+  /** Per-JVM scratch root for queries that stage an on-disk layout (q82/
+    * q88/q89 indexes, ingest sinks): keyed by pid so two CONCURRENT
+    * harness runs on one host never collide, while re-runs inside one
+    * session reuse (and overwrite) the same directories instead of
+    * accumulating garbage. */
+  private lazy val scratchRoot: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-${ProcessHandle.current().pid()}")
+    d.mkdirs(); d.getAbsolutePath
+  }
+  private def scratch(parts: String*): String =
+    (scratchRoot +: parts).mkString("/")
+
   // ---- shared corpus constructions (Spark + identical SQL) ----
 
   /** documents ∪ near-duplicates: every 5th doc with one word prepended. */
@@ -562,16 +575,17 @@ object LlmQueries {
 
   // ---- Q88: IVF bucket-partitioned ANN probe (the stored-layout path) ----
 
-  /** Drives [[Similarity.writeBucketed]]/[[Similarity.probeBucketed]] — the
-    * 100 TB ANN layout — as a driver query: write the embeddings as a
-    * parquet tree PARTITIONED BY LSH bucket code, then probe it per query
-    * vector; the `bkt = literal` filter is pure Catalyst partition pruning
-    * (PruningSpec asserts PartitionFilters on this exact path), so each
-    * probe reads ONLY its bucket's files. The query set (vec_id % 200) is
-    * collected driver-side — it is the handful of probe vectors, tiny by
-    * contract, exactly like a literal query embedding arriving from a
-    * user. The oracle recomputes bucket codes and ranks in-bucket cosine
-    * — top-k per probe must match file-layout pruning bit-for-bit. */
+  /** Drives [[Similarity.writeBucketed]]/[[Similarity.probeBucketedMany]]
+    * — the 100 TB ANN layout — as a driver query: write the embeddings as
+    * a parquet tree PARTITIONED BY LSH bucket code, then probe it with the
+    * whole query set (vec_id % 200) in ONE plan: the probe DataFrame
+    * broadcasts into an equi-join on the partition column and dynamic
+    * partition pruning reads only the probed buckets (PruningSpec asserts
+    * the runtime `dynamicpruning` filter on this exact path). Plan size is
+    * independent of probe count and nothing is collected to the driver —
+    * at 100× the probes it is the same single subtree. The oracle
+    * recomputes bucket codes and ranks in-bucket cosine — top-k per probe
+    * must match file-layout pruning bit-for-bit. */
   val q88 = Q("q88_ivf_probe",
     s"""WITH b AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
@@ -588,22 +602,13 @@ object LlmQueries {
       |      FROM c)
       |SELECT qid, rn AS rnk, vec_id, round(sim, 6) AS cosine
       |FROM r WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
-    val path = s"/tmp/graft_ivf_${new java.io.File(dir).getName}"
+    val path = scratch(s"ivf_${new java.io.File(dir).getName}")
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
     Similarity.writeBucketed(vecs, AnnPlanes, path)
-    val probes = vecs.filter(col("vec_id") % 200 === 0).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq)
-      .sortBy(_._1)
-    val perProbe = probes.map { case (qid, qv) =>
-      Similarity.probeBucketed(s, path, qv, AnnPlanes, 5)
-        .select(lit(qid).as("qid"), col("vec_id"), col("sim"))
-    }
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
-    perProbe.reduce(_ unionByName _)
-      .withColumn("rnk", row_number().over(w)) // over ≤ k rows per probe
-      .select(col("qid"), col("rnk"), col("vec_id"),
-        round(col("sim"), 6).as("cosine"))
+    val probes = vecs.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.probeBucketedMany(s, path, probes, AnnPlanes, 5)
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -639,7 +644,7 @@ object LlmQueries {
       |SELECT b.doc_id, m.dup_of, m.jaccard, m.dup_of IS NOT NULL AS is_dup
       |FROM batch b LEFT JOIN m ON m.batch_id = b.doc_id
       |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
-    val out = s"/tmp/graft_ingest_${new java.io.File(dir).getName}"
+    val out = scratch(s"ingest_${new java.io.File(dir).getName}")
     // append-mode sinks: wipe between calls so a re-run starts clean
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles.foreach(rm)
@@ -649,8 +654,14 @@ object LlmQueries {
     val corpus = Tables.documents(s, dir)
       .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("text"))
-    val (clean, dups) =
-      graft.streaming.DocIngest.ingestAvailableNow(s, corpus, dir, out)
+    // the gate consumes the PERSISTED index (built once, stored,
+    // loaded) — per-run streaming work is the probe only
+    val ixPath = scratch(s"ix89_${new java.io.File(dir).getName}")
+    val (csh, cbands) = Dedup.shingleBandIndex(toks(corpus), "doc_id", "toks")
+    Dedup.writeIndex(csh, cbands, ixPath)
+    val ix = Dedup.loadIndex(s, ixPath)
+    val (clean, dups) = graft.streaming.DocIngest.ingestWithIndex(
+      s, ix.shingles, ix.bands, dir, out)
     clean.select(col("doc_id"),
         lit(null).cast("long").as("dup_of"),
         lit(null).cast("double").as("jaccard"),
@@ -802,8 +813,17 @@ object LlmQueries {
       .unionByName(d.filter(col("doc_id") % 7 === 3)
         .select((col("doc_id") + 300000).as("doc_id"),
           concat_ws(" ", reverse(TextAnalysis.toks(col("text")))).as("text")))
-    val matches = Dedup.incrementalNearDup(toks(d), toks(batch), "doc_id", "toks",
-        Hashing.DefaultTokHash, n = 3, k = MinhashK, bands = LshBands,
+    // the PRODUCTION lifecycle: build the corpus index once, persist it,
+    // then probe the STORED index — the corpus tables the probe reads are
+    // parquet scans, not a recompute (q89 streams against the same layout)
+    val ixPath = scratch(s"ix82_${new java.io.File(dir).getName}")
+    val (csh, cbands) = Dedup.shingleBandIndex(toks(d), "doc_id", "toks",
+      Hashing.DefaultTokHash, n = 3, k = MinhashK, bands = LshBands)
+    Dedup.writeIndex(csh, cbands, ixPath, n = 3, k = MinhashK, bands = LshBands)
+    val ix = Dedup.loadIndex(s, ixPath)
+    val matches = Dedup.probeIndex(ix.shingles, ix.bands, toks(batch),
+        "doc_id", "toks", Hashing.DefaultTokHash,
+        n = ix.n, k = ix.k, bands = ix.bandCount,
         threshold = 0.5, maxBucket = MaxBucket)
       .withColumnRenamed("batch_id", "doc_id")
     batch.select(col("doc_id")).join(matches, Seq("doc_id"), "left")

@@ -38,12 +38,27 @@ object DocIngest {
     df.select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
 
   /** Drain `srcDir`'s documents through the dedup gate with
-    * Trigger.AvailableNow. Returns (clean docs, duplicate matches) read
-    * back from the two output tables. */
+    * Trigger.AvailableNow, building the corpus index in-session. Returns
+    * (clean docs, duplicate matches) read back from the two output
+    * tables. Production runs should prefer [[ingestWithIndex]] over a
+    * [[graft.ops.Dedup.loadIndex]]-ed STORED index so the corpus side is
+    * never recomputed per run. */
   def ingestAvailableNow(spark: SparkSession, corpus: DataFrame, srcDir: String,
       outDir: String, threshold: Double = 0.5,
       mat: Materialize = Materialize.Local): (DataFrame, DataFrame) = {
     val (csh, cbands) = Dedup.shingleBandIndex(toks(corpus), "doc_id", "toks", mat = mat)
+    ingestWithIndex(spark, csh, cbands, srcDir, outDir, threshold, mat)
+  }
+
+  /** The dedup gate against an ALREADY-BUILT corpus index — `(csh,
+    * cbands)` from [[graft.ops.Dedup.shingleBandIndex]] or a
+    * [[graft.ops.Dedup.loadIndex]]-ed [[graft.ops.Dedup.writeIndex]]
+    * layout. Per micro-batch work is the broadcast probe only; the index
+    * tables are scans of the stored parquet, so repeated ingestion runs
+    * share one persisted corpus pass. */
+  def ingestWithIndex(spark: SparkSession, csh: DataFrame, cbands: DataFrame,
+      srcDir: String, outDir: String, threshold: Double = 0.5,
+      mat: Materialize = Materialize.Local): (DataFrame, DataFrame) = {
     val cleanDir = s"$outDir/clean"
     val dupsDir = s"$outDir/dups"
     val q = spark.readStream.schema(docSchema)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Materialize, TextAnalysis}
+
+/** Persisted dedup-index lifecycle (VERDICT r7 next-round #5): build once,
+  * writeIndex, loadIndex, probe the STORED tables — plus the
+  * Materialize.Stage temp-hygiene contract. */
+class IndexLifecycleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def toks(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+
+  test("writeIndex/loadIndex roundtrip: stored probe ≡ in-session probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ix").toString
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.limit(40)
+    val (csh, cbands) = Dedup.shingleBandIndex(toks(corpus), "doc_id", "toks")
+    Dedup.writeIndex(csh, cbands, s"$dir/ix")
+    val ix = Dedup.loadIndex(spark, s"$dir/ix")
+    assert((ix.n, ix.k, ix.bandCount) === (3, 12, 4))
+    val stored = Dedup.probeIndex(ix.shingles, ix.bands, toks(batch),
+        "doc_id", "toks", n = ix.n, k = ix.k, bands = ix.bandCount)
+      .orderBy("batch_id").collect()
+    val live = Dedup.probeIndex(csh, cbands, toks(batch), "doc_id", "toks")
+      .orderBy("batch_id").collect()
+    assert(stored.nonEmpty, "planted self-duplicates must match")
+    assert(stored.toSeq === live.toSeq)
+  }
+
+  test("loadIndex fails fast on a format-version mismatch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixv").toString
+    val docs = toks(Tables.documents(spark, TestSpark.Sf0001).limit(20)
+      .select(col("doc_id"), col("text")))
+    val (csh, cbands) = Dedup.shingleBandIndex(docs, "doc_id", "toks")
+    Dedup.writeIndex(csh, cbands, s"$dir/ix")
+    // overwrite the manifest with a future version
+    import spark.implicits._
+    Seq((Dedup.IndexFormatVersion + 1, 3, 12, 4))
+      .toDF("version", "n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/ix/meta")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadIndex(spark, s"$dir/ix")
+    }
+    assert(e.getMessage.contains("format version"))
+  }
+
+  test("Materialize.Stage tracks staging tables and cleanup removes them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    val stage = Materialize.Stage(dir)
+    val df = Tables.documents(spark, TestSpark.Sf0001).limit(10)
+      .select(col("doc_id"))
+    val a = stage(df)
+    val b = stage(df.withColumn("two", col("doc_id") * 2))
+    assert(a.count() === 10L && b.count() === 10L)
+    assert(stage.stagedPaths.length === 2)
+    assert(stage.stagedPaths.forall(p => new java.io.File(p).isDirectory))
+    val paths = stage.stagedPaths
+    stage.cleanup(spark)
+    assert(stage.stagedPaths.isEmpty)
+    assert(paths.forall(p => !new java.io.File(p).exists))
+  }
+}

@@ -42,6 +42,46 @@ class PruningSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(0) === 0L && math.abs(r.getDouble(1) - 1.0) < 1e-12))
   }
 
+  test("IVF probe set: single-plan probe join prunes via dynamic partition pruning") {
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_many").resolve("emb").toString
+    val planes = Similarity.planes(4, 8)
+    val vecs = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"),
+        Similarity.toDouble(slice(col("embedding"), 1, 8)).as("v"))
+    Similarity.writeBucketed(vecs, planes, dir)
+    val probes = vecs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val res = Similarity.probeBucketedMany(spark, dir, probes, planes, 5)
+    val rows = res.collect()
+    // the runtime partition filter must be a DPP subquery on bkt — the
+    // probed buckets, not a static all-partition scan
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the layout scan in:\n$plan")
+    assert(!plan.contains("collect("), "probe path must not collect")
+    // every probe finds itself at rank 1 with cosine 1 (it lives in its
+    // own bucket), and each probe returns at most k rows
+    val qids = probes.select("qid").collect().map(_.getLong(0)).toSet
+    assert(qids.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSet === qids)
+    for (qid <- qids) {
+      val mine = rows.filter(_.getLong(0) == qid)
+      assert(mine.length <= 5)
+      val r1 = mine.find(_.getInt(1) == 1).get
+      assert(r1.getLong(2) === qid)
+      assert(math.abs(r1.getDouble(3) - 1.0) < 1e-6)
+    }
+    // multi-probe on the same layout: same plan shape, recall ≥ single
+    val multi = Similarity.probeBucketedMany(spark, dir, probes, planes, 5,
+      multiProbe = true)
+    val mRows = multi.collect()
+    val mPlan = multi.queryExecution.executedPlan.toString
+    assert(mPlan.toLowerCase.contains("dynamicpruning"),
+      s"no DPP on the multi-probe layout scan in:\n$mPlan")
+    assert(mRows.length >= rows.length) // ≥ candidates ⇒ ≥ filled ranks
+  }
+
   test("predicate pushdown: filter reaches the parquet scan (PushedFilters)") {
     val q = Tables.lineitem(spark, TestSpark.Sf0001)
       .filter(col("l_quantity") > 30.0).select(col("l_orderkey"))
