@@ -10,7 +10,8 @@ object Queries {
     graft.queries.BucketQueries.all ++
     graft.queries.LlmQueries.all ++
     graft.queries.PipelineQueries.all ++
-    graft.queries.MultimodalQueries.all
+    graft.queries.MultimodalQueries.all ++
+    graft.queries.SourceQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -612,6 +612,46 @@ object LlmQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  // ---- Q93: multi-probe ANN on the stored IVF layout ----
+
+  /** [[Similarity.probeBucketedMany]] with `multiProbe = true` over the
+    * same bucket-partitioned parquet layout as q88: each query probes its
+    * own bucket PLUS every Hamming-1 neighbor (one hyperplane flipped —
+    * the standard LSH recall booster), still as ONE plan — the probe side
+    * explodes to (planes+1) rows per query BEFORE the broadcast join, so
+    * dynamic partition pruning reads exactly the probed bucket set and
+    * nothing touches the driver. Recall ≥ q88's single probe by
+    * construction (AnnRecallSpec measures both against brute force); the
+    * oracle expands the same probe set with xor(bkt, 1<<j). */
+  val q93 = Q("q93_ivf_multiprobe",
+    s"""WITH b AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    ${Similarity.lshBucketSql("embedding", AnnPlanes)} AS bkt,
+      |    ${Similarity.normSql("embedding", 64)} AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, bkt AS qb0, nrm AS qn
+      |      FROM b WHERE vec_id % 200 = 0),
+      |pr AS (SELECT qid, qv, qn,
+      |         CASE WHEN j = 0 THEN qb0 ELSE xor(qb0, 1 << (j - 1)) END AS qbkt
+      |       FROM q CROSS JOIN range(0, ${AnnPlanes.size + 1}) r(j)),
+      |c AS (SELECT qid, b.vec_id,
+      |        ${Similarity.dotSql("qv", "b.v", 64)} / (qn * nrm) AS sim
+      |      FROM pr JOIN b ON b.bkt = pr.qbkt),
+      |r AS (SELECT qid, vec_id, sim,
+      |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |      FROM c)
+      |SELECT qid, rn AS rnk, vec_id, round(sim, 6) AS cosine
+      |FROM r WHERE rn <= 5 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    val path = scratch(s"ivfmp_${new java.io.File(dir).getName}")
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    Similarity.writeBucketed(vecs, AnnPlanes, path)
+    val probes = vecs.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    Similarity.probeBucketedMany(s, path, probes, AnnPlanes, 5, multiProbe = true)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   // ---- Q89: streaming ingestion gate (DocIngest over the corpus index) ----
 
   /** [[graft.streaming.DocIngest.ingestAvailableNow]] as a driver query:
@@ -1015,5 +1055,5 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89)
+    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89, q93)
 }

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.Sources
+
+/** Oracle-backed driver queries for the file-layout sources and sinks
+  * (SURVEY.md §2.1 S6/S7/S9, §2.2 K1) that were previously covered only by
+  * scalatest fixtures (VERDICT r7 next-round #6): each query WRITES a
+  * deterministic fixture derived from the `documents` table, reads it back
+  * through the real [[graft.ops.Sources]] operator, and the oracle
+  * recomputes the expected content straight from the parquet table — so a
+  * green row proves the sink+source roundtrip end-to-end, not just the
+  * parse.
+  *
+  * Scale notes: the fixtures here are presentation-sized by design (the K1
+  * dict-keyed JSON is the reference's single-object sink); the scale paths
+  * (JSONL, splittable CSV) are exercised with multi-file layouts.
+  */
+object SourceQueries {
+
+  /** Per-JVM scratch root (same contract as LlmQueries: pid-keyed so
+    * concurrent harness runs never collide; re-runs overwrite). */
+  private lazy val scratchRoot: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-src-${ProcessHandle.current().pid()}")
+    d.mkdirs(); d.getAbsolutePath
+  }
+  private def scratch(part: String, dir: String): String =
+    s"$scratchRoot/${part}_${new java.io.File(dir).getName}"
+
+  /** K1 + S6: dict-keyed JSON sink → keyed-JSON source roundtrip. The
+    * documents table is dumped as ONE `{doc_id: {lang, source, n_chars}}`
+    * object ([[Sources.writeKeyedJson]], the reference's metadata.json
+    * shape), read back with [[Sources.keyedJson]], and must reproduce the
+    * table bit-for-bit. */
+  val q90 = Q("q90_keyed_json_roundtrip",
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val path = scratch("kjson", dir)
+    Sources.writeKeyedJson(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars")),
+      "doc_id", path)
+    Sources.keyedJson(s, path,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "lang STRING, source STRING, n_chars BIGINT"))
+      .select(col("key").cast("long").as("doc_id"), col("lang"),
+        col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** K2 + S7: JSONL sink → JSON list multi-path load (the reference's
+    * score-file concat, `run.py:72-74`). The table is split across three
+    * JSONL directories by doc_id mod 3, loaded back as one implicit UNION
+    * ALL, and aggregated — missing or duplicated rows flip the counts. */
+  val q91 = Q("q91_json_list_union",
+    """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val paths = (0 to 2).map { m =>
+      val p = scratch(s"jsonl$m", dir)
+      Sources.writeJsonl(d.filter(col("doc_id") % 3 === m), p)
+      p
+    }
+    Sources.jsonList(s, paths)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** S9: headerless-CSV column projection
+    * (`prepare_aesthetic_tags_metadata.py:11-12`: raw lines, skip the
+    * header by VALUE, take one field). Written as a multi-part headered
+    * CSV — every part file carries its own header row, which is exactly
+    * why the operator drops the header by value rather than by
+    * position. */
+  val q92 = Q("q92_csv_column",
+    """SELECT lang AS value, count(*) AS n
+      |FROM documents GROUP BY lang ORDER BY value""".stripMargin) { (s, dir) =>
+    val path = scratch("csvcol", dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .repartition(3) // multi-part file: one header row PER part
+      .write.mode("overwrite").option("header", "true").csv(path)
+    Sources.csvColumn(s, path, idx = 1, headerValue = "lang")
+      .groupBy(col("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("value"))
+  }
+
+  val all: Seq[Q] = Seq(q90, q91, q92)
+}

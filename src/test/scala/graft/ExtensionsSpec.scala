@@ -43,4 +43,52 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("custom operators fire under AQE (the driver-session surface)") {
+    // Verify/Bench sessions run with spark.sql.adaptive.enabled=true —
+    // the custom strategy must survive AQE re-optimization: the FINAL
+    // adaptive plan (after materialization) must still carry the heap
+    // operator, both when composed directly (TopK.perGroup, the q83/q88
+    // path) and when injected by RankLimitRewrite on a user window
+    // spelling.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    try {
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+      val src = Tables.part(spark, TestSpark.Sf0001)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+      val direct = graft.plans.TopK.perGroup(src, Seq("p_brand"),
+        Seq(("p_retailprice", false), ("p_partkey", true)), 3)
+      direct.count() // materialize: AQE finalizes the inner plan
+      val dPlan = direct.queryExecution.executedPlan.toString
+      assert(dPlan.contains("AdaptiveSparkPlan"), s"not adaptive:\n$dPlan")
+      assert(dPlan.contains("TopKPerGroup") && !dPlan.contains("Window"))
+      import graft.plans.{RankLimitRewrite, TopKStrategy}
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RankLimitRewrite
+      try {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        val rewritten = src.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3).drop("rn")
+        rewritten.count()
+        val rPlan = rewritten.queryExecution.executedPlan.toString
+        assert(rPlan.contains("AdaptiveSparkPlan"))
+        assert(rPlan.contains("TopKPerGroup") && !rPlan.contains("Window"),
+          s"rewrite lost under AQE:\n$rPlan")
+      } finally {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == RankLimitRewrite)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+    }
+  }
 }

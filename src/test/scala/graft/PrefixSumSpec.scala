@@ -60,6 +60,50 @@ class PrefixSumSpec extends AnyFunSuite {
     }
   }
 
+  test("property: ≡ naive window on random skewed, sparse, negative ord keys") {
+    import org.scalacheck.Gen
+    val gen = for {
+      grp <- Gen.frequency((8, Gen.const("en")), (1, Gen.const("fr")),
+        (1, Gen.oneOf("ja", "de", "pt")))
+      // sparse across the full long range, including negatives — the
+      // bucket id (ord div width) goes negative and the zero-straddling
+      // bucket is wider than `width` (trunc vs floor division); both must
+      // be invisible in the result
+      ord <- Gen.chooseNum(-4611686018427387904L, 4611686018427387903L)
+      v <- Gen.chooseNum(-1000L, 1000L)
+    } yield (ord, grp, v)
+    val sampled = Iterator.continually(gen.sample).flatten.take(2500).toSeq
+    // enforce the documented contract: ord unique within its group
+    val rows = sampled.groupBy(t => (t._2, t._1)).values.map(_.head).toSeq ++
+      Seq((Long.MinValue, "en", 5L), (Long.MaxValue, "en", -5L), (0L, "fr", 0L))
+    val df = rows.toDF("doc_id", "lang", "n_toks")
+    val expected = naive(df).select("doc_id", "lang", "n_toks", "pre")
+    for (width <- Seq(1L, 7L, 4096L, 1000000007L, Long.MaxValue)) {
+      val got = PrefixSum.exclusiveRunningSum(
+        df, "lang", "doc_id", "n_toks", "pre", width)
+        .select("doc_id", "lang", "n_toks", "pre")
+      assert(got.exceptAll(expected).count() === 0, s"width=$width")
+      assert(expected.exceptAll(got).count() === 0, s"width=$width")
+    }
+  }
+
+  test("caller columns named like the working columns are not clobbered") {
+    // ps_b / ps_off / ps_t are the operator's internal names — a caller
+    // frame already carrying them must come through untouched (the
+    // operator uniquifies; ADVICE r7: withColumn would silently replace)
+    val df = Seq((1L, "en", 2L, 77L, 88L, 99L), (5L, "en", 3L, 70L, 80L, 90L),
+        (2L, "fr", 4L, 7L, 8L, 9L))
+      .toDF("doc_id", "lang", "n_toks", "ps_b", "ps_off", "ps_t")
+    val out = PrefixSum.exclusiveRunningSum(
+      df, "lang", "doc_id", "n_toks", "pre")
+    assert(out.columns.count(_ == "ps_b") === 1)
+    val got = out.orderBy("doc_id")
+      .select("doc_id", "ps_b", "ps_off", "ps_t", "pre")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 77L, 88L, 99L, 0L), (2L, 7L, 8L, 9L, 0L),
+      (5L, 70L, 80L, 90L, 2L)))
+  }
+
   test("empty input and single-row groups") {
     val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_toks")
     assert(PrefixSum.exclusiveRunningSum(
