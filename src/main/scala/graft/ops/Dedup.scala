@@ -332,6 +332,26 @@ object Dedup {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Fold a NEW batch of documents into a stored [[writeIndex]] layout —
+    * the cadence step of the ingestion lifecycle: probe batches against
+    * the index ([[probeIndex]] / [[graft.streaming.DocIngest]]), keep the
+    * clean ones, then append THEIR signatures so later batches dedup
+    * against them too. Signature parameters come from the manifest (never
+    * the caller — mismatched params would write unfindable rows), and the
+    * append touches only the new docs: O(batch), no corpus recompute.
+    * Caller contract: don't append the same doc_id twice (the index
+    * stores it twice and probes return duplicate candidates). */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+      tokHash: Column => Column = Hashing.DefaultTokHash,
+      mat: Materialize = Materialize.Local): Unit = {
+    val ix = loadIndex(spark, path) // validates the format version
+    val (sh, bands) = shingleBandIndex(newDocs, idCol, toksCol, tokHash,
+      ix.n, ix.k, ix.bandCount, mat)
+    sh.write.mode("append").parquet(s"$path/shingles")
+    bands.write.mode("append").parquet(s"$path/bands")
+  }
+
   /** Load a [[writeIndex]] layout, failing fast on a format-version
     * mismatch. */
   def loadIndex(spark: org.apache.spark.sql.SparkSession,

@@ -168,6 +168,19 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
       .write.partitionBy("bkt").mode("overwrite").parquet(path)
 
+  /** Fold NEW vectors into a [[writeBucketed]] layout — the ANN-side
+    * ingestion cadence (the [[graft.ops.Dedup.appendToIndex]] analogue):
+    * each new vector's files land in its bucket's partition directory, so
+    * existing data never rewrites and later probes see the union. MUST use
+    * the same `planes` the layout was written with (the bucket function
+    * IS the layout contract). Caller contract: don't append a vec_id
+    * twice. */
+  def appendBucketed(vectors: DataFrame, planes: Seq[Seq[Int]], path: String): Unit =
+    vectors
+      .withColumn("bkt", lshBucket(col("v"), planes))
+      .withColumn("nrm", norm(col("v")))
+      .write.partitionBy("bkt").mode("append").parquet(path)
+
   /** Probe a [[writeBucketed]] layout: top-k cosine inside the query's
     * bucket only. The `bkt` equality is a pure partition filter — zero
     * data rows outside the bucket are read. */

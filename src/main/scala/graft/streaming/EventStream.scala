@@ -73,9 +73,18 @@ object EventStream {
     * fixed overhead (VERDICT r3 next-round #2). `newSession` shares the
     * SparkContext but scopes the conf, so the caller's session is never
     * mutated. At real volume, size this to state row count, not input. */
-  private def scopedSession(spark: SparkSession, statePartitions: Int): SparkSession = {
+  private def scopedSession(spark: SparkSession, statePartitions: Int,
+      rocksDb: Boolean = false): SparkSession = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // RocksDB state store: the default provider holds every state row in
+    // executor HEAP — fine for windowed aggs (state ~ live windows), fatal
+    // for key-cardinality state (streaming dedup over billions of keys).
+    // RocksDB keeps state on local disk with an in-memory working set, so
+    // state size is bounded by disk, not heap — the only viable provider
+    // for the dedup gate at corpus scale.
+    if (rocksDb) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     ss
   }
 
@@ -111,10 +120,14 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
 
-  /** Drain [[dedupKeys]] over the file stream with AvailableNow. */
+  /** Drain [[dedupKeys]] over the file stream with AvailableNow.
+    * `rocksDb = true` runs the drain on the RocksDB state store — the
+    * required provider when the dedup key cardinality outgrows executor
+    * heap (StreamingSpec proves provider-independence of the result). */
   def dedupKeysAvailableNow(spark: SparkSession, sfDir: String, keys: Seq[String],
-                            statePartitions: Int = 4): DataFrame = {
-    val ss = scopedSession(spark, statePartitions)
+                            statePartitions: Int = 4,
+                            rocksDb: Boolean = false): DataFrame = {
+    val ss = scopedSession(spark, statePartitions, rocksDb)
     val name = "graft_stream_dedup"
     val q = dedupKeys(read(ss, sfDir), keys)
       .writeStream.format("memory").queryName(name)

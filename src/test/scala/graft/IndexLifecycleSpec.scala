@@ -49,6 +49,52 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("format version"))
   }
 
+  test("appendToIndex: index(A) + append(B) probes identically to index(A∪B)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixapp").toString
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text"))
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.limit(60)
+    // incremental: A written, B appended (params read from the manifest)
+    val (ash, abands) = Dedup.shingleBandIndex(toks(a), "doc_id", "toks")
+    Dedup.writeIndex(ash, abands, s"$dir/inc")
+    Dedup.appendToIndex(spark, s"$dir/inc", toks(b), "doc_id", "toks")
+    // oracle: the union indexed in one shot
+    val (ush, ubands) = Dedup.shingleBandIndex(toks(docs), "doc_id", "toks")
+    Dedup.writeIndex(ush, ubands, s"$dir/full")
+    val inc = Dedup.loadIndex(spark, s"$dir/inc")
+    val full = Dedup.loadIndex(spark, s"$dir/full")
+    assert(inc.shingles.count() === full.shingles.count())
+    assert(inc.bands.exceptAll(full.bands).count() === 0)
+    assert(full.bands.exceptAll(inc.bands).count() === 0)
+    val pInc = Dedup.probeIndex(inc.shingles, inc.bands, toks(batch),
+      "doc_id", "toks").orderBy("batch_id").collect()
+    val pFull = Dedup.probeIndex(full.shingles, full.bands, toks(batch),
+      "doc_id", "toks").orderBy("batch_id").collect()
+    assert(pInc.nonEmpty)
+    assert(pInc.toSeq === pFull.toSeq)
+  }
+
+  test("appendBucketed: layout(A) + append(B) probes identically to layout(A∪B)") {
+    import graft.ops.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    val planes = Similarity.planes(4, 8)
+    val vecs = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"),
+        Similarity.toDouble(slice(col("embedding"), 1, 8)).as("v"))
+    Similarity.writeBucketed(vecs.filter(col("vec_id") % 2 === 0), planes, s"$dir/inc")
+    Similarity.appendBucketed(vecs.filter(col("vec_id") % 2 =!= 0), planes, s"$dir/inc")
+    Similarity.writeBucketed(vecs, planes, s"$dir/full")
+    val probes = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def run(p: String) = Similarity.probeBucketedMany(spark, p, probes, planes, 5)
+      .orderBy("qid", "rnk").collect().toSeq
+    val inc = run(s"$dir/inc")
+    assert(inc.nonEmpty)
+    assert(inc === run(s"$dir/full"))
+  }
+
   test("Materialize.Stage tracks staging tables and cleanup removes them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
     val stage = Materialize.Stage(dir)

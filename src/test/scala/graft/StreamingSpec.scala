@@ -91,6 +91,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming dedup on the RocksDB state store == default provider") {
+    // the disk-backed provider is the only viable one when dedup key
+    // cardinality outgrows executor heap — the RESULT must not depend on
+    // the provider choice
+    val rocks = EventStream.dedupKeysAvailableNow(
+      spark, TestSpark.Sf0001, Seq("user_id", "event_type"), rocksDb = true)
+    val batch = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(rocks.count() === batch.count())
+    assert(rocks.exceptAll(batch).count() === 0)
+  }
+
   test("watermarked variant builds a valid streaming plan") {
     val plan = EventStream.hourlyWatermarked(EventStream.read(spark, TestSpark.Sf0001))
     assert(plan.isStreaming)
