@@ -217,7 +217,8 @@ object Similarity {
     * single-probe by construction (AnnRecallSpec measures both paths). */
   def probeBucketedMany(spark: org.apache.spark.sql.SparkSession, path: String,
                         probes: DataFrame, planes: Seq[Seq[Int]], k: Int,
-                        multiProbe: Boolean = false): DataFrame = {
+                        multiProbe: Boolean = false,
+                        broadcastProbes: Boolean = true): DataFrame = {
     val layout = spark.read.parquet(path)
     // partition-column types are directory-inferred (a small bucket code
     // reads back as int) — cast the PROBE side so the layout's partition
@@ -231,7 +232,13 @@ object Similarity {
           planes.indices.map(j => col("qb0").bitwiseXOR(lit(1L << j))): _*))
           .as("qbkt")))
       .withColumn("qbkt", col("qbkt").cast(bktType))
-    val cand = layout.join(broadcast(q), col("bkt") === col("qbkt"))
+    // broadcastProbes = false is the degrade path for probe sets too big
+    // to broadcast (a batch re-scoring run, not a user query): a plain
+    // shuffle equi-join on the bucket key — partition pruning is lost
+    // (most buckets are probed anyway at that scale) but the join stays
+    // bucket-local and never goes all-pairs
+    val probeSide = if (broadcastProbes) broadcast(q) else q
+    val cand = layout.join(probeSide, col("bkt") === col("qbkt"))
       .select(col("qid"), col("vec_id"),
         cosinePre(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("sim"))
     val top = graft.plans.TopK.perGroup(cand, Seq("qid"),

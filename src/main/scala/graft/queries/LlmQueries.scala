@@ -38,7 +38,16 @@ object LlmQueries {
   private lazy val scratchRoot: String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-${ProcessHandle.current().pid()}")
-    d.mkdirs(); d.getAbsolutePath
+    d.mkdirs()
+    // temp hygiene: the whole pid-keyed tree goes with the JVM
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }))
+    d.getAbsolutePath
   }
   private def scratch(parts: String*): String =
     (scratchRoot +: parts).mkString("/")

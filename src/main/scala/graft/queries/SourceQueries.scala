@@ -24,7 +24,16 @@ object SourceQueries {
   private lazy val scratchRoot: String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft-src-${ProcessHandle.current().pid()}")
-    d.mkdirs(); d.getAbsolutePath
+    d.mkdirs()
+    // temp hygiene: the whole pid-keyed tree goes with the JVM
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }))
+    d.getAbsolutePath
   }
   private def scratch(part: String, dir: String): String =
     s"$scratchRoot/${part}_${new java.io.File(dir).getName}"

@@ -80,6 +80,12 @@ class PruningSpec extends AnyFunSuite {
     assert(mPlan.toLowerCase.contains("dynamicpruning"),
       s"no DPP on the multi-probe layout scan in:\n$mPlan")
     assert(mRows.length >= rows.length) // ≥ candidates ⇒ ≥ filled ranks
+    // the huge-probe-set degrade path (shuffle join, no broadcast) must
+    // return the identical answer
+    val shuffled = Similarity.probeBucketedMany(spark, dir, probes, planes, 5,
+        broadcastProbes = false)
+      .orderBy("qid", "rnk").collect()
+    assert(shuffled.toSeq === res.orderBy("qid", "rnk").collect().toSeq)
   }
 
   test("predicate pushdown: filter reaches the parquet scan (PushedFilters)") {
