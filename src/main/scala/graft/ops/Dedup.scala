@@ -462,10 +462,20 @@ object Dedup {
       .filter(col("hi") =!= col("lo")).distinct())
     var done = false
     var round = 0
-    // one count job per round: the previous round's next.count() IS this
-    // round's edges.count(); the subset probe only runs on count equality
-    var edgeCount = edges.count()
-    done = edgeCount == 0L
+    // one scalar-aggregate job per round: the edge table is a DISTINCT
+    // set, so (count, XOR of per-row xxhash64) is a set signature —
+    // unchanged iff the edge set is unchanged (2^-64 coincidence risk),
+    // exactly the [[connectedComponents]] convergence scheme. Replaces
+    // the old count + exceptAll-subset probe (a join job on every
+    // count-equal round); XOR cannot overflow, so no ANSI throw and no
+    // silent wrap at any scale.
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        bit_xor(xxhash64(col("hi"), col("lo")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edgeSig = sig(edges)
+    done = edgeSig._1 == 0L
     while (!done && round < maxRounds) {
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
@@ -482,11 +492,9 @@ object Dedup {
         .unionByName(withS.filter(col("lo") =!= col("m"))
           .select(col("lo").as("hi"), col("m").as("lo")))
         .distinct())
-      val nextCount = next.count()
-      // equal-size distinct sets are equal iff next ⊆ edges
-      val same = nextCount == edgeCount &&
-        next.exceptAll(edges).limit(1).count() == 0L
-      if (same) done = true else { edges = next; edgeCount = nextCount }
+      val nextSig = sig(next)
+      if (nextSig == edgeSig) done = true
+      else { edges = next; edgeSig = nextSig }
       round += 1
     }
     require(done, s"connectedComponentsStar did not converge in $maxRounds rounds")
