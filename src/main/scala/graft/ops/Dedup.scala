@@ -184,30 +184,63 @@ object Dedup {
     * element). `tokHash` maps the whole token array to its hash array:
     * oracle-portable default [[Hashing.hash31Array]]; production swap
     * `arr => transform(arr, xxhash64(_))`. */
-  def shingleBandIndex(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
-      tokHash: Column => Column = Hashing.DefaultTokHash, n: Int = 3, k: Int = 12,
-      bands: Int = 4, mat: Materialize = Materialize.Local)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val r = k / bands
+  /** The un-materialized shingle-hash projection `(doc_id, hs)` — shared
+    * by [[shingleBandIndex]] (checkpoint materialization) and
+    * [[buildIndex]] (parquet staging). */
+  private def shingleProjection(df: org.apache.spark.sql.DataFrame,
+      idCol: String, toksCol: String, tokHash: Column => Column, n: Int,
+      mat: Materialize): org.apache.spark.sql.DataFrame = {
     val filtered = df.filter(size(col(toksCol)) >= n)
     // Oracle-portable default hash → the fused single-expression path
     // (tokens → shingle hashes in one pass, no token-hash intermediate
     // to checkpoint); a custom tokHash (production xxhash64) keeps the
     // two-stage chain with the PERF-CONTRACT materialization between.
-    val sh =
-      if (tokHash eq Hashing.DefaultTokHash)
-        mat(filtered.select(col(idCol).as("doc_id"),
-          tokenShingleHashes(col(toksCol), n).as("hs")))
-      else {
-        val th = mat(filtered
-          .select(col(idCol).as("doc_id"), tokHash(col(toksCol)).as("th")))
-        mat(th.select(col("doc_id"), shingleHashes(col("th"), n).as("hs")))
-      }
-    val sig = sh.select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
-    val bandsDf = mat(sig
-      .select(col("doc_id"), explode(bandHashes(col("sig"), bands, r)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh")))
-    (sh, bandsDf)
+    if (tokHash eq Hashing.DefaultTokHash)
+      filtered.select(col(idCol).as("doc_id"),
+        tokenShingleHashes(col(toksCol), n).as("hs"))
+    else {
+      val th = mat(filtered
+        .select(col(idCol).as("doc_id"), tokHash(col(toksCol)).as("th")))
+      th.select(col("doc_id"), shingleHashes(col("th"), n).as("hs"))
+    }
+  }
+
+  /** The band table derived from a (materialized or stored) shingle
+    * table. */
+  private def bandsFromShingles(sh: org.apache.spark.sql.DataFrame,
+      k: Int, bands: Int): org.apache.spark.sql.DataFrame =
+    sh.select(col("doc_id"), minhashSig(col("hs"), k).as("sig"))
+      .select(col("doc_id"), explode(bandHashes(col("sig"), bands, k / bands)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+  def shingleBandIndex(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+      tokHash: Column => Column = Hashing.DefaultTokHash, n: Int = 3, k: Int = 12,
+      bands: Int = 4, mat: Materialize = Materialize.Local)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val sh = mat(shingleProjection(df, idCol, toksCol, tokHash, n, mat))
+    (sh, mat(bandsFromShingles(sh, k, bands)))
+  }
+
+  /** Build a corpus index DIRECTLY into its stored [[writeIndex]] layout —
+    * the one-pass production spelling of `shingleBandIndex` + `writeIndex`:
+    * the shingle projection streams straight into `path/shingles` (no
+    * checkpoint copy first), the band table derives from the STORED
+    * shingle table (so the corpus is tokenized exactly once), and the
+    * manifest is written last. Returns the loaded index. */
+  def buildIndex(spark: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+      path: String, tokHash: Column => Column = Hashing.DefaultTokHash,
+      n: Int = 3, k: Int = 12, bands: Int = 4,
+      mat: Materialize = Materialize.Local): StoredIndex = {
+    shingleProjection(df, idCol, toksCol, tokHash, n, mat)
+      .write.mode("overwrite").parquet(s"$path/shingles")
+    val sh = spark.read.parquet(s"$path/shingles")
+    bandsFromShingles(sh, k, bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    import spark.implicits._
+    Seq((IndexFormatVersion, n, k, bands)).toDF("version", "n", "k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    loadIndex(spark, path)
   }
 
   def nearDupPairs(df: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,

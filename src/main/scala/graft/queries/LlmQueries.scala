@@ -706,9 +706,7 @@ object LlmQueries {
     // the gate consumes the PERSISTED index (built once, stored,
     // loaded) — per-run streaming work is the probe only
     val ixPath = scratch(s"ix89_${new java.io.File(dir).getName}")
-    val (csh, cbands) = Dedup.shingleBandIndex(toks(corpus), "doc_id", "toks")
-    Dedup.writeIndex(csh, cbands, ixPath)
-    val ix = Dedup.loadIndex(s, ixPath)
+    val ix = Dedup.buildIndex(s, toks(corpus), "doc_id", "toks", ixPath)
     val (clean, dups) = graft.streaming.DocIngest.ingestWithIndex(
       s, ix.shingles, ix.bands, dir, out)
     clean.select(col("doc_id"),
@@ -866,10 +864,8 @@ object LlmQueries {
     // then probe the STORED index — the corpus tables the probe reads are
     // parquet scans, not a recompute (q89 streams against the same layout)
     val ixPath = scratch(s"ix82_${new java.io.File(dir).getName}")
-    val (csh, cbands) = Dedup.shingleBandIndex(toks(d), "doc_id", "toks",
+    val ix = Dedup.buildIndex(s, toks(d), "doc_id", "toks", ixPath,
       Hashing.DefaultTokHash, n = 3, k = MinhashK, bands = LshBands)
-    Dedup.writeIndex(csh, cbands, ixPath, n = 3, k = MinhashK, bands = LshBands)
-    val ix = Dedup.loadIndex(s, ixPath)
     val matches = Dedup.probeIndex(ix.shingles, ix.bands, toks(batch),
         "doc_id", "toks", Hashing.DefaultTokHash,
         n = ix.n, k = ix.k, bands = ix.bandCount,

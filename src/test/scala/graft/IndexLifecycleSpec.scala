@@ -49,6 +49,21 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("format version"))
   }
 
+  test("buildIndex (one-pass staged build) ≡ shingleBandIndex + writeIndex") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixbuild").toString
+    val docs = toks(Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), col("text")))
+    val built = Dedup.buildIndex(spark, docs, "doc_id", "toks", s"$dir/a")
+    val (csh, cbands) = Dedup.shingleBandIndex(docs, "doc_id", "toks")
+    Dedup.writeIndex(csh, cbands, s"$dir/b")
+    val stored = Dedup.loadIndex(spark, s"$dir/b")
+    assert((built.n, built.k, built.bandCount) === (3, 12, 4))
+    assert(built.shingles.exceptAll(stored.shingles).count() === 0)
+    assert(stored.shingles.exceptAll(built.shingles).count() === 0)
+    assert(built.bands.exceptAll(stored.bands).count() === 0)
+    assert(stored.bands.exceptAll(built.bands).count() === 0)
+  }
+
   test("appendToIndex: index(A) + append(B) probes identically to index(A∪B)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ixapp").toString
     val docs = Tables.documents(spark, TestSpark.Sf0001)
