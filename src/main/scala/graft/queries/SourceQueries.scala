@@ -39,23 +39,25 @@ object SourceQueries {
     s"$scratchRoot/${part}_${new java.io.File(dir).getName}"
 
   /** K1 + S6: dict-keyed JSON sink → keyed-JSON source roundtrip. The
-    * documents table is dumped as ONE `{doc_id: {lang, source, n_chars}}`
-    * object ([[Sources.writeKeyedJson]], the reference's metadata.json
-    * shape), read back with [[Sources.keyedJson]], and must reproduce the
-    * table bit-for-bit. */
+    * documents table — INCLUDING the free-text column, so JSON escaping
+    * is exercised for real — is dumped as ONE `{doc_id: {lang, source,
+    * n_chars, text}}` object ([[Sources.writeKeyedJson]], the reference's
+    * metadata.json shape), read back with [[Sources.keyedJson]], and must
+    * reproduce the table bit-for-bit against the oracle reading the
+    * parquet directly. */
   val q90 = Q("q90_keyed_json_roundtrip",
-    """SELECT doc_id, lang, source, n_chars
+    """SELECT doc_id, lang, source, n_chars, text
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val path = scratch("kjson", dir)
     Sources.writeKeyedJson(
       Tables.documents(s, dir).select(col("doc_id"), col("lang"),
-        col("source"), col("n_chars")),
+        col("source"), col("n_chars"), col("text")),
       "doc_id", path)
     Sources.keyedJson(s, path,
         org.apache.spark.sql.types.StructType.fromDDL(
-          "lang STRING, source STRING, n_chars BIGINT"))
+          "lang STRING, source STRING, n_chars BIGINT, text STRING"))
       .select(col("key").cast("long").as("doc_id"), col("lang"),
-        col("source"), col("n_chars"))
+        col("source"), col("n_chars"), col("text"))
       .orderBy(col("doc_id"))
   }
 
