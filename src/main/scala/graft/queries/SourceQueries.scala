@@ -101,5 +101,31 @@ object SourceQueries {
       .orderBy(col("value"))
   }
 
-  val all: Seq[Q] = Seq(q90, q91, q92)
+  /** S7 hardened: corrupt-row quarantine on the multi-file JSON load
+    * ([[Sources.jsonListPermissive]]). Three malformed lines are planted
+    * in the layout beside the real part files; the PERMISSIVE read must
+    * land every good row (per-lang counts match the table) and quarantine
+    * EXACTLY the planted garbage instead of failing the job — the 100 TB
+    * ingestion contract (a few bad records per billion are a certainty,
+    * and the reference's json.load would lose the whole file). */
+  val q94 = Q("q94_json_permissive",
+    """SELECT lang AS k, count(*) AS n FROM documents GROUP BY lang
+      |UNION ALL SELECT '__corrupt__' AS k, CAST(3 AS BIGINT) AS n
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val path = scratch("jsonbad", dir)
+    Sources.writeJsonl(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "corrupt.json"),
+      "{broken json\nnot json at all\n{\"doc_id\": }\n".getBytes("UTF-8"))
+    val (good, bad) = Sources.jsonListPermissive(s, Seq(path),
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    good.groupBy(col("lang").as("k")).agg(count(lit(1)).as("n"))
+      .unionByName(bad.agg(count(lit(1)).as("n"))
+        .select(lit("__corrupt__").as("k"), col("n")))
+      .orderBy(col("k"))
+  }
+
+  val all: Seq[Q] = Seq(q90, q91, q92, q94)
 }
