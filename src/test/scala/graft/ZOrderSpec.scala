@@ -1,0 +1,109 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.ZOrder
+
+/** Z-order layout: key correctness + the pruning claim measured from the
+  * parquet footers themselves — for a 2-D box predicate, the z-ordered
+  * layout must leave far fewer row groups whose min/max envelope
+  * intersects the box than a single-column sort does (row groups a scan
+  * cannot skip). */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zKey: bijective on the grid, interleaves bits as documented") {
+    val df = (0 until 64).flatMap(a => (0 until 64).map(b => (a.toLong, b.toLong)))
+      .toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.zKey(col("a"), col("b"), 6).as("zk"))
+    val rows = df.collect()
+    // bijective: 4096 distinct keys for 4096 distinct points
+    assert(rows.map(_.getLong(2)).distinct.length === 64 * 64)
+    // spot values: (1,0)→1, (0,1)→2, (3,5)→bits 1,1 of a at 0,2 + 1,0,1 of b at 1,3,5
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((0L, 0L)) === 0L)
+    assert(m((1L, 0L)) === 1L)
+    assert(m((0L, 1L)) === 2L)
+    assert(m((3L, 5L)) === (1L | (1L << 2) | (1L << 1) | (1L << 5)))
+  }
+
+  /** Row groups whose (user_id, epoch) min/max envelope intersects the
+    * box — the groups a stats-pruning scan must read. */
+  private def overlapping(dir: String, uLo: Long, uHi: Long,
+      tLo: Long, tHi: Long): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    var total = 0
+    var overlap = 0
+    files.foreach { f =>
+      val rdr = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+      try rdr.getFooter.getBlocks.asScala.foreach { blk =>
+        total += 1
+        def range(name: String): (Long, Long) = {
+          val c = blk.getColumns.asScala
+            .find(_.getPath.toDotString == name).get.getStatistics
+          (c.genericGetMin.asInstanceOf[Number].longValue,
+            c.genericGetMax.asInstanceOf[Number].longValue)
+        }
+        val (uMin, uMax) = range("user_id")
+        val (tMin, tMax) = range("epoch")
+        if (uMax >= uLo && uMin <= uHi && tMax >= tLo && tMin <= tHi)
+          overlap += 1
+      } finally rdr.close()
+    }
+    (total, overlap)
+  }
+
+  test("2-D box predicate: z-ordered layout prunes row groups a 1-D sort cannot") {
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // synthetic 2-D data: 200k events over 1000 users × ~1000 time slots,
+    // uncorrelated dimensions (the adversarial case for a 1-D sort)
+    val events = spark.range(0, 200000).select(
+      pmod(xxhash64(col("id")), lit(1000)).as("user_id"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000)).as("epoch"))
+    val rowGroup = 256 * 1024 // small groups → many stats envelopes
+    // layout A: sorted by time only (the default "order by ingestion time")
+    events.repartitionByRange(4, col("epoch")).sortWithinPartitions(col("epoch"))
+      .write.option("parquet.block.size", rowGroup.toString)
+      .mode("overwrite").parquet(s"$root/bytime")
+    // layout B: z-ordered on (user_id, epoch)
+    ZOrder.writeZOrdered(events, s"$root/zorder", "user_id", "epoch",
+      bits = 10, partitions = 4, blockSize = rowGroup)
+    // two query shapes: a band in the SORTED dimension (the 1-D layout's
+    // best case) and a band in the OTHER dimension (its worst case — the
+    // user-id filter prunes NOTHING on a time-sorted file). Z-order's
+    // value is bounding the worst case across dimensions.
+    def frac(p: (Int, Int)): Double = p._2.toDouble / p._1
+    val timeBand = (0L, 999L, 200L, 299L) // 10% of time, all users
+    val userBand = (100L, 199L, 0L, 999L) // 10% of users, all times
+    def run(dir: String, box: (Long, Long, Long, Long)) =
+      overlapping(dir, box._1, box._2, box._3, box._4)
+    val (tTotal, _) = run(s"$root/bytime", timeBand)
+    val (zTotal, _) = run(s"$root/zorder", timeBand)
+    assert(tTotal > 10 && zTotal > 10, s"need many row groups: $tTotal / $zTotal")
+    val tWorst = math.max(frac(run(s"$root/bytime", timeBand)),
+      frac(run(s"$root/bytime", userBand)))
+    val zWorst = math.max(frac(run(s"$root/zorder", timeBand)),
+      frac(run(s"$root/zorder", userBand)))
+    // time-sorted reads ~every group for the user band (worst ≈ 1.0);
+    // z-ordered bounds BOTH bands well under half the file
+    assert(frac(run(s"$root/bytime", userBand)) > 0.9)
+    assert(zWorst < 0.5 * tWorst,
+      s"z-order worst $zWorst not < half of 1-D-sort worst $tWorst")
+    // and the layouts hold identical data (count + checksum)
+    val a = spark.read.parquet(s"$root/bytime")
+      .agg(count(lit(1)), sum(col("user_id") * 1000 + col("epoch"))).head()
+    val b = spark.read.parquet(s"$root/zorder")
+      .agg(count(lit(1)), sum(col("user_id") * 1000 + col("epoch"))).head()
+    assert(a === b)
+  }
+}
