@@ -56,16 +56,26 @@ object DocIngest {
     * layout. Per micro-batch work is the broadcast probe only; the index
     * tables are scans of the stored parquet, so repeated ingestion runs
     * share one persisted corpus pass. */
+  /** `checkpoint`: pass a STABLE location to make repeated drains
+    * incremental and exactly-once — the file-stream source records
+    * processed files there, so a later run (or a crash-restart) picks up
+    * only NEW files and never re-appends old batches' output
+    * (StreamingSpec's restart test). Default (None) uses a fresh temp
+    * checkpoint per call: every call reprocesses the whole directory —
+    * right for the self-contained driver query, wrong for production. */
   def ingestWithIndex(spark: SparkSession, csh: DataFrame, cbands: DataFrame,
       srcDir: String, outDir: String, threshold: Double = 0.5,
-      mat: Materialize = Materialize.Local): (DataFrame, DataFrame) = {
+      mat: Materialize = Materialize.Local,
+      checkpoint: Option[String] = None): (DataFrame, DataFrame) = {
     val cleanDir = s"$outDir/clean"
     val dupsDir = s"$outDir/dups"
-    val q = spark.readStream.schema(docSchema)
+    val reader = spark.readStream.schema(docSchema)
       // file-stream source wants a dir/glob, not a bare file (see
       // EventStream.read)
       .parquet(s"$srcDir/documents.parque[t]")
-      .writeStream
+    val writer0 = reader.writeStream
+    val writer = checkpoint.fold(writer0)(c => writer0.option("checkpointLocation", c))
+    val q = writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val matches = Dedup.probeIndex(csh, cbands, toks(batch.toDF()),
           "doc_id", "toks", threshold = threshold, mat = mat)

@@ -103,6 +103,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rocks.exceptAll(batch).count() === 0)
   }
 
+  test("ingest restart on a stable checkpoint: only new files, exactly once") {
+    import graft.ops.{Dedup, TextAnalysis}
+    import graft.streaming.DocIngest
+    val root = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val src = s"$root/src"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val a = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250)
+    a.write.parquet(s"$src/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+    val (csh, cbands) = Dedup.shingleBandIndex(toks(corpus), "doc_id", "toks")
+    val (c1, d1) = DocIngest.ingestWithIndex(spark, csh, cbands, src, out,
+      checkpoint = Some(ckpt))
+    assert(c1.count() + d1.count() === a.count())
+    // new files arrive between runs — drop batch B's parts into the dir
+    b.write.parquet(s"$root/tmpb")
+    new java.io.File(s"$root/tmpb").listFiles
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+      .foreach { f =>
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$src/documents.parquet", "b_" + f.getName))
+      }
+    // "restart": a fresh drain on the SAME checkpoint must process ONLY
+    // the new files — batch A's rows appear exactly once in the output
+    val (c2, d2) = DocIngest.ingestWithIndex(spark, csh, cbands, src, out,
+      checkpoint = Some(ckpt))
+    val ids = c2.select(col("doc_id"))
+      .unionByName(d2.select(col("batch_id").as("doc_id")))
+    assert(ids.count() === docs.count(), "each doc exactly once, none twice")
+    assert(ids.distinct().count() === docs.count())
+    // evens are planted self-duplicates of the corpus → land in dups
+    assert(d2.filter(col("batch_id") % 2 === 0).count() ===
+      docs.filter(col("doc_id") % 2 === 0).count())
+  }
+
   test("watermarked variant builds a valid streaming plan") {
     val plan = EventStream.hourlyWatermarked(EventStream.read(spark, TestSpark.Sf0001))
     assert(plan.isStreaming)
