@@ -110,6 +110,26 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(inc === run(s"$dir/full"))
   }
 
+  test("VecIngest: streamed vector appends probe identically to a batch build") {
+    import graft.ops.Similarity
+    val root = java.nio.file.Files.createTempDirectory("graft_vecingest").toString
+    val planes = Similarity.planes(4, 64)
+    val vecs = Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    // seed an empty layout, then let the stream fold the table in
+    Similarity.writeBucketed(vecs.limit(0), planes, s"$root/streamed")
+    graft.streaming.VecIngest.ingestAvailableNow(spark, TestSpark.Sf0001,
+      s"$root/streamed", planes, checkpoint = Some(s"$root/ckpt"))
+    Similarity.writeBucketed(vecs, planes, s"$root/batch")
+    val probes = vecs.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def run(p: String) = Similarity.probeBucketedMany(spark, p, probes, planes, 5)
+      .orderBy("qid", "rnk").collect().toSeq
+    val streamed = run(s"$root/streamed")
+    assert(streamed.nonEmpty)
+    assert(streamed === run(s"$root/batch"))
+  }
+
   test("Materialize.Stage tracks staging tables and cleanup removes them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stage").toString
     val stage = Materialize.Stage(dir)
