@@ -14,6 +14,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(Queries.all.count(_.oracle.isDefined) >= 40)
   }
 
+  test("plan hygiene: no driver query plans a cartesian product") {
+    // a CartesianProductExec in ANY registered query is a scale defect —
+    // every pairwise operator must go through a key-equi-join (LSH band,
+    // bucket code, partition column) or an explicit BROADCAST nested
+    // loop over a provably tiny side (kmeans centroids, brute-force
+    // query sets), which plans as BroadcastNestedLoopJoin, not
+    // CartesianProduct. Building the DataFrames executes the layout-
+    // staging side effects (q88/q89/q93 writes) at sf0.001 — cheap.
+    Queries.all.foreach { q =>
+      val plan = q.fn(TestSpark.spark, TestSpark.Sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n$plan")
+    }
+  }
+
   test("entry: flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
