@@ -110,6 +110,42 @@ class IndexLifecycleSpec extends AnyFunSuite {
     assert(inc === run(s"$dir/full"))
   }
 
+  test("full ingestion loop: probe, keep clean, append, next batch dedups against it") {
+    import org.apache.spark.sql.functions.{concat, concat_ws, lit, pmod, sequence, transform, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    // hash-token synthetic docs (ScaleSpec's generator): cross-doc shingle
+    // overlap is negligible, so match sets are exact by construction
+    def gen(ids: Range, prefix: String) = {
+      import spark.implicits._
+      ids.toDF("id").select(col("id").cast("long").as("doc_id"),
+        concat(lit(prefix), concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          i => concat(lit("w"), pmod(xxhash64(col("id") * 100 + i), lit(99991))))))
+          .as("text"))
+    }
+    def t(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), graft.ops.TextAnalysis.toks(col("text")).as("toks"))
+    val corpus = gen(0 until 100, "")
+    Dedup.buildIndex(spark, t(corpus), "doc_id", "toks", s"$dir/ix")
+    // batch 1: brand-new docs — must come through clean
+    val batch1 = gen(1000 until 1050, "").select(
+      (col("doc_id") + 9000).as("doc_id"), col("text"))
+    val ix1 = Dedup.loadIndex(spark, s"$dir/ix")
+    val m1 = Dedup.probeIndex(ix1.shingles, ix1.bands, t(batch1), "doc_id", "toks")
+    assert(m1.count() === 0L, "fresh docs must not match the corpus")
+    // the cadence step: fold the CLEAN batch into the stored index
+    Dedup.appendToIndex(spark, s"$dir/ix", t(batch1), "doc_id", "toks")
+    // batch 2: near-copies of batch 1 (2 tokens prepended) — every one
+    // must now dedup against its batch-1 source
+    val batch2 = gen(1000 until 1050, "zz yy ").select(
+      (col("doc_id") + 20000).as("doc_id"), col("text"))
+    val ix2 = Dedup.loadIndex(spark, s"$dir/ix")
+    val m2 = Dedup.probeIndex(ix2.shingles, ix2.bands, t(batch2), "doc_id", "toks")
+      .collect()
+    assert(m2.length >= 48, s"near-copies must match their sources (got ${m2.length}/50)")
+    assert(m2.forall(r => r.getLong(1) === r.getLong(0) - 20000 + 9000),
+      "each duplicate must resolve to its batch-1 source")
+  }
+
   test("VecIngest: streamed vector appends probe identically to a batch build") {
     import graft.ops.Similarity
     val root = java.nio.file.Files.createTempDirectory("graft_vecingest").toString
