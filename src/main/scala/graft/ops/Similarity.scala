@@ -146,6 +146,48 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540 — public method): partition the
+    * embedding space with the deterministic integer [[kmeans]], generate
+    * candidate pairs ONLY within a cluster, confirm with exact cosine ≥
+    * `threshold`, and keep one representative (component-min vec_id) per
+    * connected component of confirmed pairs.
+    *
+    * `vectors` = (vec_id, v double[], qv long[]) — `v` scores the exact
+    * cosine, `qv` ([[quantize]]d) trains the clusters; `seeds` = initial
+    * (cid, cv) centroids. Returns every input row as
+    * (vec_id, cid, rep_id, kept 0/1).
+    *
+    * Scale shape: clustering is the [[kmeans]] broadcast-assign loop (the
+    * corpus never shuffles to be assigned); the pairwise stage self-joins
+    * on the CLUSTER KEY, so candidate fan-out is bounded by cluster size —
+    * k is the skew/volume knob exactly like an LSH band width, and the
+    * join is never all-pairs. Pairs crossing a cluster boundary are the
+    * method's documented recall trade (same in every SemDeDup
+    * deployment); both engines compute identical clusters so the oracle
+    * compare is exact. CC shuffles (node, label) pairs only. */
+  def semanticDedup(vectors: DataFrame, seeds: DataFrame, iters: Int,
+                    threshold: Double,
+                    mat: Materialize = Materialize.Local): DataFrame = {
+    val (assign, _) = kmeans(vectors.select(col("vec_id"), col("qv")), seeds, iters, mat)
+    val b = mat(vectors.select(col("vec_id"), col("v"))
+      .join(assign.select(col("vec_id"), col("cid")), Seq("vec_id"))
+      .withColumn("nrm", norm(col("v"))))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(cosinePre(dot(col("x.v"), col("y.v")), col("x.nrm"), col("y.nrm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val cc = Dedup.connectedComponents(pairs, "vec_a", "vec_b", mat)
+    b.select(col("vec_id"), col("cid"))
+      .join(cc, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("cluster_id"), col("vec_id")).as("rep_id"))
+      .withColumn("kept", (col("rep_id") === col("vec_id")).cast("long"))
+  }
+
   // ---- IVF-style bucket-partitioned layout (the 100 TB ANN path) ----
 
   /** Driver-side bucket code of a literal query vector — same fold order

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operator family for the LLM-training-data extension
@@ -29,6 +29,38 @@ object TextAnalysis {
     "fr" -> Seq("fast", "slow", "merge"),
     "de" -> Seq("join", "hash", "batch"),
     "zh" -> Seq("filter", "sort", "line"))
+
+  /** Overlapping token-window chunking — the context-window construction
+    * step of an LLM training / retrieval pipeline: each document's token
+    * stream splits into windows of `window` tokens advancing by `stride`
+    * (stride < window ⇒ adjacent chunks overlap by window−stride tokens,
+    * so no boundary context is lost; the final window may be short).
+    * A document of n ≤ window tokens yields exactly one chunk.
+    *
+    * Spelled as a generator (explode of an integer sequence) + array
+    * slice — a narrow per-row fan-out with NO shuffle, no UDF, and no
+    * driver involvement; at 100 TB it runs at scan speed and the output
+    * inherits the input partitioning. All arithmetic is integer
+    * (`div`-ceil for the window count), so the chunk grid is identical
+    * across engines. Returns (idCol, chunk_idx, n_toks, chunk_text). */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    docs.select(col(idCol), toks(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        when(col("n") <= window, lit(0L))
+          .otherwise(expr(s"(n - $window + $stride - 1) div $stride")
+            .cast("long")))))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(window)).as("c"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("c")).cast("long").as("n_toks"),
+        array_join(col("c"), " ").as("chunk_text"))
+  }
 
   /** Occurrence count of marker words (multiset). */
   def markerScore(toksCol: Column, markers: Seq[String]): Column =

@@ -952,36 +952,125 @@ object LlmQueries {
     * is exact integer arithmetic (quantized vectors, integer squared
     * distances, truncating floor-mean centroids): float-mean k-means
     * could never hash-match across engines or even across partitionings. */
-  val q85 = Q("q85_kmeans_ivf", {
-    def assignCte(name: String, cent: String, proj: String) =
-      s"""$name AS (SELECT $proj FROM (
-        |  SELECT v.vec_id AS vec_id, v.qv AS qv, c.cid AS cid,
-        |    ${Similarity.sqDistIntSql("v.qv", "c.cv", 64)} AS dist
-        |  FROM vecs v CROSS JOIN $cent c) x
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
-        .stripMargin
-    def updateCte(name: String, assign: String) =
-      s"""$name AS (
-        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
-        |    SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) // count(*) AS cx
-        |    FROM $assign, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)"""
-        .stripMargin
+  /** DuckDB spelling of one [[Similarity.kmeans]] assignment round over a
+    * `vecs(vec_id, qv)` CTE — shared by q85 and q95. */
+  private def kmAssignCte(name: String, cent: String, proj: String) =
+    s"""$name AS (SELECT $proj FROM (
+      |  SELECT v.vec_id AS vec_id, v.qv AS qv, c.cid AS cid,
+      |    ${Similarity.sqDistIntSql("v.qv", "c.cv", 64)} AS dist
+      |  FROM vecs v CROSS JOIN $cent c) x
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
+      .stripMargin
+
+  /** DuckDB spelling of one [[Similarity.kmeans]] centroid update
+    * (truncating per-dim integer mean) — shared by q85 and q95. */
+  private def kmUpdateCte(name: String, assign: String) =
+    s"""$name AS (
+      |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+      |    SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) // count(*) AS cx
+      |    FROM $assign, range(1, 65) t(i) GROUP BY cid, i) GROUP BY cid)"""
+      .stripMargin
+
+  /** Two full k-means iterations + final assignment (a `fin` CTE exposing
+    * `proj`) — assumes `vecs(vec_id, qv)` and `c0(cid, cv)` CTEs exist. */
+  private def kmTwoIterCtes(proj: String): String =
+    s"""${kmAssignCte("a1", "c0", "vec_id, qv, cid")},
+      |${kmUpdateCte("c1", "a1")},
+      |${kmAssignCte("a2", "c1", "vec_id, qv, cid")},
+      |${kmUpdateCte("c2", "a2")},
+      |${kmAssignCte("fin", "c2", proj)}""".stripMargin
+
+  val q85 = Q("q85_kmeans_ivf",
     s"""WITH vecs AS (SELECT vec_id, ${Similarity.quantizeSql("embedding", 1000)} AS qv
       |  FROM embeddings),
       |c0 AS (SELECT vec_id // 125 AS cid, qv AS cv FROM vecs WHERE vec_id % 125 = 0),
-      |${assignCte("a1", "c0", "vec_id, qv, cid")},
-      |${updateCte("c1", "a1")},
-      |${assignCte("a2", "c1", "vec_id, qv, cid")},
-      |${updateCte("c2", "a2")},
-      |${assignCte("fin", "c2", "vec_id, cid, dist")}
-      |SELECT vec_id, cid, dist FROM fin ORDER BY vec_id""".stripMargin
-  }) { (s, dir) =>
+      |${kmTwoIterCtes("vec_id, cid, dist")}
+      |SELECT vec_id, cid, dist FROM fin ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.quantize(col("embedding"), 1000).as("qv"))
     val seeds = vecs.filter(col("vec_id") % 125 === 0)
       .select(expr("vec_id div 125").as("cid"), col("qv").as("cv"))
     val (assign, _) = Similarity.kmeans(vecs, seeds, iters = 2)
     assign.orderBy(col("vec_id"))
+  }
+
+  // ---- Q95: SemDeDup semantic deduplication ----
+
+  /** [[Similarity.semanticDedup]] on the q60-salted corpus (every 20th
+    * vector re-appears with +0.2 on dim 1): k-means clusters (q85's exact
+    * integer training, 2 iters) → within-cluster cosine ≥ 0.95 pairs →
+    * connected-components keep-one. The oracle re-runs the whole method:
+    * training, pairwise confirm, and a recursive-CTE closure. */
+  val q95 = Q("q95_semantic_dedup", {
+    val mut = "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) + " +
+      "CASE WHEN i = 1 THEN 0.2 ELSE 0.0 END)"
+    val base = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    s"""WITH RECURSIVE corpus AS (
+      |  SELECT vec_id, $base AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000 AS vec_id, $mut AS v
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |vecs AS (SELECT vec_id, v, ${Similarity.quantizeSql("v", 1000)} AS qv FROM corpus),
+      |c0 AS (SELECT vec_id // 125 AS cid, qv AS cv FROM vecs
+      |       WHERE vec_id % 125 = 0 AND vec_id < 10000),
+      |${kmTwoIterCtes("vec_id, cid")},
+      |b AS (SELECT f.vec_id AS vec_id, f.cid AS cid, v.v AS v,
+      |        sqrt(${Similarity.dotSql("v.v", "v.v", 64)}) AS nrm
+      |      FROM fin f JOIN vecs v ON v.vec_id = f.vec_id),
+      |p AS (SELECT vec_a, vec_b FROM (
+      |        SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |          round(${Similarity.dotSql("x.v", "y.v", 64)} / (x.nrm * y.nrm), 6) AS cosine
+      |        FROM b x JOIN b y ON x.cid = y.cid AND x.vec_id < y.vec_id) z
+      |      WHERE cosine >= 0.95),
+      |edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+      |          UNION SELECT vec_b AS src, vec_a AS dst FROM p),
+      |walk(node, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+      |cc AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+      |SELECT b.vec_id AS vec_id, b.cid AS cid,
+      |  coalesce(cc.cluster_id, b.vec_id) AS rep_id,
+      |  CAST(CASE WHEN coalesce(cc.cluster_id, b.vec_id) = b.vec_id
+      |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM b LEFT JOIN cc ON cc.node = b.vec_id
+      |ORDER BY vec_id""".stripMargin
+  }) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+    val baseV = e.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val mutV = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        zip_with(Similarity.toDouble(col("embedding")), sequence(lit(1), lit(64)),
+          (x, i) => x + when(i === 1, lit(0.2)).otherwise(lit(0.0))).as("v"))
+    val vecs = baseV.unionByName(mutV)
+      .withColumn("qv", Similarity.quantize(col("v"), 1000))
+    val seeds = vecs.filter(col("vec_id") % 125 === 0 && col("vec_id") < 10000)
+      .select(expr("vec_id div 125").as("cid"), col("qv").as("cv"))
+    Similarity.semanticDedup(vecs, seeds, iters = 2, threshold = 0.95)
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- Q96: overlapping token-window chunking ----
+
+  /** [[TextAnalysis.chunkWindows]] over `documents`: 32-token windows,
+    * stride 24 (8-token overlap) — the context-window construction step
+    * of a training/retrieval pipeline, checked chunk-for-chunk. */
+  val q96 = Q("q96_chunk_windows", {
+    val (w, st) = (32, 24)
+    s"""WITH t AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM documents),
+      |d AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+      |g AS (SELECT doc_id, toks, unnest(generate_series(0,
+      |        CASE WHEN n <= $w THEN 0 ELSE (n - $w + $st - 1) // $st END)) AS chunk_idx
+      |      FROM d)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(toks, chunk_idx * $st + 1, chunk_idx * $st + $w)) AS BIGINT) AS n_toks,
+      |  array_to_string(list_slice(toks, chunk_idx * $st + 1, chunk_idx * $st + $w), ' ') AS chunk_text
+      |FROM g ORDER BY doc_id, chunk_idx""".stripMargin
+  }) { (s, dir) =>
+    TextAnalysis.chunkWindows(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", window = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   // ---- Q86: full corpus-preparation pipeline (the LLM-side flagship) ----
@@ -1060,5 +1149,6 @@ object LlmQueries {
   }
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
-    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89, q93)
+    q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89, q93,
+    q95, q96)
 }

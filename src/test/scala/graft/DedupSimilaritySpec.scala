@@ -231,4 +231,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(en.map(_.getLong(2)).sum === 10 + 10) // n_toks of docs 1 and 5
     assert(out.forall(r => r.getLong(4) < 8 || r.getLong(3) > 0))
   }
+
+  test("semanticDedup: within-cluster near-dups collapse to one representative") {
+    // two well-separated direction clusters in R^4; ids 1/2 are near-
+    // identical (cosine ≈ 1), ids 3/4 share a cluster but point 45° apart
+    // (cosine ≈ 0.707 < 0.95) so both survive
+    val vecs = Seq(
+      (1L, Seq(10.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(10.001, 0.0, 0.0, 0.0)),
+      (3L, Seq(0.0, 10.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 7.0, 7.0, 0.0)))
+      .toDF("vec_id", "v")
+      .withColumn("qv", Similarity.quantize(col("v"), 1000))
+    val seeds = Seq(
+      (0L, Seq(10000L, 0L, 0L, 0L)),
+      (1L, Seq(0L, 10000L, 0L, 0L)))
+      .toDF("cid", "cv")
+    val out = Similarity.semanticDedup(vecs, seeds, iters = 2, threshold = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out === Array(
+      (1L, 0L, 1L, 1L),   // representative of the {1,2} component
+      (2L, 0L, 1L, 0L),   // collapsed onto 1
+      (3L, 1L, 3L, 1L),   // same cluster as 4 but below threshold → kept
+      (4L, 1L, 4L, 1L)))
+  }
 }
