@@ -269,6 +269,44 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Substring-level exact-duplication statistics — the shingle-grained,
+    * shuffle-friendly form of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22:
+    * fixed-width token windows stand in for arbitrary-length repeated
+    * substrings, the standard scalable approximation). A SPAN is a
+    * `w`-token rolling-hash shingle, counted once per document
+    * ([[tokenShingleHashes]] set semantics); a span is DUPLICATED if its
+    * hash occurs in ≥ `minDocs` DISTINCT documents (internal repetition
+    * within one doc does not count — that is the q77 repetition gate's
+    * job). Returns `(doc_id, n_spans, n_dup_spans, dup_frac)` over the
+    * distinct spans of each doc — the gate a corpus-prep pipeline uses
+    * to drop or re-clean documents built from copied text.
+    *
+    * Scale shape: one narrow (doc_id, h) explode (~token-count rows of
+    * two longs), one partial-aggregated groupBy(h) for the cross-doc
+    * distinct counts, one equi-join back on h, one groupBy(doc_id).
+    * Never all-pairs, nothing on the driver; the keys are uniform
+    * hashes, so none of the three shuffles skews. The span table is
+    * materialized once (`mat`) because both the dup-set aggregate and
+    * the join read it. */
+  def duplicateSpanStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      toksCol: String, w: Int = 8, minDocs: Int = 2,
+      mat: Materialize = Materialize.Local): org.apache.spark.sql.DataFrame = {
+    val spans = mat(df.filter(size(col(toksCol)) >= w)
+      .select(col(idCol).as("doc_id"),
+        explode(tokenShingleHashes(col(toksCol), w)).as("h")))
+    val dup = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"), lit(1L).as("is_dup"))
+    spans.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
   /** Incremental near-dup: match a NEW batch of documents against an
     * already-indexed corpus — the ingestion shape at 100 TB, where the
     * corpus index ([[shingleBandIndex]]: shingle-hash + band tables) is

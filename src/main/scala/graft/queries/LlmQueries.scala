@@ -1073,6 +1073,37 @@ object LlmQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // ---- Q97: substring-level duplicate-span statistics ----
+
+  /** [[Dedup.duplicateSpanStats]] on the near-dup-salted corpus: 8-token
+    * rolling-hash spans shared across ≥ 2 distinct docs, per-doc
+    * duplicated fraction. The salted copies share every window of their
+    * original, so the planted answer is dup_frac ≈ 1 for the pairs and
+    * the oracle re-derives every count. */
+  val q97 = Q("q97_duplicate_spans", {
+    val w = 8
+    s"""WITH corpus AS (
+      |  $corpusNearSql),
+      |tok AS ($toksSql),
+      |th AS (SELECT doc_id, list_transform(toks, t -> ${Hashing.hash31Sql("t")}) AS th
+      |       FROM tok WHERE len(toks) >= $w),
+      |sh AS (SELECT doc_id, ${Dedup.shingleHashesSql("th", w)} AS hs FROM th),
+      |spans AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+      |dup AS (SELECT h FROM (
+      |          SELECT h, count(DISTINCT doc_id) AS nd FROM spans GROUP BY h) x
+      |        WHERE nd >= 2),
+      |per AS (SELECT s.doc_id AS doc_id, count(*) AS n_spans,
+      |          sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup_spans
+      |        FROM spans s LEFT JOIN dup d ON d.h = s.h GROUP BY s.doc_id)
+      |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+      |  CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+      |  round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
+      |FROM per ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    Dedup.duplicateSpanStats(toks(corpusNear(s, dir)), "doc_id", "toks", w = 8)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Q86: full corpus-preparation pipeline (the LLM-side flagship) ----
 
   /** [[graft.pipeline.CorpusPipeline.run]] end to end on a corpus salted
@@ -1150,5 +1181,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
     q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89, q93,
-    q95, q96)
+    q95, q96, q97)
 }

@@ -232,6 +232,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(4) < 8 || r.getLong(3) > 0))
   }
 
+  test("duplicateSpanStats: cross-doc spans counted, within-doc repeats are not") {
+    val docs = tokDF(
+      (1L, "a b c d e f g h i j"),          // 6 spans at w=5
+      (2L, "x y a b c d e z1 z2 z3"),       // shares exactly span (a b c d e)
+      (3L, "p q r s t u"),                  // disjoint: 2 spans, 0 dup
+      (4L, "m m m m m m m m m"))            // internal repetition only
+    val out = Dedup.duplicateSpanStats(docs.withColumnRenamed("id", "doc_id"),
+        "doc_id", "toks", w = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1L, 6L, 1L, 0.166667)))
+    assert(out(1) === ((2L, 6L, 1L, 0.166667)))
+    assert(out(2) === ((3L, 2L, 0L, 0.0)))
+    // doc 4's windows are all identical → ONE distinct span, and it
+    // repeats only within the doc itself → not duplicated
+    assert(out(3) === ((4L, 1L, 0L, 0.0)))
+  }
+
   test("semanticDedup: within-cluster near-dups collapse to one representative") {
     // two well-separated direction clusters in R^4; ids 1/2 are near-
     // identical (cosine ≈ 1), ids 3/4 share a cluster but point 45° apart
