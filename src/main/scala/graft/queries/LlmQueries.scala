@@ -1158,6 +1158,42 @@ object LlmQueries {
     graft.pipeline.CorpusPipeline.run(corpus).orderBy(col("doc_id"))
   }
 
+  // ---- Q98: bloom-gated exact incremental dedup ----
+
+  /** [[graft.ops.BloomGate.tagDuplicates]] as a driver query — the
+    * ingestion-time exact gate: is each batch doc's content key already in
+    * the corpus? The Bloom sketch (built with ONE distributed aggregate
+    * over the even-id corpus half) answers "definitely new" scan-locally
+    * for most novel rows; only bloom-positive rows pay the verification
+    * join, and the final answer is EXACT — so the oracle is the plain
+    * left-join spelling with no sketch at all. The batch is the full
+    * table plus salted genuinely-novel rows, so both gate outcomes are
+    * populated. */
+  val q98 = Q("q98_bloom_gate",
+    """WITH corpus AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000 AS doc_id, text || ' graft-novel' AS text
+      |  FROM documents WHERE doc_id % 10 = 1),
+      |ck AS (SELECT DISTINCT md5(text) AS k FROM corpus)
+      |SELECT b.doc_id, (ck.k IS NOT NULL) AS is_dup
+      |FROM batch b LEFT JOIN ck ON md5(b.text) = ck.k
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+    val corpus = d.filter(col("doc_id") % 2 === 0)
+      .select(md5(col("text")).as("ck"))
+    val batch = d.select(col("doc_id"), col("text")).unionByName(
+        d.filter(col("doc_id") % 10 === 1)
+          .select((col("doc_id") + 300000).as("doc_id"),
+            concat(col("text"), lit(" graft-novel")).as("text")))
+      .select(col("doc_id"), md5(col("text")).as("ck"))
+    graft.ops.BloomGate.tagDuplicates(corpus, batch, "ck",
+        expectedItems = 100000, fpp = 0.01)
+      .select(col("doc_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Edit-distance (Levenshtein) near-dup verification over window
     * neighbor pairs — exact integer metric, the character-level
     * complement of q43's trigram Jaccard. */
@@ -1181,5 +1217,5 @@ object LlmQueries {
 
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
     q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89, q93,
-    q95, q96, q97)
+    q95, q96, q97, q98)
 }

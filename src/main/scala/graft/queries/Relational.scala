@@ -629,7 +629,37 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** SCD2 dimension history ([[graft.ops.Scd2.intervalize]]): the events
+    * stream as per-user state changes — consecutive same-type events
+    * collapse into one validity interval, `valid_to` = next change
+    * (exclusive), NULL marks the current state. Complements q10 (LWW keeps
+    * latest) and q63 (as-of joins CONSUME exactly these intervals). One
+    * shuffle: both windows share the user_id partitioning. */
+  val q99 = Q("q99_scd2_intervals",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pstate
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_type, event_id, ts AS valid_from FROM x
+      |  WHERE event_type IS DISTINCT FROM pstate),
+      |iv AS (
+      |  SELECT user_id, event_type, event_id, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id
+      |      ORDER BY valid_from, event_id) AS valid_to
+      |  FROM s)
+      |SELECT user_id, event_type, event_id, valid_from, valid_to,
+      |  (valid_to IS NULL) AS is_current
+      |FROM iv ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, dir) =>
+    graft.ops.Scd2.intervalize(Tables.events(s, dir),
+        keyCols = Seq("user_id"), ordCol = "ts", tieCol = "event_id",
+        stateCols = Seq("event_type"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81)
+      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81, q99)
 }
