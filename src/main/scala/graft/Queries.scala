@@ -11,7 +11,8 @@ object Queries {
     graft.queries.LlmQueries.all ++
     graft.queries.PipelineQueries.all ++
     graft.queries.MultimodalQueries.all ++
-    graft.queries.SourceQueries.all
+    graft.queries.SourceQueries.all ++
+    graft.queries.SearchQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

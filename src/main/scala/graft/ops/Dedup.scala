@@ -575,6 +575,37 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * n-gram with a held-out test set — the standard train/test overlap
+    * check an LLM training pipeline runs before a corpus ships (n-gram
+    * collision against eval benchmarks, e.g. the 13-gram check of Brown
+    * et al., "Language Models are Few-Shot Learners", NeurIPS'20 §4).
+    *
+    * Returns `(idCol, shared)` for contaminated documents only, where
+    * `shared` counts the DISTINCT offending n-grams — the triage signal
+    * (1 shared 8-gram = likely a stock phrase; dozens = an embedded copy
+    * of a test item).
+    *
+    * Scale shape: the test set is benchmark-sized by contract →
+    * its distinct shingle hashes BROADCAST onto the exploded corpus
+    * shingles, so the corpus is one scan + one doc-keyed aggregation of
+    * the (rare) matching rows. Never all-pairs, and the corpus side never
+    * shuffles its shingles — only hits reach the exchange. Shingles are
+    * hashed ([[shingleHashes]]) so the broadcast is fixed-width longs; a
+    * mix collision can only ADD a flagged gram, and the identical
+    * spelling in the oracle ([[shingleHashesSql]]) makes it the same
+    * collision in both engines. */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame,
+      testSet: org.apache.spark.sql.DataFrame, idCol: String, toksCol: String,
+      n: Int = 8): org.apache.spark.sql.DataFrame = {
+    def sh(df: org.apache.spark.sql.DataFrame) = df.select(col(idCol),
+      explode(tokenShingleHashes(col(toksCol), n)).as("sh"))
+    val testSh = sh(testSet).select(col("sh")).distinct()
+    sh(corpus).join(broadcast(testSh), "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("shared")) // shingle hashes are pre-distinct per doc
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct
     * per-window minima of the gram-hash sequence, window size w. A document
     * sketch robust to local edits — the rolling-hash fingerprint the brief

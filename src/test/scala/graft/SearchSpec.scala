@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Search, Selection, TextAnalysis}
+
+/** BM25 search, decontamination, and importance selection: hand-checked
+  * scores on tiny corpora, ranking invariants, and the plan shapes the
+  * 100 TB story depends on (query side broadcast, heap top-k). */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def toksDF(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+
+  // ---- BM25 ----
+
+  test("bm25: hand-computed score on a two-doc corpus") {
+    // corpus: d1 = "a b", d2 = "a a c d" → N=2, sdl=6, avgdl=3
+    val docs = toksDF(Seq(1L -> "a b", 2L -> "a a c d"))
+    val qs = Seq((1, "a")).toDF("qid", "qtext")
+      .select(col("qid"), TextAnalysis.toks(col("qtext")).as("qtoks"))
+    val out = Search.bm25TopK(docs, "doc_id", "toks", qs, "qid", "qtoks", 10)
+      .orderBy("rnk").collect()
+    // term a: df=2 → idf = (2-2+0.5)/(2+0.5) = 0.2
+    def micro(tf: Int, dl: Int): Long = {
+      val num = 2.2 * tf
+      val den = tf + 1.2 * (0.25 + (0.75 * dl) / 3.0)
+      math.floor(0.2 * num / den * 1e6 + 0.5).toLong
+    }
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L)) // tf=2 beats tf=1
+    assert(out(0).getLong(3) === micro(2, 4))
+    assert(out(1).getLong(3) === micro(1, 2))
+  }
+
+  test("bm25: more matched query terms outrank one hot term (saturation)") {
+    // d1 repeats "x" eight times; d2 has x+y+z once each — BM25's tf
+    // saturation must prefer the multi-term match for query "x y z"
+    val docs = toksDF(Seq(
+      1L -> "x x x x x x x x",
+      2L -> "x y z p q r s t",
+      3L -> "p q r s t u v w"))
+    val qs = Seq((1, "x y z")).toDF("qid", "qtext")
+      .select(col("qid"), TextAnalysis.toks(col("qtext")).as("qtoks"))
+    val top = Search.bm25TopK(docs, "doc_id", "toks", qs, "qid", "qtoks", 3)
+      .orderBy("rnk").collect()
+    assert(top.head.getLong(2) === 2L)
+    // d3 shares no query term → never retrieved at all
+    assert(!top.map(_.getLong(2)).contains(3L))
+  }
+
+  test("bm25: plan broadcasts the query side and ranks via the heap operator") {
+    val docs = toksDF((0L until 50L).map(i => i -> s"w$i common"))
+    val qs = Seq((1, "common w7")).toDF("qid", "qtext")
+      .select(col("qid"), TextAnalysis.toks(col("qtext")).as("qtoks"))
+    val plan = Search.bm25TopK(docs, "doc_id", "toks", qs, "qid", "qtoks", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"no broadcast:\n$plan")
+    assert(plan.contains("TopKPerGroup"), s"no heap top-k:\n$plan")
+  }
+
+  // ---- decontamination ----
+
+  test("decontaminate: finds embedded test items, counts shared grams") {
+    val test = toksDF(Seq(100L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9"))
+    val corpus = toksDF(Seq(
+      // contains the test doc verbatim behind a prefix → both interior
+      // 8-grams (t1..t8, t2..t9) survive
+      1L -> "junk t1 t2 t3 t4 t5 t6 t7 t8 t9",
+      // shares only a 7-gram → below the n=8 bar
+      2L -> "t1 t2 t3 t4 t5 t6 t7 x y z",
+      3L -> "clean words only here nothing shared at all"))
+    val hits = Dedup.decontaminate(corpus, test, "doc_id", "toks", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits === Map(1L -> 2L))
+  }
+
+  test("decontaminate: document shorter than n cannot be flagged") {
+    val test = toksDF(Seq(100L -> "a b c d e f g h"))
+    val corpus = toksDF(Seq(1L -> "a b c d e f g")) // 7 < n=8
+    assert(Dedup.decontaminate(corpus, test, "doc_id", "toks", 8).count() === 0)
+  }
+
+  // ---- importance selection ----
+
+  test("importanceTopK: target-like documents outrank background-like") {
+    // target speaks mostly "tgt"; background docs speak "bg"
+    val corpus = toksDF(Seq(
+      1L -> "tgt tgt tgt tgt",
+      2L -> "tgt tgt bg bg",
+      3L -> "bg bg bg bg",
+      4L -> "bg bg bg bg"))
+    val target = toksDF(Seq(100L -> "tgt tgt tgt tgt tgt tgt tgt tgt"))
+      .select(col("toks"))
+    val out = Selection.importanceTopK(corpus, target, "doc_id", "toks", 4)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSeq.take(2) === Seq(1L, 2L))
+    // scores strictly decrease from all-target to no-target (ties between
+    // the two identical bg docs broken by doc_id)
+    val scores = out.map(_.getLong(2)).toSeq
+    assert(scores(0) > scores(1) && scores(1) > scores(2))
+    assert(scores(2) === scores(3))
+  }
+
+  test("importanceTopK: k caps the selection") {
+    val corpus = toksDF((0L until 30L).map(i => i -> "w x y z"))
+    val target = toksDF(Seq(100L -> "w w w")).select(col("toks"))
+    assert(Selection.importanceTopK(corpus, target, "doc_id", "toks", 7).count() === 7)
+  }
+}
