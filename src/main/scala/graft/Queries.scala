@@ -12,7 +12,8 @@ object Queries {
     graft.queries.PipelineQueries.all ++
     graft.queries.MultimodalQueries.all ++
     graft.queries.SourceQueries.all ++
-    graft.queries.SearchQueries.all
+    graft.queries.SearchQueries.all ++
+    graft.queries.CurationQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mixture construction: downsample a multi-source corpus so the
+  * kept documents hit a TARGET source mixture exactly — the "data recipe"
+  * step of LM corpus assembly (fixed domain proportions à la Pile/DoReMi
+  * mixtures; weights are the recipe, not learned here).
+  *
+  * Given integer weights w_s, the kept counts are k_s = w_s · u with
+  * u = min_s ⌊n_s / w_s⌋ — the largest multiple of the recipe every
+  * source can fill. Selection within a source is hash-rank sampling:
+  * keep the k_s documents with the SMALLEST md5-derived hash of their id
+  * ([[Hashing.hash31]]) — deterministic, uniform, engine-portable, and
+  * stable under corpus growth (a doc already kept stays kept unless
+  * strictly-smaller hashes displace it; no RNG state).
+  *
+  * Scale shape: per-source counts are one tiny aggregation; the recipe
+  * and the derived k_s table are broadcast; the rank is a per-source
+  * window — the one true shuffle, keyed on source. Source counts are
+  * FEW-AND-LARGE by construction (domains, not keys), so the window sort
+  * is the bottleneck at extreme scale; the drop-in degrade path is
+  * threshold sampling (keep hash < k_s/n_s · P31 — no sort, ±√n count
+  * noise), same hash, same contract minus exactness. Exactness is the
+  * default because training recipes are audited by exact counts.
+  */
+object Mixture {
+
+  /** Kept rows of `docs` (all columns), hitting the `weights` mixture
+    * exactly; sources absent from `weights` are dropped (weight 0).
+    *
+    * @param weights integer recipe shares per source, e.g.
+    *                `Seq("web" -> 3, "code" -> 1)` = 3:1
+    */
+  def sampleToMixture(docs: DataFrame, idCol: String, srcCol: String,
+                      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(srcCol, "mix_w")
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("mix_n"))
+    // u = min_s floor(n_s / w_s): integer div keeps this exact at any n
+    val u = counts.join(broadcast(w), srcCol)
+      .select(expr("mix_n div mix_w").as("q"))
+      .agg(min(col("q")).as("mix_u"))
+    val ks = broadcast(w.crossJoin(broadcast(u))
+      .select(col(srcCol), (col("mix_w") * col("mix_u")).as("mix_k")))
+    val win = Window.partitionBy(col(srcCol))
+      .orderBy(Hashing.hash31(col(idCol).cast("string")), col(idCol))
+    docs.join(ks, srcCol)
+      .withColumn("mix_rn", row_number().over(win))
+      .filter(col("mix_rn") <= col("mix_k"))
+      .select(docs.columns.map(col).toIndexedSeq: _*) // caller's column order
+  }
+
+  /** DuckDB spelling of the selection rank for one source partition —
+    * pair with `rn <= w*u` exactly as [[sampleToMixture]] does. */
+  def rankSql(idExpr: String, srcExpr: String): String =
+    s"row_number() OVER (PARTITION BY $srcExpr " +
+      s"ORDER BY ${Hashing.hash31Sql(s"CAST($idExpr AS VARCHAR)")}, $idExpr)"
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.{Examples, Mixture, TextAnalysis}
+
+/** Corpus-curation queries: training-mixture construction and
+  * training-example construction — the steps between "which documents"
+  * (dedup/selection) and "what the trainer reads" (packing).
+  */
+object CurationQueries {
+
+  /** The q103 recipe: five sources with 3:2:1:2:1 shares; the other
+    * fifteen sources are dropped (weight 0). */
+  val MixRecipe: Seq[(String, Int)] = Seq(
+    "src0" -> 3, "src3" -> 2, "src7" -> 1, "src12" -> 2, "src19" -> 1)
+
+  // ---- Q103: exact training-mixture downsampling ----
+
+  /** [[Mixture.sampleToMixture]]: kept counts are exactly w_s·u with
+    * u = min⌊n_s/w_s⌋; within a source the smallest-hash documents win
+    * (deterministic, growth-stable). The oracle recomputes the same
+    * counts, ranks, and cutoffs. */
+  val q103 = Q("q103_mixture_sample", {
+    val values = MixRecipe.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"""WITH c AS (SELECT source, count(*) AS mix_n FROM documents GROUP BY source),
+      |w(source, mix_w) AS (VALUES $values),
+      |u AS (SELECT min(mix_n // mix_w) AS mix_u FROM c JOIN w USING (source)),
+      |k AS (SELECT source, mix_w * mix_u AS mix_k FROM w CROSS JOIN u),
+      |r AS (SELECT doc_id, source, ${Mixture.rankSql("doc_id", "source")} AS rn
+      |      FROM documents JOIN w USING (source))
+      |SELECT doc_id, source FROM r JOIN k USING (source)
+      |WHERE rn <= mix_k ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    Mixture.sampleToMixture(Tables.documents(s, dir), "doc_id", "source", MixRecipe)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- Q104: fill-in-the-middle / span-corruption splits ----
+
+  /** [[Examples.fimSplit]]: every document cut into (prefix, middle,
+    * suffix) at a hash-derived deterministic offset, middle = ⌊dl/3⌋
+    * tokens. Row set identical to the input (short docs pass through
+    * prefix-only); reassembling the three fields must reproduce the
+    * tokenized document — the oracle checks the fields verbatim. */
+  val q104 = Q("q104_fim_split", {
+    val (p, m, x) = Examples.fimSplitSql("doc_id", "toks")
+    s"""WITH tok AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM documents)
+      |SELECT doc_id, $p AS prefix, $m AS middle, $x AS suffix
+      |FROM tok ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+    Examples.fimSplit(docs, "doc_id", "toks").orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q103, q104)
+}
