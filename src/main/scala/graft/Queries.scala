@@ -13,7 +13,8 @@ object Queries {
     graft.queries.MultimodalQueries.all ++
     graft.queries.SourceQueries.all ++
     graft.queries.SearchQueries.all ++
-    graft.queries.CurationQueries.all
+    graft.queries.CurationQueries.all ++
+    graft.queries.PqQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

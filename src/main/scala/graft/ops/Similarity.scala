@@ -395,4 +395,187 @@ object Similarity {
         s"i -> CAST(($v)[i] AS DOUBLE) * ($lit)[i]), (x, y) -> x + y)"
       s"(CASE WHEN $d >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ") + " AS BIGINT)"
+
+  // ---- product quantization (Jégou et al., TPAMI'11: "Product
+  // quantization for nearest neighbor search") ----
+
+  /** PQ codebooks: split each `dim`-dim quantized vector into `m` equal
+    * subspaces and train an independent integer k-means
+    * ([[kmeans]]) in each. Returns `(m, cid, cv)` — subspace id,
+    * centroid id, subspace centroid (dim/m longs).
+    *
+    * Seeds per subspace are every `seedEvery`-th vector's subvector (cid
+    * = vec_id div seedEvery) — deterministic, no RNG. All arithmetic is
+    * the exact-integer k-means, so training reproduces bit-for-bit
+    * across engines/partitionings (the q105 oracle re-runs all `m`
+    * trainings in DuckDB).
+    *
+    * Scale shape: `m` independent trainings, each the [[kmeans]] plan
+    * (broadcast centroids, narrow (cid, pos) update shuffle); the
+    * returned codebook is m·k rows — driver-tiny, broadcast everywhere
+    * downstream. */
+  def pqTrain(vecs: DataFrame, m: Int, dim: Int, seedEvery: Int,
+              iters: Int, mat: Materialize = Materialize.Local): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val d = dim / m
+    (0 until m).map { sub =>
+      val sv = vecs.select(col("vec_id"),
+        slice(col("qv"), sub * d + 1, d).as("qv"))
+      val seeds = sv.filter(col("vec_id") % seedEvery === 0)
+        .select(expr(s"vec_id div $seedEvery").as("cid"), col("qv").as("cv"))
+      val (_, cent) = kmeans(sv, seeds, iters, mat)
+      cent.select(lit(sub).as("m"), col("cid"), col("cv"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** PQ-encode a corpus against a trained codebook: each vector becomes
+    * `m` centroid ids — `(vec_id, codes array<(m, cid)> sorted by m)`
+    * kept EXPLODED as `(vec_id, m, cid)` rows, the shape both the ADC
+    * join and a parquet code table want (dim·8 bytes → m·~1 byte per
+    * vector: the compression that lets 100 TB of embeddings sit in a
+    * code table a fraction of the size).
+    *
+    * Argmin ties break to the min cid (same rule as [[kmeans]]),
+    * spelled `min(struct(dist, cid))` — a PARTIAL-aggregable argmin, so
+    * the k candidate rows per (vec, m) collapse map-side and only one
+    * row per (vec, m) crosses the exchange (a window spelling would
+    * shuffle-and-sort all m·k candidates per vector). */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame,
+               m: Int, dim: Int): DataFrame = {
+    val d = dim / m
+    vecs.select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col("qv"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * d + 1, lit(d)).as("sv"))
+      .join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("cid"),
+        sqDistInt(col("sv"), col("cv")).as("dist"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best").getField("cid").as("cid"))
+  }
+
+  /** IVFADC layout version ([[writePqIvf]]/[[loadPqIvf]]); bump on any
+    * schema/hash change so stale layouts fail fast at load. */
+  val PqIvfFormatVersion = 1
+
+  /** A stored [[writePqIvf]] layout: the exploded code table (lazy,
+    * partition-pruned on `bkt`), the codebook, and the parameters it was
+    * written with — probe with THESE, not caller defaults. */
+  final case class PqIvfIndex(codes: DataFrame, codebook: DataFrame,
+                              nPlanes: Int, m: Int, dim: Int)
+
+  /** Write the IVFADC layout (Jégou TPAMI'11 §IV: coarse inverted lists +
+    * PQ residual codes — here the coarse quantizer is the deterministic
+    * hyperplane bucket and codes quantize the vector itself): the
+    * [[pqEncode]]d code table partitioned by coarse LSH bucket, plus the
+    * codebook and a version/params manifest. At 100 TB this is the shape
+    * that serves ANN from a FRACTION of the corpus bytes: a probe prunes
+    * to its bucket's partitions (like [[probeBucketedMany]]) and ranks
+    * m-byte codes — the full-width vectors are never read at query time.
+    *
+    * `vectors` = (vec_id, v double[], qv long[]) — `v` places the vector
+    * in its coarse bucket, `qv` is what the codes quantize. */
+  def writePqIvf(vectors: DataFrame, codebook: DataFrame,
+                 planes: Seq[Seq[Int]], m: Int, dim: Int, path: String): Unit = {
+    val bkts = vectors.select(col("vec_id"),
+      lshBucket(col("v"), planes).as("bkt"))
+    pqEncode(vectors.select(col("vec_id"), col("qv")), codebook, m, dim)
+      .join(bkts, "vec_id")
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/codes")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    Seq((PqIvfFormatVersion, planes.size, m, dim))
+      .toDF("version", "nplanes", "m", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writePqIvf]] layout, failing fast on a version mismatch. */
+  def loadPqIvf(spark: org.apache.spark.sql.SparkSession, path: String): PqIvfIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    require(meta.getInt(0) == PqIvfFormatVersion,
+      s"PQ-IVF layout at $path has version ${meta.getInt(0)}, " +
+        s"need $PqIvfFormatVersion — rebuild the layout")
+    PqIvfIndex(spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/codebook"),
+      meta.getInt(1), meta.getInt(2), meta.getInt(3))
+  }
+
+  /** Probe a stored [[writePqIvf]] layout with a probe SET in ONE plan:
+    * `probes` = (qid, qv double[], qqv long[]). Each query's coarse
+    * bucket (optionally + every Hamming-1 neighbor) derives in-plan and
+    * BROADCASTS into an equi-join on the layout's partition column —
+    * dynamic partition pruning reads only the probed buckets, exactly
+    * the [[probeBucketedMany]] contract — then the query's PQ distance
+    * table joins on (m, cid) and the ADC sum ranks through the heap
+    * top-k. No driver collect; plan size independent of probe count. */
+  def probePqIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                 probes: DataFrame, planes: Seq[Seq[Int]], k: Int,
+                 multiProbe: Boolean = false): DataFrame = {
+    val ix = loadPqIvf(spark, path)
+    require(planes.size == ix.nPlanes,
+      s"probe planes ${planes.size} != layout planes ${ix.nPlanes}")
+    val d = ix.dim / ix.m
+    val bktType = ix.codes.schema("bkt").dataType
+    val base = probes.select(col("qid"), col("qqv"),
+      lshBucket(col("qv"), planes).as("qb0"))
+    val withBkt = (if (!multiProbe) base.withColumnRenamed("qb0", "qbkt")
+      else base.select(col("qid"), col("qqv"),
+        explode(array(col("qb0") +:
+          planes.indices.map(j => col("qb0").bitwiseXOR(lit(1L << j))): _*))
+          .as("qbkt")))
+      .withColumn("qbkt", col("qbkt").cast(bktType))
+    val dt = probes
+      .select(col("qid"), explode(sequence(lit(0), lit(ix.m - 1))).as("m"),
+        col("qqv"))
+      .select(col("qid"), col("m"),
+        slice(col("qqv"), col("m") * d + 1, lit(d)).as("sv"))
+      .join(broadcast(ix.codebook), "m")
+      .select(col("qid"), col("m"), col("cid"),
+        sqDistInt(col("sv"), col("cv")).as("dd"))
+    val adc = ix.codes
+      .join(broadcast(withBkt.select(col("qid"), col("qbkt"))),
+        col("bkt") === col("qbkt"))
+      .join(broadcast(dt), Seq("qid", "m", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dd")).as("adc"))
+    val top = graft.plans.TopK.perGroup(adc, Seq("qid"),
+      Seq(("adc", true), ("vec_id", true)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    top.withColumn("rnk", row_number().over(w)) // over ≤ k rows per probe
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adc"))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: per query, a distance
+    * table d(q, m, cid) = sqdist(q's m-th subvector, codebook[m][cid])
+    * (q·m·k rows — broadcast), then every encoded vector's approximate
+    * distance is the SUM of its m table lookups — one broadcast join on
+    * (m, cid) + one integer sum per (qid, vec), never touching the
+    * original vectors. Returns `(qid, rnk, vec_id, adc)` with adc the
+    * exact-integer ADC distance.
+    *
+    * Scale: the corpus side is the code table (m rows of a few bytes
+    * per vector); no full-width vector is read at query time — that is
+    * the PQ trade: ~d/(m·~1B) compression for approximate distances. */
+  def pqTopK(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
+             m: Int, dim: Int, k: Int): DataFrame = {
+    val d = dim / m
+    val dt = queries
+      .select(col("qid"), explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col("qv"))
+      .select(col("qid"), col("m"),
+        slice(col("qv"), col("m") * d + 1, lit(d)).as("sv"))
+      .join(broadcast(codebook), "m")
+      .select(col("qid"), col("m"), col("cid"),
+        sqDistInt(col("sv"), col("cv")).as("dd"))
+    val adc = encoded.join(broadcast(dt), Seq("m", "cid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("dd")).as("adc")) // exact integer sum over m lookups
+    val top = graft.plans.TopK.perGroup(adc, Seq("qid"),
+      Seq(("adc", true), ("vec_id", true)), k)
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    top.withColumn("rnk", row_number().over(w)) // over ≤ k rows per query
+      .select(col("qid"), col("rnk"), col("vec_id"), col("adc"))
+  }
 }

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.Similarity
+
+/** Product-quantization queries ([[graft.ops.Similarity.pqTrain]] /
+  * `pqEncode` / `pqTopK`): the compressed-corpus ANN path. The oracle
+  * re-runs the ENTIRE method in DuckDB — all four subspace k-means
+  * trainings, the encoding argmin, and the ADC scoring — which is only
+  * possible because every step is exact integer arithmetic (the q85
+  * determinism contract, per subspace).
+  */
+object PqQueries {
+
+  /** Subspaces / dims / seed stride / Lloyd iterations for q105. */
+  val M = 4
+  val Dim = 64
+  val SeedEvery = 125
+  val Iters = 2
+
+  private val D = Dim / M
+
+  /** One subspace's two-iteration k-means CTE chain (16-dim twin of the
+    * q85 spelling), suffix `_s`. */
+  private def subspaceCtes(s: Int): String = {
+    val lo = s * D + 1; val hi = s * D + D
+    def assign(name: String, cent: String) =
+      s"""$name AS (SELECT vec_id, qv, cid FROM (
+        |  SELECT v.vec_id AS vec_id, v.qv AS qv, c.cid AS cid,
+        |    ${Similarity.sqDistIntSql("v.qv", "c.cv", D)} AS dist
+        |  FROM sv$s v CROSS JOIN $cent c) x
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
+        .stripMargin
+    def update(name: String, from: String) =
+      s"""$name AS (
+        |  SELECT cid, list(cx ORDER BY pos) AS cv FROM (
+        |    SELECT cid, i AS pos, CAST(sum(qv[i]) AS BIGINT) // count(*) AS cx
+        |    FROM $from, range(1, ${D + 1}) t(i) GROUP BY cid, i) GROUP BY cid)"""
+        .stripMargin
+    s"""sv$s AS (SELECT vec_id, (qv)[$lo:$hi] AS qv FROM vecs),
+      |c0_$s AS (SELECT vec_id // $SeedEvery AS cid, qv AS cv FROM sv$s
+      |          WHERE vec_id % $SeedEvery = 0),
+      |${assign(s"a1_$s", s"c0_$s")},
+      |${update(s"c1_$s", s"a1_$s")},
+      |${assign(s"a2_$s", s"c1_$s")},
+      |${update(s"c2_$s", s"a2_$s")}""".stripMargin
+  }
+
+  // ---- Q105: PQ train → encode → asymmetric-distance top-k ----
+
+  /** Codes trained per subspace (k = corpus/125 centroids), the whole
+    * corpus encoded to M centroid ids, and every 100th vector used as a
+    * query probe: top-5 by exact-integer ADC distance. */
+  val q105 = Q("q105_pq_adc", {
+    val subs = (0 until M).map(subspaceCtes).mkString(",\n")
+    val svu = (0 until M)
+      .map(s => s"SELECT $s AS m, vec_id, qv FROM sv$s")
+      .mkString(" UNION ALL ")
+    val cb = (0 until M)
+      .map(s => s"SELECT $s AS m, cid, cv FROM c2_$s")
+      .mkString(" UNION ALL ")
+    s"""WITH vecs AS (SELECT vec_id, ${Similarity.quantizeSql("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |$subs,
+      |svu AS ($svu),
+      |cb AS ($cb),
+      |enc AS (SELECT vec_id, m, cid FROM (
+      |    SELECT s.vec_id AS vec_id, s.m AS m, cb.cid AS cid,
+      |      ${Similarity.sqDistIntSql("s.qv", "cb.cv", D)} AS dist
+      |    FROM svu s JOIN cb ON cb.m = s.m) x
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      |dt AS (SELECT s.vec_id AS qid, s.m AS m, cb.cid AS cid,
+      |         ${Similarity.sqDistIntSql("s.qv", "cb.cv", D)} AS dd
+      |       FROM svu s JOIN cb ON cb.m = s.m WHERE s.vec_id % 100 = 0),
+      |adc AS (SELECT d.qid AS qid, e.vec_id AS vec_id,
+      |          CAST(sum(d.dd) AS BIGINT) AS adc
+      |        FROM enc e JOIN dt d ON d.m = e.m AND d.cid = e.cid
+      |        GROUP BY d.qid, e.vec_id),
+      |r AS (SELECT qid, vec_id, adc,
+      |        row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+      |      FROM adc)
+      |SELECT qid, rnk, vec_id, adc FROM r WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+  }) { (s, dir) =>
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding"), 1000).as("qv"))
+    val cb = Similarity.pqTrain(vecs, M, Dim, SeedEvery, Iters)
+    val enc = Similarity.pqEncode(vecs, cb, M, Dim)
+    val qs = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("qv"))
+    Similarity.pqTopK(enc, cb, qs, M, Dim, 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  // ---- Q106: stored IVFADC layout (coarse-bucket-partitioned codes) ----
+
+  /** Coarse quantizer for the q106 layout: the q88/q93 hyperplane family
+    * (4 planes → 16 buckets over 64 dims). */
+  val CoarsePlanes: Seq[Seq[Int]] = Similarity.planes(4, Dim)
+
+  /** Per-JVM scratch root (pid-keyed; same contract as LlmQueries /
+    * SourceQueries — concurrent harness runs never collide, the tree
+    * dies with the JVM). */
+  private lazy val scratchRoot: String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-pq-${ProcessHandle.current().pid()}")
+    d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }))
+    d.getAbsolutePath
+  }
+
+  /** [[Similarity.writePqIvf]] + [[Similarity.probePqIvf]]: train
+    * codebooks, write the code table PARTITIONED BY coarse LSH bucket,
+    * then probe the STORED layout with every 100th vector in one
+    * DPP-pruned plan — ADC ranking inside the query's bucket only. The
+    * oracle reruns training + encoding and restricts the ADC join to
+    * bucket-equal pairs. */
+  val q106 = Q("q106_pq_ivf_probe", {
+    val subs = (0 until M).map(subspaceCtes).mkString(",\n")
+    val svu = (0 until M)
+      .map(s => s"SELECT $s AS m, vec_id, qv FROM sv$s")
+      .mkString(" UNION ALL ")
+    val cb = (0 until M)
+      .map(s => s"SELECT $s AS m, cid, cv FROM c2_$s")
+      .mkString(" UNION ALL ")
+    s"""WITH vecs AS (SELECT vec_id, ${Similarity.quantizeSql("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |$subs,
+      |svu AS ($svu),
+      |cb AS ($cb),
+      |bv AS (SELECT vec_id, ${Similarity.lshBucketSql("embedding", CoarsePlanes)} AS bkt
+      |       FROM embeddings),
+      |enc AS (SELECT vec_id, m, cid FROM (
+      |    SELECT s.vec_id AS vec_id, s.m AS m, cb.cid AS cid,
+      |      ${Similarity.sqDistIntSql("s.qv", "cb.cv", D)} AS dist
+      |    FROM svu s JOIN cb ON cb.m = s.m) x
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) = 1),
+      |dt AS (SELECT s.vec_id AS qid, s.m AS m, cb.cid AS cid,
+      |         ${Similarity.sqDistIntSql("s.qv", "cb.cv", D)} AS dd
+      |       FROM svu s JOIN cb ON cb.m = s.m WHERE s.vec_id % 100 = 0),
+      |adc AS (SELECT d.qid AS qid, e.vec_id AS vec_id,
+      |          CAST(sum(d.dd) AS BIGINT) AS adc
+      |        FROM enc e JOIN dt d ON d.m = e.m AND d.cid = e.cid
+      |        JOIN bv eb ON eb.vec_id = e.vec_id
+      |        JOIN bv qb ON qb.vec_id = d.qid AND qb.bkt = eb.bkt
+      |        GROUP BY d.qid, e.vec_id),
+      |r AS (SELECT qid, vec_id, adc,
+      |        row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rnk
+      |      FROM adc)
+      |SELECT qid, rnk, vec_id, adc FROM r WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+  }) { (s, dir) =>
+    val vecs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
+        Similarity.quantize(col("embedding"), 1000).as("qv"))
+    val cbk = Similarity.pqTrain(
+      vecs.select(col("vec_id"), col("qv")), M, Dim, SeedEvery, Iters)
+    val path = s"$scratchRoot/ivfadc_${new java.io.File(dir).getName}"
+    Similarity.writePqIvf(vecs, cbk, CoarsePlanes, M, Dim, path)
+    val probes = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("qv").as("qqv"))
+    Similarity.probePqIvf(s, path, probes, CoarsePlanes, 5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(q105, q106)
+}
