@@ -108,11 +108,26 @@ object CorpusPipeline {
       .withColumn("chunk_offset", col("pre") % cfg.chunkBudget)
       .drop("pre")
 
+  /** Benchmark-decontamination gate ([[Dedup.decontaminate]]): drop
+    * every document sharing an n-gram with the held-out set. Opt-in
+    * stage between dedup and quality (leakage removal belongs before
+    * sampling — a contaminated doc must not consume quota). */
+  def decontaminate(docs: DataFrame, testSet: DataFrame, n: Int = 8): DataFrame =
+    docs.join(
+      Dedup.decontaminate(toks(docs), toks(testSet), "doc_id", "toks", n)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** The full chain. Output: (doc_id, lang, n_toks, chunk_id,
-    * chunk_offset), one row per surviving document. */
+    * chunk_offset), one row per surviving document. `testSet` (opt-in)
+    * inserts the [[decontaminate]] gate after near-dedup. */
   def run(docs: DataFrame, cfg: Config = Config(),
-          mat: Materialize = Materialize.Local): DataFrame =
-    pack(sample(qualityFilter(nearDedup(exactDedup(docs), cfg, mat), cfg), cfg), cfg)
+          mat: Materialize = Materialize.Local,
+          testSet: Option[DataFrame] = None, contamN: Int = 8): DataFrame = {
+    val deduped = nearDedup(exactDedup(docs), cfg, mat)
+    val clean = testSet.fold(deduped)(t => decontaminate(deduped, t, contamN))
+    pack(sample(qualityFilter(clean, cfg), cfg), cfg)
       .select(col("doc_id"), col("lang"), col("n_toks"),
         col("chunk_id"), col("chunk_offset"))
+  }
 }

@@ -230,6 +230,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val en = out.filter(_.getString(1) == "en")
     assert(en.map(_.getLong(2)).sum === 10 + 10) // n_toks of docs 1 and 5
     assert(out.forall(r => r.getLong(4) < 8 || r.getLong(3) > 0))
+    // opt-in decontamination gate: doc 5 embeds the held-out 8-gram → only
+    // it is additionally dropped; omitting testSet reproduces the baseline
+    val heldOut = Seq((100L, "a completely different and varied sentence with many"))
+      .toDF("doc_id", "text")
+    val gated = CorpusPipeline.run(docs, cfg, testSet = Some(heldOut))
+      .collect().map(_.getLong(0)).toSet
+    assert(gated === ids - 5L)
   }
 
   test("duplicateSpanStats: cross-doc spans counted, within-doc repeats are not") {
