@@ -414,18 +414,35 @@ object Similarity {
     * (broadcast centroids, narrow (cid, pos) update shuffle); the
     * returned codebook is m·k rows — driver-tiny, broadcast everywhere
     * downstream. */
+  /** Marker magnitude for the fused training below: its squared
+    * inter-subspace distance (≥ 10^12) dominates any within-subspace
+    * distance for quantized values up to |q| < ~5·10^5 per dim. */
+  private val PqMarker = 1000000L
+
   def pqTrain(vecs: DataFrame, m: Int, dim: Int, seedEvery: Int,
               iters: Int, mat: Materialize = Materialize.Local): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val d = dim / m
-    (0 until m).map { sub =>
-      val sv = vecs.select(col("vec_id"),
-        slice(col("qv"), sub * d + 1, d).as("qv"))
-      val seeds = sv.filter(col("vec_id") % seedEvery === 0)
-        .select(expr(s"vec_id div $seedEvery").as("cid"), col("qv").as("cv"))
-      val (_, cent) = kmeans(sv, seeds, iters, mat)
-      cent.select(lit(sub).as("m"), col("cid"), col("cv"))
+    // All m trainings FUSED into one kmeans loop: subvector rows get a
+    // remapped id (vec_id·m + sub) and a leading marker dim (sub·PqMarker)
+    // whose cross-subspace distance dwarfs any real distance, so no
+    // vector can be assigned outside its subspace and the marker dim's
+    // truncating mean reproduces itself exactly — assignments and
+    // centroid updates are bit-identical to m independent trainings
+    // (PqSpec asserts the equivalence), with ONE materialization per
+    // iteration instead of m.
+    val sv = (0 until m).map { sub =>
+      vecs.select((col("vec_id") * m + sub).as("vec_id"),
+        concat(array(lit(sub * PqMarker)),
+          slice(col("qv"), sub * d + 1, d)).as("qv"))
     }.reduce(_ unionByName _)
+    val seeds = sv.filter(expr(s"(vec_id div $m) % $seedEvery") === 0)
+      .select(expr(s"((vec_id div $m) div $seedEvery) * $m + (vec_id % $m)")
+        .as("cid"), col("qv").as("cv"))
+    val (_, cent) = kmeans(sv, seeds, iters, mat)
+    cent.select((col("cid") % m).cast("int").as("m"),
+      expr(s"cid div $m").as("cid"),
+      slice(col("cv"), 2, d).as("cv")) // drop the marker dim
   }
 
   /** PQ-encode a corpus against a trained codebook: each vector becomes

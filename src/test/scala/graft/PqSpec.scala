@@ -22,6 +22,23 @@ class PqSpec extends AnyFunSuite {
 
   private def trained = Similarity.pqTrain(vecs, M, Dim, seedEvery = 10, iters = 2)
 
+  test("pqTrain: fused training equals M independent subspace trainings") {
+    val d = Dim / M
+    val want = (0 until M).flatMap { sub =>
+      val sv = vecs.select(col("vec_id"),
+        slice(col("qv"), sub * d + 1, d).as("qv"))
+      val seeds = sv.filter(col("vec_id") % 10 === 0)
+        .select(expr("vec_id div 10").as("cid"), col("qv").as("cv"))
+      val (_, cent) = Similarity.kmeans(sv, seeds, 2)
+      cent.collect().map(r =>
+        (sub, r.getLong(0), r.getSeq[Long](1).toList))
+    }.sortBy(t => (t._1, t._2))
+    val got = trained.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .toList.sortBy(t => (t._1, t._2))
+    assert(got === want.toList)
+  }
+
   test("pqEncode: exactly M code rows per vector, cids from the codebook") {
     val cb = trained
     val enc = Similarity.pqEncode(vecs, cb, M, Dim)
