@@ -141,6 +141,58 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"topk_exchange_rows":${w - 150000L},"topk_bound":${k * 20 * 8}}}""")
   }
 
+  test("PQ encode at 10x: argmin collapses map-side, exchange ≤ vectors·M") {
+    // 20k vectors × M=4 subspaces × k=40 centroids: a window-spelled
+    // argmin would shuffle all N·M·k candidate rows (3.2M); the
+    // min(struct) partial aggregation must emit ≤ N·M (80k) — the
+    // encode-at-scale contract ([[Similarity.pqEncode]])
+    val n = 20000L; val m = 4; val dim = 16; val k = 40
+    // repartition: range's id-partitioning would satisfy the argmin's
+    // clustering and elide the exchange outright (real file scans give
+    // no such guarantee) — round-robin forces the general shape
+    val vecs = spark.range(0, n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        i => pmod(xxhash64(col("id") * 37 + i), lit(2000L))).as("qv"))
+      .repartition(8)
+    val codebook = spark.range(0, m * k).select(
+      (col("id") % m).cast("int").as("m"), expr(s"id div $m").as("cid"),
+      transform(sequence(lit(1), lit(dim / m)),
+        i => pmod(xxhash64(col("id") * 13 + i), lit(2000L))).as("cv"))
+    // collect (not count): a count-over-groupBy lets Catalyst drop the
+    // argmin aggregate and the measured exchange with it
+    val (rows, w, _, _) = measure {
+      graft.ops.Similarity.pqEncode(vecs, codebook, m, dim).collect()
+    }
+    assert(rows.length === n * m)
+    val bound = n * m + n // partial rows + slack for AQE bookkeeping
+    assert(w <= bound, s"encode exchange moved $w rows (bound $bound); " +
+      s"window spelling would move ${n * m * k}")
+    println(s"""{"scale_invariants":{"pq_encode_rows":$w,"pq_encode_bound":$bound,"pq_naive_rows":${n * m * k}}}""")
+  }
+
+  test("decontaminate at 10x: corpus shingles never shuffle, only hits do") {
+    // 5k-doc corpus with 100 planted copies of held-out docs: the test
+    // side broadcasts, so the ~190k corpus shingle rows must NOT cross
+    // an exchange — only the (rare) hits reach the per-doc aggregation
+    val base = corpus10x.filter(col("doc_id") < 100000) // 5000 clean docs
+    val test = toks(base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text")))
+    val corpus = toks(base.unionByName(
+      base.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("aa bb "), col("text")).as("text"))))
+    val nCorpus = corpus.count()
+    val corpusShingles = nCorpus * 33L // ~40 toks → 33 8-gram shingles/doc
+    val (hits, w, _, _) = measure {
+      Dedup.decontaminate(corpus, test, "doc_id", "toks", 8).collect()
+    }
+    // every planted doc and its source doc share the held-out 8-grams
+    assert(hits.length >= 200, s"found ${hits.length} contaminated docs")
+    assert(w < corpusShingles / 10,
+      s"shuffled $w records; corpus shingle explosion would be ~$corpusShingles")
+    println(s"""{"scale_invariants":{"decontam_shuffle":$w,"decontam_corpus_shingles":$corpusShingles}}""")
+  }
+
   test("two-phase prefix sum at 10x skew: biggest task « dominant group") {
     // 100k rows, 95% one group: the naive window reads the whole dominant
     // group in ONE task; the two-phase ledger's biggest task is bounded
