@@ -14,7 +14,8 @@ object Queries {
     graft.queries.SourceQueries.all ++
     graft.queries.SearchQueries.all ++
     graft.queries.CurationQueries.all ++
-    graft.queries.PqQueries.all
+    graft.queries.PqQueries.all ++
+    graft.queries.TopicQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

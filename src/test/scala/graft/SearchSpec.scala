@@ -109,4 +109,36 @@ class SearchSpec extends AnyFunSuite {
     val target = toksDF(Seq(100L -> "w w w")).select(col("toks"))
     assert(Selection.importanceTopK(corpus, target, "doc_id", "toks", 7).count() === 7)
   }
+
+  // ---- degenerate inputs: empty/null rows must not fail the plans ----
+
+  test("edge cases: empty-token and null-token rows flow through, never throw") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Some(Seq("a", "b", "c"))),
+      (2L, Some(Seq.empty[String])), // empty doc
+      (3L, None))                    // null toks
+      .toDF("doc_id", "toks")
+    val qs = Seq((1, Seq("a"))).toDF("qid", "qtoks")
+    // BM25: doc 2 contributes no terms, doc 3's explode drops the row
+    val bm = Search.bm25TopK(corpus, "doc_id", "toks", qs, "qid", "qtoks", 10)
+      .collect()
+    assert(bm.map(_.getLong(2)).toSet === Set(1L))
+    // decontaminate: short/empty/null docs simply cannot be flagged
+    val test = Seq((9L, Seq("a", "b", "c", "d", "e", "f", "g", "h")))
+      .toDF("doc_id", "toks")
+    assert(Dedup.decontaminate(corpus, test, "doc_id", "toks", 8).count() === 0)
+    // selection: docs with no tokens are dropped (no score is defined),
+    // the rest rank normally
+    val sel = Selection.importanceTopK(corpus,
+      Seq(Tuple1(Seq("a"))).toDF("toks"), "doc_id", "toks", 10).collect()
+    assert(sel.map(_.getLong(1)).toSet === Set(1L))
+  }
+
+  test("bm25: query with no corpus-known terms returns empty, not error") {
+    val docs = toksDF(Seq(1L -> "a b c"))
+    val qs = Seq((1, "zzz qqq")).toDF("qid", "qtext")
+      .select(col("qid"), TextAnalysis.toks(col("qtext")).as("qtoks"))
+    assert(Search.bm25TopK(docs, "doc_id", "toks", qs, "qid", "qtoks", 5).count() === 0)
+  }
 }
