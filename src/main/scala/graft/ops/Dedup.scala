@@ -606,6 +606,59 @@ object Dedup {
       .agg(count(lit(1)).as("shared")) // shingle hashes are pre-distinct per doc
   }
 
+  /** Token-level deletion-neighborhood keys for [[fuzzyJoin]] (FastSS,
+    * Bocek et al. 2007, "Fast Similarity Search in Large and Sparse
+    * Dictionaries"): the hash of the token sequence itself plus the hash
+    * of every leave-one-out subsequence. Two strings within one token
+    * edit (substitute / insert / delete) share at least one key. */
+  def deletionKeys(toks: Column): Column =
+    array_distinct(transform(sequence(lit(0), size(toks)),
+      i => Hashing.hash31(when(i === 0, concat_ws(" ", toks))
+        .otherwise(concat_ws(" ", concat(
+          slice(toks, lit(1), i - 1),
+          slice(toks, i + 1, size(toks) - i)))))))
+
+  /** DuckDB spelling of [[deletionKeys]]; COALESCE because DuckDB's
+    * array_to_string of an EMPTY list is NULL where Spark's concat_ws
+    * is ''. */
+  def deletionKeysSql(toks: String): String = {
+    val joined = s"COALESCE(array_to_string(CASE WHEN i = 0 THEN $toks " +
+      s"ELSE list_concat(($toks)[1:i - 1], ($toks)[i + 1:len($toks)]) END, ' '), '')"
+    s"list_distinct(list_transform(range(0, len($toks) + 1), " +
+      s"i -> ${Hashing.hash31Sql(joined)}))"
+  }
+
+  /** Blocked fuzzy string self-join — entity resolution over a name-like
+    * column: candidate pairs share a [[deletionKeys]] block (≤ one token
+    * edit apart), then verify with CHARACTER-level Levenshtein ≤
+    * `maxDist`. Returns `(id_a, id_b, dist)`, id_a < id_b.
+    *
+    * Scale shape: exactly the LSH-band pattern — keys are a narrow
+    * (n+1)-per-row explode, the join shuffles on the block key only,
+    * `maxBucket` caps degenerate blocks (stopword-like tokens shared by
+    * everything), and verification touches candidates only. NEVER
+    * all-pairs: without a shared block no pair is ever considered (the
+    * method's documented recall bound: > 1 token edit needs a fuzzier
+    * blocker, e.g. the MinHash bands of [[nearDupPairs]]). */
+  def fuzzyJoin(df: org.apache.spark.sql.DataFrame, idCol: String,
+      strCol: String, maxDist: Int,
+      maxBucket: Int = 1000): org.apache.spark.sql.DataFrame = {
+    val keyed = df.select(col(idCol), col(strCol),
+      explode(deletionKeys(filter(split(col(strCol), " "), t => t =!= "")))
+        .as("blk"))
+    val ok = keyed.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).select(col("blk"))
+    val capped = keyed.join(ok, "blk")
+    val cand = capped.select(col("blk"), col(idCol).as("id_a"), col(strCol).as("sa"))
+      .join(capped.select(col("blk"), col(idCol).as("id_b"), col(strCol).as("sb")),
+        Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb")).distinct()
+    cand.select(col("id_a"), col("id_b"),
+        levenshtein(col("sa"), col("sb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): the distinct
     * per-window minima of the gram-hash sequence, window size w. A document
     * sketch robust to local edits — the rolling-hash fingerprint the brief

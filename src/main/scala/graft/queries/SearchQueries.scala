@@ -145,5 +145,53 @@ object SearchQueries {
       .orderBy(col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(q100, q101, q102)
+  // ---- Q108: blocked fuzzy string join (entity resolution) ----
+
+  /** Character budget for a q108 match (one swapped vocab word ≤ ~8
+    * chars away plus a space shift). */
+  val FuzzyMaxDist = 12
+
+  /** [[Dedup.fuzzyJoin]] over 5-token "entity names" (each document's
+    * first five tokens): every doc_id % 25 = 0 entity re-enters as
+    * doc_id+20000 with token 3 replaced — one token edit, so the planted
+    * pair shares a deletion-neighborhood block and verifies under the
+    * character Levenshtein cap. The oracle recomputes blocks, candidate
+    * pairs, and distances. */
+  val q108 = Q("q108_fuzzy_join", {
+    val toks5 = s"(${TextAnalysis.toksSql})[1:5]"
+    s"""WITH ent AS (
+      |  SELECT doc_id, array_to_string($toks5, ' ') AS name FROM documents
+      |  WHERE len(${TextAnalysis.toksSql}) >= 5
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id, array_to_string(
+      |      list_concat(list_concat(($toks5)[1:2], ['zz']), ($toks5)[4:5]), ' ') AS name
+      |  FROM documents
+      |  WHERE len(${TextAnalysis.toksSql}) >= 5 AND doc_id % 25 = 0),
+      |toks AS (SELECT doc_id, name,
+      |    list_filter(string_split(name, ' '), w -> w <> '') AS t FROM ent),
+      |keyed AS (SELECT doc_id, name, unnest(${Dedup.deletionKeysSql("t")}) AS blk
+      |          FROM toks),
+      |ok AS (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= 1000),
+      |cap AS (SELECT k.* FROM keyed k JOIN ok USING (blk)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+      |           a.name AS sa, b.name AS sb
+      |         FROM cap a JOIN cap b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+      |FROM cand WHERE levenshtein(sa, sb) <= $FuzzyMaxDist
+      |ORDER BY id_a, id_b""".stripMargin
+  }) { (s, dir) =>
+    val toks5 = slice(TextAnalysis.toks(col("text")), 1, 5)
+    val base = Tables.documents(s, dir)
+      .filter(size(TextAnalysis.toks(col("text"))) >= 5)
+      .select(col("doc_id"), toks5.as("t5"))
+    val ent = base.select(col("doc_id"), concat_ws(" ", col("t5")).as("name"))
+      .unionByName(base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat_ws(" ", concat(slice(col("t5"), 1, 2), array(lit("zz")),
+            slice(col("t5"), 4, 2))).as("name")))
+    Dedup.fuzzyJoin(ent, "doc_id", "name", FuzzyMaxDist)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[Q] = Seq(q100, q101, q102, q108)
 }

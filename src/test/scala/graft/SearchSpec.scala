@@ -135,6 +135,41 @@ class SearchSpec extends AnyFunSuite {
     assert(sel.map(_.getLong(1)).toSet === Set(1L))
   }
 
+  // ---- fuzzy join ----
+
+  test("fuzzyJoin: one-token edits pair up, two-token edits stay unblocked") {
+    import spark.implicits._
+    val ents = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta GAMMA delta"),   // 1 substitution → shares deletion key
+      (3L, "alpha BETA gamma DELTA"),   // 2 substitutions vs 1 → no shared key
+      (4L, "totally different name here"))
+      .toDF("id", "name")
+    val out = Dedup.fuzzyJoin(ents, "id", "name", maxDist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(t => (t._1, t._2)).toSet === Set((1L, 2L)))
+    assert(out.head._3 === 5L) // GAMMA vs gamma: 5 char substitutions
+  }
+
+  test("fuzzyJoin: insertion/deletion of a token is one edit too") {
+    import spark.implicits._
+    val ents = Seq(
+      (1L, "acme data systems"),
+      (2L, "acme systems"))             // token deletion
+      .toDF("id", "name")
+    val out = Dedup.fuzzyJoin(ents, "id", "name", maxDist = 10).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 5L) // "data " removed
+  }
+
+  test("fuzzyJoin: maxBucket drops degenerate blocks") {
+    import spark.implicits._
+    // every "inc N" collapses to the key "inc" when N is deleted — one
+    // 50-wide block yielding ~1225 low-quality pairs; the cap drops it
+    val ents = (0L until 50L).map(i => (i, s"inc $i")).toDF("id", "name")
+    assert(Dedup.fuzzyJoin(ents, "id", "name", 100).count() > 1000)
+    assert(Dedup.fuzzyJoin(ents, "id", "name", 100, maxBucket = 10).count() === 0)
+  }
+
   test("bm25: query with no corpus-known terms returns empty, not error") {
     val docs = toksDF(Seq(1L -> "a b c"))
     val qs = Seq((1, "zzz qqq")).toDF("qid", "qtext")
