@@ -55,5 +55,22 @@ object CurationQueries {
     Examples.fimSplit(docs, "doc_id", "toks").orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q103, q104)
+  // ---- Q109: k-anonymity release gate ----
+
+  /** [[graft.ops.Privacy.kAnonymous]] on (lang, source) as the
+    * quasi-identifier pair, k = 5: only documents whose combination is
+    * shared by at least five rows are releasable. */
+  val q109 = Q("q109_k_anonymity",
+    """WITH g AS (SELECT lang, source, count(*) AS n
+      |           FROM documents GROUP BY lang, source)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN g ON g.lang = d.lang AND g.source = d.source
+      |WHERE g.n >= 5 ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    graft.ops.Privacy.kAnonymous(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        Seq("lang", "source"), 5L)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q103, q104, q109)
 }

@@ -76,6 +76,25 @@ class CurationSpec extends AnyFunSuite {
     assert(lens.filter(col("ml") =!= col("want")).count() === 0)
   }
 
+  test("kAnonymous: small groups suppressed, nulls group together, columns intact") {
+    import graft.ops.Privacy
+    val rows = (
+      (0 until 5).map(i => (i.toLong, "en", "web")) ++          // size 5 → kept
+      (10 until 12).map(i => (i.toLong, "en", "forum")) ++      // size 2 → dropped
+      (20 until 23).map(i => (i.toLong, null.asInstanceOf[String], "web")) // 3 nulls
+    ).toDF("id", "lang", "src")
+    val k3 = Privacy.kAnonymous(rows, Seq("lang", "src"), 3)
+    assert(k3.columns.toSeq === Seq("id", "lang", "src"))
+    assert(k3.collect().map(_.getLong(0)).toSet ===
+      ((0L until 5L) ++ (20L until 23L)).toSet) // null group of 3 survives k=3
+    val k6 = Privacy.kAnonymous(rows, Seq("lang", "src"), 6)
+    assert(k6.count() === 0)
+    val report = Privacy.kAnonymityReport(rows, Seq("lang", "src"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(report.toSet === Set(("en", "web", 5L, 1L), ("en", "forum", 2L, 0L),
+      (null, "web", 3L, 1L)))
+  }
+
   test("fimSplit: short documents pass through prefix-only") {
     val docs = Seq((1L, "a b"), (2L, ""), (3L, "x y z"))
       .toDF("doc_id", "text")
