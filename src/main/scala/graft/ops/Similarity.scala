@@ -519,6 +519,26 @@ object Similarity {
       meta.getInt(1), meta.getInt(2), meta.getInt(3))
   }
 
+  /** Fold NEW vectors into a stored [[writePqIvf]] layout — the ANN
+    * ingestion cadence ([[appendBucketed]] / [[Dedup.appendToIndex]]
+    * analogue): the new vectors encode against the STORED codebook
+    * (codebooks are trained once; re-training would orphan every
+    * existing code) and their code rows land in their buckets'
+    * partition directories — existing data never rewrites, O(batch)
+    * work. Parameters come from the manifest, never the caller. Caller
+    * contract: don't append a vec_id twice. */
+  def appendPqIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vectors: DataFrame, planes: Seq[Seq[Int]]): Unit = {
+    val ix = loadPqIvf(spark, path) // validates version
+    require(planes.size == ix.nPlanes,
+      s"append planes ${planes.size} != layout planes ${ix.nPlanes}")
+    val bkts = vectors.select(col("vec_id"),
+      lshBucket(col("v"), planes).as("bkt"))
+    pqEncode(vectors.select(col("vec_id"), col("qv")), ix.codebook, ix.m, ix.dim)
+      .join(bkts, "vec_id")
+      .write.partitionBy("bkt").mode("append").parquet(s"$path/codes")
+  }
+
   /** Probe a stored [[writePqIvf]] layout with a probe SET in ONE plan:
     * `probes` = (qid, qv double[], qqv long[]). Each query's coarse
     * bucket (optionally + every Hamming-1 neighbor) derives in-plan and

@@ -120,6 +120,29 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("appendPqIvf: new vectors fold in; probes see the union") {
+    val planes = Similarity.planes(3, Dim)
+    val cb = trained
+    val vd = vecs.withColumn("v", transform(col("qv"), x => x.cast("double")))
+    val path = java.nio.file.Files.createTempDirectory("graft_pqapp").toString
+    val first = vd.filter(col("vec_id") < 100L)
+    val extra = vd.filter(col("vec_id") >= 100L)
+      .select(col("vec_id"), col("v"), col("qv"))
+    Similarity.writePqIvf(first, cb, planes, M, Dim, path)
+    val before = Similarity.loadPqIvf(spark, path).codes.count()
+    Similarity.appendPqIvf(spark, path, extra, planes)
+    val ix = Similarity.loadPqIvf(spark, path)
+    assert(ix.codes.count() === before + 20L * M)
+    // a probe from the appended half retrieves appended vectors
+    val probes = vd.filter(col("vec_id") === 100L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("qv").as("qqv"))
+    val hits = Similarity.probePqIvf(spark, path, probes, planes, 5).collect()
+    assert(hits.nonEmpty)
+    // the probe's own cluster (the appended half) dominates the ranking
+    val best = hits.filter(_.getInt(1) == 1).head
+    assert(best.getLong(2) >= 100L, s"rank-1 hit ${best.getLong(2)}")
+  }
+
   test("pq pipeline is deterministic across runs") {
     val qs = vecs.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("qid"), col("qv"))
