@@ -67,7 +67,12 @@ object TopicQueries {
       |${assign("fin", "c2", "vec_id, cid, dist")}
       |SELECT vec_id AS doc_id, cid, dist FROM fin ORDER BY doc_id""".stripMargin
   }) { (s, dir) =>
-    val vecs = featurize(s, dir)
+    // materialize the featurized vectors: the hashed-TF projection is
+    // Dim bounded HOF filters over a per-token md5 array, and the
+    // k-means assignment crossJoin would RE-EVALUATE it per centroid
+    // row (the documented Catalyst HOF re-evaluation trap) — one
+    // localCheckpoint makes featurization a single pass
+    val vecs = graft.ops.Materialize.Local(featurize(s, dir))
     val seeds = vecs.filter(col("vec_id") % SeedEvery === 0)
       .select(expr(s"vec_id div $SeedEvery").as("cid"), col("qv").as("cv"))
     val (assign, _) = Similarity.kmeans(vecs, seeds, Iters)
