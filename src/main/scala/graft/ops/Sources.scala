@@ -131,6 +131,16 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Columnar interchange beyond parquet: ORC sink + source (Spark
+    * built-in writer/reader; same predicate-pushdown/column-pruning
+    * contract as the parquet scans — the q110 roundtrip proves content
+    * fidelity against the parquet-derived oracle). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Co-located join layout: save as a bucketed + in-bucket-sorted table
     * so equi-joins and aggregations on `key` between tables bucketed the
     * same way plan WITHOUT an exchange — at 100 TB this turns the

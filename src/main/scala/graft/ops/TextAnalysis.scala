@@ -117,6 +117,16 @@ object TextAnalysis {
   val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]+"
   val PhonePattern = "\\+1-[0-9]{3}-[0-9]{4}"
 
+  /** Unicode NFC normalization ([[graft.plans.NfcNormalize]], native
+    * codegen'd): canonically-equivalent text collapses to one form so
+    * downstream hashing/dedup signatures agree. Run it FIRST in any
+    * cleaning chain. DuckDB twin: `nfc_normalize(expr)`. */
+  def normalizeNfc(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.NfcNormalize(
+      org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  def normalizeNfcSql(c: String): String = s"nfc_normalize($c)"
+
   /** Replace every e-mail / phone match with a typed placeholder — the
     * standard pre-training scrub pass. Codegen'd regexp_replace; at scale
     * a narrow per-row projection. */

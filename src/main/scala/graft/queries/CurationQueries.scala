@@ -72,5 +72,27 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q103, q104, q109)
+  // ---- Q111: Unicode NFC normalization ----
+
+  /** [[TextAnalysis.normalizeNfc]] (native expression) over text with a
+    * planted decomposed sequence (`e` + U+0301 combining acute): NFC
+    * composes it to one codepoint, so the normalized length drops by
+    * exactly one while the string stays canonically equivalent. Both
+    * engines implement UAX #15, so the forms — and the hashes a dedup
+    * would take of them — agree exactly. */
+  val q111 = Q("q111_unicode_nfc",
+    """SELECT doc_id,
+      |  nfc_normalize(text || ' cafe' || chr(769)) AS nfc,
+      |  length(text || ' cafe' || chr(769)) AS n_raw,
+      |  length(nfc_normalize(text || ' cafe' || chr(769))) AS n_nfc
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val raw = concat(col("text"), lit(" café"))
+    Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.normalizeNfc(raw).as("nfc"),
+        length(raw).cast("long").as("n_raw"),
+        length(TextAnalysis.normalizeNfc(raw)).cast("long").as("n_nfc"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q103, q104, q109, q111)
 }

@@ -127,5 +127,19 @@ object SourceQueries {
       .orderBy(col("k"))
   }
 
-  val all: Seq[Q] = Seq(q90, q91, q92, q94)
+  /** ORC sink → source roundtrip: the documents table (text column
+    * included, exercising string encoding) writes as ORC, reads back
+    * through [[Sources.orc]], and must reproduce the parquet-derived
+    * oracle bit-for-bit — format interchange fidelity. */
+  val q110 = Q("q110_orc_roundtrip",
+    """SELECT doc_id, lang, source, n_chars, text
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val path = scratch("orc", dir)
+    Sources.writeOrc(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), col("text")), path)
+    Sources.orc(s, path).orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q90, q91, q92, q94, q110)
 }
