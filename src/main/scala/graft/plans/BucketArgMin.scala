@@ -136,7 +136,9 @@ object GraftFunctions {
         CharGramHash31(args(0), litInt(args(1), "graft_chargram_hash31"))),
     ("graft_winnow_min", classOf[WinnowMin],
       (args: Seq[Expression]) =>
-        WinnowMin(args(0), litInt(args(1), "graft_winnow_min"))))
+        WinnowMin(args(0), litInt(args(1), "graft_winnow_min"))),
+    ("graft_nfc_normalize", classOf[NfcNormalize],
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Register on an existing session (tests / driver queries). */
   def register(spark: SparkSession, cfg: BucketConfig = BucketConfig()): Unit = {

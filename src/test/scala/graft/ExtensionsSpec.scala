@@ -32,12 +32,14 @@ class ExtensionsSpec extends AnyFunSuite {
           |  graft_simhash16(array(1L, 3L)) AS sh,
           |  size(graft_hash31_array(array('a', 'b'))) AS nh,
           |  size(graft_chargram_hash31('abcdef', 3)) AS ng,
-          |  size(graft_winnow_min(array(5L, 3L, 7L, 2L), 2)) AS nw""".stripMargin)
+          |  size(graft_winnow_min(array(5L, 3L, 7L, 2L), 2)) AS nw,
+          |  graft_nfc_normalize('cafe\u0301') AS nfc""".stripMargin)
         .collect()(0)
       assert(r.getDouble(0) === 11.0)
       assert(r.getLong(1) === 25L) // 3² + 4²
       assert(r.getLong(2) === (1L | 2L)) // bits where votes tie/win: 1&3 share bit0; bit1 ties→set
       assert(r.getInt(3) === 2 && r.getInt(4) === 4 && r.getInt(5) > 0)
+      assert(r.getString(6) === "caf\u00e9") // composed single codepoint
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
