@@ -36,7 +36,7 @@ object Examples {
     require(fracNum > 0 && fracDen > fracNum,
       s"middle fraction must be in (0,1), got $fracNum/$fracDen")
     val dl = size(col(toksCol))
-    val len = expr(s"(size($toksCol) * $fracNum) div $fracDen")
+    val len = expr(s"(size(`$toksCol`) * $fracNum) div $fracDen")
     val start = lit(1) +
       Hashing.hash31(col(idCol).cast("string")) % (dl - len + lit(1))
     val eligible = dl >= minToks && len >= 1

@@ -80,19 +80,20 @@ object Selection {
   }
 
   /** One term's smoothed likelihood ratio in integer micro-units;
-    * mirrors [[ratioMicroSql]] node for node. The numerator/denominator
-    * products are exact while (max count+1)·(mass+V) < 2^53 — holds to
-    * ~10^8 vocab × 10^8 occurrences; beyond that, shard the weight
-    * computation or move to decimal. */
+    * mirrors [[ratioMicroSql]] node for node. Each FACTOR casts to
+    * double BEFORE the multiply: the products stay correctly-rounded
+    * IEEE (identical in both engines) for any factor < 2^53 — a long
+    * product would silently wrap (Spark) or throw (DuckDB ANSI) near
+    * 2^63, which web-scale token masses can reach. */
   def ratioMicro(tcnt: Column, bcnt: Column,
                  st: Column, sb: Column, v: Column): Column =
-    floor(((tcnt + lit(1)) * (sb + v)).cast("double") /
-      ((bcnt + lit(1)) * (st + v)).cast("double") * lit(1000000.0) + lit(0.5))
+    floor((tcnt + lit(1)).cast("double") * (sb + v).cast("double") /
+      ((bcnt + lit(1)).cast("double") * (st + v).cast("double")) * lit(1000000.0) + lit(0.5))
       .cast("long")
 
   /** DuckDB spelling of [[ratioMicro]] over integer exprs. */
   def ratioMicroSql(tcnt: String, bcnt: String,
                     st: String, sb: String, v: String): String =
-    s"CAST(floor(CAST(($tcnt + 1) * ($sb + $v) AS DOUBLE) / " +
-      s"CAST(($bcnt + 1) * ($st + $v) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+    s"CAST(floor(CAST($tcnt + 1 AS DOUBLE) * CAST($sb + $v AS DOUBLE) / " +
+      s"(CAST($bcnt + 1 AS DOUBLE) * CAST($st + $v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"
 }
