@@ -40,19 +40,23 @@ object Mixture {
       s"weights must be positive, got $weights")
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = weights.toDF(srcCol, "mix_w")
-    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as("mix_n"))
+    // uniquified working prefix — caller columns named mix_* must not
+    // collide with the recipe/cutoff/rank columns added here
+    val p = Iterator.from(0).map(i => s"mix${i}_")
+      .find(pf => !docs.columns.exists(_.startsWith(pf))).get
+    val w = weights.toDF(srcCol, s"${p}w")
+    val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as(s"${p}n"))
     // u = min_s floor(n_s / w_s): integer div keeps this exact at any n
     val u = counts.join(broadcast(w), srcCol)
-      .select(expr("mix_n div mix_w").as("q"))
-      .agg(min(col("q")).as("mix_u"))
+      .select(expr(s"`${p}n` div `${p}w`").as(s"${p}q"))
+      .agg(min(col(s"${p}q")).as(s"${p}u"))
     val ks = broadcast(w.crossJoin(broadcast(u))
-      .select(col(srcCol), (col("mix_w") * col("mix_u")).as("mix_k")))
+      .select(col(srcCol), (col(s"${p}w") * col(s"${p}u")).as(s"${p}k")))
     val win = Window.partitionBy(col(srcCol))
       .orderBy(Hashing.hash31(col(idCol).cast("string")), col(idCol))
     docs.join(ks, srcCol)
-      .withColumn("mix_rn", row_number().over(win))
-      .filter(col("mix_rn") <= col("mix_k"))
+      .withColumn(s"${p}rn", row_number().over(win))
+      .filter(col(s"${p}rn") <= col(s"${p}k"))
       .select(docs.columns.map(col).toIndexedSeq: _*) // caller's column order
   }
 

@@ -22,11 +22,15 @@ object Privacy {
   def kAnonymous(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
     require(k >= 1, s"k must be >= 1, got $k")
+    // uniquified working prefix — a caller column literally named
+    // ka_<quasi> must not collide with the verdict side's join keys
+    val pfx = Iterator.from(0).map(i => s"ka${i}_")
+      .find(p => !df.columns.exists(_.startsWith(p))).get
     val keys = quasiCols.map(col)
-    val ok = df.groupBy(keys: _*).agg(count(lit(1)).as("ka_n"))
-      .filter(col("ka_n") >= k)
-      .select(quasiCols.map(c => col(c).as(s"ka_$c")): _*)
-    val cond = quasiCols.map(c => col(c) <=> col(s"ka_$c")).reduce(_ && _)
+    val ok = df.groupBy(keys: _*).agg(count(lit(1)).as(s"${pfx}n"))
+      .filter(col(s"${pfx}n") >= k)
+      .select(quasiCols.map(c => col(c).as(s"$pfx$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"$pfx$c")).reduce(_ && _)
     df.join(ok, cond).select(df.columns.map(col).toIndexedSeq: _*)
   }
 

@@ -76,6 +76,20 @@ class CurationSpec extends AnyFunSuite {
     assert(lens.filter(col("ml") =!= col("want")).count() === 0)
   }
 
+  test("working columns uniquify against caller collisions") {
+    import graft.ops.Privacy
+    // caller columns spelled exactly like the operators' internals must
+    // pass through untouched (the PrefixSum advice-fix contract)
+    val clash = (0 until 6).map(i => (i.toLong, "a", 99L, 77L))
+      .toDF("doc_id", "src", "mix_k", "ka_src")
+    val mixed = Mixture.sampleToMixture(clash, "doc_id", "src", Seq("a" -> 1))
+    assert(mixed.columns.toSeq === Seq("doc_id", "src", "mix_k", "ka_src"))
+    assert(mixed.count() === 6 && mixed.select("mix_k").distinct().head().getLong(0) === 99L)
+    val anon = Privacy.kAnonymous(clash, Seq("src"), 3)
+    assert(anon.columns.toSeq === Seq("doc_id", "src", "mix_k", "ka_src"))
+    assert(anon.count() === 6 && anon.select("ka_src").distinct().head().getLong(0) === 77L)
+  }
+
   test("kAnonymous: small groups suppressed, nulls group together, columns intact") {
     import graft.ops.Privacy
     val rows = (
