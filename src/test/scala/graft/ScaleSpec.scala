@@ -193,6 +193,33 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"decontam_shuffle":$w,"decontam_corpus_shingles":$corpusShingles}}""")
   }
 
+  test("fuzzy join at 10x: blocked candidates, never all-pairs") {
+    // 20k four-token entity names over a wide vocab + 1000 planted
+    // one-token edits: all-pairs would consider ~200M pairs; deletion-
+    // neighborhood blocking must keep total shuffle within a small
+    // multiple of rows·keys (5 keys per 4-token name)
+    val base = spark.range(0, 20000).select(col("id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(4)),
+        i => concat(lit("n"), pmod(xxhash64(col("id") * 31 + i), lit(99991)))))
+        .as("name"))
+    val ents = base.unionByName(
+      base.filter(col("id") < 1000)
+        .select((col("id") + 100000).as("id"),
+          concat(col("name").substr(lit(1), length(col("name"))
+            - length(element_at(split(col("name"), " "), -1))), lit("zz"))
+            .as("name")))
+    val n = ents.count()
+    val (pairs, w, _, _) = measure {
+      Dedup.fuzzyJoin(ents, "id", "name", maxDist = 12).collect()
+    }
+    // every planted pair survives (last token swapped → shared deletion
+    // key; levenshtein = |zz| vs |n#####| ≤ 8)
+    val planted = pairs.count(r => r.getLong(1) == r.getLong(0) + 100000)
+    assert(planted === 1000, s"recall $planted/1000")
+    assert(w < 30L * n, s"shuffled $w records for $n names")
+    println(s"""{"scale_invariants":{"fuzzy_names":$n,"fuzzy_shuffle_write":$w,"fuzzy_allpairs":${n * n / 2}}}""")
+  }
+
   test("two-phase prefix sum at 10x skew: biggest task « dominant group") {
     // 100k rows, 95% one group: the naive window reads the whole dominant
     // group in ONE task; the two-phase ledger's biggest task is bounded
