@@ -93,4 +93,64 @@ object DocIngest {
       else spark.emptyDataFrame
     (spark.read.parquet(cleanDir), dups)
   }
+
+  /** The FULL curation gate as one streaming drain — per micro-batch:
+    * Unicode NFC normalization → Gopher-style repetition/quality gate →
+    * benchmark decontamination (held-out set broadcast) → near-dup probe
+    * of the stored corpus index. Clean documents append to
+    * `outDir/clean`; every rejection lands in the `outDir/rejects`
+    * ledger as (doc_id, reason ∈ quality|contaminated|duplicate) — the
+    * audit trail a production ingest files per batch.
+    *
+    * Same statelessness contract as [[ingestWithIndex]]: the index and
+    * test-set shingles are fixed inputs captured by the batch function;
+    * per-batch work is broadcast probes and narrow projections, so the
+    * stream holds no executor state and any batch is independently
+    * re-runnable. Stage order is the batch pipeline's
+    * ([[graft.pipeline.CorpusPipeline.run]]): a document failing several
+    * gates is ledgered with the FIRST failure.
+    */
+  def curationGateAvailableNow(spark: SparkSession, csh: DataFrame,
+      cbands: DataFrame, testSet: DataFrame, srcDir: String, outDir: String,
+      threshold: Double = 0.5, contamN: Int = 8,
+      mat: Materialize = Materialize.Local,
+      checkpoint: Option[String] = None): (DataFrame, DataFrame) = {
+    val cleanDir = s"$outDir/clean"
+    val rejDir = s"$outDir/rejects"
+    val testToks = testSet.select(col("doc_id"),
+      TextAnalysis.toks(col("text")).as("toks"))
+    val reader = spark.readStream.schema(docSchema)
+      .parquet(s"$srcDir/documents.parque[t]")
+    val writer0 = reader.writeStream
+    val writer = checkpoint.fold(writer0)(c => writer0.option("checkpointLocation", c))
+    val q = writer
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val batch = b.toDF()
+          .withColumn("text", TextAnalysis.normalizeNfc(col("text")))
+        def ledger(df: DataFrame, reason: String) =
+          df.select(col("doc_id"), lit(reason).as("reason"))
+        val q1 = graft.pipeline.CorpusPipeline.qualityFilter(batch)
+        val r1 = ledger(batch.join(q1.select("doc_id"), Seq("doc_id"), "left_anti"),
+          "quality")
+        val contaminated = Dedup.decontaminate(toks(q1), testToks,
+          "doc_id", "toks", contamN).select(col("doc_id"))
+        val q2 = q1.join(contaminated, Seq("doc_id"), "left_anti")
+        val dups = Dedup.probeIndex(csh, cbands, toks(q2), "doc_id", "toks",
+          threshold = threshold, mat = mat)
+          .select(col("batch_id").as("doc_id"))
+        val clean = q2.join(dups, Seq("doc_id"), "left_anti")
+        clean.write.mode("append").parquet(cleanDir)
+        r1.unionByName(ledger(contaminated, "contaminated"))
+          .unionByName(ledger(dups, "duplicate"))
+          .write.mode("append").parquet(rejDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rejects =
+      if (new java.io.File(rejDir).exists) spark.read.parquet(rejDir)
+      else spark.emptyDataFrame
+    (spark.read.parquet(cleanDir), rejects)
+  }
 }

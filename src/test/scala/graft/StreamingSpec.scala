@@ -141,6 +141,35 @@ class StreamingSpec extends AnyFunSuite {
       docs.filter(col("doc_id") % 2 === 0).count())
   }
 
+  test("streaming curation gate: every rejection ledgered with its first failure") {
+    import graft.ops.{Dedup, TextAnalysis}
+    import graft.streaming.DocIngest
+    val root = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    def doc(id: Long, text: String) = (id, text, "en", "src0", text.length.toLong)
+    val corpusTexts = Seq(
+      doc(1L, "the quick brown fox jumps over the lazy dog today again"),
+      doc(2L, "a completely different and varied sentence with many unique words"))
+    val heldOut = Seq(
+      doc(100L, "secret benchmark item with eight shared tokens here exactly now"))
+    val incoming = Seq(
+      doc(10L, "an entirely novel clean document about something else and more"), // clean
+      doc(11L, Seq.fill(30)("spam").mkString(" ")),                               // quality
+      doc(12L, "prefix secret benchmark item with eight shared tokens here exactly now"), // contaminated
+      doc(13L, "zz the quick brown fox jumps over the lazy dog today again"))     // near-dup of corpus 1
+    import spark.implicits._
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = corpusTexts.toDF(cols: _*)
+    incoming.toDF(cols: _*).write.parquet(s"$root/src/documents.parquet")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+    val (csh, cbands) = Dedup.shingleBandIndex(toks(corpus), "doc_id", "toks")
+    val (clean, rejects) = DocIngest.curationGateAvailableNow(spark, csh, cbands,
+      heldOut.toDF(cols: _*), s"$root/src", s"$root/out")
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L))
+    val byReason = rejects.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byReason === Map(11L -> "quality", 12L -> "contaminated", 13L -> "duplicate"))
+  }
+
   test("watermarked variant builds a valid streaming plan") {
     val plan = EventStream.hourlyWatermarked(EventStream.read(spark, TestSpark.Sf0001))
     assert(plan.isStreaming)
