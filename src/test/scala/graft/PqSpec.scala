@@ -143,6 +143,32 @@ class PqSpec extends AnyFunSuite {
     assert(best.getLong(2) >= 100L, s"rank-1 hit ${best.getLong(2)}")
   }
 
+  test("ADC recall vs exact integer search, measured on the fixture") {
+    // recall@5 of ADC against exact full-vector sqdist ranking — the
+    // compression trade printed as evidence (codes are M=2 bytes vs 8
+    // dims × 8 bytes here)
+    val cb = trained
+    val enc = Similarity.pqEncode(vecs, cb, M, Dim)
+    val qs = vecs.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("qv"))
+    val k = 5
+    val adc = Similarity.pqTopK(enc, cb, qs, M, Dim, k)
+      .select(col("qid"), col("vec_id"))
+    val exact = qs.crossJoin(vecs.select(col("vec_id"), col("qv").as("cv")))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.sqDistInt(col("qv"), col("cv")).as("d"))
+    val exactTop = graft.plans.TopK.perGroup(exact, Seq("qid"),
+      Seq(("d", true), ("vec_id", true)), k).select(col("qid"), col("vec_id"))
+    val nQ = qs.count()
+    val hit = adc.join(exactTop, Seq("qid", "vec_id")).count()
+    val recall = hit.toDouble / (nQ * k)
+    println(s"""{"pq_recall_at_$k":$recall,"queries":$nQ}""")
+    // the two clusters are far apart and codes preserve cluster
+    // membership, so ADC must keep at least the cluster-level structure
+    assert(recall >= 0.5, s"ADC recall@$k collapsed: $recall")
+  }
+
   test("pq pipeline is deterministic across runs") {
     val qs = vecs.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("qid"), col("qv"))
