@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Hashing.P31
 
-  /** Distinct word n-gram shingles of a token array (caller guarantees
-    * `size(toks) >= n`; order-insensitive set semantics downstream). */
+  /** Distinct word n-gram shingles of a token array; arrays shorter than
+    * n yield an EMPTY shingle set, matching the DuckDB twin's empty
+    * `range` (Spark's `sequence(1, x)` turns DESCENDING for x < 1, which
+    * would fabricate bogus window starts — the guard closes that trap). */
   def shingles(toks: Column, n: Int): Column =
-    array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
 
   /** DuckDB spelling of [[shingles]] (1-based inclusive list slicing). */
   def shinglesSql(toks: String, n: Int): String =
@@ -47,8 +50,12 @@ object Dedup {
     * interpreted HOF mode, which would re-hash the whole token array per
     * shingle (measured 20× slower end to end). */
   def shingleHashes(tokHashes: Column, n: Int): Column =
-    array_distinct(transform(sequence(lit(1), size(tokHashes) - (n - 1)),
-      i => Hashing.mix31((0 until n).map(j => element_at(tokHashes, i + j)))))
+    // short-array guard: without it the descending sequence drives
+    // element_at(·, 0), which THROWS — a single sub-n document would
+    // fail the whole job instead of contributing zero shingles
+    when(size(tokHashes) < n, array().cast("array<long>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(tokHashes) - (n - 1)),
+        i => Hashing.mix31((0 until n).map(j => element_at(tokHashes, i + j))))))
 
   /** Fused tokens → distinct shingle hashes in ONE native expression
     * ([[graft.plans.TokenShingleHash31]]): md5-hash31 each token once in a
@@ -66,8 +73,9 @@ object Dedup {
 
   /** Non-distinct shingle bag (multiset features, e.g. for SimHash votes). */
   def shingleBag(toks: Column, n: Int): Column =
-    transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   def shingleBagSql(toks: String, n: Int): String =
     s"list_transform(range(1, len($toks) - ${n - 2}), " +
@@ -670,8 +678,9 @@ object Dedup {
       org.apache.spark.sql.GraftSqlBridge.expression(gramHashes), w))
 
   def winnowFingerprintsHof(gramHashes: Column, w: Int): Column =
-    array_distinct(transform(sequence(lit(1), size(gramHashes) - (w - 1)),
-      i => array_min(slice(gramHashes, i, lit(w)))))
+    when(size(gramHashes) < w, array().cast("array<long>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(gramHashes) - (w - 1)),
+        i => array_min(slice(gramHashes, i, lit(w))))))
 
   def winnowFingerprintsSql(grams: String, w: Int): String =
     s"list_distinct(list_transform(range(1, len($grams) - ${w - 2}), " +

@@ -148,8 +148,11 @@ object TextAnalysis {
     * duplicate-line-fraction repetition signal when the corpus has no
     * physical line structure. */
   def tokenChunks(toksCol: Column, n: Int): Column =
-    transform(sequence(lit(0), floor((size(toksCol) - 1) / lit(n)).cast("int")),
-      i => concat_ws(" ", slice(toksCol, i * n + 1, lit(n))))
+    // empty-array guard: sequence(0, -1) would turn descending and
+    // fabricate two phantom chunks where the DuckDB twin yields none
+    when(size(toksCol) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), floor((size(toksCol) - 1) / lit(n)).cast("int")),
+        i => concat_ws(" ", slice(toksCol, i * n + 1, lit(n)))))
 
   def tokenChunksSql(toks: String, n: Int): String =
     s"list_transform(range(0, CAST(floor((len($toks) - 1) / $n) AS BIGINT) + 1), " +

@@ -13,6 +13,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.toDF("id", "text").select(col("id"),
       filter(split(col("text"), " "), w => w =!= "").as("toks"))
 
+  test("sub-n documents yield EMPTY grams everywhere, never throw or fabricate") {
+    // Spark's sequence(1, x) turns DESCENDING for x < 1 — unguarded, a
+    // 2-token doc under n=3 would fabricate bogus windows (or throw via
+    // element_at(·, 0) on the hashed path); every gram builder must
+    // instead agree with the oracle's empty range
+    val short = tokDF((1L, "a b"), (2L, ""), (3L, "x y z"))
+    val out = short.select(
+      Dedup.shingles(col("toks"), 3).as("sh"),
+      Dedup.shingleBag(col("toks"), 3).as("bag"),
+      Dedup.shingleHashes(Hashing.hash31Array(col("toks")), 3).as("hs"),
+      Dedup.tokenShingleHashes(col("toks"), 3).as("nat"),
+      Dedup.winnowFingerprintsHof(Hashing.hash31Array(col("toks")), 4).as("win"),
+      graft.ops.TextAnalysis.tokenChunks(col("toks"), 8).as("ch"))
+      .orderBy(lit(1)).collect()
+    // docs 1-2 are sub-n: every N-GRAM family must be empty (chunks are
+    // not n-grams — a short doc yields one short chunk, an empty doc none)
+    for (r <- out.take(2); i <- 0 until 5) {
+      assert(r.getSeq[Any](i).isEmpty, s"col $i not empty on short doc")
+    }
+    assert(out(0).getSeq[String](5) === Seq("a b"))
+    assert(out(1).getSeq[String](5).isEmpty)
+    // doc 3 (= n) produces exactly one 3-gram on each path, one chunk
+    assert(out(2).getSeq[String](0) === Seq("x y z"))
+    assert(out(2).getSeq[Long](2) === out(2).getSeq[Long](3)) // HOF == native
+    assert(out(2).getSeq[String](5) === Seq("x y z"))
+  }
+
   test("MinHash: identical shingle sets → identical signatures; disjoint → different") {
     val df = tokDF(
       (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
