@@ -41,4 +41,25 @@ object Privacy {
     df.groupBy(quasiCols.map(col): _*)
       .agg(count(lit(1)).as("n"))
       .withColumn("released", (col("n") >= k).cast("long"))
+
+  /** Distinct l-diversity (Machanavajjhala et al., TKDD'07) on top of
+    * k-anonymity: a group is releasable only if it ALSO carries ≥ l
+    * distinct values of the sensitive column — k-anonymous groups whose
+    * members all share one sensitive value still leak it (the
+    * homogeneity attack this closes). Same scale shape as
+    * [[kAnonymous]] with a count_distinct riding the one aggregation. */
+  def lDiverse(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+               k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1 && l >= 1, s"need k,l >= 1, got k=$k l=$l")
+    val pfx = Iterator.from(0).map(i => s"ld${i}_")
+      .find(p => !df.columns.exists(_.startsWith(p))).get
+    val ok = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as(s"${pfx}n"),
+        count_distinct(col(sensitiveCol)).as(s"${pfx}d"))
+      .filter(col(s"${pfx}n") >= k && col(s"${pfx}d") >= l)
+      .select(quasiCols.map(c => col(c).as(s"$pfx$c")): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"$pfx$c")).reduce(_ && _)
+    df.join(ok, cond).select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

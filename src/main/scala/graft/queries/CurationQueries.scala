@@ -72,6 +72,25 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q112: l-diversity release gate ----
+
+  /** [[graft.ops.Privacy.lDiverse]]: `source` as the quasi-identifier,
+    * `lang` as the sensitive attribute — a source releases only if it
+    * has ≥ 5 rows AND ≥ 5 distinct languages (closing the homogeneity
+    * attack k-anonymity alone permits; at sf0.01 three sources carry
+    * only 4 languages and are suppressed, so the gate bites). */
+  val q112 = Q("q112_l_diversity",
+    """WITH g AS (SELECT source, count(*) AS n, count(DISTINCT lang) AS d
+      |           FROM documents GROUP BY source)
+      |SELECT doc_id, lang, d2.source AS source
+      |FROM documents d2 JOIN g ON g.source = d2.source
+      |WHERE g.n >= 5 AND g.d >= 5 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.ops.Privacy.lDiverse(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+        Seq("source"), "lang", 5L, 5L)
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Q111: Unicode NFC normalization ----
 
   /** [[TextAnalysis.normalizeNfc]] (native expression) over text with a
@@ -94,5 +113,5 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q103, q104, q109, q111)
+  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112)
 }

@@ -55,6 +55,19 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("lDiverse: homogeneous groups suppressed even when k-anonymous") {
+    import graft.ops.Privacy
+    val rows = (
+      (0 until 6).map(i => (i.toLong, "web", s"lang${i % 3}")) ++   // 6 rows, 3 langs
+      (10 until 16).map(i => (i.toLong, "forum", "en"))             // 6 rows, 1 lang
+    ).toDF("id", "src", "lang")
+    // both groups pass k = 5; only web passes l = 2
+    val out = Privacy.lDiverse(rows, Seq("src"), "lang", 5, 2)
+    assert(out.select("src").distinct().collect().map(_.getString(0)).toSeq === Seq("web"))
+    // and the k gate still applies underneath
+    assert(Privacy.lDiverse(rows, Seq("src"), "lang", 7, 1).count() === 0)
+  }
+
   test("fimSplit: prefix+middle+suffix reassemble the document exactly") {
     val docs = (0L until 40L).map(i =>
         (i, (0 until (3 + (i % 17)).toInt).map(j => s"t$j").mkString(" ")))
