@@ -40,11 +40,22 @@ object Mixture {
       s"weights must be positive, got $weights")
     val spark = docs.sparkSession
     import spark.implicits._
+    sampleToMixtureDF(docs, idCol, srcCol, weights.toDF(srcCol, "w"), "w")
+  }
+
+  /** [[sampleToMixture]] with the recipe as a DATAFRAME `(srcCol, wCol)`
+    * — the adaptive-mixture shape (DoReMi-style reweighting: weights
+    * computed from per-domain statistics in the SAME plan, never
+    * collected to the driver). Non-positive and absent weights drop the
+    * source; duplicate source rows in `weights` are a caller error. */
+  def sampleToMixtureDF(docs: DataFrame, idCol: String, srcCol: String,
+                        weights: DataFrame, wCol: String): DataFrame = {
     // uniquified working prefix — caller columns named mix_* must not
     // collide with the recipe/cutoff/rank columns added here
     val p = Iterator.from(0).map(i => s"mix${i}_")
       .find(pf => !docs.columns.exists(_.startsWith(pf))).get
-    val w = weights.toDF(srcCol, s"${p}w")
+    val w = weights.select(col(srcCol), col(wCol).cast("long").as(s"${p}w"))
+      .filter(col(s"${p}w") > 0)
     val counts = docs.groupBy(col(srcCol)).agg(count(lit(1)).as(s"${p}n"))
     // u = min_s floor(n_s / w_s): integer div keeps this exact at any n
     val u = counts.join(broadcast(w), srcCol)

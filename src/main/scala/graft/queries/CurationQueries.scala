@@ -72,6 +72,31 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q113: adaptive mixture (weights computed in-plan) ----
+
+  /** [[Mixture.sampleToMixtureDF]] with a DATA-DERIVED recipe: each
+    * source's share is its language diversity (count of distinct langs,
+    * 4 or 5 at sf0.01) — the DoReMi-style shape where the recipe comes
+    * from per-domain statistics inside the same plan. The oracle
+    * recomputes weights, cutoffs, and hash ranks. */
+  val q113 = Q("q113_adaptive_mixture",
+    s"""WITH w AS (SELECT source, count(DISTINCT lang) AS mw
+      |           FROM documents GROUP BY source),
+      |c AS (SELECT source, count(*) AS mix_n FROM documents GROUP BY source),
+      |u AS (SELECT min(mix_n // mw) AS mix_u FROM c JOIN w USING (source)),
+      |k AS (SELECT source, mw * mix_u AS mix_k FROM w CROSS JOIN u),
+      |r AS (SELECT doc_id, source, ${Mixture.rankSql("doc_id", "source")} AS rn
+      |      FROM documents JOIN w USING (source))
+      |SELECT doc_id, source FROM r JOIN k USING (source)
+      |WHERE rn <= mix_k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val weights = docs.groupBy(col("source"))
+      .agg(count_distinct(col("lang")).as("mw"))
+    Mixture.sampleToMixtureDF(docs, "doc_id", "source", weights, "mw")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- Q112: l-diversity release gate ----
 
   /** [[graft.ops.Privacy.lDiverse]]: `source` as the quasi-identifier,
@@ -113,5 +138,5 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112)
+  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113)
 }
