@@ -15,7 +15,8 @@ object Queries {
     graft.queries.SearchQueries.all ++
     graft.queries.CurationQueries.all ++
     graft.queries.PqQueries.all ++
-    graft.queries.TopicQueries.all
+    graft.queries.TopicQueries.all ++
+    graft.queries.ReleaseQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.{Dedup, Hashing, Mixture, Privacy, TextAnalysis}
+
+/** The capstone release pipeline: everything between a raw corpus and a
+  * publishable training set, as ONE composed plan with ONE composed
+  * oracle — Unicode NFC normalization → exact dedup → benchmark
+  * decontamination → l-diversity privacy gate → adaptive mixture
+  * sampling. Each stage is the already-oracle-proven operator; this
+  * query proves the COMPOSITION (stage order, column flow, and the
+  * interactions between gates) end to end.
+  */
+object ReleaseQueries {
+
+  /** Deterministic fixture shaping shared by both engines: every text
+    * gets a decomposed `e`+U+0301 suffix (so the NFC stage does real
+    * work before hashing), every 25th document re-enters as an exact
+    * duplicate under id+10000, and every 50th ORIGINAL document doubles
+    * as a held-out eval item (so decontamination must remove its corpus
+    * copy — the classic "eval items leaked into train" scenario). */
+  val q114 = Q("q114_release_pipeline", {
+    val toks = TextAnalysis.toksSql
+    val th = s"list_transform(toks, t -> ${Hashing.hash31Sql("t")})"
+    s"""WITH base AS (SELECT doc_id, lang, source,
+      |    nfc_normalize(text || ' cafe' || chr(769)) AS text FROM documents),
+      |corp AS (SELECT * FROM base
+      |         UNION ALL
+      |         SELECT doc_id + 10000 AS doc_id, lang, source, text
+      |         FROM base WHERE doc_id % 25 = 0),
+      |ex AS (SELECT doc_id, lang, source, text FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+      |      ORDER BY doc_id) AS rn FROM corp) x WHERE rn = 1),
+      |tsh AS (SELECT DISTINCT unnest(${Dedup.shingleHashesSql("th", 8)}) AS sh
+      |        FROM (SELECT $th AS th FROM
+      |          (SELECT $toks AS toks FROM base WHERE doc_id % 50 = 0) t0) t1),
+      |csh AS (SELECT doc_id, unnest(${Dedup.shingleHashesSql("th", 8)}) AS sh
+      |        FROM (SELECT doc_id, $th AS th FROM
+      |          (SELECT doc_id, $toks AS toks FROM ex) e0) e1),
+      |hits AS (SELECT DISTINCT c.doc_id FROM csh c JOIN tsh USING (sh)),
+      |dec AS (SELECT e.* FROM ex e LEFT JOIN hits h ON h.doc_id = e.doc_id
+      |        WHERE h.doc_id IS NULL),
+      |g AS (SELECT source, count(*) AS gn, count(DISTINCT lang) AS gd
+      |      FROM dec GROUP BY source),
+      |ld AS (SELECT d.* FROM dec d JOIN g USING (source)
+      |       WHERE g.gn >= 5 AND g.gd >= 4),
+      |w AS (SELECT source, count(DISTINCT lang) AS mw FROM ld GROUP BY source),
+      |c AS (SELECT source, count(*) AS mix_n FROM ld GROUP BY source),
+      |u AS (SELECT min(mix_n // mw) AS mix_u FROM c JOIN w USING (source)),
+      |k AS (SELECT source, mw * mix_u AS mix_k FROM w CROSS JOIN u),
+      |r AS (SELECT doc_id, lang, source,
+      |        ${Mixture.rankSql("doc_id", "source")} AS rn FROM ld),
+      |fin AS (SELECT doc_id, lang, source FROM r JOIN k USING (source)
+      |        WHERE rn <= mix_k)
+      |SELECT doc_id, lang, source FROM fin ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      col("source"),
+      TextAnalysis.normalizeNfc(concat(col("text"), lit(" café"))).as("text"))
+    val corp = base.unionByName(base.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("lang"),
+        col("source"), col("text")))
+    val ex = graft.pipeline.CorpusPipeline.exactDedup(corp)
+    def toToks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+    val flagged = Dedup.decontaminate(toToks(ex),
+      toToks(base.filter(col("doc_id") % 50 === 0)), "doc_id", "toks", 8)
+      .select(col("doc_id"))
+    val dec = ex.join(flagged, Seq("doc_id"), "left_anti")
+    val ld = Privacy.lDiverse(dec, Seq("source"), "lang", 5L, 4L)
+    val w = ld.groupBy(col("source")).agg(count_distinct(col("lang")).as("mw"))
+    Mixture.sampleToMixtureDF(ld, "doc_id", "source", w, "mw")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q114)
+}
