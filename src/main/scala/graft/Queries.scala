@@ -16,7 +16,8 @@ object Queries {
     graft.queries.CurationQueries.all ++
     graft.queries.PqQueries.all ++
     graft.queries.TopicQueries.all ++
-    graft.queries.ReleaseQueries.all
+    graft.queries.ReleaseQueries.all ++
+    graft.queries.LmQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

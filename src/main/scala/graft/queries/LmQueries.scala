@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.{LangModel, TextAnalysis}
+
+/** Language-model-based corpus curation (CCNet family): train a reference
+  * LM, score the whole corpus, bucket by fluency. */
+object LmQueries {
+
+  /** Head/middle cut points in nano-units, chosen once from the reference
+    * score distribution (median ≈ 33.4M, en-median ≈ 35.5M on the synthetic
+    * corpus) and then applied as constants — the production pattern. */
+  val HeadMin = 35000000L
+  val MidMin = 31000000L
+
+  /** [[LangModel]]: add-one bigram LM trained on the `en` slice (the clean
+    * reference), every document scored by mean per-bigram likelihood in
+    * nano-units, CCNet head/middle/tail bucketing. */
+  val q115 = Q("q115_lm_fluency", {
+    val toks = TextAnalysis.toksSql
+    s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+      |big AS (SELECT doc_id, lang, ${LangModel.bigramsSql("toks")} AS bgs,
+      |          ${LangModel.prefixesSql("toks")} AS w1s
+      |        FROM tok WHERE len(toks) >= 2),
+      |refex AS (SELECT unnest(bgs) AS bg, unnest(w1s) AS w1 FROM big
+      |          WHERE lang = 'en'),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM refex GROUP BY bg),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM refex GROUP BY w1),
+      |vv AS (SELECT count(DISTINCT w) AS v FROM
+      |         (SELECT unnest(toks) AS w FROM tok WHERE lang = 'en') u),
+      |ex AS (SELECT doc_id, unnest(bgs) AS bg, unnest(w1s) AS w1 FROM big),
+      |sc AS (SELECT e.doc_id AS doc_id,
+      |         ${LangModel.nanoSql("c12.c12", "c1.c1", "vv.v")} AS nano
+      |       FROM ex e LEFT JOIN c12 ON c12.bg = e.bg
+      |       LEFT JOIN c1 ON c1.w1 = e.w1 CROSS JOIN vv),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |          CAST(sum(nano) AS BIGINT) AS sum_nano,
+      |          CAST(sum(nano) // count(*) AS BIGINT) AS mean_nano
+      |        FROM sc GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, sum_nano, mean_nano,
+      |  ${LangModel.fluencyBucketSql("mean_nano", HeadMin, MidMin)} AS bucket
+      |FROM agg ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val tok = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.toks(col("text")).as("toks"))
+    val lm = LangModel.trainBigram(tok.filter(col("lang") === "en"), "toks")
+    LangModel.scoreBigramLm(tok, "doc_id", "toks", lm)
+      .withColumn("bucket",
+        LangModel.fluencyBucket(col("mean_nano"), HeadMin, MidMin))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q115)
+}
