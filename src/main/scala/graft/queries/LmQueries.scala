@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{LangModel, TextAnalysis}
+import graft.ops.{HeavyHitters, LangModel, TextAnalysis}
 
 /** Language-model-based corpus curation (CCNet family): train a reference
   * LM, score the whole corpus, bucket by fluency. */
@@ -51,5 +51,30 @@ object LmQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q115)
+  /** [[HeavyHitters]]: exact bigram heavy hitters (> 1/700 of the bigram
+    * stream) via Misra–Gries sketch + exact recount. Capacity 800 sits
+    * BELOW the ~916-bigram vocabulary, so the sketch genuinely evicts at
+    * this scale while the guarantee window (800+1 > 700) keeps every true
+    * heavy hitter in the candidate set; the oracle is the plain
+    * GROUP BY/HAVING the two-pass plan must equal exactly. */
+  val q116 = Q("q116_heavy_hitters", {
+    val toks = TextAnalysis.toksSql
+    s"""WITH tok AS (SELECT $toks AS toks FROM documents),
+      |ex AS (SELECT unnest(${LangModel.bigramsSql("toks")}) AS term
+      |       FROM tok WHERE len(toks) >= 2),
+      |t AS (SELECT count(*) AS n FROM ex),
+      |c AS (SELECT term, count(*) AS cnt FROM ex GROUP BY term)
+      |SELECT term, cnt FROM c CROSS JOIN t
+      |WHERE cnt * 700 > n ORDER BY cnt DESC, term""".stripMargin
+  }) { (s, dir) =>
+    val stream = Tables.documents(s, dir)
+      .select(TextAnalysis.toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(LangModel.bigramPairs(col("toks"))).as("p"))
+      .select(col("p.bg").as("term"))
+    HeavyHitters.heavyHitters(stream, "term", k = 800, num = 1L, den = 700L)
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  val all: Seq[Q] = Seq(q115, q116)
 }
