@@ -76,5 +76,30 @@ object LmQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
-  val all: Seq[Q] = Seq(q115, q116)
+  /** [[graft.ops.Funnel]]: ordered view→click→purchase funnel with
+    * per-step value gates and strictly-increasing timestamps — counts of
+    * users whose earliest qualifying chain reaches each stage. */
+  val q117 = Q("q117_event_funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' AND value > 120 GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.value > 160 AND e.ts > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.value > 140 AND e.ts > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM s1) AS users
+      |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    graft.ops.Funnel.funnelCounts(Tables.events(s, dir), "user_id", "ts", Seq(
+      "view" -> (col("event_type") === "view" && col("value") > 120),
+      "click" -> (col("event_type") === "click" && col("value") > 160),
+      "purchase" -> (col("event_type") === "purchase" && col("value") > 140)))
+      .orderBy(col("stage"))
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q117)
 }
