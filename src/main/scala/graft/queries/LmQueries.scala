@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{HeavyHitters, LangModel, TextAnalysis}
+import graft.ops.{HeavyHitters, LangModel, LinearModel, TextAnalysis}
 
 /** Language-model-based corpus curation (CCNet family): train a reference
   * LM, score the whole corpus, bucket by fluency. */
@@ -101,5 +101,33 @@ object LmQueries {
       .orderBy(col("stage"))
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q117)
+  /** [[graft.ops.LinearModel]]: fit stopword count ~ β₀ + β₁·n_words +
+    * β₂·sum_len by exact-moment least squares, score every document —
+    * the in-pipeline trainable quality-scorer shape. The oracle re-runs
+    * the identical training, so the WHOLE fit (moments, Cramer solve,
+    * micro-quantized predictions) is hash-checked. */
+  val q118 = Q("q118_ols_quality", {
+    val toks = TextAnalysis.toksSql
+    s"""WITH tok AS (SELECT doc_id, $toks AS toks FROM documents),
+      |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS x1,
+      |        ${TextAnalysis.sumTokenLenSql("toks")} AS x2,
+      |        CAST(${TextAnalysis.markerScoreSql("toks", TextAnalysis.StopWords)} AS BIGINT) AS y
+      |      FROM tok),
+      |m AS (SELECT ${LinearModel.momentsSql} FROM f),
+      |d AS (SELECT ${LinearModel.castSql} FROM m),
+      |c AS (SELECT ${LinearModel.cramerSql} FROM d)
+      |SELECT doc_id, x1, x2, y, ${LinearModel.scoreSql("x1", "x2", "y")}
+      |FROM f CROSS JOIN c ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("x1"),
+        TextAnalysis.sumTokenLen(col("toks")).as("x2"),
+        TextAnalysis.markerScore(col("toks"), TextAnalysis.StopWords)
+          .cast("long").as("y"))
+    LinearModel.fitScore2(f, col("y"), col("x1"), col("x2"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118)
 }
