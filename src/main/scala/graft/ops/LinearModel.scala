@@ -29,32 +29,47 @@ import org.apache.spark.sql.functions._
   */
 object LinearModel {
 
+  private def momentAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
+    sum(col("x1") * col("x1")).as("s11"),
+    sum(col("x1") * col("x2")).as("s12"),
+    sum(col("x2") * col("x2")).as("s22"),
+    sum("y").as("sy"),
+    sum(col("x1") * col("y")).as("s1y"),
+    sum(col("x2") * col("y")).as("s2y"))
+
   /** One-row exact moment frame: n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy,
     * Σx₁y, Σx₂y — everything a 2-feature+intercept normal-equation solve
     * needs. Inputs must be integral columns. */
   def moments2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame =
     df.select(x1.cast("long").as("x1"), x2.cast("long").as("x2"),
         y.cast("long").as("y"))
-      .agg(count(lit(1)).as("n"), sum("x1").as("s1"), sum("x2").as("s2"),
-        sum(col("x1") * col("x1")).as("s11"),
-        sum(col("x1") * col("x2")).as("s12"),
-        sum(col("x2") * col("x2")).as("s22"),
-        sum("y").as("sy"),
-        sum(col("x1") * col("y")).as("s1y"),
-        sum(col("x2") * col("y")).as("s2y"))
+      .agg(momentAggs.head, momentAggs.tail: _*)
 
-  /** Cramer determinants over the moment row: (det, det0, det1, det2)
-    * where βᵢ = detᵢ/det. Fixed expression tree in doubles — mirrored
-    * node for node by [[cramerSql]]. */
-  def cramer2(moments: DataFrame): DataFrame = {
-    val m = moments.select(
+  /** Per-group exact moments: one row per key tuple — a million segment
+    * models cost ONE hash-aggregate pass with the same map-side combine
+    * as the global fit. */
+  def moments2ByGroup(df: DataFrame, keys: Seq[String], y: Column,
+                      x1: Column, x2: Column): DataFrame =
+    df.select(keys.map(col) ++ Seq(x1.cast("long").as("x1"),
+        x2.cast("long").as("x2"), y.cast("long").as("y")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(momentAggs.head, momentAggs.tail: _*)
+
+  /** Cramer determinants over the moment row(s): (keys…, det, det0, det1,
+    * det2) where βᵢ = detᵢ/det. Fixed expression tree in doubles —
+    * mirrored node for node by [[cramerSql]]. Key columns pass through,
+    * so the same solve serves the global fit (no keys) and a
+    * model-per-segment fit (one row per key tuple). */
+  def cramer2(moments: DataFrame, passThrough: Seq[String] = Nil): DataFrame = {
+    val m = moments.select(passThrough.map(col) ++ Seq(
       col("n").cast("double").as("a11"), col("s1").cast("double").as("a12"),
       col("s2").cast("double").as("a13"), col("s11").cast("double").as("a22"),
       col("s12").cast("double").as("a23"), col("s22").cast("double").as("a33"),
       col("sy").cast("double").as("b1"), col("s1y").cast("double").as("b2"),
-      col("s2y").cast("double").as("b3"))
+      col("s2y").cast("double").as("b3")): _*)
     // symmetric A: a21 = a12, a31 = a13, a32 = a23
-    m.select(
+    m.select(passThrough.map(col) ++ Seq(
       (col("a11") * (col("a22") * col("a33") - col("a23") * col("a23"))
         - col("a12") * (col("a12") * col("a33") - col("a23") * col("a13"))
         + col("a13") * (col("a12") * col("a23") - col("a22") * col("a13"))).as("det"),
@@ -66,7 +81,7 @@ object LinearModel {
         + col("a13") * (col("a12") * col("b3") - col("b2") * col("a13"))).as("det1"),
       (col("a11") * (col("a22") * col("b3") - col("b2") * col("a23"))
         - col("a12") * (col("a12") * col("b3") - col("b2") * col("a13"))
-        + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13"))).as("det2"))
+        + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13"))).as("det2")): _*)
   }
 
   /** Fit on (y, x₁, x₂) and score every row: output = input plus
@@ -78,6 +93,26 @@ object LinearModel {
     val pred = col("det0") / col("det") + col("det1") / col("det") * x1.cast("double") +
       col("det2") / col("det") * x2.cast("double")
     df.crossJoin(broadcast(coefs))
+      .withColumn("pred_micro",
+        floor(pred * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("resid_micro",
+        floor((y.cast("double") - pred) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .drop("det", "det0", "det1", "det2")
+  }
+
+  /** Model-per-segment fit + score: one model per key tuple, trained in a
+    * single grouped-moment pass and joined back on the keys. With few
+    * segments the coefficient side broadcasts; with millions it is a
+    * plain hash-equi-join on the group key — either way the corpus
+    * shuffles at most once, on the key it is usually already
+    * partitioned by. */
+  def fitScore2ByGroup(df: DataFrame, keys: Seq[String], y: Column,
+                       x1: Column, x2: Column,
+                       broadcastCoefs: Boolean = true): DataFrame = {
+    val coefs = cramer2(moments2ByGroup(df, keys, y, x1, x2), keys)
+    val pred = col("det0") / col("det") + col("det1") / col("det") * x1.cast("double") +
+      col("det2") / col("det") * x2.cast("double")
+    df.join(if (broadcastCoefs) broadcast(coefs) else coefs, keys)
       .withColumn("pred_micro",
         floor(pred * lit(1000000.0) + lit(0.5)).cast("long"))
       .withColumn("resid_micro",

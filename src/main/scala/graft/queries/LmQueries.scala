@@ -129,5 +129,37 @@ object LmQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q117, q118)
+  /** [[LinearModel.fitScore2ByGroup]]: one OLS model PER LANGUAGE from a
+    * single grouped-moment pass — the model-per-segment shape (a million
+    * segments cost the same plan). Oracle re-runs the grouped training,
+    * so per-group moments, solves, and scoring are all hash-checked. */
+  val q119 = Q("q119_ols_per_lang", {
+    val toks = TextAnalysis.toksSql
+    s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+      |f AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS x1,
+      |        ${TextAnalysis.sumTokenLenSql("toks")} AS x2,
+      |        CAST(${TextAnalysis.markerScoreSql("toks", TextAnalysis.StopWords)} AS BIGINT) AS y
+      |      FROM tok),
+      |m AS (SELECT lang, ${LinearModel.momentsSql} FROM f GROUP BY lang),
+      |d AS (SELECT lang, ${LinearModel.castSql} FROM m),
+      |c AS (SELECT lang, ${LinearModel.cramerSql} FROM d)
+      |SELECT doc_id, f.lang AS lang, x1, x2, y,
+      |  ${LinearModel.scoreSql("x1", "x2", "y")}
+      |FROM f JOIN c ON c.lang = f.lang ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.toks(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("x1"),
+        TextAnalysis.sumTokenLen(col("toks")).as("x2"),
+        TextAnalysis.markerScore(col("toks"), TextAnalysis.StopWords)
+          .cast("long").as("y"))
+    LinearModel.fitScore2ByGroup(f, Seq("lang"), col("y"), col("x1"), col("x2"))
+      .select(col("doc_id"), col("lang"), col("x1"), col("x2"), col("y"),
+        col("pred_micro"), col("resid_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119)
 }

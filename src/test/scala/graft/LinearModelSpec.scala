@@ -67,6 +67,27 @@ class LinearModelSpec extends AnyFunSuite {
     assert(math.abs(sumRx2) <= n * 90 * 1e-5, s"sum r x2 = $sumRx2")
   }
 
+  test("per-group fit equals independent per-slice global fits") {
+    val rows = (0 until 120).map { i =>
+      val g = s"g${i % 3}"
+      val x1 = (i * 7 % 50).toLong; val x2 = (i * 13 % 90).toLong
+      // different true planes per group
+      (i.toLong, g, x1, x2, (i % 3) + x1 * (1 + i % 3) + x2 / 2 + (i % 4) - 1L)
+    }
+    val df = rows.toDF("id", "g", "x1", "x2", "y").repartition(4)
+    val grouped = LinearModel.fitScore2ByGroup(df, Seq("g"), col("y"),
+        col("x1"), col("x2"))
+      .select(col("id"), col("pred_micro"), col("resid_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sliced = (0 until 3).flatMap { gi =>
+      val slice = df.filter(col("g") === s"g$gi")
+      LinearModel.fitScore2(slice, col("y"), col("x1"), col("x2"))
+        .select(col("id"), col("pred_micro"), col("resid_micro"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(grouped == sliced)
+  }
+
   test("partition count does not change any output value") {
     val rows = (0 until 60).map { i =>
       (i.toLong, (i % 11).toLong, (i * 3 % 17).toLong, (i % 7).toLong) }
