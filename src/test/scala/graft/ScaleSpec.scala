@@ -249,4 +249,79 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"prefix_naive_max_task":$naiveMax,"prefix_twophase_max_task":$twoPhaseMax}}""")
     } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
+
+  test("MG heavy hitters at 10x: sketch bytes replace the token-stream shuffle") {
+    // 200k-token stream over a 50k vocab with 5 planted heavies — the
+    // regime where candidate pruning matters (naive group-by exchanges
+    // ~vocab×partitions partial rows; two-pass exchanges ≤ k×partitions)
+    // NO repartition here: the source must stay narrow so the measured
+    // shuffle is the OPERATOR's, not test scaffolding re-run per pass
+    val stream = spark.range(0, 200000, 1, 8).select(
+      when(col("id") % 8 < 3, concat(lit("hot"), col("id") % 5))
+        .otherwise(concat(lit("t"), pmod(xxhash64(col("id")), lit(50000))))
+        .as("term"))
+    val nPart = stream.rdd.getNumPartitions
+    val (got, w, _, _) = measure {
+      graft.ops.HeavyHitters.heavyHitters(stream, "term",
+        k = 60, num = 1L, den = 50L).collect()
+    }
+    // the 5 planted terms are 7.5% each — all must surface, nothing else
+    // clears 2%
+    assert(got.map(_.getString(0)).toSet ==
+      (0 until 5).map(i => s"hot$i").toSet, got.mkString(","))
+    // both passes together: sketch buffers (1 row/partition) + candidate
+    // partials (≤ k+1 rows/partition each side of the recount) — far
+    // below one row per distinct term per partition, let alone per token
+    val bound = 3L * (60 + 2) * nPart + 200
+    assert(w <= bound, s"shuffled $w records, bound $bound")
+    println(s"""{"scale_invariants":{"hh_stream":200000,"hh_shuffle_write":$w,"hh_bound":$bound}}""")
+  }
+
+  test("funnel at 10x: stages shuffle matching rows, not the stream") {
+    // 200k events, 2k users; step predicates select ~12%/6%/3% — the
+    // operator must exchange only those slices (plus per-user minima),
+    // never sort or shuffle the full stream
+    val events = spark.range(0, 200000).select(
+      pmod(col("id") * 31 + 7, lit(2000)).as("user_id"),
+      col("id").as("ts"),
+      pmod(xxhash64(col("id") + 1), lit(100)).as("bucket"))
+    val stepA = col("bucket") < 12
+    val stepB = col("bucket") >= 12 && col("bucket") < 18
+    val stepC = col("bucket") >= 18 && col("bucket") < 21
+    val nMatch = events.filter(stepA || stepB || stepC).count()
+    val (counts, w, _, _) = measure {
+      graft.ops.Funnel.funnelCounts(events, "user_id", "ts",
+        Seq("a" -> stepA, "b" -> stepB, "c" -> stepC)).collect()
+    }
+    assert(counts.length == 3)
+    assert(counts.map(_.getLong(2)).forall(_ > 0))
+    // matching slices + three rounds of per-user minima (≤ users each);
+    // the full stream (200k × stages) never crosses an exchange
+    val bound = 2L * nMatch + 12L * 2000
+    assert(w <= bound, s"shuffled $w records, bound $bound (stream 200000)")
+    println(s"""{"scale_invariants":{"funnel_events":200000,"funnel_matching":$nMatch,"funnel_shuffle_write":$w}}""")
+  }
+
+  test("bigram LM at 10x: corpus-side exchange carries docs, not tokens") {
+    // 5000 docs × 40 tokens: scoring explodes ~195k corpus bigrams, but
+    // map-side combine must collapse them to ONE partial row per doc
+    // before the exchange; the LM tables ride broadcasts
+    val docs = toks(corpus10x)
+    val nDocs = docs.count()
+    val ref = docs.filter(col("doc_id") % 5 === 0)
+    val lm = graft.ops.LangModel.trainBigram(ref, "toks")
+    val refInstances = ref.select(explode(col("toks"))).count()
+    val (scored, w, _, _) = measure {
+      graft.ops.LangModel.scoreBigramLm(docs, "doc_id", "toks", lm).count()
+    }
+    assert(scored == nDocs, s"scored $scored of $nDocs")
+    // training aggregates shuffle ≤ ref bigram partials; scoring
+    // shuffles ≤ one partial per doc per partition — the ~195k corpus
+    // bigram instances never cross an exchange
+    val corpusInstances = 195000L
+    val bound = refInstances + 10L * nDocs
+    assert(w <= bound && bound < corpusInstances,
+      s"shuffled $w, bound $bound, corpus instances $corpusInstances")
+    println(s"""{"scale_invariants":{"lm_docs":$nDocs,"lm_shuffle_write":$w,"lm_corpus_bigrams":$corpusInstances}}""")
+  }
 }
