@@ -161,5 +161,79 @@ object LmQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119)
+  /** Model-gate curation capstone: the three trained-in-pipeline gates of
+    * this round composed over one corpus — (1) CCNet fluency ≥ middle,
+    * (2) boilerplate share of heavy bigrams ≤ 16%, (3) OLS residual
+    * within ±2.5 — with ONE composed oracle re-running all three
+    * trainings. Proves the gates compose (shared token frame, three
+    * independent model joins, one final cut). */
+  val q120 = Q("q120_model_gates", {
+    val toks = TextAnalysis.toksSql
+    s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+      |big AS (SELECT doc_id, lang, ${LangModel.bigramsSql("toks")} AS bgs,
+      |          ${LangModel.prefixesSql("toks")} AS w1s
+      |        FROM tok WHERE len(toks) >= 2),
+      |refex AS (SELECT unnest(bgs) AS bg, unnest(w1s) AS w1 FROM big
+      |          WHERE lang = 'en'),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM refex GROUP BY bg),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM refex GROUP BY w1),
+      |vv AS (SELECT count(DISTINCT w) AS v FROM
+      |         (SELECT unnest(toks) AS w FROM tok WHERE lang = 'en') u),
+      |ex AS (SELECT doc_id, unnest(bgs) AS bg, unnest(w1s) AS w1 FROM big),
+      |sc AS (SELECT e.doc_id AS doc_id,
+      |         ${LangModel.nanoSql("c12.c12", "c1.c1", "vv.v")} AS nano
+      |       FROM ex e LEFT JOIN c12 ON c12.bg = e.bg
+      |       LEFT JOIN c1 ON c1.w1 = e.w1 CROSS JOIN vv),
+      |flu AS (SELECT doc_id, CAST(sum(nano) // count(*) AS BIGINT) AS mean_nano
+      |        FROM sc GROUP BY doc_id),
+      |t AS (SELECT count(*) AS n FROM ex),
+      |hh AS (SELECT bg FROM (SELECT bg, count(*) AS cnt FROM ex GROUP BY bg) c
+      |       CROSS JOIN t WHERE cnt * 700 > n),
+      |bf AS (SELECT e.doc_id AS doc_id, count(*) AS nb,
+      |         count(hh.bg) AS nheavy
+      |       FROM ex e LEFT JOIN hh ON hh.bg = e.bg GROUP BY e.doc_id),
+      |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS x1,
+      |        ${TextAnalysis.sumTokenLenSql("toks")} AS x2,
+      |        CAST(${TextAnalysis.markerScoreSql("toks", TextAnalysis.StopWords)} AS BIGINT) AS y
+      |      FROM tok),
+      |m AS (SELECT ${LinearModel.momentsSql} FROM f),
+      |d AS (SELECT ${LinearModel.castSql} FROM m),
+      |c AS (SELECT ${LinearModel.cramerSql} FROM d),
+      |ols AS (SELECT doc_id, ${LinearModel.scoreSql("x1", "x2", "y")}
+      |        FROM f CROSS JOIN c)
+      |SELECT flu.doc_id AS doc_id, mean_nano, nb, nheavy, resid_micro
+      |FROM flu JOIN bf ON bf.doc_id = flu.doc_id
+      |JOIN ols ON ols.doc_id = flu.doc_id
+      |WHERE mean_nano >= $MidMin AND nheavy * 100 <= nb * 16
+      |  AND abs(resid_micro) <= 2500000
+      |ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val tok = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.toks(col("text")).as("toks"))
+    val lm = LangModel.trainBigram(tok.filter(col("lang") === "en"), "toks")
+    val flu = LangModel.scoreBigramLm(tok, "doc_id", "toks", lm)
+      .select(col("doc_id"), col("mean_nano"))
+    val ex = tok.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(LangModel.bigramPairs(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.bg").as("term"))
+    val hh = HeavyHitters.heavyHitters(ex, "term", k = 800, num = 1L, den = 700L)
+    val bf = ex.join(broadcast(hh), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), count(col("cnt")).as("nheavy"))
+    val f = tok.select(col("doc_id"), size(col("toks")).cast("long").as("x1"),
+      TextAnalysis.sumTokenLen(col("toks")).as("x2"),
+      TextAnalysis.markerScore(col("toks"), TextAnalysis.StopWords)
+        .cast("long").as("y"))
+    val ols = LinearModel.fitScore2(f, col("y"), col("x1"), col("x2"))
+      .select(col("doc_id"), col("resid_micro"))
+    flu.join(bf, "doc_id").join(ols, "doc_id")
+      .filter(col("mean_nano") >= MidMin &&
+        col("nheavy") * 100 <= col("nb") * 16 &&
+        abs(col("resid_micro")) <= 2500000L)
+      .select(col("doc_id"), col("mean_nano"), col("nb"), col("nheavy"),
+        col("resid_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q120)
 }
