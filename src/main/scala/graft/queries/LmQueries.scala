@@ -235,5 +235,30 @@ object LmQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q120)
+  /** [[graft.streaming.FunnelStream]]: q117's funnel as per-user custom
+    * streaming state, drained with AvailableNow — same oracle as q117
+    * (stream/batch agreement, the q55/q08 pattern). */
+  val q121 = Q("q121_stream_funnel",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' AND value > 120 GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.value > 160 AND e.ts > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      |  JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.value > 140 AND e.ts > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM s1) AS users
+      |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+      |ORDER BY stage""".stripMargin) { (s, dir) =>
+    import graft.streaming.FunnelStream
+    FunnelStream.funnelAvailableNow(s, dir, Seq(
+      "view" -> ((e: FunnelStream.FEv) => e.event_type == "view" && e.value > 120),
+      "click" -> ((e: FunnelStream.FEv) => e.event_type == "click" && e.value > 160),
+      "purchase" -> ((e: FunnelStream.FEv) => e.event_type == "purchase" && e.value > 140)))
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q120, q121)
 }

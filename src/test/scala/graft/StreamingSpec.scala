@@ -25,6 +25,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("streaming funnel (flatMapGroupsWithState) == batch funnel operator (q117)") {
+    import graft.streaming.FunnelStream
+    val steps = Seq(
+      "view" -> ((e: FunnelStream.FEv) => e.event_type == "view" && e.value > 50),
+      "click" -> ((e: FunnelStream.FEv) => e.event_type == "click" && e.value > 60),
+      "purchase" -> ((e: FunnelStream.FEv) => e.event_type == "purchase" && e.value > 40))
+    val streamed = FunnelStream.funnelAvailableNow(spark, TestSpark.Sf0001, steps)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.ops.Funnel.funnelCounts(
+        Tables.events(spark, TestSpark.Sf0001), "user_id", "ts", Seq(
+          "view" -> (col("event_type") === "view" && col("value") > 50),
+          "click" -> (col("event_type") === "click" && col("value") > 60),
+          "purchase" -> (col("event_type") === "purchase" && col("value") > 40)))
+      .orderBy(col("stage"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    assert(streamed.head._3 > 0)
+  }
+
+  test("streaming funnel state carries across batches (in-order delivery)") {
+    import java.sql.Timestamp
+    import graft.streaming.FunnelStream
+    val s = spark
+    import s.implicits._
+    val steps = Seq[FunnelStream.FEv => Boolean](
+      _.event_type == "a", _.event_type == "b")
+    // batch 1: user 1 completes step a; batch 2: step b arrives later —
+    // the chain must close ONLY if state carried the stage-1 timestamp
+    def ev(u: Long, ts: Long, t: String, id: Long) =
+      (u, new Timestamp(ts), id, t, 0.0)
+    val b1 = Seq(ev(1L, 10L, "a", 1L), ev(2L, 10L, "b", 2L))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val b2 = Seq(ev(1L, 20L, "b", 3L), ev(2L, 20L, "a", 4L))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    // drive the same state machine the stream runs, one batch at a time,
+    // against a MemoryStream to exercise real cross-batch GroupState
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Timestamp, Long, String, Double)]
+    val stages = FunnelStream.stageUpdates(
+      ms.toDF.toDF("user_id", "ts", "event_id", "event_type", "value"), steps)
+    val q = stages.writeStream.format("memory").queryName("funnel_xbatch")
+      .outputMode("update").start()
+    ms.addData(b1.as[(Long, Timestamp, Long, String, Double)].collect().toSeq)
+    q.processAllAvailable()
+    ms.addData(b2.as[(Long, Timestamp, Long, String, Double)].collect().toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val fin = FunnelStream.countsFromStages(
+        s.table("funnel_xbatch"), Seq("a", "b"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    // user 1: a@10 then b@20 across batches -> stage 2.
+    // user 2: b@10 BEFORE a@20 -> stage 1 only (order matters).
+    assert(fin == Map(1 -> 2L, 2 -> 1L))
+  }
+
   test("foreachBatch upsert: stream state == batch last-write-wins per user") {
     import org.apache.spark.sql.expressions.Window
     val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert")
