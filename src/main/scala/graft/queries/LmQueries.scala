@@ -260,5 +260,35 @@ object LmQueries {
       "purchase" -> ((e: FunnelStream.FEv) => e.event_type == "purchase" && e.value > 140)))
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q120, q121)
+  /** [[graft.ops.SnapshotDiff]]: release-to-release corpus changelog.
+    * Deterministic fixture: every 17th doc removed, every 13th surviving
+    * doc rewritten, every 25th re-added under a new id — the diff must
+    * label each key added/removed/changed/same. */
+  val q122 = Q("q122_snapshot_diff",
+    s"""WITH before AS (SELECT doc_id, md5(text) AS h_before FROM documents),
+      |after_raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 25 = 0),
+      |after AS (SELECT doc_id, md5(text) AS h_after FROM after_raw)
+      |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+      |  ${graft.ops.SnapshotDiff.statusSql("h_before", "h_after")} AS status
+      |FROM before b FULL OUTER JOIN after a ON a.doc_id = b.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val before = docs.select(col("doc_id"), col("text"))
+    val after = docs.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    graft.ops.SnapshotDiff.diff(before, after, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q120, q121, q122)
 }
