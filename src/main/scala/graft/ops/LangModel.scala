@@ -45,7 +45,9 @@ object LangModel {
     * bigram, `c1(w1, c1)` counts each bigram PREFIX (so MLE denominators
     * match numerators row-for-row), `vocab(v)` is one row with the distinct
     * unigram count used by add-one smoothing. Three narrow aggregations
-    * over one explode — at scale the heavy lifting is map-side combine. */
+    * over one explode — at scale the heavy lifting is map-side combine.
+    * CONTRACT: the reference must contain at least one token (an empty
+    * reference gives V = 0, a zero smoothing denominator). */
   def trainBigram(ref: DataFrame, toksCol: String): BigramLm = {
     val ex = ref.select(explode(bigramPairs(col(toksCol))).as("p"))
       .select(col("p.w1").as("w1"), col("p.bg").as("bg"))

@@ -87,7 +87,10 @@ object LinearModel {
   /** Fit on (y, x₁, x₂) and score every row: output = input plus
     * `pred_micro` and `resid_micro` (micro-quantized prediction and
     * residual). Training moments ride a broadcast one-row cross join —
-    * the corpus is scanned twice (moments, scoring) and shuffled never. */
+    * the corpus is scanned twice (moments, scoring) and shuffled never.
+    * CONTRACT: the design must be full-rank (each feature takes ≥ 2
+    * values, features not collinear) — a singular A gives det = 0 and
+    * null micro outputs, not an error. */
   def fitScore2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
     val coefs = cramer2(moments2(df, y, x1, x2))
     val pred = col("det0") / col("det") + col("det1") / col("det") * x1.cast("double") +

@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
 object SnapshotDiff {
 
   /** Per-key status frame: (key, status ∈ added|removed|changed|same).
-    * `contentCol` is hashed on each side before the join. */
+    * `contentCol` is hashed on each side before the join. CONTRACT: the
+    * key is unique within each snapshot (it is the release key) —
+    * duplicate keys would fan out through the full-outer join. */
   def diff(before: DataFrame, after: DataFrame, keyCol: String,
            contentCol: String): DataFrame = {
     val b = before.select(col(keyCol), md5(col(contentCol)).as("h_before"))

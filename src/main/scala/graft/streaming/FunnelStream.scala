@@ -64,7 +64,10 @@ object FunnelStream {
     val finalStage = stages.groupBy(col("user_id"))
       .agg(max(col("stage")).as("stage"))
     val aggs = stepNames.zipWithIndex.map { case (name, i) =>
-      sum(when(col("stage") >= i + 1, 1L).otherwise(0L)).as(s"n_$name") }
+      // coalesce: sum over an EMPTY stage table is null, but an empty
+      // stream's funnel counts are 0 (matching the batch operator)
+      coalesce(sum(when(col("stage") >= i + 1, 1L).otherwise(0L)), lit(0L))
+        .as(s"n_$name") }
     finalStage.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(stepNames.zipWithIndex.map { case (name, i) =>
         struct(lit(i + 1).as("stage"), lit(name).as("step"),

@@ -65,6 +65,13 @@ class FunnelSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("streaming counts of an empty stage table are 0, not null") {
+    val empty = Seq.empty[(Long, Int)].toDF("user_id", "stage")
+    val got = graft.streaming.FunnelStream.countsFromStages(empty, Seq("a", "b"))
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    assert(got == Seq((1, 0L), (2, 0L)))
+  }
+
   test("strictly-after semantics: same-timestamp step events do not chain") {
     val df = Seq((1L, new Timestamp(10L), "a"), (1L, new Timestamp(10L), "b"),
         (2L, new Timestamp(10L), "a"), (2L, new Timestamp(11L), "b"))
