@@ -23,13 +23,10 @@ import org.apache.spark.sql.functions._
 object BpeTrainer {
 
   /** Adjacent (a, b) symbol pairs of a sequence column (empty for < 2
-    * symbols — descending-`sequence` guard as in [[LangModel]]). */
-  def pairsOf(syms: Column): Column = {
-    val idx = when(size(syms) < 2, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), size(syms) - 1))
-    transform(idx, i => struct(
+    * symbols — [[TextAnalysis.adjacentIdx]] guards the edge). */
+  def pairsOf(syms: Column): Column =
+    transform(TextAnalysis.adjacentIdx(syms), i => struct(
       element_at(syms, i).as("a"), element_at(syms, i + 1).as("b")))
-  }
 
   /** Left-to-right non-overlapping application of ONE merge rule
     * (a, b) → a+b: the standard BPE rewrite where a freshly merged token
@@ -88,10 +85,15 @@ object BpeTrainer {
 
   /** Tokenize with a learned merge table: apply every rule in training
     * order — the standard BPE inference pass, one narrow projection per
-    * rule. */
+    * rule. A vocab-scale table (10⁴+ rules) nests 10⁴ fold expressions,
+    * so the SAME materialization seam as training bounds plan depth
+    * here too. */
   def tokenize(corpus: DataFrame, symsCol: String,
-               merges: Seq[(String, String)]): DataFrame =
-    merges.foldLeft(corpus) { case (df, (a, b)) =>
-      df.withColumn(symsCol, applyMerge(col(symsCol), a, b))
+               merges: Seq[(String, String)],
+               mat: Materialize = Materialize.Local,
+               rematerializeEvery: Int = 16): DataFrame =
+    merges.zipWithIndex.foldLeft(corpus) { case (df, ((a, b), i)) =>
+      val next = df.withColumn(symsCol, applyMerge(col(symsCol), a, b))
+      if ((i + 1) % rematerializeEvery == 0) mat(next) else next
     }
 }

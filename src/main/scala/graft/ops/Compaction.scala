@@ -25,16 +25,21 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Data-file listing of a table directory: (path, bytes) per part file,
-    * recursive, metadata/hidden files excluded. */
+    * recursive, metadata/hidden files excluded. EVERY path segment below
+    * the root is checked (as Spark's own file index does) — a part file
+    * under `_temporary/` left by a killed writer is invisible to
+    * `spark.read` and must not inflate the sizing either. */
   def dataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootDepth = p.toUri.getPath.split("/").count(_.nonEmpty)
     val it = fs.listFiles(p, true)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
+      val segs = f.getPath.toUri.getPath.split("/").filter(_.nonEmpty)
+        .drop(rootDepth)
+      if (!segs.exists(s => s.startsWith("_") || s.startsWith(".")))
         out += ((f.getPath.toString, f.getLen))
     }
     out.toSeq
@@ -62,6 +67,9 @@ object Compaction {
         df.repartitionByRange(n, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else if (shuffle) df.repartition(n)
+      // coalesce can only SHRINK the partition count — splitting few big
+      // files into many smaller ones needs the exchange
+      else if (n > df.rdd.getNumPartitions) df.repartition(n)
       else df.coalesce(n)
     sized.write.mode("overwrite").parquet(outDir)
     n

@@ -26,6 +26,8 @@ object Funnel {
   def stepTimes(events: DataFrame, userCol: String, tsCol: String,
                 steps: Seq[(String, Column)]): DataFrame = {
     require(steps.nonEmpty, "need at least one funnel step")
+    require(steps.map(_._1).distinct.size == steps.size,
+      s"duplicate step names: ${steps.map(_._1).mkString(", ")}")
     val first = events.filter(steps.head._2)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t_${steps.head._1}"))
     steps.tail.zipWithIndex.foldLeft((first, s"t_${steps.head._1}")) {

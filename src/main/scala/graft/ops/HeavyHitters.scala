@@ -34,12 +34,16 @@ object HeavyHitters {
       .select(col("c.term").as(termCol), col("w_total"))
 
   /** Exact terms with weight × den > W × num. Requires num/den ≥ 1/(k+1)
-    * (the MG guarantee window) — enforced. Output: (termCol, cnt), exact. */
-  def heavyHitters(stream: DataFrame, termCol: String, k: Int,
+    * (the MG guarantee window) — enforced. Output: (termCol, cnt), exact.
+    * Rows with non-positive weight are ignored EVERYWHERE — the sketch
+    * skips them by construction, so the recount and W must too or the
+    * exactness guarantee silently breaks on mixed-sign streams. */
+  def heavyHitters(stream0: DataFrame, termCol: String, k: Int,
                    num: Long, den: Long,
                    weight: Column = lit(1L)): DataFrame = {
     require(num >= 1 && den >= 1 && (k + 1).toLong * num >= den,
       s"threshold $num/$den below the MG guarantee 1/(k+1) for k=$k")
+    val stream = stream0.filter(weight > 0)
     val cands = mgCandidates(stream, termCol, weight, k)
     stream.join(broadcast(cands), Seq(termCol))
       .groupBy(col(termCol))

@@ -27,15 +27,11 @@ import org.apache.spark.sql.functions._
 object LangModel {
 
   /** (w1, bigram) pairs of a token array, as parallel arrays zipped by
-    * position. Guarded against the descending-`sequence` trap: a document
-    * with < 2 tokens yields empty arrays, not phantom pairs. */
-  def bigramPairs(toks: Column): Column = {
-    val idx = when(size(toks) < 2, array().cast("array<int>"))
-      .otherwise(sequence(lit(1), size(toks) - 1))
-    transform(idx, i => struct(
+    * position ([[TextAnalysis.adjacentIdx]] guards the < 2-token edge). */
+  def bigramPairs(toks: Column): Column =
+    transform(TextAnalysis.adjacentIdx(toks), i => struct(
       element_at(toks, i).as("w1"),
       concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)).as("bg")))
-  }
 
   /** Trained model: bigram counts, prefix counts, and the smoothing
     * vocabulary size — everything scoring needs. */

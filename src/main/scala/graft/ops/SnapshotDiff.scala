@@ -24,13 +24,18 @@ object SnapshotDiff {
     * duplicate keys would fan out through the full-outer join. */
   def diff(before: DataFrame, after: DataFrame, keyCol: String,
            contentCol: String): DataFrame = {
-    val b = before.select(col(keyCol), md5(col(contentCol)).as("h_before"))
-    val a = after.select(col(keyCol), md5(col(contentCol)).as("h_after"))
+    // presence is tracked with explicit flags, NOT inferred from hash
+    // nullity — md5(NULL) is NULL, and a null-content row present in one
+    // snapshot must diff as changed/same, never as added/removed
+    val b = before.select(col(keyCol), lit(true).as("in_before"),
+      md5(col(contentCol)).as("h_before"))
+    val a = after.select(col(keyCol), lit(true).as("in_after"),
+      md5(col(contentCol)).as("h_after"))
     b.join(a, Seq(keyCol), "full_outer")
       .select(col(keyCol),
-        when(col("h_before").isNull, lit("added"))
-          .when(col("h_after").isNull, lit("removed"))
-          .when(col("h_before") === col("h_after"), lit("same"))
+        when(col("in_before").isNull, lit("added"))
+          .when(col("in_after").isNull, lit("removed"))
+          .when(col("h_before") <=> col("h_after"), lit("same"))
           .otherwise(lit("changed")).as("status"))
   }
 
@@ -40,9 +45,12 @@ object SnapshotDiff {
     diff(before, after, keyCol, contentCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
 
-  /** DuckDB spelling of the per-key status. */
-  def statusSql(hBefore: String, hAfter: String): String =
-    s"CASE WHEN $hBefore IS NULL THEN 'added' " +
-      s"WHEN $hAfter IS NULL THEN 'removed' " +
-      s"WHEN $hBefore = $hAfter THEN 'same' ELSE 'changed' END"
+  /** DuckDB spelling of the per-key status over presence flags and
+    * hashes (null-safe compare mirrors the Spark `<=>`). */
+  def statusSql(inBefore: String, inAfter: String,
+                hBefore: String, hAfter: String): String =
+    s"CASE WHEN $inBefore IS NULL THEN 'added' " +
+      s"WHEN $inAfter IS NULL THEN 'removed' " +
+      s"WHEN $hBefore IS NOT DISTINCT FROM $hAfter THEN 'same' " +
+      s"ELSE 'changed' END"
 }

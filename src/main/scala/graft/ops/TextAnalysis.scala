@@ -62,6 +62,14 @@ object TextAnalysis {
         array_join(col("c"), " ").as("chunk_text"))
   }
 
+  /** 1-based indices of a sequence's adjacent pairs — empty for < 2
+    * elements. Shared guard for the descending-`sequence` trap
+    * (`sequence(1, 0)` counts DOWN and fabricates phantom pairs): used by
+    * [[LangModel.bigramPairs]] and [[BpeTrainer.pairsOf]]. */
+  def adjacentIdx(arr: Column): Column =
+    when(size(arr) < 2, array().cast("array<int>"))
+      .otherwise(sequence(lit(1), size(arr) - 1))
+
   /** Occurrence count of marker words (multiset). */
   def markerScore(toksCol: Column, markers: Seq[String]): Column =
     size(filter(toksCol, w => w.isin(markers.map(m => m: Any): _*)))

@@ -94,11 +94,17 @@ case class MgSketch(
     }.toArray[Any])
   }
 
+  // int-length-prefixed UTF-8, not writeUTF: a crawl term can exceed
+  // writeUTF's 64 KB modified-UTF-8 limit (base64 blob, minified JS) and
+  // must serialize, not kill the task
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    buf.foreach { case (t, c) =>
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -108,7 +114,14 @@ case class MgSketch(
     val n = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
     var i = 0
-    while (i < n) { m.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
     m
   }
 

@@ -265,7 +265,8 @@ object LmQueries {
     * doc rewritten, every 25th re-added under a new id — the diff must
     * label each key added/removed/changed/same. */
   val q122 = Q("q122_snapshot_diff",
-    s"""WITH before AS (SELECT doc_id, md5(text) AS h_before FROM documents),
+    s"""WITH before AS (SELECT doc_id, TRUE AS in_before,
+      |    md5(text) AS h_before FROM documents),
       |after_raw AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
@@ -273,9 +274,11 @@ object LmQueries {
       |  UNION ALL
       |  SELECT doc_id + 20000 AS doc_id, text FROM documents
       |  WHERE doc_id % 25 = 0),
-      |after AS (SELECT doc_id, md5(text) AS h_after FROM after_raw)
+      |after AS (SELECT doc_id, TRUE AS in_after, md5(text) AS h_after
+      |          FROM after_raw)
       |SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
-      |  ${graft.ops.SnapshotDiff.statusSql("h_before", "h_after")} AS status
+      |  ${graft.ops.SnapshotDiff.statusSql("in_before", "in_after",
+           "h_before", "h_after")} AS status
       |FROM before b FULL OUTER JOIN after a ON a.doc_id = b.doc_id
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)

@@ -61,6 +61,7 @@ object FunnelStream {
     * state even from an Update-mode sink that appended one row per
     * micro-batch. */
   def countsFromStages(stages: DataFrame, stepNames: Seq[String]): DataFrame = {
+    require(stepNames.nonEmpty, "need at least one funnel step")
     val finalStage = stages.groupBy(col("user_id"))
       .agg(max(col("stage")).as("stage"))
     val aggs = stepNames.zipWithIndex.map { case (name, i) =>

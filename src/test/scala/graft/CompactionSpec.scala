@@ -48,6 +48,33 @@ class CompactionSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("hidden-directory files are excluded from sizing, like spark.read") {
+    val dir = freshDir()
+    writeFragmented(dir, 4)
+    val (n0, total0, _) = Compaction.plan(spark, dir, 1L << 20)
+    // plant a ghost part file under _temporary (killed-writer debris)
+    val ghost = new java.io.File(s"$dir/_temporary/0")
+    ghost.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_temporary/0/part-ghost.parquet"),
+      Array.fill[Byte](4096)(1))
+    val (n1, total1, _) = Compaction.plan(spark, dir, 1L << 20)
+    assert(n1 == n0 && total1 == total0,
+      s"ghost file leaked into sizing: $n0/$total0 vs $n1/$total1")
+  }
+
+  test("compaction can GROW the file count past the read partitioning") {
+    val dir = freshDir(); val out = freshDir()
+    writeFragmented(dir, 1) // one file; read yields 1 partition
+    val (_, total, _) = Compaction.plan(spark, dir, 1L << 20)
+    val n = Compaction.compact(spark, dir, out, total / 4 + 1)
+    assert(n == 4)
+    val files = Compaction.dataFiles(spark, out).filter(_._1.endsWith(".parquet"))
+    assert(files.length == 4, s"coalesce silently capped growth: ${files.length}")
+    assert(spark.read.parquet(out).collect().map(_.toSeq).toSet ==
+      spark.read.parquet(dir).collect().map(_.toSeq).toSet)
+  }
+
   test("shuffle compaction balances output files") {
     val dir = freshDir(); val out = freshDir()
     writeFragmented(dir, 40)

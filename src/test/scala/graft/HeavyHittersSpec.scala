@@ -85,6 +85,30 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("non-positive weights are ignored by BOTH passes (exactness holds)") {
+    // k=1: the sketch must evict; if the recount included the -4 row the
+    // candidate set and the "exact" filter would disagree with naive
+    // GROUP BY over positive weights
+    val df = Seq(("a", 5L), ("a", -4L), ("b", 3L), ("b", 0L))
+      .toDF("term", "w").repartition(2)
+    val got = HeavyHitters.heavyHitters(df, "term", k = 3, num = 1L,
+        den = 4L, weight = col("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // positive-weight stream: a=5, b=3, W=8; threshold W/4=2 -> both
+    assert(got == Map("a" -> 5L, "b" -> 3L))
+  }
+
+  test("sketch serialization round-trips terms past the writeUTF limit") {
+    val big = "x" * 70000 // > 64 KB modified-UTF-8
+    val df = (Seq.fill(5)(big) ++ Seq("small")).toDF("term")
+      .repartition(3) // force partial-buffer serialization across tasks
+    val got = df.agg(MgSketch.sketch(col("term"), lit(1L), 4).as("sk"))
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.term"), col("c.est"))
+      .collect().map(r => r.getString(0).length -> r.getLong(1)).toMap
+    assert(got(70000) == 5L)
+  }
+
   test("unit-weight defaults and null terms are ignored") {
     val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b"))
       .toDF("term")

@@ -39,6 +39,17 @@ class SnapshotDiffSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("null content diffs by presence, not hash nullity") {
+    val before = Seq((1L, null: String), (2L, null: String), (3L, "x"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "x"), (2L, null: String), (4L, null: String))
+      .toDF("doc_id", "text")
+    val got = SnapshotDiff.diff(before, after, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "changed", 2L -> "same", 3L -> "removed",
+      4L -> "added"))
+  }
+
   test("diffCounts partitions the key universe") {
     val before = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val after = Seq((2L, "b"), (3L, "x"), (4L, "d")).toDF("doc_id", "text")
