@@ -51,4 +51,29 @@ object HeavyHitters {
       .filter(col("cnt") * den > col("w_total") * num)
       .select(col(termCol), col("cnt"))
   }
+
+  /** Per-group exact heavy hitters — the sketch as a GROUPED aggregate
+    * (one ≤ k-entry MG buffer per key tuple, merged through Spark's
+    * partial/final tree): trending terms per language / per day / per
+    * source from the same two passes. Threshold and guarantee apply
+    * WITHIN each group's stream weight. Output: (keys…, termCol, cnt),
+    * exactly the per-group GROUP BY/HAVING answer. */
+  def heavyHittersByGroup(stream0: DataFrame, keys: Seq[String],
+                          termCol: String, k: Int, num: Long, den: Long,
+                          weight: Column = lit(1L)): DataFrame = {
+    require(num >= 1 && den >= 1 && (k + 1).toLong * num >= den,
+      s"threshold $num/$den below the MG guarantee 1/(k+1) for k=$k")
+    require(keys.nonEmpty, "use heavyHitters for the ungrouped case")
+    val stream = stream0.filter(weight > 0)
+    val cands = stream.groupBy(keys.map(col): _*)
+      .agg(MgSketch.sketch(col(termCol), weight, k).as("sk"),
+        sum(weight).as("w_total"))
+      .select(keys.map(col) :+ explode(col("sk")).as("c") :+ col("w_total"): _*)
+      .select(keys.map(col) :+ col("c.term").as(termCol) :+ col("w_total"): _*)
+    stream.join(broadcast(cands), keys :+ termCol)
+      .groupBy((keys :+ termCol).map(col): _*)
+      .agg(sum(weight).as("cnt"), max(col("w_total")).as("w_total"))
+      .filter(col("cnt") * den > col("w_total") * num)
+      .select((keys :+ termCol).map(col) :+ col("cnt"): _*)
+  }
 }

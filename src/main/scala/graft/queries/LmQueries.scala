@@ -293,5 +293,82 @@ object LmQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q120, q121, q122)
+  /** [[HeavyHitters.heavyHittersByGroup]]: the MG sketch as a GROUPED
+    * aggregate — per-language heavy tokens (> 1/28 of each language's
+    * token stream, k = 28 < the 31-term vocabulary so every group's
+    * sketch genuinely evicts). Surfaces each language's marker words;
+    * oracle = per-group GROUP BY/HAVING. */
+  val q123 = Q("q123_heavy_by_lang", {
+    val toks = TextAnalysis.toksSql
+    s"""WITH ex AS (SELECT lang, unnest($toks) AS term FROM documents),
+      |t AS (SELECT lang, count(*) AS n FROM ex GROUP BY lang),
+      |c AS (SELECT lang, term, count(*) AS cnt FROM ex GROUP BY lang, term)
+      |SELECT c.lang AS lang, c.term AS term, c.cnt AS cnt
+      |FROM c JOIN t ON t.lang = c.lang
+      |WHERE c.cnt * 28 > t.n ORDER BY lang, cnt DESC, term""".stripMargin
+  }) { (s, dir) =>
+    val stream = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextAnalysis.toks(col("text"))).as("term"))
+    HeavyHitters.heavyHittersByGroup(stream, Seq("lang"), "term",
+        k = 28, num = 1L, den = 28L)
+      .orderBy(col("lang"), col("cnt").desc, col("term"))
+  }
+
+  /** [[graft.ops.Profile]]: the documents data card — null rates,
+    * cardinalities, integer ranges in one long-format frame from one
+    * aggregation pass. */
+  val q124 = Q("q124_profile",
+    """WITH m AS (SELECT count(*) AS m_rows,
+      |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_doc_id_n_null,
+      |  CAST(min(doc_id) AS BIGINT) AS m_doc_id_min,
+      |  CAST(max(doc_id) AS BIGINT) AS m_doc_id_max,
+      |  CAST(sum(doc_id) AS BIGINT) AS m_doc_id_sum,
+      |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_n_chars_n_null,
+      |  CAST(min(n_chars) AS BIGINT) AS m_n_chars_min,
+      |  CAST(max(n_chars) AS BIGINT) AS m_n_chars_max,
+      |  CAST(sum(n_chars) AS BIGINT) AS m_n_chars_sum,
+      |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_text_n_null,
+      |  count(DISTINCT text) AS m_text_n_distinct,
+      |  CAST(min(length(text)) AS BIGINT) AS m_text_min_len,
+      |  CAST(max(length(text)) AS BIGINT) AS m_text_max_len,
+      |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_lang_n_null,
+      |  count(DISTINCT lang) AS m_lang_n_distinct,
+      |  CAST(min(length(lang)) AS BIGINT) AS m_lang_min_len,
+      |  CAST(max(length(lang)) AS BIGINT) AS m_lang_max_len,
+      |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_source_n_null,
+      |  count(DISTINCT source) AS m_source_n_distinct,
+      |  CAST(min(length(source)) AS BIGINT) AS m_source_min_len,
+      |  CAST(max(length(source)) AS BIGINT) AS m_source_max_len
+      |  FROM documents)
+      |SELECT col_name, metric, value FROM (
+      |  SELECT '_table' AS col_name, 'rows' AS metric, m_rows AS value FROM m
+      |  UNION ALL SELECT 'doc_id', 'n_null', m_doc_id_n_null FROM m
+      |  UNION ALL SELECT 'doc_id', 'min', m_doc_id_min FROM m
+      |  UNION ALL SELECT 'doc_id', 'max', m_doc_id_max FROM m
+      |  UNION ALL SELECT 'doc_id', 'sum', m_doc_id_sum FROM m
+      |  UNION ALL SELECT 'n_chars', 'n_null', m_n_chars_n_null FROM m
+      |  UNION ALL SELECT 'n_chars', 'min', m_n_chars_min FROM m
+      |  UNION ALL SELECT 'n_chars', 'max', m_n_chars_max FROM m
+      |  UNION ALL SELECT 'n_chars', 'sum', m_n_chars_sum FROM m
+      |  UNION ALL SELECT 'text', 'n_null', m_text_n_null FROM m
+      |  UNION ALL SELECT 'text', 'n_distinct', m_text_n_distinct FROM m
+      |  UNION ALL SELECT 'text', 'min_len', m_text_min_len FROM m
+      |  UNION ALL SELECT 'text', 'max_len', m_text_max_len FROM m
+      |  UNION ALL SELECT 'lang', 'n_null', m_lang_n_null FROM m
+      |  UNION ALL SELECT 'lang', 'n_distinct', m_lang_n_distinct FROM m
+      |  UNION ALL SELECT 'lang', 'min_len', m_lang_min_len FROM m
+      |  UNION ALL SELECT 'lang', 'max_len', m_lang_max_len FROM m
+      |  UNION ALL SELECT 'source', 'n_null', m_source_n_null FROM m
+      |  UNION ALL SELECT 'source', 'n_distinct', m_source_n_distinct FROM m
+      |  UNION ALL SELECT 'source', 'min_len', m_source_min_len FROM m
+      |  UNION ALL SELECT 'source', 'max_len', m_source_max_len FROM m) u
+      |ORDER BY col_name, metric""".stripMargin) { (s, dir) =>
+    graft.ops.Profile.profile(Tables.documents(s, dir),
+        longCols = Seq("doc_id", "n_chars"),
+        strCols = Seq("text", "lang", "source"))
+      .orderBy(col("col_name"), col("metric"))
+  }
+
+  val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q120, q121, q122,
+    q123, q124)
 }

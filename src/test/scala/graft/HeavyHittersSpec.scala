@@ -85,6 +85,31 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped heavy hitters equal per-group exact heavy sets") {
+    val prop = Prop.forAll(
+      Gen.chooseNum(20, 120).flatMap(n => Gen.listOfN(n, for {
+        g <- Gen.oneOf("g1", "g2", "g3")
+        tw <- itemGen
+      } yield (g, tw._1, tw._2))),
+      Gen.chooseNum(1, 5)) { (stream, nPart) =>
+      val df = stream.toDF("grp", "term", "w").repartition(nPart)
+      val got = HeavyHitters.heavyHittersByGroup(df, Seq("grp"), "term",
+          k = 7, num = 1L, den = 8L, weight = col("w"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val expected = stream.groupBy(_._1).flatMap { case (g, rows) =>
+        val w = rows.map(_._3).sum
+        rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .filter { case (_, c) => c * 8 > w }
+          .map { case (t, c) => (g, t) -> c }
+      }.toMap
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("non-positive weights are ignored by BOTH passes (exactness holds)") {
     // k=1: the sketch must evict; if the recount included the -4 row the
     // candidate set and the "exact" filter would disagree with naive
