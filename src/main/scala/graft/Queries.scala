@@ -17,7 +17,8 @@ object Queries {
     graft.queries.PqQueries.all ++
     graft.queries.TopicQueries.all ++
     graft.queries.ReleaseQueries.all ++
-    graft.queries.LmQueries.all
+    graft.queries.LmQueries.all ++
+    graft.queries.GraphQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality: weighted PageRank by power iteration (Page,
+  * Brin, Motwani, Winograd 1999, "The PageRank Citation Ranking").
+  *
+  * Complements [[Dedup.connectedComponents]]/[[Dedup.connectedComponentsStar]]
+  * — the other half of the graph toolkit a curation pipeline needs once it
+  * has a link structure over its corpus (navigation graphs, citation
+  * graphs, near-dup graphs): CC answers "which pages form one group",
+  * PageRank answers "which pages matter", e.g. for importance-weighted
+  * sampling of crawl data.
+  */
+object Graph {
+
+  /** Weighted PageRank over a directed edge list `(src, dst, w)` →
+    * `(node, rank)` for every node appearing as src or dst.
+    *
+    * Semantics — the classic random surfer with uniform dangling-mass
+    * redistribution, so Σ rank = 1 after every round:
+    * {{{
+    *   r_0(v)     = 1/N
+    *   r_{t+1}(v) = (1-d)/N + d · ( Σ_{u→v} r_t(u) · w(u,v)/W(u) + D_t/N )
+    * }}}
+    * where `W(u)` is u's total out-weight and `D_t = Σ r_t(u)` over
+    * dangling nodes (nodes with no out-edges).
+    *
+    * Scale shape (the [[Dedup.connectedComponents]] shuffle discipline):
+    *   - The normalized transition table `(src, dst, p = w/W(u))` is built
+    *     ONCE and materialized via `mat`; rounds never recompute it.
+    *   - Per round: one join of the (node, rank) table against the
+    *     transition table plus one partial-aggregated `groupBy(dst)` — the
+    *     Pregel message exchange, linear in |E| and unavoidable — and ONE
+    *     scalar aggregate for the dangling mass (same one-job-per-round
+    *     convergence probe as CC). Only (node, rank) pairs ever shuffle;
+    *     payloads/documents do not.
+    *   - `mat` cuts plan depth every round (localCheckpoint / persist /
+    *     parquet stage), so `iters` rounds never stack an `iters`-deep
+    *     Catalyst plan.
+    *
+    * The dangling-node table is computed once (anti-join against out-degree)
+    * and is at most |V| node ids; at 100 TB the rank table is |V| rows —
+    * orders of magnitude smaller than the corpus the graph was built from.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+      mat: Materialize = Materialize.Local): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+    val nodes = mat(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count().toDouble
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+    val prob = mat(e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("tw")).as("p")))
+    val dangling = mat(nodes.join(outW.select(col("src").as("node")),
+      Seq("node"), "left_anti"))
+    var ranks = mat(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    for (_ <- 1 to iters) {
+      val dMass = dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contrib = prob.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("p") * col("rank")).as("c"))
+        .select(col("dst").as("node"), col("c"))
+      ranks = mat(nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit((1 - damping) / n) + lit(damping) *
+          (coalesce(col("c"), lit(0.0)) + lit(dMass / n))).as("rank")))
+    }
+    ranks
+  }
+}

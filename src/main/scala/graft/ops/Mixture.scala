@@ -76,4 +76,42 @@ object Mixture {
   def rankSql(idExpr: String, srcExpr: String): String =
     s"row_number() OVER (PARTITION BY $srcExpr " +
       s"ORDER BY ${Hashing.hash31Sql(s"CAST($idExpr AS VARCHAR)")}, $idExpr)"
+
+  /** Weighted random sampling WITHOUT replacement, k per group (Efraimidis
+    * & Spirakis, IPL 97(5) 2006, algorithm A-ES): item i draws key
+    * u_i^(1/w_i) with u_i ~ U(0,1); the k largest keys are distributed per
+    * the weights (P(i first) = w_i / Σw). Here u_i is the oracle-portable
+    * hash of the id mapped into (0,1) — `(h31(id)+0.5)/2^31-1` — so the
+    * sample is DETERMINISTIC: reproducible across engines, runs, and
+    * retries, and auditable (the key is a pure function of the row id),
+    * the same no-RNG-state stance as [[sampleToMixture]].
+    *
+    * Rows with non-positive weight are dropped (zero weight = never
+    * sampled; A-ES keys are undefined for w ≤ 0).
+    *
+    * Scale shape: the keys are one narrow projection; the per-group top-k
+    * runs on the two-phase [[graft.plans.TopKPerGroup]] heap operator, so
+    * map tasks cut to ≤ k rows per group BELOW the exchange and at most
+    * k·groups·tasks rows ever shuffle — the dominant group never funnels
+    * its corpus through one sort. Returns the caller's columns plus
+    * `keyOut` (the A-ES key), unranked — rank downstream over ≤ k·groups
+    * rows if needed (q126 does).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, wCol: String, k: Int,
+                     groupCols: Seq[String], keyOut: String = "skey"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "groupCols must be non-empty (use a constant column for a global sample)")
+    val keyed = docs.filter(col(wCol) > 0).withColumn(keyOut,
+      pow((Hashing.hash31(col(idCol).cast("string")) + lit(0.5)) /
+        lit(Hashing.P31.toDouble), lit(1.0) / col(wCol).cast("double")))
+    graft.plans.TopK.perGroup(keyed, groupCols,
+      Seq((keyOut, false), (idCol, true)), k)
+  }
+
+  /** DuckDB spelling of the A-ES key for [[weightedSample]] — identical
+    * arithmetic ((h+0.5)/P31 then pow), so oracle comparisons on the
+    * ROUNDED key are exact. */
+  def aesKeySql(idExpr: String, wExpr: String): String =
+    s"pow((${Hashing.hash31Sql(s"CAST($idExpr AS VARCHAR)")} + 0.5) / " +
+      s"${Hashing.P31}.0, 1.0 / CAST($wExpr AS DOUBLE))"
 }

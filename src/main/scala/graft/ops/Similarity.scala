@@ -307,6 +307,49 @@ object Similarity {
   def quantizeSql(v: String, scale: Int): String =
     s"list_transform($v, x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
 
+  // ---- int8 scalar quantization (SQ8) ----
+  // The middle rung of the embedding-compression ladder this library
+  // ships: float32 exact (q48) → SQ8 4× (q127) → PQ ~32× (q105/q106).
+  // Per-dimension affine codes c_d = round((x_d − mn_d)·255/(mx_d − mn_d))
+  // ∈ [0,255] — the classic scalar quantizer (e.g. Faiss SQ8). Distances
+  // compare in the INTEGER code domain ([[sqDistInt]], native codegen'd),
+  // so scoring is branch-free long arithmetic and fully oracle-portable —
+  // no float rounding anywhere past encode.
+
+  /** Per-dimension corpus (mn, mx) — ONE partial-aggregated pass, `dim`
+    * rows out. Input (vec_id, ev) from [[prepare]]. */
+  def sq8Stats(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("ev")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** Encode (vec_id, ev double[dim]) → (vec_id, cv long[dim] ∈ [0,255]).
+    * `stats` (from [[sq8Stats]]) collapses to ONE broadcast row of
+    * per-dim (mn, mx) arrays — the encode pass itself is narrow: no
+    * shuffle, 4× the storage cut of the float corpus (the cv longs carry
+    * 8-bit payloads; a parquet sink dictionary/bit-packs them). A
+    * degenerate dimension (mx = mn) encodes 0. */
+  def sq8Encode(vecs: DataFrame, stats: DataFrame, dim: Int): DataFrame = {
+    val sarr = stats
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx")))).as("sa"))
+    vecs.crossJoin(broadcast(sarr))
+      .select(col("vec_id"), transform(sequence(lit(1), lit(dim)), i => {
+        val e = element_at(col("sa"), i)
+        val x = element_at(col("ev"), i)
+        when(e.getField("mx") === e.getField("mn"), lit(0L))
+          .otherwise(round((x - e.getField("mn")) * lit(255.0) /
+            (e.getField("mx") - e.getField("mn"))).cast("long"))
+      }).as("cv"))
+  }
+
+  /** DuckDB spelling of [[sq8Encode]]'s code lambda given per-dim stat
+    * lists `mns`/`mxs` (1-based, built with `list(mn ORDER BY pos)`) —
+    * the identical (x−mn)·255/(mx−mn) op order, so codes match exactly. */
+  def sq8EncodeSql(vecExpr: String, dim: Int): String =
+    s"list_transform(range(1, ${dim + 1}), i -> CASE WHEN mxs[i] = mns[i] THEN 0 " +
+      s"ELSE CAST(round((CAST(($vecExpr)[i] AS DOUBLE) - mns[i]) * 255.0 / " +
+      s"(mxs[i] - mns[i])) AS BIGINT) END)"
+
   /** Integer squared L2 distance — native codegen'd single pass
     * ([[graft.plans.SqDistLong]]); [[sqDistIntHof]] is the builtin twin it
     * is equivalence-tested against. */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.ops.{Examples, Mixture, TextAnalysis}
@@ -138,5 +139,35 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113)
+  // ---- Q126: weighted sampling without replacement (A-ES) ----
+
+  /** [[Mixture.weightedSample]] of documents, weight = n_chars, 20 per
+    * language — "prefer substantial documents, proportionally": a doc of
+    * 2× the length is 2× as likely to head the sample, but short docs
+    * still make it (unlike a length-sort cut). Deterministic hash-derived
+    * uniforms make the draw reproducible AND oracle-checkable: the oracle
+    * recomputes the identical A-ES keys ((h+0.5)/P31 then pow) and ranks
+    * with the window spelling, so the heap-operator path is hash-compared
+    * against the textbook formulation, key values included (rounded 6dp —
+    * pow is the one non-portably-rounded primitive in the chain). */
+  val q126 = Q("q126_weighted_sample",
+    s"""WITH h AS (SELECT doc_id, lang, n_chars,
+      |  ${Mixture.aesKeySql("doc_id", "n_chars")} AS skey
+      |  FROM documents WHERE n_chars > 0),
+      |r AS (SELECT doc_id, lang, n_chars, skey,
+      |  row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS rnk
+      |  FROM h)
+      |SELECT lang, rnk, doc_id, n_chars, round(skey, 6) AS skey
+      |FROM r WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+    val top = Mixture.weightedSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+      "doc_id", "n_chars", 20, Seq("lang"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("skey").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"),
+        round(col("skey"), 6).as("skey"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113, q126)
 }

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.ops.Graph
+
+/** Link-graph analytics over the click graph implied by `events`: each
+  * user's event stream, ordered by time, is a walk over pages (the `k`
+  * prop); consecutive visits are directed edges. Error events are
+  * terminal — they end the walk, and the error page (node id k+100) keeps
+  * no out-edges, so the graph has REAL dangling nodes and the
+  * dangling-mass term of [[graft.ops.Graph.pageRank]] is oracle-verified,
+  * not just dead code.
+  */
+object GraphQueries {
+
+  val Damping = 0.85
+  val Iters = 5
+
+  /** (src, dst, w) click-transition edges: node = k (+100 when the event
+    * is an error), edge weight = transition count, walks per user in
+    * (ts, event_id) order, no out-edges from error nodes. */
+  private def clickEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long") +
+          when(col("event_type") === "error", lit(100L)).otherwise(lit(0L)))
+          .as("node"))
+      .withColumn("nxt", lead(col("node"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("node") < 100)
+      .groupBy(col("node").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+  }
+
+  private val edgesSql =
+    """seq AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)
+      |      + CASE WHEN event_type = 'error' THEN 100 ELSE 0 END AS node
+      |  FROM events),
+      |pairs AS (
+      |  SELECT node AS src,
+      |    lead(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM seq),
+      |edges AS (
+      |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM pairs
+      |  WHERE dst IS NOT NULL AND src < 100 GROUP BY src, dst)""".stripMargin
+
+  // ---- Q125: PageRank over the click graph ----
+
+  /** Five power-iteration rounds at d=0.85; output (node, pr) rounded to
+    * 8dp (absorbs partition-order float drift, Q doc convention). The
+    * oracle unrolls the identical iteration — same (1-d)/N + d·(contrib +
+    * dangling/N) expression shape, so every term including the dangling
+    * redistribution is hash-compared. */
+  val q125 = Q("q125_pagerank", {
+    def stepSql(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""d$i AS (
+        |  SELECT coalesce(sum(r.pr), 0) AS dm FROM $prev r
+        |  LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+        |c$i AS (
+        |  SELECT p.dst AS node, sum(p.p * r.pr) AS c
+        |  FROM prob p JOIN $prev r ON p.src = r.node GROUP BY p.dst),
+        |r$i AS (
+        |  SELECT n.node,
+        |    (1 - CAST($Damping AS DOUBLE)) / (SELECT n FROM nn)
+        |      + CAST($Damping AS DOUBLE) * (coalesce(c.c, 0)
+        |        + (SELECT dm FROM d$i) / (SELECT n FROM nn)) AS pr
+        |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH $edgesSql,
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+      |prob AS (SELECT e.src, e.dst, e.w / o.tw AS p
+      |         FROM edges e JOIN outw o ON e.src = o.src),
+      |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+      |${(1 to Iters).map(stepSql).mkString(",\n")}
+      |SELECT node, round(pr, 8) AS pr FROM r$Iters ORDER BY node""".stripMargin
+  }) { (s, dir) =>
+    Graph.pageRank(clickEdges(s, dir), Iters, Damping)
+      .select(col("node"), round(col("rank"), 8).as("pr"))
+      .orderBy(col("node"))
+  }
+
+  val all: Seq[Q] = Seq(q125)
+}

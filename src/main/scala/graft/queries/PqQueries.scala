@@ -170,5 +170,47 @@ object PqQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(q105, q106)
+  // ---- Q127: int8 scalar quantization (SQ8) top-k ----
+
+  /** [[Similarity.sq8Stats]]/[[Similarity.sq8Encode]] + integer-domain
+    * scoring: per-dim affine codes in [0,255] (4× storage cut), every
+    * 125th vector queries the code corpus by integer squared-L2
+    * ([[Similarity.sqDistInt]], native codegen'd), top-5 per query on the
+    * [[graft.plans.TopKPerGroup]] heap. The oracle recomputes stats,
+    * codes, AND distances — all integer past encode, so the compare is
+    * exact with no rounding column. */
+  val q127 = Q("q127_sq8_topk",
+    s"""WITH s AS (SELECT i - 1 AS pos,
+      |    min(CAST(embedding[i] AS DOUBLE)) AS mn,
+      |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+      |  FROM embeddings, range(1, ${Dim + 1}) t(i) GROUP BY pos),
+      |sa AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM s),
+      |c AS (SELECT vec_id, ${Similarity.sq8EncodeSql("embedding", Dim)} AS cv
+      |  FROM embeddings CROSS JOIN sa),
+      |q AS (SELECT vec_id AS qid, cv AS qcv FROM c WHERE vec_id % $SeedEvery = 0),
+      |p AS (SELECT qid, vec_id, ${Similarity.sqDistIntSql("qcv", "cv", Dim)} AS dist
+      |  FROM q CROSS JOIN c WHERE vec_id <> qid),
+      |r AS (SELECT qid, vec_id, dist,
+      |  row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn FROM p)
+      |SELECT qid, rn AS rnk, vec_id, dist FROM r WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Similarity.prepare(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), col("ev"))
+    val codes = Similarity.sq8Encode(e, Similarity.sq8Stats(e), Dim)
+    val q = codes.filter(col("vec_id") % SeedEvery === 0)
+      .select(col("vec_id").as("qid"), col("cv").as("qcv"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        Similarity.sqDistInt(col("qcv"), col("cv")).as("dist"))
+    val top = graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("dist", true), ("vec_id", true)), 5)
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("qid"), col("rnk"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(q105, q106, q127)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{Dedup, Hashing, Mixture, Privacy, TextAnalysis}
+import graft.ops.{Dedup, Hashing, Mixture, Privacy, Sharding, TextAnalysis}
 
 /** The capstone release pipeline: everything between a raw corpus and a
   * publishable training set, as ONE composed plan with ONE composed
@@ -75,5 +75,32 @@ object ReleaseQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q114)
+  // ---- Q128: rendezvous sharding stability ----
+
+  /** [[Sharding.hrwShard]] at n=8 and n=7 per document, aggregated to the
+    * (shard8, shard7) transition matrix. The diagonal-dominance the
+    * output exhibits IS the minimal-movement property: docs landing on a
+    * surviving shard at n=8 keep it at n=7 (HRW argmax over a subset
+    * preserves the winner when it survives), so every off-diagonal row
+    * has shard8 = 7 — the drained shard redistributing. Both shard maps
+    * are one narrow projection; the only shuffle is the final tiny
+    * groupBy. The oracle replays the identical pack/argmax hash
+    * arithmetic. */
+  val q128 = Q("q128_hrw_shards",
+    s"""WITH a AS (SELECT doc_id,
+      |    ${Sharding.hrwShardSql("doc_id", 8)} AS shard8,
+      |    ${Sharding.hrwShardSql("doc_id", 7)} AS shard7
+      |  FROM documents)
+      |SELECT shard8, shard7, count(*) AS n_docs FROM a
+      |GROUP BY shard8, shard7 ORDER BY shard8, shard7""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Sharding.hrwShard(col("doc_id"), 8).as("shard8"),
+        Sharding.hrwShard(col("doc_id"), 7).as("shard7"))
+      .groupBy(col("shard8"), col("shard7"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("shard8"), col("shard7"))
+  }
+
+  val all: Seq[Q] = Seq(q114, q128)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Graph
+
+/** [[graft.ops.Graph.pageRank]] semantics: agreement with a local
+  * reference implementation on planted and randomized graphs, mass
+  * conservation, and dangling-node redistribution. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side reference: the identical recurrence on Scala Maps. */
+  private def localPageRank(edges: Seq[(Long, Long, Double)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toDouble
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outW.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => r(u) * (w / outW(u)) }.sum).toMap
+      r = nodes.map(v => v ->
+        ((1 - d) / n + d * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long, Double)], iters: Int = 5,
+      d: Double = 0.85): Map[Long, Double] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("cycle: symmetric graph keeps the uniform distribution exactly") {
+    // a→b→c→a: every node has rank 1/3 at every iteration
+    val got = run(Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0)))
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("star with dangling center: matches the reference recurrence") {
+    // leaves 2..5 all point at 1; node 1 has NO out-edges (dangling):
+    // its mass redistributes uniformly each round
+    val edges = (2L to 5L).map(l => (l, 1L, 1.0))
+    val got = run(edges)
+    val want = localPageRank(edges, 5, 0.85)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    // the hub must dominate every leaf
+    assert(got(1L) > got(2L) * 2)
+  }
+
+  test("weighted edges shift rank toward the heavy target") {
+    // a splits 9:1 between b and c → b ends above c
+    val got = run(Seq((1L, 2L, 9.0), (1L, 3L, 1.0), (2L, 1L, 1.0), (3L, 1L, 1.0)))
+    assert(got(2L) > got(3L))
+  }
+
+  test("randomized graphs: distributed equals local reference, mass sums to 1") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 8 + trial * 4
+      val edges = (1 to n * 3).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, 1.0 + rnd.nextInt(5))
+      }.distinct
+      val got = run(edges, iters = 4)
+      val want = localPageRank(edges, 4, 0.85)
+      assert(got.keySet === want.keySet)
+      for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-10, s"trial $trial node $k")
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, "mass not conserved")
+    }
+  }
+
+  test("zero iterations returns the uniform start vector") {
+    val got = run(Seq((1L, 2L, 1.0), (3L, 4L, 1.0)), iters = 0)
+    got.values.foreach(v => assert(v === 0.25))
+  }
+}

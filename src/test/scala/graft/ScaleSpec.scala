@@ -324,4 +324,34 @@ class ScaleSpec extends AnyFunSuite {
       s"shuffled $w, bound $bound, corpus instances $corpusInstances")
     println(s"""{"scale_invariants":{"lm_docs":$nDocs,"lm_shuffle_write":$w,"lm_corpus_bigrams":$corpusInstances}}""")
   }
+
+  test("pageRank at 10x: per-round shuffle is O(E + V), never E², mass conserved") {
+    // 5k nodes, ~50k deterministic edges + a hub every 100th edge; node
+    // V-1 never sources an edge → a real dangling node at scale
+    val v = 5000L
+    val nE = 50000
+    val edges = (1 to nE).map { i =>
+      val s = (i * 2654435761L) % (v - 1)
+      val d = if (i % 100 == 0) 0L else (i * 40503L) % v
+      (s, d, 1.0)
+    }.distinct.toDF("src", "dst", "w").repartition(32)
+    val e = edges.count()
+    val iters = 3
+    val (ranks, w, _, _) = measure {
+      graft.ops.Graph.pageRank(edges, iters).collect()
+    }
+    assert(math.abs(ranks.map(_.getDouble(1)).sum - 1.0) < 1e-9, "mass lost")
+    // the hub (dst of every 100th edge) outranks a typical node by far
+    val byNode = ranks.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // expected ≈ d·(hub-indegree/E) ≈ 0.0085 — ~43× the uniform 1/v
+    assert(byNode(0L) > 10.0 / v, s"hub rank ${byNode(0L)}")
+    // Shuffle discipline: setup (node distinct, out-weight, prob build)
+    // plus per-round (prob⋈ranks re-exchange ≤ E+V, partial-aggregated
+    // contrib ≤ E, rank rebuild ≤ 2V) — all linear in E and V. All-pairs
+    // or per-round recompute of the edge normalization would blow past
+    // this bound (E² = 2.5e9; recompute adds ≥ E·iters on top).
+    val bound = 4L * e + 2L * v + iters.toLong * (2L * e + 4L * v)
+    assert(w <= bound, s"shuffled $w records, bound $bound (E=$e V=$v)")
+    println(s"""{"scale_invariants":{"pr_edges":$e,"pr_shuffle_write":$w,"pr_bound":$bound}}""")
+  }
 }
