@@ -71,4 +71,63 @@ object Graph {
     }
     ranks
   }
+
+  /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina, Pedersen,
+    * VLDB'04 "Combating Web Spam with TrustRank"): the random surfer
+    * teleports to the `teleport` distribution instead of uniformly, so
+    * rank measures importance RELATIVE TO the trusted seeds — the
+    * propagate-trust-from-curated-sources primitive of web-corpus
+    * curation (seed quality flows along links; far-from-any-seed pages
+    * score ≈ 0).
+    *
+    * {{{
+    *   r_0(v)     = t(v)
+    *   r_{t+1}(v) = (1-d)·t(v) + d · ( Σ_{u→v} r_t(u)·w(u,v)/W(u) + D_t·t(v) )
+    * }}}
+    * `teleport` = (node, t) with t ≥ 0 summing to 1 (caller contract;
+    * GraphSpec asserts mass conservation follows from it). Dangling mass
+    * also re-enters through t — the standard personalized formulation, so
+    * Σ r stays 1. Nodes absent from `teleport` get t = 0; nodes present
+    * only in `teleport` still receive their teleport share.
+    *
+    * Kept as a SEPARATE spelling from [[pageRank]] rather than one core
+    * with a uniform default: the classic path's `(1-d)/N` scalar is a
+    * division, the general path's `(1-d)·t(v)` a multiplication — not
+    * bit-identical for t = 1/N, and both methods' oracles hash-compare
+    * their exact float spellings. Same per-round shuffle discipline as
+    * [[pageRank]]: the teleport table is (node, t) — broadcast-sized in
+    * any real seeding — and everything else is identical.
+    */
+  def personalizedPageRank(edges: DataFrame, teleport: DataFrame,
+      iters: Int = 5, damping: Double = 0.85,
+      mat: Materialize = Materialize.Local): DataFrame = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("double").as("w"))
+    val t0 = teleport.select(col("node").cast("long").as("node"),
+      col("t").cast("double").as("t"))
+    val nodes = mat(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .unionByName(t0.select(col("node"))).distinct())
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+    val prob = mat(e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("tw")).as("p")))
+    val dangling = mat(nodes.join(outW.select(col("src").as("node")),
+      Seq("node"), "left_anti"))
+    val tele = mat(nodes.join(t0, Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), lit(0.0)).as("t")))
+    var ranks = mat(tele.select(col("node"), col("t").as("rank")))
+    for (_ <- 1 to iters) {
+      val dMass = dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contrib = prob.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("p") * col("rank")).as("c"))
+        .select(col("dst").as("node"), col("c"))
+      ranks = mat(tele.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(1 - damping) * col("t") + lit(damping) *
+          (coalesce(col("c"), lit(0.0)) + lit(dMass) * col("t"))).as("rank")))
+    }
+    ranks
+  }
 }

@@ -87,5 +87,58 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
-  val all: Seq[Q] = Seq(q125)
+  // ---- Q129: personalized PageRank (TrustRank) ----
+
+  /** [[Graph.personalizedPageRank]] over the same click graph, teleport
+    * = each page's ORGANIC-LANDING share: t(v) = view-events(v) / total
+    * view events — a data-derived trust prior (pages users actually view
+    * seed the walk; error pages get t = 0 and earn rank only through
+    * links). The oracle unrolls the personalized recurrence — teleport
+    * construction, (1-d)·t init, and dangling·t redistribution all
+    * hash-compared. */
+  val q129 = Q("q129_trustrank", {
+    def stepSql(i: Int): String = {
+      val prev = s"r${i - 1}"
+      s"""d$i AS (
+        |  SELECT coalesce(sum(r.pr), 0) AS dm FROM $prev r
+        |  LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL),
+        |c$i AS (
+        |  SELECT p.dst AS node, sum(p.p * r.pr) AS c
+        |  FROM prob p JOIN $prev r ON p.src = r.node GROUP BY p.dst),
+        |r$i AS (
+        |  SELECT n.node,
+        |    (1 - CAST($Damping AS DOUBLE)) * n.t
+        |      + CAST($Damping AS DOUBLE) * (coalesce(c.c, 0)
+        |        + (SELECT dm FROM d$i) * n.t) AS pr
+        |  FROM tele n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH $edgesSql,
+      |vc AS (SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS node,
+      |  CAST(count(*) AS DOUBLE) AS cnt
+      |  FROM events WHERE event_type = 'view' GROUP BY node),
+      |tot AS (SELECT sum(cnt) AS tc FROM vc),
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+      |  UNION ALL SELECT node FROM vc)),
+      |outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+      |prob AS (SELECT e.src, e.dst, e.w / o.tw AS p
+      |         FROM edges e JOIN outw o ON e.src = o.src),
+      |tele AS (SELECT n.node, coalesce(v.cnt / (SELECT tc FROM tot), 0) AS t
+      |         FROM nodes n LEFT JOIN vc v ON n.node = v.node),
+      |r0 AS (SELECT node, t AS pr FROM tele),
+      |${(1 to Iters).map(stepSql).mkString(",\n")}
+      |SELECT node, round(pr, 8) AS pr FROM r$Iters ORDER BY node""".stripMargin
+  }) { (s, dir) =>
+    val vc = Tables.events(s, dir).filter(col("event_type") === "view")
+      .groupBy(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+        .cast("long").as("node"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val tele = vc.crossJoin(broadcast(vc.agg(sum(col("cnt")).as("tc"))))
+      .select(col("node"), (col("cnt") / col("tc")).as("t"))
+    Graph.personalizedPageRank(clickEdges(s, dir), tele, Iters, Damping)
+      .select(col("node"), round(col("rank"), 8).as("pr"))
+      .orderBy(col("node"))
+  }
+
+  val all: Seq[Q] = Seq(q125, q129)
 }

@@ -75,4 +75,72 @@ class GraphSpec extends AnyFunSuite {
     val got = run(Seq((1L, 2L, 1.0), (3L, 4L, 1.0)), iters = 0)
     got.values.foreach(v => assert(v === 0.25))
   }
+
+  // ---- personalized PageRank ----
+
+  private def localPpr(edges: Seq[(Long, Long, Double)],
+      tele: Map[Long, Double], iters: Int, d: Double): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2) ++ tele.keys).distinct.sorted
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val t = nodes.map(v => v -> tele.getOrElse(v, 0.0)).toMap
+    var r = t
+    for (_ <- 1 to iters) {
+      val dangling = nodes.filterNot(outW.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _, w) => r(u) * (w / outW(u)) }.sum).toMap
+      r = nodes.map(v => v ->
+        ((1 - d) * t(v) + d * (contrib.getOrElse(v, 0.0) + dangling * t(v)))).toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long, Double)], tele: Map[Long, Double],
+      iters: Int = 5, d: Double = 0.85): Map[Long, Double] =
+    Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+      tele.toSeq.toDF("node", "t"), iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("ppr: matches the reference recurrence, conserves seed mass") {
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 2.0), (4L, 1L, 1.0),
+      (2L, 4L, 1.0), (5L, 1L, 1.0))
+    val tele = Map(1L -> 0.7, 5L -> 0.3)
+    val got = runPpr(edges, tele)
+    val want = localPpr(edges, tele, 5, 0.85)
+    assert(got.keySet === want.keySet)
+    for ((k, v) <- want) assert(math.abs(got(k) - v) < 1e-12, s"node $k")
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("ppr: rank concentrates near the seed, vanishes far from it") {
+    // ring 1→2→…→6→1 with teleport all on node 1: at the STATIONARY
+    // point r(k) ∝ 0.85^(k−1), so rank decays strictly with ring
+    // distance. 36 rounds first (the initial unit pulse circulates as a
+    // transient of magnitude 0.85^t — at t=5 it still sits on node 6 at
+    // 0.44, which is why few-iteration decay assertions are wrong).
+    val ring = (1L to 5L).map(i => (i, i + 1, 1.0)) :+ ((6L, 1L, 1.0))
+    val got = runPpr(ring, Map(1L -> 1.0), iters = 36)
+    for (i <- 1L to 5L) assert(got(i) > got(i + 1),
+      s"rank not decaying at $i: $got")
+    // closed form: r(k) = 0.15·0.85^(k−1)/(1−0.85⁶) — check the ends
+    assert(math.abs(got(1L) - 0.15 / (1 - math.pow(0.85, 6))) < 0.01)
+    assert(math.abs(got(6L) - 0.15 * math.pow(0.85, 5) / (1 - math.pow(0.85, 6))) < 0.01)
+  }
+
+  test("ppr: teleport-only node still receives its teleport share") {
+    // node 9 has no edges at all; with t(9)=0.5 it must hold ≥ (1−d)·t
+    val got = runPpr(Seq((1L, 2L, 1.0), (2L, 1L, 1.0)), Map(1L -> 0.5, 9L -> 0.5))
+    assert(got.contains(9L))
+    assert(got(9L) >= (1 - 0.85) * 0.5 - 1e-12)
+  }
+
+  test("ppr: zero-heavy teleport ≡ classic when teleport is exactly uniform") {
+    // sanity link between the two spellings: same fixed point family —
+    // with uniform t the PPR recurrence equals classic pageRank up to
+    // float-op order; 5 rounds stay within 1e-12
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0), (1L, 3L, 1.0))
+    val uni = Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3)
+    val ppr = runPpr(edges, uni)
+    val classic = run(edges)
+    for ((k, v) <- classic) assert(math.abs(ppr(k) - v) < 1e-12, s"node $k")
+  }
 }
