@@ -315,6 +315,66 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** Paragraph-level exact dedup (C4 §2.2 / Dolma-style: duplicate
+    * PARAGRAPHS are removed globally while their host documents survive),
+    * on fixed `w`-token segments standing in for paragraphs — the
+    * testdata's token streams carry no newline structure
+    * (`FIXTURES.md` §8), so the segment grid is the paragraph boundary.
+    *
+    * An occurrence of a segment survives iff it is the FIRST occurrence
+    * of that segment's content corpus-wide (order: (doc id, position) —
+    * deterministic, growth-stable). Each document is then reassembled
+    * from its surviving segments in position order; documents whose
+    * every segment was seen earlier vanish entirely (they are exact
+    * sub-duplicates), which subsumes exact doc-level dedup.
+    *
+    * Scale shape: explode to one row per segment (rows ≈ tokens/w), ONE
+    * uniform shuffle keyed by segment hash for the keep-first rank — a
+    * `row_number ≤ 1` window that [[graft.plans.RankLimitRewrite]]
+    * rewrites onto the two-phase TopKPerGroup heap, so map tasks emit at
+    * most one candidate per local segment hash before the exchange —
+    * then one shuffle keyed by doc id to reassemble. Per-doc state is
+    * bounded by document length (same bound as holding one document).
+    * Never all-pairs; nothing driver-side. */
+  def segmentDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      toksCol: String, w: Int = 16,
+      hash: Column => Column = Hashing.hash31): org.apache.spark.sql.DataFrame = {
+    require(w > 0, s"segment width must be positive, got $w")
+    val toks = col(toksCol)
+    // ⌈len/w⌉ segment starts; explicit empty for empty docs (sequence()
+    // turns descending for stop < start — the shingles() trap again)
+    val nSeg = ((size(toks) + lit(w - 1)) / lit(w)).cast("long")
+    val idxs = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nSeg.cast("int") - 1))
+    val segs = df
+      .select(col(idCol).as("doc_id"), nSeg.as("total_segs"),
+        posexplode(transform(idxs, i => array_join(slice(toks, i * w + 1, lit(w)), " "))))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+      .withColumn("seg_h", hash(col("seg")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_h")).orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("sd_rn", row_number().over(win))
+      .filter(col("sd_rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(max(col("total_segs")).as("total_segs"),
+        count(lit(1)).as("kept_segs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text"))
+  }
+
+  /** DuckDB twin of the [[segmentDedup]] segment expansion: CTE body
+    * producing (doc_id, seg_idx, seg, n_total) from a `tok(doc_id, toks)`
+    * relation — pair with the identical keep-first window + reassembly. */
+  def segmentsSql(w: Int): String =
+    s"""seg0 AS (SELECT doc_id,
+       |    CAST((len(toks) + ${w - 1}) // $w AS BIGINT) AS n_total,
+       |    list_transform(range((len(toks) + ${w - 1}) // $w),
+       |      i -> struct_pack(seg_idx := i,
+       |             seg := array_to_string(toks[(i*$w+1):(i*$w+$w)], ' '))) AS pairs
+       |  FROM tok),
+       |seg AS (SELECT doc_id, n_total, unnest(pairs, recursive := true) FROM seg0)""".stripMargin
+
   /** Incremental near-dup: match a NEW batch of documents against an
     * already-indexed corpus — the ingestion shape at 100 TB, where the
     * corpus index ([[shingleBandIndex]]: shingle-hash + band tables) is

@@ -114,4 +114,92 @@ object Mixture {
   def aesKeySql(idExpr: String, wExpr: String): String =
     s"pow((${Hashing.hash31Sql(s"CAST($idExpr AS VARCHAR)")} + 0.5) / " +
       s"${Hashing.P31}.0, 1.0 / CAST($wExpr AS DOUBLE))"
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023): spread a total
+    * document budget as EVENLY as possible across groups (languages),
+    * capped by what each group actually has — the water-filling answer to
+    * "temperature sampling starves tail languages, proportional sampling
+    * drowns them". Groups smaller than the even share contribute
+    * everything they have; the freed budget re-levels among the rest.
+    *
+    * Exact integer form (so the allocation is auditable and
+    * oracle-portable): with groups sorted by (n, name) ascending, group i
+    * is SATURATED iff n_i·(L−i+1) + S_{i−1} ≤ B (a prefix property — see
+    * the monotonicity note in the tests); unsaturated groups get
+    * ⌊avail/m⌋ each, with the `avail mod m` remainder going one-each to
+    * the first unsaturated groups in the same sort order. Σquota = min(B,
+    * Σn), quota_i ≤ n_i, and the allocation is deterministic.
+    *
+    * Runs ENTIRELY in-plan: the water-fill is window arithmetic over the
+    * per-group count aggregate — a metadata-sized frame (one row per
+    * language), so its single-partition global windows are free; nothing
+    * is collected to the driver.
+    *
+    * Input `counts(grpCol, nCol)`; output `(grpCol, quota)`. */
+  def unimaxQuotas(counts: DataFrame, grpCol: String, nCol: String,
+                   budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(!counts.columns.exists(c => c != nCol && c.startsWith("ux_")),
+      "counts must not carry ux_* working columns")
+    val ord = Window.orderBy(col(nCol), col(grpCol))
+    val all = Window.partitionBy()
+    counts
+      .withColumn("ux_i", row_number().over(ord).cast("long"))
+      .withColumn("ux_sp", coalesce(sum(col(nCol))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ux_L", count(lit(1)).over(all))
+      .withColumn("ux_sat",
+        col(nCol) * (col("ux_L") - col("ux_i") + 1) + col("ux_sp") <= budget)
+      .withColumn("ux_j", max(when(col("ux_sat"), col("ux_i")).otherwise(0L)).over(all))
+      .withColumn("ux_sj",
+        max(when(col("ux_sat"), col("ux_sp") + col(nCol)).otherwise(0L)).over(all))
+      .withColumn("ux_m", col("ux_L") - col("ux_j"))
+      .withColumn("ux_avail", lit(budget) - col("ux_sj"))
+      .withColumn("ux_share", expr("ux_avail div greatest(ux_m, 1)"))
+      .withColumn("ux_rem", expr("ux_avail % greatest(ux_m, 1)"))
+      .select(col(grpCol),
+        when(col("ux_sat"), col(nCol))
+          .when(col("ux_m") > 0, col("ux_share") +
+            when(col("ux_i") - col("ux_j") <= col("ux_rem"), 1L).otherwise(0L))
+          .otherwise(0L).cast("long").as("quota"))
+  }
+
+  /** Pure sequential reference of [[unimaxQuotas]] (greedy ascending
+    * water-fill) for property tests — same sort, same integer split. */
+  def unimaxQuotasSeq(counts: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    val sorted = counts.sortBy { case (g, n) => (n, g) }
+    var b = budget
+    var m = sorted.length
+    val out = Map.newBuilder[String, Long]
+    var unsat = List.empty[String]
+    sorted.foreach { case (g, n) =>
+      if (m > 0 && n * m <= b && unsat.isEmpty) { out += g -> n; b -= n; m -= 1 }
+      else unsat = g :: unsat
+    }
+    val rest = unsat.reverse
+    val share = if (m > 0) b / m else 0L
+    val rem = if (m > 0) b % m else 0L
+    rest.zipWithIndex.foreach { case (g, i) =>
+      out += g -> (share + (if (i < rem) 1L else 0L))
+    }
+    out.result()
+  }
+
+  /** Keep a UniMax-allocated sample of `docs`: quotas from
+    * [[unimaxQuotas]] over the live per-group counts, selection within a
+    * group by the same hash-rank rule as [[sampleToMixture]]
+    * (deterministic, growth-stable; [[rankSql]] is the oracle spelling).
+    * Same scale caveat as sampleToMixture: the per-group rank window is
+    * the one true shuffle, with threshold sampling as the degrade path. */
+  def unimaxSample(docs: DataFrame, idCol: String, grpCol: String,
+                   budget: Long): DataFrame = {
+    val counts = docs.groupBy(col(grpCol)).agg(count(lit(1)).as("ux_n"))
+    val quotas = broadcast(unimaxQuotas(counts, grpCol, "ux_n", budget))
+    val win = Window.partitionBy(col(grpCol))
+      .orderBy(Hashing.hash31(col(idCol).cast("string")), col(idCol))
+    docs.join(quotas, grpCol)
+      .withColumn("ux_rn", row_number().over(win))
+      .filter(col("ux_rn") <= col("quota"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
 }

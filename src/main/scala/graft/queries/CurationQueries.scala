@@ -169,5 +169,43 @@ object CurationQueries {
       .orderBy(col("lang"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113, q126)
+  // ---- Q132: UniMax water-filling language mixture ----
+
+  /** [[Mixture.unimaxSample]] with a 400-document budget over the five
+    * languages (UniMax, Chung et al. ICLR'23): the budget spreads as
+    * evenly as possible, capped by each language's actual supply — at
+    * sf0.01 the four tail languages saturate (64/70/73/75 docs, all
+    * kept) and the dominant `en` is capped at the leftover 118 of its
+    * 218, exactly the tail-protecting allocation temperature sampling
+    * can't produce. The oracle recomputes the integer water-fill with
+    * the same prefix-sum closed form and the same hash-rank selection. */
+  val q132 = Q("q132_unimax_mixture", {
+    val b = 400L
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |s AS (SELECT lang, n, row_number() OVER (ORDER BY n, lang) AS i,
+      |        coalesce(sum(n) OVER (ORDER BY n, lang
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sp,
+      |        count(*) OVER () AS L
+      |      FROM c),
+      |t AS (SELECT *, (n * (L - i + 1) + sp <= $b) AS sat FROM s),
+      |j AS (SELECT max(CASE WHEN sat THEN i ELSE 0 END) AS j,
+      |             max(CASE WHEN sat THEN sp + n ELSE 0 END) AS sj FROM t),
+      |q AS (SELECT lang,
+      |        CASE WHEN sat THEN n
+      |             WHEN L - j > 0 THEN ($b - sj) // (L - j)
+      |               + (CASE WHEN i - j <= ($b - sj) % (L - j) THEN 1 ELSE 0 END)
+      |             ELSE 0 END AS quota
+      |      FROM t CROSS JOIN j),
+      |r AS (SELECT doc_id, lang, ${Mixture.rankSql("doc_id", "lang")} AS rn
+      |      FROM documents)
+      |SELECT doc_id, lang FROM r JOIN q USING (lang)
+      |WHERE rn <= quota ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    Mixture.unimaxSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", 400L)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113, q126, q132)
 }

@@ -1215,7 +1215,51 @@ object LlmQueries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  // ---- Q130: paragraph(segment)-level exact dedup ----
+
+  /** [[Dedup.segmentDedup]] (C4 §2.2 / Dolma paragraph dedup on a fixed
+    * 16-token grid) over a corpus salted with exact copies (every 7th
+    * doc, id+200000) and first-token-swapped copies (every 5th,
+    * id+100000). Exact copies vanish entirely (every segment was seen at
+    * a smaller id — segment dedup subsumes doc dedup); swapped copies
+    * keep ONLY their first segment (the swap breaks segment 0, the
+    * aligned rest dedups away); originals pass through intact. The
+    * oracle re-runs the identical grid, keep-first window, and
+    * position-order reassembly. */
+  val q130 = Q("q130_segment_dedup", {
+    val w = 16
+    s"""WITH base AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, toks FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, toks FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, ['qq'] || toks[2:] AS toks
+      |  FROM base WHERE doc_id % 5 = 0),
+      |${Dedup.segmentsSql(w)},
+      |sh AS (SELECT *, ${Hashing.hash31Sql("seg")} AS h FROM seg),
+      |keep AS (SELECT *, row_number() OVER (PARTITION BY h
+      |           ORDER BY doc_id, seg_idx) AS rn FROM sh)
+      |SELECT doc_id, max(n_total) AS total_segs,
+      |  count(*) AS kept_segs,
+      |  string_agg(seg, ' ' ORDER BY seg_idx) AS text
+      |FROM keep WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val d = toks(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("toks"))
+    val swapped = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(array(lit("qq")),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))))
+          .as("toks"))
+    Dedup.segmentDedup(d.unionByName(exact).unionByName(swapped),
+        "doc_id", "toks", w = 16)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
     q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89, q93,
-    q95, q96, q97, q98)
+    q95, q96, q97, q98, q130)
 }

@@ -659,7 +659,39 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** CDC changelog compaction with DELETE tombstones
+    * ([[graft.ops.Cdc.compact]]): `events` read as a change log keyed by
+    * (user, page k), ordered by (ts, event_id), where an `error` event
+    * tombstones the key — the warehouse-mirror ingest shape q10's
+    * last-write-wins upsert cannot express. The Spark side is ONE
+    * map-side-combinable `max(struct)` aggregation (no window sort); the
+    * oracle spells the same latest-wins semantics as a rank window. */
+  val q131 = Q("q131_cdc_compact",
+    """WITH log AS (
+      |  SELECT user_id,
+      |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k,
+      |    ts, event_id, event_type = 'error' AS del, value
+      |  FROM events),
+      |keep AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, k
+      |    ORDER BY ts DESC, event_id DESC) AS rn FROM log)
+      |SELECT user_id, k, epoch_us(ts) AS last_ts_us,
+      |  round(value, 2) AS last_value
+      |FROM keep WHERE rn = 1 AND NOT del
+      |ORDER BY user_id, k""".stripMargin) { (s, dir) =>
+    val log = Tables.events(s, dir).withColumn("k",
+      regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+    graft.ops.Cdc.compact(log, Seq("user_id", "k"),
+        Seq(col("ts"), col("event_id")),
+        col("event_type") === "error", Seq("value" -> col("value")))
+      .select(col("user_id"), col("k"),
+        unix_micros(col("seq0")).as("last_ts_us"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"), col("k"))
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81, q99)
+      q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81, q99,
+      q131)
 }

@@ -77,4 +77,59 @@ class CurationPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(result.passed, result.status.toString)
   }
+
+  private val unimaxGen: Gen[(List[(String, Long)], Long)] = for {
+    nGrp <- Gen.choose(1, 8)
+    sizes <- Gen.listOfN(nGrp, Gen.choose(0L, 50L))
+    budget <- Gen.choose(0L, 300L)
+  } yield (sizes.zipWithIndex.map { case (n, i) => (s"g$i", n) }, budget)
+
+  test("unimax quotas: exhaustive invariants on random counts and budgets") {
+    val prop = Prop.forAllNoShrink(unimaxGen) { case (counts, budget) =>
+      val q = Mixture.unimaxQuotasSeq(counts, budget)
+      val byG = counts.toMap
+      val total = counts.map(_._2).sum
+      val sumOk = q.values.sum == math.min(budget, total)
+      val capOk = q.forall { case (g, k) => k >= 0 && k <= byG(g) }
+      // water level: any UNSATURATED pair's quotas differ by at most 1
+      val unsat = q.filter { case (g, k) => k < byG(g) }.values
+      val evenOk = unsat.isEmpty || (unsat.max - unsat.min) <= 1
+      // no capped group may sit ABOVE the water level: saturated counts
+      // are ≤ the unsaturated share, and a remainder +1 recipient that
+      // exactly reaches its cap sits at share+1 — never higher
+      val levelOk = unsat.isEmpty ||
+        q.forall { case (g, k) => k < byG(g) || k <= unsat.max + 1 }
+      sumOk && capOk && evenOk && levelOk
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("unimax in-plan window arithmetic ≡ sequential water-fill") {
+    val prop = Prop.forAllNoShrink(unimaxGen) { case (counts, budget) =>
+      val df = counts.toDF("g", "n")
+      val plan = Mixture.unimaxQuotas(df, "g", "n", budget)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      plan == Mixture.unimaxQuotasSeq(counts, budget)
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("unimax sample: saturated tails fully kept, dominant group capped, hash-prefix stable") {
+    val docs = (0 until 120).map(i => (i.toLong, if (i < 90) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = Mixture.unimaxSample(docs, "doc_id", "lang", budget = 60)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang === Map("en" -> 30, "fr" -> 30)) // fr saturated, en capped
+    // growth stability: doubling the en side must not evict kept fr docs
+    val grown = docs.unionByName(
+      (200 until 290).map(i => (i.toLong, "en")).toList.toDF("doc_id", "lang"))
+    val kept2 = Mixture.unimaxSample(grown, "doc_id", "lang", budget = 60)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept.filter(_._2 == "fr").forall(kept2.contains))
+  }
 }

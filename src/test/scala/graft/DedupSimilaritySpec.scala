@@ -308,4 +308,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, 1L, 3L, 1L),   // same cluster as 4 but below threshold → kept
       (4L, 1L, 4L, 1L)))
   }
+
+  test("segmentDedup: first occurrence wins, docs reassemble in position order") {
+    // w=2 segments; doc 1 owns [a b][c d][e f]; doc 2 repeats [a b] and
+    // [e f] (both seen at doc 1) around its own [x y]; doc 3 is an exact
+    // copy of doc 1 and must VANISH; doc 4 shares nothing.
+    val docs = tokDF(
+      (1L, "a b c d e f"),
+      (2L, "a b x y e f"),
+      (3L, "a b c d e f"),
+      (4L, "p q r s"))
+    val out = Dedup.segmentDedup(docs, "id", "toks", w = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 3L, 3L, "a b c d e f"),
+      (2L, 3L, 1L, "x y"),
+      (4L, 2L, 2L, "p q r s")))
+  }
+
+  test("segmentDedup: ragged tail segment is its own unit; empty docs absent") {
+    // 5 tokens at w=2 → segments [a b][c d][e]; the lone tail 'e' of doc
+    // 2 duplicates doc 1's tail segment and is removed
+    val docs = tokDF((1L, "a b c d e"), (2L, "q r e"), (3L, ""))
+    val out = Dedup.segmentDedup(docs, "id", "toks", w = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 3L, 3L, "a b c d e"),
+      (2L, 2L, 1L, "q r")))
+  }
+
+  test("segmentDedup: within-doc repeated segments collapse to the first") {
+    val docs = tokDF((1L, "a b a b c d"))
+    val out = Dedup.segmentDedup(docs, "id", "toks", w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array((1L, 3L, 2L, "a b c d")))
+  }
 }
