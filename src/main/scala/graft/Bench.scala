@@ -57,7 +57,11 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val canaryNames = Seq("q01_pricing_summary", "q41_minhash_lsh",
       "q54_modern_pipeline", "q80_tf_rarity", "q85_kmeans_ivf")
+    // Optional subset for local profiling (comma-separated name prefixes).
+    // The driver never sets it — full surface by default.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.exists(n.startsWith)))
     final case class Pass(canaryStart: Seq[(String, Double)],
         results: Seq[(String, Double)], canaryEnd: Seq[(String, Double)]) {
       val total: Double = math.rint(results.map(_._2).sum * 1e3) / 1e3

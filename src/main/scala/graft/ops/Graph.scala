@@ -32,9 +32,10 @@ object Graph {
     *     ONCE and materialized via `mat`; rounds never recompute it.
     *   - Per round: one join of the (node, rank) table against the
     *     transition table plus one partial-aggregated `groupBy(dst)` — the
-    *     Pregel message exchange, linear in |E| and unavoidable — and ONE
-    *     scalar aggregate for the dangling mass (same one-job-per-round
-    *     convergence probe as CC). Only (node, rank) pairs ever shuffle;
+    *     Pregel message exchange, linear in |E| and unavoidable — and the
+    *     dangling mass as an IN-PLAN broadcast 1-row aggregate (no
+    *     per-round driver action; with a lazy `mat` the whole power
+    *     iteration is one job). Only (node, rank) pairs ever shuffle;
     *     payloads/documents do not.
     *   - `mat` cuts plan depth every round (localCheckpoint / persist /
     *     parquet stage), so `iters` rounds never stack an `iters`-deep
@@ -60,14 +61,17 @@ object Graph {
       Seq("node"), "left_anti"))
     var ranks = mat(nodes.select(col("node"), lit(1.0 / n).as("rank")))
     for (_ <- 1 to iters) {
-      val dMass = dangling.join(ranks, "node")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // dangling mass rides IN-PLAN as a broadcast 1-row aggregate — no
+      // per-round driver action; under a lazy `mat` (Persist) the whole
+      // power iteration is ONE Spark job at the final action
+      val dm = broadcast(dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
       val contrib = prob.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("p") * col("rank")).as("c"))
         .select(col("dst").as("node"), col("c"))
-      ranks = mat(nodes.join(contrib, Seq("node"), "left")
+      ranks = mat(nodes.join(contrib, Seq("node"), "left").crossJoin(dm)
         .select(col("node"), (lit((1 - damping) / n) + lit(damping) *
-          (coalesce(col("c"), lit(0.0)) + lit(dMass / n))).as("rank")))
+          (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank")))
     }
     ranks
   }
@@ -119,14 +123,15 @@ object Graph {
       .select(col("node"), coalesce(col("t"), lit(0.0)).as("t")))
     var ranks = mat(tele.select(col("node"), col("t").as("rank")))
     for (_ <- 1 to iters) {
-      val dMass = dangling.join(ranks, "node")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // same in-plan dangling-mass broadcast as [[pageRank]]
+      val dm = broadcast(dangling.join(ranks, "node")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
       val contrib = prob.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("p") * col("rank")).as("c"))
         .select(col("dst").as("node"), col("c"))
-      ranks = mat(tele.join(contrib, Seq("node"), "left")
+      ranks = mat(tele.join(contrib, Seq("node"), "left").crossJoin(dm)
         .select(col("node"), (lit(1 - damping) * col("t") + lit(damping) *
-          (coalesce(col("c"), lit(0.0)) + lit(dMass) * col("t"))).as("rank")))
+          (coalesce(col("c"), lit(0.0)) + col("dm") * col("t"))).as("rank")))
     }
     ranks
   }

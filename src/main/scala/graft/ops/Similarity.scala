@@ -208,6 +208,11 @@ object Similarity {
     vectors
       .withColumn("bkt", lshBucket(col("v"), planes))
       .withColumn("nrm", norm(col("v")))
+      // cluster rows by bucket BEFORE the partitioned write: without it
+      // every write task opens a file in every bucket directory it sees
+      // (tasks × buckets small files — the classic partitionBy mistake);
+      // with it each bucket's rows land in a handful of files
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(path)
 
   /** Fold NEW vectors into a [[writeBucketed]] layout — the ANN-side
@@ -542,6 +547,9 @@ object Similarity {
       lshBucket(col("v"), planes).as("bkt"))
     pqEncode(vectors.select(col("vec_id"), col("qv")), codebook, m, dim)
       .join(bkts, "vec_id")
+      // cluster by bucket before the partitioned write (see
+      // [[writeBucketed]]) — tasks × buckets tiny files otherwise
+      .repartition(col("bkt"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/codes")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
     val spark = vectors.sparkSession

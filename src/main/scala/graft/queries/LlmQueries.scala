@@ -990,7 +990,8 @@ object LlmQueries {
       .select(col("vec_id"), Similarity.quantize(col("embedding"), 1000).as("qv"))
     val seeds = vecs.filter(col("vec_id") % 125 === 0)
       .select(expr("vec_id div 125").as("cid"), col("qv").as("cv"))
-    val (assign, _) = Similarity.kmeans(vecs, seeds, iters = 2)
+    val (assign, _) = Similarity.kmeans(vecs, seeds, iters = 2,
+      mat = graft.ops.Materialize.Persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     assign.orderBy(col("vec_id"))
   }
 
@@ -1046,7 +1047,8 @@ object LlmQueries {
       .withColumn("qv", Similarity.quantize(col("v"), 1000))
     val seeds = vecs.filter(col("vec_id") % 125 === 0 && col("vec_id") < 10000)
       .select(expr("vec_id div 125").as("cid"), col("qv").as("cv"))
-    Similarity.semanticDedup(vecs, seeds, iters = 2, threshold = 0.95)
+    Similarity.semanticDedup(vecs, seeds, iters = 2, threshold = 0.95,
+        mat = graft.ops.Materialize.Persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy(col("vec_id"))
   }
 

@@ -85,7 +85,8 @@ object PqQueries {
   }) { (s, dir) =>
     val vecs = Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.quantize(col("embedding"), 1000).as("qv"))
-    val cb = Similarity.pqTrain(vecs, M, Dim, SeedEvery, Iters)
+    val cb = Similarity.pqTrain(vecs, M, Dim, SeedEvery, Iters,
+      mat = graft.ops.Materialize.Persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val enc = Similarity.pqEncode(vecs, cb, M, Dim)
     val qs = vecs.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("qv"))
@@ -161,7 +162,9 @@ object PqQueries {
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"),
         Similarity.quantize(col("embedding"), 1000).as("qv"))
     val cbk = Similarity.pqTrain(
-      vecs.select(col("vec_id"), col("qv")), M, Dim, SeedEvery, Iters)
+      vecs.select(col("vec_id"), col("qv")), M, Dim, SeedEvery, Iters,
+      mat = graft.ops.Materialize.Persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val path = s"$scratchRoot/ivfadc_${new java.io.File(dir).getName}"
     Similarity.writePqIvf(vecs, cbk, CoarsePlanes, M, Dim, path)
     val probes = vecs.filter(col("vec_id") % 100 === 0)
