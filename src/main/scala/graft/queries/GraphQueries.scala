@@ -82,8 +82,7 @@ object GraphQueries {
       |${(1 to Iters).map(stepSql).mkString(",\n")}
       |SELECT node, round(pr, 8) AS pr FROM r$Iters ORDER BY node""".stripMargin
   }) { (s, dir) =>
-    Graph.pageRank(clickEdges(s, dir), Iters, Damping,
-        mat = graft.ops.Materialize.Persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Graph.pageRank(clickEdges(s, dir), Iters, Damping)
       .select(col("node"), round(col("rank"), 8).as("pr"))
       .orderBy(col("node"))
   }
@@ -136,8 +135,7 @@ object GraphQueries {
       .agg(count(lit(1)).cast("double").as("cnt"))
     val tele = vc.crossJoin(broadcast(vc.agg(sum(col("cnt")).as("tc"))))
       .select(col("node"), (col("cnt") / col("tc")).as("t"))
-    Graph.personalizedPageRank(clickEdges(s, dir), tele, Iters, Damping,
-        mat = graft.ops.Materialize.Persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Graph.personalizedPageRank(clickEdges(s, dir), tele, Iters, Damping)
       .select(col("node"), round(col("rank"), 8).as("pr"))
       .orderBy(col("node"))
   }

@@ -1047,8 +1047,7 @@ object LlmQueries {
       .withColumn("qv", Similarity.quantize(col("v"), 1000))
     val seeds = vecs.filter(col("vec_id") % 125 === 0 && col("vec_id") < 10000)
       .select(expr("vec_id div 125").as("cid"), col("qv").as("cv"))
-    Similarity.semanticDedup(vecs, seeds, iters = 2, threshold = 0.95,
-        mat = graft.ops.Materialize.Persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Similarity.semanticDedup(vecs, seeds, iters = 2, threshold = 0.95)
       .orderBy(col("vec_id"))
   }
 

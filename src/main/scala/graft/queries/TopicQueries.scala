@@ -75,8 +75,7 @@ object TopicQueries {
     val vecs = graft.ops.Materialize.Local(featurize(s, dir))
     val seeds = vecs.filter(col("vec_id") % SeedEvery === 0)
       .select(expr(s"vec_id div $SeedEvery").as("cid"), col("qv").as("cv"))
-    val (assign, _) = Similarity.kmeans(vecs, seeds, Iters,
-      mat = graft.ops.Materialize.Persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val (assign, _) = Similarity.kmeans(vecs, seeds, Iters)
     assign.select(col("vec_id").as("doc_id"), col("cid"), col("dist"))
       .orderBy(col("doc_id"))
   }
