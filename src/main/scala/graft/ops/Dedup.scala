@@ -620,11 +620,13 @@ object Dedup {
         .unionByName(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // NOT distinct'd: duplicate (hi, lo) rows here only produce
+      // duplicate rows in `next`, which IS distinct'd — skipping the
+      // intermediate dedup saves one full shuffle per round
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo")) // v > u ≥ m
         .filter(col("hi") =!= col("lo"))
-        .distinct()
       val smins = large.groupBy("hi").agg(min(col("lo")).as("m"))
       val withS = large.join(smins, "hi")
       val next = mat(withS.select(col("hi"), col("m").as("lo"))
