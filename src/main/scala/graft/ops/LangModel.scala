@@ -105,4 +105,78 @@ object LangModel {
   def fluencyBucketSql(meanNano: String, headMin: Long, midMin: Long): String =
     s"CASE WHEN $meanNano >= $headMin THEN 'head' " +
       s"WHEN $meanNano >= $midMin THEN 'middle' ELSE 'tail' END"
+
+  // ---- per-class unigram-LM classifier (the fastText-analog gate) ----
+
+  /** Trained per-class model: `counts(cls, w, cwc)` token counts within
+    * each class, `totals(cls, nc)` class token totals, `vocab(v)` the
+    * labeled slice's distinct unigram count (shared add-one smoothing
+    * denominator across classes — the standard multinomial smoothing). */
+  final case class ClassLm(counts: DataFrame, totals: DataFrame,
+      vocab: DataFrame)
+
+  /** Train the class-conditional unigram models from a LABELED slice —
+    * the classifier-gate shape every production corpus pipeline carries
+    * (GPT-3's quality classifier, CCNet's langid gate): a bounded labeled
+    * set trains a model, the model scores the whole corpus. Training is
+    * two narrow aggregations plus a distinct count over one explode —
+    * entirely map-side-combinable; the resulting tables are
+    * classes × vocab and classes rows, broadcast-sized whenever the label
+    * set is (labeled slices are curated, hence bounded, by contract). */
+  def trainClassLm(labeled: DataFrame, clsCol: String,
+      toksCol: String): ClassLm = {
+    val ex = labeled.select(col(clsCol).as("cls"),
+      explode(col(toksCol)).as("w"))
+    ClassLm(
+      ex.groupBy(col("cls"), col("w")).agg(count(lit(1)).as("cwc")),
+      ex.groupBy(col("cls")).agg(count(lit(1)).as("nc")),
+      ex.agg(count_distinct(col("w")).as("v")))
+  }
+
+  /** Classify every corpus document as the argmax class of its MEAN
+    * per-token smoothed class-conditional likelihood, in the same integer
+    * nano-units as [[scoreBigramLm]] (no transcendentals — `floor((cwc+1)
+    * /(nc+V)·1e9)` is identical IEEE arithmetic in Spark and the DuckDB
+    * oracle, and the integer sums after it are order-free; the argmax of
+    * the mean-likelihood is the same monotone family as CCNet's bucketing,
+    * applied per class). Ties break to the lexicographically smallest
+    * class — deterministic across engines.
+    *
+    * Output: `(idCol, pred_cls, n_toks, mean_nano)`, one row per document
+    * with ≥ 1 token (empty documents carry no signal — documented
+    * contract, same as [[scoreBigramLm]]'s < 2-token cut).
+    *
+    * 100 TB shape: the corpus explodes to one row per (token, class) —
+    * a constant `C`× blowup, NOT a join explosion — and the model tables
+    * broadcast ([[ClassLm]] bounded-by-contract). Map-side partial
+    * aggregation collapses each document's tokens before the exchange
+    * (all of a document's tokens share its input partition), so the
+    * shuffle carries one partial row per (document, class). The final
+    * argmax is a `row_number ≤ 1` window that
+    * [[graft.plans.RankLimitRewrite]] lowers onto the TopKPerGroup heap —
+    * at most one candidate row per document per map task crosses the
+    * second exchange. */
+  def classifyUnigram(corpus: DataFrame, idCol: String, toksCol: String,
+      lm: ClassLm, broadcastLm: Boolean = true): DataFrame = {
+    val hint = (d: DataFrame) => if (broadcastLm) broadcast(d) else d
+    val ex = corpus.filter(size(col(toksCol)) >= 1)
+      .select(col(idCol), explode(col(toksCol)).as("w"))
+      .crossJoin(hint(lm.totals)) // one row per (token, class)
+      .join(hint(lm.counts), Seq("cls", "w"), "left")
+      .crossJoin(hint(lm.vocab))
+      .select(col(idCol), col("cls"), floor(
+        (coalesce(col("cwc"), lit(0L)) + lit(1L)) /
+          (coalesce(col("nc"), lit(0L)) + col("v")) * lit(1e9))
+        .cast("long").as("nano"))
+    val perClass = ex.groupBy(col(idCol), col("cls"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("nano")).as("sum_nano"))
+      .withColumn("mean_nano", expr("sum_nano div n_toks"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("mean_nano").desc, col("cls"))
+    perClass.withColumn("clm_rn", row_number().over(best))
+      .filter(col("clm_rn") === 1)
+      .select(col(idCol), col("cls").as("pred_cls"), col("n_toks"),
+        col("mean_nano"))
+  }
 }

@@ -369,6 +369,47 @@ object LmQueries {
       .orderBy(col("col_name"), col("metric"))
   }
 
+  /** [[LangModel.trainClassLm]]/[[LangModel.classifyUnigram]]: the
+    * classifier gate (GPT-3's quality classifier / CCNet's langid shape)
+    * as class-conditional unigram LMs — every 5th document is the
+    * "labeled" training slice (its `lang` is the label), the model scores
+    * ALL documents and each is assigned the argmax class of its mean
+    * per-token smoothed likelihood in integer nano-units. The oracle
+    * re-trains the same counts and replicates the argmax with the same
+    * (mean desc, class asc) tie order. */
+  val q133 = Q("q133_lm_classifier", {
+    val toks = TextAnalysis.toksSql
+    s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+      |lab AS (SELECT lang AS cls, unnest(toks) AS w FROM tok
+      |        WHERE doc_id % 5 = 0),
+      |counts AS (SELECT cls, w, count(*) AS cwc FROM lab GROUP BY 1, 2),
+      |totals AS (SELECT cls, count(*) AS nc FROM lab GROUP BY 1),
+      |vv AS (SELECT count(DISTINCT w) AS v FROM lab),
+      |corpus AS (SELECT doc_id, unnest(toks) AS w FROM tok
+      |           WHERE len(toks) >= 1),
+      |sc AS (SELECT c.doc_id AS doc_id, t.cls AS cls,
+      |         ${LangModel.nanoSql("cnt.cwc", "t.nc", "vv.v")} AS nano
+      |       FROM corpus c CROSS JOIN totals t
+      |       LEFT JOIN counts cnt ON cnt.cls = t.cls AND cnt.w = c.w
+      |       CROSS JOIN vv),
+      |agg AS (SELECT doc_id, cls, count(*) AS n_toks,
+      |          CAST(sum(nano) AS BIGINT) AS sum_nano,
+      |          CAST(sum(nano) // count(*) AS BIGINT) AS mean_nano
+      |        FROM sc GROUP BY 1, 2),
+      |r AS (SELECT doc_id, cls, n_toks, mean_nano,
+      |        row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY mean_nano DESC, cls) AS rn FROM agg)
+      |SELECT doc_id, cls AS pred_cls, n_toks, mean_nano
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val tok = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.toks(col("text")).as("toks"))
+    val lm = LangModel.trainClassLm(
+      tok.filter(col("doc_id") % 5 === 0), "lang", "toks")
+    LangModel.classifyUnigram(tok, "doc_id", "toks", lm)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124)
+    q123, q124, q133)
 }

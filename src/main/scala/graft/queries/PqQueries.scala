@@ -215,5 +215,33 @@ object PqQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(q105, q106, q127)
+  /** [[graft.ops.Pca]]: the distributed half of PCA — ONE
+    * [[graft.plans.GramAgg]] pass accumulates exact integer Gram moments,
+    * and the upper-triangle covariance numerators
+    * `cov_num(i,j) = n·s_ij − s_i·s_j` (= n²·cov, still integer) are
+    * emitted in-plan. The driver-side eigensolve that completes PCA is
+    * model-sized and spec-gated (PcaSpec); THIS query oracle-proves the
+    * corpus-side statistics bit-for-bit — the oracle recomputes every
+    * pairwise product sum from scratch. */
+  val q135 = Q("q135_gram_covariance",
+    s"""WITH vecs AS (SELECT ${Similarity.quantizeSql("embedding", 1000)} AS qv
+      |  FROM embeddings),
+      |dims AS (SELECT CAST(unnest(range(0, $Dim)) AS INTEGER) AS i),
+      |idx AS (SELECT a.i AS i, b.i AS j FROM dims a JOIN dims b ON b.i >= a.i),
+      |nn AS (SELECT count(*) AS n FROM vecs),
+      |s1 AS (SELECT dims.i AS k, CAST(sum(qv[dims.i + 1]) AS BIGINT) AS s
+      |       FROM dims, vecs GROUP BY dims.i),
+      |s2 AS (SELECT idx.i AS i, idx.j AS j,
+      |         CAST(sum(qv[idx.i + 1] * qv[idx.j + 1]) AS BIGINT) AS sij
+      |       FROM idx, vecs GROUP BY idx.i, idx.j)
+      |SELECT s2.i AS i, s2.j AS j, nn.n * s2.sij - a.s * b.s AS cov_num
+      |FROM s2 JOIN s1 a ON a.k = s2.i JOIN s1 b ON b.k = s2.j CROSS JOIN nn
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val vecs = Tables.embeddings(s, dir)
+      .select(Similarity.quantize(col("embedding"), 1000).as("qv"))
+    graft.ops.Pca.covPairs(graft.ops.Pca.moments(vecs, "qv", Dim), Dim)
+      .orderBy(col("i"), col("j"))
+  }
+
+  val all: Seq[Q] = Seq(q105, q106, q127, q135)
 }

@@ -102,5 +102,61 @@ object ReleaseQueries {
       .orderBy(col("shard8"), col("shard7"))
   }
 
-  val all: Seq[Q] = Seq(q114, q128)
+  /** [[graft.ops.Expectations]]: the Deequ-style declarative quality gate
+    * over a corpus with PLANTED violations — every 30th doc gets an
+    * out-of-set lang, every 40th a negative n_chars, every 50th re-enters
+    * under its own id (uniqueness surplus) — so every rule's violation
+    * count is exercised, not just the all-green path. Scalar rules
+    * evaluate in ONE aggregation pass; the oracle recomputes each count
+    * with the identical null/set/range semantics. */
+  val q134 = Q("q134_expectations_gate",
+    s"""WITH corp AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 30 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 40 = 0 THEN -1 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, text, lang, n_chars FROM documents
+      |  WHERE doc_id % 50 = 0),
+      |m AS (SELECT
+      |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+      |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+      |  CAST(sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+      |      OR n_chars > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+      |  CAST(sum(CASE WHEN lang IS NULL
+      |      OR lang NOT IN ('de','en','es','fr','zh')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+      |  CAST(CASE WHEN count(*) < 100 THEN 100 - count(*) ELSE 0 END
+      |    AS BIGINT) AS v4
+      |  FROM corp),
+      |u AS (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS v
+      |      FROM (SELECT count(*) AS c FROM corp GROUP BY doc_id) g
+      |      WHERE c > 1)
+      |SELECT rule, violations, violations = 0 AS ok FROM (
+      |  SELECT 'not_null(doc_id)' AS rule, v0 AS violations FROM m
+      |  UNION ALL SELECT 'not_null(text)', v1 FROM m
+      |  UNION ALL SELECT 'in_range(n_chars,1,100000)', v2 FROM m
+      |  UNION ALL SELECT 'in_set(lang)', v3 FROM m
+      |  UNION ALL SELECT 'min_rows(100)', v4 FROM m
+      |  UNION ALL SELECT 'unique(doc_id)', v FROM u) r
+      |ORDER BY rule""".stripMargin) { (s, dir) =>
+    import graft.ops.Expectations
+    import graft.ops.Expectations._
+    val base = Tables.documents(s, dir)
+    val corp = base.select(col("doc_id"), col("text"),
+        when(col("doc_id") % 30 === 0, lit("xx"))
+          .otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 40 === 0, lit(-1L))
+          .otherwise(col("n_chars")).as("n_chars"))
+      .unionByName(base.select(col("doc_id"), col("text"), col("lang"),
+        col("n_chars")).filter(col("doc_id") % 50 === 0))
+    Expectations.check(corp, Seq(
+        NotNull("doc_id"), NotNull("text"),
+        InRange("n_chars", 1L, 100000L),
+        InSet("lang", Seq("de", "en", "es", "fr", "zh")),
+        MinRows(100L), Unique(Seq("doc_id"))))
+      .orderBy(col("rule"))
+  }
+
+  val all: Seq[Q] = Seq(q114, q128, q134)
 }

@@ -83,4 +83,55 @@ class LangModelSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq ==
       Seq("head", "middle", "middle", "tail"))
   }
+
+  test("classifier matches a sequential oracle on random labeled corpora") {
+    val labGen = Gen.oneOf("en", "fr", "de")
+    val labeledGen = Gen.listOfN(12,
+      for { c <- labGen; d <- docGen.suchThat(_.nonEmpty) } yield (c, d))
+    val corpusGen = Gen.listOfN(15, for {
+      id <- Gen.chooseNum(0L, 50L); d <- docGen } yield (id, d))
+      .map(_.distinctBy(_._1))
+    val prop = Prop.forAll(labeledGen, corpusGen) { (lab, corp) =>
+      val labDf = lab.toDF("cls", "toks")
+      val corpDf = corp.toDF("doc_id", "toks")
+      val lm = LangModel.trainClassLm(labDf, "cls", "toks")
+      val got = LangModel.classifyUnigram(corpDf, "doc_id", "toks", lm)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      // sequential argmax with the same tie order
+      val ex = lab.flatMap { case (c, ts) => ts.map(c -> _) }
+      val cwc = ex.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nc = ex.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val v = ex.map(_._2).distinct.size.toLong
+      val classes = nc.keys.toSeq.sorted
+      val want = corp.filter(_._2.nonEmpty).map { case (id, toks) =>
+        val scored = classes.map { c =>
+          val nanos = toks.map { w =>
+            math.floor((cwc.getOrElse((c, w), 0L) + 1L).toDouble /
+              (nc(c) + v).toDouble * 1e9).toLong
+          }
+          (c, nanos.sum / nanos.length)
+        }
+        // max mean; ties to lexicographically SMALLEST class — classes is
+        // sorted asc and maxBy keeps the FIRST of equal keys
+        val (cls, mean) = scored.maxBy(_._2)
+        id -> ((cls, toks.length.toLong, mean))
+      }.toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("classifier tie-break is the lexicographically smallest class") {
+    // symmetric training: both classes give every token identical counts,
+    // so every document ties across classes and must resolve to "aa"
+    val lab = Seq(("bb", Seq("x", "y")), ("aa", Seq("x", "y"))).toDF("cls", "toks")
+    val corpus = Seq((1L, Seq("x")), (2L, Seq("y", "z"))).toDF("doc_id", "toks")
+    val lm = LangModel.trainClassLm(lab, "cls", "toks")
+    val got = LangModel.classifyUnigram(corpus, "doc_id", "toks", lm)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "aa", 2L -> "aa"))
+  }
 }
