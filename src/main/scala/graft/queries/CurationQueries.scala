@@ -207,5 +207,29 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113, q126, q132)
+  /** [[graft.ops.Outliers.madStats]]: the robust (median/MAD) per-language
+    * length-outlier report with the Hampel cut `|x − med| > 3·MAD` — on
+    * integer inputs every median is an exact `.0`/`.5` double, so the
+    * oracle's `median()` (same linear interpolation) and the boundary
+    * compare agree bit-for-bit with no rounding guard. */
+  val q136 = Q("q136_mad_outliers",
+    s"""WITH med AS (SELECT lang, median(n_chars) AS med
+      |  FROM documents GROUP BY lang),
+      |dev AS (SELECT d.lang AS lang, d.n_chars AS n_chars, m.med AS med,
+      |          abs(d.n_chars - m.med) AS adev
+      |        FROM documents d JOIN med m ON m.lang = d.lang),
+      |mad AS (SELECT lang, median(adev) AS mad FROM dev GROUP BY lang)
+      |SELECT dev.lang AS lang, count(*) AS n,
+      |  max(dev.med) AS median, max(mad.mad) AS mad,
+      |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_out
+      |FROM dev JOIN mad ON mad.lang = dev.lang
+      |GROUP BY dev.lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    graft.ops.Outliers.madStats(
+        Tables.documents(s, dir), "lang", "n_chars", k = 3)
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113, q126, q132,
+    q136)
 }
