@@ -363,6 +363,90 @@ object Dedup {
           s => s.getField("seg")), " ").as("text"))
   }
 
+  /** Content-defined chunking dedup — the shift-robust refinement of
+    * [[segmentDedup]] (LBFS, Muthitacharoen et al. SOSP'01; FastCDC,
+    * Xia et al. ATC'16): segment boundaries come from the CONTENT (cut
+    * after token `i+w−1` whenever the hash of the `w`-token window at
+    * `i` falls in the `% every == 0` residue class) instead of a fixed
+    * grid, so inserting one token near a document's head shifts every
+    * grid segment but leaves all content-defined boundaries beyond the
+    * edit untouched — the duplicated tail still dedups. Expected segment
+    * length ≈ `every` tokens; same keep-first global semantics and
+    * reassembly contract as [[segmentDedup]] (first occurrence by
+    * (doc id, position) survives; fully-duplicate documents vanish).
+    *
+    * Scale shape: identical to [[segmentDedup]] — the boundary pass is
+    * per-row array arithmetic (no shuffle), then one uniform shuffle on
+    * segment hash for the keep-first rank (RankLimitRewrite → two-phase
+    * heap) and one on doc id to reassemble. The window hash is injectable
+    * like every dedup hash here: [[Hashing.hash31]] when oracle-compared,
+    * xxhash64 for pure-Spark production runs. */
+  def contentChunkDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      toksCol: String, w: Int = 4, every: Int = 16,
+      hash: Column => Column = Hashing.hash31): org.apache.spark.sql.DataFrame = {
+    require(w > 0, s"window must be positive, got $w")
+    require(every > 1, s"boundary modulus must exceed 1, got $every")
+    val tk = col(toksCol)
+    // window hashes at 1-based starts 1..len-w+1; both `when` guards dodge
+    // Spark's descending-sequence trap (sequence(1, 0) counts DOWN)
+    val wh = when(size(tk) < w, array().cast("array<long>"))
+      .otherwise(transform(sequence(lit(1), size(tk) - lit(w - 1)),
+        i => hash(concat_ws(" ", slice(tk, i, lit(w))))))
+    val base = df.filter(size(tk) >= 1)
+      .select(col(idCol).as("doc_id"), tk.as("cdc_tk"), wh.as("cdc_wh"))
+    val cuts = when(size(col("cdc_wh")) === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), size(col("cdc_wh"))),
+        i => element_at(col("cdc_wh"), i) % every === 0 &&
+          (i + lit(w - 1)) < size(col("cdc_tk"))))
+    val bounds = concat(array(lit(0)),
+      transform(cuts, i => i + lit(w - 1)), array(size(col("cdc_tk"))))
+    val segs = base.withColumn("cdc_b", bounds)
+      .select(col("doc_id"), (size(col("cdc_b")) - 1).cast("long").as("total_segs"),
+        posexplode(transform(sequence(lit(1), size(col("cdc_b")) - 1),
+          k => concat_ws(" ", slice(col("cdc_tk"),
+            element_at(col("cdc_b"), k) + 1,
+            element_at(col("cdc_b"), k + 1) - element_at(col("cdc_b"), k))))))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+      .withColumn("seg_h", hash(col("seg")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg_h")).orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("cdc_rn", row_number().over(win))
+      .filter(col("cdc_rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(max(col("total_segs")).as("total_segs"),
+        count(lit(1)).as("kept_segs"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("text"))
+  }
+
+  /** DuckDB twin of the [[contentChunkDedup]] segment expansion: CTE body
+    * producing (doc_id, n_total, seg_idx, seg) from a `tok(doc_id, toks)`
+    * relation — pair with the identical keep-first window + reassembly.
+    * Boundary arithmetic mirrors the Spark spelling node for node
+    * ([[Hashing.hash31Sql]] window hashes, cut after `i+w−1` on the
+    * `% every == 0` class, never at the document end). */
+  def contentChunksSql(w: Int, every: Int): String = {
+    val winHash = Hashing.hash31Sql(s"array_to_string(toks[i:i+${w - 1}], ' ')")
+    s"""cdc0 AS (SELECT doc_id, toks,
+       |    CASE WHEN len(toks) >= $w THEN
+       |      list_transform(range(1, len(toks) - ${w - 2}), i -> $winHash)
+       |    ELSE CAST([] AS BIGINT[]) END AS wh
+       |  FROM tok WHERE len(toks) >= 1),
+       |cdc1 AS (SELECT doc_id, toks,
+       |    [CAST(0 AS BIGINT)] ||
+       |    list_transform(list_filter(range(1, len(wh) + 1),
+       |      i -> wh[i] % $every = 0 AND i + ${w - 1} < len(toks)),
+       |      i -> i + ${w - 1}) || [len(toks)] AS b
+       |  FROM cdc0),
+       |seg0 AS (SELECT doc_id, len(b) - 1 AS n_total,
+       |    list_transform(range(len(b) - 1),
+       |      k -> struct_pack(seg_idx := k,
+       |             seg := array_to_string(toks[b[k + 1] + 1:b[k + 2]], ' '))) AS pairs
+       |  FROM cdc1),
+       |seg AS (SELECT doc_id, n_total, unnest(pairs, recursive := true) FROM seg0)""".stripMargin
+  }
+
   /** DuckDB twin of the [[segmentDedup]] segment expansion: CTE body
     * producing (doc_id, seg_idx, seg, n_total) from a `tok(doc_id, toks)`
     * relation — pair with the identical keep-first window + reassembly. */

@@ -1260,7 +1260,47 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** [[Dedup.contentChunkDedup]]: content-defined chunking dedup on the
+    * fixture that DEFEATS the q130 fixed grid — every 5th document
+    * re-enters with one token PREPENDED (+100000). On the grid every
+    * segment of the shifted copy differs (offset by one token), so q130
+    * keeps them all; content-defined boundaries re-synchronize after the
+    * edit and the copied tail dedups away (kept_segs < total_segs for the
+    * +100000 docs — the assertion that justifies this operator's
+    * existence lives in DedupSimilaritySpec). Exact copies (+200000,
+    * every 7th) vanish entirely, as in q130. */
+  val q137 = Q("q137_content_chunk_dedup", {
+    val (w, every) = (4, 16)
+    s"""WITH base AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, toks FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, toks FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, ['zz'] || toks AS toks
+      |  FROM base WHERE doc_id % 5 = 0),
+      |${Dedup.contentChunksSql(w, every)},
+      |sh AS (SELECT *, ${Hashing.hash31Sql("seg")} AS h FROM seg),
+      |keep AS (SELECT *, row_number() OVER (PARTITION BY h
+      |           ORDER BY doc_id, seg_idx) AS rn FROM sh)
+      |SELECT doc_id, max(n_total) AS total_segs,
+      |  count(*) AS kept_segs,
+      |  string_agg(seg, ' ' ORDER BY seg_idx) AS text
+      |FROM keep WHERE rn = 1
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val d = toks(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("toks"))
+    val shifted = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(array(lit("zz")), col("toks")).as("toks"))
+    Dedup.contentChunkDedup(d.unionByName(exact).unionByName(shifted),
+        "doc_id", "toks", w = 4, every = 16)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
     q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89, q93,
-    q95, q96, q97, q98, q130)
+    q95, q96, q97, q98, q130, q137)
 }

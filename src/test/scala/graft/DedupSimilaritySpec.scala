@@ -345,4 +345,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(out === Array((1L, 3L, 2L, "a b c d")))
   }
+
+  test("contentChunkDedup: boundaries re-synchronize after a head insertion") {
+    // doc 2 = doc 1 with one token PREPENDED. The fixed grid shifts every
+    // segment, so segmentDedup keeps (almost) all of doc 2; content-defined
+    // boundaries depend only on local content, so beyond the first chunk
+    // doc 2's chunks are bit-identical to doc 1's and dedup away.
+    val body = (1 to 120).map(i => s"t${i % 37}w$i").mkString(" ")
+    val docs = tokDF((1L, body), (2L, s"zz $body"))
+    val cdc = Dedup.contentChunkDedup(docs, "id", "toks", w = 4, every = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val (total1, kept1) = (cdc(0)._2, cdc(0)._3)
+    assert(kept1 == total1, "first copy keeps everything")
+    // doc 2 present but mostly deduped: strictly fewer than half its
+    // chunks survive (only the prefix up to the first re-synced boundary)
+    val doc2 = cdc.find(_._1 == 2L)
+    assert(doc2.forall(d => d._3 < d._2 / 2),
+      s"shifted copy should mostly dedup, got $doc2")
+    // the grid spelling CANNOT do this on the same input: every grid
+    // segment of doc 2 differs, so it keeps them all
+    val grid = Dedup.segmentDedup(docs, "id", "toks", w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val gdoc2 = grid.find(_._1 == 2L).get
+    assert(gdoc2._3 == gdoc2._2, "grid keeps every shifted segment")
+  }
+
+  test("contentChunkDedup: exact copies vanish; chunks reassemble in order") {
+    val body = (1 to 80).map(i => s"k${i % 23}x$i").mkString(" ")
+    val docs = tokDF((1L, body), (2L, body), (3L, "lone wolf content"))
+    val out = Dedup.contentChunkDedup(docs, "id", "toks", w = 4, every = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), "exact copy must vanish")
+    assert(out(0)._4 == body, "chunks reassemble to the original text")
+    assert(out(1)._4 == "lone wolf content")
+  }
+
+  test("contentChunkDedup: sub-window and empty docs behave") {
+    val docs = tokDF((1L, "a b"), (2L, "a b"), (3L, ""))
+    val out = Dedup.contentChunkDedup(docs, "id", "toks", w = 4, every = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // below w: one whole-doc chunk; doc 2 is an exact duplicate; empty
+    // docs are absent entirely
+    assert(out === Array((1L, 1L, 1L, "a b")))
+  }
 }
