@@ -135,4 +135,62 @@ object Graph {
     }
     ranks
   }
+
+  /** Exact per-node triangle counts + local clustering coefficient by
+    * DEGREE-ORDERED edge orientation (Schank & Wagner's forward
+    * algorithm; distributed analysis in Suri & Vassilvitskii, "Counting
+    * Triangles and the Curse of the Last Reducer", WWW'11): orient every
+    * undirected edge from its lower (degree, id) endpoint to the higher,
+    * enumerate wedges from each node's ORIENTED out-neighbors, and close
+    * them against the oriented edge set. Orientation caps every node's
+    * out-degree at O(√m) — a hub of degree 10⁶ contributes wedges only
+    * through its few higher-degree neighbors, not deg² pairs — which is
+    * exactly what makes the wedge join survive skewed degree
+    * distributions at scale. Each triangle is found ONCE (at its
+    * lowest-ordered corner) and credited to all three corners.
+    *
+    * Returns `(node, tri, degree, coeff)` for nodes in ≥ 1 triangle,
+    * with `coeff = 2·tri / (degree·(degree−1))` rounded to 6dp (the
+    * local clustering coefficient). Self-loops are dropped; parallel /
+    * reverse duplicate edges collapse (undirected simple graph
+    * semantics). Ties in degree break by node id — total, so the
+    * orientation is acyclic and deterministic in both engines.
+    *
+    * Scale shape: two node-keyed aggregations (degrees, final counts),
+    * the orientation join of the edge list against the degree table,
+    * one wedge self-join on the ORIENTED source (bounded by the √m
+    * out-degree cap), and one closing equi-join on (v, w). All shuffles
+    * key on node/edge ids; nothing is driver-side. */
+  def triangleCounts(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("u"))
+      .unionByName(und.select(col("b").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val withD = und
+      .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+    // orient lower (degree, id) → higher; (a < b already, so the id
+    // tiebreak keeps a → b)
+    val fwd = col("da") < col("db") || (col("da") === col("db"))
+    val oe = withD.select(
+      when(fwd, col("a")).otherwise(col("b")).as("s"),
+      when(fwd, col("b")).otherwise(col("a")).as("t"),
+      when(fwd, col("db")).otherwise(col("da")).as("td"))
+    val wedges = oe.select(col("s"), col("t").as("v"), col("td").as("vd"))
+      .join(oe.select(col("s"), col("t").as("w"), col("td").as("wd")), Seq("s"))
+      .filter(col("vd") < col("wd") ||
+        (col("vd") === col("wd") && col("v") < col("w")))
+    val tri = wedges
+      .join(oe.select(col("s").as("v"), col("t").as("w")), Seq("v", "w"))
+      .select(col("s").as("n1"), col("v").as("n2"), col("w").as("n3"))
+    tri.select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+      .join(deg.select(col("u").as("node"), col("d").as("degree")), "node")
+      .withColumn("coeff",
+        round(lit(2.0) * col("tri") / (col("degree") * (col("degree") - 1)), 6))
+  }
 }

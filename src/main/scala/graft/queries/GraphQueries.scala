@@ -140,5 +140,38 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
-  val all: Seq[Q] = Seq(q125, q129)
+  /** [[Graph.triangleCounts]]: exact per-node triangles + local
+    * clustering coefficient on the undirected click graph, by
+    * degree-ordered orientation (each triangle found once, at its
+    * lowest-(degree, id) corner). The oracle replays the identical
+    * orientation and wedge-closing joins. */
+  val q138 = Q("q138_triangles",
+    s"""WITH $edgesSql,
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |        FROM edges WHERE src <> dst),
+      |deg AS (SELECT u, count(*) AS d FROM (
+      |    SELECT a AS u FROM und UNION ALL SELECT b AS u FROM und) s
+      |  GROUP BY u),
+      |oe AS (SELECT CASE WHEN x.da <= x.db THEN x.a ELSE x.b END AS s,
+      |              CASE WHEN x.da <= x.db THEN x.b ELSE x.a END AS t,
+      |              CASE WHEN x.da <= x.db THEN x.db ELSE x.da END AS td
+      |       FROM (SELECT und.a AS a, und.b AS b, p.d AS da, q.d AS db
+      |             FROM und JOIN deg p ON p.u = und.a
+      |             JOIN deg q ON q.u = und.b) x),
+      |wed AS (SELECT e1.s AS u, e1.t AS v, e2.t AS w
+      |        FROM oe e1 JOIN oe e2 ON e2.s = e1.s
+      |        WHERE e1.td < e2.td OR (e1.td = e2.td AND e1.t < e2.t)),
+      |tri AS (SELECT u, v, w FROM wed
+      |        JOIN oe ON oe.s = wed.v AND oe.t = wed.w),
+      |nd AS (SELECT unnest([u, v, w]) AS node FROM tri),
+      |cnt AS (SELECT node, count(*) AS tri FROM nd GROUP BY node)
+      |SELECT c.node AS node, c.tri AS tri, d.d AS degree,
+      |  round(2.0 * c.tri / (d.d * (d.d - 1)), 6) AS coeff
+      |FROM cnt c JOIN deg d ON d.u = c.node ORDER BY node""".stripMargin) {
+    (s, dir) =>
+      Graph.triangleCounts(clickEdges(s, dir), "src", "dst")
+        .orderBy(col("node"))
+  }
+
+  val all: Seq[Q] = Seq(q125, q129, q138)
 }

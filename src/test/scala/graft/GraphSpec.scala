@@ -143,4 +143,52 @@ class GraphSpec extends AnyFunSuite {
     val classic = run(edges)
     for ((k, v) <- classic) assert(math.abs(ppr(k) - v) < 1e-12, s"node $k")
   }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] =
+    Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("triangles: K4 gives every node 3 triangles, coefficient 1") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got = tri(k4)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    got.values.foreach { case (t, d, c) => assert((t, d, c) == ((3L, 3L, 1.0))) }
+  }
+
+  test("triangles: square with one diagonal; stars and paths have none") {
+    // 1-2-3-4-1 plus diagonal 1-3: triangles (1,2,3) and (1,3,4)
+    val got = tri(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    assert(got(1L) == ((2L, 3L, round6(2.0 * 2 / (3 * 2)))))
+    assert(got(3L) == ((2L, 3L, round6(2.0 * 2 / (3 * 2)))))
+    assert(got(2L) == ((1L, 2L, 1.0)))
+    assert(got(4L) == ((1L, 2L, 1.0)))
+    // a star has wedges but no closures; a path has neither
+    assert(tri(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L))).isEmpty)
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  test("triangles: duplicate, reversed, and self-loop edges collapse") {
+    val got = tri(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L)))
+    assert(got == Map(
+      1L -> ((1L, 2L, 1.0)), 2L -> ((1L, 2L, 1.0)), 3L -> ((1L, 2L, 1.0))))
+  }
+
+  test("triangles: each triangle counted once on a hub-skewed graph") {
+    // hub 0 connects to all of 1..20; ring edges i—(i+1) close exactly
+    // one triangle per consecutive pair at the hub
+    val spokes = (1L to 20L).map(0L -> _)
+    val ring = (1L until 20L).map(i => (i, i + 1))
+    val got = tri(spokes ++ ring)
+    assert(got(0L)._1 == 19L, "hub joins every consecutive-spoke triangle")
+    assert(got(1L)._1 == 1L && got(20L)._1 == 1L)
+    (2L until 20L).foreach(i => assert(got(i)._1 == 2L, s"node $i"))
+    // total triangle mass = 3 × number of triangles
+    assert(got.values.map(_._1).sum == 3L * 19L)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
