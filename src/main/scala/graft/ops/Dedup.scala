@@ -351,6 +351,16 @@ object Dedup {
         posexplode(transform(idxs, i => array_join(slice(toks, i * w + 1, lit(w)), " "))))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
       .withColumn("seg_h", hash(col("seg")))
+    keepFirstReassemble(segs)
+  }
+
+  /** Shared tail of [[segmentDedup]] and [[contentChunkDedup]]: global
+    * keep-first on segment hash (first occurrence by (doc id, position)
+    * survives — the RankLimitRewrite `row_number ≤ 1` path) and
+    * position-order reassembly per document. Input contract:
+    * `(doc_id, total_segs, seg_idx, seg, seg_h)`. */
+  private def keepFirstReassemble(
+      segs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seg_h")).orderBy(col("doc_id"), col("seg_idx"))
     segs.withColumn("sd_rn", row_number().over(win))
@@ -408,16 +418,7 @@ object Dedup {
             element_at(col("cdc_b"), k + 1) - element_at(col("cdc_b"), k))))))
       .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
       .withColumn("seg_h", hash(col("seg")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seg_h")).orderBy(col("doc_id"), col("seg_idx"))
-    segs.withColumn("cdc_rn", row_number().over(win))
-      .filter(col("cdc_rn") === 1)
-      .groupBy(col("doc_id"))
-      .agg(max(col("total_segs")).as("total_segs"),
-        count(lit(1)).as("kept_segs"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-          s => s.getField("seg")), " ").as("text"))
+    keepFirstReassemble(segs)
   }
 
   /** DuckDB twin of the [[contentChunkDedup]] segment expansion: CTE body

@@ -34,18 +34,24 @@ object Outliers {
     else approx_percentile(c, lit(0.5), lit(math.max(1, (1 / err).toInt)))
 
   /** Per-group `(key, n, median, mad, n_out)` for `|x − med| > k·MAD`.
-    * Rows with null `valCol` are ignored (they carry no measurement). */
+    * Rows with null `valCol` are ignored (they carry no measurement).
+    * `broadcastStats` (default) broadcasts the per-group stat tables —
+    * right whenever group cardinality is bounded; set it false for
+    * high-cardinality keys (per-domain over millions of domains) and the
+    * joins fall back to hash-equi on the group key. */
   def madStats(df: DataFrame, keyCol: String, valCol: String, k: Int,
-      exact: Boolean = true, err: Double = 0.001): DataFrame = {
+      exact: Boolean = true, err: Double = 0.001,
+      broadcastStats: Boolean = true): DataFrame = {
+    val hint = (d: DataFrame) => if (broadcastStats) broadcast(d) else d
     val rows = df.filter(col(valCol).isNotNull)
       .select(col(keyCol).as("og_key"), col(valCol).as("og_v"))
     val meds = rows.groupBy(col("og_key"))
       .agg(med(col("og_v"), exact, err).as("og_med"))
-    val dev = rows.join(broadcast(meds), "og_key")
+    val dev = rows.join(hint(meds), "og_key")
       .withColumn("og_adev", abs(col("og_v") - col("og_med")))
     val mads = dev.groupBy(col("og_key"))
       .agg(med(col("og_adev"), exact, err).as("og_mad"))
-    dev.join(broadcast(mads), "og_key")
+    dev.join(hint(mads), "og_key")
       .groupBy(col("og_key"))
       .agg(count(lit(1)).as("n"),
         max(col("og_med")).as("median"),
@@ -59,14 +65,16 @@ object Outliers {
     * form a pipeline filters on (`!is_outlier`). Same two-pass stats as
     * [[madStats]]. */
   def flagOutliers(df: DataFrame, keyCol: String, valCol: String, k: Int,
-      exact: Boolean = true, err: Double = 0.001): DataFrame = {
+      exact: Boolean = true, err: Double = 0.001,
+      broadcastStats: Boolean = true): DataFrame = {
+    val hint = (d: DataFrame) => if (broadcastStats) broadcast(d) else d
     val meds = df.filter(col(valCol).isNotNull).groupBy(col(keyCol))
       .agg(med(col(valCol), exact, err).as("og_med"))
-    val dev = df.join(broadcast(meds), Seq(keyCol), "left")
+    val dev = df.join(hint(meds), Seq(keyCol), "left")
       .withColumn("og_adev", abs(col(valCol) - col("og_med")))
     val mads = dev.filter(col("og_adev").isNotNull).groupBy(col(keyCol))
       .agg(med(col("og_adev"), exact, err).as("og_mad"))
-    dev.join(broadcast(mads), Seq(keyCol), "left")
+    dev.join(hint(mads), Seq(keyCol), "left")
       .withColumn("is_outlier",
         coalesce(col("og_adev") > lit(k.toDouble) * col("og_mad"), lit(false)))
       .withColumnRenamed("og_med", "median").withColumnRenamed("og_mad", "mad")

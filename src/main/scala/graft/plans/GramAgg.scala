@@ -57,7 +57,10 @@ case class GramAgg(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == d && !(0 until d).exists(arr.isNullAt)) {
+      var ok = arr.numElements() == d
+      var c = 0
+      while (ok && c < d) { ok = !arr.isNullAt(c); c += 1 }
+      if (ok) {
         buf(0) += 1L
         var i = 0
         while (i < d) {

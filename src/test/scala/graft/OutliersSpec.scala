@@ -66,4 +66,14 @@ class OutliersSpec extends AnyFunSuite {
     assert(approx.getLong(4) == 2L,
       "a 1000x-separated outlier must survive the sketch error bound")
   }
+
+  test("shuffle-join spelling (broadcastStats = false) agrees with broadcast") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 1000L),
+      ("b", 5L), ("b", 6L), ("b", 7L)).toDF("k", "v")
+    val b = Outliers.madStats(df, "k", "v", k = 3)
+      .collect().map(_.toSeq).toSet
+    val s = Outliers.madStats(df, "k", "v", k = 3, broadcastStats = false)
+      .collect().map(_.toSeq).toSet
+    assert(b == s)
+  }
 }
