@@ -354,4 +354,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(w <= bound, s"shuffled $w records, bound $bound (E=$e V=$v)")
     println(s"""{"scale_invariants":{"pr_edges":$e,"pr_shuffle_write":$w,"pr_bound":$bound}}""")
   }
+
+  test("triangles at 10x hub skew: wedge join is degree-capped, never deg²") {
+    // hub 0 joined to 2000 spokes + a spoke ring: naive wedge enumeration
+    // emits C(2000,2) ≈ 2.0e6 hub wedges; degree orientation points every
+    // spoke→hub edge AT the hub (highest degree), so the hub sources NO
+    // wedges and each spoke (degree 3) sources ≤ 3 — the curse-of-the-
+    // last-reducer case the orientation exists for
+    val h = 2000L
+    val spokes = spark.range(1, h + 1).select(lit(0L).as("a"), col("id").as("b"))
+    val ring = spark.range(1, h).select(col("id").as("a"), (col("id") + 1).as("b"))
+    val edges = spokes.unionByName(ring).repartition(32)
+    val e = edges.count()
+    val (rows, w, _, _) = measure {
+      graft.ops.Graph.triangleCounts(edges, "a", "b")
+        .orderBy(col("node")).collect()
+    }
+    val byNode = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNode(0L) == h - 1, "hub corners every spoke-pair triangle")
+    assert(byNode.values.sum == 3L * (h - 1), "each triangle credited thrice")
+    val naiveWedges = h * (h - 1) / 2
+    // linear shuffle budget: distinct/degree/orientation passes + the
+    // wedge and closing joins over ≤ 3-out-degree spokes — c·(E+V) with
+    // room for AQE variance, still 20× under the naive wedge count
+    val bound = 25L * e
+    assert(w <= bound, s"shuffled $w records, bound $bound (E=$e)")
+    assert(w < naiveWedges / 20,
+      s"shuffle $w should stay far below naive wedges $naiveWedges")
+    println(s"""{"scale_invariants":{"tri_edges":$e,"tri_shuffle_write":$w,"tri_bound":$bound,"tri_naive_wedges":$naiveWedges}}""")
+  }
 }
