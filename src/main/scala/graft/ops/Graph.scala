@@ -136,6 +136,50 @@ object Graph {
     ranks
   }
 
+  /** k-core peeling after exactly `rounds` rounds: each round computes
+    * degrees over the SURVIVING undirected edge set and drops every node
+    * (with its incident edges) whose degree is below `k` — the standard
+    * iterative decomposition (Seidman, "Network structure and minimum
+    * degree", Social Networks 1983; distributed peeling as in
+    * Montresor et al., IEEE TPDS 2013). Peeling cascades: removing a
+    * weak node can push its neighbors below `k` next round, which is why
+    * the operator iterates rather than filtering once. A fixpoint is
+    * stable under further rounds (peel of a stable set is a no-op), so
+    * pinning `rounds` gives a deterministic, oracle-unrollable contract;
+    * production runs size `rounds` ≈ the peel depth (rarely more than a
+    * few dozen) or wrap the loop with the XOR-signature convergence
+    * check used by [[graft.ops.Dedup.connectedComponents]].
+    *
+    * Returns `(node, degree)` over the post-peel edge set.
+    *
+    * Scale shape: per round, one node-keyed degree aggregation (map-side
+    * combined) and two hash-equi joins of the edge list against the
+    * surviving-node set — everything keys on node ids, the edge set
+    * shrinks monotonically, and `mat` re-materializes it per round to
+    * cut the iterative lineage (the same discipline as the CC loops).
+    * Nothing is driver-side. */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int, mat: Materialize = Materialize.Local): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("u")).unionByName(e.select(col("b").as("u")))
+        .groupBy("u").agg(count(lit(1)).as("d"))
+    var edges = mat(pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct())
+    var r = 0
+    while (r < rounds) {
+      val keep = degrees(edges).filter(col("d") >= k).select(col("u"))
+      edges = mat(edges
+        .join(keep.withColumnRenamed("u", "a"), "a")
+        .join(keep.withColumnRenamed("u", "b"), "b"))
+      r += 1
+    }
+    degrees(edges).select(col("u").as("node"), col("d").as("degree"))
+  }
+
   /** Exact per-node triangle counts + local clustering coefficient by
     * DEGREE-ORDERED edge orientation (Schank & Wagner's forward
     * algorithm; distributed analysis in Suri & Vassilvitskii, "Counting

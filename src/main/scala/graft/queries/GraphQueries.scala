@@ -173,5 +173,34 @@ object GraphQueries {
         .orderBy(col("node"))
   }
 
-  val all: Seq[Q] = Seq(q125, q129, q138)
+  /** [[Graph.kCore]]: four peeling rounds at k=40 over the undirected
+    * click graph — enough to cascade (removing a sub-40 node drags
+    * borderline neighbors under 40 next round; the sf0.01 degree spread
+    * is 8–101 so the cut bites). The oracle unrolls the identical four
+    * degree-filter-join rounds, PageRank-style. */
+  val q139 = Q("q139_kcore", {
+    val (k, rounds) = (40, 4)
+    def stepSql(i: Int): String = {
+      val prev = s"e${i - 1}"
+      s"""d$i AS (SELECT u, count(*) AS d FROM (
+        |    SELECT a AS u FROM $prev UNION ALL SELECT b AS u FROM $prev) s
+        |  GROUP BY u),
+        |k$i AS (SELECT u FROM d$i WHERE d >= $k),
+        |e$i AS (SELECT a, b FROM $prev
+        |        JOIN k$i ka ON ka.u = $prev.a JOIN k$i kb ON kb.u = $prev.b)"""
+        .stripMargin
+    }
+    s"""WITH $edgesSql,
+      |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |       FROM edges WHERE src <> dst),
+      |${(1 to rounds).map(stepSql).mkString(",\n")}
+      |SELECT u AS node, count(*) AS degree FROM (
+      |  SELECT a AS u FROM e$rounds UNION ALL SELECT b AS u FROM e$rounds) s
+      |GROUP BY u ORDER BY node""".stripMargin
+  }) { (s, dir) =>
+    Graph.kCore(clickEdges(s, dir), "src", "dst", k = 40, rounds = 4)
+      .orderBy(col("node"))
+  }
+
+  val all: Seq[Q] = Seq(q125, q129, q138, q139)
 }

@@ -191,4 +191,28 @@ class GraphSpec extends AnyFunSuite {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int): Map[Long, Long] =
+    Graph.kCore(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: clique survives its own core, pendant tail peels by cascade") {
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    // tail 5-6-7-8: degree-1 node 8 peels first, then 7, then 6 — each
+    // removal only happens because the PREVIOUS round removed its support
+    val tail = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val got = core(k5 ++ tail, k = 2, rounds = 3)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got.values.forall(_ == 4L), "K5 core degrees")
+    // one round is NOT enough: only node 8 is gone, 7 still holds on
+    val partial = core(k5 ++ tail, k = 2, rounds = 1)
+    assert(partial.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("kCore: fixpoint is stable under extra rounds; k above max degree empties") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(core(k4, k = 3, rounds = 1) == core(k4, k = 3, rounds = 6))
+    assert(core(k4, k = 4, rounds = 2).isEmpty)
+  }
 }
