@@ -27,6 +27,10 @@ object Bench {
       // strategies still fire under it).
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // same extensions surface as Verify: rank-limit windows lower onto
+      // the TopKPerGroup heap in the MEASURED plans, as they would in a
+      // production session configured with this entry point
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

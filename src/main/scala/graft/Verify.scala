@@ -16,6 +16,12 @@ object Verify {
       // deployment would — all queries stay hash-green under it.
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // the library's SparkSessionExtensions entry point: native function
+      // registry, the TopKPerGroup strategy, and RankLimitRewrite — the
+      // driver gate must exercise the same session surface a production
+      // deployment configures (rank-limit windows lower onto the
+      // two-phase heap HERE, not just in the plan tests)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
