@@ -29,21 +29,40 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
-  /** `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * vectorized parquet reader rejects by default. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and convert to a micros
-    * timestamp — same truncation DuckDB applies when loading NANOS into its
-    * micros-precision TIMESTAMP, so oracle comparisons stay exact.
-    * INTEGER division (`div`) is load-bearing: `/` promotes the ~1.7e18
-    * nanos to double, which is past 2^53 and drops microseconds. */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(spark, sfDir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
+  /** The driver has regenerated `events.parquet` with THREE different
+    * physical encodings of `ts` across rounds: INT64 TIMESTAMP(NANOS)
+    * (read as long under `spark.sql.legacy.parquet.nanosAsLong`),
+    * TIMESTAMP(MICROS) adjusted-to-UTC (Spark TimestampType), and
+    * TIMESTAMP(MICROS) NTZ (Spark TimestampNTZType). [[normalizeTs]] maps
+    * all three to ONE canonical type — TimestampType under the UTC
+    * session — so no downstream query (unix_micros, window, date_format,
+    * stream/batch agreement) carries dtype conditionals. Any NEW encoding
+    * fails loudly here rather than silently mis-converting downstream.
+    *
+    * Conversion notes: nanos→micros uses INTEGER division (`div`) — `/`
+    * promotes ~1.7e18 nanos to double, past 2^53, dropping microseconds.
+    * NTZ→TIMESTAMP is a cast that interprets the wall-clock in the session
+    * timezone; every graft session pins `spark.sql.session.timeZone=UTC`,
+    * which matches how DuckDB (naive micros) reads the same file, so
+    * oracle comparisons stay exact. */
+  def normalizeTs(df: DataFrame, column: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(column).dataType match {
+      case LongType =>
+        df.withColumn(column, timestamp_micros(expr(s"$column div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(column, col(column).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.$column has unsupported physical type $other; " +
+          "extend Tables.normalizeTs for the new testdata encoding")
     }
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    // harmless when ts is a real timestamp type; required for NANOS files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(load(spark, sfDir, "events"))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

@@ -30,10 +30,13 @@ object Verify {
     // name prefixes. The driver never sets it — full surface by default.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     def selected(name: String) = only.forall(_.exists(name.startsWith))
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+    val attempted = SparkEntry.queries.filter(kv => selected(kv._1))
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += ((name, Option(e.getMessage).getOrElse(e.getClass.getName)))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -52,6 +55,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Coverage gate (round-8 verdict #3): 3 of 125 queries silently
+    // vanished from CORRECTNESS_r08 because a per-query failure was only
+    // stderr-logged. Record registry-vs-artifact coverage as its own
+    // artifact AND shout on both streams, so an incomplete dump can never
+    // again read as a clean one. (No nonzero exit: the successful dumps
+    // and oracle_sql.json are already on disk and must reach the driver's
+    // DuckDB compare regardless.)
+    val coverage = s"""{"declared": ${attempted.size}, """ +
+      s""""produced": ${attempted.size - failed.size}, """ +
+      s""""missing": ${failed.map(f => q(f._1)).mkString("[", ",", "]")}, """ +
+      s""""errors": ${failed.map(f => s"{${q(f._1)}: ${q(f._2)}}").mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/coverage.json"), coverage)
+    val summary = s"[verify] coverage: ${attempted.size - failed.size}/${attempted.size}" +
+      (if (failed.isEmpty) " — complete"
+       else s" — MISSING ${failed.map(_._1).mkString(", ")}")
+    println(summary)
+    System.err.println(summary)
     spark.stop()
   }
 }
