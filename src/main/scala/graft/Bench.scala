@@ -51,10 +51,19 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] entry warmup skipped: $e") }
     try graft.streaming.EventStream.hourlyAvailableNow(spark, warmDir).count()
     catch { case e: Throwable => System.err.println(s"[bench] streaming warmup skipped: $e") }
+    // Per-query failures are RECORDED, not silently timed: a query that
+    // errors at analysis time would otherwise enter the total as ~0 s and
+    // flatter the 2× gate (r8 ADVICE, medium). Failed names ride in the
+    // artifact's headline section so truncation can't hide them.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("\\s+", " ").take(160)
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       math.rint((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
     }
     def jsonMap(m: Iterable[(String, Double)]): String =
@@ -100,15 +109,32 @@ object Bench {
       passes :+= runPass()
     }
     val best = passes.minBy(_.total)
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => " "; case c => c.toString } + "\""
     // headline keys LAST: the driver records a bounded tail of stdout, so
-    // the total/sf/canary fields must survive truncation from the left.
-    println(s"""{"queries":${jsonMap(best.results)},""" +
+    // the total/failed/sf/canary fields must survive truncation from the
+    // left. `failed` lists queries whose timing is time-to-FAILURE, not a
+    // measurement — a non-empty list invalidates the total for gating.
+    val line = s"""{"queries":${jsonMap(best.results)},""" +
       s""""canary_start":${jsonMap(best.canaryStart)},""" +
       s""""canary_end":${jsonMap(best.canaryEnd)},""" +
+      s""""errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString("{", ",", "}")},""" +
       s""""canary_swing":${best.canarySwing},""" +
       s""""value_runs":${passes.map(_.total).mkString("[", ",", "]")},""" +
       s""""passes":${passes.length},""" +
-      s""""metric":"total","value":${best.total},"unit":"sec","sf":"$sfDir"}""")
+      s""""failed":${errors.keys.map(jstr).mkString("[", ",", "]")},""" +
+      s""""failed_count":${errors.size},""" +
+      s""""metric":"total","value":${best.total},"unit":"sec","sf":"$sfDir"}"""
+    println(line)
+    // full line to its own file too: the driver's stdout tail is bounded
+    // and loses the per-query map (r8 ADVICE, low) — the file is the
+    // untruncated record for next-round comparisons
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "/root/repo/BENCH_FULL.json")), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
   }
 }

@@ -314,6 +314,27 @@ object Relational {
     graft.streaming.EventStream.hourlyAvailableNow(s, dir)
   }
 
+  /** Append mode + watermark eviction — the production shape of q55 at
+    * 100 TB, where Complete mode's unbounded re-emission is impossible.
+    * [[graft.streaming.EventStream.hourlyLateDrain]] stages a planted late
+    * cohort into a second micro-batch so the drain exercises BOTH
+    * watermark effects: late-row drop and window finalization. The oracle
+    * is the closed form of those semantics: the hourly agg over the
+    * on-time rows, restricted to windows the final watermark passed. */
+  val q140 = Q("q140_stream_late",
+    """WITH m AS (SELECT max(ts) AS mx FROM events),
+      |ontime AS (
+      |  SELECT e.* FROM events e, m
+      |  WHERE NOT (e.user_id % 50 = 0 AND e.ts <= m.mx - INTERVAL 2 HOUR))
+      |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      |FROM ontime, m
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m.mx - INTERVAL 10 MINUTE
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStream.hourlyLateDrain(s, dir)
+  }
+
   /** Streaming exact dedup: watermarked dropDuplicatesWithinWatermark over
     * the events stream — one bounded state entry per live key, the
     * streaming shape of the q40 exact-dedup operator. Deterministic
@@ -693,5 +714,5 @@ object Relational {
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81, q99,
-      q131)
+      q131, q140)
 }

