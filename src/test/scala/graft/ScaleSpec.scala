@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,35 +30,9 @@ class ScaleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  /** Sum/max of shuffle task metrics while `action` runs. Listener-bus
-    * delivery is async: poll until the numbers stop moving. */
-  private def measure[A](action: => A): (A, Long, Long, Long) = {
-    val write = new AtomicLong; val read = new AtomicLong
-    val maxTaskRead = new AtomicLong
-    val l = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) {
-          write.addAndGet(m.shuffleWriteMetrics.recordsWritten)
-          val r = m.shuffleReadMetrics.recordsRead
-          read.addAndGet(r)
-          maxTaskRead.getAndUpdate(x => math.max(x, r))
-        }
-      }
-    }
-    spark.sparkContext.addSparkListener(l)
-    try {
-      val a = action
-      var prev = -1L
-      var same = 0
-      while (same < 3) { // stable for 300 ms → bus drained
-        Thread.sleep(100)
-        val cur = write.get + read.get
-        if (cur == prev) same += 1 else { same = 0; prev = cur }
-      }
-      (a, write.get, read.get, maxTaskRead.get)
-    } finally spark.sparkContext.removeSparkListener(l)
-  }
+  /** See [[ShuffleMetrics.measure]] (shared with CdcSpec's skew bound). */
+  private def measure[A](action: => A): (A, Long, Long, Long) =
+    ShuffleMetrics.measure(spark)(action)
 
   /** 10× the sf0.001 documents table, generated: 5000 docs of ~40 tokens,
     * every 10th followed by a near-duplicate (2 words prepended). */
@@ -191,6 +162,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(w < corpusShingles / 10,
       s"shuffled $w records; corpus shingle explosion would be ~$corpusShingles")
     println(s"""{"scale_invariants":{"decontam_shuffle":$w,"decontam_corpus_shingles":$corpusShingles}}""")
+  }
+
+  test("triangle count on a 20k-spoke hub: oriented wedges never explode") {
+    // r8 verdict #7: q138's √m claim, asserted on the adversarial shape —
+    // one hub of degree 20k. Unoriented wedge enumeration generates
+    // C(20k,2) ≈ 2·10⁸ wedges AT the hub; degree orientation points every
+    // spoke→hub edge at the hub (higher degree), so the hub has out-degree
+    // 0 and generates ZERO wedges — wedges come only from low-out-degree
+    // corners. 300 planted spoke-spoke edges close 300 hub triangles.
+    val m = 20000L
+    val spokes = spark.range(1, m + 1).select(lit(0L).as("a"), col("id").as("b"))
+    val chain = spark.range(1, 301)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val edges = spokes.unionByName(chain).repartition(8)
+    val (out, w, _, _) = measure {
+      graft.ops.Graph.triangleCounts(edges, "a", "b").collect()
+    }
+    val hub = out.find(_.getLong(0) == 0L).get
+    assert(hub.getLong(1) === 300L, s"hub counted ${hub.getLong(1)} triangles")
+    val e = m + 300L
+    // whole pipeline (distinct, degrees, orientation joins, wedge join,
+    // closure join) bounded by a small multiple of |E| — the naive hub
+    // wedge set alone would be ~2e8 records
+    assert(w < 40L * e, s"shuffled $w records for $e edges — hub wedges leaked")
+    println(s"""{"scale_invariants":{"tri_edges":$e,"tri_shuffle_write":$w,"tri_naive_wedges":${m * (m - 1) / 2}}}""")
   }
 
   test("fuzzy join at 10x: blocked candidates, never all-pairs") {
