@@ -237,4 +237,55 @@ object Graph {
       .withColumn("coeff",
         round(lit(2.0) * col("tri") / (col("degree") * (col("degree") - 1)), 6))
   }
+
+  /** Synchronous label propagation after exactly `rounds` rounds
+    * (Raghavan, Albert, Kumara 2007, "Near linear time algorithm to
+    * detect community structures in large-scale networks") — the
+    * community-detection complement to [[triangleCounts]]/[[kCore]]:
+    * every node starts labeled with its own id; each round it adopts the
+    * label with the largest total edge weight among its neighbors, ties
+    * broken by the SMALLEST label. The weight sums are sums of integral
+    * edge counts, so the argmax is exact in both engines, and the
+    * min-label tiebreak makes the synchronous update fully deterministic
+    * — unlike the paper's randomized asynchronous schedule, which is why
+    * `rounds` is pinned rather than run to (oscillation-prone)
+    * convergence. Returns `(node, community)`.
+    *
+    * Input `pairs` is a DIRECTED weighted edge list `(aCol, bCol, wCol)`;
+    * it is symmetrized here (weights across both directions of a pair
+    * sum), and self-loops vote for the node's own current label —
+    * harmless and kept, so the operator needs no loop filter.
+    *
+    * Scale shape (the [[pageRank]] discipline): the symmetrized edge
+    * table is built ONCE and materialized; per round there is one
+    * edge⋈label hash join keyed on node id, one partial-aggregated
+    * `groupBy(node, label)` (map-side combined), and one per-node argmax.
+    * The argmax is a max(struct(score, -label)) aggregation, NOT a
+    * row_number window — two chained aggregations over the same grouping
+    * key hash-partition once and avoid a full per-node sort. Only
+    * (node, label, score) triples shuffle; `mat` cuts the iterative
+    * lineage per round. */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+      wCol: String, rounds: Int,
+      mat: Materialize = Materialize.Local): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val dir = pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"), col(wCol).cast("double").as("w"))
+    val und = mat(dir
+      .unionByName(dir.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")))
+    var labels = mat(und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    for (_ <- 1 to rounds) {
+      labels = mat(und
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u"), col("lbl")).agg(sum(col("w")).as("s"))
+        // argmax(score, then min label) without a window sort: negate the
+        // label inside the struct so max() realizes the min-label tiebreak
+        .groupBy(col("u"))
+        .agg(max(struct(col("s"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("lbl")))
+    }
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -210,5 +210,37 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
-  val all: Seq[Q] = Seq(q125, q129, q138, q139)
+  /** [[Graph.labelPropagation]]: three synchronous min-tiebreak rounds
+    * over the symmetrized weighted click graph — the community-detection
+    * member of the graph family (PageRank = importance, CC = reachability,
+    * LPA = cohesion). The oracle unrolls the identical three rounds; its
+    * per-node argmax is spelled as a row_number window, while the Spark
+    * side uses a max(struct) double-aggregation (no per-node sort) — same
+    * semantics because the scores are sums of integral edge counts (exact
+    * in double) and ties break on the smallest label in both spellings. */
+  val q142 = Q("q142_label_prop", {
+    val rounds = 3
+    def stepSql(i: Int): String = {
+      val prev = s"l${i - 1}"
+      s"""c$i AS (SELECT und.u AS u, l.lbl AS lbl, sum(und.w) AS s
+        |  FROM und JOIN $prev l ON l.node = und.v GROUP BY und.u, l.lbl),
+        |l$i AS (SELECT u AS node, lbl FROM (
+        |    SELECT u, lbl,
+        |      row_number() OVER (PARTITION BY u ORDER BY s DESC, lbl) AS rn
+        |    FROM c$i) r WHERE rn = 1)""".stripMargin
+    }
+    s"""WITH $edgesSql,
+      |und AS (SELECT u, v, sum(w) AS w FROM (
+      |    SELECT src AS u, dst AS v, w FROM edges
+      |    UNION ALL SELECT dst AS u, src AS v, w FROM edges) s
+      |  GROUP BY u, v),
+      |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und),
+      |${(1 to rounds).map(stepSql).mkString(",\n")}
+      |SELECT node, lbl AS community FROM l$rounds ORDER BY node""".stripMargin
+  }) { (s, dir) =>
+    Graph.labelPropagation(clickEdges(s, dir), "src", "dst", "w", rounds = 3)
+      .orderBy(col("node"))
+  }
+
+  val all: Seq[Q] = Seq(q125, q129, q138, q139, q142)
 }

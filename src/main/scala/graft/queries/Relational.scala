@@ -711,8 +711,34 @@ object Relational {
       .orderBy(col("user_id"), col("k"))
   }
 
+  /** Watermarked stream-stream inner join, drained end-to-end: each click
+    * joined to the same user's purchases within the following 10 minutes
+    * ([[graft.streaming.EventStream.clickPurchaseJoin]] — both sides carry
+    * a 1-hour watermark, so join state is dropped as event time advances;
+    * bounded state at any input rate). Inner-join matches emit eagerly, so
+    * an AvailableNow drain of a finite input produces exactly the batch
+    * join — which is the oracle. StreamingSpec asserts the batch/stream
+    * agreement on fixtures; this row makes the drained operator
+    * oracle-verified on the driver testdata too (previously spec-only). */
+  val q141 = Q("q141_stream_join",
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      |  p.event_id AS purchase_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY user_id, click_id, purchase_id""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStream.clickPurchaseJoinAvailableNow(s, dir)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_s"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts_s"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81, q99,
-      q131, q140)
+      q131, q140, q141)
 }

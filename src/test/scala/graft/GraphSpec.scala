@@ -215,4 +215,56 @@ class GraphSpec extends AnyFunSuite {
     assert(core(k4, k = 3, rounds = 1) == core(k4, k = 3, rounds = 6))
     assert(core(k4, k = 4, rounds = 2).isEmpty)
   }
+
+  private def lpa(edges: Seq[(Long, Long, Double)], rounds: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+      rounds).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two cliques joined by one weak bridge separate") {
+    val c1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j, 1.0)
+    val c2 = for (i <- 10L to 13L; j <- (i + 1) to 13L) yield (i, j, 1.0)
+    val got = lpa(c1 ++ c2 :+ ((4L, 10L, 1.0)), rounds = 3)
+    // min-label tiebreak floods each clique from its smallest id
+    assert((1L to 4L).forall(n => got(n) == 1L))
+    assert((10L to 13L).forall(n => got(n) == 10L), s"got $got")
+  }
+
+  test("labelPropagation: weights dominate counts in the neighbor vote") {
+    // node 3 has two unit-weight neighbors labeled {1,2} and ONE heavy
+    // neighbor labeled 9 — the weighted vote must beat the plurality
+    val got = lpa(Seq((1L, 3L, 1.0), (2L, 3L, 1.0), (9L, 3L, 5.0)), rounds = 1)
+    assert(got(3L) == 9L)
+  }
+
+  test("labelPropagation: tie on score adopts the smallest label; " +
+      "symmetrization sums both directions") {
+    // equal-weight tie between labels 1 and 2 → 1 wins
+    assert(lpa(Seq((1L, 3L, 1.0), (2L, 3L, 1.0)), rounds = 1)(3L) == 1L)
+    // directed duplicates (u→v and v→u) sum: 1.5+1.5 beats the single 2.0
+    val got = lpa(Seq((1L, 3L, 1.5), (3L, 1L, 1.5), (2L, 3L, 2.0)), rounds = 1)
+    assert(got(3L) == 1L)
+  }
+
+  test("labelPropagation: matches a driver-side reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(60)((rnd.nextInt(12).toLong, rnd.nextInt(12).toLong,
+      (rnd.nextInt(3) + 1).toDouble))
+    def local(rounds: Int): Map[Long, Long] = {
+      val und = (edges ++ edges.map(e => (e._2, e._1, e._3)))
+        .groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).sum).toMap
+      val nodes = und.keys.map(_._1).toSeq.distinct
+      var lbl = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lbl = nodes.map { u =>
+          // .toSeq first: collecting a Map into (label, w) pairs would
+          // key-dedup same-label votes instead of keeping them for the sum
+          val votes = und.toSeq.collect { case ((`u`, v), w) => (lbl(v), w) }
+            .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          u -> votes.toSeq.minBy { case (l, s) => (-s, l) }._1
+        }.toMap
+      }
+      lbl
+    }
+    for (r <- Seq(1, 3)) assert(lpa(edges, r) == local(r), s"rounds=$r")
+  }
 }
