@@ -34,9 +34,12 @@ object Graph {
     *     transition table plus one partial-aggregated `groupBy(dst)` — the
     *     Pregel message exchange, linear in |E| and unavoidable — and the
     *     dangling mass as an IN-PLAN broadcast 1-row aggregate (no
-    *     per-round driver action; with a lazy `mat` the whole power
-    *     iteration is one job). Only (node, rank) pairs ever shuffle;
-    *     payloads/documents do not.
+    *     per-round driver action). Only (node, rank) pairs ever shuffle;
+    *     payloads/documents do not. The eager `Local` default is the
+    *     MEASURED best materialization: a lazy `Persist` sounds cheaper
+    *     (one job at the final action) but each round's dangling-mass
+    *     broadcast plans against a not-yet-filled cache and re-derives
+    *     the rank lineage — 2–4× slower end-to-end at sf0.1.
     *   - `mat` cuts plan depth every round (localCheckpoint / persist /
     *     parquet stage), so `iters` rounds never stack an `iters`-deep
     *     Catalyst plan.
@@ -62,8 +65,7 @@ object Graph {
     var ranks = mat(nodes.select(col("node"), lit(1.0 / n).as("rank")))
     for (_ <- 1 to iters) {
       // dangling mass rides IN-PLAN as a broadcast 1-row aggregate — no
-      // per-round driver action; under a lazy `mat` (Persist) the whole
-      // power iteration is ONE Spark job at the final action
+      // per-round driver action
       val dm = broadcast(dangling.join(ranks, "node")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
       val contrib = prob.join(ranks.withColumnRenamed("node", "src"), "src")

@@ -3,8 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{Graph, Materialize}
-import org.apache.spark.storage.StorageLevel
+import graft.ops.Graph
 
 /** Link-graph analytics over the click graph implied by `events`: each
   * user's event stream, ordered by time, is a walk over pages (the `k`
@@ -83,12 +82,7 @@ object GraphQueries {
       |${(1 to Iters).map(stepSql).mkString(",\n")}
       |SELECT node, round(pr, 8) AS pr FROM r$Iters ORDER BY node""".stripMargin
   }) { (s, dir) =>
-    // lazy Persist (not the eager Local default): the rank/transition
-    // tables are |V|-sized — tiny next to the corpus — so per-round eager
-    // localCheckpoint jobs dominate cost; with Persist the whole power
-    // iteration runs as ONE job at the final action (r8 verdict #8)
-    Graph.pageRank(clickEdges(s, dir), Iters, Damping,
-        Materialize.Persist(StorageLevel.MEMORY_AND_DISK))
+    Graph.pageRank(clickEdges(s, dir), Iters, Damping)
       .select(col("node"), round(col("rank"), 8).as("pr"))
       .orderBy(col("node"))
   }
@@ -141,9 +135,7 @@ object GraphQueries {
       .agg(count(lit(1)).cast("double").as("cnt"))
     val tele = vc.crossJoin(broadcast(vc.agg(sum(col("cnt")).as("tc"))))
       .select(col("node"), (col("cnt") / col("tc")).as("t"))
-    // same lazy-Persist rationale as q125 (r8 verdict #8)
-    Graph.personalizedPageRank(clickEdges(s, dir), tele, Iters, Damping,
-        Materialize.Persist(StorageLevel.MEMORY_AND_DISK))
+    Graph.personalizedPageRank(clickEdges(s, dir), tele, Iters, Damping)
       .select(col("node"), round(col("rank"), 8).as("pr"))
       .orderBy(col("node"))
   }

@@ -379,4 +379,38 @@ class ScaleSpec extends AnyFunSuite {
       s"shuffle $w should stay far below naive wedges $naiveWedges")
     println(s"""{"scale_invariants":{"tri_edges":$e,"tri_shuffle_write":$w,"tri_bound":$bound,"tri_naive_wedges":$naiveWedges}}""")
   }
+
+  test("labelPropagation at 10x: per-round shuffle is O(E + V), labels never cross the weak bridge") {
+    // two 2500-node star communities (heavy weight-3 hub edges) joined by
+    // ONE weight-1 bridge between the hubs. Synchronous star LPA
+    // oscillates (hub↔spokes swap labels each round) — which is exactly
+    // why the assertion is weight-dominance, not convergence: every vote
+    // a node receives from inside its own community carries weight 3, the
+    // bridge only 1, so no label can ever migrate across communities.
+    val half = 2500L
+    val starA = spark.range(1, half)
+      .select(lit(0L).as("src"), col("id").as("dst"), lit(3.0).as("w"))
+    val starB = spark.range(half + 1, 2 * half)
+      .select(lit(half).as("src"), col("id").as("dst"), lit(3.0).as("w"))
+    val bridge = Seq((0L, half, 1.0)).toDF("src", "dst", "w")
+    val edges = starA.unionByName(starB).unionByName(bridge).repartition(32)
+    val e = edges.count()
+    val v = 2 * half
+    val rounds = 3
+    val (rows, w, _, _) = measure {
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", "w", rounds)
+        .collect()
+    }
+    val lbl = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.size.toLong == v, "every node labeled")
+    assert((0L until half).forall(n => lbl(n) < half), "A labels stay in A")
+    assert((half until 2 * half).forall(n => lbl(n) >= half), "B labels stay in B")
+    // Shuffle discipline: setup (symmetrize+sum ≤ 2E, node distinct ≤ 2E,
+    // label init ≤ V) plus per-round (edge⋈label exchange ≤ 2E+V,
+    // partial-aggregated vote groupBy ≤ 2E, argmax regroup ≤ 2E) — all
+    // linear in E and V; an all-pairs or window-sort spelling would not be.
+    val bound = 6L * e + 2L * v + rounds.toLong * (6L * e + 4L * v)
+    assert(w <= bound, s"shuffled $w records, bound $bound (E=$e V=$v)")
+    println(s"""{"scale_invariants":{"lpa_edges":$e,"lpa_shuffle_write":$w,"lpa_bound":$bound}}""")
+  }
 }
