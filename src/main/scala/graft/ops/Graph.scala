@@ -290,4 +290,56 @@ object Graph {
     }
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999, "Authoritative
+    * sources in a hyperlinked environment") after exactly `iters` mutual
+    * reinforcement rounds over a directed weighted edge list:
+    * {{{
+    *   a_t(v) = Σ_{u→v} w(u,v) · h_{t-1}(u)   then L1-normalize
+    *   h_t(u) = Σ_{u→v} w(u,v) · a_t(v)       then L1-normalize
+    * }}}
+    * L1 normalization (divide by the sum) instead of the textbook L2:
+    * same fixpoint direction, but the per-round arithmetic stays plain
+    * sum-and-divide — no sqrt — which keeps the unrolled SQL oracle's
+    * float spelling aligned with this plan's. Start h_0 = 1/N. Returns
+    * `(node, hub, auth)` for every node; nodes with no out-edges have
+    * hub 0, no in-edges auth 0 — kept, not dropped (rank-0 is a
+    * result, not an absence).
+    *
+    * Scale shape: identical discipline to [[pageRank]] — edge table
+    * materialized once, per round two edge⋈score hash joins each
+    * followed by a partial-aggregated groupBy on a node key, and the L1
+    * sums as in-plan broadcast 1-row aggregates. Only (node, score)
+    * pairs shuffle. */
+  def hits(edges: DataFrame, iters: Int = 3,
+      mat: Materialize = Materialize.Local): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    val e = mat(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("double").as("w")))
+    val nodes = mat(e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count().toDouble
+    var hub = mat(nodes.select(col("node"), lit(1.0 / n).as("h")))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("a"))
+        .select(col("dst").as("node"), col("a"))
+      val aFull = nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
+      auth = mat(aFull
+        .crossJoin(broadcast(aFull.agg(sum(col("a")).as("s"))))
+        .select(col("node"), (col("a") / col("s")).as("a")))
+      val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("w") * col("a")).as("h"))
+        .select(col("src").as("node"), col("h"))
+      val hFull = nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
+      hub = mat(hFull
+        .crossJoin(broadcast(hFull.agg(sum(col("h")).as("s"))))
+        .select(col("node"), (col("h") / col("s")).as("h")))
+    }
+    nodes.join(hub, "node").join(auth, "node")
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
 }

@@ -234,5 +234,45 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
-  val all: Seq[Q] = Seq(q125, q129, q138, q139, q142)
+  /** [[Graph.hits]]: three mutual-reinforcement rounds over the directed
+    * click graph — hubs (pages whose outgoing transitions lead to
+    * much-visited pages) vs authorities (pages reached from strong
+    * hubs), the link-analysis complement of PageRank's single
+    * importance score. The oracle unrolls the identical L1-normalized
+    * rounds; 8dp rounding absorbs partition-order float drift, the Q
+    * doc convention. */
+  val q143 = Q("q143_hits", {
+    val iters = 3
+    def stepSql(i: Int): String = {
+      val prev = s"h${i - 1}"
+      s"""ar$i AS (SELECT e.dst AS node, sum(e.w * h.h) AS a
+        |  FROM edges e JOIN $prev h ON h.node = e.src GROUP BY e.dst),
+        |af$i AS (SELECT n.node, coalesce(ar.a, 0) AS a
+        |  FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node),
+        |a$i AS (SELECT node, a / (SELECT sum(a) FROM af$i) AS a FROM af$i),
+        |hr$i AS (SELECT e.src AS node, sum(e.w * a.a) AS h
+        |  FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY e.src),
+        |hf$i AS (SELECT n.node, coalesce(hr.h, 0) AS h
+        |  FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node),
+        |h$i AS (SELECT node, h / (SELECT sum(h) FROM hf$i) AS h FROM hf$i)"""
+        .stripMargin
+    }
+    s"""WITH $edgesSql,
+      |nodes AS (SELECT DISTINCT node FROM (
+      |  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS h FROM nodes),
+      |${(1 to iters).map(stepSql).mkString(",\n")}
+      |SELECT n.node, round(h.h, 8) AS hub, round(a.a, 8) AS auth
+      |FROM nodes n JOIN h$iters h ON h.node = n.node
+      |JOIN a$iters a ON a.node = n.node
+      |ORDER BY n.node""".stripMargin
+  }) { (s, dir) =>
+    Graph.hits(clickEdges(s, dir), iters = 3)
+      .select(col("node"), round(col("hub"), 8).as("hub"),
+        round(col("auth"), 8).as("auth"))
+      .orderBy(col("node"))
+  }
+
+  val all: Seq[Q] = Seq(q125, q129, q138, q139, q142, q143)
 }

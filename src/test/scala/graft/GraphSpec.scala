@@ -267,4 +267,57 @@ class GraphSpec extends AnyFunSuite {
     }
     for (r <- Seq(1, 3)) assert(lpa(edges, r) == local(r), s"rounds=$r")
   }
+
+  private def runHits(edges: Seq[(Long, Long, Double)],
+      iters: Int = 3): Map[Long, (Double, Double)] =
+    Graph.hits(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+  test("hits: star — center is the sole authority, spokes the equal hubs") {
+    val got = runHits(Seq((1L, 9L, 1.0), (2L, 9L, 1.0), (3L, 9L, 1.0)))
+    assert(math.abs(got(9L)._2 - 1.0) < 1e-12, "center holds all authority")
+    assert(math.abs(got(9L)._1) < 1e-12, "center sources nothing")
+    Seq(1L, 2L, 3L).foreach { n =>
+      assert(math.abs(got(n)._1 - 1.0 / 3) < 1e-12, s"hub $n")
+      assert(math.abs(got(n)._2) < 1e-12, s"auth $n")
+    }
+  }
+
+  test("hits: weights skew authority toward the heavier target") {
+    // one hub points at two targets with weights 3 vs 1 → auth 3/4 vs 1/4
+    val got = runHits(Seq((1L, 2L, 3.0), (1L, 3L, 1.0)))
+    assert(math.abs(got(2L)._2 - 0.75) < 1e-12)
+    assert(math.abs(got(3L)._2 - 0.25) < 1e-12)
+  }
+
+  test("hits: matches a driver-side reference; scores L1-normalize each round") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(50)((rnd.nextInt(10).toLong, rnd.nextInt(10).toLong,
+      (rnd.nextInt(3) + 1).toDouble)).distinct
+    def local(iters: Int): Map[Long, (Double, Double)] = {
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var h = nodes.map(_ -> 1.0 / nodes.size).toMap
+      var a = Map.empty[Long, Double]
+      for (_ <- 1 to iters) {
+        val ar = nodes.map(v => v ->
+          edges.collect { case (u, `v`, w) => w * h(u) }.sum).toMap
+        val as = ar.values.sum
+        a = ar.view.mapValues(_ / as).toMap
+        val hr = nodes.map(u => u ->
+          edges.collect { case (`u`, v, w) => w * a(v) }.sum).toMap
+        val hs = hr.values.sum
+        h = hr.view.mapValues(_ / hs).toMap
+      }
+      nodes.map(n => n -> (h(n), a(n))).toMap
+    }
+    val got = runHits(edges)
+    val want = local(3)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (n, (hh, aa)) =>
+      assert(math.abs(hh - want(n)._1) < 1e-9, s"hub $n")
+      assert(math.abs(aa - want(n)._2) < 1e-9, s"auth $n")
+    }
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9, "hub mass")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9, "auth mass")
+  }
 }
