@@ -761,6 +761,51 @@ object Dedup {
       .agg(count(lit(1)).as("shared")) // shingle hashes are pre-distinct per doc
   }
 
+  /** Pairwise cross-corpus overlap matrix: for every pair of groups
+    * (sources/splits/snapshots), how many DISTINCT token n-gram
+    * fingerprints they share, and the containment ratio
+    * `shared / min(|grams_a|, |grams_b|)` — the dataset-level
+    * contamination report ([[decontaminate]] answers "which documents";
+    * this answers "which SOURCES leak into each other", the audit a
+    * mixture design reads before weighting corpora).
+    *
+    * Returns `(group_a, group_b, shared, grams_a, grams_b, containment)`
+    * for unordered pairs (group_a < group_b) with shared > 0.
+    *
+    * Scale shape: one distinct over (group, shingle-hash) — shuffle ∝
+    * distinct grams, the corpus never moves — then ONE groupBy(sh)
+    * collecting the ≤|groups| group-set per fingerprint, and pair counts
+    * emitted by exploding each set's combinations: S groups yield
+    * ≤ S(S−1)/2 rows per shared fingerprint, NO sh-keyed self-join (a
+    * join spelling fans the same pairs out of a wider exchange; the
+    * collect_set spelling caps per-key state at S, which is dozens while
+    * fingerprints are billions). The group-count join at the end is
+    * groups-sized — broadcast. */
+  def crossOverlap(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+      toksCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    val sh = docs.select(col(groupCol).as("g"),
+        explode(tokenShingleHashes(col(toksCol), n)).as("sh"))
+      .distinct()
+    val grams = sh.groupBy(col("g")).agg(count(lit(1)).as("grams"))
+    val combos = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_set(col("g"))).as("gs"))
+      .filter(size(col("gs")) > 1)
+      .select(explode(flatten(transform(col("gs"), (a, i) =>
+        transform(slice(col("gs"), i + lit(2), size(col("gs"))),
+          b => struct(a.as("ga"), b.as("gb")))))).as("p"))
+      .groupBy(col("p.ga").as("group_a"), col("p.gb").as("group_b"))
+      .agg(count(lit(1)).as("shared"))
+    combos
+      .join(broadcast(grams).withColumnRenamed("g", "group_a")
+        .withColumnRenamed("grams", "grams_a"), "group_a")
+      .join(broadcast(grams).withColumnRenamed("g", "group_b")
+        .withColumnRenamed("grams", "grams_b"), "group_b")
+      .select(col("group_a"), col("group_b"), col("shared"),
+        col("grams_a"), col("grams_b"),
+        round(col("shared") / least(col("grams_a"), col("grams_b")), 6)
+          .as("containment"))
+  }
+
   /** Token-level deletion-neighborhood keys for [[fuzzyJoin]] (FastSS,
     * Bocek et al. 2007, "Fast Similarity Search in Large and Sparse
     * Dictionaries"): the hash of the token sequence itself plus the hash

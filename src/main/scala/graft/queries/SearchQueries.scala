@@ -105,6 +105,38 @@ object SearchQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q144: cross-source overlap / contamination matrix ----
+
+  /** [[Dedup.crossOverlap]] over the `source` column: which corpus
+    * sources share verbatim 8-gram content, and how much (containment =
+    * shared / smaller gram set) — the source-level audit that complements
+    * q101's document-level decontamination. The oracle spells the pair
+    * generation as a shingle-keyed self-join; the Spark side collects the
+    * per-fingerprint group set and explodes combinations instead (same
+    * counts, because the (group, sh) pairs are pre-distinct in both). */
+  val q144 = Q("q144_source_overlap", {
+    val th = s"list_transform(toks, t -> ${Hashing.hash31Sql("t")})"
+    s"""WITH tok AS (SELECT source, ${TextAnalysis.toksSql} AS toks FROM documents),
+      |sh AS (SELECT DISTINCT source, unnest(${Dedup.shingleHashesSql("th", ContamN)}) AS sh
+      |       FROM (SELECT source, $th AS th FROM tok)),
+      |grams AS (SELECT source, count(*) AS grams FROM sh GROUP BY source),
+      |pairs AS (SELECT a.source AS group_a, b.source AS group_b,
+      |            count(*) AS shared
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+      |          GROUP BY 1, 2)
+      |SELECT p.group_a AS group_a, p.group_b AS group_b, p.shared AS shared,
+      |  ga.grams AS grams_a, gb.grams AS grams_b,
+      |  round(p.shared / least(ga.grams, gb.grams), 6) AS containment
+      |FROM pairs p JOIN grams ga ON ga.source = p.group_a
+      |JOIN grams gb ON gb.source = p.group_b
+      |ORDER BY group_a, group_b""".stripMargin
+  }) { (s, dir) =>
+    Dedup.crossOverlap(Tables.documents(s, dir)
+        .select(col("source"), TextAnalysis.toks(col("text")).as("toks")),
+      "source", "toks", ContamN)
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   // ---- Q102: importance-resampling data selection ----
 
   /** [[Selection.importanceTopK]]: target distribution = the zh-labeled
@@ -193,5 +225,5 @@ object SearchQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val all: Seq[Q] = Seq(q100, q101, q102, q108)
+  val all: Seq[Q] = Seq(q100, q101, q102, q108, q144)
 }

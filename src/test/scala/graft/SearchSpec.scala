@@ -83,6 +83,48 @@ class SearchSpec extends AnyFunSuite {
     assert(Dedup.decontaminate(corpus, test, "doc_id", "toks", 8).count() === 0)
   }
 
+  // ---- cross-source overlap matrix ----
+
+  private def srcDF(rows: Seq[(String, String)]) =
+    rows.toDF("source", "text")
+      .select(col("source"), TextAnalysis.toks(col("text")).as("toks"))
+
+  test("crossOverlap: shared grams counted once per pair, disjoint pairs absent") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8" // one 8-gram, shared by a and b
+    val docs = srcDF(Seq(
+      "a" -> s"$span tail1 tail2 tail3",
+      // b carries the span twice (two docs) — distinct-per-group still 1
+      "b" -> s"$span other1 other2",
+      "b" -> s"prefix $span",
+      "c" -> "entirely different words with no shared window at all x1 x2"))
+    val got = Dedup.crossOverlap(docs, "source", "toks", 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(("a", "b")), s"got $got")
+    assert(got(("a", "b")) == 1L, "the span is ONE distinct 8-gram per group")
+  }
+
+  test("crossOverlap: containment normalizes by the smaller gram set") {
+    // a = exactly the 9-token doc (2 distinct 8-grams), b = the same doc
+    // plus unrelated bulk → shared = 2, containment = 2 / |grams_a| = 1.0
+    val core = "c1 c2 c3 c4 c5 c6 c7 c8 c9"
+    val docs = srcDF(Seq(
+      "a" -> core,
+      "b" -> s"$core b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"))
+    val row = Dedup.crossOverlap(docs, "source", "toks", 8).collect().head
+    assert(row.getLong(2) == 2L, "shared")
+    assert(row.getLong(3) == 2L, "grams_a")
+    assert(row.getLong(4) > 2L, "grams_b")
+    assert(math.abs(row.getDouble(5) - 1.0) < 1e-12, "containment")
+  }
+
+  test("crossOverlap: three-way shared gram yields all three pairs") {
+    val span = "z1 z2 z3 z4 z5 z6 z7 z8"
+    val docs = srcDF(Seq("a" -> span, "b" -> s"$span u1", "c" -> s"v1 $span"))
+    val pairs = Dedup.crossOverlap(docs, "source", "toks", 8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b"), ("a", "c"), ("b", "c")))
+  }
+
   // ---- importance selection ----
 
   test("importanceTopK: target-like documents outrank background-like") {
