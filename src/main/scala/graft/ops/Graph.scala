@@ -319,27 +319,28 @@ object Graph {
     val nodes = mat(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count().toDouble
+    // Intermediate vectors stay SPARSE (only nonzero scores): a zero-score
+    // node contributes nothing to the edge joins OR the L1 sums, so
+    // densifying per round (a nodes-join + coalesce each half-step) buys
+    // nothing — the zeros are materialized once, at the final output.
     var hub = mat(nodes.select(col("node"), lit(1.0 / n).as("h")))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst")).agg(sum(col("w") * col("h")).as("a"))
         .select(col("dst").as("node"), col("a"))
-      val aFull = nodes.join(aRaw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("a"), lit(0.0)).as("a"))
-      auth = mat(aFull
-        .crossJoin(broadcast(aFull.agg(sum(col("a")).as("s"))))
+      auth = mat(aRaw
+        .crossJoin(broadcast(aRaw.agg(sum(col("a")).as("s"))))
         .select(col("node"), (col("a") / col("s")).as("a")))
       val hRaw = e.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src")).agg(sum(col("w") * col("a")).as("h"))
         .select(col("src").as("node"), col("h"))
-      val hFull = nodes.join(hRaw, Seq("node"), "left")
-        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"))
-      hub = mat(hFull
-        .crossJoin(broadcast(hFull.agg(sum(col("h")).as("s"))))
+      hub = mat(hRaw
+        .crossJoin(broadcast(hRaw.agg(sum(col("h")).as("s"))))
         .select(col("node"), (col("h") / col("s")).as("h")))
     }
-    nodes.join(hub, "node").join(auth, "node")
-      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+    nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("auth"))
   }
 }
