@@ -737,8 +737,42 @@ object Relational {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Stateful streaming sessionization, drained end-to-end: the
+    * `flatMapGroupsWithState` session counter
+    * ([[graft.streaming.EventStream.sessionCounts]] — one small state
+    * record per active user, >30-minute gaps split sessions) run with
+    * AvailableNow into an Update-mode sink, final per-user state
+    * extracted as the per-user max (both totals are monotone across
+    * micro-batches). Oracle = the q09 batch gaps-and-islands
+    * sessionization reduced to the same (user, sessions, events) shape —
+    * stream/batch agreement as a driver-checked row, not just the
+    * StreamingSpec fixture assertion. */
+  val q145 = Q("q145_stream_sessions",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN pts IS NULL OR epoch_us(ts) - epoch_us(pts) > 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM b),
+      |per AS (
+      |  SELECT user_id, session_id, count(*) AS n_ev
+      |  FROM sess GROUP BY user_id, session_id)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  CAST(sum(n_ev) AS BIGINT) AS n_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStream.sessionCountsAvailableNow(s, dir)
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81, q99,
-      q131, q140, q141)
+      q131, q140, q141, q145)
 }

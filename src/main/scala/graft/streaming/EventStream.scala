@@ -316,6 +316,27 @@ object EventStream {
   private def micros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** Drain [[sessionCounts]] with AvailableNow into a memory sink and
+    * return the FINAL per-user state. Update mode emits one row per user
+    * per micro-batch that touched the user; both totals are monotone
+    * non-decreasing across batches, so the final state is the per-user
+    * max — deterministic under any batching of the input. */
+  def sessionCountsAvailableNow(spark: SparkSession, sfDir: String,
+                                statePartitions: Int = 4): DataFrame = {
+    val ss = scopedSession(spark, statePartitions)
+    val name = "graft_stream_sessions"
+    val q = sessionCounts(read(ss, sfDir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"),
+        max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** Custom session state over a user-keyed stream: counts sessions split
     * on >30-minute gaps, carrying (lastTs, totals) across micro-batches —
     * the stateful analogue of the q09 batch window sessionization. Events
