@@ -81,6 +81,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin == Map(1 -> 2L, 2 -> 1L))
   }
 
+  test("sessionization state carries across batches; final state = per-user max") {
+    import java.sql.Timestamp
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000 // minutes in Timestamp millis
+    def ev(u: Long, min: Long, id: Long) = (u, new Timestamp(min * m), id)
+    // user 1: batch 1 ends at minute 10; batch 2 resumes at minute 20
+    // (gap 10m < 30m — SAME session, only if state carried lastTs) and
+    // then minute 60 (gap 40m — a genuine new session). user 2 appears
+    // only in batch 1.
+    val b1 = Seq(ev(1L, 0L, 1L), ev(1L, 10L, 2L), ev(2L, 5L, 3L))
+    val b2 = Seq(ev(1L, 20L, 4L), ev(1L, 60L, 5L))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Timestamp, Long)]
+    val q = EventStream.sessionCounts(
+        ms.toDF.toDF("user_id", "ts", "event_id"))
+      .writeStream.format("memory").queryName("sess_xbatch")
+      .outputMode("update").start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+    // the q145 extraction: Update mode emitted user 1 twice (once per
+    // batch); totals are monotone so max() recovers the final state
+    val fin = s.table("sess_xbatch").groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("ns"), max(col("n_events")).as("ne"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fin == Map(1L -> ((2L, 4L)), 2L -> ((1L, 1L))), s"got $fin")
+    // the intermediate emission really was smaller — max() was load-bearing
+    val u1Rows = s.table("sess_xbatch").filter(col("user_id") === 1L).count()
+    assert(u1Rows == 2L, "one Update row per batch for user 1")
+  }
+
   test("foreachBatch upsert: stream state == batch last-write-wins per user") {
     import org.apache.spark.sql.expressions.Window
     val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert")
