@@ -65,7 +65,26 @@ object Tables {
     normalizeTs(load(spark, sfDir, "events"))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** `embeddings` with the same loud-fail dtype seam as [[normalizeTs]]:
+    * every vector operator (native DotProduct/SqDistLong, PQ/SQ8 encode,
+    * LSH planes) and every oracle precision contract is written against
+    * `embedding: array<float>`. If the driver ever regenerates the table
+    * at a different element width, the RIGHT response is a deliberate
+    * decision at THIS seam (widen here AND re-check oracle float parity —
+    * DuckDB would read the new width natively while a silent Spark cast
+    * would not match it), not twenty scattered per-query failures. */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = load(spark, sfDir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case other => throw new IllegalStateException(
+        s"embeddings.embedding has unsupported type $other (expected " +
+          "array<float>); extend Tables.embeddings for the new testdata " +
+          "encoding — and re-verify oracle precision parity when widening")
+    }
+  }
 }
 
 /** One driver-visible query: the Spark plan plus (when expressible in

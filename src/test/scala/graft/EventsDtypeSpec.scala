@@ -86,6 +86,21 @@ class EventsDtypeSpec extends AnyFunSuite {
     }
   }
 
+  test("Tables.embeddings: float vectors load; a width drift fails loudly at the seam") {
+    val okDir = java.nio.file.Files.createTempDirectory("emb_ok").toString
+    spark.range(0, 4).select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(2.0f)).as("embedding"), lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$okDir/embeddings.parquet")
+    assert(Tables.embeddings(spark, okDir).count() == 4L)
+
+    val badDir = java.nio.file.Files.createTempDirectory("emb_bad").toString
+    spark.range(0, 4).select(col("id").as("vec_id"),
+        array(lit(1.0), lit(2.0)).as("embedding"), lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$badDir/embeddings.parquet")
+    val e = intercept[IllegalStateException](Tables.embeddings(spark, badDir))
+    assert(e.getMessage.contains("Tables.embeddings"), e.getMessage)
+  }
+
   test("normalizeTs fails loudly on a NEW unexpected encoding") {
     val weird = baseDf.withColumn("ts", col("ts_us").cast(StringType))
     val e = intercept[IllegalStateException](Tables.normalizeTs(weird))
