@@ -413,4 +413,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(w <= bound, s"shuffled $w records, bound $bound (E=$e V=$v)")
     println(s"""{"scale_invariants":{"lpa_edges":$e,"lpa_shuffle_write":$w,"lpa_bound":$bound}}""")
   }
+
+  test("hits at 10x: per-round shuffle is O(E + V), sparse intermediates never densify") {
+    // 5k-spoke star + a chain tail: hubs/authorities polarize (spokes are
+    // pure hubs, the center a pure authority) and the chain keeps both
+    // score tables non-trivial across rounds
+    val s5 = 5000L
+    val spokes = spark.range(1, s5 + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"), lit(1.0).as("w"))
+    val chain = spark.range(0, 50)
+      .select((col("id") + s5 + 1).as("src"), (col("id") + s5 + 2).as("dst"),
+        lit(1.0).as("w"))
+    val edges = spokes.unionByName(chain).repartition(32)
+    val e = edges.count()
+    val v = s5 + 53
+    val iters = 3
+    val (rows, w, _, _) = measure {
+      graft.ops.Graph.hits(edges, iters).collect()
+    }
+    val byNode = rows.map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(math.abs(byNode(0L)._2 - byNode.values.map(_._2).max) < 1e-12,
+      "the star center is the top authority")
+    assert(byNode(0L)._1 == 0.0, "the center sources nothing — hub exactly 0")
+    // per round: two edge⋈score joins (≤ 2(E+V) exchange each) + two
+    // partial-aggregated score groupBys (≤ E) + broadcast normalizers;
+    // setup ≤ a few E. Densifying intermediates (a nodes-join each
+    // half-round) or an all-pairs spelling would overshoot.
+    val bound = 6L * e + 2L * v + iters.toLong * (6L * e + 6L * v)
+    assert(w <= bound, s"shuffled $w records, bound $bound (E=$e V=$v)")
+    println(s"""{"scale_invariants":{"hits_edges":$e,"hits_shuffle_write":$w,"hits_bound":$bound}}""")
+  }
 }
