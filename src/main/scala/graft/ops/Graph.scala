@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Cast `w` to double, failing the job loudly on a null or
+    * non-positive weight. The normalizing operators ([[hits]],
+    * [[labelPropagation]]) divide by / argmax over weight SUMS; a zero
+    * or negative weight would corrupt those silently (0-normalizer →
+    * NaN, signed sums ≠ Σ|·|), so it is an input-contract violation,
+    * not a value to filter away behind the caller's back. Rides inside
+    * the one-time edge projection — no extra pass over the data. */
+  private def positiveWeight(w: org.apache.spark.sql.Column,
+      op: String): org.apache.spark.sql.Column = {
+    val d = w.cast("double")
+    when(d.isNull || d <= 0.0,
+      raise_error(concat(lit(s"$op: edge weight must be strictly positive, got "),
+        coalesce(w.cast("string"), lit("null")))).cast("double"))
+      .otherwise(d)
+  }
+
   /** Weighted PageRank over a directed edge list `(src, dst, w)` →
     * `(node, rank)` for every node appearing as src or dst.
     *
@@ -272,7 +288,8 @@ object Graph {
       mat: Materialize = Materialize.Local): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     val dir = pairs.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v"), col(wCol).cast("double").as("w"))
+      col(bCol).cast("long").as("v"),
+      positiveWeight(col(wCol), "Graph.labelPropagation").as("w"))
     val und = mat(dir
       .unionByName(dir.select(col("v").as("u"), col("u").as("v"), col("w")))
       .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")))
@@ -310,12 +327,19 @@ object Graph {
     * materialized once, per round two edge⋈score hash joins each
     * followed by a partial-aggregated groupBy on a node key, and the L1
     * sums as in-plan broadcast 1-row aggregates. Only (node, score)
-    * pairs shuffle. */
-  def hits(edges: DataFrame, iters: Int = 3,
+    * pairs shuffle.
+    *
+    * Weights must be strictly positive: a zero/negative/null weight
+    * would make the L1 normalizer 0 or a signed sum (sum ≠ Σ|·|),
+    * silently yielding NaN/absurd scores — so the edge projection fails
+    * loudly instead (see [[positiveWeight]]). */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      wCol: String = "w", iters: Int = 3,
       mat: Materialize = Materialize.Local): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
-    val e = mat(edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("double").as("w")))
+    val e = mat(edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      positiveWeight(col(wCol), "Graph.hits").as("w")))
     val nodes = mat(e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count().toDouble

@@ -141,5 +141,111 @@ object SourceQueries {
     Sources.orc(s, path).orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q90, q91, q92, q94, q110)
+  /** Write one small fixture file per row from the EXECUTORS (no driver
+    * collect): `nameOf(row)` under `dir` (nested parents created), content
+    * `bytesOf(row)`. local[*] means executor-local fs == the scratch fs.
+    * Deterministic names+content make re-runs idempotent overwrite. */
+  private def writeFixtureFiles(df: org.apache.spark.sql.DataFrame, dir: String,
+      nameOf: org.apache.spark.sql.Row => String,
+      bytesOf: org.apache.spark.sql.Row => Array[Byte]): Unit = {
+    new java.io.File(dir).mkdirs()
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.foreach { r =>
+        val p = java.nio.file.Paths.get(dir, nameOf(r))
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, bytesOf(r))
+        ()
+      }
+    }
+  }
+
+  /** S8: headered CSV source with explicit schema (`selected_tags.csv`,
+    * `tagger.py:32`). Written as a MULTI-part headered CSV — one header
+    * row per part file, which the header-aware reader must skip in every
+    * part, not just the first — and read back through
+    * [[Sources.csvWithHeader]]; the oracle recomputes the rows straight
+    * from parquet, so a green row proves the full write→read roundtrip. */
+  val q146 = Q("q146_csv_header_roundtrip",
+    """SELECT doc_id, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val path = scratch("csvhdr", dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartition(3) // one header row PER part
+      .write.mode("overwrite").option("header", "true").csv(path)
+    Sources.csvWithHeader(s, path,
+        "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+      .orderBy(col("doc_id"))
+  }
+
+  /** S5: optional `.caption` sidecars as a LEFT join — the reference
+    * treats captions as optional per image
+    * (`legacy/merge_all_to_metadata.py:137-151`), so the query proves
+    * both COVERAGE (caption is null exactly where no sidecar file
+    * exists; every 17th doc gets one) and CONTENT (the caption string
+    * itself hash-compares). Sidecar files are written from the
+    * executors, one `{doc_id}.caption` each. */
+  val q147 = Q("q147_caption_sidecar_coverage",
+    """SELECT CAST(doc_id AS VARCHAR) AS image_key, lang,
+      |  CASE WHEN doc_id % 17 = 0 THEN trim(text) END AS caption
+      |FROM documents ORDER BY image_key""".stripMargin) { (s, dir) =>
+    val path = scratch("caps", dir)
+    writeFixtureFiles(
+      Tables.documents(s, dir).filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("text")),
+      path, r => r.getLong(0) + ".caption",
+      r => (r.getString(1) + "\n").getBytes("UTF-8"))
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string").as("image_key"), col("lang"))
+      .join(Sources.sidecarCaptions(s, path), Seq("image_key"), "left")
+      .orderBy(col("image_key"))
+  }
+
+  /** S1: flat image-directory glob (`run.py:38-41`). Fixture "images"
+    * (content = the doc's text bytes — the byte LENGTH is what the
+    * oracle can recompute, via strlen = UTF-8 bytes) plus a planted
+    * non-image decoy that the `*.{jpg,png,jpeg}` glob must exclude. */
+  val q148 = Q("q148_image_glob",
+    """SELECT CAST(doc_id AS VARCHAR) || '.jpg' AS file,
+      |  CAST(strlen(text) AS BIGINT) AS byte_len
+      |FROM documents WHERE doc_id % 17 = 3 ORDER BY file""".stripMargin) { (s, dir) =>
+    val path = scratch("imgs", dir)
+    writeFixtureFiles(
+      Tables.documents(s, dir).filter(col("doc_id") % 17 === 3)
+        .select(col("doc_id"), col("text")),
+      path, r => r.getLong(0) + ".jpg",
+      r => r.getString(1).getBytes("UTF-8"))
+    java.nio.file.Files.write( // decoy: must NOT appear in the scan
+      java.nio.file.Paths.get(path, "notes.txt"), "not an image".getBytes("UTF-8"))
+    Sources.imageDir(s, path)
+      .select(graft.ops.Paths.baseName(col("path")).as("file"),
+        length(col("content")).cast("long").as("byte_len"))
+      .orderBy(col("file"))
+  }
+
+  /** S2: RECURSIVE image scan over a nested tree (`glob_images_pathlib`
+    * with `--full_path`): files land under `sub{doc_id % 5}/`, the
+    * recursive load must find all of them (the non-recursive S1 scan
+    * would see none), and the per-subdir rollup hash-compares against
+    * the oracle's arithmetic reconstruction of the tree. */
+  val q149 = Q("q149_image_recursive",
+    """SELECT 'sub' || CAST(doc_id % 5 AS VARCHAR) AS sub,
+      |  count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+      |FROM documents WHERE doc_id % 17 = 5
+      |GROUP BY sub ORDER BY sub""".stripMargin) { (s, dir) =>
+    val path = scratch("imgtree", dir)
+    writeFixtureFiles(
+      Tables.documents(s, dir).filter(col("doc_id") % 17 === 5)
+        .select(col("doc_id"), col("text")),
+      path, r => s"sub${r.getLong(0) % 5}/${r.getLong(0)}.png",
+      r => r.getString(1).getBytes("UTF-8"))
+    Sources.imageDir(s, path, recursive = true)
+      .select(regexp_extract(col("path"), "/(sub\\d+)/", 1).as("sub"),
+        length(col("content")).as("b"))
+      .groupBy(col("sub"))
+      .agg(count(lit(1)).as("n"), sum(col("b")).cast("long").as("total_bytes"))
+      .orderBy(col("sub"))
+  }
+
+  val all: Seq[Q] = Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149)
 }

@@ -340,7 +340,25 @@ object EventStream {
   /** Custom session state over a user-keyed stream: counts sessions split
     * on >30-minute gaps, carrying (lastTs, totals) across micro-batches —
     * the stateful analogue of the q09 batch window sessionization. Events
-    * within a batch are processed in (ts, event_id) order. */
+    * within a batch are processed in (ts, event_id) order.
+    *
+    * Cross-batch ordering contract: batches must arrive in event-time
+    * order PER USER — a batch whose earliest event for a user predates
+    * that user's stored `lastTs` would produce a negative gap (which can
+    * never split a session) and silently diverge from the batch oracle,
+    * so it FAILS LOUDLY here instead. Within a batch, arbitrary disorder
+    * is fine (sorted below); across batches, sources that replay or
+    * interleave event time need event-time-timeout semantics instead of
+    * this operator.
+    *
+    * Memory shape: `it` is ONE user's slice of ONE micro-batch, and the
+    * sort buffers exactly that slice (an `Array[Ev]`, sorted in place) —
+    * O(max events per user per batch), NOT O(stream) or O(batch). This
+    * is the standard flatMapGroupsWithState shape; the single unbounded
+    * input is one hot key owning an entire giant batch, which is a
+    * batch-sizing concern (maxFilesPerTrigger / maxOffsetsPerTrigger),
+    * not an operator one — StreamingSpec pins the behavior with a
+    * one-user-owns-the-batch test. */
   def sessionCounts(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -349,8 +367,14 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, UserSessions](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val sorted = it.toArray.sortInPlaceBy(e => (micros(e.ts), e.event_id))
           val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          if (init.lastTsMicros != Long.MinValue && sorted.nonEmpty &&
+              micros(sorted.head.ts) < init.lastTsMicros)
+            throw new IllegalStateException(
+              s"sessionCounts: user $uid batch opens at ${micros(sorted.head.ts)}us, " +
+                s"before stored lastTs ${init.lastTsMicros}us — batches must be " +
+                "in per-user event-time order (see scaladoc)")
           val end = sorted.foldLeft(init) { (st, e) =>
             val tsMicros = micros(e.ts)
             val newSession = st.lastTsMicros == Long.MinValue ||

@@ -270,7 +270,7 @@ class GraphSpec extends AnyFunSuite {
 
   private def runHits(edges: Seq[(Long, Long, Double)],
       iters: Int = 3): Map[Long, (Double, Double)] =
-    Graph.hits(edges.toDF("src", "dst", "w"), iters)
+    Graph.hits(edges.toDF("src", "dst", "w"), iters = iters)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
 
   test("hits: star — center is the sole authority, spokes the equal hubs") {
@@ -319,5 +319,33 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9, "hub mass")
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9, "auth mass")
+  }
+
+  test("hits: custom column names match the src/dst/w defaults") {
+    val edges = Seq((1L, 9L, 1.0), (2L, 9L, 2.0), (9L, 2L, 1.0))
+    val renamed = Graph.hits(edges.toDF("from", "to", "weight"),
+        "from", "to", "weight")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(renamed == runHits(edges))
+  }
+
+  test("hits / labelPropagation fail loudly on non-positive or null weights") {
+    // a 0/negative weight corrupts the L1 normalizer / weighted vote
+    // silently — the contract is a loud failure, not a silent NaN
+    def chainMsg(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chainMsg(t.getCause)
+    for (w <- Seq(0.0, -1.0)) {
+      val bad = Seq((1L, 2L, 1.0), (2L, 3L, w)).toDF("src", "dst", "w")
+      val e1 = intercept[Exception] { Graph.hits(bad).collect() }
+      assert(chainMsg(e1).contains("strictly positive"), s"hits w=$w: $e1")
+      val e2 = intercept[Exception] {
+        Graph.labelPropagation(bad, "src", "dst", "w", 1).collect()
+      }
+      assert(chainMsg(e2).contains("strictly positive"), s"lpa w=$w: $e2")
+    }
+    val nullW = Seq((1L, 2L, Some(1.0)), (2L, 3L, None))
+      .toDF("src", "dst", "w")
+    val e3 = intercept[Exception] { Graph.hits(nullW).collect() }
+    assert(chainMsg(e3).contains("strictly positive"), s"null w: $e3")
   }
 }

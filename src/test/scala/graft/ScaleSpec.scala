@@ -426,10 +426,13 @@ class ScaleSpec extends AnyFunSuite {
         lit(1.0).as("w"))
     val edges = spokes.unionByName(chain).repartition(32)
     val e = edges.count()
-    val v = s5 + 53
+    // derive V from the data (like the LPA test derives E) rather than
+    // hand-counting the star+chain construction
+    val v = edges.select(col("src").as("n"))
+      .unionByName(edges.select(col("dst").as("n"))).distinct().count()
     val iters = 3
     val (rows, w, _, _) = measure {
-      graft.ops.Graph.hits(edges, iters).collect()
+      graft.ops.Graph.hits(edges, iters = iters).collect()
     }
     val byNode = rows.map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     assert(math.abs(byNode(0L)._2 - byNode.values.map(_._2).max) < 1e-12,

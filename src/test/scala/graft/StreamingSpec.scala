@@ -114,6 +114,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1Rows == 2L, "one Update row per batch for user 1")
   }
 
+  test("sessionization hot key: one user owning an entire large batch is fine") {
+    // the per-batch buffer is O(max events per user per batch) — pin that
+    // a single key owning the whole batch (the worst case) completes and
+    // counts correctly: 50k events at 1-minute spacing, every 1000th gap
+    // widened to 40m -> deterministic session count
+    import java.sql.Timestamp
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000
+    val n = 50000
+    val evs = (0 until n).map { i =>
+      // every 1000th event jumps 40 minutes -> a new session
+      val min = i.toLong + 39L * (i / 1000)
+      (7L, new Timestamp(min * m), i.toLong)
+    }
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Timestamp, Long)]
+    val q = EventStream.sessionCounts(
+        ms.toDF.toDF("user_id", "ts", "event_id"))
+      .writeStream.format("memory").queryName("sess_hotkey")
+      .outputMode("update").start()
+    ms.addData(evs); q.processAllAvailable()
+    q.stop()
+    val fin = s.table("sess_hotkey").groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("ns"), max(col("n_events")).as("ne"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(fin == ((50L, n.toLong)), s"got $fin") // sessions: i=0 plus 49 jumps
+  }
+
+  test("sessionization rejects cross-batch event-time disorder loudly") {
+    // a batch-2 event BEFORE the stored lastTs would produce a negative
+    // gap that can never split a session — the operator must fail, not
+    // silently diverge from the batch oracle
+    import java.sql.Timestamp
+    val s = spark
+    import s.implicits._
+    val m = 60L * 1000
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[
+      (Long, Timestamp, Long)]
+    val q = EventStream.sessionCounts(
+        ms.toDF.toDF("user_id", "ts", "event_id"))
+      .writeStream.format("memory").queryName("sess_disorder")
+      .outputMode("update").start()
+    ms.addData(Seq((1L, new Timestamp(10L * m), 1L)))
+    q.processAllAvailable()
+    ms.addData(Seq((1L, new Timestamp(5L * m), 2L))) // replays the past
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("event-time order")), s"unexpected cause: $ex")
+  }
+
   test("foreachBatch upsert: stream state == batch last-write-wins per user") {
     import org.apache.spark.sql.expressions.Window
     val stateDir = java.nio.file.Files.createTempDirectory("graft_upsert")
