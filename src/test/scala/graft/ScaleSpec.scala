@@ -446,4 +446,54 @@ class ScaleSpec extends AnyFunSuite {
     assert(w <= bound, s"shuffled $w records, bound $bound (E=$e V=$v)")
     println(s"""{"scale_invariants":{"hits_edges":$e,"hits_shuffle_write":$w,"hits_bound":$bound}}""")
   }
+
+  test("crossOverlap at 10x skewed sources: shuffle O(distinct (source,gram)), " +
+      "per-fingerprint state ≤ #sources") {
+    // 5500 docs across 10 sources, HEAVILY skewed (≈80% in s0) — the
+    // realistic corpus-mix shape; every 20th base doc is replicated
+    // verbatim into a second source family (r0..r4) so cross-source
+    // overlap exists with known structure
+    val srcOf = when(pmod(col("doc_id"), lit(100)) < 80, lit("s0"))
+      .otherwise(concat(lit("s"), pmod(col("doc_id"), lit(4)) + 1))
+    val base = corpus10x.select(srcOf.as("source"), col("doc_id"), col("text"))
+    val replicas = corpus10x.filter(col("doc_id") % 20 === 0)
+      .select(concat(lit("r"),
+          pmod(floor(col("doc_id") / 20).cast("long"), lit(5))).as("source"),
+        col("doc_id"), col("text"))
+    val docs = base.unionByName(replicas)
+      .select(col("source"), split(col("text"), " ").as("toks"))
+    val nSources = 10L
+    // the operator's own fingerprint spelling, counted for the bound:
+    // P = distinct (source, gram) pairs — the claimed shuffle currency
+    val p = docs.select(col("source"),
+        explode(Dedup.tokenShingleHashes(col("toks"), 8)).as("sh"))
+      .distinct().count()
+    val (rows, w, _, _) = measure {
+      Dedup.crossOverlap(docs, "source", "toks").collect()
+    }
+    // structure: every replica source overlaps something; no pair ever
+    // exceeds the unordered-pairs cap; skew didn't manufacture overlap
+    // between disjoint s-sources (distinct token streams)
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert((0 to 4).forall(k => pairs.exists(pr =>
+      pr._1 == s"r$k" || pr._2 == s"r$k")), s"replica coverage in $pairs")
+    assert(rows.forall(_.getLong(2) > 0))
+    assert(pairs.size <= nSources * (nSources - 1) / 2)
+    // per-fingerprint state cap: the collected group-set is bounded by
+    // the SOURCE COUNT, not the doc count — re-derive with the same
+    // grouping and assert the max observed set size
+    val maxSet = docs.select(col("source"),
+        explode(Dedup.tokenShingleHashes(col("toks"), 8)).as("sh"))
+      .distinct().groupBy(col("sh")).agg(countDistinct(col("source")).as("k"))
+      .agg(max(col("k"))).head().getLong(0)
+    assert(maxSet <= nSources, s"per-fingerprint group-set $maxSet")
+    // shuffle: three keyed exchanges (the (source,gram) distinct, the
+    // fingerprint groupBy, the pair-count groupBy ≤ S²) — each ∝ P, so
+    // a small multiple of P; an sh-keyed SELF-JOIN spelling re-exchanges
+    // the pair table wide of this bound, and any all-pairs-of-docs
+    // spelling is out by orders of magnitude
+    val bound = 3L * p + nSources * nSources + 1000L
+    assert(w <= bound, s"shuffled $w records, bound $bound (P=$p)")
+    println(s"""{"scale_invariants":{"xover_distinct_pairs":$p,"xover_shuffle_write":$w,"xover_bound":$bound}}""")
+  }
 }
