@@ -737,6 +737,32 @@ object Relational {
       .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER join, drained end-to-end — the
+    * hardest streaming-join semantics: an unmatched click's NULL row is
+    * only emitted when the watermark PROVES no in-window purchase can
+    * still arrive (state eviction, one batch behind the watermark
+    * advance). [[graft.streaming.EventStream.clickPurchaseLeftJoinDrain]]
+    * stages sentinel + bridge micro-batches so every real click's fate
+    * is decided inside the drain, making the result exactly the batch
+    * left join — the oracle. NULLS FIRST matches Spark's ascending
+    * default for the nullable purchase columns. */
+  val q150 = Q("q150_stream_left_join",
+    """SELECT c.user_id AS user_id, c.event_id AS click_id,
+      |  p.event_id AS purchase_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON p.user_id = c.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |ORDER BY user_id, click_id, purchase_id NULLS FIRST""".stripMargin) { (s, dir) =>
+    graft.streaming.EventStream.clickPurchaseLeftJoinDrain(s, dir)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_s"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts_s"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Stateful streaming sessionization, drained end-to-end: the
     * `flatMapGroupsWithState` session counter
     * ([[graft.streaming.EventStream.sessionCounts]] — one small state
@@ -774,5 +800,5 @@ object Relational {
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81, q99,
-      q131, q140, q141, q145)
+      q131, q140, q141, q145, q150)
 }

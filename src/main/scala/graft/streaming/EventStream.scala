@@ -200,12 +200,19 @@ object EventStream {
 
   // ---- stream-stream join ----
 
-  /** Watermarked stream-stream inner join: each click joined to the same
+  /** Watermarked stream-stream join: each click joined to the same
     * user's purchases within the following 10 minutes. Both sides carry a
     * 1-hour watermark, so join state for a click is dropped once the
     * purchase-side watermark passes click_ts + 10min — bounded state at
-    * any input rate. Batch-equivalence is checked in StreamingSpec. */
-  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    * any input rate. Batch-equivalence is checked in StreamingSpec.
+    *
+    * `joinType` supports `"inner"` (matches emit eagerly) and
+    * `"left_outer"` — the hardest streaming-join semantics: an unmatched
+    * click's NULL row can only be emitted when the watermark proves no
+    * in-window purchase can still arrive, i.e. at state EVICTION, one
+    * batch after the watermark passes click_ts + 10min. Use
+    * [[clickPurchaseLeftJoinDrain]] to drain it deterministically. */
+  def clickPurchaseJoin(events: DataFrame, joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
@@ -214,11 +221,83 @@ object EventStream {
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "1 hour")
     clicks.join(purchases,
-      col("user_id") === col("p_user_id") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"))
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        joinType)
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Drain the LEFT OUTER [[clickPurchaseJoin]] deterministically — the
+    * null-emission-at-watermark semantics made oracle-checkable.
+    *
+    * Spark emits an unmatched click's NULL row only when its join state
+    * is EVICTED, which needs (a) the watermark to advance past
+    * click_ts + 10min — something a finite drain of the raw input never
+    * guarantees for the newest clicks — and (b) a further micro-batch to
+    * run with that watermark (late-filter one batch behind,
+    * SPARK-24699, same as [[hourlyLateDrain]]'s bridge). So the input is
+    * staged as mtime-ordered files, one micro-batch each:
+    *
+    *   b0  all real events;
+    *   b1  two SENTINEL rows (a click and a purchase, `user_id` −1/−2)
+    *       10 h past the corpus max — each side's watermark node must
+    *       see the advance, and the query watermark is their min;
+    *   b2  empty bridge — rotates the advance into the effective
+    *       watermark and evicts, emitting every real unmatched click's
+    *       NULL row (10 h ≫ the 1 h delay + 10 min window, so no
+    *       boundary races);
+    *   b3  empty — safety margin, harmless.
+    *
+    * The sentinel click itself never evicts (nothing outruns it), never
+    * emits, and is filtered by `user_id >= 0` regardless — so the drain
+    * equals the plain BATCH left join, which is the q150 oracle. The
+    * 1-row max(ts) probe is a driver-side scalar, same class as the
+    * manifest probes. */
+  def clickPurchaseLeftJoinDrain(spark: SparkSession, sfDir: String,
+                                 statePartitions: Int = 8): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val ss = scopedSession(spark, statePartitions)
+    val events = graft.Tables.events(ss, sfDir)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val farTs = java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(10 * 3600))
+    val sentinels = ss.range(1).select(
+        lit(-1L).as("event_id"), lit(farTs).as("ts"), lit(-1L).as("user_id"),
+        lit("click").as("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+      .unionByName(ss.range(1).select(
+        lit(-2L).as("event_id"), lit(farTs).as("ts"), lit(-2L).as("user_id"),
+        lit("purchase").as("event_type"), lit(0.0).as("value"), lit("{}").as("props")))
+      .select(events.columns.map(col).toIndexedSeq: _*) // canonical column order
+    val stage = java.nio.file.Files.createTempDirectory("graft_q150").toString
+    val streamDir = new Path(stage, "in")
+    val fs = streamDir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    fs.mkdirs(streamDir)
+    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = new Path(stage, s"tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+      val dst = new Path(streamDir, name)
+      fs.rename(part, dst)
+      fs.setTimes(dst, mtime, -1)
+      fs.delete(tmp, true)
+    }
+    stageFile(events, "b000.parquet", 1000000L)
+    stageFile(sentinels, "b001.parquet", 2000000L)
+    stageFile(events.filter(lit(false)), "b002.parquet", 3000000L) // bridge
+    stageFile(events.filter(lit(false)), "b003.parquet", 4000000L)
+    val stream = ss.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val name = "graft_stream_ssjoin_left"
+    val q = clickPurchaseJoin(stream, "left_outer")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name).filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
   }
 
   /** Drain [[clickPurchaseJoin]] over the file stream with AvailableNow. */

@@ -228,6 +228,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("stream-stream LEFT OUTER join drain == batch left join (null emission at watermark)") {
+    val streamed = EventStream.clickPurchaseLeftJoinDrain(spark, TestSpark.Sf0001)
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 10 MINUTES"),
+        "left")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+    // the left join is a superset of the inner: every click appears, the
+    // unmatched ones exactly once with null purchase columns
+    assert(streamed.count() === batch.count())
+    assert(streamed.filter(col("purchase_id").isNull).count() ===
+      batch.filter(col("purchase_id").isNull).count())
+    assert(streamed.filter(col("purchase_id").isNull).count() > 0,
+      "fixture must exercise the null-emission path")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) == batch DISTINCT keys") {
     val streamed = EventStream.dedupKeysAvailableNow(
       spark, TestSpark.Sf0001, Seq("user_id", "event_type"))
