@@ -18,7 +18,8 @@ object Queries {
     graft.queries.TopicQueries.all ++
     graft.queries.ReleaseQueries.all ++
     graft.queries.LmQueries.all ++
-    graft.queries.GraphQueries.all
+    graft.queries.GraphQueries.all ++
+    graft.queries.SuffixQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
