@@ -43,14 +43,25 @@ object SuffixArray {
     * `docs` must carry a unique long `idCol` and an array-of-string
     * `toksCol`. The doc-offset ledger is the [[PrefixSum]] two-phase
     * running sum — exact longs, distributed, oracle-equivalent to
-    * `sum(len+1) OVER (ORDER BY doc_id)`. */
-  def positions(docs: DataFrame, idCol: String, toksCol: String): DataFrame = {
+    * `sum(len+1) OVER (ORDER BY doc_id)`.
+    *
+    * `docsPerBucket` is the ledger's [[PrefixSum]] bucket width and
+    * therefore the output's PARALLELISM FLOOR: the exploded position
+    * stream inherits the ledger windows' partitioning (one group per
+    * doc-id bucket), and downstream broadcast-hash joins PRESERVE the
+    * probe side's partitioning — an output squeezed into few partitions
+    * here stays squeezed through every doubling level. The default keeps
+    * a bucket's explosion ~1024 docs × tokens, small enough for one task
+    * at any doc length while leaving corpus/1024 partitions of
+    * parallelism. */
+  def positions(docs: DataFrame, idCol: String, toksCol: String,
+      docsPerBucket: Long = 1024L): DataFrame = {
     val base = docs
       .select(col(idCol).cast("long").as("doc_id"), col(toksCol).as("toks"))
       .withColumn("len1", (size(col("toks")) + 1).cast("long"))
       .withColumn("sa_g", lit(1))
     val withOff = PrefixSum.exclusiveRunningSum(
-      base, "sa_g", "doc_id", "len1", "doc_off")
+      base, "sa_g", "doc_id", "len1", "doc_off", docsPerBucket)
     withOff
       .select(col("doc_id"), col("doc_off"),
         posexplode(concat(col("toks"),
@@ -84,8 +95,9 @@ object SuffixArray {
     * `(gid, doc_id, pos, r)` — separator rows participate in the ranking
     * (they terminate every suffix) but are filtered from the output. */
   def suffixRanks(docs: DataFrame, idCol: String, toksCol: String,
-      rounds: Int, mat: Materialize = Materialize.Local): DataFrame = {
-    val pos = mat(positions(docs, idCol, toksCol))
+      rounds: Int, mat: Materialize = Materialize.Local,
+      docsPerBucket: Long = 1024L): DataFrame = {
+    val pos = mat(positions(docs, idCol, toksCol, docsPerBucket))
     val last = rankLevels(pos, rounds, mat).last
     pos.filter(substring(col("tok"), 1, 1) =!= Sep)
       .join(last, Seq("gid"))
@@ -134,10 +146,11 @@ object SuffixArray {
     * length — the data-dependent scalar rides in-plan as a broadcast
     * 1-row cross join, never a driver-side branch. */
   def longestDupNgram(docs: DataFrame, idCol: String, toksCol: String,
-      rounds: Int, mat: Materialize = Materialize.Local): DataFrame = {
+      rounds: Int, mat: Materialize = Materialize.Local,
+      docsPerBucket: Long = 1024L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val cap = 1L << rounds
-    val pos = mat(positions(docs, idCol, toksCol))
+    val pos = mat(positions(docs, idCol, toksCol, docsPerBucket))
     val levels = rankLevels(pos, rounds, mat)
     val order = mat(GlobalRank.rowNumber(levels.last, Seq("r", "gid"), "fr",
       mat = mat).select(col("gid"), col("fr")))

@@ -496,4 +496,85 @@ class ScaleSpec extends AnyFunSuite {
     assert(w <= bound, s"shuffled $w records, bound $bound (P=$p)")
     println(s"""{"scale_invariants":{"xover_distinct_pairs":$p,"xover_shuffle_write":$w,"xover_bound":$bound}}""")
   }
+
+  test("globalRank at 10x heavy-key skew: no task ever holds the stream, " +
+      "and the heavy key costs no more than a unique one") {
+    // 200k rows, HALF carrying one key — the shape that melts both the
+    // naive unpartitioned window (whole stream through one task) and a
+    // co-locating range partition (half the stream in the heavy key's
+    // partition). The distinct-key spelling ranks ~100k UNIQUE keys.
+    val rows = spark.range(0, 200000, 1, 8).select(
+      col("id"),
+      when(col("id") % 2 === 0, lit(7L))
+        .otherwise(pmod(xxhash64(col("id")), lit(1000000L))).as("k"))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val n = rows.count()
+      val (_, _, _, naiveMax) = measure {
+        rows.withColumn("r", dense_rank().over(Window.orderBy(col("k"))))
+          .agg(sum(col("r"))).head()
+      }
+      val (ranked, _, _, twoPhaseMax) = measure {
+        graft.ops.GlobalRank.denseRank(rows, Seq("k"), "r", 16)
+          .agg(sum(col("r")), max(col("r"))).head()
+      }
+      // the naive window funnels everything through one task; the
+      // two-phase plan's biggest task sees ~distinct/shufflePartitions
+      // (the pid-hash window over the ranked distinct-key stream) — the
+      // heavy key contributes ONE row there, and its 100k carriers ride
+      // the broadcast rank join without ever re-shuffling
+      assert(naiveMax >= n, s"naive window max task read $naiveMax")
+      assert(twoPhaseMax <= naiveMax / 4,
+        s"two-phase max task $twoPhaseMax not « naive $naiveMax")
+      assert(ranked.getLong(0) > 0)
+      println(s"""{"scale_invariants":{"grank_naive_max_task":$naiveMax,"grank_twophase_max_task":$twoPhaseMax}}""")
+    } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+  }
+
+  test("suffix doubling at 10x: shuffled rows O(n log cap), never O(n·cap)") {
+    // 100k-token corpus (2500 docs × 40 tokens) over a 100-token
+    // vocabulary — dense repetition, so rank groups stay non-trivial
+    // deep into the doubling. Depth cap 16 (4 rounds).
+    val docs = spark.range(0, 2500, 1, 8).select(
+      col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(39)),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 40 + i), lit(100))))
+        .as("toks"))
+    val nPos = 2500L * 41L // tokens + one separator per doc
+    val rounds = 4
+    // Two AQE small-data accommodations would mask the at-scale shape on
+    // this toy corpus: partition coalescing (merges every exchange into
+    // one task) and runtime SMJ→broadcast conversion (collects a whole
+    // ~100k-row side in ONE build task). At 100 TB neither fires — the
+    // rank/level tables are corpus-sized, far above both thresholds — so
+    // pin the at-scale plan: no coalescing, no broadcast, every join a
+    // genuine shuffle join.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val (_, w, _, maxTask) = try {
+      measure {
+        graft.ops.SuffixArray
+          .suffixRanks(docs, "doc_id", "toks", rounds,
+            docsPerBucket = 128L)
+          .agg(sum(col("r"))).head()
+      }
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    // per doubling level: the distinct + range + pid-window exchanges of
+    // the rank table (≤ 3·n) plus the shifted self-join (≤ 2·n mixed
+    // with the join-back when the rank side outgrows broadcast) — a
+    // small constant per level, log cap levels. The enumeration
+    // spelling this replaces shuffles n·cap gram rows CARRYING
+    // length-cap payloads (here 16× the corpus in rows alone, with
+    // 16-token strings per row vs two longs here).
+    val perLevel = 8L * nPos
+    val bound = perLevel * (rounds + 2)
+    assert(w <= bound, s"shuffled $w records, bound $bound (n=$nPos)")
+    assert(maxTask < nPos, s"one task read $maxTask of $nPos — not distributed")
+    println(s"""{"scale_invariants":{"suffix_n":$nPos,"suffix_shuffle_write":$w,"suffix_bound":$bound,"suffix_max_task":$maxTask}}""")
+  }
 }
