@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Scale-safe GLOBAL ranking (the corpus-wide `dense_rank()`/`row_number()`
   * ledger the suffix-array family is built on).
@@ -14,105 +14,174 @@ import org.apache.spark.sql.functions._
   * whole 100 TB behind it. (Spark even warns: "No Partition Defined for
   * Window operation".)
   *
-  * These spellings are bit-identical to the naive window but every stage is
-  * distributed, in the same two-phase style as [[PrefixSum]]:
+  * These spellings are bit-identical to the naive window but every stage
+  * is distributed:
   *
-  *   1. range-partition the rows by the rank keys (`repartitionByRange`,
-  *      `parts` ways) — partitions are ordered, non-overlapping key ranges,
-  *      and the range sampler balances by ROW COUNT, so partition sizes are
-  *      ~n/parts regardless of how skewed the key VALUES are;
-  *   2. per-partition local rank — a `row_number` window partitioned by
-  *      `spark_partition_id()`, whose every window group is one range
-  *      partition (~n/parts rows BY CONSTRUCTION);
-  *   3. per-partition row counts → exclusive running offsets: a window over
-  *      the `parts`-row count table (metadata-sized, like the [[PrefixSum]]
-  *      subtotal table);
-  *   4. global rank = broadcast the offsets back and add the local rank.
+  *   1. a Catalyst global sort on the rank keys — a sampled range
+  *      exchange whose partitions are ordered, non-overlapping key ranges
+  *      balanced by ROW COUNT, however skewed the key VALUES are;
+  *   2. `RDD.zipWithIndex` over the sorted stream — Spark core's own
+  *      two-phase offset ledger: one lightweight count job over the
+  *      sorted shuffle output computes per-partition offsets, then the
+  *      attach pass adds `offset + local index` per partition. No
+  *      single-partition stage ever sees more than one range partition.
   *
-  * The range boundaries the sampler picks vary run to run — AND vary
-  * between two plan branches reading the "same" repartitionByRange (the
-  * sampler seeds by RDD id, and column pruning can specialize each branch
-  * into a distinct exchange that ReusedExchange no longer deduplicates).
-  * The emitted ranks do not depend on WHERE the boundaries fall (offset +
-  * local rank reconstructs the exact global order for any placement), but
-  * steps 2 and 3 MUST observe the SAME placement — so the pid-stamped
-  * rows are materialized (the [[Materialize]] seam) before the plan
-  * branches. That materialization is a correctness requirement, not a
-  * perf tweak: without it the count table can describe a different
-  * partitioning than the local ranks were computed under. With it, the
-  * result is bit-identical to the naive window, so oracles spelled as
-  * `dense_rank() OVER (ORDER BY …)` still hash-match.
+  * zipWithIndex is also what makes the result DETERMINISTIC: the range
+  * boundaries are sampled ONCE when the sort's shuffle dependency is
+  * instantiated and are then frozen in the RDD DAG that both the count
+  * job and the attach pass execute — unlike two DataFrame branches over
+  * one `repartitionByRange`, which re-plan (and re-sample, seeded by RDD
+  * id) per branch and can disagree on boundaries. (That branch-divergence
+  * corrupted an earlier offsets-table spelling of this operator; the
+  * single-DAG shape is a correctness requirement, not a style choice.
+  * Either way the emitted ranks are boundary-placement-invariant:
+  * offset + local index reconstructs the same global order for any
+  * placement.)
   *
-  * [[denseRank]] additionally must co-locate equal keys (a local rank per
-  * partition would otherwise double-count a key straddling a boundary).
-  * Range partitioning does co-locate equal keys, but that re-introduces
-  * value skew — a key carrying half the corpus would drag half the rows
-  * into one partition. So denseRank ranks the DISTINCT key set (one row
-  * per key — no heavy key exists by construction) and hash-joins the ranks
-  * back onto the full rows: the join key is the rank key itself, uniform
-  * after the distinct's partial aggregation.
+  * [[denseRank]] must additionally avoid co-locating equal keys (a range
+  * sort co-locates them, so a key carrying half the corpus would drag
+  * half the rows into one partition). It ranks the DISTINCT key set — one
+  * row per key, no heavy key exists by construction — and hash-joins the
+  * ranks back onto the full rows: a uniform equi-join on the key itself,
+  * broadcast when the key set is small, AQE skew-split otherwise.
+  *
+  * The RDD hop costs one row-serialization boundary per call; what it
+  * buys is one fused sort+count+attach with no materialization barrier,
+  * which at both bench and cluster scale beats the
+  * checkpoint-the-partition-ids DataFrame spelling by a multiple.
   */
 object GlobalRank {
 
   /** Adds `out` = `row_number() OVER (ORDER BY keys)` (1-based, ascending,
     * nulls first). The key tuple MUST be unique per row (the usual
     * tie-broken `(rank, id)` contract) — uniqueness is what makes the
-    * per-partition local rank + offset exact without key co-location. */
-  def rowNumber(df: DataFrame, keys: Seq[String], out: String,
-      parts: Int = 0, mat: Materialize = Materialize.Local): DataFrame =
-    rankUnique(df, keys, out, resolveParts(df, parts), mat)
+    * sorted global index a rank without key co-location. */
+  def rowNumber(df: DataFrame, keys: Seq[String], out: String): DataFrame =
+    rankUnique(df, keys, out)
 
   /** Adds `out` = `dense_rank() OVER (ORDER BY keys)` (1-based, ascending,
     * nulls first). Keys may repeat arbitrarily — ranking happens on the
     * distinct key set, so a heavy key costs no more than a unique one.
     * Rows are matched back null-safely (a null key value joins its rank
     * like any other value). */
-  def denseRank(df: DataFrame, keys: Seq[String], out: String,
-      parts: Int = 0, mat: Materialize = Materialize.Local): DataFrame = {
-    val p = resolveParts(df, parts)
+  def denseRank(df: DataFrame, keys: Seq[String], out: String): DataFrame = {
     val taken = (df.columns :+ out).toSet
     def fresh(base: String): String =
       Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
     val renamed = keys.map(k => k -> fresh("gr_" + k))
     val distinctKeys = df.select(keys.map(col): _*).distinct()
-    val ranked = renamed.foldLeft(rankUnique(distinctKeys, keys, out, p, mat)) {
+    val ranked = renamed.foldLeft(rankUnique(distinctKeys, keys, out)) {
       case (t, (k, a)) => t.withColumnRenamed(k, a)
     }
     val cond = renamed.map { case (k, a) => col(k) <=> col(a) }.reduce(_ && _)
     df.join(ranked, cond).drop(renamed.map(_._2): _*)
   }
 
-  private def resolveParts(df: DataFrame, parts: Int): Int =
-    if (parts > 0) parts
-    else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+  /** Adds `out` = `rank() OVER (ORDER BY keys)` (1-based, ascending,
+    * nulls first) — the SPARSE rank: 1 + the number of rows with a
+    * strictly smaller key tuple, so tied rows share a rank and the next
+    * distinct key jumps by the tie count.
+    *
+    * ONE Catalyst sort, then the zipWithIndex pattern made group-aware:
+    * a stats pass over the sorted shuffle output records, per partition,
+    * the row count, the first/last key, and where the last tie group
+    * begins; the driver folds those partitions-sized stats into per-
+    * partition global offsets plus the rank to CARRY into a partition
+    * whose leading rows continue the previous partition's open tie
+    * group; the attach pass then ranks each partition in one linear
+    * scan. Two narrow passes over one sorted shuffle — no join, no
+    * second exchange, and the driver only ever touches O(partitions)
+    * metadata.
+    *
+    * Key skew is safe here BECAUSE sorting does not co-locate equal
+    * keys: the range sampler may pick a heavy key as several boundaries,
+    * splitting its rows across partitions, and the boundary carry
+    * reconstructs the group's single rank across all of them. */
+  def sparseRank(df: DataFrame, keys: Seq[String], out: String,
+      tiedOut: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(keys.map(col): _*)
+    val schema0 = sorted.schema.add(out, LongType, nullable = false)
+    val schema = tiedOut.fold(schema0)(t =>
+      schema0.add(t, org.apache.spark.sql.types.BooleanType, nullable = false))
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    val rdd = sorted.rdd
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var count = 0L
+      var firstKey: Seq[Any] = null
+      var lastKey: Seq[Any] = null
+      var lastGroupStart = 0L
+      it.foreach { r =>
+        val k = keyIdx.map(r.get)
+        if (count == 0L) firstKey = k
+        if (lastKey == null || k != lastKey) { lastGroupStart = count; lastKey = k }
+        count += 1L
+      }
+      Iterator.single((pid, count, firstKey, lastKey, lastGroupStart))
+    }.collect().sortBy(_._1)
+    val nParts = rdd.getNumPartitions
+    val offsets = new Array[Long](nParts)
+    val carryRank = new Array[Long](nParts)
+    val carryKey = new Array[Seq[Any]](nParts)
+    // first key of the next non-empty partition — the lookahead for the
+    // last row's tie flag
+    val nextFirst = new Array[Seq[Any]](nParts)
+    var acc = 0L
+    var openKey: Seq[Any] = null
+    var openRank = 0L
+    stats.foreach { case (pid, count, fk, lk, lgs) =>
+      offsets(pid) = acc
+      if (openKey != null && count > 0L && fk == openKey) {
+        carryKey(pid) = openKey; carryRank(pid) = openRank
+      }
+      if (count > 0L) {
+        // in sorted order lk == openKey forces the whole partition to be
+        // the continuing group (fk == lk == openKey, lgs == 0)
+        if (!(carryKey(pid) != null && lk == openKey && lgs == 0L)) {
+          openKey = lk; openRank = acc + lgs + 1L
+        }
+        acc += count
+      }
+    }
+    var nf: Seq[Any] = null
+    stats.reverseIterator.foreach { case (pid, count, fk, _, _) =>
+      nextFirst(pid) = nf
+      if (count > 0L) nf = fk
+    }
+    val bc = spark.sparkContext.broadcast((offsets, carryRank, carryKey, nextFirst))
+    val withTied = tiedOut.isDefined
+    val ranked = rdd.mapPartitionsWithIndex { (pid, rawIt) =>
+      val (offs, cR, cK, nFirst) = bc.value
+      val it = rawIt.buffered
+      var local = 0L
+      var curKey: Seq[Any] = cK(pid)
+      var curRank: Long = cR(pid)
+      it.map { r =>
+        val k = keyIdx.map(r.get)
+        val continues = curKey != null && k == curKey
+        if (!continues) { curKey = k; curRank = offs(pid) + local + 1L }
+        local += 1L
+        if (withTied) {
+          val nextKey =
+            if (it.hasNext) keyIdx.map(it.head.get) else nFirst(pid)
+          val tied = continues || (nextKey != null && k == nextKey)
+          Row.fromSeq(r.toSeq :+ curRank :+ tied)
+        } else Row.fromSeq(r.toSeq :+ curRank)
+      }
+    }
+    spark.createDataFrame(ranked, schema)
+  }
 
-  /** Global row_number for rows whose `keys` tuple is unique. */
-  private def rankUnique(df: DataFrame, keys: Seq[String], out: String,
-      parts: Int, mat: Materialize): DataFrame = {
-    val taken = (df.columns :+ out).toSet
-    def fresh(base: String): String =
-      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
-    val pidC = fresh("gr_pid"); val lrC = fresh("gr_lr")
-    val cntC = fresh("gr_cnt"); val offC = fresh("gr_off")
-    // spark_partition_id() is non-deterministic, so Catalyst cannot
-    // collapse the projection below the range exchange — the pid read here
-    // IS the range partition index, ordered by key range.
-    // Materialized BEFORE branching: the count branch and the local-rank
-    // branch must see one frozen boundary placement (see object doc).
-    val ranged = mat(df.repartitionByRange(parts, keys.map(col): _*)
-      .withColumn(pidC, spark_partition_id()))
-    val local = ranged.withColumn(lrC,
-      row_number().over(
-        Window.partitionBy(col(pidC)).orderBy(keys.map(col): _*)))
-    val counts = ranged.groupBy(col(pidC)).agg(count(lit(1)).as(cntC))
-    // `parts` rows — metadata-sized; the single-task window is over the
-    // COUNT table, never the row stream (the PrefixSum offset pattern).
-    val wOff = Window.orderBy(col(pidC)).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn(offC, coalesce(sum(col(cntC)).over(wOff), lit(0L)))
-      .select(col(pidC), col(offC))
-    local.join(broadcast(offsets), Seq(pidC))
-      .withColumn(out, (col(offC) + col(lrC)).cast("long"))
-      .drop(pidC, lrC, offC)
+  /** Global row_number for rows whose `keys` tuple is unique: Catalyst
+    * sort → one zipWithIndex over the sorted shuffle output. */
+  private def rankUnique(df: DataFrame, keys: Seq[String],
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(keys.map(col): _*)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
   }
 }

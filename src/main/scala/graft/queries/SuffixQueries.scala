@@ -38,7 +38,7 @@ object SuffixQueries {
     * name of the previous level CTE carrying (gid, doc_id, pos, tok, r). */
   private def roundSql(name: String, prev: String, step: Long): String =
     s"""$name AS (SELECT a.gid, a.doc_id, a.pos, a.tok,
-      |  dense_rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
+      |  rank() OVER (ORDER BY a.r, coalesce(b.r, 0)) AS r
       |  FROM $prev a LEFT JOIN $prev b ON b.gid = a.gid + $step)""".stripMargin
 
   private val positionsSql =
@@ -54,16 +54,22 @@ object SuffixQueries {
 
   // ---- Q151: prefix-doubling suffix ranks at depth 8 ----
 
-  /** (gid, doc_id, pos, r8) for every token position: r8 = dense rank of
-    * the suffix's depth-8 prefix in corpus lexicographic order. The oracle
-    * is the NAIVE spelling — three doubling rounds each as a global
-    * `dense_rank()` window — which is exactly what [[graft.ops.GlobalRank]]
-    * must reproduce bit-for-bit from its distributed two-phase plan. */
+  /** (gid, doc_id, pos, r8) for every token position: r8 = SPARSE rank
+    * (SQL `rank()`) of the suffix's depth-8 prefix in corpus
+    * lexicographic order. The oracle is the NAIVE spelling — three
+    * doubling rounds each as a global `rank()` window re-ranking EVERY
+    * position, suffixes CONTINUING across document boundaries — while
+    * the distributed plan ranks the sep-TRUNCATED depth-8 window string
+    * in one [[graft.ops.GlobalRank.sparseRank]] pass. The hash compare
+    * therefore proves the jump-start identity itself (truncated-window
+    * order = virtual-string prefix order, because unique separators
+    * resolve every comparison at or before the first separator), not
+    * just an implementation detail. */
   val q151 = Q("q151_suffix_ranks",
     s"""WITH corpus AS (SELECT doc_id, text FROM documents),
       |$positionsSql,
       |r0 AS (SELECT gid, doc_id, pos, tok,
-      |  dense_rank() OVER (ORDER BY tok) AS r FROM p),
+      |  rank() OVER (ORDER BY tok) AS r FROM p),
       |${roundSql("r1", "r0", 1L)},
       |${roundSql("r2", "r1", 2L)},
       |${roundSql("r3", "r2", 4L)}
@@ -157,5 +163,33 @@ object SuffixQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q151, q152, q153)
+  // ---- Q154: per-document longest duplicated run (cap 16) ----
+
+  /** For every document: the longest token run occurring ≥2 times
+    * corpus-wide with one occurrence in the doc (cap 16, exact below it;
+    * self-overlapping repeats count) — the per-doc threshold statistic
+    * for substring-level cleaning, from the same suffix machinery as
+    * q152 but aggregated per endpoint document of each SA-adjacent
+    * pair. */
+  val Q154Cap = 16
+
+  val q154 = Q("q154_doc_dup_run",
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+      |tok AS ($toksSql),
+      |g AS (SELECT doc_id, l, array_to_string(toks[pp:pp + l - 1], ' ') AS gram
+      |  FROM tok,
+      |    unnest(generate_series(1, $Q154Cap)) AS ul(l),
+      |    unnest(generate_series(1, len(toks))) AS up(pp)
+      |  WHERE pp + l - 1 <= len(toks)),
+      |d AS (SELECT l, gram FROM g GROUP BY l, gram HAVING count(*) >= 2),
+      |m AS (SELECT g.doc_id, max(g.l) AS mx
+      |  FROM g JOIN d ON d.l = g.l AND d.gram = g.gram GROUP BY g.doc_id)
+      |SELECT t.doc_id, coalesce(m.mx, 0)::BIGINT AS max_dup_len
+      |FROM tok t LEFT JOIN m ON m.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    SuffixArray.perDocDupRun(docToks(s, dir), "doc_id", "toks", rounds = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q151, q152, q153, q154)
 }

@@ -515,7 +515,7 @@ class ScaleSpec extends AnyFunSuite {
           .agg(sum(col("r"))).head()
       }
       val (ranked, _, _, twoPhaseMax) = measure {
-        graft.ops.GlobalRank.denseRank(rows, Seq("k"), "r", 16)
+        graft.ops.GlobalRank.denseRank(rows, Seq("k"), "r")
           .agg(sum(col("r")), max(col("r"))).head()
       }
       // the naive window funnels everything through one task; the
@@ -564,13 +564,13 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
-    // per doubling level: the distinct + range + pid-window exchanges of
-    // the rank table (≤ 3·n) plus the shifted self-join (≤ 2·n mixed
-    // with the join-back when the rank side outgrows broadcast) — a
-    // small constant per level, log cap levels. The enumeration
-    // spelling this replaces shuffles n·cap gram rows CARRYING
-    // length-cap payloads (here 16× the corpus in rows alone, with
-    // 16-token strings per row vs two longs here).
+    // construction = one window-string sort (the jump-start: sort +
+    // group-aware zip scan, ≤ 2·n exchanged rows) over the position
+    // explode — a small constant × n in total, NOT n·cap: the
+    // enumeration spelling this replaces shuffles n·cap gram rows
+    // carrying length-cap payloads (here 16× the corpus in rows alone).
+    // The historical doubling spelling's bound (≈8·n per level) is kept
+    // as the ceiling the one-pass construction must stay far under.
     val perLevel = 8L * nPos
     val bound = perLevel * (rounds + 2)
     assert(w <= bound, s"shuffled $w records, bound $bound (n=$nPos)")

@@ -24,46 +24,47 @@ class SuffixArraySpec extends AnyFunSuite {
   test("denseRank matches the naive global window across part counts") {
     val expected = skewed.withColumn("r",
       dense_rank().over(Window.orderBy(col("k"), col("s"))).cast("long"))
-    for (parts <- Seq(1, 3, 4, 17)) {
-      val got = GlobalRank.denseRank(skewed, Seq("k", "s"), "r", parts)
-      assert(got.exceptAll(expected).count() === 0, s"parts=$parts")
-      assert(expected.exceptAll(got).count() === 0, s"parts=$parts")
-    }
+    val got = GlobalRank.denseRank(skewed, Seq("k", "s"), "r")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
   }
 
   test("rowNumber matches the naive global window on unique keys") {
     val expected = skewed.withColumn("rn",
       row_number().over(Window.orderBy(col("k"), col("id"))).cast("long"))
-    for (parts <- Seq(1, 5)) {
-      val got = GlobalRank.rowNumber(skewed, Seq("k", "id"), "rn", parts)
-      assert(got.exceptAll(expected).count() === 0, s"parts=$parts")
-      assert(expected.exceptAll(got).count() === 0, s"parts=$parts")
-    }
+    val got = GlobalRank.rowNumber(skewed, Seq("k", "id"), "rn")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
   }
 
-  test("no unpartitioned window ever reads the raw row stream") {
-    val df = GlobalRank.denseRank(skewed, Seq("k", "s"), "r", 4)
+  test("sparseRank matches the naive rank() window under heavy-key skew") {
+    val expected = skewed.withColumn("r",
+      rank().over(Window.orderBy(col("k"), col("s"))).cast("long"))
+    val got = GlobalRank.sparseRank(skewed, Seq("k", "s"), "r")
+    assert(got.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(got).count() === 0)
+    // single-key frame: every row ties — one group spanning partitions
+    val one = skewed.select(lit(1L).as("k"), col("id"))
+    val uni = GlobalRank.sparseRank(one, Seq("k"), "r")
+      .select(col("r")).distinct().as[Long].collect().toSeq
+    assert(uni === Seq(1L))
+  }
+
+  test("the plan never contains an unpartitioned window") {
+    // the whole point of the operator: rank without `Window.orderBy(...)`
+    // (Spark plans that as a single-partition sort of the entire input)
+    val df = GlobalRank.denseRank(skewed, Seq("k", "s"), "r")
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.nonEmpty)
-    windows.foreach { w =>
-      if (w.partitionSpec.isEmpty) {
-        // the offsets window: must read an aggregate (the parts-row count
-        // table), never the row stream
-        val aggBelow = w.collectFirst {
-          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-        }
-        assert(aggBelow.nonEmpty,
-          "unpartitioned window over the raw stream — single-task sort")
-      }
-    }
+    assert(windows.isEmpty,
+      s"rank plan should carry no window at all, found ${windows.size}")
   }
 
   test("null key values rank like any other value (nulls first)") {
     val df = Seq((1L, Option("b")), (2L, None), (3L, Option("a")),
       (4L, None)).toDF("id", "k")
-    val got = GlobalRank.denseRank(df, Seq("k"), "r", 2)
+    val got = GlobalRank.denseRank(df, Seq("k"), "r")
       .select("id", "r").as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
   }
@@ -74,7 +75,8 @@ class SuffixArraySpec extends AnyFunSuite {
     docs.toDF("doc_id", "text")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
 
-  /** Sequential reference: depth-`d` suffix ranks over the same virtual
+  /** Sequential reference: depth-`d` SPARSE suffix ranks (1 + count of
+    * positions with a strictly smaller prefix) over the same virtual
     * corpus string (separators included, like the operator builds). */
   private def bruteRanks(docs: Seq[(Long, String)], d: Int): Map[Long, Int] = {
     val corpus = docs.sortBy(_._1).flatMap { case (id, text) =>
@@ -84,9 +86,9 @@ class SuffixArraySpec extends AnyFunSuite {
       i.toLong -> corpus.slice(i, math.min(i + d, corpus.length))
     }
     val ordering = math.Ordering.Implicits.seqOrdering[Seq, String]
-    val distinctSorted = prefixes.map(_._2).distinct.sorted(ordering)
-    val rankOf = distinctSorted.zipWithIndex.map { case (p, r) => p -> (r + 1) }.toMap
-    prefixes.map { case (g, p) => g -> rankOf(p) }.toMap
+    prefixes.map { case (g, p) =>
+      g -> (1 + prefixes.count { case (_, q) => ordering.lt(q, p) })
+    }.toMap
   }
 
   /** Sequential reference for the longest duplicated n-gram, capped. */
@@ -149,6 +151,41 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(got === Seq((l, n, top)))
   }
 
+  /** Sequential reference for the per-document longest duplicated run. */
+  private def brutePerDoc(docs: Seq[(Long, String)], cap: Int): Map[Long, Long] = {
+    val tokLists = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val best = scala.collection.mutable.Map(docs.map(_._1 -> 0L): _*)
+    for (l <- 1 to cap) {
+      val g = tokLists.flatMap { case (id, t) =>
+        t.sliding(l).filter(_.length == l).map(w => (id, w.mkString(" ")))
+      }
+      val counts = g.groupBy(_._2).view.mapValues(_.size).toMap
+      g.foreach { case (id, gr) =>
+        if (counts(gr) >= 2 && best(id) < l) best(id) = l.toLong
+      }
+    }
+    best.toMap
+  }
+
+  test("perDocDupRun matches the sequential reference (cap above and below)") {
+    for (rounds <- Seq(2, 4)) {
+      val cap = 1 << rounds
+      val expected = brutePerDoc(sample, cap)
+      val got = SuffixArray
+        .perDocDupRun(docsDF(sample), "doc_id", "toks", rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"cap=$cap")
+    }
+  }
+
+  test("perDocDupRun: documents with nothing repeated report 0") {
+    val docs = Seq(1L -> "u v w", 2L -> "x y z", 3L -> "p q u")
+    val got = SuffixArray.perDocDupRun(docsDF(docs), "doc_id", "toks", 3)
+      .as[(Long, Long)].collect().toMap
+    // "u" occurs in docs 1 and 3 — both report a 1-run; doc 2 nothing
+    assert(got === Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
+
   test("longestDupNgram property: random corpora vs brute force") {
     val rnd = new scala.util.Random(20260814L)
     for (trial <- 1 to 6) {
@@ -162,6 +199,13 @@ class SuffixArraySpec extends AnyFunSuite {
         .longestDupNgram(docsDF(docs), "doc_id", "toks", rounds = 3)
         .as[(Long, Long, Option[String])].collect().toSeq
       assert(got === Seq(expected), s"trial=$trial docs=$docs")
+      if (trial <= 3) {
+        val expectedDoc = brutePerDoc(docs, 8)
+        val gotDoc = SuffixArray
+          .perDocDupRun(docsDF(docs), "doc_id", "toks", rounds = 3)
+          .as[(Long, Long)].collect().toMap
+        assert(gotDoc === expectedDoc, s"perDoc trial=$trial docs=$docs")
+      }
     }
   }
 }
