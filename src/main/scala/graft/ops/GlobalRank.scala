@@ -93,14 +93,24 @@ object GlobalRank {
     * second exchange, and the driver only ever touches O(partitions)
     * metadata.
     *
-    * Key skew is safe here BECAUSE sorting does not co-locate equal
-    * keys: the range sampler may pick a heavy key as several boundaries,
-    * splitting its rows across partitions, and the boundary carry
-    * reconstructs the group's single rank across all of them. */
+    * Key skew is handled by SPLITTING tie groups across partitions:
+    * Spark's range partitioner maps equal sort keys to one partition
+    * (measured: a 50%-heavy key concentrated wholesale), so the sort
+    * key gets a unique synthetic tiebreak appended — the partitioner
+    * then balances purely by row count, a heavy group spans as many
+    * partitions as it needs, and the boundary carry restitches its
+    * single rank across all of them. The tiebreak orders nothing
+    * observable: ranks depend only on key equality and key order, so
+    * the output is deterministic even though the tiebreak isn't. */
   def sparseRank(df: DataFrame, keys: Seq[String], out: String,
       tiedOut: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(keys.map(col): _*)
+    val taken = (df.columns :+ out).toSet ++ tiedOut
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()
+    val midC = fresh("gr_mid")
+    val sorted = df.withColumn(midC, monotonically_increasing_id())
+      .orderBy((keys.map(col) :+ col(midC)): _*)
     val schema0 = sorted.schema.add(out, LongType, nullable = false)
     val schema = tiedOut.fold(schema0)(t =>
       schema0.add(t, org.apache.spark.sql.types.BooleanType, nullable = false))
@@ -169,7 +179,7 @@ object GlobalRank {
         } else Row.fromSeq(r.toSeq :+ curRank)
       }
     }
-    spark.createDataFrame(ranked, schema)
+    spark.createDataFrame(ranked, schema).drop(midC)
   }
 
   /** Global row_number for rows whose `keys` tuple is unique: Catalyst

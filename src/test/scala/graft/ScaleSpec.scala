@@ -527,7 +527,26 @@ class ScaleSpec extends AnyFunSuite {
       assert(twoPhaseMax <= naiveMax / 4,
         s"two-phase max task $twoPhaseMax not « naive $naiveMax")
       assert(ranked.getLong(0) > 0)
-      println(s"""{"scale_invariants":{"grank_naive_max_task":$naiveMax,"grank_twophase_max_task":$twoPhaseMax}}""")
+      // sparseRank sorts the FULL row stream (its scan needs every row),
+      // so the skew question is sharper: Spark's range partitioner maps
+      // equal sort keys to ONE partition, and without the synthetic
+      // tiebreak the heavy key's 100k rows all sort in one task
+      // (measured before the fix: one partition held >n/2). With the
+      // tiebreak the partitioner balances by count and the boundary
+      // carry restitches the split group.
+      val (sparse, _, _, sparseMax) = measure {
+        graft.ops.GlobalRank.sparseRank(rows, Seq("k"), "r")
+          .agg(sum(col("r")), max(col("r"))).head()
+      }
+      assert(sparse.getLong(0) > 0)
+      // balanced sort partitions here are ~n/4 (4 shuffle partitions);
+      // a concentrated heavy group would read ≥ its full 100k rows in
+      // one task — assert clearly below the group size
+      val heavy = n / 2
+      assert(sparseMax <= heavy * 4 / 5,
+        s"sparseRank max task $sparseMax ≥ ~heavy group $heavy — " +
+          "tie group concentrated in one sort partition")
+      println(s"""{"scale_invariants":{"grank_naive_max_task":$naiveMax,"grank_twophase_max_task":$twoPhaseMax,"grank_sparse_max_task":$sparseMax}}""")
     } finally spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
   }
 
@@ -565,14 +584,14 @@ class ScaleSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
     // construction = one window-string sort (the jump-start: sort +
-    // group-aware zip scan, ≤ 2·n exchanged rows) over the position
-    // explode — a small constant × n in total, NOT n·cap: the
-    // enumeration spelling this replaces shuffles n·cap gram rows
-    // carrying length-cap payloads (here 16× the corpus in rows alone).
-    // The historical doubling spelling's bound (≈8·n per level) is kept
-    // as the ceiling the one-pass construction must stay far under.
-    val perLevel = 8L * nPos
-    val bound = perLevel * (rounds + 2)
+    // group-aware zip scan) over the position explode — measured ≈1.0·n
+    // exchanged rows in total, NOT n·cap: the enumeration spelling this
+    // replaces shuffles n·cap gram rows carrying length-cap payloads
+    // (here 16× the corpus in rows alone, with 16-token strings per
+    // row). Bound at 4·n for headroom; the first doubling spelling of
+    // this operator measured 36·n on the same corpus before the
+    // jump-start + tied-only-refinement rework.
+    val bound = 4L * nPos
     assert(w <= bound, s"shuffled $w records, bound $bound (n=$nPos)")
     assert(maxTask < nPos, s"one task read $maxTask of $nPos — not distributed")
     println(s"""{"scale_invariants":{"suffix_n":$nPos,"suffix_shuffle_write":$w,"suffix_bound":$bound,"suffix_max_task":$maxTask}}""")
