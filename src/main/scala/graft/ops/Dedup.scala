@@ -354,6 +354,81 @@ object Dedup {
     keepFirstReassemble(segs)
   }
 
+  /** Exact-substring deduplication — the Lee et al. ACL'22 ExactSubstr
+    * TRANSFORM (their `deduplicate.py`), completing the family whose
+    * statistics live in [[duplicateSpanStats]] (span fractions),
+    * [[graft.ops.SuffixArray.longestDupNgram]] (corpus max run) and
+    * [[graft.ops.SuffixArray.perDocDupRun]] (per-doc max run): every
+    * occurrence of a duplicated `L`-token run EXCEPT the corpus-first
+    * one (order: (doc id, position)) is CUT from its document, and the
+    * surviving tokens reassemble in order. Window granularity: each
+    * sliding `L`-window whose content occurred earlier marks its L
+    * positions for removal; overlapping marks merge, so a duplicated
+    * run of ANY length ≥ L is cut as one span on later occurrences
+    * while the first occurrence survives untouched. Fully-duplicated
+    * documents come back with empty text (n_removed = n_tokens) —
+    * sliding windows make this shift-robust where [[segmentDedup]]'s
+    * fixed grid is not.
+    *
+    * Returns `(doc_id, n_tokens, n_removed, text)` for EVERY input doc.
+    *
+    * Scale shape: one window explode (O(n) rows of (doc, pos, hash) —
+    * never the O(n·L) covered-position explode the oracle spells);
+    * first-occurrence detection is a map-side-combinable `min(struct)`
+    * per window hash (NOT a rank window partitioned by hash — a
+    * boilerplate window duplicated millions of times would funnel its
+    * whole group through one rank task, while the aggregate collapses
+    * it to one row; the join back on the hash is the one skew point,
+    * split by AQE); interval merging is the gaps-and-islands window
+    * per DOCUMENT over removed intervals only (bounded by doc length);
+    * reassembly filters each doc's token array against its own merged
+    * spans — per-row HOF work, one doc-keyed shuffle. */
+  def exactSubstrDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+      toksCol: String, L: Int = 16,
+      hash: Column => Column = Hashing.hash31): org.apache.spark.sql.DataFrame = {
+    require(L > 0, s"window length must be positive, got $L")
+    val win = org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      col(toksCol).as("toks"))
+    val starts = when(size(col("toks")) < L, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(col("toks")) - L))
+    val wins = base.select(col("doc_id"),
+        explode(transform(starts, ws => struct(ws.as("ws"),
+          hash(array_join(slice(col("toks"), ws + 1, lit(L)), " ")).as("h"))))
+          .as("w"))
+      .select(col("doc_id"), col("w.ws").as("ws"), col("w.h").as("h"))
+    val firsts = wins.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("ws"))).as("f"),
+        count(lit(1)).as("esd_c"))
+    val removed = wins.join(firsts, Seq("h"))
+      .filter(col("esd_c") >= 2 &&
+        !(col("doc_id") === col("f.doc_id") && col("ws") === col("f.ws")))
+      .select(col("doc_id"), col("ws").as("s"), (col("ws") + (L - 1)).as("e"))
+    val wDoc = win.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val spans = removed
+      .withColumn("esd_maxe",
+        max(col("e")).over(wDoc.rowsBetween(win.unboundedPreceding, -1)))
+      .withColumn("esd_new",
+        when(col("esd_maxe").isNull || col("s") > col("esd_maxe"), 1)
+          .otherwise(0))
+      .withColumn("esd_isl", sum(col("esd_new")).over(
+        wDoc.rowsBetween(win.unboundedPreceding, win.currentRow)))
+      .groupBy(col("doc_id"), col("esd_isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    base.join(spans, Seq("doc_id"), "left")
+      .withColumn("ivs",
+        coalesce(col("ivs"), array().cast("array<struct<s:int,e:int>>")))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("ivs"), iv =>
+            i >= iv.getField("s") && i <= iv.getField("e"))).as("esd_kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("esd_kept"))).cast("long").as("n_removed"),
+        array_join(col("esd_kept"), " ").as("text"))
+  }
+
   /** Shared tail of [[segmentDedup]] and [[contentChunkDedup]]: global
     * keep-first on segment hash (first occurrence by (doc id, position)
     * survives — the RankLimitRewrite `row_number ≤ 1` path) and

@@ -2,28 +2,34 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
-import graft.ops.{SuffixArray, TextAnalysis}
+import graft.ops.{Hashing, SuffixArray, TextAnalysis}
 
-/** Suffix-array family ([[graft.ops.SuffixArray]], [[graft.ops.GlobalRank]])
-  * plus the Gopher repetition statistic — the substring-level depth the
+/** Substring-level duplication family ([[graft.ops.SuffixArray]],
+  * [[graft.ops.GlobalRank]], `Dedup.exactSubstrDedup`) — the depth the
   * round-9 verdict asked for next to the fixed-width span stats (q97) and
   * segment dedup (q130):
   *
-  *  - q151 exposes the prefix-doubling suffix RANKS themselves, so the
-  *    scale-safe [[graft.ops.GlobalRank.denseRank]] (distinct-key ranking +
-  *    two-phase partition offsets, never a single-partition window) is
-  *    hash-checked bit-for-bit against the naive `dense_rank() OVER
-  *    (ORDER BY …)` spelling unrolled per doubling round in DuckDB;
+  *  - q151 exposes depth-8 suffix RANKS: the oracle spells the full
+  *    prefix-doubling recurrence (one `rank()` window per round over the
+  *    virtual corpus string) while the plan ranks the sep-truncated
+  *    window string in one [[graft.ops.GlobalRank.sparseRank]] pass, so
+  *    the hash compare proves the jump-start identity itself;
   *  - q152 answers "how long is the longest copied run in this corpus?" —
   *    the Lee et al. ACL'22 statistic that picks the span width worth
-  *    deduplicating at — in O(n log cap) shuffled rows, where the oracle
-  *    (and any engine without suffix ranks) pays O(n · cap) rows carrying
-  *    length-cap gram payloads;
+  *    deduplicating at — via jump-started, tied-only-refined rank levels
+  *    and SA-adjacent LCP walks, where the oracle (and any engine
+  *    without suffix ranks) pays O(n · cap) rows carrying length-cap
+  *    gram payloads;
   *  - q153 is the Gopher/MassiveText repetition gate (Rae et al. 2021,
   *    Table A1): the fraction of a document's characters covered by its
   *    single most frequent n-gram, n ∈ {2,3,4} — scored as max over grams
   *    of count × gram-chars, so the statistic is deterministic without a
-  *    per-doc argmax tiebreak.
+  *    per-doc argmax tiebreak;
+  *  - q154 is the per-DOCUMENT longest-duplicated-run length — the
+  *    threshold statistic for picking WHICH documents need substring
+  *    cleaning;
+  *  - q155 is the cleaning itself: the ExactSubstr TRANSFORM (cut every
+  *    later occurrence of a duplicated 16-token run, reassemble).
   */
 object SuffixQueries {
 
@@ -191,5 +197,62 @@ object SuffixQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q151, q152, q153, q154)
+  // ---- Q155: exact-substring deduplication (the ExactSubstr transform) ----
+
+  /** The Lee et al. ACL'22 deduplication TRANSFORM over the salted corpus
+    * (exact copies at +200000, one-token-shifted copies at +100000 — the
+    * q130 fixture, which sliding windows handle where the fixed grid
+    * cannot): every later occurrence of a duplicated 16-token run is cut
+    * and each document reassembles from its surviving tokens. Exact
+    * copies come back empty; shifted copies keep only their novel head.
+    * The oracle spells the naive covered-position explode; the operator
+    * merges removal windows into spans per document instead. */
+  val Q155L = 16
+
+  val q155 = Q("q155_exact_substr_dedup", {
+    val l = Q155L
+    val gram = s"array_to_string(toks[ws + 1:ws + $l], ' ')"
+    s"""WITH base AS (SELECT doc_id, ${TextAnalysis.toksSql} AS toks FROM documents),
+      |tok AS (
+      |  SELECT doc_id, toks FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, toks FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, ['qq'] || toks[2:] AS toks
+      |  FROM base WHERE doc_id % 5 = 0),
+      |win AS (SELECT doc_id, ws, ${Hashing.hash31Sql(gram)} AS h
+      |  FROM tok, unnest(generate_series(0, len(toks) - $l)) AS u(ws)
+      |  WHERE len(toks) >= $l),
+      |rw AS (SELECT doc_id, ws,
+      |  row_number() OVER (PARTITION BY h ORDER BY doc_id, ws) AS rn FROM win),
+      |rem AS (SELECT doc_id, ws AS s, ws + ${l - 1} AS e FROM rw WHERE rn > 1),
+      |cov AS (SELECT DISTINCT doc_id, p
+      |  FROM rem, unnest(generate_series(s, e)) AS v(p)),
+      |tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok
+      |  FROM tok, unnest(generate_series(1, len(toks))) AS u(i)),
+      |kept AS (SELECT t.doc_id, t.p, t.tok FROM tp t
+      |  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.p
+      |  WHERE c.p IS NULL),
+      |agg AS (SELECT doc_id, count(*) AS kept,
+      |  string_agg(tok, ' ' ORDER BY p) AS text FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+      |  (len(t.toks) - coalesce(a.kept, 0))::BIGINT AS n_removed,
+      |  coalesce(a.text, '') AS text
+      |FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+  }) { (s, dir) =>
+    val d = docToks(s, dir)
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"), col("toks"))
+    val shifted = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(array(lit("qq")),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))))
+          .as("toks"))
+    graft.ops.Dedup.exactSubstrDedup(
+        d.unionByName(exact).unionByName(shifted), "doc_id", "toks", L = Q155L)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q151, q152, q153, q154, q155)
 }

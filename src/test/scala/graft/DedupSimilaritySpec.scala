@@ -392,4 +392,87 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // docs are absent entirely
     assert(out === Array((1L, 1L, 1L, "a b")))
   }
+
+  // ---- exactSubstrDedup (Lee et al. ExactSubstr transform) ----
+
+  /** Sequential reference: process windows in (doc_id, ws) order; a
+    * window whose gram was seen at a smaller (doc, ws) marks its L
+    * positions removed (regardless of whether the first occurrence is
+    * itself covered by some other gram's span — matching the operator's
+    * global-min semantics). */
+  private def bruteExactSubstr(docs: Seq[(Long, String)], l: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val toks = docs.sortBy(_._1).map { case (id, t) =>
+      id -> t.split(" ").toSeq.filter(_.nonEmpty)
+    }
+    val seen = scala.collection.mutable.Set[Seq[String]]()
+    val removed = scala.collection.mutable.Map[Long, Set[Int]]()
+    toks.foreach { case (id, tk) =>
+      var rp = Set.empty[Int]
+      (0 to tk.length - l).foreach { ws =>
+        val g = tk.slice(ws, ws + l)
+        if (seen.contains(g)) rp ++= (ws until ws + l)
+        else seen += g
+      }
+      removed(id) = rp
+    }
+    toks.map { case (id, tk) =>
+      val rp = removed(id)
+      val kept = tk.zipWithIndex.collect { case (t, i) if !rp.contains(i) => t }
+      id -> ((tk.length.toLong, rp.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("exactSubstrDedup: later occurrences of shared runs are cut, " +
+      "exact copies vanish, shifted copies survive only their novelty") {
+    // L=3; doc 2 embeds doc 1's run shifted by one token (the fixed-grid
+    // killer), doc 3 is an exact copy of doc 1, doc 4 shares nothing
+    val docs = tokDF(
+      (1L, "a b c d e f g"),
+      (2L, "z a b c d e f g"),
+      (3L, "a b c d e f g"),
+      (4L, "p q r s t u v"))
+    val expected = bruteExactSubstr(
+      Seq(1L -> "a b c d e f g", 2L -> "z a b c d e f g",
+        3L -> "a b c d e f g", 4L -> "p q r s t u v"), 3)
+    val out = Dedup.exactSubstrDedup(docs, "id", "toks", L = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === expected)
+    // the exact copy is erased entirely; the shifted copy keeps only its
+    // one novel token — every other position sits inside the duplicated
+    // run "a b c d e f g" (the window starting at it or covering it was
+    // seen in doc 1), which is precisely the span ExactSubstr cuts
+    assert(out(3L)._3 === "")
+    assert(out(3L)._2 === 7L)
+    assert(out(2L)._3 === "z")
+    assert(out(4L)._2 === 0L)
+  }
+
+  test("exactSubstrDedup: docs shorter than L pass through untouched") {
+    val docs = tokDF((1L, "a b"), (2L, "a b"), (3L, "a b c"))
+    val out = Dedup.exactSubstrDedup(docs, "id", "toks", L = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(1L -> ((2L, 0L, "a b")), 2L -> ((2L, 0L, "a b")),
+      3L -> ((3L, 0L, "a b c"))))
+  }
+
+  test("exactSubstrDedup property: random corpora vs the sequential reference") {
+    val rnd = new scala.util.Random(1550814L)
+    for (trial <- 1 to 5) {
+      val vocab = Seq("a", "b", "c", "d")
+      val docs = (1L to 7L).map { id =>
+        val len = 2 + rnd.nextInt(14)
+        id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val l = 2 + rnd.nextInt(3)
+      val expected = bruteExactSubstr(docs, l)
+      val out = Dedup.exactSubstrDedup(
+          tokDF(docs.map { case (i, t) => (i, t) }: _*), "id", "toks", L = l)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(out === expected, s"trial=$trial L=$l docs=$docs")
+    }
+  }
 }

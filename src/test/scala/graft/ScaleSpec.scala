@@ -497,6 +497,36 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"xover_distinct_pairs":$p,"xover_shuffle_write":$w,"xover_bound":$bound}}""")
   }
 
+  test("exactSubstrDedup at 10x: shuffle O(windows), never the covered-" +
+      "position explode; planted copies erased, shifted copies keep novelty") {
+    // 5500 docs incl. 500 one-token-shifted near-copies: every shifted
+    // doc's tail windows duplicate the original, so ~10% of the corpus
+    // is removable — the realistic boilerplate fraction
+    val docs = toks(corpus10x)
+    val nTok = docs.agg(sum(size(col("toks")))).head().getLong(0)
+    val l = 16
+    val (rows, w, _, _) = measure {
+      Dedup.exactSubstrDedup(docs, "doc_id", "toks", L = l).collect()
+    }
+    val byId = rows.map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // every shifted copy (doc_id ≥ 100000) loses its duplicated tail and
+    // keeps ≤ L+1 tokens of novelty; originals are untouched (their
+    // windows are the corpus-first occurrences)
+    val shifted = byId.filter(_._1 >= 100000L)
+    assert(shifted.nonEmpty)
+    assert(shifted.forall { case (_, (nRem, text)) =>
+      nRem >= 40L - l && text.split(" ").length <= l + 1
+    }, "shifted copies must lose their duplicated tails")
+    assert(byId.filter(_._1 < 100000L).forall(_._2._1 == 0L),
+      "originals are first occurrences — nothing removed")
+    // shuffled rows ∝ windows (one per position) across the hash
+    // aggregate + join + per-doc interval/reassembly exchanges — a small
+    // multiple of n; the covered-position spelling explodes n·L rows
+    // before ever shuffling
+    assert(w <= 8L * nTok, s"shuffled $w rows for $nTok tokens")
+    println(s"""{"scale_invariants":{"esd_tokens":$nTok,"esd_shuffle_write":$w,"esd_naive_rows":${nTok * l}}}""")
+  }
+
   test("globalRank at 10x heavy-key skew: no task ever holds the stream, " +
       "and the heavy key costs no more than a unique one") {
     // 200k rows, HALF carrying one key — the shape that melts both the
