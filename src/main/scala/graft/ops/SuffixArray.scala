@@ -262,9 +262,11 @@ object SuffixArray {
     * of a natural corpus is still tied, so the refinement has no
     * leverage there, while one string rank at depth 16 settles ~95% of
     * positions in a single pass. */
-  private def adjacentLcp(docs: DataFrame, idCol: String, toksCol: String,
+  /** Window table + refined rank levels (k0..rounds) — shared between
+    * the LCP walk and the cap-saturation short-circuit. */
+  private def rankStack(docs: DataFrame, idCol: String, toksCol: String,
       rounds: Int, mat: Materialize, docsPerBucket: Long)
-      : (DataFrame, DataFrame) = {
+      : (Int, DataFrame, Seq[DataFrame]) = {
     val k0 = math.min(4, rounds)
     val width = 1 << k0
     val pw = mat(positionsWindows(docs, idCol, toksCol, width, docsPerBucket))
@@ -274,6 +276,20 @@ object SuffixArray {
     val deeper = ((k0 + 1) to rounds).scanLeft(rk0) { (prev, k) =>
       refine(prev, 1L << (k - 1), mat)
     }
+    (k0, pw, deeper)
+  }
+
+  private def adjacentLcp(docs: DataFrame, idCol: String, toksCol: String,
+      rounds: Int, mat: Materialize, docsPerBucket: Long)
+      : (DataFrame, DataFrame) = {
+    val (k0, pw, deeper) =
+      rankStack(docs, idCol, toksCol, rounds, mat, docsPerBucket)
+    walkStack(k0, pw, deeper)
+  }
+
+  /** SA-adjacent pairs + LCP walk over a [[rankStack]]. */
+  private def walkStack(k0: Int, pw: DataFrame, deeper: Seq[DataFrame])
+      : (DataFrame, DataFrame) = {
     // order is rowNumber's zipWithIndex-backed frame: both pair sides
     // share its RDD, so no materialization barrier is needed
     val order = GlobalRank.rowNumber(deeper.last, Seq("r", "gid"), "fr")
@@ -304,23 +320,37 @@ object SuffixArray {
       docsPerBucket: Long = 1024L): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val cap = 1L << rounds
-    val (pw, walked) =
-      adjacentLcp(docs, idCol, toksCol, rounds, mat, docsPerBucket)
-    val walkedM = mat(walked.select(col("i"), col("j"), col("lcp")))
-    val maxRow = mat(walkedM
-      .agg(least(coalesce(max(col("lcp")), lit(0L)), lit(cap))
-        .as("max_dup_len")))
-    // gram reconstruction touches CANDIDATE positions only: an
-    // occurrence of a duplicated ℓ*-gram shares its ℓ*-prefix with some
-    // other suffix, so its SA-adjacent pair on that side walks to
-    // lcp ≥ ℓ* — the candidate set is exactly the occurrence set, and
-    // conversely every candidate's ℓ*-prefix is shared with its
-    // neighbor, so no count filter is needed. The corpus-wide
-    // every-position gram explode this replaces is the oracle's job.
-    val cand = walkedM.crossJoin(broadcast(maxRow))
-      .filter(col("max_dup_len") >= 1 && col("lcp") >= col("max_dup_len"))
-      .select(explode(array(col("i"), col("j"))).as("gid"))
-      .distinct()
+    val (k0, pw, deeper) =
+      rankStack(docs, idCol, toksCol, rounds, mat, docsPerBucket)
+    // CAP-SATURATION SHORT-CIRCUIT: a position still tied at depth cap
+    // shares its full cap-window with another position, so the answer
+    // is the cap and the tied set IS the occurrence set of duplicated
+    // cap-grams — the whole LCP walk is unnecessary. One scalar
+    // existence probe on the (already materialized) deepest level picks
+    // the plan; raw corpora with whole-document copies take this path.
+    val saturated =
+      !deeper.last.filter(col("tied")).select(col("gid")).isEmpty
+    val (maxRow, cand) = if (saturated) {
+      (mat(deeper.last.limit(1).select(lit(cap).as("max_dup_len"))),
+        deeper.last.filter(col("tied")).select(col("gid")))
+    } else {
+      val (_, walked) = walkStack(k0, pw, deeper)
+      val walkedM = mat(walked.select(col("i"), col("j"), col("lcp")))
+      val mr = mat(walkedM
+        .agg(least(coalesce(max(col("lcp")), lit(0L)), lit(cap))
+          .as("max_dup_len")))
+      // gram reconstruction touches CANDIDATE positions only: an
+      // occurrence of a duplicated ℓ*-gram shares its ℓ*-prefix with
+      // some other suffix, so its SA-adjacent pair on that side walks
+      // to lcp ≥ ℓ* — the candidate set is exactly the occurrence set,
+      // and conversely every candidate's ℓ*-prefix is shared with its
+      // neighbor, so no count filter is needed. The corpus-wide
+      // every-position gram explode this replaces is the oracle's job.
+      (mr, walkedM.crossJoin(broadcast(mr))
+        .filter(col("max_dup_len") >= 1 && col("lcp") >= col("max_dup_len"))
+        .select(explode(array(col("i"), col("j"))).as("gid"))
+        .distinct())
+    }
     val grams = cand
       .join(pw.select(col("gid"), col("doc_id"), col("pos")), Seq("gid"))
       .join(docs.select(col(idCol).cast("long").as("doc_id"),
