@@ -497,6 +497,32 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"xover_distinct_pairs":$p,"xover_shuffle_write":$w,"xover_bound":$bound}}""")
   }
 
+  test("longestDupNgram at 10x: walk path finds the planted 40-run, " +
+      "shuffle stays a small multiple of n") {
+    // the near-dup corpus: every 10th doc reappears with 2 tokens
+    // prepended, so the longest duplicated run is each copied doc's full
+    // 40-token body — 500 distinct duplicated 40-grams, all below the
+    // 64 cap, forcing the LCP-walk path (no tie survives depth 64)
+    val docs = toks(corpus10x)
+    val nTok = docs.agg(sum(size(col("toks")))).head().getLong(0)
+    val (row, w, _, _) = measure {
+      graft.ops.SuffixArray
+        .longestDupNgram(docs, "doc_id", "toks", rounds = 6).head()
+    }
+    assert(row.getLong(0) === 40L, s"max_dup_len ${row.getLong(0)}")
+    assert(row.getLong(1) === 500L, s"n_dup_grams ${row.getLong(1)}")
+    // jump-start rank (~1·n) + two tied-only refinements (O(tied)) +
+    // the order sort + SA-adjacent pairing (~3·n), then the walk: the
+    // pair table re-keys at every lookup (the join key is i+off, off
+    // changes per level), so each of the 6 level lookups and 2 window
+    // fetches exchanges pairs + level ≈ 2·n — ~22·n measured in total,
+    // rows of two/three LONGS. The enumeration spelling ships n·cap
+    // ≈ 64× the corpus in rows, each CARRYING a ~400-byte 64-token gram
+    // — ~80× the bytes of this plan before its first aggregation.
+    assert(w <= 26L * nTok, s"shuffled $w rows for $nTok tokens")
+    println(s"""{"scale_invariants":{"ldn_tokens":$nTok,"ldn_shuffle_write":$w,"ldn_naive_rows":${nTok * 64}}}""")
+  }
+
   test("exactSubstrDedup at 10x: shuffle O(windows), never the covered-" +
       "position explode; planted copies erased, shifted copies keep novelty") {
     // 5500 docs incl. 500 one-token-shifted near-copies: every shifted
