@@ -372,6 +372,16 @@ object Dedup {
     *
     * Returns `(doc_id, n_tokens, n_removed, text)` for EVERY input doc.
     *
+    * Window identity is decided by HASH equality alone (gram content is
+    * never re-compared — carrying the L-token gram text through the
+    * shuffle would multiply the exploded stream's payload by L), so the
+    * hash width bounds the silent-miscut risk: the default is the 60-bit
+    * [[Hashing.hash60]] (still DuckDB-portable), for which the birthday
+    * bound keeps the expected number of colliding window pairs below one
+    * up to ~10^9 distinct windows — a 31-bit hash crosses that line at
+    * ~10^5, i.e. within a single large document. At 100 TB pass
+    * `hash = xxhash64-based` (64-bit) the same way.
+    *
     * Scale shape: one window explode (O(n) rows of (doc, pos, hash) —
     * never the O(n·L) covered-position explode the oracle spells);
     * first-occurrence detection is a map-side-combinable `min(struct)`
@@ -385,7 +395,7 @@ object Dedup {
     * spans — per-row HOF work, one doc-keyed shuffle. */
   def exactSubstrDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
       toksCol: String, L: Int = 16,
-      hash: Column => Column = Hashing.hash31): org.apache.spark.sql.DataFrame = {
+      hash: Column => Column = Hashing.hash60): org.apache.spark.sql.DataFrame = {
     require(L > 0, s"window length must be positive, got $L")
     val win = org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol).cast("long").as("doc_id"),

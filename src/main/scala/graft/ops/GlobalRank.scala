@@ -101,10 +101,38 @@ object GlobalRank {
     * partitions as it needs, and the boundary carry restitches its
     * single rank across all of them. The tiebreak orders nothing
     * observable: ranks depend only on key equality and key order, so
-    * the output is deterministic even though the tiebreak isn't. */
+    * the output is deterministic even though the tiebreak isn't.
+    *
+    * Contract (enforced): key columns must be ATOMIC value types
+    * (string/numeric/bool/date/timestamp). Binary, array, map and struct
+    * keys are rejected up front — the partition scans and the driver
+    * carry fold compare keys with JVM `==` on the externalized values,
+    * which for `Array[Byte]`/nested containers is reference equality and
+    * would silently rank equal keys as distinct.
+    *
+    * Contract (documented): the INPUT must be deterministic under
+    * recomputation. The stats pass and the attach pass execute the same
+    * frozen sort DAG, which normally replays identical shuffle output;
+    * but if shuffle files are lost and the upstream plan resamples on
+    * recompute (non-deterministic sampling, `repartition` round-robin —
+    * the known range-partition hazard), the recomputed partitions can
+    * diverge from the frozen offset/carry arrays. For fault-tolerant
+    * long runs, checkpoint/persist the input before ranking. */
   def sparseRank(df: DataFrame, keys: Seq[String], out: String,
       tiedOut: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
+    keys.foreach { k =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(k).dataType
+      val atomic = dt match {
+        case BinaryType | _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }
+      require(atomic, s"sparseRank key '$k' has type ${dt.simpleString}: " +
+        "binary/array/map/struct keys compare by reference in the rank " +
+        "scans and would be silently mis-ranked; project an atomic key " +
+        "(e.g. a hash or hex encoding) first")
+    }
     val taken = (df.columns :+ out).toSet ++ tiedOut
     def fresh(base: String): String =
       Iterator.iterate(base)(_ + "_").dropWhile(taken.contains).next()

@@ -22,9 +22,9 @@ import graft.ops.{Hashing, SuffixArray, TextAnalysis}
   *    gram payloads;
   *  - q153 is the Gopher/MassiveText repetition gate (Rae et al. 2021,
   *    Table A1): the fraction of a document's characters covered by its
-  *    single most frequent n-gram, n ∈ {2,3,4} — scored as max over grams
-  *    of count × gram-chars, so the statistic is deterministic without a
-  *    per-doc argmax tiebreak;
+  *    single MOST FREQUENT n-gram, n ∈ {2,3,4} — argmax by count as the
+  *    paper specifies, with a deterministic (count desc, chars desc,
+  *    gram asc) tiebreak spelled identically on plan and oracle;
   *  - q154 is the per-DOCUMENT longest-duplicated-run length — the
   *    threshold statistic for picking WHICH documents need substring
   *    cleaning;
@@ -115,18 +115,24 @@ object SuffixQueries {
 
   // ---- Q153: Gopher top-n-gram character fraction ----
 
-  /** Per document, n ∈ {2,3,4}: (count of the doc's most frequent n-gram ×
-    * characters it covers) / total token characters — 0.0 when the doc is
-    * shorter than n tokens. Grams score per occurrence as count ×
-    * (chars(gram) − (n−1) join spaces), the Rae et al. 2021 Table A1
-    * "fraction of characters in most common n-gram" gate. */
+  /** Per document, n ∈ {2,3,4}: (count of the doc's MOST FREQUENT n-gram ×
+    * characters one occurrence covers) / total token characters — 0.0 when
+    * the doc is shorter than n tokens. This is Rae et al. 2021 Table A1's
+    * "fraction of characters in most common n-gram" gate verbatim: the
+    * gram is the argmax BY COUNT (not by count×chars — a longer but rarer
+    * gram must not win, or documents pass/fail published Gopher thresholds
+    * differently than the paper), with the tie broken deterministically by
+    * (count desc, covered-chars desc, gram asc) on plan and oracle alike.
+    * Covered chars per occurrence = chars(gram) − (n−1) join spaces. */
   val q153 = Q("q153_gopher_topgram", {
     def tSql(n: Int) =
       s"""g$n AS (SELECT doc_id, array_to_string(toks[pp:pp + ${n - 1}], ' ') AS gram
         |  FROM base, unnest(generate_series(1, len(toks) - ${n - 1})) AS u(pp)),
-        |t$n AS (SELECT doc_id, max(c * (len(gram) - ${n - 1})) AS v FROM (
-        |  SELECT doc_id, gram, count(*) AS c FROM g$n GROUP BY doc_id, gram)
-        |  GROUP BY doc_id)""".stripMargin
+        |t$n AS (SELECT doc_id, c * (len(gram) - ${n - 1}) AS v FROM (
+        |  SELECT doc_id, gram, c, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, len(gram) - ${n - 1} DESC, gram ASC) AS rn
+        |  FROM (SELECT doc_id, gram, count(*) AS c FROM g$n
+        |    GROUP BY doc_id, gram)) WHERE rn = 1)""".stripMargin
     s"""WITH corpus AS (SELECT doc_id, text FROM documents),
       |tok AS ($toksSql),
       |base AS (SELECT doc_id, toks, ${TextAnalysis.sumTokenLenSql("toks")}
@@ -148,16 +154,27 @@ object SuffixQueries {
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), col("toks"),
         TextAnalysis.sumTokenLen(col("toks")).as("sum_len"))
-    def top(n: Int) = base
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("p"),
-        col("toks"))
-      .select(col("doc_id"),
-        array_join(slice(col("toks"), col("p"), lit(n)), " ").as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c") * (length(col("gram")) - (n - 1))).as(s"v$n"))
+    def top(n: Int) = {
+      val counts = base
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), size(col("toks")) - (n - 1))).as("p"),
+          col("toks"))
+        .select(col("doc_id"),
+          array_join(slice(col("toks"), col("p"), lit(n)), " ").as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+      // argmax BY COUNT (ties: chars desc, gram asc) — the row_number ≤ 1
+      // spelling RankLimitRewrite turns into the two-phase per-group heap,
+      // so no doc's gram set ever funnels through an unlimited window sort
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("c").desc, (length(col("gram")) - (n - 1)).desc,
+          col("gram").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          (col("c") * (length(col("gram")) - (n - 1))).as(s"v$n"))
+    }
     val joined = Seq(2, 3, 4).map(top).foldLeft(
       base.select(col("doc_id"), col("sum_len"))) {
       (acc, t) => acc.join(t, Seq("doc_id"), "left")
@@ -220,7 +237,7 @@ object SuffixQueries {
       |  UNION ALL
       |  SELECT doc_id + 100000 AS doc_id, ['qq'] || toks[2:] AS toks
       |  FROM base WHERE doc_id % 5 = 0),
-      |win AS (SELECT doc_id, ws, ${Hashing.hash31Sql(gram)} AS h
+      |win AS (SELECT doc_id, ws, ${Hashing.hash60Sql(gram)} AS h
       |  FROM tok, unnest(generate_series(0, len(toks) - $l)) AS u(ws)
       |  WHERE len(toks) >= $l),
       |rw AS (SELECT doc_id, ws,
