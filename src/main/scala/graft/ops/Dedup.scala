@@ -290,6 +290,14 @@ object Dedup {
     * distinct spans of each doc — the gate a corpus-prep pipeline uses
     * to drop or re-clean documents built from copied text.
     *
+    * Relation to the EXACT per-doc statistic
+    * ([[graft.ops.SuffixArray.perDocDupRun]]), asserted on planted cases
+    * in DedupSimilaritySpec ("duplicateSpanStats … vs perDocDupRun"):
+    * `n_dup_spans > 0` implies an exact dup run ≥ `w` (every shared
+    * window IS a repeated run), but not conversely — within-doc
+    * repetition raises the exact statistic while this cross-doc
+    * approximation stays 0 by the `minDocs` DISTINCT-documents contract.
+    *
     * Scale shape: one narrow (doc_id, h) explode (~token-count rows of
     * two longs), one partial-aggregated groupBy(h) for the cross-doc
     * distinct counts, one equi-join back on h, one groupBy(doc_id).

@@ -244,5 +244,46 @@ object AnimeQueries {
       .orderBy(col("lang"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q57, q59)
+  /** E5 (`novelai_order.py:9`): zip two parallel arrays into one map —
+    * the reference's `dict(zip(names, categories))` with `_`→space keys —
+    * serialized with `to_json` so the assembled MAP VALUE is what the
+    * oracle hash-compares, not just its input arrays (the last §2 ID that
+    * was scalatest-only). Keys are the doc's tag-shaped tokens
+    * (`[a-z_^]+`, a charset on which JSON escaping is the identity in
+    * both engines and `_`→space cannot collide distinct tokens), values
+    * their occurrence counts; the zip arrays are sorted by raw token so
+    * the JSON field order is deterministic and ASCII-binary in both. */
+  val q157 = Q("q157_zip_to_map", {
+    val spaced =
+      "replace(replace(replace(tok, '^_^', '^@@@^'), '_', ' '), '^@@@^', '^_^')"
+    s"""WITH t AS (SELECT doc_id,
+      |  unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS tok
+      |  FROM documents),
+      |c AS (SELECT doc_id, tok, count(*) AS c FROM t
+      |  WHERE regexp_matches(tok, '^[a-z_^]+$$') GROUP BY doc_id, tok),
+      |m AS (SELECT doc_id,
+      |  '{' || string_agg('"' || $spaced || '":' || c, ',' ORDER BY tok)
+      |  || '}' AS tag_map FROM c GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(m.tag_map, '{}') AS tag_map
+      |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }) { (s, dir) =>
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.ops.TextAnalysis.toks(col("text"))).as("tok"))
+      .filter(col("tok").rlike("^[a-z_^]+$"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val maps = pairs.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("kv"))
+      .select(col("doc_id"), to_json(map_from_arrays(
+          transform(col("kv"), p => TagText.underscoreToSpace(p.getField("tok"))),
+          transform(col("kv"), p => p.getField("c")))).as("tag_map"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(maps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("tag_map"), lit("{}")).as("tag_map"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q20, q21, q22, q23, q24, q25, q26, q27, q57, q59, q157)
 }

@@ -247,5 +247,57 @@ object SourceQueries {
       .orderBy(col("sub"))
   }
 
-  val all: Seq[Q] = Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149)
+  /** Snapshot-isolated table lifecycle
+    * ([[graft.sources.SnapshotTable]]): create v1 (every third doc),
+    * upsert v2 (update the even-sixth docs' lang+chars, insert the
+    * mod-3=1 docs), append v3 (the mod-3=2 docs), then TIME-TRAVEL all
+    * three versions back and union them tagged — so the oracle row
+    * checks both the merge semantics of each commit AND that earlier
+    * snapshots are immutable after later ones land. The manifest
+    * protocol itself (atomic publish, torn-commit invisibility, commit
+    * races) is SnapshotTableSpec's job; this row proves the end-to-end
+    * content contract the driver can see. */
+  val q156 = Q("q156_snapshot_table",
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+      |v1 AS (SELECT doc_id, lang, n_chars FROM d WHERE doc_id % 3 = 0),
+      |ups AS (SELECT doc_id, 'xx' AS lang, n_chars + 1 AS n_chars FROM d
+      |    WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM d WHERE doc_id % 3 = 1),
+      |v2 AS (SELECT * FROM v1 WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+      |  UNION ALL SELECT * FROM ups),
+      |v3 AS (SELECT * FROM v2
+      |  UNION ALL SELECT doc_id, lang, n_chars FROM d WHERE doc_id % 3 = 2)
+      |SELECT 1 AS version, * FROM v1
+      |UNION ALL SELECT 2 AS version, * FROM v2
+      |UNION ALL SELECT 3 AS version, * FROM v3
+      |ORDER BY version, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snaptbl", dir)
+    // idempotent re-runs (Bench passes twice per JVM): a snapshot table
+    // is create-once by contract, so each run starts from a clean root
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    val batch = d.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), lit("xx").as("lang"),
+        (col("n_chars") + 1).as("n_chars"))
+      .unionByName(d.filter(col("doc_id") % 3 === 1))
+    SnapshotTable.upsert(batch, path)
+    SnapshotTable.append(d.filter(col("doc_id") % 3 === 2), path)
+    (1 to 3).map(v => SnapshotTable.read(s, path, Some(v.toLong))
+        .withColumn("version", lit(v)))
+      .reduce(_ unionByName _)
+      .select(col("version"), col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("version"), col("doc_id"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156)
 }

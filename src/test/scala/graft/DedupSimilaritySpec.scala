@@ -475,4 +475,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(out === expected, s"trial=$trial L=$l docs=$docs")
     }
   }
+
+  test("duplicateSpanStats (w-window approx) vs perDocDupRun (exact SA " +
+      "statistic): approx positive implies exact >= w; internal repetition " +
+      "is the documented divergence") {
+    // Distinct single-occurrence filler everywhere else so the planted
+    // runs are the ONLY duplication:
+    //   docs 1,2 share an 11-token run (cross-doc: BOTH stats fire)
+    //   doc 3 repeats its own 10-token run (within-doc: exact fires,
+    //     cross-doc approx stays 0 by its >= minDocs DISTINCT contract)
+    //   doc 4 is all-unique (NEITHER fires)
+    val shared = (1 to 11).map(i => s"s$i").mkString(" ")
+    val rep = (1 to 10).map(i => s"r$i").mkString(" ")
+    def filler(tag: String, n: Int) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = tokDF(
+      (1L, s"${filler("a", 6)} $shared ${filler("b", 6)}"),
+      (2L, s"${filler("c", 6)} $shared ${filler("d", 6)}"),
+      (3L, s"${filler("e", 6)} $rep ${filler("f", 3)} $rep ${filler("g", 6)}"),
+      (4L, filler("h", 30)))
+    val w = 8
+    val approx = Dedup.duplicateSpanStats(docs, "id", "toks", w = w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // n_dup_spans
+    val exact = graft.ops.SuffixArray
+      .perDocDupRun(docs, "id", "toks", rounds = 4) // cap 16 >= planted runs
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // max_dup_len
+    // soundness: any doc the approximation flags has an exact dup run of
+    // at least the window width
+    docs.select("id").collect().map(_.getLong(0)).foreach { id =>
+      if (approx(id) > 0L)
+        assert(exact(id) >= w.toLong,
+          s"doc $id: approx flagged but exact run ${exact(id)} < w=$w")
+    }
+    // agreement on the cross-doc plant: 11-run ⇒ 11-8+1 = 4 shared windows
+    assert(approx(1L) === 4L && approx(2L) === 4L)
+    assert(exact(1L) === 11L && exact(2L) === 11L)
+    // divergence on within-doc repetition: exact sees the 10-run, the
+    // cross-doc approximation must NOT (>= 2 DISTINCT docs contract)
+    assert(exact(3L) === 10L && approx(3L) === 0L)
+    // both silent on the unique doc
+    assert(exact(4L) === 0L && approx(4L) === 0L)
+  }
 }

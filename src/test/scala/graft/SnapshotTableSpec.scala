@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotTable
+
+/** Snapshot-table contract: atomic manifest-commit visibility, time
+  * travel, merge-on-write bucket pruning, torn-commit invisibility, and
+  * commit-race fail-fast. */
+class SnapshotTableSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_snap_$tag")
+    d.toFile.deleteOnExit()
+    new java.io.File(d.toFile, "tbl").getAbsolutePath
+  }
+
+  private def rows(n: Range, tag: String) =
+    n.map(i => (i.toLong, tag, i * 10L)).toDF("id", "tag", "v")
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "tag", "v").as[(Long, String, Long)].collect().toSet
+
+  test("create/read roundtrip; version catalog starts at 1") {
+    val root = freshRoot("rt")
+    assert(SnapshotTable.create(rows(0 until 20, "a"), root, Seq("id"), 4) === 1L)
+    assert(asSet(SnapshotTable.read(spark, root)) === asSet(rows(0 until 20, "a")))
+    val vs = SnapshotTable.versions(spark, root)
+    assert(vs.map(v => (v.version, v.op)) === Seq((1L, "create")))
+    assert(vs.head.buckets === 4 && vs.head.keys === Seq("id"))
+  }
+
+  test("append is blind and O(batch); prior versions stay readable") {
+    val root = freshRoot("ap")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    val v1Entries = SnapshotTable.versions(spark, root).head.entries.toSet
+    assert(SnapshotTable.append(rows(10 until 15, "b"), root) === 2L)
+    val v2 = SnapshotTable.versions(spark, root).last
+    // every v1 entry is re-listed verbatim — append read/rewrote nothing
+    assert(v1Entries.subsetOf(v2.entries.toSet))
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(0 until 10, "a")) ++ asSet(rows(10 until 15, "b")))
+    assert(asSet(SnapshotTable.read(spark, root, Some(1L))) ===
+      asSet(rows(0 until 10, "a")))
+  }
+
+  test("upsert: batch wins per key, inserts land, untouched buckets' " +
+      "manifest lines carry forward unrewritten") {
+    val root = freshRoot("up")
+    val buckets = 8
+    SnapshotTable.create(rows(0 until 40, "a"), root, Seq("id"), buckets)
+    val v1 = SnapshotTable.versions(spark, root).head
+    // batch: update ids 3,7 and insert 100 — hits at most 3 buckets
+    val batch = Seq((3L, "UPD", 999L), (7L, "UPD", 999L), (100L, "NEW", 1L))
+      .toDF("id", "tag", "v")
+    assert(SnapshotTable.upsert(batch, root) === 2L)
+    val v2 = SnapshotTable.versions(spark, root).last
+    val hitBuckets = v2.entries.toSet.diff(v1.entries.toSet).map(_._1)
+    assert(hitBuckets.size <= 3, s"rewrote buckets $hitBuckets")
+    // untouched buckets: identical (bucket, dir) lines as v1
+    val untouched = v1.entries.filterNot(e => hitBuckets(e._1)).toSet
+    assert(untouched.subsetOf(v2.entries.toSet))
+    val expect = asSet(rows(0 until 40, "a"))
+      .filterNot(r => r._1 == 3L || r._1 == 7L) ++
+      Set((3L, "UPD", 999L), (7L, "UPD", 999L), (100L, "NEW", 1L))
+    assert(asSet(SnapshotTable.read(spark, root)) === expect)
+    // time travel to v1 is byte-stable after the upsert
+    assert(asSet(SnapshotTable.read(spark, root, Some(1L))) ===
+      asSet(rows(0 until 40, "a")))
+  }
+
+  test("upsert refuses a batch with duplicate key tuples") {
+    val root = freshRoot("dup")
+    SnapshotTable.create(rows(0 until 5, "a"), root, Seq("id"), 2)
+    val bad = Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("id", "tag", "v")
+    val e = intercept[IllegalArgumentException](SnapshotTable.upsert(bad, root))
+    assert(e.getMessage.contains("duplicate key"))
+  }
+
+  test("upsert refuses a keyless table; append/overwrite still work") {
+    val root = freshRoot("nk")
+    SnapshotTable.create(rows(0 until 5, "a"), root, Seq.empty, 2)
+    intercept[RuntimeException](
+      SnapshotTable.upsert(rows(0 until 1, "b"), root))
+    SnapshotTable.append(rows(5 until 8, "b"), root)
+    assert(SnapshotTable.read(spark, root).count() === 8L)
+    SnapshotTable.overwrite(rows(0 until 2, "c"), root)
+    assert(asSet(SnapshotTable.read(spark, root)) === asSet(rows(0 until 2, "c")))
+  }
+
+  test("schema drift fails fast on append and upsert") {
+    val root = freshRoot("sc")
+    SnapshotTable.create(rows(0 until 5, "a"), root, Seq("id"), 2)
+    val drifted = Seq((9L, "z")).toDF("id", "tag")
+    intercept[IllegalArgumentException](SnapshotTable.append(drifted, root))
+    intercept[IllegalArgumentException](SnapshotTable.upsert(drifted, root))
+  }
+
+  test("crash mid-commit is invisible: orphan data dirs and hidden tmp " +
+      "manifests never surface to readers") {
+    val root = freshRoot("crash")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    // simulate a writer that died after its data write, before publish:
+    // a fully-written data dir plus a half-written hidden manifest
+    rows(50 until 60, "ZOMBIE").withColumn("_gb", lit(0))
+      .write.partitionBy("_gb").parquet(s"$root/data/c2-deadbeef")
+    val tmp = new java.io.File(s"$root/_manifests/.tmp-deadbeef")
+    java.nio.file.Files.writeString(tmp.toPath, "graft-snapshot-v1\nop=append\n")
+    // readers: catalog and content are exactly v1
+    assert(SnapshotTable.versions(spark, root).map(_.version) === Seq(1L))
+    assert(asSet(SnapshotTable.read(spark, root)) === asSet(rows(0 until 10, "a")))
+    // and the table still accepts the next commit normally
+    SnapshotTable.append(rows(10 until 12, "b"), root)
+    assert(SnapshotTable.read(spark, root).count() === 12L)
+  }
+
+  test("commit race fails fast: a version published underneath a writer " +
+      "raises ConcurrentCommitException and the table stays consistent") {
+    val root = freshRoot("race")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    val v1 = SnapshotTable.versions(spark, root).head
+    // two writers race to publish version 2 (same file lists — the data
+    // side is orthogonal to manifest atomicity)
+    val winner = v1.copy(version = 2L, op = "append", uuid = "writer-aaaa")
+    val loser = v1.copy(version = 2L, op = "append", uuid = "writer-bbbb")
+    SnapshotTable.publishManifest(spark, root, winner)
+    intercept[SnapshotTable.ConcurrentCommitException](
+      SnapshotTable.publishManifest(spark, root, loser))
+    // reader view: exactly the winner's manifest, content consistent
+    assert(SnapshotTable.versions(spark, root).last.uuid === "writer-aaaa")
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(0 until 10, "a")))
+    // and the loser's retry through the public API lands cleanly as v3
+    SnapshotTable.append(rows(10 until 12, "c"), root)
+    assert(SnapshotTable.read(spark, root).count() === 12L)
+  }
+
+  test("empty table and empty commits: schema survives with zero rows") {
+    val root = freshRoot("empty")
+    val empty = rows(0 until 0, "a")
+    SnapshotTable.create(empty, root, Seq("id"), 2)
+    val out = SnapshotTable.read(spark, root)
+    assert(out.count() === 0L)
+    assert(out.schema.fieldNames.toSeq === Seq("id", "tag", "v"))
+    SnapshotTable.append(rows(0 until 3, "b"), root)
+    assert(SnapshotTable.read(spark, root).count() === 3L)
+  }
+
+  test("compact collapses accumulated append entries; content unchanged") {
+    val root = freshRoot("cp")
+    val buckets = 4
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), buckets)
+    SnapshotTable.append(rows(10 until 20, "b"), root)
+    SnapshotTable.append(rows(20 until 30, "c"), root)
+    val before = asSet(SnapshotTable.read(spark, root))
+    val preEntries = SnapshotTable.versions(spark, root).last.entries
+    assert(preEntries.size > buckets) // appends accumulated dirs
+    SnapshotTable.compact(spark, root)
+    val post = SnapshotTable.versions(spark, root).last
+    assert(post.entries.size <= buckets)
+    assert(asSet(SnapshotTable.read(spark, root)) === before)
+  }
+}
