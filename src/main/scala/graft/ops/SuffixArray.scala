@@ -263,8 +263,11 @@ object SuffixArray {
     * leverage there, while one string rank at depth 16 settles ~95% of
     * positions in a single pass. */
   /** Window table + refined rank levels (k0..rounds) — shared between
-    * the LCP walk and the cap-saturation short-circuit. */
-  private def rankStack(docs: DataFrame, idCol: String, toksCol: String,
+    * the LCP walk and the cap-saturation short-circuit. `private[graft]`
+    * so ScaleSpec can measure refinement depth: the per-level `tied`
+    * column is the refinement's working set, and its decay at cap 1024
+    * is a recorded scorecard bound. */
+  private[graft] def rankStack(docs: DataFrame, idCol: String, toksCol: String,
       rounds: Int, mat: Materialize, docsPerBucket: Long)
       : (Int, DataFrame, Seq[DataFrame]) = {
     val k0 = math.min(4, rounds)

@@ -652,4 +652,148 @@ class ScaleSpec extends AnyFunSuite {
     assert(maxTask < nPos, s"one task read $maxTask of $nPos — not distributed")
     println(s"""{"scale_invariants":{"suffix_n":$nPos,"suffix_shuffle_write":$w,"suffix_bound":$bound,"suffix_max_task":$maxTask}}""")
   }
+
+  test("suffix refinement at cap 1024: six rounds above the jump-start, " +
+      "tied set tracks the surviving run and dies at the cap") {
+    // 100 docs × 1000 tokens over a 99991 vocab (16-token windows
+    // essentially collision-free), plus ONE full-document copy — a
+    // planted 1000-token duplicated run, the "1k-token runs at 100 TB"
+    // shape the doubling-depth claim is about. At depth d the tied set
+    // is exactly the copy-pair suffixes whose d-window still fits before
+    // the unique separator: 2·max(0, 1001−d) — so the decay curve is the
+    // run's own geometry, measurable level by level.
+    val base = spark.range(0, 100, 1, 8).select(
+      col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(999)),
+        i => concat(lit("w"), pmod(xxhash64(col("id") * 1000 + i), lit(99991))))
+        .as("toks"))
+    val docs = base.unionByName(
+      base.filter(col("doc_id") === 0)
+        .select(lit(100L).as("doc_id"), col("toks")))
+    val rounds = 10 // cap 1024
+    val (k0, _, deeper) = graft.ops.SuffixArray.rankStack(
+      docs, "doc_id", "toks", rounds,
+      graft.ops.Materialize.Local, docsPerBucket = 16L)
+    assert(k0 === 4)
+    assert(deeper.size === rounds - k0 + 1,
+      "jump-start level + six refinement rounds")
+    val tiedPerLevel = deeper.map(_.filter(col("tied")).count())
+    val expected = (k0 to rounds).map(k => 2L * math.max(0L, 1001L - (1L << k)))
+    assert(tiedPerLevel === expected,
+      s"tied decay $tiedPerLevel != run geometry $expected")
+    // the planted run dies before the cap: depth-1024 has zero ties, so
+    // the walk (not the saturation short-circuit) reports exactly 1000
+    val top = graft.ops.SuffixArray
+      .longestDupNgram(docs, "doc_id", "toks", rounds, docsPerBucket = 16L)
+      .head()
+    assert(top.getLong(0) === 1000L, s"expected the planted 1000-run: $top")
+    println(s"""{"scale_invariants":{"suffix1024_k0":$k0,"suffix1024_refine_rounds":${rounds - k0},"suffix1024_tied_per_level":[${tiedPerLevel.mkString(",")}]}}""")
+  }
+
+  // ---- streaming state bounds (measured, not documented) ----
+
+  /** Stage `batches` as one parquet file each with ascending mtimes, so a
+    * `maxFilesPerTrigger=1` file stream replays them as ordered
+    * micro-batches — the same staging discipline as the q150 drain. */
+  private def stageBatches(batches: Seq[DataFrame]): String = {
+    import org.apache.hadoop.fs.Path
+    val stage = java.nio.file.Files.createTempDirectory("graft_scale_stream")
+    val streamDir = new Path(stage.toString, "in")
+    val fs = streamDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(streamDir)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new Path(stage.toString, s"tmp_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+      val dst = new Path(streamDir, f"b$i%03d.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, 1000000L * (i + 1), -1)
+      fs.delete(tmp, true)
+    }
+    streamDir.toString
+  }
+
+  /** Drain a streaming DataFrame with AvailableNow into a memory sink and
+    * return (result rows, per-batch state rows) — `numRowsTotal` of the
+    * single stateful operator, in batch order. */
+  private def drainWithState(out: DataFrame, name: String)
+      : (Array[org.apache.spark.sql.Row], Seq[Long]) = {
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = q.recentProgress.toSeq
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsTotal)
+    (spark.table(name).collect(), state)
+  }
+
+  private def ts(secs: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .plusSeconds(secs))
+
+  test("stream-stream left-outer join state is watermark-bounded: peak <= " +
+      "rows in horizon, drained to the sentinels after eviction") {
+    // 500 clicks (users 1..500), purchases for even users 5 min later —
+    // 250 matches, 250 null emissions at eviction. The 1 h watermark
+    // means NOTHING evicts until the sentinel batch outruns it.
+    val ev = (1L to 500L).map(u => (u, ts(u), u, "click")) ++
+      (2L to 500L by 2).map(u => (u + 10000L, ts(u + 300L), u, "purchase"))
+    val real = ev.toDF("event_id", "ts", "user_id", "event_type")
+    val sentinels = Seq(
+      (-1L, ts(36000L), -1L, "click"),
+      (-2L, ts(36000L), -2L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val none = real.filter(lit(false))
+    val dir = stageBatches(Seq(real, sentinels, none, none))
+    val stream = spark.readStream.schema(real.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // NOTE: the sentinel filter must run on the SINK table, not inside
+    // the streaming plan — pre-sink it pushes below the watermark nodes
+    // and deletes the sentinels before they can advance the watermark
+    // (measured: state pinned at 750 for every batch, zero evictions)
+    val (allRows, state) = drainWithState(
+      graft.streaming.EventStream.clickPurchaseJoin(stream, "left_outer"),
+      "scale_ssjoin_state")
+    val rows = allRows.filter(r => r.getLong(0) >= 0)
+    assert(rows.length === 500)
+    assert(rows.count(_.isNullAt(2)) === 250) // unmatched → null purchase_id
+    // peak state = every row inside the (still-open) watermark horizon,
+    // plus the two sentinels — never more
+    assert(state.max <= 500L + 250L + 2L, s"state per batch: $state")
+    // after the sentinel advances the watermark and the bridge batch
+    // rotates it in, eviction drains ALL real rows: only sentinels remain
+    assert(state.last <= 2L,
+      s"join state not drained after eviction: $state")
+    println(s"""{"scale_invariants":{"ssjoin_state_per_batch":[${state.mkString(",")}],"ssjoin_rows_in_horizon":752}}""")
+  }
+
+  test("streaming dedup state is key-bounded: re-sent keys never grow " +
+      "state, eviction drains it") {
+    // three identical 2000-row batches over the SAME 1000 keys (2 events
+    // per key per batch): input triples, state must stay <= 1000+sentinel
+    val keys = 0L until 1000L
+    def batch(gen: Long) = keys.flatMap(u => Seq(
+        (gen * 10000L + u * 2, ts(u % 600), u, "click"),
+        (gen * 10000L + u * 2 + 1, ts(u % 600 + 1), u, "click")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val sentinel = Seq((999999L, ts(36000L), -1L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val none = batch(0).filter(lit(false))
+    val dir = stageBatches(Seq(batch(0), batch(1), batch(2), sentinel, none))
+    val stream = spark.readStream.schema(batch(0).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val (rows, state) = drainWithState(
+      graft.streaming.EventStream.dedupKeys(stream, Seq("user_id")),
+      "scale_dedup_state")
+    // 1000 keys emitted once each + the sentinel key
+    assert(rows.length === 1001)
+    // bounded by live-key cardinality at every batch, 6000 inputs or not
+    assert(state.max <= 1001L, s"state per batch: $state")
+    // sentinel watermark (+10 h vs 1 h lateness) evicts every real key
+    assert(state.last <= 2L,
+      s"dedup state not drained after eviction: $state")
+    println(s"""{"scale_invariants":{"dedup_state_per_batch":[${state.mkString(",")}],"dedup_distinct_keys":1001}}""")
+  }
 }
