@@ -797,8 +797,44 @@ object Relational {
     graft.streaming.EventStream.sessionCountsAvailableNow(s, dir)
   }
 
+  /** J5's streaming upsert landed on the TRANSACTIONAL table: the
+    * foreachBatch generation-swap sink (q10's streaming analogue)
+    * re-targeted at [[graft.sources.SnapshotTable]] — each micro-batch
+    * is one atomic create/upsert commit, crash safety comes from the
+    * manifest protocol, and pre-batch states stay time-travel readable
+    * ([[graft.streaming.EventStream.upsertSnapshotAvailableNow]]). The
+    * drain stages two batches by event_id parity, so the oracle is
+    * last-write-wins by (batch, ts, event_id) priority — upsert makes
+    * the LATER batch win per user even when the earlier one holds the
+    * later timestamp. */
+  val q159 = Q("q159_snapshot_stream_upsert",
+    """WITH keep AS (SELECT user_id, event_id, ts, value,
+      |  row_number() OVER (PARTITION BY user_id
+      |    ORDER BY event_id % 2 DESC, ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  round(value, 2) AS value
+      |FROM keep WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val path = new java.io.File(
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft-rel-${ProcessHandle.current().pid()}"),
+      s"snapstream_${new java.io.File(dir).getName}").getAbsolutePath
+    // create-once table contract + Bench's multi-pass re-runs → clean root
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    graft.streaming.EventStream.upsertSnapshotAvailableNow(s, dir, path)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
       q55, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q75, q81, q99,
-      q131, q140, q141, q145, q150)
+      q131, q140, q141, q145, q150, q159)
 }

@@ -271,5 +271,102 @@ object SuffixQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q151, q152, q153, q154, q155)
+  // ---- Q158: Gopher duplicate-n-gram character coverage (n ∈ 5..10) ----
+
+  val Q158Ns: Seq[Int] = 5 to 10
+
+  /** The OTHER half of the Rae et al. 2021 Table A1 repetition gate
+    * (q153 is the top-n-gram half): per document and n ∈ {5..10}, the
+    * fraction of token characters covered by n-grams that occur ≥2
+    * times WITHIN the document — "taking care not to count characters
+    * more than once", i.e. union-of-covered-positions semantics, which
+    * is exactly [[graft.ops.Dedup.exactSubstrDedup]]'s gaps-and-islands
+    * span merge re-aimed at measurement instead of removal. Every
+    * occurrence of a duplicated gram covers its positions (including
+    * the first — all occurrences ARE duplicates in the paper's gate).
+    *
+    * Scale shape: ONE explode produces the windows for all six n values
+    * (never six passes over the corpus); within-doc duplicate detection
+    * is a count window partitioned by (doc, n, gram) — bounded by the
+    * doc's gram multiplicity, no corpus-wide shuffle key; covered
+    * positions are NEVER exploded (the oracle's job) — overlapping
+    * windows merge into spans per (doc, n) and covered characters come
+    * from per-row slice sums. Long output (doc_id, n, dup_frac). */
+  val q158 = Q("q158_gopher_dupgram", {
+    val nList = Q158Ns.mkString("[", ", ", "]")
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+      |tok AS ($toksSql),
+      |base AS (SELECT doc_id, toks, ${TextAnalysis.sumTokenLenSql("toks")}
+      |  AS sum_len FROM tok WHERE len(toks) >= 1),
+      |g AS (SELECT doc_id, n, pp, array_to_string(toks[pp:pp + n - 1], ' ') AS gram
+      |  FROM base, unnest($nList) AS un(n),
+      |    unnest(generate_series(1, len(toks) - n + 1)) AS up(pp)
+      |  WHERE len(toks) >= n),
+      |d AS (SELECT doc_id, n, pp FROM (
+      |  SELECT doc_id, n, pp,
+      |    count(*) OVER (PARTITION BY doc_id, n, gram) AS c FROM g)
+      |  WHERE c >= 2),
+      |cov AS (SELECT DISTINCT doc_id, n, p
+      |  FROM d, unnest(generate_series(pp, pp + n - 1)) AS v(p)),
+      |cc AS (SELECT c.doc_id, c.n,
+      |  CAST(sum(length(b.toks[c.p])) AS BIGINT) AS cchars
+      |  FROM cov c JOIN base b ON b.doc_id = c.doc_id GROUP BY c.doc_id, c.n)
+      |SELECT b.doc_id, un.n, round(coalesce(cc.cchars, 0) / b.sum_len, 6)
+      |  AS dup_frac
+      |FROM base b
+      |CROSS JOIN unnest($nList) AS un(n)
+      |LEFT JOIN cc ON cc.doc_id = b.doc_id AND cc.n = un.n
+      |ORDER BY b.doc_id, un.n""".stripMargin
+  }) { (s, dir) =>
+    val win = org.apache.spark.sql.expressions.Window
+    val base = docToks(s, dir).filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"),
+        TextAnalysis.sumTokenLen(col("toks")).as("sum_len"))
+    val nArr = array(Q158Ns.map(lit): _*)
+    val wins = base.select(col("doc_id"),
+        explode(flatten(transform(nArr, n => {
+          val starts = when(size(col("toks")) >= n,
+              sequence(lit(0), size(col("toks")) - n))
+            .otherwise(array().cast("array<int>"))
+          transform(starts, p => struct(n.as("n"), p.as("s"),
+            array_join(slice(col("toks"), p + 1, n), " ").as("g")))
+        }))).as("w"))
+      .select(col("doc_id"), col("w.n").as("n"), col("w.s").as("s"),
+        col("w.g").as("g"))
+    val dup = wins
+      .withColumn("gd_c", count(lit(1)).over(
+        win.partitionBy(col("doc_id"), col("n"), col("g"))))
+      .filter(col("gd_c") >= 2)
+      .select(col("doc_id"), col("n"), col("s"),
+        (col("s") + col("n") - 1).as("e"))
+    val wDoc = win.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("s"), col("e"))
+    val spans = dup
+      .withColumn("gd_maxe",
+        max(col("e")).over(wDoc.rowsBetween(win.unboundedPreceding, -1)))
+      .withColumn("gd_new",
+        when(col("gd_maxe").isNull || col("s") > col("gd_maxe"), 1)
+          .otherwise(0))
+      .withColumn("gd_isl", sum(col("gd_new")).over(
+        wDoc.rowsBetween(win.unboundedPreceding, win.currentRow)))
+      .groupBy(col("doc_id"), col("n"), col("gd_isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
+    val covered = spans
+      .join(base.select(col("doc_id"), col("toks")), Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        aggregate(col("ivs"), lit(0L), (acc, iv) =>
+          acc + TextAnalysis.sumTokenLen(slice(col("toks"),
+            iv.getField("s") + 1,
+            iv.getField("e") - iv.getField("s") + 1))).as("cchars"))
+    base.select(col("doc_id"), col("sum_len"), explode(nArr).as("n"))
+      .join(covered, Seq("doc_id", "n"), "left")
+      .select(col("doc_id"), col("n"),
+        round(coalesce(col("cchars"), lit(0L)) / col("sum_len"), 6)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"), col("n"))
+  }
+
+  val all: Seq[Q] = Seq(q151, q152, q153, q154, q155, q158)
 }

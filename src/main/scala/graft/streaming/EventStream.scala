@@ -125,36 +125,43 @@ object EventStream {
     * watermark is max(ts) - 10min and every planted row is unambiguously
     * beyond it (2h >> 10min) — no boundary races. The 1-row max(ts) probe
     * is a driver-side scalar, same class as the manifest probes. */
+  /** Stage `batches` as ONE parquet file per micro-batch (ascending
+    * mtimes force FileStreamSource order) and open the
+    * `maxFilesPerTrigger=1` file stream over them — the shared arrival
+    * plumbing of every deterministic drain here ([[hourlyLateDrain]],
+    * [[clickPurchaseLeftJoinDrain]], [[upsertSnapshotAvailableNow]]). */
+  private def stagedStream(ss: SparkSession,
+      batches: Seq[DataFrame]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val stage = java.nio.file.Files.createTempDirectory("graft_staged").toString
+    val streamDir = new Path(stage, "in")
+    val fs = streamDir.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    fs.mkdirs(streamDir)
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new Path(stage, s"tmp_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
+      val dst = new Path(streamDir, f"b$i%03d.parquet")
+      fs.rename(part, dst)
+      fs.setTimes(dst, 1000000L * (i + 1), -1)
+      fs.delete(tmp, true)
+    }
+    ss.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+  }
+
   def hourlyLateDrain(spark: SparkSession, sfDir: String,
                       statePartitions: Int = 4): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val ss = scopedSession(spark, statePartitions)
     val events = graft.Tables.events(ss, sfDir)
     val maxTs = events.agg(max(col("ts")).as("mx")).head().getTimestamp(0)
     val lateCut = java.sql.Timestamp.from(maxTs.toInstant.minusSeconds(2 * 3600))
     val isLate = col("user_id") % 50 === 0 && col("ts") <= lit(lateCut)
-
-    val stage = java.nio.file.Files.createTempDirectory("graft_q140").toString
-    val streamDir = new Path(stage, "in")
-    val fs = streamDir.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    fs.mkdirs(streamDir)
-    // one file per arrival batch; mtimes force FileStreamSource order
-    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = new Path(stage, s"tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
-      val dst = new Path(streamDir, name)
-      fs.rename(part, dst)
-      fs.setTimes(dst, mtime, -1)
-      fs.delete(tmp, true)
-    }
-    stageFile(events.filter(!isLate), "b000.parquet", 1000000L)
-    stageFile(events.filter(lit(false)), "b001.parquet", 2000000L) // bridge
-    stageFile(events.filter(isLate), "b002.parquet", 3000000L)
-
-    val stream = ss.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
+    val stream = stagedStream(ss, Seq(
+      events.filter(!isLate),
+      events.filter(lit(false)), // bridge
+      events.filter(isLate)))
     val name = "graft_stream_late"
     val q = hourlyWatermarked(stream)
       .writeStream.format("memory").queryName(name)
@@ -257,7 +264,6 @@ object EventStream {
     * manifest probes. */
   def clickPurchaseLeftJoinDrain(spark: SparkSession, sfDir: String,
                                  statePartitions: Int = 8): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val ss = scopedSession(spark, statePartitions)
     val events = graft.Tables.events(ss, sfDir)
     val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
@@ -269,26 +275,11 @@ object EventStream {
         lit(-2L).as("event_id"), lit(farTs).as("ts"), lit(-2L).as("user_id"),
         lit("purchase").as("event_type"), lit(0.0).as("value"), lit("{}").as("props")))
       .select(events.columns.map(col).toIndexedSeq: _*) // canonical column order
-    val stage = java.nio.file.Files.createTempDirectory("graft_q150").toString
-    val streamDir = new Path(stage, "in")
-    val fs = streamDir.getFileSystem(ss.sparkContext.hadoopConfiguration)
-    fs.mkdirs(streamDir)
-    def stageFile(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = new Path(stage, s"tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.globStatus(new Path(tmp, "part-*"))(0).getPath
-      val dst = new Path(streamDir, name)
-      fs.rename(part, dst)
-      fs.setTimes(dst, mtime, -1)
-      fs.delete(tmp, true)
-    }
-    stageFile(events, "b000.parquet", 1000000L)
-    stageFile(sentinels, "b001.parquet", 2000000L)
-    stageFile(events.filter(lit(false)), "b002.parquet", 3000000L) // bridge
-    stageFile(events.filter(lit(false)), "b003.parquet", 4000000L)
-    val stream = ss.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
+    val stream = stagedStream(ss, Seq(
+      events,
+      sentinels,
+      events.filter(lit(false)), // bridge
+      events.filter(lit(false))))
     val name = "graft_stream_ssjoin_left"
     val q = clickPurchaseJoin(stream, "left_outer")
       .writeStream.format("memory").queryName(name)
@@ -381,6 +372,52 @@ object EventStream {
       .start()
     q.awaitTermination()
     spark.read.parquet(stateDir)
+  }
+
+  /** [[upsertAvailableNow]] with the hand-rolled generation-swap dance
+    * replaced by the real transactional table — the "at cluster scale
+    * the swap becomes a transactional-table MERGE" upgrade that note
+    * promised, now in-repo via [[graft.sources.SnapshotTable]]: each
+    * micro-batch window-dedups internally (latest (ts, event_id) per
+    * user) and lands as ONE atomic commit — create on the first batch,
+    * bucket-pruned merge-on-write upsert after — so crash safety and
+    * torn-read immunity come from the manifest protocol instead of the
+    * rename choreography, readers are never blocked, and every batch's
+    * pre-state stays TIME-TRAVEL readable (the swap dance destroys
+    * history; the table keeps it). A replayed batch after a crash
+    * re-upserts the same keys with the same rows — idempotent content,
+    * one version later.
+    *
+    * The input is staged as two mtime-ordered micro-batches (event_id
+    * parity) so the drain exercises BOTH commit paths; upsert semantics
+    * make later batches win per user, so the batch oracle is
+    * last-write-wins by (batch, ts, event_id) priority — the
+    * [[upsertAvailableNow]] oracle shape exactly. */
+  def upsertSnapshotAvailableNow(spark: SparkSession, sfDir: String,
+      tblPath: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val stream = stagedStream(spark, Seq(
+      events.filter(col("event_id") % 2 === 0),
+      events.filter(col("event_id") % 2 === 1)))
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        val deduped = batch.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+        val sp = batch.sparkSession
+        if (graft.sources.SnapshotTable.versions(sp, tblPath).isEmpty)
+          graft.sources.SnapshotTable.create(deduped, tblPath,
+            Seq("user_id"), buckets = 8)
+        else graft.sources.SnapshotTable.upsert(deduped, tblPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.SnapshotTable.read(spark, tblPath)
   }
 
   // ---- stateful sessionization (flatMapGroupsWithState) ----

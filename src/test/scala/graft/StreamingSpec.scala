@@ -186,6 +186,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.exceptAll(batchExpected).count() === 0)
   }
 
+  test("snapshot-table streaming upsert: LWW by batch priority, one " +
+      "commit per micro-batch, pre-batch state time-travel readable") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sources.SnapshotTable
+    val tbl = java.nio.file.Files.createTempDirectory("graft_snapup")
+      .resolve("tbl").toString
+    val state = EventStream.upsertSnapshotAvailableNow(
+      spark, TestSpark.Sf0001, tbl)
+    // content: LWW with the LATER batch (odd event_ids) winning per user
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy((col("event_id") % 2).desc, col("ts").desc, col("event_id").desc)
+    val expected = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    assert(state.count() === expected.count())
+    assert(state.exceptAll(expected).count() === 0)
+    // protocol: exactly one commit per micro-batch, create then upsert
+    val vs = SnapshotTable.versions(spark, tbl)
+    assert(vs.map(_.op) === Seq("create", "upsert"))
+    // time travel: v1 is batch 0's own LWW (even event_ids), untouched
+    // by the later upsert
+    val v1Expected = ev.filter(col("event_id") % 2 === 0)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+    val v1 = SnapshotTable.read(spark, tbl, Some(1L))
+    assert(v1.count() === v1Expected.count())
+    assert(v1.exceptAll(v1Expected).count() === 0)
+  }
+
   test("upsert recovery: state moved aside by a crash is restored, not discarded") {
     // A prior generation holding a user that never appears in the input —
     // if recovery fails, this row silently vanishes when the next batch
