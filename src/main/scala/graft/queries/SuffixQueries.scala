@@ -330,19 +330,25 @@ object SuffixQueries {
       .select(col("doc_id"), col("toks"),
         TextAnalysis.sumTokenLen(col("toks")).as("sum_len"))
     val nArr = array(Q158Ns.map(lit): _*)
+    // window identity by 64-bit hash of the token slice — no gram string
+    // is ever built, so the count shuffle carries 8-byte keys instead of
+    // 40–80 B text (local wall-clock is explode-bound and moves little,
+    // 5.0 → 4.7 s at sf0.1, but at 100 TB the exchange payload is the
+    // bill); 64-bit keeps the within-doc birthday bound negligible (the
+    // exactSubstrDedup hash-width rule — 31-bit would collide at ~10^5)
     val wins = base.select(col("doc_id"),
         explode(flatten(transform(nArr, n => {
           val starts = when(size(col("toks")) >= n,
               sequence(lit(0), size(col("toks")) - n))
             .otherwise(array().cast("array<int>"))
           transform(starts, p => struct(n.as("n"), p.as("s"),
-            array_join(slice(col("toks"), p + 1, n), " ").as("g")))
+            xxhash64(slice(col("toks"), p + 1, n)).as("gh")))
         }))).as("w"))
       .select(col("doc_id"), col("w.n").as("n"), col("w.s").as("s"),
-        col("w.g").as("g"))
+        col("w.gh").as("gh"))
     val dup = wins
       .withColumn("gd_c", count(lit(1)).over(
-        win.partitionBy(col("doc_id"), col("n"), col("g"))))
+        win.partitionBy(col("doc_id"), col("n"), col("gh"))))
       .filter(col("gd_c") >= 2)
       .select(col("doc_id"), col("n"), col("s"),
         (col("s") + col("n") - 1).as("e"))

@@ -334,4 +334,55 @@ object SnapshotTable {
     * immutable and stay addressable afterwards). */
   def compact(spark: SparkSession, root: String): Long =
     overwrite(read(spark, root), root)
+
+  /** Expire history — the VACUUM of this format: keep the newest
+    * `keepVersions` manifests, delete the expired manifests FIRST (so no
+    * new reader can resolve an expired version), then delete every
+    * bucket data dir no kept manifest references — which also reclaims
+    * orphan dirs from crashed pre-publish commits. Kept versions are
+    * untouched (their file lists stay fully present); a reader mid-scan
+    * ON an expired version can fail, the documented tradeoff every
+    * manifest-format VACUUM carries.
+    *
+    * Concurrent-writer safety is exact, not time-based: only dirs whose
+    * encoded commit version is ≤ the newest KEPT version are deletion
+    * candidates. An in-flight writer's data dir always carries version
+    * current+1, so it can never be swept out from under its publish —
+    * no retention-window heuristic needed.
+    *
+    * Returns (expired manifest count, deleted data dir count). Driver
+    * cost is O(versions + data dirs) metadata listings; deletes are
+    * FS-side. */
+  def vacuum(spark: SparkSession, root: String,
+      keepVersions: Int = 1): (Int, Int) = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    val (fsys, rootP) = fs(spark, root)
+    val snaps = versions(spark, root)
+    require(snaps.nonEmpty, s"no snapshot table at $root")
+    val (expire, keep) =
+      snaps.splitAt(math.max(0, snaps.size - keepVersions))
+    expire.foreach(s => fsys.delete(manifestPath(rootP, s.version), false))
+    val maxKept = keep.map(_.version).max
+    val referenced = keep.flatMap(_.entries.map(_._2))
+      .map(d => fsys.makeQualified(new Path(d)).toString).toSet
+    val CommitV = """c(\d+)-.*""".r
+    val dataRoot = new Path(rootP, "data")
+    var removedDirs = 0
+    if (fsys.exists(dataRoot)) fsys.listStatus(dataRoot).foreach { c =>
+      val sweepable = c.getPath.getName match {
+        case CommitV(v) => v.toLong <= maxKept // never an in-flight commit
+        case _ => false
+      }
+      if (sweepable) {
+        fsys.listStatus(c.getPath).filter(_.isDirectory).foreach { b =>
+          if (!referenced(fsys.makeQualified(b.getPath).toString)) {
+            fsys.delete(b.getPath, true)
+            removedDirs += 1
+          }
+        }
+        if (fsys.listStatus(c.getPath).isEmpty) fsys.delete(c.getPath, true)
+      }
+    }
+    (expire.size, removedDirs)
+  }
 }

@@ -148,6 +148,41 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, root).count() === 3L)
   }
 
+  test("vacuum expires history exactly: kept versions intact, expired " +
+      "unreadable, crashed-commit orphans reclaimed, in-flight dirs spared") {
+    val root = freshRoot("vac")
+    SnapshotTable.create(rows(0 until 20, "a"), root, Seq("id"), 4)
+    SnapshotTable.upsert(Seq((3L, "UPD", 9L)).toDF("id", "tag", "v"), root)
+    SnapshotTable.append(rows(20 until 25, "b"), root)
+    val keptContent = asSet(SnapshotTable.read(spark, root))
+    val v2Content = asSet(SnapshotTable.read(spark, root, Some(2L)))
+    // a crashed commit's orphan data (version 2 <= max kept) and an
+    // IN-FLIGHT writer's dir (version 4 = current+1, must survive)
+    rows(50 until 55, "ZOMBIE").withColumn("_gb", lit(0))
+      .write.partitionBy("_gb").parquet(s"$root/data/c2-deadbeef")
+    rows(60 until 65, "INFLIGHT").withColumn("_gb", lit(0))
+      .write.partitionBy("_gb").parquet(s"$root/data/c4-pending")
+    val (expired, removed) = SnapshotTable.vacuum(spark, root, keepVersions = 2)
+    assert(expired === 1) // v1
+    assert(removed >= 1)  // at least the orphan's bucket dir
+    assert(SnapshotTable.versions(spark, root).map(_.version) === Seq(2L, 3L))
+    // kept versions read identically after the sweep
+    assert(asSet(SnapshotTable.read(spark, root)) === keptContent)
+    assert(asSet(SnapshotTable.read(spark, root, Some(2L))) === v2Content)
+    // expired version unreadable; orphan gone; in-flight dir untouched
+    intercept[RuntimeException](SnapshotTable.read(spark, root, Some(1L)))
+    assert(!new java.io.File(s"$root/data/c2-deadbeef/_gb=0").exists())
+    assert(new java.io.File(s"$root/data/c4-pending/_gb=0").exists())
+    // on-disk bucket dirs == exactly the kept manifests' references
+    val onDisk = new java.io.File(s"$root/data").listFiles
+      .filter(d => d.getName != "c4-pending")
+      .flatMap(_.listFiles).filter(_.isDirectory).map(_.getName).toSeq
+    val refCount = SnapshotTable.versions(spark, root)
+      .flatMap(_.entries.map(_._2)).distinct.size
+    assert(onDisk.size === refCount,
+      s"disk $onDisk vs $refCount referenced dirs")
+  }
+
   test("compact collapses accumulated append entries; content unchanged") {
     val root = freshRoot("cp")
     val buckets = 4
