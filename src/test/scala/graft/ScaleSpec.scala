@@ -690,6 +690,40 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"suffix1024_k0":$k0,"suffix1024_refine_rounds":${rounds - k0},"suffix1024_tied_per_level":[${tiedPerLevel.mkString(",")}]}}""")
   }
 
+  test("SnapshotTable upsert at 10x: merge-on-write reads only the hit " +
+      "buckets' bytes, never the table") {
+    import graft.sources.SnapshotTable
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snap10x").toFile,
+      "tbl").getAbsolutePath
+    val buckets = 32
+    val big = spark.range(0, 100000, 1, 8).select(col("id"),
+      concat(lit("v"), col("id")).as("tag"), (col("id") * 7).as("v"))
+    SnapshotTable.create(big, root, Seq("id"), buckets)
+    // denominator: what a full-table scan costs in input bytes
+    val (_, fullBytes, fullRecs) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.read(spark, root).agg(count(lit(1))).head()
+    }
+    assert(fullRecs >= 100000L)
+    // single-key upsert: the merge plan may only touch ONE bucket's
+    // files (the guard probe + hit-bucket distinct scan the BATCH, not
+    // the table; the 4× slack covers parquet footer overhead and the
+    // merged read+rewrite of the one hit bucket)
+    val batch = Seq((5L, "UPD", 999L)).toDF("id", "tag", "v")
+    val (_, upBytes, _) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.upsert(batch, root)
+    }
+    val bound = 4L * fullBytes / buckets
+    assert(upBytes <= bound,
+      s"upsert read $upBytes bytes; full table is $fullBytes over $buckets buckets (bound $bound)")
+    // content sanity after the pruned merge
+    val row = SnapshotTable.read(spark, root)
+      .filter(col("id") === 5L).collect()
+    assert(row.map(r => (r.getString(1), r.getLong(2))).toSeq === Seq(("UPD", 999L)))
+    assert(SnapshotTable.read(spark, root).count() === 100000L)
+    println(s"""{"scale_invariants":{"snap_full_bytes":$fullBytes,"snap_upsert_bytes":$upBytes,"snap_buckets":$buckets}}""")
+  }
+
   // ---- streaming state bounds (measured, not documented) ----
 
   /** Stage `batches` as one parquet file each with ascending mtimes, so a

@@ -176,4 +176,35 @@ class VectorExprsSpec extends AnyFunSuite {
       TextAnalysis.repeatedHashFrac(col("toks"), 2, 1, partial = false).as("hb")).collect()
     assert(spam(0).getDouble(0) > 0.95)
   }
+  test("TokenWindowHash64: positional, equality ≡ window equality on " +
+      "real text, sub-n empty, null token nulls covering windows") {
+    // hash equality must match string-window equality exactly on the
+    // corpus (64-bit collisions are negligible at this scale): compare
+    // the distinct-count of hashes vs of the window STRINGS per doc
+    val n = 3
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(TextAnalysis.toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= n)
+    val out = docs.select(
+      Hashing.windowHash64(col("toks"), n).as("wh"),
+      transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+        p => array_join(slice(col("toks"), p, lit(n)), " ")).as("ws"))
+    assert(out.count() > 0)
+    // positional: same length; same equality classes position by position
+    val bad = out.filter(
+      size(col("wh")) =!= size(col("ws")) ||
+      size(array_distinct(col("wh"))) =!= size(array_distinct(col("ws"))))
+    assert(bad.count() === 0)
+    // sub-n input → empty array, never negative-length fabrication
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(Hashing.windowHash64(col("toks"), 3).as("wh")).collect()(0)
+    assert(short.getSeq[Any](0) === Seq.empty)
+    // null token nulls exactly the windows covering it
+    val withNull = Seq(Seq[String]("a", "b", null, "c", "d", "e")).toDF("toks")
+      .select(Hashing.windowHash64(col("toks"), 3).as("wh")).collect()(0)
+      .getSeq[Any](0)
+    assert(withNull.size === 4)
+    assert(withNull(0) == null && withNull(1) == null && withNull(2) == null)
+    assert(withNull(3) != null) // window c,d,e is clean
+  }
 }
