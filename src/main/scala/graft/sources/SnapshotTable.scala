@@ -43,6 +43,13 @@ import org.apache.spark.sql.types.StructType
   * commits land as later versions it never consults. Readers never block
   * writers and vice versa.
   *
+  * Schema evolution is ADD-COLUMN only (`mergeSchema = true` on
+  * append/upsert/overwrite): new nullable columns append to the manifest
+  * schema, old data files are never rewritten (the explicit-schema read
+  * backfills null), and time travel serves each version under its own
+  * schema. Drops/retypes are refused — that rewrite is an explicit
+  * overwrite of a fresh table.
+  *
   * Scale shape (the 100 TB audit):
   *   - data writes are fully distributed; the driver touches only
   *     manifest lines — O(buckets + retained appends) metadata, the same
@@ -226,6 +233,37 @@ object SnapshotTable {
       s"batch schema ${df.schema.toDDL} does not match table schema $ddl")
   }
 
+  /** Schema for the commit being built. Strict mode (`mergeSchema =
+    * false`) demands an exact match. Merge mode is ADD-COLUMN evolution
+    * (the Delta `mergeSchema` semantics): the batch must carry every
+    * existing column at its existing type, extra batch columns append to
+    * the table schema as nullable fields, and earlier data files simply
+    * lack them — the explicit-schema read backfills null, so no old file
+    * is ever rewritten and time travel keeps each version's own schema.
+    * Dropping or retyping a column is refused either way (that rewrite
+    * is [[overwrite]]'s job, on a fresh table). */
+  private def commitSchema(df: DataFrame, cur: Snapshot,
+      mergeSchema: Boolean): String =
+    if (!mergeSchema) { requireSchema(df, cur.schemaDdl); cur.schemaDdl }
+    else {
+      val curS = StructType.fromDDL(cur.schemaDdl)
+      val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      curS.fields.foreach(f => require(dfTypes.get(f.name).contains(f.dataType),
+        s"schema merge requires every existing column unchanged; " +
+          s"'${f.name}: ${f.dataType.simpleString}' is missing or retyped " +
+          s"in ${df.schema.toDDL}"))
+      val extra = df.schema.fields
+        .filterNot(f => curS.fieldNames.contains(f.name))
+        .map(f => org.apache.spark.sql.types.StructField(
+          f.name, f.dataType, nullable = true))
+      StructType(curS.fields ++ extra).toDDL
+    }
+
+  /** Project `df` into `ddl`'s column order (writes must align with the
+    * manifest schema the readers will apply). */
+  private def aligned(df: DataFrame, ddl: String): DataFrame =
+    df.select(StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq: _*)
+
   private def requireCols(df: DataFrame, keys: Seq[String]): Unit = {
     require(!df.columns.contains(BucketCol),
       s"column name $BucketCol is reserved by SnapshotTable")
@@ -252,34 +290,39 @@ object SnapshotTable {
 
   /** Blind append: O(batch) data writes, prior entries re-listed
     * verbatim. No key dedup — append the same key twice and both rows
-    * surface (use [[upsert]] for keyed semantics). */
-  def append(df: DataFrame, root: String): Long = {
+    * surface (use [[upsert]] for keyed semantics). `mergeSchema = true`
+    * allows add-column evolution (see [[commitSchema]]). */
+  def append(df: DataFrame, root: String,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
-    requireCols(df, cur.keys); requireSchema(df, cur.schemaDdl)
+    requireCols(df, cur.keys)
+    val ddl = commitSchema(df, cur, mergeSchema)
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
     val uuid = newUuid()
-    val entries =
-      writeCommitData(df, rootP, v, cur.keys, cur.buckets, uuid, fsys)
+    val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
+      cur.buckets, uuid, fsys)
     publish(fsys, rootP, Snapshot(v, "append", cur.keys, cur.buckets,
-      cur.schemaDdl, uuid, cur.entries ++ entries))
+      ddl, uuid, cur.entries ++ entries))
     v
   }
 
   /** Replace the table's content wholesale (config and history are
     * kept — prior versions stay readable). */
-  def overwrite(df: DataFrame, root: String): Long = {
+  def overwrite(df: DataFrame, root: String,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
-    requireCols(df, cur.keys); requireSchema(df, cur.schemaDdl)
+    requireCols(df, cur.keys)
+    val ddl = commitSchema(df, cur, mergeSchema)
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
     val uuid = newUuid()
-    val entries =
-      writeCommitData(df, rootP, v, cur.keys, cur.buckets, uuid, fsys)
+    val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
+      cur.buckets, uuid, fsys)
     publish(fsys, rootP, Snapshot(v, "overwrite", cur.keys, cur.buckets,
-      cur.schemaDdl, uuid, entries))
+      ddl, uuid, entries))
     v
   }
 
@@ -289,12 +332,14 @@ object SnapshotTable {
     * buckets' manifest lines carry forward unread. The batch must be
     * unique per key (checked; a multi-valued key has no deterministic
     * winner). */
-  def upsert(df: DataFrame, root: String): Long = {
+  def upsert(df: DataFrame, root: String,
+      mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
     require(cur.keys.nonEmpty,
       s"table at $root was created without keys; upsert undefined")
-    requireCols(df, cur.keys); requireSchema(df, cur.schemaDdl)
+    requireCols(df, cur.keys)
+    val ddl = commitSchema(df, cur, mergeSchema)
     val (fsys, rootP) = fs(spark, root)
     val keyCols = cur.keys.map(col)
     val dupKeys = df.groupBy(keyCols: _*).count()
@@ -307,7 +352,10 @@ object SnapshotTable {
     val hit = batch.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet
     val hitDirs = cur.entries.filter(e => hit(e._1))
-    val schema = StructType.fromDDL(cur.schemaDdl)
+    // prior files read under the COMMIT schema: on an evolving upsert the
+    // old files lack the new columns and backfill null, so the merge
+    // unions cleanly without rewriting any untouched bucket
+    val schema = StructType.fromDDL(ddl)
     val priorHit =
       if (hitDirs.isEmpty)
         spark.createDataFrame(
@@ -316,13 +364,13 @@ object SnapshotTable {
     // anti-join on the key: batch wins; both sides already bucket-pruned
     val merged = priorHit
       .join(batch.select(keyCols: _*), cur.keys, "left_anti")
-      .unionByName(batch.drop(BucketCol))
+      .unionByName(aligned(batch.drop(BucketCol), ddl))
     val v = cur.version + 1
     val uuid = newUuid()
     val entries =
       writeCommitData(merged, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     publish(fsys, rootP, Snapshot(v, "upsert", cur.keys, cur.buckets,
-      cur.schemaDdl, uuid,
+      ddl, uuid,
       cur.entries.filterNot(e => hit(e._1)) ++ entries))
     v
   }

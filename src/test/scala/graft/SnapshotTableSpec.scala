@@ -148,6 +148,39 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, root).count() === 3L)
   }
 
+  test("schema evolution (mergeSchema): new columns append, old files " +
+      "backfill null, time travel keeps each version's schema, drops and " +
+      "retypes are refused") {
+    val root = freshRoot("evo")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    // add-column append: strict mode refuses, merge mode evolves
+    val wider = Seq((10L, "b", 1L, 0.5)).toDF("id", "tag", "v", "score")
+    intercept[IllegalArgumentException](SnapshotTable.append(wider, root))
+    SnapshotTable.append(wider, root, mergeSchema = true)
+    val v2 = SnapshotTable.read(spark, root)
+    assert(v2.schema.fieldNames.toSeq === Seq("id", "tag", "v", "score"))
+    // old rows backfill null; the new row carries its value
+    assert(v2.filter(col("score").isNotNull).count() === 1L)
+    assert(v2.count() === 11L)
+    // time travel: v1 keeps its own 3-column schema
+    assert(SnapshotTable.read(spark, root, Some(1L))
+      .schema.fieldNames.toSeq === Seq("id", "tag", "v"))
+    // evolving UPSERT: updates an old row under the new schema — its
+    // untouched bucket siblings stay null-backfilled, no rewrite
+    val up = Seq((3L, "UPD", 9L, 1.5)).toDF("id", "tag", "v", "score")
+    SnapshotTable.upsert(up, root, mergeSchema = true)
+    val v3 = SnapshotTable.read(spark, root)
+    assert(v3.filter(col("id") === 3L).select("tag", "score")
+      .as[(String, Double)].collect().toSeq === Seq(("UPD", 1.5)))
+    assert(v3.count() === 11L)
+    // dropped or retyped columns are refused even in merge mode
+    intercept[IllegalArgumentException](SnapshotTable.append(
+      Seq((99L, "x")).toDF("id", "tag"), root, mergeSchema = true))
+    intercept[IllegalArgumentException](SnapshotTable.append(
+      Seq((99L, 7L, 1L, 0.1)).toDF("id", "tag", "v", "score"), root,
+      mergeSchema = true))
+  }
+
   test("vacuum expires history exactly: kept versions intact, expired " +
       "unreadable, crashed-commit orphans reclaimed, in-flight dirs spared") {
     val root = freshRoot("vac")
