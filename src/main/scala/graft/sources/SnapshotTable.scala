@@ -375,6 +375,42 @@ object SnapshotTable {
     v
   }
 
+  /** Keyed delete: rows whose key tuple appears in `keysDf` are removed;
+    * absent keys are a no-op. Merge-on-write confined to hit buckets
+    * exactly like [[upsert]] (untouched buckets' manifest lines carry
+    * forward unread); a bucket emptied by the delete simply drops out of
+    * the manifest. `keysDf` needs only the key columns (extras are
+    * ignored) and is deduplicated internally. */
+  def delete(keysDf: DataFrame, root: String): Long = {
+    val spark = keysDf.sparkSession
+    val cur = current(spark, root)
+    require(cur.keys.nonEmpty,
+      s"table at $root was created without keys; delete undefined")
+    requireCols(keysDf.select(cur.keys.map(col): _*), cur.keys)
+    val (fsys, rootP) = fs(spark, root)
+    val keyCols = cur.keys.map(col)
+    val batch = keysDf.select(keyCols: _*).distinct()
+      .withColumn(BucketCol, bucketOf(cur.keys, cur.buckets))
+    val hit = batch.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val hitDirs = cur.entries.filter(e => hit(e._1))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val priorHit =
+      if (hitDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(hitDirs.map(_._2): _*)
+    val kept = priorHit.join(batch.drop(BucketCol), cur.keys, "left_anti")
+    val v = cur.version + 1
+    val uuid = newUuid()
+    val entries =
+      writeCommitData(kept, rootP, v, cur.keys, cur.buckets, uuid, fsys)
+    publish(fsys, rootP, Snapshot(v, "delete", cur.keys, cur.buckets,
+      cur.schemaDdl, uuid,
+      cur.entries.filterNot(e => hit(e._1)) ++ entries))
+    v
+  }
+
   /** Full compaction: rewrite every bucket to one fresh dir each,
     * collapsing the per-bucket dir lists appends accumulate. Content is
     * unchanged (it is `overwrite(read(latest))` with the plan reading

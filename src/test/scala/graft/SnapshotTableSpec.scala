@@ -148,6 +148,35 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, root).count() === 3L)
   }
 
+  test("delete: keyed rows removed, absent keys no-op, untouched buckets " +
+      "carried forward, history intact") {
+    val root = freshRoot("del")
+    SnapshotTable.create(rows(0 until 20, "a"), root, Seq("id"), 8)
+    val v1 = SnapshotTable.versions(spark, root).head
+    // delete ids 3, 7 (present) and 100 (absent, no-op); extra column ok
+    val keys = Seq((3L, "x"), (7L, "x"), (100L, "x")).toDF("id", "junk")
+    assert(SnapshotTable.delete(keys, root) === 2L)
+    val v2 = SnapshotTable.versions(spark, root).last
+    assert(v2.op === "delete")
+    // only hit buckets changed (rewritten, or dropped when emptied); the
+    // rest carry their v1 lines verbatim — the 3 delete keys can hash
+    // into at most 3 buckets
+    val changed = (v1.entries.toSet.diff(v2.entries.toSet) ++
+      v2.entries.toSet.diff(v1.entries.toSet)).map(_._1)
+    assert(changed.size <= 3, s"changed buckets: $changed")
+    assert(v1.entries.filterNot(e => changed(e._1))
+      .toSet.subsetOf(v2.entries.toSet))
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(0 until 20, "a")).filterNot(r => r._1 == 3L || r._1 == 7L))
+    // time travel to the pre-delete state
+    assert(asSet(SnapshotTable.read(spark, root, Some(1L))) ===
+      asSet(rows(0 until 20, "a")))
+    // keyless tables refuse
+    val nk = freshRoot("delnk")
+    SnapshotTable.create(rows(0 until 3, "a"), nk, Seq.empty, 2)
+    intercept[RuntimeException](SnapshotTable.delete(keys, nk))
+  }
+
   test("schema evolution (mergeSchema): new columns append, old files " +
       "backfill null, time travel keeps each version's schema, drops and " +
       "retypes are refused") {
