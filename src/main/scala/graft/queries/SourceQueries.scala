@@ -298,6 +298,32 @@ object SourceQueries {
       .orderBy(col("version"), col("doc_id"))
   }
 
+  /** Keyed DELETE on the snapshot table, driver-checked: create from
+    * every third doc, delete the mod-5 keys (which also exercises the
+    * absent-key no-op — mod-5 docs that aren't mod-3 were never in the
+    * table), read the survivors. With q156 covering
+    * create/upsert/append/time-travel, every content-bearing operation
+    * of the format now has an oracle row. */
+  val q160 = Q("q160_snapshot_delete",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 3 = 0 AND doc_id % 5 <> 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapdel", dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    SnapshotTable.delete(
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), path)
+    SnapshotTable.read(s, path).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156)
+    Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160)
 }
