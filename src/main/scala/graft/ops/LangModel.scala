@@ -49,8 +49,18 @@ object LangModel {
       .select(col("p.w1").as("w1"), col("p.bg").as("bg"))
     val c12 = ex.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
     val c1 = ex.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // Contract enforced in-plan: a token-free reference gives V = 0, a
+    // zero add-one denominator for every unseen prefix — at scoring time
+    // that surfaces as an ANSI DIVIDE_BY_ZERO deep in a join stage, so
+    // fail HERE with the actual contract violation instead (the
+    // Graph.positiveWeight pattern; rides the one-row vocab aggregate).
     val vocab = ref.select(explode(col(toksCol)).as("w"))
       .agg(count_distinct(col("w")).as("v"))
+      .select(when(col("v") === 0L,
+          raise_error(lit("trainBigram: reference slice contains no " +
+            "tokens — V = 0 makes the add-one smoothing denominator " +
+            "zero; train on a non-empty reference")).cast("long"))
+        .otherwise(col("v")).as("v"))
     BigramLm(c12, c1, vocab)
   }
 

@@ -37,9 +37,16 @@ class LangModelSpec extends AnyFunSuite {
   private val tokGen = Gen.oneOf("a", "b", "c", "dd", "ee", "f0", "g")
   private val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
 
+  /** A reference satisfying trainBigram's contract (≥ 1 token): the
+    * unconstrained generator can shrink a failure all the way to eight
+    * empty docs, which is a CONTRACT violation (V = 0), not a scoring
+    * discrepancy — that edge has its own loud-fail test below. */
+  private val refGen =
+    Gen.listOfN(8, docGen).suchThat(_.exists(_.nonEmpty))
+
   test("distributed scorer matches the sequential oracle on random corpora") {
     val prop = Prop.forAll(
-      Gen.listOfN(8, docGen), Gen.chooseNum(1, 20).flatMap(n =>
+      refGen, Gen.chooseNum(1, 20).flatMap(n =>
         Gen.listOfN(n, docGen))) { (ref, corpus) =>
       val refDf = ref.map(Tuple1(_)).toDF("toks")
       val corpusIdx = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
@@ -53,6 +60,20 @@ class LangModelSpec extends AnyFunSuite {
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("token-free reference fails loudly at scoring, not DIVIDE_BY_ZERO") {
+    val lm = LangModel.trainBigram(
+      Seq(Seq.empty[String], Seq.empty[String]).map(Tuple1(_)).toDF("toks"),
+      "toks")
+    val corpus = Seq((1L, Seq("a", "b"))).toDF("doc_id", "toks")
+    val ex = intercept[Exception](
+      LangModel.scoreBigramLm(corpus, "doc_id", "toks", lm).collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("reference slice contains no tokens"))),
+      s"unexpected: $ex")
   }
 
   test("bigramPairs: empty, single-token, and two-token arrays") {
