@@ -5,17 +5,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+import graft.ops.Materialize
+
 /** Snapshot-isolated table format over plain parquet — the manifest-commit
   * protocol that unifies the repo's piecewise transactional spellings
   * (the generation-swap upsert in
   * [[graft.streaming.EventStream.upsertAvailableNow]], the versioned
   * fail-fast index manifest in `Dedup.writeIndex`/`loadIndex`) into one
-  * reusable table: atomic commits, time-travel reads, and
-  * optimistic-concurrency conflict detection, with no package beyond
-  * Spark + Hadoop FS. The protocol is the public Delta/Iceberg commit
-  * shape (Armbrust et al., VLDB'20: data files first, then one atomic
-  * metadata publish names the snapshot), re-derived minimally — not a
-  * port of either.
+  * reusable table: atomic commits, time-travel reads (by version or
+  * commit timestamp), key-pruned point reads, an incremental change
+  * feed, and optimistic-concurrency conflict detection, with no package
+  * beyond Spark + Hadoop FS. The protocol is the public Delta/Iceberg
+  * commit shape (Armbrust et al., VLDB'20: data files first, then one
+  * atomic metadata publish names the snapshot), re-derived minimally —
+  * not a port of either.
   *
   * Layout:
   * {{{
@@ -25,14 +28,19 @@ import org.apache.spark.sql.types.StructType
   *
   * Commit protocol: (1) write the commit's data files under a fresh
   * `data/c<v>-<uuid>/` nobody reads yet; (2) write the manifest to a
-  * hidden `.tmp` name; (3) publish by renaming it to `v<N+1>` — on a
-  * filesystem with atomic no-overwrite rename (HDFS, ABFS) a concurrent
-  * committer's rename fails and it throws [[ConcurrentCommitException]];
-  * on filesystems whose rename clobbers (POSIX local) the existence
-  * check plus a post-publish read-back of the embedded commit uuid
-  * adjudicates the race — exactly one writer sees its own uuid, every
-  * loser throws. (S3-style stores need an external lock for step 3,
-  * the same caveat Delta documents for its LogStore.)
+  * hidden `.tmp` name; (3) publish by renaming it to `v<N+1>`.
+  * Same-version race adjudication depends on the store:
+  *   - HDFS/ABFS (atomic no-overwrite rename): the loser's rename fails
+  *     and it throws [[ConcurrentCommitException]] — exact, lock-free;
+  *   - POSIX local (rename clobbers): step 3 is serialized by an O_EXCL
+  *     lock file (`java.nio` CREATE_NEW, atomic on POSIX), so the
+  *     exists-check + rename + uuid read-back run mutually excluded and
+  *     exactly one writer wins — without the lock two interleaved
+  *     writers could both read back their own uuid (rename1 → readback1
+  *     → rename2 → readback2), silently losing the first commit;
+  *   - S3-style stores (non-atomic rename, no O_EXCL): need an external
+  *     coordination service for step 3, the same caveat Delta documents
+  *     for its LogStore — or a single-writer deployment.
   *
   * Why readers can never see a torn table: a manifest is the ONLY thing
   * that makes data files visible, it is immutable once published, and it
@@ -63,9 +71,23 @@ import org.apache.spark.sql.types.StructType
   *     lines forward. Worst case (batch touches all buckets) degrades to
   *     a full rewrite, so size `buckets` such that one bucket ≈ one
   *     comfortable rewrite unit at the deployment's table size;
+  *   - [[readForKeys]] is the read-side mirror of that pruning: a keyed
+  *     lookup hashes its keys to buckets and scans ONLY the hit buckets'
+  *     files — a point lookup on a 37-bucket table reads ~1/37 of the
+  *     table's bytes instead of all of them;
+  *   - [[readChanges]] serves "rows changed between v1 and v2" from the
+  *     manifest deltas: appends scan only their new dirs, upserts and
+  *     deletes diff only the buckets their commit actually rewrote —
+  *     never a full-table diff for incremental commits;
   *   - the one shuffle per commit is the `repartition` on the bucket
   *     column that aligns write tasks with bucket dirs (≈1 file set per
-  *     bucket per commit instead of tasks×buckets small files).
+  *     bucket per commit instead of tasks×buckets small files);
+  *   - write batches are MATERIALIZED (default `localCheckpoint`) before
+  *     the hit-bucket set is derived, so the plan executes once and the
+  *     set can never disagree with the rows written — a nondeterministic
+  *     batch (sampling, `rand()` salts, range-partition re-sampling)
+  *     re-executed per action could otherwise hash rows into buckets the
+  *     manifest carries forward, committing duplicate keys.
   */
 object SnapshotTable {
 
@@ -73,14 +95,18 @@ object SnapshotTable {
     extends RuntimeException(msg)
 
   /** One published version: `entries` maps bucket id → data dirs
-    * (absolute), in commit order. */
+    * (absolute), in commit order; `ts` is the commit wall-clock
+    * (driver millis at publish; 0 for pre-timestamp manifests). */
   final case class Snapshot(version: Long, op: String, keys: Seq[String],
       buckets: Int, schemaDdl: String, uuid: String,
-      entries: Seq[(Int, String)])
+      entries: Seq[(Int, String)], ts: Long = 0L)
 
   private val FormatHeader = "graft-snapshot-v1"
   /** Reserved bucket-partition column; inputs must not use it. */
   private val BucketCol = "_gb"
+  /** Change-feed metadata columns ([[readChanges]]). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
 
   private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -101,9 +127,10 @@ object SnapshotTable {
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
     require(lines.headOption.contains(FormatHeader),
       s"$p is not a $FormatHeader manifest (header: ${lines.headOption})")
-    def field(k: String): String = lines
+    def fieldOpt(k: String): Option[String] = lines
       .collectFirst { case l if l.startsWith(s"$k=") => l.drop(k.length + 1) }
-      .getOrElse(sys.error(s"manifest $p missing field $k"))
+    def field(k: String): String =
+      fieldOpt(k).getOrElse(sys.error(s"manifest $p missing field $k"))
     val entries = lines.collect {
       case l if l.startsWith("entry=") =>
         val Array(b, dir) = l.drop("entry=".length).split("\t", 2)
@@ -111,7 +138,9 @@ object SnapshotTable {
     }
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
-      field("buckets").toInt, field("schema"), field("uuid"), entries)
+      field("buckets").toInt, field("schema"), field("uuid"), entries,
+      // absent in pre-timestamp manifests: 0 sorts before any real clock
+      fieldOpt("ts").map(_.toLong).getOrElse(0L))
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -119,11 +148,15 @@ object SnapshotTable {
     val (fsys, rootP) = fs(spark, root)
     val dir = manifestDir(rootP)
     if (!fsys.exists(dir)) return Seq.empty
-    val V = """v(\d{8})\.txt""".r
+    // \d{8,}: the writer zero-pads to 8 digits but GROWS past them, so
+    // the listing must accept what the writer can produce — an exact
+    // {8} would silently hide versions >= 10^8 (stale reads, commit
+    // collisions)
+    val V = """v(\d{8,})\.txt""".r
     fsys.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
         case V(n) => Some(parseManifest(fsys, st.getPath, n.toLong))
-        case _ => None // hidden .tmp files and strays are invisible
+        case _ => None // hidden .tmp/.lock files and strays are invisible
       }
     }.sortBy(_.version)
   }
@@ -132,28 +165,150 @@ object SnapshotTable {
     versions(spark, root).lastOption.getOrElse(
       sys.error(s"no snapshot table at $root (no published manifests)"))
 
+  /** Resolve one snapshot: by `version`, by newest-commit-`asOfTimestamp`
+    * (Delta's `timestampAsOf` semantics: the snapshot a reader starting
+    * at time `t` would have seen), or latest. */
+  private def resolve(spark: SparkSession, root: String,
+      version: Option[Long], asOfTimestamp: Option[Long]): Snapshot = {
+    require(version.isEmpty || asOfTimestamp.isEmpty,
+      "pass version OR asOfTimestamp, not both")
+    val snaps = versions(spark, root)
+    require(snaps.nonEmpty, s"no snapshot table at $root")
+    (version, asOfTimestamp) match {
+      case (Some(v), _) =>
+        snaps.find(_.version == v).getOrElse(sys.error(
+          s"version $v not found at $root " +
+            s"(have ${snaps.map(_.version).mkString(",")})"))
+      case (_, Some(t)) =>
+        snaps.filter(_.ts <= t).lastOption.getOrElse(sys.error(
+          s"no snapshot at or before timestamp $t at $root " +
+            s"(first commit ts=${snaps.head.ts})"))
+      case _ => snaps.last
+    }
+  }
+
   // ---- read side ----
 
-  /** Read the table at `version` (default: latest). The file list is
+  private def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  private def readEntries(spark: SparkSession, schemaDdl: String,
+      dirs: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(schemaDdl)
+    if (dirs.isEmpty) emptyDf(spark, schema)
+    // explicit schema: bucket dirs carry no _gb column (it lives in the
+    // dir name) and an explicit schema also pins empty-commit reads
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** Read the table at `version`, at the newest commit whose wall-clock
+    * is ≤ `asOfTimestamp`, or latest (neither). The file list is
     * resolved once from one immutable manifest — concurrent commits are
     * invisible to this scan (snapshot isolation). */
   def read(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None,
+      asOfTimestamp: Option[Long] = None): DataFrame = {
+    val snap = resolve(spark, root, version, asOfTimestamp)
+    readEntries(spark, snap.schemaDdl, snap.entries.map(_._2))
+  }
+
+  /** Keyed lookup that reads ONLY the buckets the probe keys hash into —
+    * the read-side mirror of [[upsert]]'s merge-on-write pruning. Rows
+    * of the resolved snapshot whose key tuple appears in `keysDf`
+    * (extra columns ignored, duplicates collapsed); absent keys simply
+    * match nothing. Cost: O(buckets) driver metadata + a scan of the hit
+    * buckets' files + one semi-join against the (small) probe side —
+    * a point lookup on a B-bucket table reads ~1/B of the table.
+    *
+    * `keysDf` is materialized (`mat`, default localCheckpoint) before
+    * the hit-bucket set is derived so the pruning set and the semi-join
+    * see identical rows even for nondeterministic probes. */
+  def readForKeys(keysDf: DataFrame, root: String,
+      version: Option[Long] = None,
+      asOfTimestamp: Option[Long] = None,
+      mat: Materialize = Materialize.Local): DataFrame = {
+    val spark = keysDf.sparkSession
+    val snap = resolve(spark, root, version, asOfTimestamp)
+    require(snap.keys.nonEmpty,
+      s"table at $root was created without keys; readForKeys undefined")
+    snap.keys.foreach(k => require(keysDf.columns.contains(k),
+      s"key column $k missing from ${keysDf.columns.mkString(",")}"))
+    val keyCols = snap.keys.map(col)
+    val probe = mat(keysDf.select(keyCols: _*).distinct()
+      .withColumn(BucketCol, bucketOf(snap.keys, snap.buckets)))
+    val hit = probe.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet // O(buckets) driver list
+    readEntries(spark, snap.schemaDdl,
+        snap.entries.filter(e => hit(e._1)).map(_._2))
+      .join(probe.drop(BucketCol), snap.keys, "left_semi")
+  }
+
+  /** Change feed between two published versions, from manifest deltas:
+    * every row inserted or deleted in `(fromVersion, toVersion]`, tagged
+    * `_change_type` (`insert` | `delete`; an update surfaces as
+    * delete(old row) + insert(new row)) and `_commit_version`. Rows are
+    * read ONLY from the dirs each commit actually changed:
+    *   - `append` commits scan just their new dirs (pure inserts, zero
+    *     old data read);
+    *   - `upsert`/`delete`/`compact` commits diff only the buckets whose
+    *     dir list changed — old vs new content of the hit buckets;
+    *   - `create`/`overwrite` commits are whole-table diffs by nature.
+    * The diff is multiset-exact (`exceptAll`), so append-only tables
+    * with repeated rows report honest counts. Feeds straight into the
+    * [[graft.ops.Cdc]] apply side. Schema drift across the range is
+    * handled by reading every commit under ITS OWN manifest schema and
+    * unioning by name (missing columns backfill null). */
+  def readChanges(spark: SparkSession, root: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
     val snaps = versions(spark, root)
     require(snaps.nonEmpty, s"no snapshot table at $root")
-    val snap = version.fold(snaps.last) { v =>
-      snaps.find(_.version == v).getOrElse(sys.error(
-        s"version $v not found at $root " +
-          s"(have ${snaps.map(_.version).mkString(",")})"))
+    val byV = snaps.map(s => s.version -> s).toMap
+    require(byV.contains(fromVersion),
+      s"fromVersion $fromVersion not found at $root")
+    require(byV.contains(toVersion), s"toVersion $toVersion not found at $root")
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion > toVersion $toVersion")
+    val steps = (fromVersion until toVersion).map(v => (byV(v), byV(v + 1)))
+    val parts = steps.flatMap { case (prev, next) =>
+      def dirsOf(s: Snapshot) = s.entries.map(_._2)
+      def tag(df: DataFrame, typ: String) = df
+        .withColumn(ChangeTypeCol, lit(typ))
+        .withColumn(CommitVersionCol, lit(next.version))
+      next.op match {
+        case "append" =>
+          val fresh = dirsOf(next).diff(dirsOf(prev))
+          if (fresh.isEmpty) None
+          else Some(tag(readEntries(spark, next.schemaDdl, fresh), "insert"))
+        case _ =>
+          // bucket-granular diff: only buckets whose dir list changed
+          val oldBy = prev.entries.groupBy(_._1)
+          val newBy = next.entries.groupBy(_._1)
+          val changed = (oldBy.keySet ++ newBy.keySet).filter(b =>
+            oldBy.getOrElse(b, Nil).map(_._2) != newBy.getOrElse(b, Nil).map(_._2))
+          if (changed.isEmpty) None
+          else {
+            def side(s: Snapshot, by: Map[Int, Seq[(Int, String)]]) =
+              readEntries(spark, s.schemaDdl,
+                changed.toSeq.sorted.flatMap(b => by.getOrElse(b, Nil).map(_._2)))
+            // diff under the NEXT schema: the old side gains any added
+            // columns as null, matching what a reader of `next` sees
+            val cols = StructType.fromDDL(next.schemaDdl).fieldNames.toSeq
+            val oldSide = side(prev, oldBy)
+            val oldAligned = cols.foldLeft(oldSide)((d, c) =>
+              if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+              .select(cols.map(col): _*)
+            val newSide = side(next, newBy).select(cols.map(col): _*)
+            Some(tag(newSide.exceptAll(oldAligned), "insert")
+              .unionByName(tag(oldAligned.exceptAll(newSide), "delete")))
+          }
+      }
     }
-    val schema = StructType.fromDDL(snap.schemaDdl)
-    if (snap.entries.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      // explicit schema: bucket dirs carry no _gb column (it lives in the
-      // dir name) and an explicit schema also pins empty-commit reads
-      spark.read.schema(schema).parquet(snap.entries.map(_._2): _*)
+    if (parts.isEmpty) {
+      val schema = StructType.fromDDL(byV(toVersion).schemaDdl)
+        .add(ChangeTypeCol, "string").add(CommitVersionCol, "long")
+      emptyDf(spark, schema)
+    } else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // ---- write side ----
@@ -161,6 +316,20 @@ object SnapshotTable {
   private def bucketOf(keys: Seq[String], buckets: Int) =
     if (keys.isEmpty) lit(0) // keyless: single bucket, append/overwrite only
     else pmod(hash(keys.map(col): _*), lit(buckets))
+
+  /** Driver-side twin of [[bucketOf]] for one literal key tuple — the
+    * DSv2 connector's filter-pushdown pruning
+    * ([[SnapshotDataSource]]) computes hit buckets from pushed key
+    * equality predicates with exactly the executor hash (Murmur3 seed
+    * 42, the `hash()` function's spelling). */
+  private[sources] def bucketOfLiterals(values: Seq[Any],
+      types: Seq[org.apache.spark.sql.types.DataType], buckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash}
+    val h = Murmur3Hash(values.zip(types).map { case (v, t) =>
+      Literal.create(v, t)
+    }, 42).eval(null).asInstanceOf[Int]
+    ((h % buckets) + buckets) % buckets
+  }
 
   /** Write `df`'s rows bucket-partitioned under a fresh commit dir;
     * returns (bucket → dir) for the buckets that actually received
@@ -178,11 +347,66 @@ object SnapshotTable {
     }
   }
 
+  /** Serialize the publish critical section on filesystems whose rename
+    * clobbers (POSIX local): an O_EXCL lock file makes exists-check +
+    * rename + read-back mutually excluded. On no-overwrite-rename stores
+    * the rename itself adjudicates and this is skipped. A crashed
+    * holder's stale lock is broken after [[LockStaleMs]]; waiters
+    * re-check the target manifest first, so a published version always
+    * loses fast without touching the lock. */
+  private val LockStaleMs = 60000L
+  private val LockWaitMs = 30000L
+
+  private def isLocalFs(rootP: Path): Boolean = {
+    val scheme = rootP.toUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  private def withLocalPublishLock[T](fsys: FileSystem, dir: Path,
+      version: Long, targetExists: => Boolean)(body: => T): T = {
+    val lockPath = new Path(dir, f".lock-v$version%08d")
+    val local = java.nio.file.Paths.get(
+      fsys.makeQualified(lockPath).toUri.getPath)
+    val deadline = System.nanoTime() + LockWaitMs * 1000000L
+    var held = false
+    while (!held) {
+      if (targetExists) // fast-lose: no lock needed to observe a publish
+        throw new ConcurrentCommitException(
+          s"version $version already committed (lost race before lock)")
+      try {
+        java.nio.file.Files.createFile(local) // O_EXCL: atomic on POSIX
+        held = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val age = try
+            System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(local).toMillis
+          catch { case _: java.io.IOException => 0L } // vanished: retry
+          if (age > LockStaleMs) {
+            // crashed holder: break the stale lock and retry the create
+            try java.nio.file.Files.deleteIfExists(local)
+            catch { case _: java.io.IOException => () }
+          } else if (System.nanoTime() > deadline)
+            throw new ConcurrentCommitException(
+              s"gave up waiting for publish lock $local after " +
+                s"${LockWaitMs}ms (concurrent committer live or stale)")
+          else Thread.sleep(5)
+      }
+    }
+    try body
+    finally {
+      try java.nio.file.Files.deleteIfExists(local)
+      catch { case _: java.io.IOException => () }
+      ()
+    }
+  }
+
   private def publish(fsys: FileSystem, root: Path, snap: Snapshot): Unit = {
     val dir = manifestDir(root)
     fsys.mkdirs(dir)
     val target = manifestPath(root, snap.version)
-    if (fsys.exists(target))
+    def targetExists = fsys.exists(target)
+    if (targetExists)
       throw new ConcurrentCommitException(
         s"version ${snap.version} already committed at $root")
     val tmp = new Path(dir, s".tmp-${snap.uuid}")
@@ -195,22 +419,41 @@ object SnapshotTable {
       body ++= s"buckets=${snap.buckets}" += '\n'
       body ++= s"schema=${snap.schemaDdl}" += '\n'
       body ++= s"uuid=${snap.uuid}" += '\n'
+      body ++= s"ts=${snap.ts}" += '\n'
       snap.entries.foreach { case (b, d) => body ++= s"entry=$b\t$d" += '\n' }
       out.write(body.toString.getBytes("UTF-8"))
     } finally out.close()
-    // Atomic publish. On HDFS-like stores rename-to-existing fails and
-    // the loser lands here; on clobbering local rename the read-back
-    // adjudicates (exactly one writer sees its own uuid).
-    if (!fsys.rename(tmp, target)) {
-      fsys.delete(tmp, false)
-      throw new ConcurrentCommitException(
-        s"lost commit race for version ${snap.version} at $root")
+    def renameAndAdjudicate(): Unit = {
+      if (targetExists) { // re-check inside the critical section
+        fsys.delete(tmp, false)
+        throw new ConcurrentCommitException(
+          s"version ${snap.version} already committed at $root")
+      }
+      // Atomic publish. On HDFS-like stores rename-to-existing fails and
+      // the loser lands here; on clobbering local rename the lock above
+      // serializes this section and the read-back double-checks.
+      if (!fsys.rename(tmp, target)) {
+        fsys.delete(tmp, false)
+        throw new ConcurrentCommitException(
+          s"lost commit race for version ${snap.version} at $root")
+      }
+      val won = parseManifest(fsys, target, snap.version).uuid == snap.uuid
+      if (!won)
+        throw new ConcurrentCommitException(
+          s"lost commit race for version ${snap.version} at $root " +
+            "(another writer's manifest was published)")
     }
-    val won = parseManifest(fsys, target, snap.version).uuid == snap.uuid
-    if (!won)
-      throw new ConcurrentCommitException(
-        s"lost commit race for version ${snap.version} at $root " +
-          "(another writer's manifest was published)")
+    try {
+      if (isLocalFs(root))
+        withLocalPublishLock(fsys, dir, snap.version, targetExists) {
+          renameAndAdjudicate()
+        }
+      else renameAndAdjudicate()
+    } catch {
+      case e: ConcurrentCommitException =>
+        fsys.delete(tmp, false) // idempotent: already gone on most paths
+        throw e
+    }
   }
 
   private def newUuid() = java.util.UUID.randomUUID().toString.take(12)
@@ -224,6 +467,9 @@ object SnapshotTable {
     val (fsys, rootP) = fs(spark, root)
     publish(fsys, rootP, snap)
   }
+
+  private def stamped(snap: Snapshot): Snapshot =
+    snap.copy(ts = System.currentTimeMillis())
 
   /** Fields compared name+type (nullability intentionally ignored:
     * parquet round-trips relax it). */
@@ -283,8 +529,8 @@ object SnapshotTable {
       s"snapshot table already exists at $root")
     val uuid = newUuid()
     val entries = writeCommitData(df, rootP, 1L, keys, buckets, uuid, fsys)
-    publish(fsys, rootP, Snapshot(1L, "create", keys, buckets,
-      df.schema.toDDL, uuid, entries))
+    publish(fsys, rootP, stamped(Snapshot(1L, "create", keys, buckets,
+      df.schema.toDDL, uuid, entries)))
     1L
   }
 
@@ -303,8 +549,8 @@ object SnapshotTable {
     val uuid = newUuid()
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys)
-    publish(fsys, rootP, Snapshot(v, "append", cur.keys, cur.buckets,
-      ddl, uuid, cur.entries ++ entries))
+    publish(fsys, rootP, stamped(Snapshot(v, "append", cur.keys, cur.buckets,
+      ddl, uuid, cur.entries ++ entries)))
     v
   }
 
@@ -321,19 +567,41 @@ object SnapshotTable {
     val uuid = newUuid()
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys)
-    publish(fsys, rootP, Snapshot(v, "overwrite", cur.keys, cur.buckets,
-      ddl, uuid, entries))
+    publish(fsys, rootP, stamped(Snapshot(v, "overwrite", cur.keys,
+      cur.buckets, ddl, uuid, entries)))
     v
+  }
+
+  /** The hit-bucket set of a MATERIALIZED batch plus the sanity net: the
+    * write must later produce only buckets in this set (checked by
+    * [[requireSubset]]). */
+  private def hitBuckets(batch: DataFrame): Set[Int] =
+    batch.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet // O(buckets) driver list, never data
+
+  private def requireSubset(produced: Seq[(Int, String)], hit: Set[Int],
+      what: String): Unit = {
+    val escaped = produced.map(_._1).filterNot(hit)
+    require(escaped.isEmpty,
+      s"$what wrote rows into buckets $escaped outside the pruned hit set " +
+        s"$hit — the batch re-executed nondeterministically despite " +
+        "materialization; refusing to publish a torn commit")
   }
 
   /** Keyed last-write-wins merge: batch rows replace current rows with
     * the same key tuple; unmatched batch rows insert. Merge-on-write
     * confined to the buckets the batch's keys hash into — untouched
-    * buckets' manifest lines carry forward unread. The batch must be
-    * unique per key (checked; a multi-valued key has no deterministic
-    * winner). */
+    * buckets' manifest lines carry forward unread. The batch is
+    * materialized once (`mat`) before any of the guard probe / hit-set
+    * derivation / merge write run, so all three see identical rows even
+    * for nondeterministic inputs. The batch must be unique per key (a
+    * multi-valued key has no deterministic winner); the one-pass guard
+    * can be skipped with `checkDuplicates = false` on high-rate commit
+    * paths that already guarantee uniqueness upstream. */
   def upsert(df: DataFrame, root: String,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      checkDuplicates: Boolean = true,
+      mat: Materialize = Materialize.Local): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
     require(cur.keys.nonEmpty,
@@ -342,25 +610,20 @@ object SnapshotTable {
     val ddl = commitSchema(df, cur, mergeSchema)
     val (fsys, rootP) = fs(spark, root)
     val keyCols = cur.keys.map(col)
-    val dupKeys = df.groupBy(keyCols: _*).count()
-      .filter(col("count") > 1).limit(1).collect() // 1-row guard probe
-    require(dupKeys.isEmpty, "upsert batch has duplicate key tuples " +
-      s"(e.g. ${dupKeys.headOption.getOrElse("")}); last-write-wins " +
-      "needs one row per key — pre-dedup the batch")
-    val batch = df.withColumn(BucketCol, bucketOf(cur.keys, cur.buckets))
-    // Hit-bucket set: O(buckets) driver list, never data
-    val hit = batch.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val batch = mat(df.withColumn(BucketCol, bucketOf(cur.keys, cur.buckets)))
+    if (checkDuplicates) {
+      val dupKeys = batch.groupBy(keyCols: _*).count()
+        .filter(col("count") > 1).limit(1).collect() // 1-row guard probe
+      require(dupKeys.isEmpty, "upsert batch has duplicate key tuples " +
+        s"(e.g. ${dupKeys.headOption.getOrElse("")}); last-write-wins " +
+        "needs one row per key — pre-dedup the batch")
+    }
+    val hit = hitBuckets(batch)
     val hitDirs = cur.entries.filter(e => hit(e._1))
     // prior files read under the COMMIT schema: on an evolving upsert the
     // old files lack the new columns and backfill null, so the merge
     // unions cleanly without rewriting any untouched bucket
-    val schema = StructType.fromDDL(ddl)
-    val priorHit =
-      if (hitDirs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(hitDirs.map(_._2): _*)
+    val priorHit = readEntries(spark, ddl, hitDirs.map(_._2))
     // anti-join on the key: batch wins; both sides already bucket-pruned
     val merged = priorHit
       .join(batch.select(keyCols: _*), cur.keys, "left_anti")
@@ -369,9 +632,10 @@ object SnapshotTable {
     val uuid = newUuid()
     val entries =
       writeCommitData(merged, rootP, v, cur.keys, cur.buckets, uuid, fsys)
-    publish(fsys, rootP, Snapshot(v, "upsert", cur.keys, cur.buckets,
+    requireSubset(entries, hit, "upsert")
+    publish(fsys, rootP, stamped(Snapshot(v, "upsert", cur.keys, cur.buckets,
       ddl, uuid,
-      cur.entries.filterNot(e => hit(e._1)) ++ entries))
+      cur.entries.filterNot(e => hit(e._1)) ++ entries)))
     v
   }
 
@@ -380,8 +644,10 @@ object SnapshotTable {
     * exactly like [[upsert]] (untouched buckets' manifest lines carry
     * forward unread); a bucket emptied by the delete simply drops out of
     * the manifest. `keysDf` needs only the key columns (extras are
-    * ignored) and is deduplicated internally. */
-  def delete(keysDf: DataFrame, root: String): Long = {
+    * ignored), is deduplicated internally, and is materialized before
+    * the hit-set derivation (same nondeterminism defense as upsert). */
+  def delete(keysDf: DataFrame, root: String,
+      mat: Materialize = Materialize.Local): Long = {
     val spark = keysDf.sparkSession
     val cur = current(spark, root)
     require(cur.keys.nonEmpty,
@@ -389,25 +655,20 @@ object SnapshotTable {
     requireCols(keysDf.select(cur.keys.map(col): _*), cur.keys)
     val (fsys, rootP) = fs(spark, root)
     val keyCols = cur.keys.map(col)
-    val batch = keysDf.select(keyCols: _*).distinct()
-      .withColumn(BucketCol, bucketOf(cur.keys, cur.buckets))
-    val hit = batch.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSet
+    val batch = mat(keysDf.select(keyCols: _*).distinct()
+      .withColumn(BucketCol, bucketOf(cur.keys, cur.buckets)))
+    val hit = hitBuckets(batch)
     val hitDirs = cur.entries.filter(e => hit(e._1))
-    val schema = StructType.fromDDL(cur.schemaDdl)
-    val priorHit =
-      if (hitDirs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(hitDirs.map(_._2): _*)
+    val priorHit = readEntries(spark, cur.schemaDdl, hitDirs.map(_._2))
     val kept = priorHit.join(batch.drop(BucketCol), cur.keys, "left_anti")
     val v = cur.version + 1
     val uuid = newUuid()
     val entries =
       writeCommitData(kept, rootP, v, cur.keys, cur.buckets, uuid, fsys)
-    publish(fsys, rootP, Snapshot(v, "delete", cur.keys, cur.buckets,
+    requireSubset(entries, hit, "delete")
+    publish(fsys, rootP, stamped(Snapshot(v, "delete", cur.keys, cur.buckets,
       cur.schemaDdl, uuid,
-      cur.entries.filterNot(e => hit(e._1)) ++ entries))
+      cur.entries.filterNot(e => hit(e._1)) ++ entries)))
     v
   }
 
@@ -418,6 +679,39 @@ object SnapshotTable {
     * immutable and stay addressable afterwards). */
   def compact(spark: SparkSession, root: String): Long =
     overwrite(read(spark, root), root)
+
+  /** Bucket-TARGETED compaction — the scale-safe shape: rewrite only
+    * buckets whose manifest dir count exceeds `maxDirsPerBucket`, carry
+    * every other bucket's lines forward byte-identical. Cost is
+    * proportional to the data in the over-fragmented buckets, not the
+    * table (full [[compact]] on a 100 TB table is a 100 TB rewrite; the
+    * targeted pass after a burst of appends touches only what the burst
+    * fragmented). Content is unchanged; returns the committed version,
+    * or the current one when nothing exceeds the threshold (no empty
+    * commit). */
+  def compact(spark: SparkSession, root: String,
+      maxDirsPerBucket: Int): Long = {
+    require(maxDirsPerBucket >= 1,
+      s"maxDirsPerBucket must be >= 1: $maxDirsPerBucket")
+    val cur = current(spark, root)
+    val byBucket = cur.entries.groupBy(_._1)
+    val target = byBucket.filter(_._2.size > maxDirsPerBucket).keySet
+    if (target.isEmpty) return cur.version
+    val (fsys, rootP) = fs(spark, root)
+    val rows = readEntries(spark, cur.schemaDdl,
+      cur.entries.filter(e => target(e._1)).map(_._2))
+    val v = cur.version + 1
+    val uuid = newUuid()
+    val entries =
+      writeCommitData(rows, rootP, v, cur.keys, cur.buckets, uuid, fsys)
+    // committed parquet is deterministic input: rows rehash to exactly
+    // their original buckets, so the produced set must stay inside target
+    requireSubset(entries, target, "compact")
+    publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
+      cur.buckets, cur.schemaDdl, uuid,
+      cur.entries.filterNot(e => target(e._1)) ++ entries)))
+    v
+  }
 
   /** Expire history — the VACUUM of this format: keep the newest
     * `keepVersions` manifests, delete the expired manifests FIRST (so no
@@ -464,7 +758,11 @@ object SnapshotTable {
             removedDirs += 1
           }
         }
-        if (fsys.listStatus(c.getPath).isEmpty) fsys.delete(c.getPath, true)
+        // husk check on SUBDIRECTORIES: parquet job commits leave a
+        // _SUCCESS marker file in every commit dir, so "no files at all"
+        // never triggers — the dir is spent once no bucket dir remains
+        if (!fsys.listStatus(c.getPath).exists(_.isDirectory))
+          fsys.delete(c.getPath, true)
       }
     }
     (expire.size, removedDirs)

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.SnapshotTable
@@ -234,6 +236,9 @@ class SnapshotTableSpec extends AnyFunSuite {
     // expired version unreadable; orphan gone; in-flight dir untouched
     intercept[RuntimeException](SnapshotTable.read(spark, root, Some(1L)))
     assert(!new java.io.File(s"$root/data/c2-deadbeef/_gb=0").exists())
+    // the orphan COMMIT DIR goes too, _SUCCESS marker notwithstanding —
+    // the husk check looks for surviving bucket subdirs, not "no files"
+    assert(!new java.io.File(s"$root/data/c2-deadbeef").exists())
     assert(new java.io.File(s"$root/data/c4-pending/_gb=0").exists())
     // on-disk bucket dirs == exactly the kept manifests' references
     val onDisk = new java.io.File(s"$root/data").listFiles
@@ -243,6 +248,180 @@ class SnapshotTableSpec extends AnyFunSuite {
       .flatMap(_.entries.map(_._2)).distinct.size
     assert(onDisk.size === refCount,
       s"disk $onDisk vs $refCount referenced dirs")
+  }
+
+  test("timestamp time travel: asOf resolves the newest commit <= t, " +
+      "between-commits lands on the earlier one, before-first fails") {
+    val root = freshRoot("ts")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    Thread.sleep(30) // guarantee distinct commit millis
+    SnapshotTable.append(rows(10 until 15, "b"), root)
+    val Seq(v1, v2) = SnapshotTable.versions(spark, root)
+    assert(v1.ts > 0L && v2.ts > v1.ts)
+    // between the two commits → v1's content
+    assert(asSet(SnapshotTable.read(spark, root,
+      asOfTimestamp = Some(v2.ts - 1))) === asSet(rows(0 until 10, "a")))
+    // exactly at a commit ts → that commit
+    assert(SnapshotTable.read(spark, root,
+      asOfTimestamp = Some(v2.ts)).count() === 15L)
+    // far future → latest
+    assert(SnapshotTable.read(spark, root,
+      asOfTimestamp = Some(v2.ts + 1000000L)).count() === 15L)
+    // before the first commit → error, not an empty table
+    val e = intercept[RuntimeException](SnapshotTable.read(spark, root,
+      asOfTimestamp = Some(v1.ts - 1)))
+    assert(e.getMessage.contains("no snapshot at or before"))
+    // version and timestamp together are refused
+    intercept[IllegalArgumentException](SnapshotTable.read(spark, root,
+      version = Some(1L), asOfTimestamp = Some(v2.ts)))
+  }
+
+  test("publish race under contention: N writers racing the SAME version " +
+      "through the lock → exactly one winner, losers all throw, winner's " +
+      "manifest intact") {
+    val root = freshRoot("lockrace")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    val v1 = SnapshotTable.versions(spark, root).head
+    val n = 8
+    val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until n).map { i =>
+      val t = new Thread(() => {
+        start.await()
+        try {
+          SnapshotTable.publishManifest(spark, root,
+            v1.copy(version = 2L, op = "append", uuid = f"writer-$i%04d"))
+          results.put(f"writer-$i%04d", "won"); ()
+        } catch {
+          case _: SnapshotTable.ConcurrentCommitException =>
+            results.put(f"writer-$i%04d", "lost"); ()
+        }
+      })
+      t.start(); t
+    }
+    start.countDown()
+    threads.foreach(_.join(30000))
+    val winners = results.asScala.filter(_._2 == "won").keys.toSeq
+    assert(winners.size === 1,
+      s"expected exactly one winner, got $results")
+    assert(results.size === n) // nobody hung or died un-adjudicated
+    // the published manifest is the winner's, uncorrupted
+    assert(SnapshotTable.versions(spark, root).last.uuid === winners.head)
+    // no lock or loser-tmp husk left behind
+    assert(!new java.io.File(s"$root/_manifests")
+      .listFiles.exists(f => f.getName.startsWith(".lock") ||
+        f.getName.startsWith(".tmp")))
+  }
+
+  test("readForKeys: hit rows only, absent keys no-op, equals the " +
+      "filtered full read, respects time travel, keyless refuses") {
+    val root = freshRoot("rfk")
+    SnapshotTable.create(rows(0 until 40, "a"), root, Seq("id"), 8)
+    SnapshotTable.upsert(Seq((3L, "UPD", 999L)).toDF("id", "tag", "v"), root)
+    val probe = Seq(3L, 7L, 100L).toDF("id") // 100 is absent
+    val got = asSet(SnapshotTable.readForKeys(probe, root))
+    assert(got === Set((3L, "UPD", 999L), (7L, "a", 70L)))
+    // parity with the unpruned spelling
+    val full = asSet(SnapshotTable.read(spark, root)
+      .join(probe, Seq("id"), "left_semi"))
+    assert(got === full)
+    // time travel: v1 still serves the pre-upsert row
+    assert(asSet(SnapshotTable.readForKeys(probe, root, version = Some(1L)))
+      === Set((3L, "a", 30L), (7L, "a", 70L)))
+    // extra probe columns are ignored, duplicates collapse
+    val noisy = Seq((7L, "x"), (7L, "y")).toDF("id", "junk")
+    assert(asSet(SnapshotTable.readForKeys(noisy, root)) ===
+      Set((7L, "a", 70L)))
+    // keyless table refuses
+    val nk = freshRoot("rfknk")
+    SnapshotTable.create(rows(0 until 3, "a"), nk, Seq.empty, 2)
+    intercept[RuntimeException](SnapshotTable.readForKeys(probe, nk))
+  }
+
+  test("readChanges: appends emit pure inserts from fresh dirs, upserts " +
+      "emit delete(old)+insert(new), deletes emit deletes, ranges " +
+      "concatenate, empty range is empty") {
+    val root = freshRoot("cdf")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)   // v1
+    SnapshotTable.append(rows(10 until 13, "b"), root)                // v2
+    SnapshotTable.upsert(
+      Seq((3L, "UPD", 999L), (50L, "NEW", 1L)).toDF("id", "tag", "v"),
+      root)                                                           // v3
+    SnapshotTable.delete(Seq(Tuple1(7L)).toDF("id"), root)            // v4
+    def changes(a: Long, b: Long) =
+      SnapshotTable.readChanges(spark, root, a, b)
+        .select(col("id"), col("tag"), col("v"),
+          col(SnapshotTable.ChangeTypeCol).as("ct"),
+          col(SnapshotTable.CommitVersionCol).as("cv"))
+        .as[(Long, String, Long, String, Long)].collect().toSet
+    // v1→v2: pure append
+    assert(changes(1L, 2L) ===
+      (10 until 13).map(i => (i.toLong, "b", i * 10L, "insert", 2L)).toSet)
+    // v2→v3: update = delete(old)+insert(new); insert of the new key
+    assert(changes(2L, 3L) === Set(
+      (3L, "a", 30L, "delete", 3L), (3L, "UPD", 999L, "insert", 3L),
+      (50L, "NEW", 1L, "insert", 3L)))
+    // v3→v4: pure delete
+    assert(changes(3L, 4L) === Set((7L, "a", 70L, "delete", 4L)))
+    // full range = concatenation of the steps
+    assert(changes(1L, 4L) ===
+      changes(1L, 2L) ++ changes(2L, 3L) ++ changes(3L, 4L))
+    // empty range
+    assert(changes(2L, 2L) === Set.empty)
+    // applying the feed to v1 reproduces v4 (the Cdc contract):
+    // v4 = v1 minus deleted rows plus inserted rows (multiset)
+    val v1Rows = SnapshotTable.read(spark, root, Some(1L))
+    val feed = SnapshotTable.readChanges(spark, root, 1L, 4L)
+    val applied = v1Rows
+      .exceptAll(feed.filter(col(SnapshotTable.ChangeTypeCol) === "delete")
+        .select("id", "tag", "v"))
+      .unionByName(feed.filter(col(SnapshotTable.ChangeTypeCol) === "insert")
+        .select("id", "tag", "v"))
+    assert(asSet(applied) === asSet(SnapshotTable.read(spark, root)))
+  }
+
+  test("targeted compact: only over-fragmented buckets rewritten, " +
+      "untouched manifest lines byte-identical, content unchanged, " +
+      "below-threshold is a no-op without an empty commit") {
+    val root = freshRoot("tcp")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 4)
+    // fragment ONE bucket: blind-append the same id four times (same key
+    // → same hash bucket), distinct v so the rows stay distinguishable
+    (0 until 4).foreach(i =>
+      SnapshotTable.append(Seq((1000L, "f", i.toLong))
+        .toDF("id", "tag", "v"), root))
+    val pre = SnapshotTable.versions(spark, root).last
+    val before = asSet(SnapshotTable.read(spark, root))
+    val byBucket = pre.entries.groupBy(_._1).view.mapValues(_.size).toMap
+    val threshold = 2
+    val over = byBucket.filter(_._2 > threshold).keySet
+    assume(over.nonEmpty, s"fixture produced no fragmented bucket: $byBucket")
+    val v = SnapshotTable.compact(spark, root, threshold)
+    val post = SnapshotTable.versions(spark, root).last
+    assert(post.version === v && post.op === "compact")
+    // rewritten buckets collapse to one dir; others byte-identical
+    val postBy = post.entries.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    over.foreach(b => assert(postBy(b).size === 1, s"bucket $b not collapsed"))
+    pre.entries.filterNot(e => over(e._1)).foreach(e =>
+      assert(post.entries.contains(e), s"untouched entry $e was rewritten"))
+    assert(postBy.forall(_._2.size <= threshold))
+    assert(asSet(SnapshotTable.read(spark, root)) === before)
+    // idempotent: nothing over threshold now → no new commit
+    assert(SnapshotTable.compact(spark, root, threshold) === v)
+    assert(SnapshotTable.versions(spark, root).last.version === v)
+  }
+
+  test("manifest listing accepts versions past 8 digits") {
+    val root = freshRoot("bigv")
+    SnapshotTable.create(rows(0 until 4, "a"), root, Seq("id"), 2)
+    val v1 = SnapshotTable.versions(spark, root).head
+    SnapshotTable.publishManifest(spark, root,
+      v1.copy(version = 100000000L, op = "append", uuid = "niner"))
+    assert(SnapshotTable.versions(spark, root).map(_.version) ===
+      Seq(1L, 100000000L))
+    // and the next commit through the public API builds on it
+    SnapshotTable.append(rows(4 until 6, "b"), root)
+    assert(SnapshotTable.versions(spark, root).last.version === 100000001L)
   }
 
   test("compact collapses accumulated append entries; content unchanged") {
