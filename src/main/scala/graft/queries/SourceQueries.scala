@@ -324,6 +324,145 @@ object SourceQueries {
     SnapshotTable.read(s, path).orderBy(col("doc_id"))
   }
 
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** Key-pruned reads on the snapshot table, both surfaces: the DSv2
+    * connector (`spark.read.format("graft-snapshot")` with the IN
+    * predicate PUSHED — the scan reads only the keys' hash buckets,
+    * [[graft.sources.SnapshotDataSource]]) and the object-API
+    * [[graft.sources.SnapshotTable.readForKeys]] probe-DataFrame lookup.
+    * The fixture carries real update history (create + merge-on-write
+    * upsert) so a lookup that served stale pre-upsert rows, missed an
+    * absent key, or dropped a bucket would hash-mismatch. Scale: both
+    * paths read ~hit-buckets/buckets of the table's bytes
+    * (ScaleSpec/SnapshotV2Spec measure the file pruning); the probe side
+    * of readForKeys is materialized and broadcast-sized. */
+  val q161 = Q("q161_snapshot_key_lookup",
+    """WITH v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 6 = 0 THEN 'xx' ELSE lang END AS lang,
+      |    CASE WHEN doc_id % 6 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+      |  FROM documents WHERE doc_id % 3 = 0)
+      |SELECT 'connector' AS method, doc_id, lang, n_chars FROM v2
+      |  WHERE doc_id IN (0, 21, 42, 63, 126, 189, 252, 315, 441, 999999)
+      |UNION ALL
+      |SELECT 'keysdf' AS method, doc_id, lang, n_chars FROM v2
+      |  WHERE doc_id % 30 = 0
+      |ORDER BY method, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snaplkp", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 16)
+    SnapshotTable.upsert(d.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), lit("xx").as("lang"),
+        (col("n_chars") + 1).as("n_chars")), path)
+    val ids = Seq(0L, 21L, 42L, 63L, 126L, 189L, 252L, 315L, 441L, 999999L)
+    val viaConnector = s.read.format("graft-snapshot").load(path)
+      .where(col("doc_id").isin(ids: _*)) // pushed → bucket-pruned scan
+      .select(lit("connector").as("method"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    val viaKeysDf = SnapshotTable.readForKeys(
+        d.filter(col("doc_id") % 30 === 0).select(col("doc_id")), path)
+      .select(lit("keysdf").as("method"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    viaConnector.unionByName(viaKeysDf)
+      .orderBy(col("method"), col("doc_id"))
+  }
+
+  /** Timestamp time travel, both surfaces: commits stamp wall-clock into
+    * the manifest, `asOfTimestamp` resolves the newest commit ≤ t (the
+    * object API) and the connector takes the same instant as a
+    * `timestampAsOf` option. The query pins each read to a REAL commit
+    * timestamp it re-reads from the catalog, so the row set is
+    * deterministic even though the clock is not; a resolver that
+    * rounded the wrong way (newest-≥ instead of newest-≤) or served the
+    * head would produce v2 rows under the v1 tag and hash-mismatch. */
+  val q162 = Q("q162_snapshot_time_travel",
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+      |SELECT 1 AS at_version, doc_id, lang, n_chars FROM d WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT 2 AS at_version, doc_id, lang, n_chars FROM d WHERE doc_id % 3 <= 1
+      |ORDER BY at_version, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapts", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    val t1 = SnapshotTable.versions(s, path).last.ts
+    // commits in the same millisecond would make "as of t1" ambiguous
+    while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+    SnapshotTable.append(d.filter(col("doc_id") % 3 === 1), path)
+    val t2 = SnapshotTable.versions(s, path).last.ts
+    val v1 = SnapshotTable.read(s, path, asOfTimestamp = Some(t1))
+      .select(lit(1).as("at_version"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    val v2 = s.read.format("graft-snapshot")
+      .option("timestampAsOf", t2.toString).load(path)
+      .select(lit(2).as("at_version"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    v1.unionByName(v2).orderBy(col("at_version"), col("doc_id"))
+  }
+
+  /** Change feed from manifest deltas
+    * ([[graft.sources.SnapshotTable.readChanges]]): create → append →
+    * upsert → delete, then read every row-level change in (v1, v4] with
+    * its change type and commit version. The oracle reconstructs the
+    * exact feed arithmetically — append rows as inserts, the upsert as
+    * delete(old)+insert(new) per touched key, the delete as deletes of
+    * the rows AS OF v3 (i.e. with the upsert's mutation applied — a feed
+    * that diffed against the wrong base version would emit pre-upsert
+    * images and hash-mismatch). Scale: the append step scans only its
+    * fresh dirs and the upsert/delete steps diff only their hit buckets;
+    * no step reads the whole table. */
+  val q163 = Q("q163_snapshot_changes",
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents)
+      |SELECT doc_id, lang, n_chars, 'insert' AS change_type,
+      |  CAST(2 AS BIGINT) AS commit_version FROM d WHERE doc_id % 3 = 1
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars, 'delete', CAST(3 AS BIGINT)
+      |  FROM d WHERE doc_id % 6 = 0
+      |UNION ALL
+      |SELECT doc_id, 'xx', n_chars + 1, 'insert', CAST(3 AS BIGINT)
+      |  FROM d WHERE doc_id % 6 = 0
+      |UNION ALL
+      |SELECT doc_id,
+      |  CASE WHEN doc_id % 6 = 0 THEN 'xx' ELSE lang END,
+      |  CASE WHEN doc_id % 6 = 0 THEN n_chars + 1 ELSE n_chars END,
+      |  'delete', CAST(4 AS BIGINT)
+      |  FROM d WHERE doc_id % 15 = 0
+      |ORDER BY commit_version, change_type, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapcdf", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 8)                                   // v1
+    SnapshotTable.append(d.filter(col("doc_id") % 3 === 1), path)   // v2
+    SnapshotTable.upsert(d.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), lit("xx").as("lang"),
+        (col("n_chars") + 1).as("n_chars")), path)                  // v3
+    SnapshotTable.delete(
+      d.filter(col("doc_id") % 15 === 0).select(col("doc_id")), path) // v4
+    SnapshotTable.readChanges(s, path, 1L, 4L)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col(SnapshotTable.ChangeTypeCol).as("change_type"),
+        col(SnapshotTable.CommitVersionCol).as("commit_version"))
+      .orderBy(col("commit_version"), col("change_type"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160)
+    Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
+      q161, q162, q163)
 }

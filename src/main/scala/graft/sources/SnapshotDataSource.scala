@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{GraftCatalystFilterScanBuilder, GraftParquetBridge, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter, In}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 connector for [[SnapshotTable]] — the SQL-surface read
+  * path of the snapshot format, so external tools reach it without the
+  * object API:
+  *
+  * {{{
+  *   spark.read.format("graft-snapshot").load(root)              // latest
+  *   spark.read.format("graft-snapshot")
+  *     .option("versionAsOf", 3).load(root)                      // version
+  *   spark.read.format("graft-snapshot")
+  *     .option("timestampAsOf", "2026-08-14 12:00:00").load(root)
+  * }}}
+  *
+  * Architecture: the connector owns the METADATA plane — it resolves one
+  * immutable manifest at table-creation time (so every scan of the
+  * returned DataFrame is snapshot-isolated, exactly like
+  * [[SnapshotTable.read]]) and prunes WHICH bucket dirs to read from
+  * pushed key predicates; the DATA plane is delegated to Spark's own
+  * vectorized `ParquetScan` over the resolved file list
+  * ([[GraftParquetBridge]]), which keeps whole-stage codegen, column
+  * pruning, and parquet row-group statistics pruning — a hand-rolled
+  * reader would lose all three.
+  *
+  * Key-predicate file pruning (`SupportsPushDownFilters` semantics via
+  * the catalyst pushdown seam): conjunctive `key = lit` / `key IN (…)`
+  * predicates covering EVERY table key column resolve to their hash
+  * buckets with the writer's exact hash
+  * ([[SnapshotTable.bucketOfLiterals]]) and only the hit buckets' dirs
+  * enter the scan — `WHERE doc_id = 42` on a 37-bucket table reads
+  * ~1/37 of its bytes, the read-side mirror of the merge-on-write
+  * pruning. Every predicate is also kept as post-scan residue, so a
+  * pruning miss can only over-read, never wrong-answer. */
+class SnapshotDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshot"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotV2Table.resolve(options).schemaStruct
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    SnapshotV2Table.resolve(
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object SnapshotV2Table {
+  /** Resolve the options to ONE immutable snapshot — version pinning
+    * happens here, once, so later scans never chase the table head. */
+  def resolve(options: CaseInsensitiveStringMap): SnapshotV2Table = {
+    val spark = SparkSession.active
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-snapshot needs a path: .load(<table root>)"))
+    val version = Option(options.get("versionAsOf")).map(_.toLong)
+    val asOf = Option(options.get("timestampAsOf")).map { s =>
+      // accept epoch millis or any timestamp string Spark can cast
+      s.toLongOption.getOrElse(java.sql.Timestamp.valueOf(s).getTime)
+    }
+    require(version.isEmpty || asOf.isEmpty,
+      "set versionAsOf OR timestampAsOf, not both")
+    val snaps = SnapshotTable.versions(spark, path)
+    require(snaps.nonEmpty, s"no snapshot table at $path")
+    val snap = (version, asOf) match {
+      case (Some(v), _) => snaps.find(_.version == v).getOrElse(
+        sys.error(s"version $v not found at $path " +
+          s"(have ${snaps.map(_.version).mkString(",")})"))
+      case (_, Some(t)) => snaps.filter(_.ts <= t).lastOption.getOrElse(
+        sys.error(s"no snapshot at or before timestamp $t at $path"))
+      case _ => snaps.last
+    }
+    new SnapshotV2Table(path, snap)
+  }
+}
+
+private[sources] class SnapshotV2Table(path: String,
+    val snapshot: SnapshotTable.Snapshot) extends Table with SupportsRead {
+
+  val schemaStruct: StructType = StructType.fromDDL(snapshot.schemaDdl)
+
+  override def name(): String = s"graft-snapshot($path@v${snapshot.version})"
+  override def schema(): StructType = schemaStruct
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(snapshot, schemaStruct)
+}
+
+/** Records pushed predicates + required columns, then at `build()` time
+  * (after the optimizer has finished pushing) prunes the manifest's dir
+  * list and delegates to the vectorized parquet scan. */
+private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
+    tableSchema: StructType) extends GraftCatalystFilterScanBuilder {
+
+  /** Bound on the literal key tuples expanded from IN-list products —
+    * past this the lookup is not a point read and the full dir list is
+    * cheaper than hashing a huge cross product on the driver. */
+  private val MaxProbeTuples = 4096
+
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Hit buckets implied by the pushed conjuncts, or None when the
+    * predicates don't pin every key column to a finite value set. Only
+    * top-level conjuncts constrain (each pushed filter IS one conjunct),
+    * so the implication is sound: any row outside the hit buckets would
+    * violate one of the equality predicates. */
+  private[graft] def prunedBuckets(filters: Seq[Filter]): Option[Set[Int]] = {
+    if (snap.keys.isEmpty) return None
+    val keySet = snap.keys.toSet
+    val valueSets = scala.collection.mutable.Map.empty[String, Set[Any]]
+    def narrow(c: String, vs: Set[Any]): Unit =
+      valueSets(c) = valueSets.get(c).fold(vs)(_ intersect vs)
+    filters.foreach {
+      case EqualTo(c, v) if keySet(c) && v != null => narrow(c, Set(v))
+      case EqualNullSafe(c, v) if keySet(c) && v != null => narrow(c, Set(v))
+      case In(c, vs) if keySet(c) && vs.nonEmpty && !vs.contains(null) =>
+        narrow(c, vs.toSet)
+      case _ => () // non-key / non-equality conjuncts never widen a set
+    }
+    if (!snap.keys.forall(valueSets.contains)) return None
+    val sets = snap.keys.map(valueSets)
+    if (sets.map(_.size.toLong).product > MaxProbeTuples) return None
+    val types: Seq[DataType] =
+      snap.keys.map(k => tableSchema(k).dataType)
+    val tuples = sets.foldLeft(Seq(Seq.empty[Any])) { (acc, s) =>
+      acc.flatMap(prefix => s.toSeq.map(prefix :+ _))
+    }
+    Some(tuples
+      .map(t => SnapshotTable.bucketOfLiterals(t, types, snap.buckets))
+      .toSet)
+  }
+
+  override def build(): Scan = {
+    val entries = prunedBuckets(v1Filters.toSeq) match {
+      case Some(hit) => snap.entries.filter(e => hit(e._1))
+      case None => snap.entries
+    }
+    val spark = SparkSession.active
+    val inner = GraftParquetBridge.parquetScanBuilder(
+      spark, entries.map(_._2), tableSchema)
+    GraftParquetBridge.pushCatalystFilters(inner, catalystFilters)
+    GraftParquetBridge.pruneColumns(inner, required)
+    GraftParquetBridge.buildScan(inner)
+  }
+}

@@ -724,6 +724,45 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"snap_full_bytes":$fullBytes,"snap_upsert_bytes":$upBytes,"snap_buckets":$buckets}}""")
   }
 
+  test("SnapshotTable key-pruned reads at 10x: readForKeys and the DSv2 " +
+      "connector's pushed point lookup both read only the hit buckets' " +
+      "bytes") {
+    import graft.sources.SnapshotTable
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snaprd10x").toFile,
+      "tbl").getAbsolutePath
+    val buckets = 32
+    val big = spark.range(0, 100000, 1, 8).select(col("id"),
+      concat(lit("v"), col("id")).as("tag"), (col("id") * 7).as("v"))
+    SnapshotTable.create(big, root, Seq("id"), buckets)
+    val (_, fullBytes, fullRecs) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.read(spark, root).agg(count(lit(1))).head()
+    }
+    assert(fullRecs >= 100000L)
+    // object API: single-key probe → one hit bucket's files (4× slack
+    // for parquet footers; the probe side itself is 3 driver-local rows)
+    val probe = Seq(5L, 77777L, 99999L).toDF("id") // 3 keys ≤ 3 buckets
+    val (rows1, keyBytes, _) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.readForKeys(probe, root).collect()
+    }
+    val bound = 4L * 3L * fullBytes / buckets
+    assert(rows1.map(_.getLong(0)).toSet === Set(5L, 77777L, 99999L))
+    assert(keyBytes <= bound,
+      s"readForKeys read $keyBytes bytes; full=$fullBytes/$buckets buckets (bound $bound)")
+    // DSv2 connector: the pushed `id = 5` predicate must prune files
+    // before the scan plans — same envelope as the object API
+    val (rows2, v2Bytes, _) = ShuffleMetrics.measureInput(spark) {
+      spark.read.format("graft-snapshot").load(root)
+        .filter(col("id") === 5L).collect()
+    }
+    val v2Bound = 4L * fullBytes / buckets
+    assert(rows2.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((5L, "v5")))
+    assert(v2Bytes <= v2Bound,
+      s"connector lookup read $v2Bytes bytes; bound $v2Bound")
+    println(s"""{"scale_invariants":{"snap_read_full_bytes":$fullBytes,"snap_readforkeys_bytes":$keyBytes,"snap_connector_lookup_bytes":$v2Bytes,"snap_read_buckets":$buckets}}""")
+  }
+
   // ---- streaming state bounds (measured, not documented) ----
 
   /** Stage `batches` as one parquet file each with ascending mtimes, so a

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In, IsNotNull}
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{SnapshotDataSource, SnapshotScanBuilder, SnapshotTable}
+
+/** DataSource V2 surface of the snapshot table ([[SnapshotDataSource]]):
+  * read parity with the object API at every version, snapshot pinning,
+  * time travel options, and key-predicate FILE pruning (the connector
+  * must read only the hit buckets' files for a point lookup). */
+class SnapshotV2Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_snapv2_$tag")
+    d.toFile.deleteOnExit()
+    new java.io.File(d.toFile, "tbl").getAbsolutePath
+  }
+
+  private def rows(n: Range, tag: String) =
+    n.map(i => (i.toLong, tag, i * 10L)).toDF("id", "tag", "v")
+
+  private def asSet(df: DataFrame) =
+    df.select("id", "tag", "v").as[(Long, String, Long)].collect().toSet
+
+  private def v2(root: String, opts: (String, String)*): DataFrame =
+    opts.foldLeft(spark.read.format("graft-snapshot"))((r, o) =>
+      r.option(o._1, o._2)).load(root)
+
+  /** Distinct data files the executed plan's V2 scan would read. */
+  private def scannedFiles(df: DataFrame): Set[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions.collect {
+        case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
+      }.flatten
+    }.flatten.toSet
+
+  private def mkTable(tag: String): String = {
+    val root = freshRoot(tag)
+    SnapshotTable.create(rows(0 until 40, "a"), root, Seq("id"), 8)
+    SnapshotTable.upsert(
+      Seq((3L, "UPD", 999L), (50L, "NEW", 1L)).toDF("id", "tag", "v"), root)
+    SnapshotTable.append(rows(40 until 45, "b"), root)
+    root
+  }
+
+  test("V2 read ≡ object-API read at every version (short name and " +
+      "explicit class both resolve)") {
+    val root = mkTable("parity")
+    SnapshotTable.versions(spark, root).foreach { s =>
+      val obj = asSet(SnapshotTable.read(spark, root, Some(s.version)))
+      assert(asSet(v2(root, "versionAsOf" -> s.version.toString)) === obj,
+        s"version ${s.version} mismatch")
+    }
+    // latest (no option) and fully-qualified class name
+    assert(asSet(v2(root)) === asSet(SnapshotTable.read(spark, root)))
+    assert(asSet(spark.read.format("graft.sources.SnapshotDataSource")
+      .load(root)) === asSet(SnapshotTable.read(spark, root)))
+  }
+
+  test("timestampAsOf option: epoch millis and timestamp strings both " +
+      "resolve to the newest commit <= t") {
+    val root = freshRoot("tts")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    Thread.sleep(30)
+    SnapshotTable.append(rows(10 until 15, "b"), root)
+    val Seq(v1, v2s) = SnapshotTable.versions(spark, root)
+    assert(asSet(v2(root, "timestampAsOf" -> (v2s.ts - 1).toString)) ===
+      asSet(rows(0 until 10, "a")))
+    val str = new java.sql.Timestamp(v2s.ts + 5000).toString
+    assert(v2(root, "timestampAsOf" -> str).count() === 15L)
+    intercept[Exception](
+      v2(root, "timestampAsOf" -> (v1.ts - 1).toString).count())
+  }
+
+  test("snapshot pinning: a loaded DataFrame keeps serving ITS version " +
+      "after later commits land") {
+    val root = freshRoot("pin")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    val pinned = v2(root)
+    assert(pinned.count() === 10L)
+    SnapshotTable.append(rows(10 until 20, "b"), root)
+    assert(pinned.count() === 10L) // immutable manifest, not the head
+    assert(v2(root).count() === 20L) // a fresh load sees the new head
+  }
+
+  test("key-predicate pushdown prunes FILES to the hit buckets; " +
+      "residual evaluation keeps answers exact") {
+    val root = mkTable("prune")
+    val full = v2(root)
+    val all = scannedFiles(full)
+    val point = v2(root).filter(col("id") === 3L)
+    val pointFiles = scannedFiles(point)
+    assert(pointFiles.nonEmpty && pointFiles.size < all.size,
+      s"point lookup read ${pointFiles.size}/${all.size} files — no pruning")
+    assert(asSet(point) === Set((3L, "UPD", 999L)))
+    // IN-list lookup: union of the keys' buckets, still < full
+    val inq = v2(root).filter(col("id").isin(3L, 44L, 50L, 7777L))
+    assert(asSet(inq) ===
+      Set((3L, "UPD", 999L), (44L, "b", 440L), (50L, "NEW", 1L)))
+    assert(scannedFiles(inq).size < all.size)
+    // non-key predicate: no file pruning, correct answer
+    val nk = v2(root).filter(col("tag") === "NEW")
+    assert(scannedFiles(nk).size === all.size)
+    assert(asSet(nk) === Set((50L, "NEW", 1L)))
+    // key predicate that misses every row: zero rows, pruned scan
+    assert(v2(root).filter(col("id") === 123456L).count() === 0L)
+  }
+
+  test("prunedBuckets analysis: equality and IN conjuncts narrow, " +
+      "non-equality or partial key coverage abstains") {
+    val root = freshRoot("pb")
+    SnapshotTable.create(
+      Seq((1L, "x", "a", 1L)).toDF("id", "sub", "tag", "v"),
+      root, Seq("id", "sub"), 16)
+    val snap = SnapshotTable.versions(spark, root).last
+    val schema = StructType.fromDDL(snap.schemaDdl)
+    val b = new SnapshotScanBuilder(snap, schema)
+    // full key coverage → finite bucket set
+    val hit = b.prunedBuckets(Seq(EqualTo("id", 1L), EqualTo("sub", "x")))
+    assert(hit.exists(_.size === 1))
+    // IN × EqualTo cross product
+    val hits = b.prunedBuckets(Seq(In("id", Array(1L, 2L, 3L)),
+      EqualTo("sub", "x")))
+    assert(hits.exists(s => s.nonEmpty && s.size <= 3))
+    // partial coverage (one key col unconstrained) → None
+    assert(b.prunedBuckets(Seq(EqualTo("id", 1L))) === None)
+    // range predicates never pin → None
+    assert(b.prunedBuckets(Seq(GreaterThan("id", 1L),
+      EqualTo("sub", "x"))) === None)
+    // IsNotNull noise alongside equality is ignored, not widening
+    val withNoise = b.prunedBuckets(Seq(IsNotNull("id"), EqualTo("id", 1L),
+      EqualTo("sub", "x")))
+    assert(withNoise === hit)
+    // contradictory equalities → empty bucket set (reads nothing)
+    assert(b.prunedBuckets(Seq(EqualTo("id", 1L), EqualTo("id", 2L),
+      EqualTo("sub", "x"))).exists(_.isEmpty))
+  }
+
+  test("column pruning reaches the parquet scan; empty table reads as " +
+      "schema-correct zero rows") {
+    val root = mkTable("prj")
+    val prj = v2(root).select("id")
+    val ex = prj.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+    }.flatten
+    assert(ex === Seq("id"), s"read schema not pruned: $ex")
+    val er = freshRoot("empty")
+    SnapshotTable.create(rows(0 until 0, "a"), er, Seq("id"), 2)
+    val empty = v2(er)
+    assert(empty.count() === 0L)
+    assert(empty.schema.fieldNames.toSeq === Seq("id", "tag", "v"))
+  }
+}
