@@ -57,6 +57,18 @@ object Hashing {
     org.apache.spark.sql.GraftSqlBridge.column(graft.plans.TokenWindowHash64(
       org.apache.spark.sql.GraftSqlBridge.expression(arr), n))
 
+  /** Per-token xxhash64 longs ([[graft.plans.TokenHash64]]) — hash once,
+    * then fold any number of widths with [[windowFold64]]. */
+  def tokenHash64(arr: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.TokenHash64(
+      org.apache.spark.sql.GraftSqlBridge.expression(arr)))
+
+  /** `windowFold64(tokenHash64(toks), n)` ≡ `windowHash64(toks, n)`
+    * ([[graft.plans.WindowFold64]]). */
+  def windowFold64(hashes: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.plans.WindowFold64(
+      org.apache.spark.sql.GraftSqlBridge.expression(hashes), n))
+
   /** Multiplier for [[mix31]]; any odd constant < 2^31 works. */
   val MixA: Long = 1099087573L
 

@@ -543,6 +543,101 @@ case class TokenWindowHash64(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Per-token xxhash64 (seed 42) of a string array — the SHARED first
+  * stage of [[TokenWindowHash64]], split out so multi-width consumers
+  * (q158's six Gopher widths) hash each token ONCE into a materialized
+  * long column and fold every width from it with [[WindowFold64]].
+  * Null tokens map to null hashes (the fold nulls their windows). */
+case class TokenHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_token_hash64"
+
+  def hashes(av: Any): ArrayData = {
+    val arr = av.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      out(i) =
+        if (arr.isNullAt(i)) null
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          arr.getUTF8String(i), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = hashes(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("tokHash", this, classOf[TokenHash64].getName)
+      s"${ev.value} = $ref.hashes($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHash64 =
+    copy(child = newChild)
+}
+
+/** Positional window fold over PRE-HASHED tokens: element `s` is the
+  * [[TokenWindowHash64]] polynomial fold of `n` consecutive long hashes
+  * starting at `s` — so `WindowFold64(TokenHash64(toks), n)` ≡
+  * `TokenWindowHash64(toks, n)` exactly (spec-proven), but a consumer
+  * that needs several widths pays the string hashing once. Output
+  * length `len − n + 1`; a null hash slot nulls its covering windows. */
+case class WindowFold64(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"window width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<BIGINT>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_window_fold64"
+
+  private val MixA64 = 0x9e3779b97f4a7c15L
+
+  def windows(av: Any): ArrayData = {
+    val arr = av.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    val m = len - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      var acc = 0L
+      var ok = true
+      var j = 0
+      while (j < n && ok) {
+        if (arr.isNullAt(s + j)) ok = false
+        else acc = acc * MixA64 + arr.getLong(s + j)
+        j += 1
+      }
+      out(s) = if (ok) acc else null
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = windows(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("winFold", this, classOf[WindowFold64].getName)
+      s"${ev.value} = $ref.windows($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WindowFold64 =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (distinct per-window minima, window w) in one
   * pass with a monotonic deque — O(len) vs the HOF twin's O(len·w)
   * slice-and-min walk (`Dedup.winnowFingerprintsHof`). Emission order is

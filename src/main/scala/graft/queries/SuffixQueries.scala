@@ -330,21 +330,24 @@ object SuffixQueries {
       .select(col("doc_id"), col("toks"),
         TextAnalysis.sumTokenLen(col("toks")).as("sum_len"))
     val nArr = array(Q158Ns.map(lit): _*)
-    // window identity by 64-bit hash, built NATIVELY: one codegen'd
-    // TokenWindowHash64 call per (row, n) hashes every token once and
-    // folds each window — replacing the interpreted per-window
-    // slice-and-hash lambda storm, which measured as this query's
-    // dominant local cost (5.0 → 1.76 s at sf0.1), and the count
-    // exchange carries 8-byte keys instead of 40–80 B gram text. 64-bit
+    // window identity by 64-bit hash, built NATIVELY with the hashing
+    // SHARED across widths: tokenHash64 xxhash64's every token ONCE into
+    // a materialized long column, and each of the six per-n branches is
+    // a pure WindowFold64 over those stored longs — replacing first the
+    // interpreted per-window slice-and-hash lambda storm (5.0 → 1.76 s
+    // at sf0.1) and then the six TokenWindowHash64 branches that still
+    // hashed every token six times (VERDICT r11 nit; a fused
+    // one-explode struct variant A/B'd at parity but pays a per-window
+    // row allocation, so the long-array fold shape won). The count
+    // exchange carries 8-byte keys instead of 40–80 B gram text; 64-bit
     // keeps the within-doc birthday bound negligible (the
     // exactSubstrDedup hash-width rule — 31-bit collides at ~10^5).
-    // base is materialized once so the six per-n branches don't
-    // re-tokenize the corpus.
-    val b = graft.ops.Materialize.Local(base)
+    val b = graft.ops.Materialize.Local(
+      base.withColumn("tokh", Hashing.tokenHash64(col("toks"))))
     val wins = Q158Ns.map { n =>
       b.filter(size(col("toks")) >= n)
         .select(col("doc_id"), lit(n).as("n"),
-          posexplode(Hashing.windowHash64(col("toks"), n))
+          posexplode(Hashing.windowFold64(col("tokh"), n))
             .as(Seq("s", "gh")))
     }.reduce(_ unionByName _)
     val dup = wins

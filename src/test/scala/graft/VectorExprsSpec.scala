@@ -207,4 +207,31 @@ class VectorExprsSpec extends AnyFunSuite {
     assert(withNull(0) == null && withNull(1) == null && withNull(2) == null)
     assert(withNull(3) != null) // window c,d,e is clean
   }
+  test("WindowFold64(TokenHash64(toks), n) ≡ TokenWindowHash64(toks, n) " +
+      "at every width on real text — the hash-once contract q158's " +
+      "six-width build relies on") {
+    val ns = Seq(2, 3, 5, 10)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), TextAnalysis.toks(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("tokh", Hashing.tokenHash64(col("toks")))
+    ns.foreach { n =>
+      val bad = docs.filter(not(
+        Hashing.windowFold64(col("tokh"), n) <=>
+          Hashing.windowHash64(col("toks"), n)))
+      assert(bad.count() === 0, s"width $n fold/fused mismatch")
+    }
+    // sub-n input → empty, not negative-length fabrication
+    val short = Seq(Seq("a", "b")).toDF("toks")
+      .select(Hashing.windowFold64(
+        Hashing.tokenHash64(col("toks")), 3).as("wh")).collect()(0)
+    assert(short.getSeq[Any](0) === Seq.empty)
+    // null token → null hash slot → null covering windows, same as fused
+    val withNull = Seq(Seq[String]("a", "b", null, "c", "d", "e")).toDF("toks")
+      .select(Hashing.windowFold64(
+        Hashing.tokenHash64(col("toks")), 3).as("wh")).collect()(0)
+      .getSeq[Any](0)
+    assert(withNull.size === 4)
+    assert(withNull.take(3).forall(_ == null) && withNull(3) != null)
+  }
 }
