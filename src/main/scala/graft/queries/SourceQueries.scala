@@ -462,7 +462,36 @@ object SourceQueries {
       .orderBy(col("commit_version"), col("change_type"), col("doc_id"))
   }
 
+  /** Data-skipping stats on the snapshot table: three append commits
+    * carry disjoint doc_id windows (the time-series ingestion shape —
+    * each commit's manifest entry records per-dir min/max/has-null),
+    * and the connector read with a range predicate serves the answer
+    * from the matching commits' dirs only
+    * (SnapshotV2Spec/SnapshotTableSpec prove the pruning and its
+    * three-valued soundness; ScaleSpec measures the bytes). The oracle
+    * recomputes the range straight from the parquet table, so a pruner
+    * that dropped a satisfiable dir (or a stats writer that recorded a
+    * wrong bound) would lose rows and hash-mismatch. */
+  val q164 = Q("q164_snapshot_skipping",
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id >= 300 OR doc_id < 50
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapskip", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") < 100), path,
+      Seq("doc_id"), buckets = 4)
+    SnapshotTable.append(
+      d.filter(col("doc_id") >= 100 && col("doc_id") < 300), path)
+    SnapshotTable.append(d.filter(col("doc_id") >= 300), path)
+    s.read.format("graft-snapshot").load(path)
+      .where(col("doc_id") >= 300 || col("doc_id") < 50)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
-      q161, q162, q163)
+      q161, q162, q163, q164)
 }

@@ -146,11 +146,28 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
       .toSet)
   }
 
+  /** Entries surviving data-skipping: a dir is read unless SOME pushed
+    * conjunct is provably unsatisfiable against its recorded column
+    * bounds ([[SnapshotTable.statsSatisfiable]] — sound three-valued
+    * logic, absent stats keep the dir). Composes with bucket pruning:
+    * buckets answer key-equality, stats answer range/equality on the
+    * correlated (usually time-like) columns appends sort into dirs. */
+  private[graft] def statsPruned(entries: Seq[(Int, String)],
+      filters: Seq[Filter]): Seq[(Int, String)] = {
+    if (snap.dirStats.isEmpty || filters.isEmpty) return entries
+    val types = SnapshotTable.statsTypes(snap.schemaDdl)
+    entries.filter { case (_, dir) =>
+      snap.dirStats.get(dir).forall(st =>
+        filters.forall(f => SnapshotTable.statsSatisfiable(st, types, f)))
+    }
+  }
+
   override def build(): Scan = {
-    val entries = prunedBuckets(v1Filters.toSeq) match {
+    val bucketed = prunedBuckets(v1Filters.toSeq) match {
       case Some(hit) => snap.entries.filter(e => hit(e._1))
       case None => snap.entries
     }
+    val entries = statsPruned(bucketed, v1Filters.toSeq)
     val spark = SparkSession.active
     val inner = GraftParquetBridge.parquetScanBuilder(
       spark, entries.map(_._2), tableSchema)

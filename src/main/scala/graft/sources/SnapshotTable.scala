@@ -96,10 +96,294 @@ object SnapshotTable {
 
   /** One published version: `entries` maps bucket id → data dirs
     * (absolute), in commit order; `ts` is the commit wall-clock
-    * (driver millis at publish; 0 for pre-timestamp manifests). */
+    * (driver millis at publish; 0 for pre-timestamp manifests);
+    * `statsCols` are the columns every commit records data-skipping
+    * stats for (fixed at [[create]]); `dirStats` maps data dir →
+    * per-column [[ColStats]] for the dirs whose writing commit recorded
+    * them. */
   final case class Snapshot(version: Long, op: String, keys: Seq[String],
       buckets: Int, schemaDdl: String, uuid: String,
-      entries: Seq[(Int, String)], ts: Long = 0L)
+      entries: Seq[(Int, String)], ts: Long = 0L,
+      statsCols: Seq[String] = Seq.empty,
+      dirStats: Map[String, Map[String, ColStats]] = Map.empty)
+
+  /** Data-skipping bounds for one column in one data dir, NORMALIZED to
+    * an order-comparable primitive (Long for integral/date/timestamp,
+    * Double for floating, String, Boolean — [[normalizeStatsValue]]).
+    * An absent bound means UNKNOWN (all-null dir, truncated long
+    * string, or non-finite float), never "unbounded but known" — so
+    * pruning on an absent bound is forbidden and absence only ever
+    * widens reads. */
+  final case class ColStats(lo: Option[Any], hi: Option[Any],
+      hasNull: Boolean)
+
+  // ---- data-skipping stats ----
+  //
+  // The manifest records per-dir column min/max/has-null (the
+  // Delta/Iceberg file-statistics shape, VLDB'20 §4.2 "data skipping"):
+  // one extra O(batch) map-side-combined aggregation per commit buys
+  // range/equality dir pruning on the read side. The payoff pattern is
+  // append-dominated tables whose commits correlate with a column —
+  // time-series ingestion where each commit covers a time window makes
+  // `WHERE ts >= t` skip every older commit's dirs without reading a
+  // byte. (Key-hash bucketing deliberately DE-correlates the key column
+  // from dirs, so key lookups use bucket pruning instead — the two
+  // pruners compose in the connector.)
+
+  /** Columns eligible for stats: atomic, order-comparable, parquet
+    * min/max-meaningful. */
+  private[graft] def statsEligible(f: org.apache.spark.sql.types.StructField): Boolean =
+    f.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+
+  private val MaxStatsStringLen = 64
+
+  /** Normalize an external (collect()-returned or V1-filter) value of
+    * column type `dt` to the one order-comparable primitive stats are
+    * stored and compared in. None = value kind unknown → no pruning. */
+  private[graft] def normalizeStatsValue(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (v == null) return None
+    (dt, v) match {
+      case (ByteType | ShortType | IntegerType | LongType, n: Number) =>
+        Some(n.longValue())
+      case (FloatType | DoubleType, n: Number) =>
+        val d = n.doubleValue()
+        if (java.lang.Double.isFinite(d)) Some(d) else None
+      case (StringType, s: String) => Some(s)
+      case (StringType, s: org.apache.spark.unsafe.types.UTF8String) =>
+        Some(s.toString)
+      case (BooleanType, b: java.lang.Boolean) => Some(b.booleanValue())
+      case (DateType, d: java.sql.Date) => Some(d.toLocalDate.toEpochDay)
+      case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(t.getTime / 1000L * 1000000L + t.getNanos / 1000L)
+      case (TimestampType, t: java.time.Instant) =>
+        Some(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        val i = t.toInstant(java.time.ZoneOffset.UTC)
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+      case _ => None
+    }
+  }
+
+  /** Total order on two SAME-KIND normalized values. */
+  private def cmpNorm(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None // kind mismatch (e.g. evolved column retype): no pruning
+  }
+
+  /** Can any row in a dir with `stats` satisfy conjunct `f`? Sound
+    * three-valued evaluation: unknown shapes, absent bounds, and
+    * un-normalizable literals all answer TRUE (read the dir). */
+  private[graft] def statsSatisfiable(
+      stats: Map[String, ColStats],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def bounds(c: String) = stats.get(c)
+    def norm(c: String, v: Any) =
+      types.get(c).flatMap(normalizeStatsValue(_, v))
+    def geLo(c: String, v: Any, strict: Boolean): Boolean =
+      // some row may be <= / < v, i.e. lo must not exceed v
+      (bounds(c), norm(c, v)) match {
+        case (Some(st), Some(nv)) => st.lo.forall(lo =>
+          cmpNorm(lo, nv).forall(r => if (strict) r < 0 else r <= 0))
+        case _ => true
+      }
+    def leHi(c: String, v: Any, strict: Boolean): Boolean =
+      // some row may be >= / > v, i.e. hi must not be below v
+      (bounds(c), norm(c, v)) match {
+        case (Some(st), Some(nv)) => st.hi.forall(hi =>
+          cmpNorm(hi, nv).forall(r => if (strict) r > 0 else r >= 0))
+        case _ => true
+      }
+    f match {
+      case EqualTo(c, v) => leHi(c, v, strict = false) && geLo(c, v, strict = false)
+      case EqualNullSafe(c, v) if v != null =>
+        leHi(c, v, strict = false) && geLo(c, v, strict = false)
+      case EqualNullSafe(c, _) => bounds(c).forall(_.hasNull) // <=> null
+      case In(c, vs) => vs.exists(v =>
+        v != null && leHi(c, v, strict = false) && geLo(c, v, strict = false))
+      case GreaterThan(c, v) => leHi(c, v, strict = true)
+      case GreaterThanOrEqual(c, v) => leHi(c, v, strict = false)
+      case LessThan(c, v) => geLo(c, v, strict = true)
+      case LessThanOrEqual(c, v) => geLo(c, v, strict = false)
+      case IsNull(c) => bounds(c).forall(_.hasNull)
+      case And(a, b) =>
+        statsSatisfiable(stats, types, a) && statsSatisfiable(stats, types, b)
+      case Or(a, b) =>
+        statsSatisfiable(stats, types, a) || statsSatisfiable(stats, types, b)
+      case StringStartsWith(c, p) if p.nonEmpty =>
+        // rows starting with p exist only if [lo, hi] admits the prefix:
+        // lo <= p+MAX ~ lo's first len(p) chars <= p, and hi >= p
+        (bounds(c) match {
+          case Some(st) => st.hi.forall {
+            case hi: String => hi >= p
+            case _ => true
+          } && st.lo.forall {
+            case lo: String => lo.take(p.length) <= p
+            case _ => true
+          }
+          case None => true
+        })
+      case _ => true // IsNotNull, Not, string-contains, unknown shapes
+    }
+  }
+
+  /** One aggregation job over the freshly written commit dirs →
+    * per-bucket column stats, keyed back to dirs through the bucket id
+    * embedded in the path (this commit wrote exactly one dir per
+    * bucket). O(batch) scan, map-side combined, ≤ buckets rows to the
+    * driver. */
+  private def computeStats(spark: SparkSession, entries: Seq[(Int, String)],
+      schemaDdl: String, statsCols: Seq[String]): Map[String, Map[String, ColStats]] = {
+    val schema = StructType.fromDDL(schemaDdl)
+    val present = statsCols.filter(schema.fieldNames.contains)
+    if (present.isEmpty || entries.isEmpty) return Map.empty
+    val byBucket = entries.map { case (b, d) => b -> d }.toMap
+    val aggs = present.flatMap(c => Seq(
+      min(col(c)).as(s"lo:$c"), max(col(c)).as(s"hi:$c"),
+      max(when(col(c).isNull, 1).otherwise(0)).as(s"nn:$c")))
+    val rows = spark.read.schema(schema).parquet(entries.map(_._2): _*)
+      .groupBy(regexp_extract(input_file_name(), s"$BucketCol=(\\d+)/", 1)
+        .cast("int").as("_b"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.flatMap { r =>
+      byBucket.get(r.getInt(0)).map { dir =>
+        dir -> present.flatMap { c =>
+          val dt = schema(c).dataType
+          def capped(v: Option[Any], roundsDown: Boolean): Option[Any] =
+            v.flatMap {
+              // a truncated lower bound stays a lower bound; a truncated
+              // UPPER bound would round down and lie — drop it
+              case s: String if s.length > MaxStatsStringLen =>
+                if (roundsDown) Some(s.substring(0, MaxStatsStringLen)) else None
+              case other => Some(other)
+            }
+          val lo = capped(normalizeStatsValue(dt, r.get(r.fieldIndex(s"lo:$c"))),
+            roundsDown = true)
+          val hi = capped(normalizeStatsValue(dt, r.get(r.fieldIndex(s"hi:$c"))),
+            roundsDown = false)
+          val nn = r.getInt(r.fieldIndex(s"nn:$c")) == 1
+          if (lo.isEmpty && hi.isEmpty && !nn) None
+          else Some(c -> ColStats(lo, hi, nn))
+        }.toMap
+      }
+    }.filter(_._2.nonEmpty).toMap
+  }
+
+  // stats serialization: one flat JSON object per dir, our own
+  // writer/parser (the grammar is fixed and tab/newline-free so the
+  // line-oriented manifest stays parseable; no library dependency drift)
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def scalarJson(v: Any): String = v match {
+    case s: String => "\"" + jsonEscape(s) + "\""
+    case d: Double => java.lang.Double.toString(d) // round-trip exact
+    case other => other.toString // Long, Boolean
+  }
+
+  private[graft] def statsToJson(m: Map[String, ColStats]): String =
+    m.toSeq.sortBy(_._1).map { case (c, st) =>
+      val parts = st.lo.map(v => s""""lo":${scalarJson(v)}""").toSeq ++
+        st.hi.map(v => s""""hi":${scalarJson(v)}""").toSeq :+
+        s""""nn":${st.hasNull}"""
+      "\"" + jsonEscape(c) + "\":{" + parts.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+
+  /** Parse [[statsToJson]] output; bound kinds are re-typed through the
+    * column's schema type so Long/Double/String/Boolean come back as
+    * written. Fails loudly on malformed input (a manifest is
+    * engine-written — corruption must not silently disable pruning). */
+  private[graft] def statsFromJson(s: String,
+      types: Map[String, org.apache.spark.sql.types.DataType]): Map[String, ColStats] = {
+    var i = 0
+    def fail(msg: String) = sys.error(s"bad stats json at $i: $msg in $s")
+    def ch = { if (i >= s.length) fail("eof"); s.charAt(i) }
+    def expect(c: Char): Unit = { if (ch != c) fail(s"expected $c"); i += 1 }
+    def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (ch != '"') {
+        if (ch == '\\') {
+          i += 1
+          ch match {
+            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 5
+            case c => sb += (c match { case '"' => '"'; case '\\' => '\\'
+              case other => fail(s"bad escape $other") }); i += 1
+          }
+        } else { sb += ch; i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    def parseScalar(): Any = ch match {
+      case '"' => parseString()
+      case 't' => i += 4; true
+      case 'f' => i += 5; false
+      case _ =>
+        val start = i
+        while (i < s.length && "-+.eE0123456789".indexOf(s.charAt(i)) >= 0) i += 1
+        val tok = s.substring(start, i)
+        if (tok.exists(c => c == '.' || c == 'e' || c == 'E')) tok.toDouble
+        else tok.toLong
+    }
+    val out = scala.collection.mutable.Map.empty[String, ColStats]
+    expect('{')
+    while (ch != '}') {
+      val c = parseString()
+      expect(':'); expect('{')
+      var lo: Option[Any] = None; var hi: Option[Any] = None; var nn = false
+      while (ch != '}') {
+        val k = parseString(); expect(':')
+        val v = parseScalar()
+        k match {
+          case "lo" => lo = Some(v)
+          case "hi" => hi = Some(v)
+          case "nn" => nn = v.asInstanceOf[Boolean]
+          case other => fail(s"unknown key $other")
+        }
+        if (ch == ',') i += 1
+      }
+      i += 1
+      // doubles written for float columns parse as Double unless integral
+      // -valued (e.g. "2.0" stays Double via the '.' check; "2" would be
+      // a Long — normalize through the column type to restore the kind)
+      def retype(v: Option[Any]) = types.get(c) match {
+        case Some(org.apache.spark.sql.types.FloatType |
+                  org.apache.spark.sql.types.DoubleType) =>
+          v.map { case l: Long => l.toDouble; case other => other }
+        case _ => v
+      }
+      out(c) = ColStats(retype(lo), retype(hi), nn)
+      if (ch == ',') i += 1
+    }
+    out.toMap
+  }
+
+  /** The normalized-primitive comparison types of a schema, for pruning
+    * and parse re-typing. */
+  private[graft] def statsTypes(schemaDdl: String): Map[String, org.apache.spark.sql.types.DataType] =
+    StructType.fromDDL(schemaDdl).fields.map(f => f.name -> f.dataType).toMap
 
   private val FormatHeader = "graft-snapshot-v1"
   /** Reserved bucket-partition column; inputs must not use it. */
@@ -136,11 +420,21 @@ object SnapshotTable {
         val Array(b, dir) = l.drop("entry=".length).split("\t", 2)
         (b.toInt, dir)
     }
+    val schemaDdl = field("schema")
+    val types = statsTypes(schemaDdl)
+    val dirStats = lines.collect {
+      case l if l.startsWith("stats=") =>
+        val Array(dir, json) = l.drop("stats=".length).split("\t", 2)
+        dir -> statsFromJson(json, types)
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
-      field("buckets").toInt, field("schema"), field("uuid"), entries,
+      field("buckets").toInt, schemaDdl, field("uuid"), entries,
       // absent in pre-timestamp manifests: 0 sorts before any real clock
-      fieldOpt("ts").map(_.toLong).getOrElse(0L))
+      fieldOpt("ts").map(_.toLong).getOrElse(0L),
+      fieldOpt("statscols").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty),
+      dirStats)
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -420,7 +714,15 @@ object SnapshotTable {
       body ++= s"schema=${snap.schemaDdl}" += '\n'
       body ++= s"uuid=${snap.uuid}" += '\n'
       body ++= s"ts=${snap.ts}" += '\n'
+      body ++= s"statscols=${snap.statsCols.mkString(",")}" += '\n'
       snap.entries.foreach { case (b, d) => body ++= s"entry=$b\t$d" += '\n' }
+      // stats only for live entries: carried-forward dirs keep theirs,
+      // dropped dirs' stats go with them
+      val live = snap.entries.map(_._2).toSet
+      snap.dirStats.toSeq.filter(e => live(e._1)).sortBy(_._1)
+        .foreach { case (d, st) =>
+          body ++= s"stats=$d\t${statsToJson(st)}" += '\n'
+        }
       out.write(body.toString.getBytes("UTF-8"))
     } finally out.close()
     def renameAndAdjudicate(): Unit = {
@@ -521,16 +823,26 @@ object SnapshotTable {
     * table's life (stored in every manifest); `keys` may be empty for an
     * append/overwrite-only table ([[upsert]] then refuses). */
   def create(df: DataFrame, root: String, keys: Seq[String],
-      buckets: Int = 16): Long = {
+      buckets: Int = 16, statsCols: Option[Seq[String]] = None): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     requireCols(df, keys)
+    // data-skipping columns, fixed for the table's life: explicit list,
+    // or (default) every stats-eligible atomic column; Some(Nil) disables
+    val sc = statsCols.getOrElse(
+      df.schema.fields.filter(statsEligible).map(_.name).toSeq)
+    sc.foreach(c => require(
+      df.schema.fields.exists(f => f.name == c && statsEligible(f)),
+      s"stats column $c missing or not stats-eligible in ${df.schema.toDDL}"))
     val (fsys, rootP) = fs(df.sparkSession, root)
     require(versions(df.sparkSession, root).isEmpty,
       s"snapshot table already exists at $root")
     val uuid = newUuid()
+    val ddl = df.schema.toDDL
     val entries = writeCommitData(df, rootP, 1L, keys, buckets, uuid, fsys)
     publish(fsys, rootP, stamped(Snapshot(1L, "create", keys, buckets,
-      df.schema.toDDL, uuid, entries)))
+      ddl, uuid, entries,
+      statsCols = sc,
+      dirStats = computeStats(df.sparkSession, entries, ddl, sc))))
     1L
   }
 
@@ -550,7 +862,10 @@ object SnapshotTable {
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys)
     publish(fsys, rootP, stamped(Snapshot(v, "append", cur.keys, cur.buckets,
-      ddl, uuid, cur.entries ++ entries)))
+      ddl, uuid, cur.entries ++ entries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats ++
+        computeStats(spark, entries, ddl, cur.statsCols))))
     v
   }
 
@@ -568,7 +883,9 @@ object SnapshotTable {
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys)
     publish(fsys, rootP, stamped(Snapshot(v, "overwrite", cur.keys,
-      cur.buckets, ddl, uuid, entries)))
+      cur.buckets, ddl, uuid, entries,
+      statsCols = cur.statsCols,
+      dirStats = computeStats(spark, entries, ddl, cur.statsCols))))
     v
   }
 
@@ -635,7 +952,10 @@ object SnapshotTable {
     requireSubset(entries, hit, "upsert")
     publish(fsys, rootP, stamped(Snapshot(v, "upsert", cur.keys, cur.buckets,
       ddl, uuid,
-      cur.entries.filterNot(e => hit(e._1)) ++ entries)))
+      cur.entries.filterNot(e => hit(e._1)) ++ entries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats ++
+        computeStats(spark, entries, ddl, cur.statsCols))))
     v
   }
 
@@ -668,7 +988,10 @@ object SnapshotTable {
     requireSubset(entries, hit, "delete")
     publish(fsys, rootP, stamped(Snapshot(v, "delete", cur.keys, cur.buckets,
       cur.schemaDdl, uuid,
-      cur.entries.filterNot(e => hit(e._1)) ++ entries)))
+      cur.entries.filterNot(e => hit(e._1)) ++ entries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats ++
+        computeStats(spark, entries, cur.schemaDdl, cur.statsCols))))
     v
   }
 
@@ -709,7 +1032,10 @@ object SnapshotTable {
     requireSubset(entries, target, "compact")
     publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
       cur.buckets, cur.schemaDdl, uuid,
-      cur.entries.filterNot(e => target(e._1)) ++ entries)))
+      cur.entries.filterNot(e => target(e._1)) ++ entries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats ++
+        computeStats(spark, entries, cur.schemaDdl, cur.statsCols))))
     v
   }
 

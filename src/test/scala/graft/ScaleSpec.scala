@@ -763,6 +763,38 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"snap_read_full_bytes":$fullBytes,"snap_readforkeys_bytes":$keyBytes,"snap_connector_lookup_bytes":$v2Bytes,"snap_read_buckets":$buckets}}""")
   }
 
+  test("SnapshotTable data-skipping at 10x: a range predicate over " +
+      "window-correlated append commits reads only the matching " +
+      "commits' bytes") {
+    import graft.sources.SnapshotTable
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snapskip10x").toFile,
+      "tbl").getAbsolutePath
+    // 10 append commits, 10k rows each, DISJOINT v windows — the
+    // time-series shape whose per-dir min/max the manifest records
+    def window(w: Int) = spark.range(w * 10000L, (w + 1) * 10000L, 1, 4)
+      .select(col("id"), concat(lit("v"), col("id")).as("tag"),
+        (col("id") * 7).as("v"))
+    SnapshotTable.create(window(0), root, Seq("id"), 4)
+    (1 until 10).foreach(w => SnapshotTable.append(window(w), root))
+    val (_, fullBytes, fullRecs) = ShuffleMetrics.measureInput(spark) {
+      spark.read.format("graft-snapshot").load(root)
+        .agg(count(lit(1))).head()
+    }
+    assert(fullRecs >= 100000L)
+    // newest-window range: only the last commit's dirs (10% of rows);
+    // 2× slack for parquet footer overhead and window-boundary files
+    val (n, rangeBytes, _) = ShuffleMetrics.measureInput(spark) {
+      spark.read.format("graft-snapshot").load(root)
+        .filter(col("v") >= 7L * 90000L).agg(count(lit(1))).head().getLong(0)
+    }
+    assert(n === 10000L)
+    val bound = 2L * fullBytes / 10L
+    assert(rangeBytes <= bound,
+      s"range read $rangeBytes bytes; full=$fullBytes over 10 commits (bound $bound)")
+    println(s"""{"scale_invariants":{"snap_skip_full_bytes":$fullBytes,"snap_skip_range_bytes":$rangeBytes,"snap_skip_commits":10}}""")
+  }
+
   // ---- streaming state bounds (measured, not documented) ----
 
   /** Stage `batches` as one parquet file each with ascending mtimes, so a

@@ -424,6 +424,124 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.versions(spark, root).last.version === 100000001L)
   }
 
+  test("data-skipping stats: every commit records per-dir min/max/has-" +
+      "null for the stats columns, carried-forward dirs keep theirs " +
+      "verbatim, Some(Nil) disables") {
+    val root = freshRoot("st")
+    SnapshotTable.create(rows(0 until 40, "a"), root, Seq("id"), 4)
+    val v1 = SnapshotTable.versions(spark, root).last
+    assert(v1.statsCols === Seq("id", "tag", "v")) // auto: all eligible
+    assert(v1.entries.forall(e => v1.dirStats.contains(e._2)),
+      "every created dir carries stats")
+    // global bounds across dirs reconstruct the batch's true range
+    val los = v1.entries.map(e => v1.dirStats(e._2)("id").lo.get.asInstanceOf[Long])
+    val his = v1.entries.map(e => v1.dirStats(e._2)("id").hi.get.asInstanceOf[Long])
+    assert(los.min === 0L && his.max === 39L)
+    assert(v1.dirStats.values.forall(st => !st("id").hasNull))
+    assert(v1.dirStats.values.forall(st => st("tag").lo.contains("a")))
+    // upsert: untouched dirs' stats identical, rewritten dirs' refreshed
+    SnapshotTable.upsert(Seq((3L, "ZZZ", 999L)).toDF("id", "tag", "v"), root)
+    val v2 = SnapshotTable.versions(spark, root).last
+    val hitBuckets = v2.entries.toSet.diff(v1.entries.toSet).map(_._1)
+    v1.entries.filterNot(e => hitBuckets(e._1)).foreach(e =>
+      assert(v2.dirStats(e._2) === v1.dirStats(e._2),
+        s"carried dir ${e._2} stats changed"))
+    val hitDirs = v2.entries.filter(e => hitBuckets(e._1)).map(_._2)
+    assert(hitDirs.exists(d => v2.dirStats(d)("v").hi.contains(999L)))
+    // "ZZZ" < "a" in UTF-8 order, so the update surfaces as the dir's MIN
+    assert(hitDirs.exists(d => v2.dirStats(d)("tag").lo.contains("ZZZ")))
+    // disabled stats
+    val off = freshRoot("stoff")
+    SnapshotTable.create(rows(0 until 5, "a"), off, Seq("id"), 2,
+      statsCols = Some(Seq.empty))
+    val voff = SnapshotTable.versions(spark, off).last
+    assert(voff.statsCols.isEmpty && voff.dirStats.isEmpty)
+    // explicit ineligible column refused
+    val bad = freshRoot("stbad")
+    intercept[IllegalArgumentException](SnapshotTable.create(
+      rows(0 until 5, "a"), bad, Seq("id"), 2,
+      statsCols = Some(Seq("nope"))))
+  }
+
+  test("stats JSON roundtrip: longs, round-trip doubles, escaped strings " +
+      "(tabs/quotes/newlines stay inside the line format), booleans, " +
+      "absent bounds, null flags") {
+    import SnapshotTable.ColStats
+    val types = SnapshotTable.statsTypes(
+      "a BIGINT, b DOUBLE, c STRING, d BOOLEAN")
+    val m = Map(
+      "a" -> ColStats(Some(-77L), Some(Long.MaxValue), hasNull = false),
+      "b" -> ColStats(Some(-0.5), Some(1.23456789012345e300), hasNull = true),
+      "c" -> ColStats(Some("x\t\"quoted\"\nline"), None, hasNull = false),
+      "d" -> ColStats(Some(false), Some(true), hasNull = false))
+    val json = SnapshotTable.statsToJson(m)
+    assert(!json.contains('\t') && !json.contains('\n'),
+      s"control chars must be escaped for the line format: $json")
+    assert(SnapshotTable.statsFromJson(json, types) === m)
+    // integral-valued double bounds keep their Double kind through parse
+    val dbl = Map("b" -> ColStats(Some(2.0), Some(4.0), hasNull = false))
+    assert(SnapshotTable.statsFromJson(SnapshotTable.statsToJson(dbl), types)
+      ("b").lo.get.isInstanceOf[Double])
+  }
+
+  test("stats edge cases: all-null column → absent bounds + null flag; " +
+      "over-long strings truncate the lower bound and DROP the upper; " +
+      "evolved columns simply lack stats") {
+    val root = freshRoot("stedge")
+    val longStr = "m" * 100
+    val df = Seq(
+      (1L, longStr + "aaa", null.asInstanceOf[java.lang.Long]),
+      (2L, longStr + "zzz", null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "s", "maybe")
+    SnapshotTable.create(df, root, Seq("id"), 1)
+    val v1 = SnapshotTable.versions(spark, root).last
+    val st = v1.dirStats(v1.entries.head._2)
+    // all-null: no bounds, hasNull set
+    assert(st("maybe") === SnapshotTable.ColStats(None, None, hasNull = true))
+    // long strings: lo truncated to a still-valid lower bound, hi absent
+    assert(st("s").lo.contains("m" * 64) && st("s").hi.isEmpty)
+    // schema evolution: new column appears without stats, commits go on
+    SnapshotTable.append(Seq((3L, "short", 5L, 1.5))
+      .toDF("id", "s", "maybe", "score"), root, mergeSchema = true)
+    val v2 = SnapshotTable.versions(spark, root).last
+    val newDir = v2.entries.map(_._2).diff(v1.entries.map(_._2)).head
+    assert(!v2.dirStats(newDir).contains("score"),
+      "columns added after create are not in the stats set")
+    assert(v2.dirStats(newDir)("s").lo.contains("short"))
+  }
+
+  test("statsSatisfiable: sound three-valued pruning over every pushed " +
+      "shape — ranges, IN, null probes, And/Or, prefixes, absent bounds") {
+    import SnapshotTable.{ColStats, statsSatisfiable}
+    import org.apache.spark.sql.sources._
+    val types = SnapshotTable.statsTypes("x BIGINT, s STRING, f DOUBLE")
+    val st = Map(
+      "x" -> ColStats(Some(10L), Some(20L), hasNull = false),
+      "s" -> ColStats(Some("carrot"), Some("melon"), hasNull = true),
+      "f" -> ColStats(None, None, hasNull = true))
+    def ok(f: Filter) = statsSatisfiable(st, types, f)
+    assert(ok(EqualTo("x", 15L)) && !ok(EqualTo("x", 9L)) && !ok(EqualTo("x", 21L)))
+    assert(ok(EqualTo("x", 10L)) && ok(EqualTo("x", 20L))) // inclusive
+    assert(ok(GreaterThan("x", 19L)) && !ok(GreaterThan("x", 20L)))
+    assert(ok(GreaterThanOrEqual("x", 20L)) && !ok(GreaterThanOrEqual("x", 21L)))
+    assert(ok(LessThan("x", 11L)) && !ok(LessThan("x", 10L)))
+    assert(ok(LessThanOrEqual("x", 10L)) && !ok(LessThanOrEqual("x", 9L)))
+    assert(ok(In("x", Array(1L, 15L))) && !ok(In("x", Array(1L, 2L))))
+    assert(!ok(IsNull("x")) && ok(IsNull("s")))
+    assert(ok(EqualNullSafe("s", null)) && !ok(EqualNullSafe("x", null)))
+    assert(!ok(And(EqualTo("x", 15L), EqualTo("x", 25L))))
+    assert(ok(Or(EqualTo("x", 5L), EqualTo("x", 15L))))
+    assert(!ok(Or(EqualTo("x", 5L), EqualTo("x", 25L))))
+    assert(ok(StringStartsWith("s", "gr")) && !ok(StringStartsWith("s", "ap"))
+      && !ok(StringStartsWith("s", "z")))
+    // int literal against a BIGINT column still normalizes and prunes
+    assert(!ok(EqualTo("x", 9)))
+    // absent bounds answer true for everything except null-absence probes
+    assert(ok(EqualTo("f", 1.0)) && ok(GreaterThan("f", 1e300)) && ok(IsNull("f")))
+    // unknown column / untyped comparisons never prune
+    assert(ok(EqualTo("ghost", 1L)))
+  }
+
   test("compact collapses accumulated append entries; content unchanged") {
     val root = freshRoot("cp")
     val buckets = 4

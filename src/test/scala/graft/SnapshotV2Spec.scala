@@ -105,10 +105,15 @@ class SnapshotV2Spec extends AnyFunSuite {
     assert(asSet(inq) ===
       Set((3L, "UPD", 999L), (44L, "b", 440L), (50L, "NEW", 1L)))
     assert(scannedFiles(inq).size < all.size)
-    // non-key predicate: no file pruning, correct answer
+    // non-key EQUALITY prunes through data-skipping STATS instead of
+    // buckets ("NEW" lives only in the upsert commit's dirs)
     val nk = v2(root).filter(col("tag") === "NEW")
-    assert(scannedFiles(nk).size === all.size)
+    assert(scannedFiles(nk).size < all.size)
     assert(asSet(nk) === Set((50L, "NEW", 1L)))
+    // a predicate satisfiable everywhere prunes nothing
+    val everywhere = v2(root).filter(col("v") >= 0L)
+    assert(scannedFiles(everywhere).size === all.size)
+    assert(everywhere.count() === v2(root).count())
     // key predicate that misses every row: zero rows, pruned scan
     assert(v2(root).filter(col("id") === 123456L).count() === 0L)
   }
@@ -141,6 +146,37 @@ class SnapshotV2Spec extends AnyFunSuite {
     // contradictory equalities → empty bucket set (reads nothing)
     assert(b.prunedBuckets(Seq(EqualTo("id", 1L), EqualTo("id", 2L),
       EqualTo("sub", "x"))).exists(_.isEmpty))
+  }
+
+  test("data-skipping stats prune append commits by range: a time-series " +
+      "table answers `v >= recent` from the newest commit's files only") {
+    val root = freshRoot("skip")
+    // three commits with DISJOINT v windows — the append-ingestion shape
+    SnapshotTable.create(rows(0 until 100, "a"), root, Seq("id"), 4)
+    SnapshotTable.append((100 until 200).map(i => (i.toLong, "b", i * 10L))
+      .toDF("id", "tag", "v"), root)
+    SnapshotTable.append((200 until 300).map(i => (i.toLong, "c", i * 10L))
+      .toDF("id", "tag", "v"), root)
+    val all = scannedFiles(v2(root))
+    // recent-window range: only the last commit's dirs survive pruning
+    val recent = v2(root).filter(col("v") >= 2500L)
+    assert(scannedFiles(recent).size < all.size,
+      "range predicate did not prune append commits")
+    assert(recent.count() === 50L)
+    assert(asSet(recent) ===
+      (250 until 300).map(i => (i.toLong, "c", i * 10L)).toSet)
+    // old-window range prunes from the other side
+    val old = v2(root).filter(col("v") < 500L)
+    assert(scannedFiles(old).size < all.size)
+    assert(old.count() === 50L)
+    // equality on the stats'd tag column: 'c' lives only in commit 3
+    val tagC = v2(root).filter(col("tag") === "c")
+    assert(scannedFiles(tagC).size < all.size)
+    assert(tagC.count() === 100L)
+    // an unsatisfiable-everywhere range reads nothing at all
+    assert(scannedFiles(v2(root).filter(col("v") > 10000L)).isEmpty)
+    // stats pruning composes with residual evaluation: exact boundaries
+    assert(v2(root).filter(col("v") >= 2990L).count() === 1L)
   }
 
   test("column pruning reaches the parquet scan; empty table reads as " +
