@@ -44,7 +44,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pruning. Every predicate is also kept as post-scan residue, so a
   * pruning miss can only over-read, never wrong-answer. */
 class SnapshotDataSource extends TableProvider
-    with org.apache.spark.sql.sources.DataSourceRegister {
+    with org.apache.spark.sql.sources.DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft-snapshot"
 
@@ -55,6 +56,64 @@ class SnapshotDataSource extends TableProvider
       properties: util.Map[String, String]): Table =
     SnapshotV2Table.resolve(
       new CaseInsensitiveStringMap(properties))
+
+  /** WRITE surface (`df.write.format("graft-snapshot")`): Spark routes
+    * Append/Overwrite saves on a TableProvider whose table doesn't
+    * declare BATCH_WRITE to this V1 seam, where the commit maps onto the
+    * object API — so SQL writers get the same manifest protocol, bucket
+    * pruning, and stats recording as library callers:
+    *
+    *   - first write to an empty root CREATES the table (options `keys`
+    *     — comma-separated, default keyless — `buckets`, `statsCols`);
+    *   - `mode("append")` + default op appends; `option("op", "upsert")`
+    *     merges last-write-wins; `option("op", "delete")` removes the
+    *     batch's key tuples;
+    *   - `mode("overwrite")` replaces content (history stays readable);
+    *   - `option("mergeSchema", true)` allows add-column evolution. */
+  override def createRelation(sqlContext0: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot needs a path: .save(<table root>)"))
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    val mergeSchema = ci.get("mergeschema").exists(_.toBoolean)
+    val op = ci.getOrElse("op", "append")
+    require(Seq("append", "upsert", "delete").contains(op),
+      s"unknown op '$op' (append | upsert | delete)")
+    val exists =
+      SnapshotTable.versions(data.sparkSession, path).nonEmpty
+    def createNew(): Unit = {
+      val keys = ci.get("keys").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      val buckets = ci.get("buckets").map(_.toInt).getOrElse(16)
+      val statsCols = ci.get("statscols")
+        .map(s => s.split(",").toSeq.filter(_.nonEmpty))
+      SnapshotTable.create(data, path, keys, buckets, statsCols)
+      ()
+    }
+    mode match {
+      case SaveMode.Append if !exists => createNew()
+      case SaveMode.Append => op match {
+        case "append" => SnapshotTable.append(data, path, mergeSchema)
+        case "upsert" => SnapshotTable.upsert(data, path, mergeSchema)
+        case "delete" => SnapshotTable.delete(data, path)
+      }
+      case SaveMode.Overwrite if !exists => createNew()
+      case SaveMode.Overwrite =>
+        SnapshotTable.overwrite(data, path, mergeSchema)
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(s"snapshot table already exists at $path")
+      case SaveMode.ErrorIfExists => createNew()
+      case SaveMode.Ignore => if (!exists) createNew()
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = sqlContext0
+      override def schema: StructType = data.schema
+    }
+  }
 }
 
 private[sources] object SnapshotV2Table {
@@ -73,7 +132,11 @@ private[sources] object SnapshotV2Table {
     require(version.isEmpty || asOf.isEmpty,
       "set versionAsOf OR timestampAsOf, not both")
     val snaps = SnapshotTable.versions(spark, path)
-    require(snaps.nonEmpty, s"no snapshot table at $path")
+    // a missing table resolves to a scanless placeholder instead of
+    // failing here: the WRITE path must reach the V1 write seam to
+    // create-on-first-write (reads of a missing table still fail loudly,
+    // at scan building)
+    if (snaps.isEmpty) return new SnapshotV2Table(path, null)
     val snap = (version, asOf) match {
       case (Some(v), _) => snaps.find(_.version == v).getOrElse(
         sys.error(s"version $v not found at $path " +
@@ -89,15 +152,23 @@ private[sources] object SnapshotV2Table {
 private[sources] class SnapshotV2Table(path: String,
     val snapshot: SnapshotTable.Snapshot) extends Table with SupportsRead {
 
-  val schemaStruct: StructType = StructType.fromDDL(snapshot.schemaDdl)
+  /** null snapshot = missing table placeholder (write flows only). */
+  val schemaStruct: StructType =
+    if (snapshot == null) new StructType()
+    else StructType.fromDDL(snapshot.schemaDdl)
 
-  override def name(): String = s"graft-snapshot($path@v${snapshot.version})"
+  override def name(): String =
+    if (snapshot == null) s"graft-snapshot($path@missing)"
+    else s"graft-snapshot($path@v${snapshot.version})"
   override def schema(): StructType = schemaStruct
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (snapshot == null)
+      throw new IllegalArgumentException(s"no snapshot table at $path")
     new SnapshotScanBuilder(snapshot, schemaStruct)
+  }
 }
 
 /** Records pushed predicates + required columns, then at `build()` time

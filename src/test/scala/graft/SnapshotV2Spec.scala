@@ -179,6 +179,39 @@ class SnapshotV2Spec extends AnyFunSuite {
     assert(v2(root).filter(col("v") >= 2990L).count() === 1L)
   }
 
+  test("write surface: df.write.format(graft-snapshot) creates on first " +
+      "append, appends, upserts, deletes, and overwrites through the " +
+      "same manifest protocol") {
+    val root = freshRoot("w")
+    def w(df: DataFrame) = df.write.format("graft-snapshot")
+    // create-on-first-write with table config options
+    w(rows(0 until 20, "a")).option("keys", "id").option("buckets", "4")
+      .mode("append").save(root)
+    val v1 = SnapshotTable.versions(spark, root).last
+    assert(v1.op === "create" && v1.keys === Seq("id") && v1.buckets === 4)
+    assert(v1.statsCols === Seq("id", "tag", "v")) // default stats on
+    // plain append
+    w(rows(20 until 25, "b")).mode("append").save(root)
+    assert(v2(root).count() === 25L)
+    // keyed upsert via op option
+    w(Seq((3L, "UPD", 999L)).toDF("id", "tag", "v"))
+      .option("op", "upsert").mode("append").save(root)
+    assert(asSet(v2(root).filter(col("id") === 3L)) === Set((3L, "UPD", 999L)))
+    assert(SnapshotTable.versions(spark, root).last.op === "upsert")
+    // keyed delete via op option
+    w(Seq(Tuple1(7L)).toDF("id").withColumn("tag", lit("x"))
+      .withColumn("v", lit(0L))).option("op", "delete").mode("append").save(root)
+    assert(v2(root).filter(col("id") === 7L).count() === 0L)
+    // overwrite replaces content, history stays
+    w(rows(100 until 103, "z")).mode("overwrite").save(root)
+    assert(asSet(v2(root)) === asSet(rows(100 until 103, "z")))
+    assert(v2(root, "versionAsOf" -> "1").count() === 20L)
+    // reading a MISSING table still fails loudly
+    val missing = freshRoot("missing")
+    val e = intercept[Exception](v2(missing).count())
+    assert(e.getMessage.contains("no snapshot table"))
+  }
+
   test("column pruning reaches the parquet scan; empty table reads as " +
       "schema-correct zero rows") {
     val root = mkTable("prj")
