@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.{Q, Tables}
 import graft.ops.Sources
@@ -491,7 +492,56 @@ object SourceQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The snapshot table as a STREAMING SOURCE
+    * ([[graft.sources.SnapshotMicroBatchStream]] — the read-side twin of
+    * q159's streaming sink): run 1 drains the table once with
+    * AvailableNow (one batch: the consolidated snapshot at stream
+    * start), two appends land, and run 2 resumes FROM THE SAME
+    * CHECKPOINT — versioned offsets mean it serves exactly the two new
+    * commits' rows, nothing re-emitted. The oracle reconstructs both
+    * runs arithmetically; any over-/under-delivery (offset drift,
+    * re-served dirs, lost commits) flips run-2's row set and
+    * hash-mismatches. */
+  val q165 = Q("q165_snapshot_stream_source",
+    """SELECT 1 AS run, doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+      |UNION ALL
+      |SELECT 2 AS run, doc_id, lang, n_chars FROM documents WHERE doc_id % 3 <> 0
+      |ORDER BY run, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val path = scratch("snapsrc", dir)
+    val ckpt = scratch("snapsrc_ckpt", dir)
+    rmTree(path); rmTree(ckpt)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    // foreachBatch → a parquet dir per run (the memory sink refuses
+    // checkpoint recovery, and recovery IS the thing under test here)
+    def drain(out: String): Unit = {
+      rmTree(out)
+      val q = s.readStream.format("graft-snapshot").load(path)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val out1 = scratch("snapsrc_run1", dir)
+    val out2 = scratch("snapsrc_run2", dir)
+    drain(out1)
+    SnapshotTable.append(d.filter(col("doc_id") % 3 === 1), path)
+    SnapshotTable.append(d.filter(col("doc_id") % 3 === 2), path)
+    drain(out2)
+    s.read.parquet(out1).withColumn("run", lit(1))
+      .unionByName(s.read.parquet(out2).withColumn("run", lit(2)))
+      .select(col("run"), col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("run"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
-      q161, q162, q163, q164)
+      q161, q162, q163, q164, q165)
 }

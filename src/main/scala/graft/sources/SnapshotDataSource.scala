@@ -162,12 +162,15 @@ private[sources] class SnapshotV2Table(path: String,
     else s"graft-snapshot($path@v${snapshot.version})"
   override def schema(): StructType = schemaStruct
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (snapshot == null)
       throw new IllegalArgumentException(s"no snapshot table at $path")
-    new SnapshotScanBuilder(snapshot, schemaStruct)
+    new SnapshotScanBuilder(snapshot, schemaStruct, path,
+      ignoreChanges = Option(options.get("ignoreChanges"))
+        .exists(_.toBoolean))
   }
 }
 
@@ -175,7 +178,8 @@ private[sources] class SnapshotV2Table(path: String,
   * (after the optimizer has finished pushing) prunes the manifest's dir
   * list and delegates to the vectorized parquet scan. */
 private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
-    tableSchema: StructType) extends GraftCatalystFilterScanBuilder {
+    tableSchema: StructType, root: String = "",
+    ignoreChanges: Boolean = false) extends GraftCatalystFilterScanBuilder {
 
   /** Bound on the literal key tuples expanded from IN-list products —
     * past this the lookup is not a point read and the full dir list is
@@ -239,11 +243,125 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
       case None => snap.entries
     }
     val entries = statsPruned(bucketed, v1Filters.toSeq)
-    val spark = SparkSession.active
-    val inner = GraftParquetBridge.parquetScanBuilder(
-      spark, entries.map(_._2), tableSchema)
-    GraftParquetBridge.pushCatalystFilters(inner, catalystFilters)
-    GraftParquetBridge.pruneColumns(inner, required)
-    GraftParquetBridge.buildScan(inner)
+    new SnapshotScan(snap, tableSchema, required, catalystFilters,
+      entries, root, ignoreChanges)
   }
+}
+
+/** The built scan: batch reads delegate to Spark's vectorized
+  * `ParquetScan` over the pruned dir list; streaming reads serve the
+  * table AS A SOURCE ([[SnapshotMicroBatchStream]]) — the read-side
+  * twin of the q159 foreachBatch sink. */
+private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
+    tableSchema: StructType, required: StructType,
+    catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    entries: Seq[(Int, String)], root: String, ignoreChanges: Boolean)
+    extends Scan {
+
+  private def inner(paths: Seq[String]): Scan = {
+    val b = GraftParquetBridge.parquetScanBuilder(
+      SparkSession.active, paths, tableSchema)
+    GraftParquetBridge.pushCatalystFilters(b, catalystFilters)
+    GraftParquetBridge.pruneColumns(b, required)
+    GraftParquetBridge.buildScan(b)
+  }
+
+  private lazy val batchScan: Scan = inner(entries.map(_._2))
+
+  override def readSchema(): StructType = batchScan.readSchema()
+  override def description(): String =
+    s"graft-snapshot v${snap.version} (${entries.size} dirs)"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    batchScan.toBatch
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(root, inner, ignoreChanges)
+}
+
+/** Micro-batch offsets ARE table versions: `{"version": N}`. */
+private[graft] case class SnapshotOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** Streaming source over the snapshot table — an APPEND-tailing reader
+  * with exactly-once versioned offsets (the Delta streaming-source
+  * shape):
+  *
+  *   - offsets are manifest versions, so a restart resumes from the
+  *     checkpointed version and each commit is served exactly once;
+  *   - the FIRST batch (offset 0 → head) serves the whole snapshot at
+  *     stream start — upserts/deletes before the start are already
+  *     consolidated in it;
+  *   - subsequent batches serve ONLY the fresh dirs of `append` commits
+  *     in `(start, end]` — O(new data) per trigger, nothing re-read;
+  *   - a non-append commit mid-stream (upsert/delete/overwrite/compact
+  *     rewrites consolidated dirs, so its fresh dirs are NOT purely new
+  *     rows) fails loudly unless `ignoreChanges=true`, which serves the
+  *     rewritten dirs verbatim and may re-emit rewritten rows — exactly
+  *     Delta's documented `ignoreChanges` caveat.
+  *
+  * The version listing re-reads the manifest catalog each trigger
+  * (O(versions) driver metadata); partitions and the reader factory are
+  * delegated to per-range parquet scans, so executors stream the same
+  * vectorized path batch reads use. */
+private[graft] class SnapshotMicroBatchStream(root: String,
+    inner: Seq[String] => Scan, ignoreChanges: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private def snaps = SnapshotTable.versions(SparkSession.active, root)
+
+  override def initialOffset(): Offset = SnapshotOffset(0L)
+
+  override def latestOffset(): Offset =
+    SnapshotOffset(snaps.lastOption.map(_.version).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = {
+    val V = """\{"version":(\d+)\}""".r
+    json.trim match {
+      case V(n) => SnapshotOffset(n.toLong)
+      case other => sys.error(s"bad snapshot offset: $other")
+    }
+  }
+
+  /** Dirs newly visible in `(startV, endV]` under append-tail semantics;
+    * startV == 0 serves the consolidated snapshot AT endV instead. */
+  private[graft] def rangeDirs(startV: Long, endV: Long): Seq[String] = {
+    if (endV <= startV) return Seq.empty
+    val byV = snaps.map(s => s.version -> s).toMap
+    val end = byV.getOrElse(endV, sys.error(
+      s"offset version $endV vanished from $root (vacuumed mid-stream?)"))
+    if (startV == 0L) return end.entries.map(_._2)
+    (startV until endV).flatMap { v =>
+      val prev = byV.getOrElse(v, sys.error(
+        s"offset version $v vanished from $root (vacuumed mid-stream?)"))
+      val next = byV(v + 1)
+      val fresh = next.entries.map(_._2).diff(prev.entries.map(_._2))
+      if (next.op != "append" && !ignoreChanges)
+        sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
+          s"(v${next.version}): its dirs consolidate existing rows, not " +
+          "just new ones. Restart from scratch, or set " +
+          "ignoreChanges=true to stream rewritten dirs verbatim " +
+          "(re-emits rewritten rows, the Delta ignoreChanges caveat)")
+      fresh
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val dirs = rangeDirs(start.asInstanceOf[SnapshotOffset].version,
+      end.asInstanceOf[SnapshotOffset].version)
+    if (dirs.isEmpty) Array.empty
+    else inner(dirs).toBatch.planInputPartitions()
+  }
+
+  /** File-list independent (parquet reader factories carry schema+conf,
+    * partitions carry the files), so one factory serves every batch. */
+  override def createReaderFactory(): PartitionReaderFactory =
+    inner(Seq.empty).toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

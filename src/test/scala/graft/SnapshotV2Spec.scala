@@ -212,6 +212,61 @@ class SnapshotV2Spec extends AnyFunSuite {
     assert(e.getMessage.contains("no snapshot table"))
   }
 
+  test("streaming source: first run serves the consolidated snapshot, a " +
+      "restart from the checkpoint serves ONLY commits since its offset " +
+      "(exactly-once by version), non-append commits fail loudly unless " +
+      "ignoreChanges") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snap_ckpt")
+      .toString
+    val outBase = java.nio.file.Files.createTempDirectory("graft_snap_out")
+      .toString
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    SnapshotTable.append(rows(10 until 15, "b"), root)
+    // foreachBatch parquet sink per run: the memory sink refuses
+    // checkpoint recovery, and recovery IS the thing under test
+    def runOnce(name: String, opts: Map[String, String] = Map.empty)
+        : DataFrame = {
+      val out = s"$outBase/$name"
+      val src = opts.foldLeft(spark.readStream.format("graft-snapshot"))(
+        (r, o) => r.option(o._1, o._2)).load(root)
+      val q = src.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (new java.io.File(out).exists) spark.read.parquet(out)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        rows(0 until 1, "x").schema)
+    }
+    // first run: the whole snapshot at stream start (2 commits, one batch)
+    assert(asSet(runOnce("snap_s1")) ===
+      asSet(rows(0 until 10, "a")) ++ asSet(rows(10 until 15, "b")))
+    // two more appends, then resume from the SAME checkpoint: only the
+    // new commits' rows arrive — nothing from the first 15 re-emits
+    SnapshotTable.append(rows(15 until 18, "c"), root)
+    SnapshotTable.append(rows(18 until 20, "d"), root)
+    assert(asSet(runOnce("snap_s2")) ===
+      asSet(rows(15 until 18, "c")) ++ asSet(rows(18 until 20, "d")))
+    // a resume with no new commits emits nothing
+    assert(runOnce("snap_s3").count() === 0L)
+    // an upsert mid-stream: fail-fast by default (its dirs consolidate)
+    SnapshotTable.upsert(Seq((3L, "UPD", 999L)).toDF("id", "tag", "v"), root)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      runOnce("snap_s4"))
+    assert(e.getMessage.contains("upsert") ||
+      Option(e.getCause).exists(_.getMessage.contains("upsert")))
+    // ignoreChanges: the rewritten bucket's dirs stream verbatim — the
+    // updated row arrives (with its rewritten bucket-mates, documented)
+    val got = runOnce("snap_s5", Map("ignoreChanges" -> "true"))
+    assert(got.filter(col("id") === 3L).select("tag")
+      .as[String].collect().toSeq === Seq("UPD"))
+  }
+
   test("column pruning reaches the parquet scan; empty table reads as " +
       "schema-correct zero rows") {
     val root = mkTable("prj")
