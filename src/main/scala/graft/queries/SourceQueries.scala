@@ -541,7 +541,51 @@ object SourceQueries {
       .orderBy(col("run"), col("doc_id"))
   }
 
+  /** Pure-SQL lifecycle through the [[graft.sources.SnapshotCatalog]]
+    * plugin — no object-API call anywhere: CREATE TABLE with a bucket
+    * transform, two INSERT INTO appends, one INSERT OVERWRITE, then
+    * three time-travel reads (VERSION AS OF v2 = first half, v3 = all,
+    * head = overwrite survivors). The oracle reconstructs each phase
+    * arithmetically from the source table, so a wrong manifest commit,
+    * broken version resolution, or an overwrite that clobbers history
+    * all hash-mismatch. */
+  val q166 = Q("q166_snapshot_sql_catalog",
+    """SELECT 1 AS phase, doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2 AS phase, doc_id, lang, n_chars FROM documents
+      |UNION ALL
+      |SELECT 3 AS phase, doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    val wh = scratch("snapcat_wh", dir)
+    rmTree(wh); new java.io.File(wh).mkdirs()
+    // catalog instances are cached per session at first use — the conf
+    // must be set before any `graftcat.…` reference (same warehouse on
+    // every pass of one JVM, so re-registration is a no-op)
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("q166_docs")
+    s.sql("DROP TABLE IF EXISTS graftcat.docs")
+    s.sql("CREATE TABLE graftcat.docs (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    s.sql("INSERT INTO graftcat.docs " +
+      "SELECT * FROM q166_docs WHERE doc_id % 2 = 0")
+    s.sql("INSERT INTO graftcat.docs " +
+      "SELECT * FROM q166_docs WHERE doc_id % 2 = 1")
+    s.sql("INSERT OVERWRITE graftcat.docs " +
+      "SELECT * FROM q166_docs WHERE lang = 'en'")
+    s.sql("""SELECT 1 AS phase, doc_id, lang, n_chars
+            |FROM graftcat.docs VERSION AS OF 2
+            |UNION ALL
+            |SELECT 2 AS phase, doc_id, lang, n_chars
+            |FROM graftcat.docs VERSION AS OF 3
+            |UNION ALL
+            |SELECT 3 AS phase, doc_id, lang, n_chars FROM graftcat.docs
+            |ORDER BY phase, doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
-      q161, q162, q163, q164, q165)
+      q161, q162, q163, q164, q165, q166)
 }

@@ -995,6 +995,63 @@ object SnapshotTable {
     v
   }
 
+  /** Move the table root. Manifests record ABSOLUTE data-dir paths, so
+    * a bare filesystem rename would strand every entry at the old
+    * location — after moving the directory this rewrites each
+    * manifest's `entry=`/`stats=` lines with the new prefix (atomic
+    * per file: tmp + rename). O(versions) driver metadata, ZERO data
+    * files moved beyond the one directory rename.
+    *
+    * Single-writer operation: a commit racing the rename loses its
+    * table out from under it (its writes land at the dead old root and
+    * are never published into the moved catalog) — run it in a quiet
+    * window, like vacuum. */
+  def rename(spark: SparkSession, oldRoot: String, newRoot: String): Unit = {
+    val (fsys, oldP) = fs(spark, oldRoot)
+    val (_, newP) = fs(spark, newRoot)
+    require(versions(spark, oldRoot).nonEmpty,
+      s"no snapshot table at $oldRoot")
+    require(!fsys.exists(newP), s"rename target $newRoot already exists")
+    Option(newP.getParent).foreach(fsys.mkdirs)
+    require(fsys.rename(oldP, newP),
+      s"filesystem rename $oldRoot -> $newRoot failed")
+    val oldPrefix = oldP.toString + "/"
+    val newPrefix = newP.toString + "/"
+    def moved(dir: String): String = {
+      require(dir.startsWith(oldPrefix),
+        s"manifest entry $dir is not under $oldPrefix — mixed-root table, " +
+          "refusing a half-rename")
+      newPrefix + dir.drop(oldPrefix.length)
+    }
+    val V = """v(\d{8,})\.txt""".r
+    fsys.listStatus(manifestDir(newP)).toSeq.foreach { st =>
+      st.getPath.getName match {
+        case V(_) =>
+          val in = fsys.open(st.getPath)
+          val text =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val rewritten = text.split("\n", -1).map { l =>
+            if (l.startsWith("entry=")) {
+              val Array(b, dir) = l.drop("entry=".length).split("\t", 2)
+              s"entry=$b\t${moved(dir)}"
+            } else if (l.startsWith("stats=")) {
+              val Array(dir, json) = l.drop("stats=".length).split("\t", 2)
+              s"stats=${moved(dir)}\t$json"
+            } else l
+          }.mkString("\n")
+          val tmp = new Path(st.getPath.getParent,
+            s".tmp-rename-${st.getPath.getName}")
+          val out = fsys.create(tmp, false)
+          try out.write(rewritten.getBytes("UTF-8")) finally out.close()
+          fsys.delete(st.getPath, false)
+          require(fsys.rename(tmp, st.getPath),
+            s"manifest rewrite rename failed for ${st.getPath}")
+        case _ => () // locks/strays
+      }
+    }
+  }
+
   /** Full compaction: rewrite every bucket to one fresh dir each,
     * collapsing the per-bucket dir lists appends accumulate. Content is
     * unchanged (it is `overwrite(read(latest))` with the plan reading
