@@ -585,7 +585,53 @@ object SourceQueries {
             |ORDER BY phase, doc_id""".stripMargin)
   }
 
+  /** SQL DML + maintenance on the snapshot catalog: both DELETE shapes
+    * (pure-key IN-list → bucket-pruned keyed delete; arbitrary
+    * predicate → one copy-on-write overwrite) plus a CALL
+    * `system.compact` between appends (content-neutral by contract —
+    * the time-travel read at the pre-delete version must see exactly
+    * what the two inserts wrote, through the compacted file list). The
+    * oracle reconstructs all three phases arithmetically. */
+  val q167 = Q("q167_snapshot_sql_delete",
+    """SELECT 1 AS phase, doc_id, lang, n_chars FROM documents
+      |UNION ALL
+      |SELECT 2 AS phase, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id NOT IN (0, 1, 2, 3, 4)
+      |UNION ALL
+      |SELECT 3 AS phase, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id NOT IN (0, 1, 2, 3, 4)
+      |  AND NOT (n_chars < 500 OR lang = 'de')
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    val wh = scratch("snapcat_wh", dir)
+    new java.io.File(wh).mkdirs()
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("q167_docs")
+    s.sql("DROP TABLE IF EXISTS graftcat.docs_del")
+    s.sql("CREATE TABLE graftcat.docs_del (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    s.sql("INSERT INTO graftcat.docs_del " +
+      "SELECT * FROM q167_docs WHERE doc_id % 2 = 0")
+    s.sql("INSERT INTO graftcat.docs_del " +
+      "SELECT * FROM q167_docs WHERE doc_id % 2 = 1")
+    s.sql("CALL graftcat.system.compact('docs_del', 1)") // v4, content-same
+    s.sql("DELETE FROM graftcat.docs_del WHERE doc_id IN (0, 1, 2, 3, 4)")
+    s.sql("DELETE FROM graftcat.docs_del " +
+      "WHERE n_chars < 500 OR lang = 'de'")
+    s.sql("""SELECT 1 AS phase, doc_id, lang, n_chars
+            |FROM graftcat.docs_del VERSION AS OF 4
+            |UNION ALL
+            |SELECT 2 AS phase, doc_id, lang, n_chars
+            |FROM graftcat.docs_del VERSION AS OF 5
+            |UNION ALL
+            |SELECT 3 AS phase, doc_id, lang, n_chars
+            |FROM graftcat.docs_del
+            |ORDER BY phase, doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
-      q161, q162, q163, q164, q165, q166)
+      q161, q162, q163, q164, q165, q166, q167)
 }

@@ -7,10 +7,11 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -55,7 +56,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * except by DROP (delete) and ALTER RENAME (one filesystem rename +
   * an O(versions) manifest rewrite, see [[SnapshotTable.rename]]).
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -223,6 +225,35 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     SnapshotTable.rename(spark, tableRoot(from), tableRoot(to))
   }
 
+  // ---- maintenance procedures: CALL cat.system.<name>(…) ----
+
+  /** Resolve a procedure's `table` argument ('docs' or 'ns.docs') to
+    * its root path, via the same identifier rules as table loads. */
+  private[sources] def procTableRoot(table: String): String = {
+    val parts = table.split("\\.").toSeq
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val root = tableRoot(ident)
+    require(SnapshotTable.versions(spark, root).nonEmpty,
+      s"no snapshot table '$table' in catalog $catName")
+    root
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      SnapshotProcedures.Names.map(n =>
+        Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == Seq("system") &&
+      SnapshotProcedures.Names.contains(ident.name),
+      s"unknown procedure ${ident.namespace.mkString(".")}.${ident.name} " +
+        s"(have: system.{${SnapshotProcedures.Names.mkString(", ")}})")
+    SnapshotProcedures.load(this, ident.name)
+  }
+
   // ---- namespaces: directories without a _manifests catalog ----
 
   private def listNs(parent: Path): Seq[Array[String]] =
@@ -286,10 +317,25 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   * CTAS land on the same manifest commit protocol as the object API.
   * The path-based `TableProvider` table deliberately does NOT carry
   * this capability — `df.write.format("graft-snapshot")` keeps its
-  * richer V1 seam (create-on-first-write options, op=upsert/delete). */
+  * richer V1 seam (create-on-first-write options, op=upsert/delete).
+  *
+  * `DELETE FROM` ([[SupportsDelete]]) picks its commit shape from the
+  * predicate:
+  *
+  *   - conjuncts that pin EVERY key column to a finite literal set (and
+  *     nothing else) → the manifest's keyed delete, confined to the hit
+  *     key-hash buckets — a point delete on a 100 TB table touches
+  *     1/buckets of it;
+  *   - any other (translatable) predicate → copy-on-write: read the
+  *     live snapshot, keep the non-matching rows, commit one overwrite
+  *     — the Delta DELETE shape, O(table) once, never per-row.
+  *
+  * `TRUNCATE TABLE` rides the same seam (delete WHERE true → an empty
+  * overwrite commit; history stays time-travel readable). */
 private[sources] class SnapshotCatalogTable(path: String,
     snapshot: SnapshotTable.Snapshot)
-    extends SnapshotV2Table(path, snapshot) with SupportsWrite {
+    extends SnapshotV2Table(path, snapshot)
+    with SupportsWrite with SupportsDelete {
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -300,6 +346,182 @@ private[sources] class SnapshotCatalogTable(path: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotCatalogWriteBuilder(path)
+
+  /** Bound on key tuples expanded from IN-list cross products (same
+    * rationale as the read side's probe bound). */
+  private val MaxDeleteTuples = 4096
+
+  /** The key tuples a filter set pins, IFF it consists EXCLUSIVELY of
+    * equality/IN conjuncts over the key columns covering every key —
+    * any extra conjunct would narrow the match set, so the keyed-delete
+    * rewrite (which ignores non-key columns) would delete too much. */
+  private def keyTuples(filters: Array[Filter]): Option[Seq[Seq[Any]]] = {
+    if (snapshot.keys.isEmpty || filters.isEmpty) return None
+    val keySet = snapshot.keys.toSet
+    val valueSets = scala.collection.mutable.Map.empty[String, Set[Any]]
+    def narrow(c: String, vs: Set[Any]): Unit =
+      valueSets(c) = valueSets.get(c).fold(vs)(_ intersect vs)
+    filters.foreach {
+      case EqualTo(c, v) if keySet(c) && v != null => narrow(c, Set(v))
+      case In(c, vs) if keySet(c) && vs.nonEmpty && !vs.contains(null) =>
+        narrow(c, vs.toSet)
+      case _ => return None // a non-key-equality conjunct: not a pure key delete
+    }
+    if (!snapshot.keys.forall(valueSets.contains)) return None
+    val sets = snapshot.keys.map(valueSets)
+    if (sets.map(_.size.toLong).product > MaxDeleteTuples) return None
+    Some(sets.foldLeft(Seq(Seq.empty[Any])) { (acc, s) =>
+      acc.flatMap(prefix => s.toSeq.map(prefix :+ _))
+    })
+  }
+
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    def bin(a: String, v: Any)(op: (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column) =
+      Some(op(col(a), lit(v)))
+    f match {
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case EqualTo(a, v) => bin(a, v)(_ === _)
+      case EqualNullSafe(a, v) => bin(a, v)(_ <=> _)
+      case GreaterThan(a, v) => bin(a, v)(_ > _)
+      case GreaterThanOrEqual(a, v) => bin(a, v)(_ >= _)
+      case LessThan(a, v) => bin(a, v)(_ < _)
+      case LessThanOrEqual(a, v) => bin(a, v)(_ <= _)
+      case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+      case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+      case Not(c) => toColumn(c).map(!_)
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    keyTuples(filters).isDefined || filters.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    keyTuples(filters) match {
+      case Some(tuples) =>
+        val schema = StructType(snapshot.keys.map(k =>
+          StructType.fromDDL(snapshot.schemaDdl)(k)))
+        val rows = tuples.map(t =>
+          org.apache.spark.sql.Row.fromSeq(t))
+        SnapshotTable.delete(
+          spark.createDataFrame(rows.asJava, schema), path)
+        ()
+      case None =>
+        val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
+          .getOrElse(lit(true))
+        // keep rows where the condition is NOT TRUE — a NULL condition
+        // keeps its row (DELETE's three-valued semantics; a bare
+        // not(pred) would silently delete the NULL rows too)
+        SnapshotTable.overwrite(
+          SnapshotTable.read(spark, path)
+            .filter(not(org.apache.spark.sql.functions
+              .coalesce(pred, lit(false)))), path)
+        ()
+    }
+  }
+}
+
+/** The catalog's maintenance surface as SQL `CALL`s (the Iceberg
+  * procedure shape — maintenance belongs in the catalog, not in a
+  * side-channel shell script):
+  *
+  * {{{
+  *   CALL cat.system.history('ns.tbl')       -- (version, op, ts, n_dirs)
+  *   CALL cat.system.compact('ns.tbl', 4)    -- buckets with > 4 dirs
+  *   CALL cat.system.compact('ns.tbl', 0)    -- full rewrite
+  *   CALL cat.system.vacuum('ns.tbl', 1)     -- keep newest N versions
+  * }}}
+  *
+  * Each returns its result as driver-local rows ([[LocalScan]] — the
+  * metadata IS driver-resident, O(versions), so shipping it through a
+  * distributed scan would be ceremony). The heavy lifting (compact's
+  * rewrite) still runs as normal distributed jobs inside the call. */
+private[sources] object SnapshotProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val Names: Seq[String] = Seq("history", "compact", "vacuum")
+
+  private def spark = SparkSession.active
+
+  private class RowsScan(schema: StructType, data: Array[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = data
+  }
+
+  private def one(schema: StructType,
+      data: Seq[InternalRow]): util.Iterator[Scan] =
+    util.Collections.singletonList(
+      new RowsScan(schema, data.toArray): Scan).iterator()
+
+  /** One procedure: fixed IN parameters, deterministic=false (every
+    * call commits or reads live catalog state). */
+  private abstract class Proc(val name0: String,
+      params: Seq[ProcedureParameter], out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = name0
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): Seq[InternalRow]
+    override def call(input: InternalRow): util.Iterator[Scan] =
+      one(out, run(input))
+  }
+
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType).build()
+
+  def load(cat: SnapshotCatalog, name: String): UnboundProcedure =
+    name match {
+      case "history" => new Proc("history", Seq(tableParam),
+          StructType.fromDDL(
+            "version BIGINT, op STRING, ts BIGINT, n_dirs INT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          SnapshotTable.versions(spark, root).map(s =>
+            InternalRow(s.version, UTF8String.fromString(s.op), s.ts,
+              s.entries.size))
+        }
+      }
+      case "compact" => new Proc("compact",
+          Seq(tableParam,
+            ProcedureParameter.in("max_dirs_per_bucket", IntegerType)
+              .build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          val maxDirs = input.getInt(1)
+          val v = if (maxDirs <= 0) SnapshotTable.compact(spark, root)
+            else SnapshotTable.compact(spark, root, maxDirs)
+          Seq(InternalRow(v))
+        }
+      }
+      case "vacuum" => new Proc("vacuum",
+          Seq(tableParam,
+            ProcedureParameter.in("keep_versions", IntegerType).build()),
+          StructType.fromDDL(
+            "expired_manifests INT, deleted_dirs INT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          val (m, d) = SnapshotTable.vacuum(spark, root, input.getInt(1))
+          Seq(InternalRow(m, d))
+        }
+      }
+      case other => sys.error(s"unknown procedure $other")
+    }
 }
 
 /** INSERT INTO → manifest append; truncate (INSERT OVERWRITE's

@@ -142,6 +142,68 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     sqlDf("DROP TABLE snapcat.t5")
   }
 
+  test("DELETE FROM picks its commit shape from the predicate: pure key " +
+      "equality/IN -> bucket-pruned keyed delete; anything else -> one " +
+      "copy-on-write overwrite that keeps NULL-condition rows; TRUNCATE " +
+      "TABLE empties the head, history stays readable") {
+    sqlDf("CREATE TABLE snapcat.t8 (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    sqlDf("INSERT INTO snapcat.t8 SELECT id, CAST(id % 3 AS STRING), " +
+      "IF(id = 7, NULL, id * 2) FROM range(10) AS r(id)")
+    val root = s"$warehouse/t8"
+    // pure key predicate: manifest op is "delete", not "overwrite"
+    sqlDf("DELETE FROM snapcat.t8 WHERE id = 3")
+    sqlDf("DELETE FROM snapcat.t8 WHERE id IN (5, 6)")
+    assert(sqlDf("SELECT * FROM snapcat.t8").count() === 7L)
+    // non-key predicate: copy-on-write overwrite; row id=7 has v NULL —
+    // `v < 8` is NULL there, so the row must SURVIVE the delete
+    sqlDf("DELETE FROM snapcat.t8 WHERE v < 8")
+    assert(sqlDf("SELECT id FROM snapcat.t8 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(4L, 7L, 8L, 9L))
+    // key-AND-other-column predicate must NOT take the keyed path (it
+    // would delete id=8 regardless of tag): id=8 has tag '2', so
+    // nothing matches and nothing is deleted
+    sqlDf("DELETE FROM snapcat.t8 WHERE id = 8 AND tag = 'nope'")
+    assert(sqlDf("SELECT * FROM snapcat.t8").count() === 4L)
+    val ops = SnapshotTable.versions(spark, root).map(_.op)
+    assert(ops === Seq("create", "append", "delete", "delete",
+      "overwrite", "overwrite"))
+    sqlDf("TRUNCATE TABLE snapcat.t8")
+    assert(sqlDf("SELECT * FROM snapcat.t8").count() === 0L)
+    assert(sqlDf(s"SELECT * FROM snapcat.t8 VERSION AS OF ${ops.size}")
+      .count() === 4L)
+    sqlDf("DROP TABLE snapcat.t8")
+  }
+
+  test("CALL snapcat.system.{history, compact, vacuum}: maintenance as " +
+      "SQL procedures — history lists commits, targeted compact folds " +
+      "only over-fragmented buckets, vacuum expires old versions") {
+    sqlDf("CREATE TABLE snapcat.t9 (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, id))")
+    (0 until 4).foreach(i => sqlDf(
+      s"INSERT INTO snapcat.t9 SELECT id, 'b$i', id FROM range(${i * 10}, ${i * 10 + 10}) AS r(id)"))
+    val hist = sqlDf("CALL snapcat.system.history('t9')")
+    assert(hist.columns.toSeq === Seq("version", "op", "ts", "n_dirs"))
+    assert(hist.select("op").as[String].collect().toSeq ===
+      Seq("create") ++ Seq.fill(4)("append"))
+    // targeted compact: every bucket folds to <= 2 dirs, content intact
+    val v = sqlDf("CALL snapcat.system.compact('t9', 2)")
+      .select("version").as[Long].head()
+    assert(v === 6L)
+    val snap = SnapshotTable.versions(spark, s"$warehouse/t9").last
+    assert(snap.entries.groupBy(_._1).values.forall(_.size <= 2))
+    assert(sqlDf("SELECT * FROM snapcat.t9").count() === 40L)
+    // vacuum to 1 version: history collapses, old versions unreadable
+    val vac = sqlDf("CALL snapcat.system.vacuum('t9', 1)")
+    assert(vac.columns.toSeq === Seq("expired_manifests", "deleted_dirs"))
+    assert(vac.select("expired_manifests").as[Int].head() === 5)
+    assert(sqlDf("CALL snapcat.system.history('t9')").count() === 1L)
+    assert(sqlDf("SELECT * FROM snapcat.t9").count() === 40L)
+    intercept[Exception](sqlDf("SELECT * FROM snapcat.t9 VERSION AS OF 1")
+      .collect())
+    sqlDf("DROP TABLE snapcat.t9")
+  }
+
   test("the catalog table still streams: readStream through a " +
       "catalog-loaded root serves appends with versioned offsets") {
     import org.apache.spark.sql.streaming.Trigger
