@@ -452,7 +452,7 @@ private[sources] object SnapshotProcedures {
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Names: Seq[String] = Seq("history", "compact", "vacuum")
+  val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder")
 
   private def spark = SparkSession.active
 
@@ -507,6 +507,20 @@ private[sources] object SnapshotProcedures {
           val v = if (maxDirs <= 0) SnapshotTable.compact(spark, root)
             else SnapshotTable.compact(spark, root, maxDirs)
           Seq(InternalRow(v))
+        }
+      }
+      case "zorder" => new Proc("zorder",
+          Seq(tableParam,
+            ProcedureParameter.in("cols", StringType).build(),
+            ProcedureParameter.in("slices_per_bucket", IntegerType)
+              .build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          val cols = input.getUTF8String(1).toString.split(",")
+            .toSeq.map(_.trim).filter(_.nonEmpty)
+          Seq(InternalRow(
+            SnapshotTable.zorder(spark, root, cols, input.getInt(2))))
         }
       }
       case "vacuum" => new Proc("vacuum",

@@ -252,17 +252,24 @@ object SnapshotTable {
     val schema = StructType.fromDDL(schemaDdl)
     val present = statsCols.filter(schema.fieldNames.contains)
     if (present.isEmpty || entries.isEmpty) return Map.empty
-    val byBucket = entries.map { case (b, d) => b -> d }.toMap
+    // key rows back to their entry dir by the dir-path SUFFIX from the
+    // bucket segment on (`_gb=b` or `_gb=b/_zs=k`): the suffix comes
+    // verbatim from the entry string, so scheme qualification in
+    // input_file_name can't break the mapping, and z-order commits
+    // (many slice dirs per bucket) key exactly like plain ones
+    val bySuffix = entries.map { case (_, d) =>
+      d.substring(d.lastIndexOf(s"$BucketCol=")) -> d
+    }.toMap
     val aggs = present.flatMap(c => Seq(
       min(col(c)).as(s"lo:$c"), max(col(c)).as(s"hi:$c"),
       max(when(col(c).isNull, 1).otherwise(0)).as(s"nn:$c")))
     val rows = spark.read.schema(schema).parquet(entries.map(_._2): _*)
-      .groupBy(regexp_extract(input_file_name(), s"$BucketCol=(\\d+)/", 1)
-        .cast("int").as("_b"))
+      .groupBy(regexp_extract(input_file_name(),
+        s"($BucketCol=\\d+(?:/$ZSliceCol=\\d+)?)/", 1).as("_b"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.flatMap { r =>
-      byBucket.get(r.getInt(0)).map { dir =>
+      bySuffix.get(r.getString(0)).map { dir =>
         dir -> present.flatMap { c =>
           val dt = schema(c).dataType
           def capped(v: Option[Any], roundsDown: Boolean): Option[Any] =
@@ -388,6 +395,7 @@ object SnapshotTable {
   private val FormatHeader = "graft-snapshot-v1"
   /** Reserved bucket-partition column; inputs must not use it. */
   private val BucketCol = "_gb"
+  private val ZSliceCol = "_zs"
   /** Change-feed metadata columns ([[readChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
@@ -813,8 +821,9 @@ object SnapshotTable {
     df.select(StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq: _*)
 
   private def requireCols(df: DataFrame, keys: Seq[String]): Unit = {
-    require(!df.columns.contains(BucketCol),
-      s"column name $BucketCol is reserved by SnapshotTable")
+    require(!df.columns.contains(BucketCol) &&
+      !df.columns.contains(ZSliceCol),
+      s"column names $BucketCol/$ZSliceCol are reserved by SnapshotTable")
     keys.foreach(k => require(df.columns.contains(k),
       s"key column $k missing from ${df.columns.mkString(",")}"))
   }
@@ -995,6 +1004,101 @@ object SnapshotTable {
     v
   }
 
+  /** Z-order clustering rewrite (Delta's `OPTIMIZE ZORDER BY` shape,
+    * Armbrust VLDB'20 §4.2): content-identical like [[compact]], but
+    * each key-hash bucket's rows are split into up to `slicesPerBucket`
+    * dirs by the Morton-interleaved rank of the two `cols`
+    * ([[graft.ops.ZOrder.zKey]], both dimensions min/max-normalized to
+    * `bits` bits in one O(table) agg pass), and sorted by z-key within
+    * each slice.
+    *
+    * Why slices: the manifest's data-skipping stats are PER DIR, so a
+    * single compacted dir per bucket has bucket-wide min/max on every
+    * column — a 2-D box predicate reads everything. Z-sliced dirs have
+    * min/max envelopes that are tight boxes in BOTH dimensions at once,
+    * so the same pushed range conjuncts ([[statsSatisfiable]]) skip
+    * most slices; within a slice the z-sort tightens parquet row-group
+    * stats the same way. Key-hash bucketing is untouched (the slice
+    * split nests INSIDE buckets), so key-equality pruning composes:
+    * `key = k AND x BETWEEN … AND y BETWEEN …` prunes by bucket AND
+    * slice.
+    *
+    * 100 TB framing: one rewrite pass (the compaction cadence), after
+    * which every 2-D range scan over the clustered dims reads
+    * ~matching-box/table of the bytes. A z-order commit replaces every
+    * bucket's dir list, so it diffs as EMPTY in [[readChanges]] (at
+    * full-compare cost — feed CDC from append/upsert ranges instead)
+    * and fail-fasts a running [[SnapshotMicroBatchStream]] like any
+    * rewrite.
+    *
+    * Returns the committed version. Both `cols` must be recorded in
+    * the table's `statsCols` (otherwise no read ever prunes on them —
+    * refused loudly rather than silently useless). */
+  def zorder(spark: SparkSession, root: String, cols: Seq[String],
+      slicesPerBucket: Int = 8, bits: Int = 16): Long = {
+    require(cols.size == 2 && cols.distinct.size == 2,
+      s"z-order is 2-D here: pass exactly two distinct columns, got $cols")
+    require(slicesPerBucket >= 2 && slicesPerBucket <= 4096,
+      s"slicesPerBucket must be in [2,4096]: $slicesPerBucket")
+    require(bits >= 4 && bits <= 21, s"bits must be in [4,21]: $bits")
+    val cur = current(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"z-order column $c missing from ${cur.schemaDdl}"))
+    cols.foreach(c => require(cur.statsCols.contains(c),
+      s"z-order column $c is not in statsCols=${cur.statsCols} — no read " +
+        "would ever prune on it; recreate the table with it in statsCols"))
+    val data = read(spark, root)
+    val b = data.agg(
+      min(col(cols.head)).cast("double"), max(col(cols.head)).cast("double"),
+      min(col(cols(1))).cast("double"), max(col(cols(1))).cast("double"))
+      .head()
+    if (b.isNullAt(0) || b.isNullAt(2)) return cur.version // empty/all-null
+    val maxV = (1L << bits) - 1
+    def norm(c: String, lo: Double, hi: Double) =
+      if (hi <= lo) lit(0L)
+      else least(lit(maxV), greatest(lit(0L),
+        ((col(c).cast("double") - lo) / (hi - lo) * maxV).cast("long")))
+    val zk = graft.ops.ZOrder.zKey(
+      norm(cols.head, b.getDouble(0), b.getDouble(1)),
+      norm(cols(1), b.getDouble(2), b.getDouble(3)), bits)
+    // fixed-width z-range slices via exact bit shifts (slice count
+    // rounds UP to a power of two — `/` on Columns is double division,
+    // whose rounding could misplace boundary rows): the slice is the
+    // top log2(slices) bits of the z-key
+    val log2Slices = 64 - java.lang.Long
+      .numberOfLeadingZeros(math.max(1L, slicesPerBucket.toLong - 1))
+    val shift = math.max(0, 2 * bits - log2Slices.toInt)
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    val uuid = newUuid()
+    val commitDir = new Path(new Path(rootP, "data"), s"c$v-$uuid")
+    data.withColumn(BucketCol, bucketOf(cur.keys, cur.buckets))
+      .withColumn(ZSliceCol,
+        coalesce(shiftrightunsigned(zk, shift).cast("int"),
+          lit(0))) // null dims → slice 0
+      .withColumn("__zk", zk)
+      .repartition(col(BucketCol), col(ZSliceCol))
+      .sortWithinPartitions(col(BucketCol), col(ZSliceCol), col("__zk"))
+      .drop("__zk")
+      .write.partitionBy(BucketCol, ZSliceCol).parquet(commitDir.toString)
+    val entries = (0 until cur.buckets).flatMap { bk =>
+      val bdir = new Path(commitDir, s"$BucketCol=$bk")
+      if (!fsys.exists(bdir)) Seq.empty
+      else fsys.listStatus(bdir).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$ZSliceCol="))
+        .sortBy(_.getPath.getName)
+        .map(st => bk -> st.getPath.toString)
+    }
+    publish(fsys, rootP, stamped(Snapshot(v, "zorder", cur.keys,
+      cur.buckets, cur.schemaDdl, uuid, entries,
+      statsCols = cur.statsCols,
+      dirStats = computeStats(spark, entries, cur.schemaDdl,
+        cur.statsCols))))
+    v
+  }
+
   /** Move the table root. Manifests record ABSOLUTE data-dir paths, so
     * a bare filesystem rename would strand every entry at the old
     * location — after moving the directory this rewrites each
@@ -1126,6 +1230,13 @@ object SnapshotTable {
     val maxKept = keep.map(_.version).max
     val referenced = keep.flatMap(_.entries.map(_._2))
       .map(d => fsys.makeQualified(new Path(d)).toString).toSet
+    // a bucket dir is live if IT or any DESCENDANT is referenced —
+    // z-order commits reference `_gb=b/_zs=k` slice dirs, so the
+    // `_gb=b` parent must survive even though it is not itself an entry
+    val liveOrAncestor: Set[String] = referenced.flatMap { d =>
+      Iterator.iterate(new Path(d))(_.getParent).takeWhile(_ != null)
+        .map(_.toString).takeWhile(_.length >= rootP.toString.length)
+    }
     val CommitV = """c(\d+)-.*""".r
     val dataRoot = new Path(rootP, "data")
     var removedDirs = 0
@@ -1136,7 +1247,7 @@ object SnapshotTable {
       }
       if (sweepable) {
         fsys.listStatus(c.getPath).filter(_.isDirectory).foreach { b =>
-          if (!referenced(fsys.makeQualified(b.getPath).toString)) {
+          if (!liveOrAncestor(fsys.makeQualified(b.getPath).toString)) {
             fsys.delete(b.getPath, true)
             removedDirs += 1
           }

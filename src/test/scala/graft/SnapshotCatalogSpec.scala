@@ -193,10 +193,17 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     val snap = SnapshotTable.versions(spark, s"$warehouse/t9").last
     assert(snap.entries.groupBy(_._1).values.forall(_.size <= 2))
     assert(sqlDf("SELECT * FROM snapcat.t9").count() === 40L)
+    // zorder: content-identical clustering commit with slice dirs
+    val zv = sqlDf("CALL snapcat.system.zorder('t9', 'id,v', 4)")
+      .select("version").as[Long].head()
+    assert(zv === 7L)
+    val zsnap = SnapshotTable.versions(spark, s"$warehouse/t9").last
+    assert(zsnap.op === "zorder" && zsnap.entries.forall(_._2.contains("_zs=")))
+    assert(sqlDf("SELECT * FROM snapcat.t9").count() === 40L)
     // vacuum to 1 version: history collapses, old versions unreadable
     val vac = sqlDf("CALL snapcat.system.vacuum('t9', 1)")
     assert(vac.columns.toSeq === Seq("expired_manifests", "deleted_dirs"))
-    assert(vac.select("expired_manifests").as[Int].head() === 5)
+    assert(vac.select("expired_manifests").as[Int].head() === 6)
     assert(sqlDf("CALL snapcat.system.history('t9')").count() === 1L)
     assert(sqlDf("SELECT * FROM snapcat.t9").count() === 40L)
     intercept[Exception](sqlDf("SELECT * FROM snapcat.t9 VERSION AS OF 1")

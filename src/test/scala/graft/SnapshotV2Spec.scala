@@ -267,6 +267,54 @@ class SnapshotV2Spec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("UPD"))
   }
 
+  test("z-order rewrite: content identical, per-slice stats prune a 2-D " +
+      "box read to a fraction of the table (vs no pruning at the " +
+      "pre-zorder version), vacuum keeps live slice dirs, upsert " +
+      "replaces only the hit bucket's slices") {
+    val root = freshRoot("zorder")
+    // 64×64 grid: key-hash bucketing scatters ids, so pre-zorder dirs
+    // span the full (x, y) range and a box predicate prunes NOTHING
+    val grid = spark.range(0, 4096).select(col("id"),
+      (col("id") / 64).cast("long").as("x"),
+      pmod(col("id"), lit(64L)).as("y"))
+    SnapshotTable.create(grid, root, Seq("id"), 4)
+    val before = grid.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def asGrid(df: DataFrame) = df.select("id", "x", "y")
+      .as[(Long, Long, Long)].collect().toSet
+    val v = SnapshotTable.zorder(spark, root, Seq("x", "y"),
+      slicesPerBucket = 16)
+    assert(v === 2L)
+    val snap = SnapshotTable.versions(spark, root).last
+    assert(snap.op === "zorder")
+    assert(snap.entries.size > 4 && snap.entries.forall(_._2.contains("_zs=")))
+    assert(asGrid(SnapshotTable.read(spark, root)) === before)
+    // 2-D box (x<8 AND y<8 → 64 rows): slice stats prune most dirs
+    val (hits, _, recs) = ShuffleMetrics.measureInput(spark) {
+      spark.read.format("graft-snapshot").load(root)
+        .filter(col("x") < 8L && col("y") < 8L).collect()
+    }
+    assert(hits.length === 64)
+    assert(recs <= 4096L / 4,
+      s"box read scanned $recs of 4096 records after z-order")
+    // the same box at the pre-zorder version scans ~everything
+    val (_, _, recsV1) = ShuffleMetrics.measureInput(spark) {
+      spark.read.format("graft-snapshot").option("versionAsOf", 1)
+        .load(root).filter(col("x") < 8L && col("y") < 8L).collect()
+    }
+    assert(recsV1 > 3L * recs,
+      s"pre-zorder scan $recsV1 should dwarf post-zorder $recs")
+    // vacuum must NOT sweep the bucket parents of live slice dirs
+    SnapshotTable.vacuum(spark, root, 1)
+    assert(asGrid(SnapshotTable.read(spark, root)) === before)
+    // upsert after z-order: the hit bucket's slices fold into one
+    // merged dir, other buckets keep their slices, content stays right
+    SnapshotTable.upsert(Seq((7L, 999L, 999L)).toDF("id", "x", "y"), root)
+    val after = SnapshotTable.read(spark, root)
+    assert(after.count() === 4096L)
+    assert(asGrid(after.filter(col("id") === 7L)) === Set((7L, 999L, 999L)))
+  }
+
   test("column pruning reaches the parquet scan; empty table reads as " +
       "schema-correct zero rows") {
     val root = mkTable("prj")
