@@ -666,7 +666,55 @@ object SourceQueries {
             |ORDER BY phase, doc_id""".stripMargin)
   }
 
+  /** The snapshot table's NATIVE streaming sink
+    * ([[graft.sources.SnapshotSink]] — `writeStream.format(
+    * "graft-snapshot")`, the write twin of q165's source and the native
+    * spelling of q159's foreachBatch): three mtime-ordered micro-batches
+    * drain with op=upsert — batch 0 creates the table with the even
+    * half, batch 1 merges the odd half, batch 2 RE-SENDS every
+    * doc_id%4==0 key with n_chars+1000 — so the final content is
+    * last-write-wins per key, each batch one txn-stamped atomic commit.
+    * The oracle spells the expected merge arithmetically; a dropped,
+    * doubled, or re-ordered batch flips rows and hash-mismatches. */
+  val q169 = Q("q169_snapshot_stream_sink",
+    """SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000 ELSE n_chars END
+      |    AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.SnapshotTable
+    val stage = scratch("snapsink_in", dir)
+    val root = scratch("snapsink_tbl", dir)
+    val ckpt = scratch("snapsink_ckpt", dir)
+    rmTree(stage); rmTree(root); rmTree(ckpt)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val batches = Seq(
+      d.filter(col("doc_id") % 2 === 0),
+      d.filter(col("doc_id") % 2 === 1),
+      d.filter(col("doc_id") % 4 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L))
+    val fsDir = new java.io.File(stage); fsDir.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = new java.io.File(fsDir, s"tmp$i")
+      b.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles.filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(fsDir, f"b$i%03d.parquet")
+      require(part.renameTo(dst), s"stage rename failed for $dst")
+      dst.setLastModified(1000000L * (i + 1)); ()
+    }
+    val q = s.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+      .writeStream.format("graft-snapshot")
+      .option("op", "upsert")
+      .option("keys", "doc_id").option("buckets", "8")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(root)
+    q.awaitTermination()
+    SnapshotTable.read(s, root).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
-      q161, q162, q163, q164, q165, q166, q167, q168)
+      q161, q162, q163, q164, q165, q166, q167, q168, q169)
 }

@@ -45,10 +45,40 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pruning miss can only over-read, never wrong-answer. */
 class SnapshotDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister
-    with org.apache.spark.sql.sources.CreatableRelationProvider {
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-snapshot"
 
+  /** STREAMING SINK (`df.writeStream.format("graft-snapshot")
+    * .start(root)` — the write-side twin of [[SnapshotMicroBatchStream]]
+    * and the native spelling of the q159 foreachBatch pattern): every
+    * micro-batch lands as ONE atomic manifest commit, stamped with a
+    * `txn = (queryId, batchId)` so a batch replayed after a crash
+    * between its commit and the checkpoint write is SKIPPED — the
+    * Delta sink's SetTransaction idempotency, giving exactly-once table
+    * content from at-least-once batch delivery.
+    *
+    *   - options: `op` = append (default) | upsert (last-write-wins
+    *     merge, Update-mode-friendly); `keys`/`buckets`/`statsCols`
+    *     create the table on the FIRST batch; `mergeSchema` allows
+    *     add-column evolution mid-stream; `txnAppId` overrides the
+    *     dedup scope (default: the streaming query id, so a RESTARTED
+    *     query — same checkpoint, same id — dedups across restarts);
+    *   - Complete output mode maps to an overwrite commit per batch. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-snapshot lays data out by key-hash buckets; partitionBy " +
+        "is not supported on the streaming sink")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot sink needs a path: .start(<table root>)"))
+    new SnapshotSink(path,
+      parameters.map { case (k, v) => k.toLowerCase -> v }, outputMode)
+  }
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapshotV2Table.resolve(options).schemaStruct
 
@@ -115,6 +145,58 @@ class SnapshotDataSource extends TableProvider
     }
   }
 }
+
+/** See [[SnapshotDataSource.createSink]]. */
+private[graft] class SnapshotSink(path: String, opts: Map[String, String],
+    outputMode: org.apache.spark.sql.streaming.OutputMode)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.spark.sql.streaming.OutputMode
+
+  private val op = opts.getOrElse("op", "append")
+  require(Seq("append", "upsert").contains(op),
+    s"unknown sink op '$op' (append | upsert)")
+  private val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
+  private val complete = outputMode == OutputMode.Complete()
+
+  override def addBatch(batchId: Long,
+      data0: org.apache.spark.sql.DataFrame): Unit = {
+    // the harness hands a streaming-flagged frame; re-wrap its executed
+    // plan as a batch frame (the ForeachBatchSink recipe) so the object
+    // API's writes can run on it
+    val data = org.apache.spark.sql.GraftSqlBridge.unStream(data0)
+    val spark = data.sparkSession
+    // dedup scope: the streaming query id (stable across restarts from
+    // one checkpoint) unless the caller pins its own app id
+    val appId = opts.getOrElse("txnappid",
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+        .getOrElse("graft-snapshot-sink"))
+    val exists = SnapshotTable.versions(spark, path).nonEmpty
+    if (exists &&
+        SnapshotTable.lastTxn(spark, path, appId).exists(_ >= batchId)) {
+      // replayed batch (crash after commit, before checkpoint): skip
+      return
+    }
+    val txn = Some(appId -> batchId)
+    if (!exists) {
+      val keys = opts.get("keys").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      val buckets = opts.get("buckets").map(_.toInt).getOrElse(16)
+      val statsCols = opts.get("statscols")
+        .map(s => s.split(",").toSeq.filter(_.nonEmpty))
+      SnapshotTable.create(data, path, keys, buckets, statsCols, txn)
+    } else if (complete) {
+      SnapshotTable.overwrite(data, path, mergeSchema, txn)
+    } else if (op == "upsert") {
+      SnapshotTable.upsert(data, path, mergeSchema, txn = txn)
+    } else {
+      SnapshotTable.append(data, path, mergeSchema, txn)
+    }
+    ()
+  }
+
+  override def toString: String = s"SnapshotSink[$path, op=$op]"
+}
+
 
 private[sources] object SnapshotV2Table {
   /** Resolve the options to ONE immutable snapshot — version pinning

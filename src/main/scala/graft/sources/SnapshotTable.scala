@@ -105,7 +105,8 @@ object SnapshotTable {
       buckets: Int, schemaDdl: String, uuid: String,
       entries: Seq[(Int, String)], ts: Long = 0L,
       statsCols: Seq[String] = Seq.empty,
-      dirStats: Map[String, Map[String, ColStats]] = Map.empty)
+      dirStats: Map[String, Map[String, ColStats]] = Map.empty,
+      txn: Option[(String, Long)] = None)
 
   /** Data-skipping bounds for one column in one data dir, NORMALIZED to
     * an order-comparable primitive (Long for integral/date/timestamp,
@@ -442,7 +443,13 @@ object SnapshotTable {
       fieldOpt("ts").map(_.toLong).getOrElse(0L),
       fieldOpt("statscols").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Seq.empty),
-      dirStats)
+      dirStats,
+      // split on the LAST colon: the app id is caller-chosen free text
+      fieldOpt("txn").map { t =>
+        val i = t.lastIndexOf(':')
+        require(i > 0, s"manifest $p has malformed txn field: $t")
+        (t.take(i), t.drop(i + 1).toLong)
+      })
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -723,6 +730,11 @@ object SnapshotTable {
       body ++= s"uuid=${snap.uuid}" += '\n'
       body ++= s"ts=${snap.ts}" += '\n'
       body ++= s"statscols=${snap.statsCols.mkString(",")}" += '\n'
+      snap.txn.foreach { case (app, ver) =>
+        require(!app.contains('\n') && !app.contains('\t'),
+          s"txn app id must be line-safe: $app")
+        body ++= s"txn=$app:$ver" += '\n'
+      }
       snap.entries.foreach { case (b, d) => body ++= s"entry=$b\t$d" += '\n' }
       // stats only for live entries: carried-forward dirs keep theirs,
       // dropped dirs' stats go with them
@@ -832,7 +844,8 @@ object SnapshotTable {
     * table's life (stored in every manifest); `keys` may be empty for an
     * append/overwrite-only table ([[upsert]] then refuses). */
   def create(df: DataFrame, root: String, keys: Seq[String],
-      buckets: Int = 16, statsCols: Option[Seq[String]] = None): Long = {
+      buckets: Int = 16, statsCols: Option[Seq[String]] = None,
+      txn: Option[(String, Long)] = None): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     requireCols(df, keys)
     // data-skipping columns, fixed for the table's life: explicit list,
@@ -851,7 +864,8 @@ object SnapshotTable {
     publish(fsys, rootP, stamped(Snapshot(1L, "create", keys, buckets,
       ddl, uuid, entries,
       statsCols = sc,
-      dirStats = computeStats(df.sparkSession, entries, ddl, sc))))
+      dirStats = computeStats(df.sparkSession, entries, ddl, sc),
+      txn = txn)))
     1L
   }
 
@@ -860,7 +874,8 @@ object SnapshotTable {
     * surface (use [[upsert]] for keyed semantics). `mergeSchema = true`
     * allows add-column evolution (see [[commitSchema]]). */
   def append(df: DataFrame, root: String,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
     requireCols(df, cur.keys)
@@ -874,14 +889,16 @@ object SnapshotTable {
       ddl, uuid, cur.entries ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++
-        computeStats(spark, entries, ddl, cur.statsCols))))
+        computeStats(spark, entries, ddl, cur.statsCols),
+      txn = txn)))
     v
   }
 
   /** Replace the table's content wholesale (config and history are
     * kept — prior versions stay readable). */
   def overwrite(df: DataFrame, root: String,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
     requireCols(df, cur.keys)
@@ -894,7 +911,8 @@ object SnapshotTable {
     publish(fsys, rootP, stamped(Snapshot(v, "overwrite", cur.keys,
       cur.buckets, ddl, uuid, entries,
       statsCols = cur.statsCols,
-      dirStats = computeStats(spark, entries, ddl, cur.statsCols))))
+      dirStats = computeStats(spark, entries, ddl, cur.statsCols),
+      txn = txn)))
     v
   }
 
@@ -927,7 +945,8 @@ object SnapshotTable {
   def upsert(df: DataFrame, root: String,
       mergeSchema: Boolean = false,
       checkDuplicates: Boolean = true,
-      mat: Materialize = Materialize.Local): Long = {
+      mat: Materialize = Materialize.Local,
+      txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
     require(cur.keys.nonEmpty,
@@ -964,7 +983,8 @@ object SnapshotTable {
       cur.entries.filterNot(e => hit(e._1)) ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++
-        computeStats(spark, entries, ddl, cur.statsCols))))
+        computeStats(spark, entries, ddl, cur.statsCols),
+      txn = txn)))
     v
   }
 
@@ -1003,6 +1023,19 @@ object SnapshotTable {
         computeStats(spark, entries, cur.schemaDdl, cur.statsCols))))
     v
   }
+
+  /** Newest transaction version committed under `appId` (the Delta
+    * `SetTransaction` idempotency shape): write ops take an optional
+    * `txn = (appId, version)` stamped into the SAME manifest as the
+    * data, so "has batch N landed?" is answered by the commit log
+    * itself and a replayed batch can be skipped exactly-once. Scans
+    * RETAINED manifests only — vacuuming history below a replayable
+    * batch forfeits its dedup, the documented Delta caveat. */
+  def lastTxn(spark: SparkSession, root: String,
+      appId: String): Option[Long] =
+    versions(spark, root).flatMap(_.txn)
+      .collect { case (a, v) if a == appId => v }
+      .maxOption
 
   /** Z-order clustering rewrite (Delta's `OPTIMIZE ZORDER BY` shape,
     * Armbrust VLDB'20 §4.2): content-identical like [[compact]], but

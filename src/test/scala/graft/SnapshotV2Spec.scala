@@ -267,6 +267,64 @@ class SnapshotV2Spec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("UPD"))
   }
 
+  test("streaming SINK: writeStream.format(graft-snapshot) lands one " +
+      "txn-stamped commit per micro-batch (create on first, upsert " +
+      "after), and a replayed batch id is skipped exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.sources.SnapshotSink
+    val base = java.nio.file.Files.createTempDirectory("graft_snapsink")
+    val stage = new java.io.File(base.toFile, "in"); stage.mkdirs()
+    val root = new java.io.File(base.toFile, "tbl").getAbsolutePath
+    val ckpt = new java.io.File(base.toFile, "ckpt").getAbsolutePath
+    def stageOne(i: Int, df: DataFrame): Unit = {
+      val tmp = new java.io.File(base.toFile, s"tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles.filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(stage, f"b$i%03d.parquet")
+      assert(part.renameTo(dst))
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    stageOne(0, rows(0 until 5, "a"))
+    stageOne(1, rows(3 until 8, "b"))
+    stageOne(2, rows(8 until 10, "c"))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(rows(0 until 1, "x").schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .writeStream.format("graft-snapshot")
+        .option("op", "upsert").option("keys", "id").option("buckets", "4")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(root)
+      q.awaitTermination()
+    }
+    drain()
+    // 3 micro-batches: create + 2 upserts, each txn-stamped in order
+    val snaps = SnapshotTable.versions(spark, root)
+    assert(snaps.map(_.op) === Seq("create", "upsert", "upsert"))
+    assert(snaps.flatMap(_.txn).map(_._2) === Seq(0L, 1L, 2L))
+    assert(snaps.flatMap(_.txn).map(_._1).distinct.size === 1)
+    // last-write-wins content
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(0 until 3, "a")) ++ asSet(rows(3 until 8, "b")) ++
+        asSet(rows(8 until 10, "c")))
+    // a REPLAYED batch id (crash between commit and checkpoint write)
+    // is skipped: same app id + old batch id → no new version
+    val appId = snaps.head.txn.get._1
+    val sink = new SnapshotSink(root,
+      Map("op" -> "upsert", "txnappid" -> appId),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    sink.addBatch(2L, rows(0 until 5, "REPLAY"))
+    assert(SnapshotTable.versions(spark, root).size === 3)
+    assert(asSet(SnapshotTable.read(spark, root)
+      .filter(col("id") === 0L)) === asSet(rows(0 until 1, "a")))
+    // a FRESH batch id under the same app commits
+    sink.addBatch(3L, rows(10 until 12, "d"))
+    assert(SnapshotTable.versions(spark, root).size === 4)
+    assert(SnapshotTable.read(spark, root).count() === 12L)
+    // a restart from the same checkpoint with nothing new: no commits
+    drain()
+    assert(SnapshotTable.versions(spark, root).size === 4)
+  }
+
   test("z-order rewrite: content identical, per-slice stats prune a 2-D " +
       "box read to a fraction of the table (vs no pruning at the " +
       "pre-zorder version), vacuum keeps live slice dirs, upsert " +
