@@ -165,5 +165,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectOptimizerRule(_ => RankLimitRewrite)
+    ext.injectOptimizerRule(_ => SnapshotMetadataOnlyCount)
   }
 }

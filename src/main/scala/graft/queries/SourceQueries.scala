@@ -714,7 +714,51 @@ object SourceQueries {
     SnapshotTable.read(s, root).orderBy(col("doc_id"))
   }
 
+  /** Metadata-only `count(*)` ([[graft.plans.SnapshotMetadataOnlyCount]],
+    * wired through the session's GraftExtensions): after an SQL
+    * create→insert→delete chain, phase 1 counts the live table and
+    * phase 2 a pre-delete version — under the extensions both are
+    * answered from manifest row counts with ZERO scan tasks (the plan
+    * proof lives in SnapshotV2Spec; this row pins the VALUES against
+    * the oracle) — while phase 3's filtered count takes the scan path
+    * and must agree arithmetically. */
+  val q170 = Q("q170_snapshot_meta_count",
+    """SELECT 1 AS phase,
+      |       (SELECT count(*) FROM documents WHERE NOT lang = 'de')
+      |         AS n
+      |UNION ALL
+      |SELECT 2 AS phase, (SELECT count(*) FROM documents) AS n
+      |UNION ALL
+      |SELECT 3 AS phase,
+      |       (SELECT count(*) FROM documents
+      |        WHERE NOT lang = 'de' AND n_chars >= 1000) AS n
+      |ORDER BY phase""".stripMargin) { (s, dir) =>
+    val wh = scratch("snapcat_wh", dir)
+    new java.io.File(wh).mkdirs()
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("q170_docs")
+    s.sql("DROP TABLE IF EXISTS graftcat.docs_cnt")
+    s.sql("CREATE TABLE graftcat.docs_cnt (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    s.sql("INSERT INTO graftcat.docs_cnt SELECT * FROM q170_docs")
+    s.sql("DELETE FROM graftcat.docs_cnt WHERE lang = 'de'")
+    s.sql("""SELECT 1 AS phase, (SELECT count(*) FROM graftcat.docs_cnt)
+            |  AS n
+            |UNION ALL
+            |SELECT 2 AS phase,
+            |  (SELECT count(*) FROM graftcat.docs_cnt VERSION AS OF 2)
+            |  AS n
+            |UNION ALL
+            |SELECT 3 AS phase,
+            |  (SELECT count(*) FROM graftcat.docs_cnt
+            |   WHERE n_chars >= 1000) AS n
+            |ORDER BY phase""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
-      q161, q162, q163, q164, q165, q166, q167, q168, q169)
+      q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
 }

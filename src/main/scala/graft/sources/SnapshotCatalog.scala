@@ -487,13 +487,15 @@ private[sources] object SnapshotProcedures {
   def load(cat: SnapshotCatalog, name: String): UnboundProcedure =
     name match {
       case "history" => new Proc("history", Seq(tableParam),
-          StructType.fromDDL(
-            "version BIGINT, op STRING, ts BIGINT, n_dirs INT")) {
+          StructType.fromDDL("version BIGINT, op STRING, ts BIGINT, " +
+            "n_dirs INT, n_rows BIGINT")) {
         override def run(input: InternalRow): Seq[InternalRow] = {
           val root = cat.procTableRoot(input.getUTF8String(0).toString)
           SnapshotTable.versions(spark, root).map(s =>
             InternalRow(s.version, UTF8String.fromString(s.op), s.ts,
-              s.entries.size))
+              s.entries.size,
+              // null when any live entry predates row counting
+              s.metadataRowCount.map(Long.box).orNull))
         }
       }
       case "compact" => new Proc("compact",

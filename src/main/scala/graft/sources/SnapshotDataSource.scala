@@ -198,7 +198,7 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
 }
 
 
-private[sources] object SnapshotV2Table {
+private[graft] object SnapshotV2Table {
   /** Resolve the options to ONE immutable snapshot — version pinning
     * happens here, once, so later scans never chase the table head. */
   def resolve(options: CaseInsensitiveStringMap): SnapshotV2Table = {
@@ -231,7 +231,7 @@ private[sources] object SnapshotV2Table {
   }
 }
 
-private[sources] class SnapshotV2Table(path: String,
+private[graft] class SnapshotV2Table(path: String,
     val snapshot: SnapshotTable.Snapshot) extends Table with SupportsRead {
 
   /** null snapshot = missing table placeholder (write flows only). */
@@ -339,6 +339,16 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     entries: Seq[(Int, String)], root: String, ignoreChanges: Boolean)
     extends Scan {
+
+  /** True iff this scan reads the WHOLE snapshot with no pushed
+    * predicates — the precondition for the metadata-only count rewrite
+    * ([[graft.plans.SnapshotMetadataOnlyCount]]) to be sound on a
+    * post-pushdown plan. */
+  def isFullUnfilteredScan: Boolean =
+    catalystFilters.isEmpty && entries == snap.entries
+
+  /** Manifest row count of the pinned snapshot, when complete. */
+  def metadataRowCount: Option[Long] = snap.metadataRowCount
 
   private def inner(paths: Seq[String]): Scan = {
     val b = GraftParquetBridge.parquetScanBuilder(

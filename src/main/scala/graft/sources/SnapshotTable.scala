@@ -106,7 +106,20 @@ object SnapshotTable {
       entries: Seq[(Int, String)], ts: Long = 0L,
       statsCols: Seq[String] = Seq.empty,
       dirStats: Map[String, Map[String, ColStats]] = Map.empty,
-      txn: Option[(String, Long)] = None)
+      txn: Option[(String, Long)] = None,
+      dirRows: Map[String, Long] = Map.empty) {
+
+    /** Exact row count answered from the manifest alone — `Some` only
+      * when EVERY live entry carries a recorded count (manifests from
+      * before row counting, or hand-imported dirs, return `None` and
+      * the caller falls back to a scan). O(entries) driver arithmetic:
+      * the 100 TB `count(*)` that never touches a data file. */
+    def metadataRowCount: Option[Long] =
+      if (entries.nonEmpty && entries.forall(e => dirRows.contains(e._2)))
+        Some(entries.iterator.map(e => dirRows(e._2)).sum)
+      else if (entries.isEmpty) Some(0L)
+      else None
+  }
 
   /** Data-skipping bounds for one column in one data dir, NORMALIZED to
     * an order-comparable primitive (Long for integral/date/timestamp,
@@ -248,11 +261,17 @@ object SnapshotTable {
     * embedded in the path (this commit wrote exactly one dir per
     * bucket). O(batch) scan, map-side combined, ≤ buckets rows to the
     * driver. */
+  /** Per-dir column stats AND exact row counts for one commit's
+    * entries, in ONE map-side-combined aggregation pass over the just-
+    * written files (the count rides the same job the stats already
+    * paid for; with stats disabled it degrades to a count-only pass).
+    * Returns (dir → column stats, dir → row count). */
   private def computeStats(spark: SparkSession, entries: Seq[(Int, String)],
-      schemaDdl: String, statsCols: Seq[String]): Map[String, Map[String, ColStats]] = {
+      schemaDdl: String, statsCols: Seq[String])
+      : (Map[String, Map[String, ColStats]], Map[String, Long]) = {
     val schema = StructType.fromDDL(schemaDdl)
     val present = statsCols.filter(schema.fieldNames.contains)
-    if (present.isEmpty || entries.isEmpty) return Map.empty
+    if (entries.isEmpty) return (Map.empty, Map.empty)
     // key rows back to their entry dir by the dir-path SUFFIX from the
     // bucket segment on (`_gb=b` or `_gb=b/_zs=k`): the suffix comes
     // verbatim from the entry string, so scheme qualification in
@@ -261,7 +280,7 @@ object SnapshotTable {
     val bySuffix = entries.map { case (_, d) =>
       d.substring(d.lastIndexOf(s"$BucketCol=")) -> d
     }.toMap
-    val aggs = present.flatMap(c => Seq(
+    val aggs = count(lit(1)).as("cnt:") +: present.flatMap(c => Seq(
       min(col(c)).as(s"lo:$c"), max(col(c)).as(s"hi:$c"),
       max(when(col(c).isNull, 1).otherwise(0)).as(s"nn:$c")))
     val rows = spark.read.schema(schema).parquet(entries.map(_._2): _*)
@@ -269,7 +288,13 @@ object SnapshotTable {
         s"($BucketCol=\\d+(?:/$ZSliceCol=\\d+)?)/", 1).as("_b"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.flatMap { r =>
+    val dirRows = rows.flatMap(r => bySuffix.get(r.getString(0))
+      .map(_ -> r.getLong(r.fieldIndex("cnt:")))).toMap
+    // a dir absent from the agg output received ZERO rows (empty
+    // parquet write): its count is exactly 0, not unknown
+    val allRows = entries.map(_._2).map(d => d -> dirRows.getOrElse(d, 0L))
+      .toMap
+    val statsMap = rows.flatMap { r =>
       bySuffix.get(r.getString(0)).map { dir =>
         dir -> present.flatMap { c =>
           val dt = schema(c).dataType
@@ -291,6 +316,7 @@ object SnapshotTable {
         }.toMap
       }
     }.filter(_._2.nonEmpty).toMap
+    (statsMap, allRows)
   }
 
   // stats serialization: one flat JSON object per dir, our own
@@ -436,6 +462,11 @@ object SnapshotTable {
         val Array(dir, json) = l.drop("stats=".length).split("\t", 2)
         dir -> statsFromJson(json, types)
     }.toMap
+    val dirRows = lines.collect {
+      case l if l.startsWith("rows=") =>
+        val Array(dir, n) = l.drop("rows=".length).split("\t", 2)
+        dir -> n.toLong
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -449,7 +480,8 @@ object SnapshotTable {
         val i = t.lastIndexOf(':')
         require(i > 0, s"manifest $p has malformed txn field: $t")
         (t.take(i), t.drop(i + 1).toLong)
-      })
+      },
+      dirRows)
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -736,13 +768,15 @@ object SnapshotTable {
         body ++= s"txn=$app:$ver" += '\n'
       }
       snap.entries.foreach { case (b, d) => body ++= s"entry=$b\t$d" += '\n' }
-      // stats only for live entries: carried-forward dirs keep theirs,
-      // dropped dirs' stats go with them
+      // stats/rows only for live entries: carried-forward dirs keep
+      // theirs, dropped dirs' metadata goes with them
       val live = snap.entries.map(_._2).toSet
       snap.dirStats.toSeq.filter(e => live(e._1)).sortBy(_._1)
         .foreach { case (d, st) =>
           body ++= s"stats=$d\t${statsToJson(st)}" += '\n'
         }
+      snap.dirRows.toSeq.filter(e => live(e._1)).sortBy(_._1)
+        .foreach { case (d, n) => body ++= s"rows=$d\t$n" += '\n' }
       out.write(body.toString.getBytes("UTF-8"))
     } finally out.close()
     def renameAndAdjudicate(): Unit = {
@@ -861,10 +895,11 @@ object SnapshotTable {
     val uuid = newUuid()
     val ddl = df.schema.toDDL
     val entries = writeCommitData(df, rootP, 1L, keys, buckets, uuid, fsys)
+    val (st, rw) = computeStats(df.sparkSession, entries, ddl, sc)
     publish(fsys, rootP, stamped(Snapshot(1L, "create", keys, buckets,
       ddl, uuid, entries,
       statsCols = sc,
-      dirStats = computeStats(df.sparkSession, entries, ddl, sc),
+      dirStats = st, dirRows = rw,
       txn = txn)))
     1L
   }
@@ -885,11 +920,11 @@ object SnapshotTable {
     val uuid = newUuid()
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys)
+    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
     publish(fsys, rootP, stamped(Snapshot(v, "append", cur.keys, cur.buckets,
       ddl, uuid, cur.entries ++ entries,
       statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++
-        computeStats(spark, entries, ddl, cur.statsCols),
+      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
       txn = txn)))
     v
   }
@@ -908,10 +943,11 @@ object SnapshotTable {
     val uuid = newUuid()
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys)
+    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
     publish(fsys, rootP, stamped(Snapshot(v, "overwrite", cur.keys,
       cur.buckets, ddl, uuid, entries,
       statsCols = cur.statsCols,
-      dirStats = computeStats(spark, entries, ddl, cur.statsCols),
+      dirStats = st, dirRows = rw,
       txn = txn)))
     v
   }
@@ -978,12 +1014,12 @@ object SnapshotTable {
     val entries =
       writeCommitData(merged, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     requireSubset(entries, hit, "upsert")
+    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
     publish(fsys, rootP, stamped(Snapshot(v, "upsert", cur.keys, cur.buckets,
       ddl, uuid,
       cur.entries.filterNot(e => hit(e._1)) ++ entries,
       statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++
-        computeStats(spark, entries, ddl, cur.statsCols),
+      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
       txn = txn)))
     v
   }
@@ -1015,12 +1051,12 @@ object SnapshotTable {
     val entries =
       writeCommitData(kept, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     requireSubset(entries, hit, "delete")
+    val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
     publish(fsys, rootP, stamped(Snapshot(v, "delete", cur.keys, cur.buckets,
       cur.schemaDdl, uuid,
       cur.entries.filterNot(e => hit(e._1)) ++ entries,
       statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++
-        computeStats(spark, entries, cur.schemaDdl, cur.statsCols))))
+      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw)))
     v
   }
 
@@ -1124,11 +1160,11 @@ object SnapshotTable {
         .sortBy(_.getPath.getName)
         .map(st => bk -> st.getPath.toString)
     }
+    val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
     publish(fsys, rootP, stamped(Snapshot(v, "zorder", cur.keys,
       cur.buckets, cur.schemaDdl, uuid, entries,
       statsCols = cur.statsCols,
-      dirStats = computeStats(spark, entries, cur.schemaDdl,
-        cur.statsCols))))
+      dirStats = st, dirRows = rw)))
     v
   }
 
@@ -1224,12 +1260,12 @@ object SnapshotTable {
     // committed parquet is deterministic input: rows rehash to exactly
     // their original buckets, so the produced set must stay inside target
     requireSubset(entries, target, "compact")
+    val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
     publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
       cur.buckets, cur.schemaDdl, uuid,
       cur.entries.filterNot(e => target(e._1)) ++ entries,
       statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++
-        computeStats(spark, entries, cur.schemaDdl, cur.statsCols))))
+      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw)))
     v
   }
 

@@ -183,9 +183,13 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     (0 until 4).foreach(i => sqlDf(
       s"INSERT INTO snapcat.t9 SELECT id, 'b$i', id FROM range(${i * 10}, ${i * 10 + 10}) AS r(id)"))
     val hist = sqlDf("CALL snapcat.system.history('t9')")
-    assert(hist.columns.toSeq === Seq("version", "op", "ts", "n_dirs"))
+    assert(hist.columns.toSeq ===
+      Seq("version", "op", "ts", "n_dirs", "n_rows"))
     assert(hist.select("op").as[String].collect().toSeq ===
       Seq("create") ++ Seq.fill(4)("append"))
+    // exact manifest row counts per version: 0 (empty create) then +10
+    assert(hist.orderBy("version").select("n_rows").as[Long]
+      .collect().toSeq === Seq(0L, 10L, 20L, 30L, 40L))
     // targeted compact: every bucket folds to <= 2 dirs, content intact
     val v = sqlDf("CALL snapcat.system.compact('t9', 2)")
       .select("version").as[Long].head()

@@ -267,6 +267,62 @@ class SnapshotV2Spec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("UPD"))
   }
 
+  test("metadata-only count(*): the manifest's per-dir row counts answer " +
+      "an unfiltered count with ZERO scan (LocalRelation plan), stay " +
+      "exact across append/upsert/delete, and every unsafe shape — " +
+      "filter, count(col), missing counts — falls back to the scan") {
+    import graft.plans.SnapshotMetadataOnlyCount
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+    if (!spark.experimental.extraOptimizations.contains(
+        SnapshotMetadataOnlyCount))
+      spark.experimental.extraOptimizations ++= Seq(SnapshotMetadataOnlyCount)
+    val root = freshRoot("metacount")
+    SnapshotTable.create(rows(0 until 100, "a"), root, Seq("id"), 4)
+    SnapshotTable.append(rows(100 until 150, "b"), root)
+    SnapshotTable.upsert(rows(140 until 160, "c"), root)
+    SnapshotTable.delete(rows(0 until 5, "x").select("id"), root)
+    def scansIn(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2Relation => r
+      case r: DataSourceV2ScanRelation => r
+    }
+    // exact across the mixed history: 160 - 5 deleted
+    val cnt = spark.read.format("graft-snapshot").load(root).groupBy().count()
+    assert(scansIn(cnt).isEmpty, s"count(*) should be metadata-only:\n" +
+      cnt.queryExecution.optimizedPlan)
+    assert(cnt.as[Long].head() === 155L)
+    // SQL spelling through the same plan shape
+    spark.read.format("graft-snapshot").load(root).createOrReplaceTempView(
+      "snap_metacount")
+    val sqlCnt = spark.sql("SELECT count(*) AS n FROM snap_metacount")
+    assert(scansIn(sqlCnt).isEmpty)
+    assert(sqlCnt.as[Long].head() === 155L)
+    // a FILTER makes it scan — and still agree
+    val filtered = spark.read.format("graft-snapshot").load(root)
+      .filter(col("id") < 50L).groupBy().count()
+    assert(scansIn(filtered).nonEmpty)
+    assert(filtered.as[Long].head() === 45L)
+    // count(col) is null-sensitive: never rewritten
+    val colCnt = spark.read.format("graft-snapshot").load(root)
+      .agg(count(col("tag")))
+    assert(scansIn(colCnt).nonEmpty)
+    // manifests WITHOUT recorded counts (pre-rowcount history): strip
+    // the rows= lines from the newest manifest → fallback to the scan,
+    // same answer
+    val mdir = new java.io.File(root, "_manifests")
+    val newest = mdir.listFiles.filter(_.getName.endsWith(".txt"))
+      .sortBy(_.getName).last
+    val txt = new String(java.nio.file.Files.readAllBytes(newest.toPath),
+      "UTF-8")
+    java.nio.file.Files.write(newest.toPath, txt.split("\n")
+      .filterNot(_.startsWith("rows=")).mkString("\n").getBytes("UTF-8"))
+    // the raw edit invalidates Hadoop's local checksum sidecar
+    new java.io.File(mdir, s".${newest.getName}.crc").delete()
+    val legacy = spark.read.format("graft-snapshot").load(root)
+      .groupBy().count()
+    assert(scansIn(legacy).nonEmpty, "missing counts must fall back")
+    assert(legacy.as[Long].head() === 155L)
+  }
+
   test("streaming SINK: writeStream.format(graft-snapshot) lands one " +
       "txn-stamped commit per micro-batch (create on first, upsert " +
       "after), and a replayed batch id is skipped exactly-once") {
