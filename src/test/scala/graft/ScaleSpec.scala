@@ -777,9 +777,14 @@ class ScaleSpec extends AnyFunSuite {
         (col("id") * 7).as("v"))
     SnapshotTable.create(window(0), root, Seq("id"), 4)
     (1 until 10).foreach(w => SnapshotTable.append(window(w), root))
+    // denominator must FORCE a scan: a SUM can never be answered from
+    // manifest row counts, so the SnapshotMetadataOnlyCount rule
+    // (installed on this shared session by SnapshotV2Spec) leaves it
+    // alone — count(*) AND count(non-null col) (NullPropagation folds
+    // it to count(1)) would both be metadata-answered with zero input
     val (_, fullBytes, fullRecs) = ShuffleMetrics.measureInput(spark) {
       spark.read.format("graft-snapshot").load(root)
-        .agg(count(lit(1))).head()
+        .agg(sum(col("v"))).head()
     }
     assert(fullRecs >= 100000L)
     // newest-window range: only the last commit's dirs (10% of rows);
