@@ -338,7 +338,8 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     tableSchema: StructType, required: StructType,
     catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     entries: Seq[(Int, String)], root: String, ignoreChanges: Boolean)
-    extends Scan {
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** True iff this scan reads the WHOLE snapshot with no pushed
     * predicates — the precondition for the metadata-only count rewrite
@@ -349,6 +350,31 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
 
   /** Manifest row count of the pinned snapshot, when complete. */
   def metadataRowCount: Option[Long] = snap.metadataRowCount
+
+  /** EXACT planner statistics from the manifest, PRUNING-AWARE: summed
+    * over the entries this scan will actually read (bucket- and
+    * stats-pruned), not the whole table — a key point-lookup on a
+    * 100 TB table reports ~1/buckets of its size, so AQE/CBO broadcast
+    * that side of a join instead of defaulting it to "unknown = huge".
+    * Rows are an upper bound under residual filters (Spark expects
+    * pre-filter scan stats). Absent manifest fields (pre-statistics
+    * history) report empty and Spark falls back to its defaults —
+    * never a guess. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val dirs = entries.map(_._2)
+    def total(m: Map[String, Long]): java.util.OptionalLong =
+      if (dirs.nonEmpty && dirs.forall(m.contains))
+        java.util.OptionalLong.of(dirs.iterator.map(m).sum)
+      else if (dirs.isEmpty) java.util.OptionalLong.of(0L)
+      else java.util.OptionalLong.empty()
+    val bytes = total(snap.dirBytes)
+    val rows = total(snap.dirRows)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong = rows
+    }
+  }
 
   private def inner(paths: Seq[String]): Scan = {
     val b = GraftParquetBridge.parquetScanBuilder(

@@ -107,7 +107,8 @@ object SnapshotTable {
       statsCols: Seq[String] = Seq.empty,
       dirStats: Map[String, Map[String, ColStats]] = Map.empty,
       txn: Option[(String, Long)] = None,
-      dirRows: Map[String, Long] = Map.empty) {
+      dirRows: Map[String, Long] = Map.empty,
+      dirBytes: Map[String, Long] = Map.empty) {
 
     /** Exact row count answered from the manifest alone — `Some` only
       * when EVERY live entry carries a recorded count (manifests from
@@ -117,6 +118,14 @@ object SnapshotTable {
     def metadataRowCount: Option[Long] =
       if (entries.nonEmpty && entries.forall(e => dirRows.contains(e._2)))
         Some(entries.iterator.map(e => dirRows(e._2)).sum)
+      else if (entries.isEmpty) Some(0L)
+      else None
+
+    /** Exact on-disk size of the live snapshot from the manifest — the
+      * planner-statistics twin of [[metadataRowCount]]. */
+    def metadataSizeBytes: Option[Long] =
+      if (entries.nonEmpty && entries.forall(e => dirBytes.contains(e._2)))
+        Some(entries.iterator.map(e => dirBytes(e._2)).sum)
       else if (entries.isEmpty) Some(0L)
       else None
   }
@@ -319,6 +328,15 @@ object SnapshotTable {
     (statsMap, allRows)
   }
 
+  /** Exact on-disk bytes per fresh dir — one driver `getContentSummary`
+    * per dir, O(commit dirs), feeding the planner-statistics field of
+    * the manifest. */
+  private def dirSizes(fsys: FileSystem,
+      entries: Seq[(Int, String)]): Map[String, Long] =
+    entries.map { case (_, d) =>
+      d -> fsys.getContentSummary(new Path(d)).getLength
+    }.toMap
+
   // stats serialization: one flat JSON object per dir, our own
   // writer/parser (the grammar is fixed and tab/newline-free so the
   // line-oriented manifest stays parseable; no library dependency drift)
@@ -467,6 +485,11 @@ object SnapshotTable {
         val Array(dir, n) = l.drop("rows=".length).split("\t", 2)
         dir -> n.toLong
     }.toMap
+    val dirBytes = lines.collect {
+      case l if l.startsWith("bytes=") =>
+        val Array(dir, n) = l.drop("bytes=".length).split("\t", 2)
+        dir -> n.toLong
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -481,7 +504,7 @@ object SnapshotTable {
         require(i > 0, s"manifest $p has malformed txn field: $t")
         (t.take(i), t.drop(i + 1).toLong)
       },
-      dirRows)
+      dirRows, dirBytes)
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -777,6 +800,8 @@ object SnapshotTable {
         }
       snap.dirRows.toSeq.filter(e => live(e._1)).sortBy(_._1)
         .foreach { case (d, n) => body ++= s"rows=$d\t$n" += '\n' }
+      snap.dirBytes.toSeq.filter(e => live(e._1)).sortBy(_._1)
+        .foreach { case (d, n) => body ++= s"bytes=$d\t$n" += '\n' }
       out.write(body.toString.getBytes("UTF-8"))
     } finally out.close()
     def renameAndAdjudicate(): Unit = {
@@ -899,7 +924,7 @@ object SnapshotTable {
     publish(fsys, rootP, stamped(Snapshot(1L, "create", keys, buckets,
       ddl, uuid, entries,
       statsCols = sc,
-      dirStats = st, dirRows = rw,
+      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       txn = txn)))
     1L
   }
@@ -925,6 +950,7 @@ object SnapshotTable {
       ddl, uuid, cur.entries ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
       txn = txn)))
     v
   }
@@ -947,7 +973,7 @@ object SnapshotTable {
     publish(fsys, rootP, stamped(Snapshot(v, "overwrite", cur.keys,
       cur.buckets, ddl, uuid, entries,
       statsCols = cur.statsCols,
-      dirStats = st, dirRows = rw,
+      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       txn = txn)))
     v
   }
@@ -1020,6 +1046,7 @@ object SnapshotTable {
       cur.entries.filterNot(e => hit(e._1)) ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
       txn = txn)))
     v
   }
@@ -1056,7 +1083,8 @@ object SnapshotTable {
       cur.schemaDdl, uuid,
       cur.entries.filterNot(e => hit(e._1)) ++ entries,
       statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw)))
+      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries))))
     v
   }
 
@@ -1164,7 +1192,7 @@ object SnapshotTable {
     publish(fsys, rootP, stamped(Snapshot(v, "zorder", cur.keys,
       cur.buckets, cur.schemaDdl, uuid, entries,
       statsCols = cur.statsCols,
-      dirStats = st, dirRows = rw)))
+      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries))))
     v
   }
 
@@ -1265,7 +1293,8 @@ object SnapshotTable {
       cur.buckets, cur.schemaDdl, uuid,
       cur.entries.filterNot(e => target(e._1)) ++ entries,
       statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw)))
+      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries))))
     v
   }
 

@@ -267,6 +267,74 @@ class SnapshotV2Spec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("UPD"))
   }
 
+  test("connector reports EXACT pruning-aware planner statistics: full " +
+      "scan = manifest totals, point lookup = hit bucket only, and the " +
+      "join planner auto-broadcasts a small snapshot side it would " +
+      "otherwise size as unknown") {
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    val root = freshRoot("stats")
+    SnapshotTable.create(rows(0 until 1000, "a"), root, Seq("id"), 8)
+    SnapshotTable.append(rows(1000 until 2000, "b"), root)
+    def scanOf(df: DataFrame) = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.asInstanceOf[SupportsReportStatistics]
+    // full scan: exact rows, real bytes
+    val full = scanOf(spark.read.format("graft-snapshot").load(root))
+      .estimateStatistics()
+    assert(full.numRows.getAsLong === 2000L)
+    val fullBytes = full.sizeInBytes.getAsLong
+    assert(fullBytes > 0L)
+    // point lookup: the hit bucket's share, not the table
+    val point = scanOf(spark.read.format("graft-snapshot").load(root)
+      .filter(col("id") === 7L)).estimateStatistics()
+    assert(point.numRows.getAsLong < 2000L / 4)
+    assert(point.sizeInBytes.getAsLong < fullBytes / 4)
+    // join planning: under a threshold ABOVE the reported size, the
+    // snapshot side broadcasts; with the stats stripped (legacy
+    // manifest) the same join must NOT broadcast (unknown = huge)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = scala.util.Try(spark.conf
+      .get("spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+      .filter(_ != null)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (fullBytes * 4).toString)
+      // isolate the STATIC planner decision (driven by our reported
+      // stats): AQE's runtime conversion would re-broadcast the
+      // physically-tiny table regardless of what the manifest reports
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(0, 50000).select(col("id"))
+      def joinPlan(): String = {
+        val j = big.join(
+          spark.read.format("graft-snapshot").load(root), Seq("id"))
+        j.collect()
+        j.queryExecution.executedPlan.toString
+      }
+      assert(joinPlan().contains("BroadcastHashJoin"),
+        "exact stats under threshold should broadcast the snapshot side")
+      // strip rows=/bytes= from every manifest → stats unknown
+      val mdir = new java.io.File(root, "_manifests")
+      mdir.listFiles.filter(_.getName.endsWith(".txt")).foreach { f =>
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        java.nio.file.Files.write(f.toPath, txt.split("\n")
+          .filterNot(l => l.startsWith("rows=") || l.startsWith("bytes="))
+          .mkString("\n").getBytes("UTF-8"))
+        new java.io.File(mdir, s".${f.getName}.crc").delete()
+      }
+      assert(!joinPlan().contains("BroadcastHashJoin"),
+        "without manifest stats the snapshot side must not broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      oldAqe match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("metadata-only count(*): the manifest's per-dir row counts answer " +
       "an unfiltered count with ZERO scan (LocalRelation plan), stay " +
       "exact across append/upsert/delete, and every unsafe shape — " +
