@@ -319,14 +319,23 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
     }
   }
 
-  override def build(): Scan = {
-    val bucketed = prunedBuckets(v1Filters.toSeq) match {
-      case Some(hit) => snap.entries.filter(e => hit(e._1))
-      case None => snap.entries
+  /** One pruning pass over `cur` for `filters`: key-bucket narrowing
+    * (full key coverage only) composed with data-skipping stats — used
+    * at build() for pushed predicates AND again at execution for
+    * runtime filters ([[SnapshotScan.filter]]). */
+  private[graft] def reprune(cur: Seq[(Int, String)],
+      filters: Seq[Filter]): Seq[(Int, String)] = {
+    val bucketed = prunedBuckets(filters) match {
+      case Some(hit) => cur.filter(e => hit(e._1))
+      case None => cur
     }
-    val entries = statsPruned(bucketed, v1Filters.toSeq)
+    statsPruned(bucketed, filters)
+  }
+
+  override def build(): Scan = {
     new SnapshotScan(snap, tableSchema, required, catalystFilters,
-      entries, root, ignoreChanges)
+      reprune(snap.entries, v1Filters.toSeq), root, ignoreChanges,
+      reprune)
   }
 }
 
@@ -337,9 +346,34 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
 private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     tableSchema: StructType, required: StructType,
     catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-    entries: Seq[(Int, String)], root: String, ignoreChanges: Boolean)
+    entries0: Seq[(Int, String)], root: String, ignoreChanges: Boolean,
+    reprune: (Seq[(Int, String)], Seq[Filter]) => Seq[(Int, String)] =
+      (cur, _) => cur)
     extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Dirs this scan will read; shrinks when RUNTIME filters arrive
+    * ([[filter]] — Spark's V2 dynamic filtering, the DPP analogue). */
+  private var entries: Seq[(Int, String)] = entries0
+
+  /** Columns Spark may derive runtime IN-filters for from a join's
+    * build side: the table keys (bucket pruning on a single-key table —
+    * a dim-driven fact scan reads only the dims' buckets) and every
+    * stats column (min/max dir skipping for the rest). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    (snap.keys ++ snap.statsCols).distinct
+      .filter(c => tableSchema.fieldNames.contains(c))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  /** Runtime pruning with join-time values: same bucket + stats pass as
+    * the static build — sound (pruning only narrows; residual filters
+    * still run) and O(entries) driver work at execution prep. */
+  override def filter(filters: Array[Filter]): Unit = {
+    entries = reprune(entries, filters.toSeq)
+  }
 
   /** True iff this scan reads the WHOLE snapshot with no pushed
     * predicates — the precondition for the metadata-only count rewrite
@@ -384,13 +418,16 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     GraftParquetBridge.buildScan(b)
   }
 
-  private lazy val batchScan: Scan = inner(entries.map(_._2))
+  /** Schema does not depend on the file list, so it must not freeze
+    * one: `readSchema` is asked BEFORE runtime filters arrive, and a
+    * cached file-bearing scan would plan the pre-filter entries. */
+  private lazy val schemaOnlyScan: Scan = inner(Seq.empty)
 
-  override def readSchema(): StructType = batchScan.readSchema()
+  override def readSchema(): StructType = schemaOnlyScan.readSchema()
   override def description(): String =
     s"graft-snapshot v${snap.version} (${entries.size} dirs)"
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    batchScan.toBatch
+    inner(entries.map(_._2)).toBatch
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

@@ -267,6 +267,50 @@ class SnapshotV2Spec extends AnyFunSuite {
       .as[String].collect().toSeq === Seq("UPD"))
   }
 
+  test("runtime filtering: join-time IN values on the key re-prune the " +
+      "scan to their hash buckets (the V2 dynamic-pruning seam), stats " +
+      "columns dir-skip, and non-pinning filters never widen or drop") {
+    import org.apache.spark.sql.connector.read.{SupportsReportStatistics, SupportsRuntimeFiltering}
+    val root = freshRoot("runtime")
+    SnapshotTable.create(rows(0 until 2000, "a"), root, Seq("id"), 16)
+    def freshScan() = spark.read.format("graft-snapshot").load(root)
+      .queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan
+      }.head
+    def nRows(s: Any) = s.asInstanceOf[SupportsReportStatistics]
+      .estimateStatistics().numRows.getAsLong
+    // runtime IN on the single key: 2 values → ≤ 2 of 16 buckets remain
+    val s1 = freshScan()
+    assert(nRows(s1) === 2000L)
+    s1.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array(In("id", Array(7L, 1900L))): Array[org.apache.spark.sql.sources.Filter])
+    assert(nRows(s1) <= 2L * 2000L / 16)
+    // the filtered scan still returns the right rows for those keys
+    val keyed = s1.toBatch.planInputPartitions()
+    assert(keyed.nonEmpty)
+    // runtime range filter on a stats column dir-skips via min/max
+    val s2 = freshScan()
+    s2.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array(GreaterThan("v", 1999999L)): Array[org.apache.spark.sql.sources.Filter])
+    assert(nRows(s2) === 0L) // v = id*10 < 20000: nothing satisfies
+    // a filter that pins nothing leaves the scan whole
+    val s3 = freshScan()
+    s3.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array(IsNotNull("tag")): Array[org.apache.spark.sql.sources.Filter])
+    assert(nRows(s3) === 2000L)
+    // filterAttributes advertises the key and the stats columns
+    val attrs = freshScan().asInstanceOf[SupportsRuntimeFiltering]
+      .filterAttributes().map(_.describe()).toSet
+    assert(attrs.contains("id") && attrs.contains("v"))
+    // end-to-end: the correctness of a dim-driven join is unchanged
+    // (whether or not the planner chooses to inject runtime filters)
+    val dim = Seq(7L, 1900L).toDF("id")
+    val joined = spark.read.format("graft-snapshot").load(root)
+      .join(broadcast(dim), Seq("id"))
+    assert(asSet(joined) === asSet(rows(7 until 8, "a")) ++
+      asSet(rows(1900 until 1901, "a")))
+  }
+
   test("connector reports EXACT pruning-aware planner statistics: full " +
       "scan = manifest totals, point lookup = hit bucket only, and the " +
       "join planner auto-broadcasts a small snapshot side it would " +
