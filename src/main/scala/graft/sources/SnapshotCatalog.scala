@@ -57,7 +57,31 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * an O(versions) manifest rewrite, see [[SnapshotTable.rename]]).
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+
+  /** The `bucket` transform function backing storage-partitioned joins:
+    * the scan reports `KeyGroupedPartitioning(bucket(n, keys…))`
+    * ([[SnapshotScan.outputPartitioning]]) and Spark resolves the
+    * transform through THIS catalog — same-bucketed snapshot tables
+    * then join on their keys with zero shuffle. `produceResult`
+    * reproduces the writer's exact bucket hash
+    * ([[SnapshotTable.bucketOfLiterals]]: Murmur3 seed 42, pmod). */
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    if (ident.name != "bucket")
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+        ident: Identifier)
+    SnapshotBucketFunction
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name == "bucket"
 
   private var catName: String = _
   private var warehouse: String = _
@@ -307,6 +331,47 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
         catName +: namespace)
     fsys.delete(dir, true)
+  }
+}
+
+/** `bucket(numBuckets, key…)` as a catalog function (the Iceberg shape
+  * Spark's storage-partitioned-join machinery expects): bound input is
+  * `(numBuckets INT, key columns…)`, result is the bucket id with the
+  * writer's exact hash. The canonical name is what the planner compares
+  * to decide two scans are co-partitioned. */
+private[sources] object SnapshotBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types.{DataType, IntegerType}
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets, cols…): the snapshot format's key-hash bucket id"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length >= 2 &&
+      inputType.fields.head.dataType == IntegerType,
+      s"bucket expects (numBuckets INT, key columns…), got $inputType")
+    val keyTypes = inputType.fields.drop(1).map(_.dataType).toSeq
+    new ScalarFunction[Integer] {
+      override def inputTypes(): Array[DataType] =
+        (IntegerType +: keyTypes).toArray
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = "graft.snapshot.bucket"
+      override def isResultNullable: Boolean = false
+      override def produceResult(input: InternalRow): Integer = {
+        val n = input.getInt(0)
+        val values = keyTypes.zipWithIndex.map { case (t, i) =>
+          // internal → external: bucketOfLiterals builds foldable
+          // literals from Scala-side values
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToScalaConverter(t)(input.get(i + 1, t))
+        }
+        Int.box(SnapshotTable.bucketOfLiterals(values, keyTypes, n))
+      }
+    }
   }
 }
 

@@ -351,7 +351,8 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
       (cur, _) => cur)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   /** Dirs this scan will read; shrinks when RUNTIME filters arrive
     * ([[filter]] — Spark's V2 dynamic filtering, the DPP analogue). */
@@ -426,12 +427,78 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
   override def readSchema(): StructType = schemaOnlyScan.readSchema()
   override def description(): String =
     s"graft-snapshot v${snap.version} (${entries.size} dirs)"
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    inner(entries.map(_._2)).toBatch
+
+  /** STORAGE-PARTITIONED JOIN support: the table is physically hash-
+    * bucketed by its keys, so the scan reports
+    * `KeyGroupedPartitioning(bucket(n, keys…))` and emits its input
+    * partitions PER BUCKET, each stamped with the bucket id
+    * ([[HasPartitionKey]]) — two snapshot tables with the same keys and
+    * bucket count join on their keys with ZERO shuffle on either side
+    * (under `spark.sql.sources.v2.bucketing.enabled`, via the catalog's
+    * `bucket` function — [[SnapshotCatalog.loadFunction]]). Keyless
+    * tables report unknown partitioning. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    if (snap.keys.isEmpty) new UnknownPartitioning(entries.size)
+    else new KeyGroupedPartitioning(
+      Array(Expressions.bucket(snap.buckets, snap.keys: _*)),
+      entries.map(_._1).distinct.size)
+  }
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+    if (snap.keys.isEmpty) inner(entries.map(_._2)).toBatch
+    else new Batch {
+      // per-bucket planning so each partition carries its bucket id;
+      // multiple partitions may share a key — Spark groups them
+      override def planInputPartitions(): Array[InputPartition] =
+        entries.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (b, es) =>
+          inner(es.map(_._2)).toBatch.planInputPartitions()
+            .map(p => KeyedInputPartition(
+              org.apache.spark.sql.catalyst.InternalRow(b), p))
+        }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new KeyedReaderFactory(
+          inner(Seq.empty).toBatch.createReaderFactory())
+    }
+  }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapshotMicroBatchStream(root, inner, ignoreChanges)
+}
+
+/** A delegate input partition stamped with its key-hash bucket id —
+  * the [[org.apache.spark.sql.connector.read.HasPartitionKey]] unit the
+  * storage-partitioned-join planner groups on. */
+private[graft] case class KeyedInputPartition(
+    key: org.apache.spark.sql.catalyst.InternalRow,
+    inner: org.apache.spark.sql.connector.read.InputPartition)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Unwraps [[KeyedInputPartition]]s before delegating to the parquet
+  * reader factory (row and columnar paths alike). */
+private[graft] class KeyedReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.InputPartition
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: KeyedInputPartition => k.inner
+    case other => other
+  }
+  override def createReader(p: InputPartition) =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition) =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
 }
 
 /** Micro-batch offsets ARE table versions: `{"version": N}`. */

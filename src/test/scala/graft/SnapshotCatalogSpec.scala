@@ -215,6 +215,50 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     sqlDf("DROP TABLE snapcat.t9")
   }
 
+  test("storage-partitioned join: two snapshot tables with the same keys " +
+      "and bucket count join on their keys with ZERO shuffle on either " +
+      "side, and the result matches the shuffled spelling") {
+    sqlDf("CREATE TABLE snapcat.spj_a (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, id))")
+    sqlDf("CREATE TABLE snapcat.spj_b (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, id))")
+    sqlDf("INSERT INTO snapcat.spj_a SELECT id, concat('a', id), id * 2 " +
+      "FROM range(2000) AS r(id)")
+    sqlDf("INSERT INTO snapcat.spj_b SELECT id, concat('b', id), id * 3 " +
+      "FROM range(500, 2500) AS r(id)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // force the sort-merge path: our reported stats would otherwise
+      // broadcast these tiny tables and hide the shuffle question
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption.filter(_ != null) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val q = "SELECT a.id, a.tag, b.tag AS tag_b, a.v + b.v AS vv " +
+        "FROM snapcat.spj_a a JOIN snapcat.spj_b b ON a.id = b.id"
+      val df = sqlDf(q)
+      val rows = df.collect()
+      assert(rows.length === 1500)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"expected a zero-shuffle storage-partitioned join:\n$plan")
+      // same content as the forced-shuffle spelling
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val shuffled = sqlDf(q)
+      assert(shuffled.queryExecution.executedPlan.toString
+        .contains("Exchange") || shuffled.collect().length === 1500)
+      assert(rows.map(_.toString).sorted.toSeq ===
+        shuffled.collect().map(_.toString).sorted.toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    sqlDf("DROP TABLE snapcat.spj_a"); sqlDf("DROP TABLE snapcat.spj_b")
+  }
+
   test("the catalog table still streams: readStream through a " +
       "catalog-loaded root serves appends with versioned offsets") {
     import org.apache.spark.sql.streaming.Trigger

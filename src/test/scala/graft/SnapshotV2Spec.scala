@@ -33,10 +33,14 @@ class SnapshotV2Spec extends AnyFunSuite {
     opts.foldLeft(spark.read.format("graft-snapshot"))((r, o) =>
       r.option(o._1, o._2)).load(root)
 
-  /** Distinct data files the executed plan's V2 scan would read. */
+  /** Distinct data files the executed plan's V2 scan would read
+    * (unwrapping the SPJ bucket-key partition wrappers). */
   private def scannedFiles(df: DataFrame): Set[String] =
     df.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b.inputPartitions.collect {
+      case b: BatchScanExec => b.inputPartitions.map {
+        case k: graft.sources.KeyedInputPartition => k.inner
+        case p => p
+      }.collect {
         case fp: FilePartition => fp.files.map(_.urlEncodedPath).toSeq
       }.flatten
     }.flatten.toSet
