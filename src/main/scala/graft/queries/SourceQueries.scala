@@ -758,7 +758,108 @@ object SourceQueries {
             |ORDER BY phase""".stripMargin)
   }
 
+  /** SQL `MERGE INTO` on a snapshot catalog table — Spark's group-based
+    * row-level operation protocol end-to-end
+    * ([[graft.sources.SnapshotRowLevelOperation]]): the target holds the
+    * even doc_ids, the source the multiples of 3, and one statement
+    * exercises all three action kinds (matched-delete on short docs,
+    * matched-update shifting n_chars, not-matched-insert with a marker
+    * lang). Phase 1 re-reads the pre-merge version — copy-on-write must
+    * leave history intact — and phase 2 the merged table. The oracle
+    * reconstructs both phases arithmetically, so a wrong action
+    * routing, a lost carried-over row, or a replaced-group set that
+    * dropped an unmatched bucket all hash-mismatch. */
+  val q171 = Q("q171_snapshot_sql_merge",
+    """SELECT 1 AS phase, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2 AS phase, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0
+      |UNION ALL
+      |SELECT 2 AS phase, doc_id, lang, n_chars + 100000 AS n_chars
+      |FROM documents WHERE doc_id % 6 = 0 AND n_chars >= 1000
+      |UNION ALL
+      |SELECT 2 AS phase, doc_id, 'ins' AS lang, n_chars FROM documents
+      |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    val wh = scratch("snapcat_wh", dir)
+    new java.io.File(wh).mkdirs()
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("q171_docs")
+    s.sql("DROP TABLE IF EXISTS graftcat.docs_m")
+    s.sql("CREATE TABLE graftcat.docs_m (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    s.sql("INSERT INTO graftcat.docs_m " +
+      "SELECT * FROM q171_docs WHERE doc_id % 2 = 0")
+    s.sql("""MERGE INTO graftcat.docs_m t
+            |USING (SELECT * FROM q171_docs WHERE doc_id % 3 = 0) src
+            |ON t.doc_id = src.doc_id
+            |WHEN MATCHED AND src.n_chars < 1000 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET n_chars = src.n_chars + 100000
+            |WHEN NOT MATCHED THEN
+            |  INSERT (doc_id, lang, n_chars)
+            |  VALUES (src.doc_id, 'ins', src.n_chars)""".stripMargin)
+    s.sql("""SELECT 1 AS phase, doc_id, lang, n_chars
+            |FROM graftcat.docs_m VERSION AS OF 2
+            |UNION ALL
+            |SELECT 2 AS phase, doc_id, lang, n_chars FROM graftcat.docs_m
+            |ORDER BY phase, doc_id""".stripMargin)
+  }
+
+  /** SQL `UPDATE` on a snapshot catalog table, both commit scopes: a
+    * key-pinned IN-list update (the scan's pushed predicates confine
+    * the copy-on-write to the hit buckets — the measured scope bound
+    * lives in SnapshotRowLevelSpec) and a broad non-key update over
+    * whatever the first one produced. Three time-travel phases pin the
+    * whole history: pre-update, after the keyed update, final. The
+    * oracle composes both updates arithmetically — including the
+    * interaction (the +1000000 shift lifts its rows OUT of the second
+    * update's n_chars < 800 predicate). */
+  val q172 = Q("q172_snapshot_sql_update",
+    """SELECT 1 AS phase, doc_id, lang, n_chars FROM documents
+      |UNION ALL
+      |SELECT 2 AS phase, doc_id, lang,
+      |       n_chars + (CASE WHEN doc_id IN (1, 2, 3) THEN 1000000
+      |                  ELSE 0 END) AS n_chars
+      |FROM documents
+      |UNION ALL
+      |SELECT 3 AS phase, doc_id,
+      |       CASE WHEN n_chars + (CASE WHEN doc_id IN (1, 2, 3)
+      |                            THEN 1000000 ELSE 0 END) < 800
+      |            THEN 'xx' ELSE lang END AS lang,
+      |       n_chars + (CASE WHEN doc_id IN (1, 2, 3) THEN 1000000
+      |                  ELSE 0 END) AS n_chars
+      |FROM documents
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    val wh = scratch("snapcat_wh", dir)
+    new java.io.File(wh).mkdirs()
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("q172_docs")
+    s.sql("DROP TABLE IF EXISTS graftcat.docs_u")
+    s.sql("CREATE TABLE graftcat.docs_u (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    s.sql("INSERT INTO graftcat.docs_u SELECT * FROM q172_docs")
+    s.sql("UPDATE graftcat.docs_u SET n_chars = n_chars + 1000000 " +
+      "WHERE doc_id IN (1, 2, 3)")
+    s.sql("UPDATE graftcat.docs_u SET lang = 'xx' WHERE n_chars < 800")
+    s.sql("""SELECT 1 AS phase, doc_id, lang, n_chars
+            |FROM graftcat.docs_u VERSION AS OF 2
+            |UNION ALL
+            |SELECT 2 AS phase, doc_id, lang, n_chars
+            |FROM graftcat.docs_u VERSION AS OF 3
+            |UNION ALL
+            |SELECT 3 AS phase, doc_id, lang, n_chars FROM graftcat.docs_u
+            |ORDER BY phase, doc_id""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
-      q161, q162, q163, q164, q165, q166, q167, q168, q169, q170)
+      q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
+      q171, q172)
 }

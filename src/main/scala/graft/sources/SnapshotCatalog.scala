@@ -400,7 +400,19 @@ private[sources] object SnapshotBucketFunction
 private[sources] class SnapshotCatalogTable(path: String,
     snapshot: SnapshotTable.Snapshot)
     extends SnapshotV2Table(path, snapshot)
-    with SupportsWrite with SupportsDelete {
+    with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `UPDATE` / `MERGE INTO` / residual `DELETE` via group-based
+    * copy-on-write ([[SnapshotRowLevelOperation]]). Keyed `DELETE`s
+    * still take the metadata path below: Spark's
+    * `OptimizeMetadataOnlyDeleteFromTable` converts the rewritten plan
+    * back to [[deleteWhere]] whenever [[canDeleteWhere]] accepts the
+    * predicate, so point deletes never rewrite a file. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapshotRowLevelOperation(path, snapshot, info.command)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -261,7 +261,10 @@ private[graft] class SnapshotV2Table(path: String,
   * list and delegates to the vectorized parquet scan. */
 private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
     tableSchema: StructType, root: String = "",
-    ignoreChanges: Boolean = false) extends GraftCatalystFilterScanBuilder {
+    ignoreChanges: Boolean = false,
+    runtimeFilterKeysOnly: Boolean = false)
+    extends GraftCatalystFilterScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   /** Bound on the literal key tuples expanded from IN-list products —
     * past this the lookup is not a point read and the full dir list is
@@ -332,10 +335,151 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
     statsPruned(bucketed, filters)
   }
 
-  override def build(): Scan = {
-    new SnapshotScan(snap, tableSchema, required, catalystFilters,
-      reprune(snap.entries, v1Filters.toSeq), root, ignoreChanges,
-      reprune)
+  // ---- complete aggregate pushdown from manifest statistics ----
+  //
+  // `SELECT min(c), max(c), count(*) FROM snapshot_table` (no filter, no
+  // grouping) is answered ENTIRELY from the manifest: exact per-dir
+  // min/max stats fold to the global extremum, per-dir row counts to the
+  // global count — zero scan tasks at any table size (the Delta/Iceberg
+  // metadata-query shape generalized past COUNT). Only provably-exact
+  // cases push: stats columns of integral/date/timestamp type (string
+  // bounds are TRUNCATED in the manifest and float bounds drop
+  // non-finite values — both would lie), every live dir carrying stats
+  // (or a zero row count), and no pushed predicates (this builder keeps
+  // every filter as residue, so Spark never offers a filtered aggregate
+  // here — the guard is belt and braces).
+
+  private var pushedAggSchema: Option[StructType] = None
+  private var pushedAggRow: Option[org.apache.spark.sql.catalyst.InternalRow] =
+    None
+
+  /** Exact fold of one column's per-dir bounds; None = not answerable
+    * from the manifest (refuse pushdown), Some(None) = SQL NULL (all
+    * rows null or empty table). */
+  private def foldBounds(c: String,
+      hi: Boolean): Option[Option[Long]] = {
+    if (!snap.statsCols.contains(c)) return None
+    val perDir = snap.entries.map { case (_, d) =>
+      if (snap.dirRows.get(d).contains(0L)) Some(None) // empty dir
+      else snap.dirStats.get(d).flatMap(_.get(c)) match {
+        case Some(st) =>
+          val bound = if (hi) st.hi else st.lo
+          bound match {
+            case Some(v: Long) => Some(Some(v))
+            case Some(_) => None // non-integral normalization: refuse
+            case None if st.hasNull => Some(None) // all-null dir: skip
+            case None => None // unknown bound: refuse
+          }
+        case None => None // dir without recorded stats: refuse
+      }
+    }
+    if (perDir.exists(_.isEmpty)) return None
+    val values = perDir.flatMap(_.get.toSeq)
+    Some(if (values.isEmpty) None
+    else Some(if (hi) values.max else values.min))
+  }
+
+  /** Internal-row value for a folded Long bound under the column's
+    * catalyst type (stats normalize integral/date/timestamp to Long). */
+  private def internalValue(dt: DataType, v: Long): Any = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => v
+    case org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DateType => v.toInt
+    case org.apache.spark.sql.types.ShortType => v.toShort
+    case org.apache.spark.sql.types.ByteType => v.toByte
+    case other => sys.error(s"unexpected pushed-aggregate type $other")
+  }
+
+  private def aggEligible(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  /** (schema field, internal value) for one aggregate call, or None when
+    * the manifest can't answer it exactly. */
+  private def translateAgg(
+      f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc)
+      : Option[(org.apache.spark.sql.types.StructField, Any)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+          .filter(c => tableSchema.fieldNames.contains(c))
+      case _ => None
+    }
+    f match {
+      case _: CountStar => snap.metadataRowCount.map(n =>
+        org.apache.spark.sql.types.StructField("count(*)",
+          org.apache.spark.sql.types.LongType, nullable = false) -> n)
+      case m: Min => colOf(m.column).flatMap { c =>
+        val dt = tableSchema(c).dataType
+        if (!aggEligible(dt)) None
+        else foldBounds(c, hi = false).map(v =>
+          org.apache.spark.sql.types.StructField(s"min($c)", dt) ->
+            v.map(internalValue(dt, _)).orNull)
+      }
+      case m: Max => colOf(m.column).flatMap { c =>
+        val dt = tableSchema(c).dataType
+        if (!aggEligible(dt)) None
+        else foldBounds(c, hi = true).map(v =>
+          org.apache.spark.sql.types.StructField(s"max($c)", dt) ->
+            v.map(internalValue(dt, _)).orNull)
+      }
+      case _ => None
+    }
+  }
+
+  private def translateAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    if (catalystFilters.nonEmpty || v1Filters.nonEmpty) return None
+    if (snap.entries.nonEmpty &&
+      !snap.entries.forall(e => snap.dirRows.contains(e._2))) return None
+    val parts = agg.aggregateExpressions.toSeq.map(translateAgg)
+    if (parts.exists(_.isEmpty) || parts.isEmpty) return None
+    val (fields, values) = parts.flatten.unzip
+    Some(StructType(fields) ->
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translateAggregation(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translateAggregation(agg) match {
+    case Some((schema, row)) =>
+      pushedAggSchema = Some(schema); pushedAggRow = Some(row); true
+    case None => false
+  }
+
+  override def build(): Scan = pushedAggSchema match {
+    case Some(aggSchema) =>
+      // one driver-local row: plans as LocalTableScanExec, zero tasks
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def readSchema(): StructType = aggSchema
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          Array(pushedAggRow.get)
+        override def description(): String =
+          s"graft-snapshot v${snap.version} manifest-aggregate " +
+            aggSchema.fieldNames.mkString(", ")
+      }
+    case None =>
+      new SnapshotScan(snap, tableSchema, required, catalystFilters,
+        reprune(snap.entries, v1Filters.toSeq), root, ignoreChanges,
+        reprune, runtimeFilterKeysOnly)
   }
 }
 
@@ -348,7 +492,8 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
     entries0: Seq[(Int, String)], root: String, ignoreChanges: Boolean,
     reprune: (Seq[(Int, String)], Seq[Filter]) => Seq[(Int, String)] =
-      (cur, _) => cur)
+      (cur, _) => cur,
+    runtimeFilterKeysOnly: Boolean = false)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -358,14 +503,33 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     * ([[filter]] — Spark's V2 dynamic filtering, the DPP analogue). */
   private var entries: Seq[(Int, String)] = entries0
 
+  /** The final (static + runtime pruned) dir list — read at COMMIT time
+    * by group-based row-level operations, whose replaced-group set must
+    * be exactly what this scan fed the replacement query
+    * ([[SnapshotRowLevelOperation]]). */
+  private[sources] def currentEntries: Seq[(Int, String)] = entries
+
   /** Columns Spark may derive runtime IN-filters for from a join's
     * build side: the table keys (bucket pruning on a single-key table —
     * a dim-driven fact scan reads only the dims' buckets) and every
-    * stats column (min/max dir skipping for the rest). */
+    * stats column (min/max dir skipping for the rest).
+    *
+    * Row-level operation scans (`runtimeFilterKeysOnly`) advertise ONLY
+    * the keys: `RowLevelOperationRuntimeGroupFiltering` builds ONE
+    * dynamic predicate over ALL advertised attributes — a multi-column
+    * `named_struct(…) IN (…)` has no V1 translation and prunes nothing,
+    * while a keys-only `key IN (matched keys)` hits the bucket pruner
+    * and confines the copy-on-write to the matched buckets.
+    *
+    * Restricted to the scan's OUTPUT (`required`) columns: Spark's
+    * `PartitionPruning.getFilterableTableScan` resolves every advertised
+    * attribute against the pruned scan output and throws on a miss, so a
+    * column-pruned scan must not advertise the columns it dropped. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    (snap.keys ++ snap.statsCols).distinct
-      .filter(c => tableSchema.fieldNames.contains(c))
+    (if (runtimeFilterKeysOnly) snap.keys
+     else (snap.keys ++ snap.statsCols).distinct)
+      .filter(c => required.fieldNames.contains(c))
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 

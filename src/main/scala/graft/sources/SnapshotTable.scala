@@ -852,6 +852,63 @@ object SnapshotTable {
   private def stamped(snap: Snapshot): Snapshot =
     snap.copy(ts = System.currentTimeMillis())
 
+  // ---- group-replacement commit (SQL row-level operations) ----
+  //
+  // The copy-on-write half of Spark's group-based row-level operation
+  // protocol (UPDATE / MERGE INTO): executors stream replacement rows
+  // straight to parquet under an uncommitted staging dir (the connector's
+  // DataWriters — [[graft.sources.SnapshotRowLevelOperation]]), and ONE
+  // manifest publish swaps the scanned dirs for the staged ones. The
+  // granularity is the manifest entry (bucket dir): whatever subset of
+  // dirs the operation's scan was pruned to — statically by pushed
+  // predicates, dynamically by Spark's runtime group filter — is exactly
+  // the subset replaced, so `UPDATE … WHERE key = x` rewrites 1/buckets
+  // of a 100 TB table and an unpruned MERGE degrades to a full rewrite,
+  // never to corruption.
+
+  /** Naming recipe the row-level DataWriters stage files under:
+    * `data/c{v}-{uuid}/_gb={b}/part-{partition}-{uuid}.parquet` — the
+    * same commit-dir/bucket-dir shape [[writeCommitData]] produces, so
+    * vacuum/compact/stats treat replaced commits identically. */
+  private[sources] def stagingCommitDir(spark: SparkSession, root: String,
+      version: Long, uuid: String): String = {
+    val (_, rootP) = fs(spark, root)
+    new Path(new Path(rootP, "data"), s"c$version-$uuid").toString
+  }
+
+  private[sources] def bucketDirName(b: Int): String = s"$BucketCol=$b"
+
+  private[sources] def freshUuid(): String = newUuid()
+
+  /** Publish one group-replacement commit: `removedDirs`' entries leave
+    * the manifest, `stagedDirs` (bucket → already-written dir) join it,
+    * everything else carries forward untouched. Optimistic concurrency:
+    * the base the scan pinned must still be current — a commit that
+    * landed in between fails this cleanly (the staged dirs stay
+    * invisible; abort sweeps them). */
+  private[sources] def commitReplace(spark: SparkSession, root: String,
+      base: Snapshot, removedDirs: Set[String],
+      stagedDirs: Seq[(Int, String)], op: String, uuid: String): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val cur = current(spark, root)
+    if (cur.version != base.version)
+      throw new ConcurrentCommitException(
+        s"row-level $op read version ${base.version} but " +
+          s"${cur.version} is now current at $root; retry the statement")
+    val v = base.version + 1
+    val kept = base.entries.filterNot(e => removedDirs(e._2))
+    val (st, rw) = computeStats(spark, stagedDirs, base.schemaDdl,
+      base.statsCols)
+    publish(fsys, rootP, stamped(Snapshot(v, op, base.keys, base.buckets,
+      base.schemaDdl, uuid, kept ++ stagedDirs,
+      statsCols = base.statsCols,
+      dirStats = (base.dirStats -- removedDirs) ++ st,
+      dirRows = (base.dirRows -- removedDirs) ++ rw,
+      dirBytes = (base.dirBytes -- removedDirs) ++
+        dirSizes(fsys, stagedDirs))))
+    v
+  }
+
   /** Fields compared name+type (nullability intentionally ignored:
     * parquet round-trips relax it). */
   private def requireSchema(df: DataFrame, ddl: String): Unit = {

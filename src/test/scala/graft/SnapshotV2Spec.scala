@@ -384,10 +384,11 @@ class SnapshotV2Spec extends AnyFunSuite {
   }
 
   test("metadata-only count(*): the manifest's per-dir row counts answer " +
-      "an unfiltered count with ZERO scan (LocalRelation plan), stay " +
+      "an unfiltered count with ZERO scan tasks, stay " +
       "exact across append/upsert/delete, and every unsafe shape — " +
       "filter, count(col), missing counts — falls back to the scan") {
     import graft.plans.SnapshotMetadataOnlyCount
+    import org.apache.spark.sql.connector.read.LocalScan
     import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
     if (!spark.experimental.extraOptimizations.contains(
         SnapshotMetadataOnlyCount))
@@ -397,9 +398,15 @@ class SnapshotV2Spec extends AnyFunSuite {
     SnapshotTable.append(rows(100 until 150, "b"), root)
     SnapshotTable.upsert(rows(140 until 160, "c"), root)
     SnapshotTable.delete(rows(0 until 5, "x").select("id"), root)
+    // "metadata-only" = no REAL table scan survives optimization: both
+    // answering paths — the SnapshotMetadataOnlyCount LocalRelation
+    // rule and the newer complete aggregate pushdown's LocalScan (a
+    // driver-local single row, zero scan tasks) — qualify; the
+    // fallback shapes keep a genuine SnapshotScan relation.
     def scansIn(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
       case r: DataSourceV2Relation => r
-      case r: DataSourceV2ScanRelation => r
+      case r: DataSourceV2ScanRelation
+          if !r.scan.isInstanceOf[LocalScan] => r
     }
     // exact across the mixed history: 160 - 5 deleted
     val cnt = spark.read.format("graft-snapshot").load(root).groupBy().count()
@@ -437,6 +444,53 @@ class SnapshotV2Spec extends AnyFunSuite {
       .groupBy().count()
     assert(scansIn(legacy).nonEmpty, "missing counts must fall back")
     assert(legacy.as[Long].head() === 155L)
+  }
+
+  test("manifest aggregate pushdown: unfiltered min/max/count fold from " +
+      "per-dir stats into a zero-task LocalScan plan, exact across " +
+      "append/upsert/delete; filters, strings, and grouping all fall " +
+      "back to the scan and agree") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    val root = freshRoot("aggpush")
+    SnapshotTable.create(rows(5 until 100, "a"), root, Seq("id"), 4)
+    SnapshotTable.append(rows(100 until 150, "b"), root)
+    SnapshotTable.upsert(rows(140 until 160, "c"), root)
+    SnapshotTable.delete(rows(5 until 9, "x").select("id"), root)
+    def isLocal(df: DataFrame) = df.queryExecution.executedPlan.collect {
+      case l: LocalTableScanExec => l
+    }.nonEmpty
+    // min/max/count in one statement: answered from the manifest alone
+    val agg = v2(root).agg(min(col("id")).as("lo"), max(col("id")).as("hi"),
+      max(col("v")).as("vhi"), count(lit(1)).as("n"))
+    assert(isLocal(agg), s"expected a LocalScan plan:\n" +
+      agg.queryExecution.executedPlan)
+    assert(agg.as[(Long, Long, Long, Long)].head() ===
+      ((9L, 159L, 1590L, 151L)))
+    // SQL spelling
+    v2(root).createOrReplaceTempView("snap_aggpush")
+    val sqlAgg = spark.sql(
+      "SELECT min(id) AS lo, max(v) AS hi FROM snap_aggpush")
+    assert(isLocal(sqlAgg))
+    assert(sqlAgg.as[(Long, Long)].head() === ((9L, 1590L)))
+    // a filter keeps the scan (our residual-filter policy never offers
+    // a filtered aggregate) — and agrees
+    val filtered = v2(root).filter(col("id") >= 50L).agg(min(col("id")))
+    assert(!isLocal(filtered))
+    assert(filtered.as[Long].head() === 50L)
+    // string bounds are truncated in the manifest: never pushed
+    val strMin = v2(root).agg(min(col("tag")))
+    assert(!isLocal(strMin))
+    assert(strMin.as[String].head() === "a")
+    // grouped aggregate: scan path
+    val grouped = v2(root).groupBy(col("tag")).agg(max(col("id")))
+    assert(!isLocal(grouped))
+    assert(grouped.as[(String, Long)].collect().toSet ===
+      Set(("a", 99L), ("b", 139L), ("c", 159L)))
+    // avg/sum are not answerable from bounds: scan path, exact
+    val sums = v2(root).agg(sum(col("v")))
+    assert(!isLocal(sums))
+    assert(sums.as[Long].head() ===
+      ((9 until 160).map(_ * 10L).sum))
   }
 
   test("streaming SINK: writeStream.format(graft-snapshot) lands one " +
