@@ -858,8 +858,60 @@ object SourceQueries {
             |ORDER BY phase, doc_id""".stripMargin)
   }
 
+  /** Merge-on-read lifecycle on the snapshot table
+    * ([[graft.sources.SnapshotTable]] `mergeOnRead = true`): an upsert
+    * delta layer (updates shift even multiples of 3 by +100000, odd
+    * multiples insert with a marker lang), a tombstone layer (multiples
+    * of 5), then a compaction that folds both away. Three time-travel
+    * phases pin the whole history — phase 1 and 2 read UNRESOLVED
+    * delta-bearing versions (the read-side replay is what's under
+    * test), phase 3 reads the compacted table and must equal phase 2
+    * exactly (compaction is content-neutral). Each commit wrote only
+    * O(batch) bytes — the write-amplification bound is measured in
+    * SnapshotMorSpec. */
+  val q173 = Q("q173_snapshot_merge_on_read",
+    """WITH v2 AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 100000 AS n_chars FROM documents
+      |  WHERE doc_id % 6 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'ins' AS lang, n_chars FROM documents
+      |  WHERE doc_id % 3 = 0 AND doc_id % 2 = 1)
+      |SELECT 1 AS phase, doc_id, lang, n_chars FROM v2
+      |UNION ALL
+      |SELECT 2 AS phase, doc_id, lang, n_chars FROM v2 WHERE doc_id % 5 <> 0
+      |UNION ALL
+      |SELECT 3 AS phase, doc_id, lang, n_chars FROM v2 WHERE doc_id % 5 <> 0
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapmor", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 2 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    val batch = d.filter(col("doc_id") % 3 === 0).select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 1, lit("ins"))
+        .otherwise(col("lang")).as("lang"),
+      when(col("doc_id") % 2 === 0, col("n_chars") + 100000)
+        .otherwise(col("n_chars")).as("n_chars"))
+    SnapshotTable.upsert(batch, path, mergeOnRead = true) // v2: delta layer
+    SnapshotTable.delete(
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), path,
+      mergeOnRead = true) // v3: tombstone layer
+    SnapshotTable.compact(s, path) // v4: folds both layers away
+    def ph(n: Int, v: Long) = SnapshotTable.read(s, path, Some(v))
+      .select(lit(n).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    ph(1, 2L).unionByName(ph(2, 3L)).unionByName(ph(3, 4L))
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172)
+      q171, q172, q173)
 }

@@ -111,8 +111,10 @@ class SnapshotDataSource extends TableProvider
     val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
     val mergeSchema = ci.get("mergeschema").exists(_.toBoolean)
     val op = ci.getOrElse("op", "append")
-    require(Seq("append", "upsert", "delete").contains(op),
-      s"unknown op '$op' (append | upsert | delete)")
+    require(Seq("append", "upsert", "delete", "upsert-mor", "delete-mor")
+        .contains(op),
+      s"unknown op '$op' (append | upsert | delete | upsert-mor | " +
+        "delete-mor)")
     val exists =
       SnapshotTable.versions(data.sparkSession, path).nonEmpty
     def createNew(): Unit = {
@@ -130,6 +132,10 @@ class SnapshotDataSource extends TableProvider
         case "append" => SnapshotTable.append(data, path, mergeSchema)
         case "upsert" => SnapshotTable.upsert(data, path, mergeSchema)
         case "delete" => SnapshotTable.delete(data, path)
+        case "upsert-mor" =>
+          SnapshotTable.upsert(data, path, mergeSchema, mergeOnRead = true)
+        case "delete-mor" =>
+          SnapshotTable.delete(data, path, mergeOnRead = true)
       }
       case SaveMode.Overwrite if !exists => createNew()
       case SaveMode.Overwrite =>
@@ -153,8 +159,8 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
   import org.apache.spark.sql.streaming.OutputMode
 
   private val op = opts.getOrElse("op", "append")
-  require(Seq("append", "upsert").contains(op),
-    s"unknown sink op '$op' (append | upsert)")
+  require(Seq("append", "upsert", "upsert-mor").contains(op),
+    s"unknown sink op '$op' (append | upsert | upsert-mor)")
   private val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
   private val complete = outputMode == OutputMode.Complete()
 
@@ -188,6 +194,12 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
       SnapshotTable.overwrite(data, path, mergeSchema, txn)
     } else if (op == "upsert") {
       SnapshotTable.upsert(data, path, mergeSchema, txn = txn)
+    } else if (op == "upsert-mor") {
+      // the high-commit-rate streaming shape: each micro-batch lands as
+      // one O(batch) delta layer, no existing bucket bytes read —
+      // schedule compact() on the maintenance cadence
+      SnapshotTable.upsert(data, path, mergeSchema, txn = txn,
+        mergeOnRead = true)
     } else {
       SnapshotTable.append(data, path, mergeSchema, txn)
     }
@@ -444,6 +456,10 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
       : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
     if (agg.groupByExpressions.nonEmpty) return None
     if (catalystFilters.nonEmpty || v1Filters.nonEmpty) return None
+    // unresolved merge-on-read deltas: a tombstone may remove the
+    // extremum row and a replacement row may shadow it — per-dir bounds
+    // no longer fold exactly, refuse the pushdown
+    if (snap.deltas.nonEmpty) return None
     if (snap.entries.nonEmpty &&
       !snap.entries.forall(e => snap.dirRows.contains(e._2))) return None
     val parts = agg.aggregateExpressions.toSeq.map(translateAgg)
@@ -477,6 +493,16 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
             aggSchema.fieldNames.mkString(", ")
       }
     case None =>
+      // this scan plane serves RAW manifest entries through Spark's
+      // vectorized ParquetScan; unresolved merge-on-read deltas would
+      // surface shadowed/tombstoned rows — refuse loudly (the Iceberg
+      // "reader does not support format-v2 deletes" posture) rather
+      // than silently wrong-answer
+      require(snap.deltas.isEmpty,
+        s"snapshot v${snap.version} carries ${snap.deltas.size} " +
+          "unresolved merge-on-read delta dirs; compact the table " +
+          "(SnapshotTable.compact / CALL <cat>.system.compact) or read " +
+          "it via SnapshotTable.read, which resolves them")
       new SnapshotScan(snap, tableSchema, required, catalystFilters,
         reprune(snap.entries, v1Filters.toSeq), root, ignoreChanges,
         reprune, runtimeFilterKeysOnly)

@@ -94,13 +94,22 @@ object SnapshotTable {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** One merge-on-read delta attached to a bucket: a dir of replacement
+    * rows (`kind = "rows"`, the upsert-mor batch) or of key-only
+    * tombstones (`kind = "tomb"`, the delete-mor batch), stamped with
+    * the version (`seq`) of the commit that wrote it — the event order
+    * read-side resolution replays ([[SnapshotTable.resolvedRead]]). */
+  final case class DeltaEntry(bucket: Int, seq: Long, kind: String,
+      dir: String)
+
   /** One published version: `entries` maps bucket id → data dirs
     * (absolute), in commit order; `ts` is the commit wall-clock
     * (driver millis at publish; 0 for pre-timestamp manifests);
     * `statsCols` are the columns every commit records data-skipping
     * stats for (fixed at [[create]]); `dirStats` maps data dir →
     * per-column [[ColStats]] for the dirs whose writing commit recorded
-    * them. */
+    * them; `deltas` are the UNRESOLVED merge-on-read events layered
+    * over the base entries (empty on merge-on-write-only tables). */
   final case class Snapshot(version: Long, op: String, keys: Seq[String],
       buckets: Int, schemaDdl: String, uuid: String,
       entries: Seq[(Int, String)], ts: Long = 0L,
@@ -108,26 +117,34 @@ object SnapshotTable {
       dirStats: Map[String, Map[String, ColStats]] = Map.empty,
       txn: Option[(String, Long)] = None,
       dirRows: Map[String, Long] = Map.empty,
-      dirBytes: Map[String, Long] = Map.empty) {
+      dirBytes: Map[String, Long] = Map.empty,
+      deltas: Seq[DeltaEntry] = Seq.empty) {
 
     /** Exact row count answered from the manifest alone — `Some` only
       * when EVERY live entry carries a recorded count (manifests from
       * before row counting, or hand-imported dirs, return `None` and
-      * the caller falls back to a scan). O(entries) driver arithmetic:
-      * the 100 TB `count(*)` that never touches a data file. */
+      * the caller falls back to a scan). Unresolved merge-on-read
+      * deltas also return `None`: tombstones subtract and replacement
+      * rows shadow, so per-dir counts no longer sum. O(entries) driver
+      * arithmetic: the 100 TB `count(*)` that never touches a data
+      * file. */
     def metadataRowCount: Option[Long] =
-      if (entries.nonEmpty && entries.forall(e => dirRows.contains(e._2)))
+      if (deltas.nonEmpty) None
+      else if (entries.nonEmpty && entries.forall(e => dirRows.contains(e._2)))
         Some(entries.iterator.map(e => dirRows(e._2)).sum)
       else if (entries.isEmpty) Some(0L)
       else None
 
     /** Exact on-disk size of the live snapshot from the manifest — the
-      * planner-statistics twin of [[metadataRowCount]]. */
-    def metadataSizeBytes: Option[Long] =
-      if (entries.nonEmpty && entries.forall(e => dirBytes.contains(e._2)))
-        Some(entries.iterator.map(e => dirBytes(e._2)).sum)
-      else if (entries.isEmpty) Some(0L)
+      * planner-statistics twin of [[metadataRowCount]]. Delta dirs count
+      * toward the size (a resolving scan reads them too). */
+    def metadataSizeBytes: Option[Long] = {
+      val live = entries.map(_._2) ++ deltas.map(_.dir)
+      if (live.nonEmpty && live.forall(dirBytes.contains))
+        Some(live.iterator.map(dirBytes).sum)
+      else if (live.isEmpty) Some(0L)
       else None
+    }
   }
 
   /** Data-skipping bounds for one column in one data dir, NORMALIZED to
@@ -473,6 +490,13 @@ object SnapshotTable {
         val Array(b, dir) = l.drop("entry=".length).split("\t", 2)
         (b.toInt, dir)
     }
+    val deltas = lines.collect {
+      case l if l.startsWith("delta=") =>
+        val Array(b, seq, kind, dir) = l.drop("delta=".length).split("\t", 4)
+        require(kind == "rows" || kind == "tomb",
+          s"manifest $p has unknown delta kind '$kind'")
+        DeltaEntry(b.toInt, seq.toLong, kind, dir)
+    }
     val schemaDdl = field("schema")
     val types = statsTypes(schemaDdl)
     val dirStats = lines.collect {
@@ -504,7 +528,7 @@ object SnapshotTable {
         require(i > 0, s"manifest $p has malformed txn field: $t")
         (t.take(i), t.drop(i + 1).toLong)
       },
-      dirRows, dirBytes)
+      dirRows, dirBytes, deltas)
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -566,15 +590,96 @@ object SnapshotTable {
     else spark.read.schema(schema).parquet(dirs: _*)
   }
 
+  /** Commit version of the dir that produced a row, parsed from the
+    * END-ANCHORED `c{v}-{uuid}/_gb={b}[/_zs={k}]/file` tail of
+    * `input_file_name()` — anchoring at the end makes a user root that
+    * happens to contain a `c<digits>-` segment harmless, and scheme
+    * qualification (file:/ vs bare) can't break a suffix match. */
+  private def fileCommitVersion =
+    regexp_extract(input_file_name(),
+      s"c(\\d+)-[^/]+/$BucketCol=\\d+(?:/$ZSliceCol=\\d+)?/[^/]+$$", 1)
+      .cast("long")
+
+  /** Resolution-aware read of a snapshot restricted to `buckets` (None =
+    * whole table): merge-on-read deltas are replayed per key in commit
+    * order, exactly reproducing what the merge-on-write spelling of the
+    * same commits would have produced.
+    *
+    * Replay rule — a row (base file row or delta replacement row) from
+    * commit seq `s` survives iff its key has NO delta event with seq
+    * greater than `s`. That one rule covers every interleaving: a
+    * tombstone kills everything older and nothing newer; a replacement
+    * row shadows all older rows of its key (including multiple base
+    * copies a blind append left behind) but coexists with a LATER blind
+    * append of the same key, which is precisely what merge-on-write
+    * produces for upsert-then-append.
+    *
+    * Cost shape (the 100 TB audit): buckets WITHOUT deltas stream
+    * straight through with zero added work; delta-bearing buckets pay
+    * one aggregation over the DELTA rows only (small: the un-compacted
+    * batches) plus two joins of base against that small per-key event
+    * table — the broadcast-join cost profile of Delta's deletion-vector
+    * reads, never a shuffle of the base data by key. Compaction
+    * ([[compact]]) restores the zero-overhead path. */
+  private def resolvedRead(spark: SparkSession, snap: Snapshot,
+      buckets: Option[Set[Int]], ddl: String): DataFrame = {
+    val sel: Int => Boolean = b => buckets.forall(_.contains(b))
+    val dirty = snap.deltas.iterator.map(_.bucket).filter(sel).toSet
+    val clean = readEntries(spark, ddl,
+      snap.entries.filter(e => sel(e._1) && !dirty(e._1)).map(_._2))
+    if (dirty.isEmpty) return clean
+    val schema = StructType.fromDDL(ddl)
+    val keySchema = StructType(
+      schema.fields.filter(f => snap.keys.contains(f.name)))
+    val keyCols = snap.keys.map(col)
+    val SeqCol = "_mor_seq"
+    val MaxCol = "_mor_max"
+    val ds = snap.deltas.filter(d => dirty(d.bucket))
+    // one frame per (kind, seq): the union width is the number of
+    // RETAINED merge-on-read commits, bounded by the compaction cadence
+    val rowFrames = ds.filter(_.kind == "rows").groupBy(_.seq).toSeq
+      .sortBy(_._1).map { case (s, es) =>
+        spark.read.schema(schema).parquet(es.map(_.dir): _*)
+          .withColumn(SeqCol, lit(s))
+      }
+    val tombEvents = ds.filter(_.kind == "tomb").groupBy(_.seq).toSeq
+      .sortBy(_._1).map { case (s, es) =>
+        spark.read.schema(keySchema).parquet(es.map(_.dir): _*)
+          .withColumn(SeqCol, lit(s))
+      }
+    val events = (rowFrames.map(_.select(keyCols :+ col(SeqCol): _*)) ++
+      tombEvents).reduce(_.unionByName(_))
+    // per-key newest event — delta keys only, so this side stays small
+    // and the joins below broadcast
+    val maxEvents = events.groupBy(keyCols: _*)
+      .agg(max(col(SeqCol)).as(MaxCol))
+    val outCols = schema.fieldNames.map(col).toIndexedSeq
+    val base = readEntries(spark, ddl,
+        snap.entries.filter(e => dirty(e._1)).map(_._2))
+      .withColumn(SeqCol, fileCommitVersion)
+    val liveBase = base.join(maxEvents, snap.keys, "left")
+      .filter(col(MaxCol).isNull || col(MaxCol) < col(SeqCol))
+      .select(outCols: _*)
+    val liveDelta = rowFrames.reduceOption(_.unionByName(_)).map { rf =>
+      rf.join(maxEvents, snap.keys, "inner")
+        .filter(col(SeqCol) === col(MaxCol))
+        .select(outCols: _*)
+    }
+    clean.unionByName(
+      liveDelta.fold(liveBase)(liveBase.unionByName(_)))
+  }
+
   /** Read the table at `version`, at the newest commit whose wall-clock
     * is ≤ `asOfTimestamp`, or latest (neither). The file list is
     * resolved once from one immutable manifest — concurrent commits are
-    * invisible to this scan (snapshot isolation). */
+    * invisible to this scan (snapshot isolation). Merge-on-read deltas
+    * resolve transparently ([[resolvedRead]]); a delta-free snapshot
+    * reads its files straight through. */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None,
       asOfTimestamp: Option[Long] = None): DataFrame = {
     val snap = resolve(spark, root, version, asOfTimestamp)
-    readEntries(spark, snap.schemaDdl, snap.entries.map(_._2))
+    resolvedRead(spark, snap, None, snap.schemaDdl)
   }
 
   /** Keyed lookup that reads ONLY the buckets the probe keys hash into —
@@ -603,8 +708,7 @@ object SnapshotTable {
       .withColumn(BucketCol, bucketOf(snap.keys, snap.buckets)))
     val hit = probe.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet // O(buckets) driver list
-    readEntries(spark, snap.schemaDdl,
-        snap.entries.filter(e => hit(e._1)).map(_._2))
+    resolvedRead(spark, snap, Some(hit), snap.schemaDdl)
       .join(probe.drop(BucketCol), snap.keys, "left_semi")
   }
 
@@ -639,30 +743,71 @@ object SnapshotTable {
       def tag(df: DataFrame, typ: String) = df
         .withColumn(ChangeTypeCol, lit(typ))
         .withColumn(CommitVersionCol, lit(next.version))
+      // diff under the NEXT schema: the old side gains any added
+      // columns as null, matching what a reader of `next` sees
+      val cols = StructType.fromDDL(next.schemaDdl).fieldNames.toSeq
+      def alignOld(d0: DataFrame) = cols.foldLeft(d0)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+        .select(cols.map(col): _*)
       next.op match {
         case "append" =>
+          // fresh base dirs are pure inserts — and under merge-on-read
+          // replay they are always CURRENT (their commit seq exceeds
+          // every retained delta event), so this holds on delta-bearing
+          // tables too
           val fresh = dirsOf(next).diff(dirsOf(prev))
           if (fresh.isEmpty) None
           else Some(tag(readEntries(spark, next.schemaDdl, fresh), "insert"))
+        case "upsert-mor" | "delete-mor" =>
+          // the commit wrote ONLY delta dirs: changed keys = the fresh
+          // deltas' keys, old rows = the PRIOR snapshot resolved over
+          // just those deltas' buckets — bucket-pruned like the
+          // merge-on-write branch below
+          val fresh = next.deltas.diff(prev.deltas)
+          if (fresh.isEmpty) None
+          else {
+            val schema = StructType.fromDDL(next.schemaDdl)
+            val keySchema = StructType(
+              schema.fields.filter(f => next.keys.contains(f.name)))
+            val keyCols = next.keys.map(col)
+            val rowDirs = fresh.filter(_.kind == "rows").map(_.dir)
+            val tombDirs = fresh.filter(_.kind == "tomb").map(_.dir)
+            val newRows =
+              if (rowDirs.isEmpty) emptyDf(spark, schema)
+              else spark.read.schema(schema).parquet(rowDirs: _*)
+            val tombKeys =
+              if (tombDirs.isEmpty) emptyDf(spark, keySchema)
+              else spark.read.schema(keySchema).parquet(tombDirs: _*)
+            val changedKeys = newRows.select(keyCols: _*)
+              .unionByName(tombKeys).distinct()
+            val hitB = fresh.map(_.bucket).toSet
+            val oldSide = alignOld(
+              resolvedRead(spark, prev, Some(hitB), prev.schemaDdl))
+              .join(changedKeys, next.keys, "left_semi")
+            val newSide = newRows.select(cols.map(col): _*)
+            Some(tag(newSide.exceptAll(oldSide), "insert")
+              .unionByName(tag(oldSide.exceptAll(newSide), "delete")))
+          }
         case _ =>
-          // bucket-granular diff: only buckets whose dir list changed
+          // bucket-granular diff: only buckets whose dir OR delta list
+          // changed, each side read RESOLVED so merge-on-write commits
+          // that consume deltas (and compactions that fold them away)
+          // diff by semantic content — a pure resolution is a no-op
           val oldBy = prev.entries.groupBy(_._1)
           val newBy = next.entries.groupBy(_._1)
-          val changed = (oldBy.keySet ++ newBy.keySet).filter(b =>
-            oldBy.getOrElse(b, Nil).map(_._2) != newBy.getOrElse(b, Nil).map(_._2))
+          val oldDel = prev.deltas.groupBy(_.bucket)
+          val newDel = next.deltas.groupBy(_.bucket)
+          val changed = (oldBy.keySet ++ newBy.keySet ++ oldDel.keySet ++
+            newDel.keySet).filter(b =>
+            oldBy.getOrElse(b, Nil).map(_._2) != newBy.getOrElse(b, Nil).map(_._2) ||
+              oldDel.getOrElse(b, Nil) != newDel.getOrElse(b, Nil))
           if (changed.isEmpty) None
           else {
-            def side(s: Snapshot, by: Map[Int, Seq[(Int, String)]]) =
-              readEntries(spark, s.schemaDdl,
-                changed.toSeq.sorted.flatMap(b => by.getOrElse(b, Nil).map(_._2)))
-            // diff under the NEXT schema: the old side gains any added
-            // columns as null, matching what a reader of `next` sees
-            val cols = StructType.fromDDL(next.schemaDdl).fieldNames.toSeq
-            val oldSide = side(prev, oldBy)
-            val oldAligned = cols.foldLeft(oldSide)((d, c) =>
-              if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
-              .select(cols.map(col): _*)
-            val newSide = side(next, newBy).select(cols.map(col): _*)
+            val oldAligned = alignOld(
+              resolvedRead(spark, prev, Some(changed), prev.schemaDdl))
+            val newSide =
+              resolvedRead(spark, next, Some(changed), next.schemaDdl)
+                .select(cols.map(col): _*)
             Some(tag(newSide.exceptAll(oldAligned), "insert")
               .unionByName(tag(oldAligned.exceptAll(newSide), "delete")))
           }
@@ -791,9 +936,12 @@ object SnapshotTable {
         body ++= s"txn=$app:$ver" += '\n'
       }
       snap.entries.foreach { case (b, d) => body ++= s"entry=$b\t$d" += '\n' }
+      snap.deltas.foreach { d =>
+        body ++= s"delta=${d.bucket}\t${d.seq}\t${d.kind}\t${d.dir}" += '\n'
+      }
       // stats/rows only for live entries: carried-forward dirs keep
       // theirs, dropped dirs' metadata goes with them
-      val live = snap.entries.map(_._2).toSet
+      val live = snap.entries.map(_._2).toSet ++ snap.deltas.map(_.dir)
       snap.dirStats.toSeq.filter(e => live(e._1)).sortBy(_._1)
         .foreach { case (d, st) =>
           body ++= s"stats=$d\t${statsToJson(st)}" += '\n'
@@ -905,7 +1053,11 @@ object SnapshotTable {
       dirStats = (base.dirStats -- removedDirs) ++ st,
       dirRows = (base.dirRows -- removedDirs) ++ rw,
       dirBytes = (base.dirBytes -- removedDirs) ++
-        dirSizes(fsys, stagedDirs))))
+        dirSizes(fsys, stagedDirs),
+      // the operation scan refuses delta-bearing snapshots, so this is
+      // empty in practice — carried through so a future reader of this
+      // code can't silently drop a layer
+      deltas = base.deltas)))
     v
   }
 
@@ -1008,7 +1160,8 @@ object SnapshotTable {
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
       dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
-      txn = txn)))
+      txn = txn,
+      deltas = cur.deltas))) // append never resolves a layer
     v
   }
 
@@ -1052,20 +1205,34 @@ object SnapshotTable {
   }
 
   /** Keyed last-write-wins merge: batch rows replace current rows with
-    * the same key tuple; unmatched batch rows insert. Merge-on-write
-    * confined to the buckets the batch's keys hash into — untouched
-    * buckets' manifest lines carry forward unread. The batch is
-    * materialized once (`mat`) before any of the guard probe / hit-set
-    * derivation / merge write run, so all three see identical rows even
-    * for nondeterministic inputs. The batch must be unique per key (a
-    * multi-valued key has no deterministic winner); the one-pass guard
-    * can be skipped with `checkDuplicates = false` on high-rate commit
-    * paths that already guarantee uniqueness upstream. */
+    * the same key tuple; unmatched batch rows insert. Two write paths,
+    * same read-side semantics:
+    *
+    *   - MERGE-ON-WRITE (default): confined to the buckets the batch's
+    *     keys hash into — hit buckets' files are read (RESOLVED, so
+    *     pending merge-on-read deltas in them are consumed by this
+    *     commit), merged, rewritten; untouched buckets' manifest lines
+    *     (and their deltas) carry forward unread.
+    *   - MERGE-ON-READ (`mergeOnRead = true`): writes ONLY the batch as
+    *     a delta layer — O(batch) data, zero existing bytes read — and
+    *     defers the merge to readers ([[resolvedRead]]) until
+    *     [[compact]] folds it in. The high-commit-rate shape: write
+    *     amplification is 1 instead of bucketBytes/batchBytes, at the
+    *     price of a small per-read join until compaction.
+    *
+    * The batch is materialized once (`mat`) before any of the guard
+    * probe / hit-set derivation / merge write run, so all three see
+    * identical rows even for nondeterministic inputs. The batch must be
+    * unique per key (a multi-valued key has no deterministic winner);
+    * the one-pass guard can be skipped with `checkDuplicates = false` on
+    * high-rate commit paths that already guarantee uniqueness
+    * upstream. */
   def upsert(df: DataFrame, root: String,
       mergeSchema: Boolean = false,
       checkDuplicates: Boolean = true,
       mat: Materialize = Materialize.Local,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      mergeOnRead: Boolean = false): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
     require(cur.keys.nonEmpty,
@@ -1082,18 +1249,33 @@ object SnapshotTable {
         s"(e.g. ${dupKeys.headOption.getOrElse("")}); last-write-wins " +
         "needs one row per key — pre-dedup the batch")
     }
+    val v = cur.version + 1
+    val uuid = newUuid()
+    if (mergeOnRead) {
+      val entries = writeCommitData(aligned(batch.drop(BucketCol), ddl),
+        rootP, v, cur.keys, cur.buckets, uuid, fsys)
+      val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
+      publish(fsys, rootP, stamped(Snapshot(v, "upsert-mor", cur.keys,
+        cur.buckets, ddl, uuid, cur.entries,
+        statsCols = cur.statsCols,
+        dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
+        dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
+        txn = txn,
+        deltas = cur.deltas ++
+          entries.map { case (b, d) => DeltaEntry(b, v, "rows", d) })))
+      return v
+    }
     val hit = hitBuckets(batch)
-    val hitDirs = cur.entries.filter(e => hit(e._1))
-    // prior files read under the COMMIT schema: on an evolving upsert the
-    // old files lack the new columns and backfill null, so the merge
-    // unions cleanly without rewriting any untouched bucket
-    val priorHit = readEntries(spark, ddl, hitDirs.map(_._2))
+    // prior files read under the COMMIT schema (on an evolving upsert
+    // the old files lack the new columns and backfill null) and
+    // RESOLVED: pending deltas in the hit buckets merge in here and
+    // their manifest lines drop out below — merge-on-write doubles as
+    // incremental delta compaction
+    val priorHit = resolvedRead(spark, cur, Some(hit), ddl)
     // anti-join on the key: batch wins; both sides already bucket-pruned
     val merged = priorHit
       .join(batch.select(keyCols: _*), cur.keys, "left_anti")
       .unionByName(aligned(batch.drop(BucketCol), ddl))
-    val v = cur.version + 1
-    val uuid = newUuid()
     val entries =
       writeCommitData(merged, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     requireSubset(entries, hit, "upsert")
@@ -1104,19 +1286,26 @@ object SnapshotTable {
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
       dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
-      txn = txn)))
+      txn = txn,
+      deltas = cur.deltas.filterNot(d => hit(d.bucket)))))
     v
   }
 
   /** Keyed delete: rows whose key tuple appears in `keysDf` are removed;
-    * absent keys are a no-op. Merge-on-write confined to hit buckets
-    * exactly like [[upsert]] (untouched buckets' manifest lines carry
-    * forward unread); a bucket emptied by the delete simply drops out of
-    * the manifest. `keysDf` needs only the key columns (extras are
-    * ignored), is deduplicated internally, and is materialized before
-    * the hit-set derivation (same nondeterminism defense as upsert). */
+    * absent keys are a no-op. Merge-on-write (default) is confined to
+    * hit buckets exactly like [[upsert]] — read RESOLVED (consuming any
+    * pending deltas there), rewritten without the keys; a bucket emptied
+    * by the delete simply drops out of the manifest. MERGE-ON-READ
+    * (`mergeOnRead = true`) writes only key-column TOMBSTONE dirs —
+    * O(keys) data, zero existing bytes read — and readers drop the
+    * tombstoned rows until [[compact]] folds the layer in (the Delta
+    * deletion-vector cost shape, keyed instead of positional).
+    * `keysDf` needs only the key columns (extras are ignored), is
+    * deduplicated internally, and is materialized before the hit-set
+    * derivation (same nondeterminism defense as upsert). */
   def delete(keysDf: DataFrame, root: String,
-      mat: Materialize = Materialize.Local): Long = {
+      mat: Materialize = Materialize.Local,
+      mergeOnRead: Boolean = false): Long = {
     val spark = keysDf.sparkSession
     val cur = current(spark, root)
     require(cur.keys.nonEmpty,
@@ -1126,12 +1315,26 @@ object SnapshotTable {
     val keyCols = cur.keys.map(col)
     val batch = mat(keysDf.select(keyCols: _*).distinct()
       .withColumn(BucketCol, bucketOf(cur.keys, cur.buckets)))
-    val hit = hitBuckets(batch)
-    val hitDirs = cur.entries.filter(e => hit(e._1))
-    val priorHit = readEntries(spark, cur.schemaDdl, hitDirs.map(_._2))
-    val kept = priorHit.join(batch.drop(BucketCol), cur.keys, "left_anti")
     val v = cur.version + 1
     val uuid = newUuid()
+    if (mergeOnRead) {
+      val tombs = batch.drop(BucketCol)
+      val entries = writeCommitData(tombs, rootP, v, cur.keys,
+        cur.buckets, uuid, fsys)
+      val (st, rw) = computeStats(spark, entries, tombs.schema.toDDL,
+        cur.statsCols)
+      publish(fsys, rootP, stamped(Snapshot(v, "delete-mor", cur.keys,
+        cur.buckets, cur.schemaDdl, uuid, cur.entries,
+        statsCols = cur.statsCols,
+        dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
+        dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
+        deltas = cur.deltas ++
+          entries.map { case (b, d) => DeltaEntry(b, v, "tomb", d) })))
+      return v
+    }
+    val hit = hitBuckets(batch)
+    val priorHit = resolvedRead(spark, cur, Some(hit), cur.schemaDdl)
+    val kept = priorHit.join(batch.drop(BucketCol), cur.keys, "left_anti")
     val entries =
       writeCommitData(kept, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     requireSubset(entries, hit, "delete")
@@ -1141,7 +1344,8 @@ object SnapshotTable {
       cur.entries.filterNot(e => hit(e._1)) ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries))))
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
+      deltas = cur.deltas.filterNot(d => hit(d.bucket)))))
     v
   }
 
@@ -1293,9 +1497,19 @@ object SnapshotTable {
             if (l.startsWith("entry=")) {
               val Array(b, dir) = l.drop("entry=".length).split("\t", 2)
               s"entry=$b\t${moved(dir)}"
+            } else if (l.startsWith("delta=")) {
+              val Array(b, seq, kind, dir) =
+                l.drop("delta=".length).split("\t", 4)
+              s"delta=$b\t$seq\t$kind\t${moved(dir)}"
             } else if (l.startsWith("stats=")) {
               val Array(dir, json) = l.drop("stats=".length).split("\t", 2)
               s"stats=${moved(dir)}\t$json"
+            } else if (l.startsWith("rows=")) {
+              val Array(dir, n) = l.drop("rows=".length).split("\t", 2)
+              s"rows=${moved(dir)}\t$n"
+            } else if (l.startsWith("bytes=")) {
+              val Array(dir, n) = l.drop("bytes=".length).split("\t", 2)
+              s"bytes=${moved(dir)}\t$n"
             } else l
           }.mkString("\n")
           val tmp = new Path(st.getPath.getParent,
@@ -1333,11 +1547,16 @@ object SnapshotTable {
       s"maxDirsPerBucket must be >= 1: $maxDirsPerBucket")
     val cur = current(spark, root)
     val byBucket = cur.entries.groupBy(_._1)
-    val target = byBucket.filter(_._2.size > maxDirsPerBucket).keySet
+    val deltaBy = cur.deltas.groupBy(_.bucket)
+    // delta dirs count toward fragmentation (each is an extra read +
+    // resolution input); a targeted rewrite RESOLVES its buckets, so
+    // their delta lines fold away with the dir list
+    val target = (byBucket.keySet ++ deltaBy.keySet).filter(b =>
+      byBucket.getOrElse(b, Nil).size + deltaBy.getOrElse(b, Nil).size >
+        maxDirsPerBucket)
     if (target.isEmpty) return cur.version
     val (fsys, rootP) = fs(spark, root)
-    val rows = readEntries(spark, cur.schemaDdl,
-      cur.entries.filter(e => target(e._1)).map(_._2))
+    val rows = resolvedRead(spark, cur, Some(target), cur.schemaDdl)
     val v = cur.version + 1
     val uuid = newUuid()
     val entries =
@@ -1351,7 +1570,8 @@ object SnapshotTable {
       cur.entries.filterNot(e => target(e._1)) ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries))))
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
+      deltas = cur.deltas.filterNot(d => target(d.bucket)))))
     v
   }
 
@@ -1383,7 +1603,8 @@ object SnapshotTable {
       snaps.splitAt(math.max(0, snaps.size - keepVersions))
     expire.foreach(s => fsys.delete(manifestPath(rootP, s.version), false))
     val maxKept = keep.map(_.version).max
-    val referenced = keep.flatMap(_.entries.map(_._2))
+    val referenced = keep
+      .flatMap(s => s.entries.map(_._2) ++ s.deltas.map(_.dir))
       .map(d => fsys.makeQualified(new Path(d)).toString).toSet
     // a bucket dir is live if IT or any DESCENDANT is referenced —
     // z-order commits reference `_gb=b/_zs=k` slice dirs, so the

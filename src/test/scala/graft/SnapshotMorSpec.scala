@@ -1,0 +1,285 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SnapshotTable
+
+/** Merge-on-read commit contract: delta layers write O(batch) and
+  * resolve to exactly what the merge-on-write spelling of the same
+  * commits produces — across multi-layer ordering, tombstone/revive,
+  * blind-append interleavings, partial consumption by merge-on-write,
+  * compaction, vacuum liveness, the change feed, and the connector's
+  * loud refusal to serve unresolved deltas raw. */
+class SnapshotMorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_mor_$tag")
+    d.toFile.deleteOnExit()
+    new java.io.File(d.toFile, "tbl").getAbsolutePath
+  }
+
+  private def rows(n: Range, tag: String) =
+    n.map(i => (i.toLong, tag, i * 10L)).toDF("id", "tag", "v")
+
+  private def asSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "tag", "v").as[(Long, String, Long)].collect().toSet
+
+  private def snapAt(root: String, v: Long) =
+    SnapshotTable.versions(spark, root).find(_.version == v).get
+
+  test("mor upsert writes only the batch: base manifest lines carry " +
+      "verbatim, deltas land in the batch's buckets, reads resolve") {
+    val root = freshRoot("up")
+    SnapshotTable.create(rows(0 until 40, "a"), root, Seq("id"), 8)
+    val v1 = snapAt(root, 1)
+    val batch = Seq((3L, "UPD", 999L), (7L, "UPD", 999L), (100L, "NEW", 1L))
+      .toDF("id", "tag", "v")
+    assert(SnapshotTable.upsert(batch, root, mergeOnRead = true) === 2L)
+    val v2 = snapAt(root, 2)
+    assert(v2.op === "upsert-mor")
+    // ZERO base churn: every base line identical, nothing rewritten
+    assert(v2.entries === v1.entries)
+    assert(v2.deltas.nonEmpty && v2.deltas.forall(d =>
+      d.seq === 2L && d.kind === "rows"))
+    assert(v2.deltas.map(_.bucket).toSet.size <= 3)
+    val expected = asSet(rows(0 until 40, "a"))
+      .filterNot(r => r._1 == 3 || r._1 == 7) ++
+      Set((3L, "UPD", 999L), (7L, "UPD", 999L), (100L, "NEW", 1L))
+    assert(asSet(SnapshotTable.read(spark, root)) === expected)
+    // history intact; metadata count honest (None while unresolved)
+    assert(asSet(SnapshotTable.read(spark, root, Some(1L))) ===
+      asSet(rows(0 until 40, "a")))
+    assert(v1.metadataRowCount === Some(40L))
+    assert(v2.metadataRowCount === None)
+  }
+
+  test("mor delete tombstones, absent keys are no-ops, a later mor " +
+      "upsert revives, layers replay in commit order") {
+    val root = freshRoot("dl")
+    SnapshotTable.create(rows(0 until 20, "a"), root, Seq("id"), 4)
+    SnapshotTable.delete(Seq(5L, 6L, 999L).toDF("id"), root,
+      mergeOnRead = true) // v2: 999 absent → harmless tombstone
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(0 until 20, "a")).filterNot(r => r._1 == 5 || r._1 == 6))
+    // v3, v4: two upsert layers on the same key — newest wins
+    SnapshotTable.upsert(Seq((3L, "U3", 1L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true)
+    SnapshotTable.upsert(Seq((3L, "U4", 2L), (5L, "BACK", 7L))
+      .toDF("id", "tag", "v"), root, mergeOnRead = true)
+    val got = asSet(SnapshotTable.read(spark, root))
+    assert(got.contains((3L, "U4", 2L)) && !got.exists(r =>
+      r._1 == 3 && r._2 != "U4"))
+    assert(got.contains((5L, "BACK", 7L))) // tombstone superseded
+    assert(!got.exists(_._1 == 6))
+    // v5: tombstone the revived key again
+    SnapshotTable.delete(Seq(3L).toDF("id"), root, mergeOnRead = true)
+    assert(!asSet(SnapshotTable.read(spark, root)).exists(_._1 == 3))
+    // every intermediate version still resolves under ITS delta set
+    assert(asSet(SnapshotTable.read(spark, root, Some(3L)))
+      .contains((3L, "U3", 1L)))
+  }
+
+  test("blind append interleaves with deltas exactly like " +
+      "merge-on-write: later appends coexist, tombstones kill all " +
+      "older copies") {
+    val root = freshRoot("ap")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    SnapshotTable.upsert(Seq((2L, "DELTA", 0L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true) // v2
+    SnapshotTable.append(Seq((2L, "LATE", 1L)).toDF("id", "tag", "v"),
+      root) // v3: blind append AFTER the delta
+    val got = asSet(SnapshotTable.read(spark, root))
+    // merge-on-write equivalent (upsert v2 then append v3): both rows
+    assert(got.filter(_._1 == 2) === Set((2L, "DELTA", 0L), (2L, "LATE", 1L)))
+    // duplicate base copies: id 4 appended twice more → 3 copies
+    SnapshotTable.append(Seq((4L, "D1", 1L)).toDF("id", "tag", "v"), root)
+    SnapshotTable.append(Seq((4L, "D2", 2L)).toDF("id", "tag", "v"), root)
+    assert(asSet(SnapshotTable.read(spark, root))
+      .count(_._1 == 4) === 3)
+    // one tombstone kills every older copy at once
+    SnapshotTable.delete(Seq(4L).toDF("id"), root, mergeOnRead = true)
+    assert(!asSet(SnapshotTable.read(spark, root)).exists(_._1 == 4))
+  }
+
+  test("merge-on-write upsert consumes the deltas of its hit buckets " +
+      "only; untouched buckets keep their layers") {
+    val root = freshRoot("mix")
+    SnapshotTable.create(rows(0 until 50, "a"), root, Seq("id"), 8)
+    SnapshotTable.upsert(Seq((3L, "M3", 0L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true) // v2
+    SnapshotTable.upsert(Seq((7L, "M7", 0L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true) // v3
+    val v3 = snapAt(root, 3)
+    val hit = v3.deltas.filter(_.seq == 2L).map(_.bucket).toSet // id 3's
+    // merge-on-write on id 3: its bucket's deltas fold into the rewrite
+    SnapshotTable.upsert(Seq((3L, "W4", 5L)).toDF("id", "tag", "v"), root)
+    val v4 = snapAt(root, 4)
+    assert(v4.deltas.forall(d => !hit(d.bucket)))
+    assert(v4.deltas.toSet.subsetOf(v3.deltas.toSet))
+    val got = asSet(SnapshotTable.read(spark, root))
+    assert(got.contains((3L, "W4", 5L)))
+    // id 7's layer survives (same bucket as 3 → consumed but content holds)
+    assert(got.contains((7L, "M7", 0L)))
+    assert(!got.exists(r => r._1 == 3 && r._2 != "W4"))
+  }
+
+  test("compact folds deltas away: content identical, metadata count " +
+      "restored, history still resolves, connector serves it again") {
+    val root = freshRoot("cp")
+    SnapshotTable.create(rows(0 until 30, "a"), root, Seq("id"), 4)
+    SnapshotTable.upsert(Seq((1L, "U", 0L), (11L, "U", 0L))
+      .toDF("id", "tag", "v"), root, mergeOnRead = true) // v2
+    SnapshotTable.delete(Seq(2L).toDF("id"), root, mergeOnRead = true) // v3
+    val before = asSet(SnapshotTable.read(spark, root))
+    // the connector refuses the unresolved snapshot LOUDLY
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot").load(root).collect()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+    val vC = SnapshotTable.compact(spark, root)
+    val snapC = snapAt(root, vC)
+    assert(snapC.deltas.isEmpty)
+    assert(asSet(SnapshotTable.read(spark, root)) === before)
+    assert(snapC.metadataRowCount === Some(before.size.toLong))
+    // the delta-bearing version still time-travels correctly
+    assert(asSet(SnapshotTable.read(spark, root, Some(3L))) === before)
+    // and the connector works again, matching the object API
+    assert(asSet(spark.read.format("graft-snapshot").load(root)) === before)
+  }
+
+  test("targeted compact resolves only over-fragmented buckets; " +
+      "other buckets keep their delta layers") {
+    val root = freshRoot("tc")
+    SnapshotTable.create(rows(0 until 60, "a"), root, Seq("id"), 8)
+    // pile three layers onto id 9's bucket, one onto id 14's
+    SnapshotTable.upsert(Seq((9L, "A", 0L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true)
+    SnapshotTable.upsert(Seq((9L, "B", 1L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true)
+    SnapshotTable.upsert(Seq((9L, "C", 2L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true)
+    SnapshotTable.upsert(Seq((14L, "D", 3L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true)
+    val before = asSet(SnapshotTable.read(spark, root))
+    val cur = SnapshotTable.versions(spark, root).last
+    val heavy = cur.deltas.groupBy(_.bucket).filter(_._2.size >= 3).keySet
+    assert(heavy.nonEmpty)
+    val vC = SnapshotTable.compact(spark, root, maxDirsPerBucket = 3)
+    val snapC = snapAt(root, vC)
+    // heavy buckets resolved; light delta layers carried forward
+    assert(snapC.deltas.forall(d => !heavy(d.bucket)))
+    assert(asSet(SnapshotTable.read(spark, root)) === before)
+  }
+
+  test("vacuum keeps live delta dirs and reclaims superseded ones " +
+      "after compaction") {
+    val root = freshRoot("vc")
+    SnapshotTable.create(rows(0 until 20, "a"), root, Seq("id"), 4)
+    SnapshotTable.upsert(Seq((1L, "U", 0L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true) // v2
+    val deltaDirs = snapAt(root, 2).deltas.map(_.dir)
+    val expected = asSet(SnapshotTable.read(spark, root))
+    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    // the kept (delta-bearing) version still reads: its dirs survived
+    assert(asSet(SnapshotTable.read(spark, root)) === expected)
+    deltaDirs.foreach(d =>
+      assert(new java.io.File(new java.net.URI("file:" + d).getPath +
+        "/").exists() || new java.io.File(d).exists()))
+    SnapshotTable.compact(spark, root) // v3: deltas folded in
+    SnapshotTable.vacuum(spark, root, keepVersions = 1)
+    deltaDirs.foreach(d => assert(!new java.io.File(d).exists()))
+    assert(asSet(SnapshotTable.read(spark, root)) === expected)
+  }
+
+  test("readForKeys resolves deltas inside the pruned buckets") {
+    val root = freshRoot("rk")
+    SnapshotTable.create(rows(0 until 40, "a"), root, Seq("id"), 8)
+    SnapshotTable.upsert(Seq((6L, "NEW", 66L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true)
+    SnapshotTable.delete(Seq(8L).toDF("id"), root, mergeOnRead = true)
+    val probe = Seq(6L, 8L, 9L).toDF("id")
+    assert(asSet(SnapshotTable.readForKeys(probe, root)) ===
+      Set((6L, "NEW", 66L), (9L, "a", 90L)))
+  }
+
+  test("change feed over mor commits: upsert emits delete(old)+" +
+      "insert(new), delete emits deletes, compact diffs empty") {
+    val root = freshRoot("cf")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    SnapshotTable.upsert(
+      Seq((1L, "U", 100L), (50L, "NEW", 0L), (2L, "a", 20L))
+        .toDF("id", "tag", "v"), root, mergeOnRead = true) // v2
+    SnapshotTable.delete(Seq(3L).toDF("id"), root, mergeOnRead = true) // v3
+    SnapshotTable.compact(spark, root) // v4
+    def changes(a: Long, b: Long) =
+      SnapshotTable.readChanges(spark, root, a, b)
+        .select(col("id"), col("tag"), col("v"),
+          col(SnapshotTable.ChangeTypeCol))
+        .as[(Long, String, Long, String)].collect().toSet
+    // id 2 rewritten IDENTICALLY → cancels out of the feed
+    assert(changes(1, 2) === Set(
+      (1L, "a", 10L, "delete"), (1L, "U", 100L, "insert"),
+      (50L, "NEW", 0L, "insert")))
+    assert(changes(2, 3) === Set((3L, "a", 30L, "delete")))
+    assert(changes(3, 4) === Set.empty)
+  }
+
+  test("write amplification: a 1-key mor upsert commits a small " +
+      "fraction of the bytes the merge-on-write spelling rewrites") {
+    def freshBytes(root: String, v: Long): Long = {
+      val prev = snapAt(root, v - 1)
+      val cur = snapAt(root, v)
+      val prevDirs = (prev.entries.map(_._2) ++ prev.deltas.map(_.dir)).toSet
+      val curDirs = cur.entries.map(_._2) ++ cur.deltas.map(_.dir)
+      curDirs.filterNot(prevDirs).map(cur.dirBytes).sum
+    }
+    val big = (0 until 20000)
+      .map(i => (i.toLong, s"payload_$i" * 8, i.toLong))
+      .toDF("id", "tag", "v")
+    val rootMor = freshRoot("wa1")
+    val rootMow = freshRoot("wa2")
+    SnapshotTable.create(big, rootMor, Seq("id"), 4)
+    SnapshotTable.create(big, rootMow, Seq("id"), 4)
+    val batch = Seq((7L, "upd", 0L)).toDF("id", "tag", "v")
+    SnapshotTable.upsert(batch, rootMor, mergeOnRead = true)
+    SnapshotTable.upsert(batch, rootMow)
+    val morB = freshBytes(rootMor, 2)
+    val mowB = freshBytes(rootMow, 2)
+    // merge-on-write rewrites the whole hit bucket (~1/4 of 20k rows);
+    // merge-on-read writes one row — orders of magnitude, gated at 10x
+    assert(morB * 10 < mowB, s"mor=$morB mow=$mowB")
+    assert(asSet(SnapshotTable.read(spark, rootMor)) ===
+      asSet(SnapshotTable.read(spark, rootMow)))
+  }
+
+  test("schema evolution through a mor layer: new column backfills " +
+      "null on base rows and survives compaction") {
+    val root = freshRoot("ev")
+    SnapshotTable.create(rows(0 until 10, "a"), root, Seq("id"), 4)
+    SnapshotTable.upsert(
+      Seq((1L, "U", 0L, "extra")).toDF("id", "tag", "v", "note"),
+      root, mergeSchema = true, mergeOnRead = true)
+    val got = SnapshotTable.read(spark, root)
+      .select("id", "tag", "v", "note")
+      .as[(Long, String, Long, Option[String])].collect().toSet
+    assert(got.contains((1L, "U", 0L, Some("extra"))))
+    assert(got.contains((2L, "a", 20L, None)))
+    SnapshotTable.compact(spark, root)
+    assert(SnapshotTable.read(spark, root)
+      .select("id", "tag", "v", "note")
+      .as[(Long, String, Long, Option[String])].collect().toSet === got)
+  }
+
+  test("mor ops refuse a keyless table") {
+    val root = freshRoot("kl")
+    SnapshotTable.create(rows(0 until 5, "a"), root, Seq.empty, 1)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.upsert(rows(0 until 2, "b"), root, mergeOnRead = true)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.delete(Seq(1L).toDF("id"), root, mergeOnRead = true)
+    }
+  }
+}
