@@ -492,17 +492,23 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
           s"graft-snapshot v${snap.version} manifest-aggregate " +
             aggSchema.fieldNames.mkString(", ")
       }
+    case None if snap.deltas.nonEmpty =>
+      // unresolved merge-on-read deltas: the raw ParquetScan plane
+      // would surface shadowed/tombstoned rows. Plain reads switch to
+      // the resolving scan; ROW-LEVEL operation scans refuse (their
+      // replaced-group bookkeeping assumes raw dirs — copy-on-write
+      // SQL DML on a delta-bearing table wants a compact first).
+      require(!runtimeFilterKeysOnly,
+        s"row-level SQL operation on snapshot v${snap.version} with " +
+          s"${snap.deltas.size} unresolved merge-on-read delta dirs — " +
+          "compact the table first (SnapshotTable.compact / " +
+          "CALL <cat>.system.compact)")
+      val hit = prunedBuckets(v1Filters.toSeq)
+      new SnapshotMorScan(snap, tableSchema, required, catalystFilters,
+        reprune(snap.entries, v1Filters.toSeq),
+        hit.fold(snap.deltas)(h => snap.deltas.filter(d => h(d.bucket))),
+        root, ignoreChanges)
     case None =>
-      // this scan plane serves RAW manifest entries through Spark's
-      // vectorized ParquetScan; unresolved merge-on-read deltas would
-      // surface shadowed/tombstoned rows — refuse loudly (the Iceberg
-      // "reader does not support format-v2 deletes" posture) rather
-      // than silently wrong-answer
-      require(snap.deltas.isEmpty,
-        s"snapshot v${snap.version} carries ${snap.deltas.size} " +
-          "unresolved merge-on-read delta dirs; compact the table " +
-          "(SnapshotTable.compact / CALL <cat>.system.compact) or read " +
-          "it via SnapshotTable.read, which resolves them")
       new SnapshotScan(snap, tableSchema, required, catalystFilters,
         reprune(snap.entries, v1Filters.toSeq), root, ignoreChanges,
         reprune, runtimeFilterKeysOnly)

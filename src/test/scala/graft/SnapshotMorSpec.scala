@@ -133,11 +133,8 @@ class SnapshotMorSpec extends AnyFunSuite {
       .toDF("id", "tag", "v"), root, mergeOnRead = true) // v2
     SnapshotTable.delete(Seq(2L).toDF("id"), root, mergeOnRead = true) // v3
     val before = asSet(SnapshotTable.read(spark, root))
-    // the connector refuses the unresolved snapshot LOUDLY
-    val e = intercept[Exception] {
-      spark.read.format("graft-snapshot").load(root).collect()
-    }
-    assert(e.getMessage.contains("merge-on-read"))
+    // the connector RESOLVES the unresolved snapshot (SnapshotMorScan)
+    assert(asSet(spark.read.format("graft-snapshot").load(root)) === before)
     val vC = SnapshotTable.compact(spark, root)
     val snapC = snapAt(root, vC)
     assert(snapC.deltas.isEmpty)
@@ -270,6 +267,40 @@ class SnapshotMorSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, root)
       .select("id", "tag", "v", "note")
       .as[(Long, String, Long, Option[String])].collect().toSet === got)
+  }
+
+  test("connector resolves deltas: point-lookup pushdown, column " +
+      "pruning, filters on shadowed values, and count(*) all match the " +
+      "object API") {
+    val root = freshRoot("cn")
+    SnapshotTable.create(rows(0 until 40, "a"), root, Seq("id"), 8)
+    SnapshotTable.upsert(Seq((6L, "NEW", 66L), (41L, "INS", 1L))
+      .toDF("id", "tag", "v"), root, mergeOnRead = true)
+    SnapshotTable.delete(Seq(8L).toDF("id"), root, mergeOnRead = true)
+    val oracle = asSet(SnapshotTable.read(spark, root))
+    val v2 = spark.read.format("graft-snapshot").load(root)
+    assert(asSet(v2) === oracle)
+    // key point lookups (pushed → delta buckets pruned alongside base)
+    assert(asSet(v2.filter(col("id").isin(6L, 8L, 9L, 41L))) ===
+      oracle.filter(r => Set(6L, 8L, 9L, 41L)(r._1)))
+    // a filter matching the SHADOWED base value must not resurrect it:
+    // base had (6, "a", 60); the delta replaced it
+    assert(v2.filter(col("tag") === "a" && col("id") === 6L).count() === 0)
+    assert(v2.filter(col("tag") === "NEW").count() === 1)
+    // column pruning through the resolving reader (keys re-added
+    // internally, projected back out)
+    assert(v2.select("tag").where(col("tag") === "INS").count() === 1)
+    assert(v2.count() === oracle.size.toLong)
+    // SQL row-level ops refuse until compacted (copy-on-write
+    // bookkeeping assumes raw dirs)
+    spark.conf.set("spark.sql.catalog.mor_t",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.mor_t.warehouse",
+      new java.io.File(root).getParent)
+    val err = intercept[Exception] {
+      spark.sql("UPDATE mor_t.tbl SET v = 0 WHERE id = 6")
+    }
+    assert(err.getMessage.contains("merge-on-read"))
   }
 
   test("mor ops refuse a keyless table") {
