@@ -910,8 +910,56 @@ object SourceQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** Named tags + RESTORE on the snapshot table
+    * ([[graft.sources.SnapshotTable.createTag]]/[[SnapshotTable.restore]]
+    * — the Iceberg-tag / Delta-RESTORE shapes): tag the freshly created
+    * version, damage the table (a keyed delete then a corrupting
+    * upsert), and roll back BY TAG. Restore is a forward metadata-only
+    * commit — zero data bytes move — so phase 1 (time travel INTO the
+    * damaged history, which stays readable for the post-mortem), phase 2
+    * (the restored head), and phase 3 (a connector read resolving
+    * `versionAsOf` as a tag NAME) pin all three surfaces at once.
+    * Vacuum pinning of tagged versions is SnapshotRefsSpec's job. */
+  val q174 = Q("q174_snapshot_restore_tag",
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+      |           WHERE doc_id % 3 = 0)
+      |SELECT 1 AS phase, doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END AS lang, n_chars
+      |FROM d WHERE doc_id % 5 <> 0
+      |UNION ALL SELECT 2 AS phase, doc_id, lang, n_chars FROM d
+      |UNION ALL SELECT 3 AS phase, doc_id, lang, n_chars FROM d
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snaprestore", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    SnapshotTable.createTag(s, path, "initial") // pin v1
+    SnapshotTable.delete( // v2: lose the mod-5 keys
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), path)
+    SnapshotTable.upsert( // v3: corrupt the mod-7 survivors' lang
+      d.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 0 &&
+          col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("zz").as("lang"), col("n_chars")), path)
+    SnapshotTable.restore(s, path, tag = Some("initial")) // v4
+    val damaged = SnapshotTable.read(s, path, Some(3L))
+      .select(lit(1).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    val restored = SnapshotTable.read(s, path)
+      .select(lit(2).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    val byTag = s.read.format("graft-snapshot")
+      .option("versionAsOf", "initial").load(path)
+      .select(lit(3).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    damaged.unionByName(restored).unionByName(byTag)
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173)
+      q171, q172, q173, q174)
 }

@@ -529,7 +529,8 @@ private[sources] object SnapshotProcedures {
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder")
+  val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder",
+    "restore", "create_tag", "drop_tag", "tags")
 
   private def spark = SparkSession.active
 
@@ -600,6 +601,49 @@ private[sources] object SnapshotProcedures {
             .toSeq.map(_.trim).filter(_.nonEmpty)
           Seq(InternalRow(
             SnapshotTable.zorder(spark, root, cols, input.getInt(2))))
+        }
+      }
+      case "restore" => new Proc("restore",
+          Seq(tableParam,
+            ProcedureParameter.in("version", LongType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          Seq(InternalRow(SnapshotTable.restore(spark, root,
+            version = Some(input.getLong(1)))))
+        }
+      }
+      case "create_tag" => new Proc("create_tag",
+          Seq(tableParam,
+            ProcedureParameter.in("name", StringType).build(),
+            // version <= 0 tags the current head
+            ProcedureParameter.in("version", LongType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          val v = input.getLong(2)
+          Seq(InternalRow(SnapshotTable.createTag(spark, root,
+            input.getUTF8String(1).toString,
+            if (v <= 0) None else Some(v))))
+        }
+      }
+      case "drop_tag" => new Proc("drop_tag",
+          Seq(tableParam,
+            ProcedureParameter.in("name", StringType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          Seq(InternalRow(SnapshotTable.dropTag(spark, root,
+            input.getUTF8String(1).toString)))
+        }
+      }
+      case "tags" => new Proc("tags", Seq(tableParam),
+          StructType.fromDDL("name STRING, version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          SnapshotTable.tags(spark, root).map { case (n, v) =>
+            InternalRow(UTF8String.fromString(n), v)
+          }
         }
       }
       case "vacuum" => new Proc("vacuum",

@@ -218,13 +218,29 @@ private[graft] object SnapshotV2Table {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-snapshot needs a path: .load(<table root>)"))
-    val version = Option(options.get("versionAsOf")).map(_.toLong)
+    // a non-numeric versionAsOf is a TAG name (so SQL
+    // `VERSION AS OF 'release-1'` lands here through the catalog);
+    // the explicit tagAsOf option spells the same thing for
+    // DataFrame readers
+    val versionOpt = Option(options.get("versionAsOf"))
+    val tagOpt = Option(options.get("tagAsOf"))
+    require(versionOpt.isEmpty || tagOpt.isEmpty,
+      "set versionAsOf OR tagAsOf, not both")
+    val version = versionOpt.map(s => s.toLongOption.getOrElse(
+        SnapshotTable.tags(spark, path).collectFirst {
+          case (n, v) if n == s => v
+        }.getOrElse(sys.error(
+          s"versionAsOf '$s' is neither a version nor a tag at $path"))))
+      .orElse(tagOpt.map(t =>
+        SnapshotTable.tags(spark, path).collectFirst {
+          case (n, v) if n == t => v
+        }.getOrElse(sys.error(s"no tag '$t' at $path"))))
     val asOf = Option(options.get("timestampAsOf")).map { s =>
       // accept epoch millis or any timestamp string Spark can cast
       s.toLongOption.getOrElse(java.sql.Timestamp.valueOf(s).getTime)
     }
     require(version.isEmpty || asOf.isEmpty,
-      "set versionAsOf OR timestampAsOf, not both")
+      "set versionAsOf/tagAsOf OR timestampAsOf, not both")
     val snaps = SnapshotTable.versions(spark, path)
     // a missing table resolves to a scanless placeholder instead of
     // failing here: the WRITE path must reach the V1 write seam to

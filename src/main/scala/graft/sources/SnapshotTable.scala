@@ -470,6 +470,12 @@ object SnapshotTable {
   private def manifestDir(root: Path) = new Path(root, "_manifests")
   private def manifestPath(root: Path, v: Long) =
     new Path(manifestDir(root), f"v$v%08d.txt")
+  private def refsDir(root: Path) = new Path(root, "_refs")
+  private def tagPath(root: Path, name: String) =
+    new Path(refsDir(root), s"$name.txt")
+  // starts alphanumeric (hidden-file names are reader-invisible), one
+  // path segment, filesystem-safe on every Hadoop store
+  private val TagName = """[A-Za-z0-9][A-Za-z0-9._-]{0,127}""".r
 
   // ---- manifest read side ----
 
@@ -555,14 +561,15 @@ object SnapshotTable {
 
   /** Resolve one snapshot: by `version`, by newest-commit-`asOfTimestamp`
     * (Delta's `timestampAsOf` semantics: the snapshot a reader starting
-    * at time `t` would have seen), or latest. */
+    * at time `t` would have seen), by named `tag`, or latest. */
   private def resolve(spark: SparkSession, root: String,
-      version: Option[Long], asOfTimestamp: Option[Long]): Snapshot = {
-    require(version.isEmpty || asOfTimestamp.isEmpty,
-      "pass version OR asOfTimestamp, not both")
+      version: Option[Long], asOfTimestamp: Option[Long],
+      tag: Option[String] = None): Snapshot = {
+    require(Seq(version, asOfTimestamp, tag).count(_.isDefined) <= 1,
+      "pass version OR asOfTimestamp OR tag, not a combination")
     val snaps = versions(spark, root)
     require(snaps.nonEmpty, s"no snapshot table at $root")
-    (version, asOfTimestamp) match {
+    (version.orElse(tag.map(tagVersion(spark, root, _))), asOfTimestamp) match {
       case (Some(v), _) =>
         snaps.find(_.version == v).getOrElse(sys.error(
           s"version $v not found at $root " +
@@ -573,6 +580,86 @@ object SnapshotTable {
             s"(first commit ts=${snaps.head.ts})"))
       case _ => snaps.last
     }
+  }
+
+  // ---- named refs (tags) ----
+
+  /** Tag `version` (default: current) with an immutable name — the
+    * Iceberg tag shape: a release label readers resolve with
+    * `read(tag = …)` / the connector's `tagAsOf` / SQL
+    * `VERSION AS OF '<name>'`, and that [[vacuum]] treats as KEPT — a
+    * tagged version's manifest and data dirs survive history expiry
+    * until the tag is dropped. One hidden `_refs/<name>.txt` file,
+    * created atomically (`create(overwrite = false)`), so a duplicate
+    * name is refused instead of silently repointed — repointing is an
+    * explicit [[dropTag]] + [[createTag]]. Returns the tagged version. */
+  def createTag(spark: SparkSession, root: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(TagName.matches(name),
+      s"tag name '$name' must match ${TagName.regex}")
+    val (fsys, rootP) = fs(spark, root)
+    val snaps = versions(spark, root)
+    require(snaps.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(snaps.last.version)
+    require(snaps.exists(_.version == v),
+      s"cannot tag version $v at $root: not in the catalog " +
+        s"(have ${snaps.map(_.version).mkString(",")})")
+    fsys.mkdirs(refsDir(rootP))
+    val p = tagPath(rootP, name)
+    val out =
+      try fsys.create(p, false)
+      catch { case _: java.io.IOException =>
+        sys.error(s"tag '$name' already exists at $root " +
+          s"(points at version ${tagVersion(spark, root, name)}); " +
+          "dropTag first to repoint")
+      }
+    try out.write(s"version=$v\n".getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Drop a tag; its version becomes vacuum-expirable again. Returns the
+    * version it pointed at. */
+  def dropTag(spark: SparkSession, root: String, name: String): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val v = tagVersion(spark, root, name)
+    fsys.delete(tagPath(rootP, name), false)
+    v
+  }
+
+  /** All tags, name-sorted. O(tags) driver metadata. */
+  def tags(spark: SparkSession, root: String): Seq[(String, Long)] = {
+    val (fsys, rootP) = fs(spark, root)
+    val dir = refsDir(rootP)
+    if (!fsys.exists(dir)) return Seq.empty
+    fsys.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(".txt")) None
+      else {
+        val name = n.dropRight(4)
+        if (!TagName.matches(name)) None // strays/tmp are invisible
+        else Some(name -> parseTagFile(fsys, st.getPath))
+      }
+    }.sortBy(_._1)
+  }
+
+  private def parseTagFile(fsys: FileSystem, p: Path): Long = {
+    val in = fsys.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").collectFirst {
+      case l if l.startsWith("version=") => l.drop("version=".length).toLong
+    }.getOrElse(sys.error(s"malformed tag file $p: $text"))
+  }
+
+  private def tagVersion(spark: SparkSession, root: String,
+      name: String): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val p = tagPath(rootP, name)
+    if (!fsys.exists(p))
+      sys.error(s"no tag '$name' at $root " +
+        s"(have ${tags(spark, root).map(_._1).mkString(",")})")
+    parseTagFile(fsys, p)
   }
 
   // ---- read side ----
@@ -677,8 +764,9 @@ object SnapshotTable {
     * reads its files straight through. */
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None,
-      asOfTimestamp: Option[Long] = None): DataFrame = {
-    val snap = resolve(spark, root, version, asOfTimestamp)
+      asOfTimestamp: Option[Long] = None,
+      tag: Option[String] = None): DataFrame = {
+    val snap = resolve(spark, root, version, asOfTimestamp, tag)
     resolvedRead(spark, snap, None, snap.schemaDdl)
   }
 
@@ -696,9 +784,10 @@ object SnapshotTable {
   def readForKeys(keysDf: DataFrame, root: String,
       version: Option[Long] = None,
       asOfTimestamp: Option[Long] = None,
-      mat: Materialize = Materialize.Local): DataFrame = {
+      mat: Materialize = Materialize.Local,
+      tag: Option[String] = None): DataFrame = {
     val spark = keysDf.sparkSession
-    val snap = resolve(spark, root, version, asOfTimestamp)
+    val snap = resolve(spark, root, version, asOfTimestamp, tag)
     require(snap.keys.nonEmpty,
       s"table at $root was created without keys; readForKeys undefined")
     snap.keys.foreach(k => require(keysDf.columns.contains(k),
@@ -1362,6 +1451,42 @@ object SnapshotTable {
       .collect { case (a, v) if a == appId => v }
       .maxOption
 
+  /** Roll the table back to `version` (or a `tag`) AS A NEW COMMIT — the
+    * Delta `RESTORE` shape: data, schema, and pending merge-on-read
+    * layers all return to the target's state, but history only moves
+    * FORWARD (the bad commits stay time-travel-readable for the
+    * post-mortem; nothing is deleted — vacuum reclaims them later).
+    * Pure metadata: the commit re-lists the target's dirs, moving zero
+    * data bytes — rolling a 100 TB table back is an O(entries) driver
+    * write. Every target dir must still exist (a target older than the
+    * last vacuum's horizon is gone — refused loudly, never a
+    * half-restored table); the kept restore manifest then re-pins those
+    * dirs live for future vacuums. */
+  def restore(spark: SparkSession, root: String,
+      version: Option[Long] = None, tag: Option[String] = None,
+      txn: Option[(String, Long)] = None): Long = {
+    require(version.isDefined || tag.isDefined,
+      "restore needs a target: pass version or tag")
+    val target = resolve(spark, root, version, None, tag)
+    val cur = current(spark, root)
+    val (fsys, rootP) = fs(spark, root)
+    val missing = (target.entries.map(_._2) ++ target.deltas.map(_.dir))
+      .filterNot(d => fsys.exists(new Path(d)))
+    require(missing.isEmpty,
+      s"cannot restore $root to version ${target.version}: " +
+        s"${missing.size} data dir(s) no longer exist (vacuumed?) — " +
+        s"e.g. ${missing.headOption.getOrElse("")}")
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(Snapshot(v, "restore", cur.keys,
+      cur.buckets, target.schemaDdl, newUuid(), target.entries,
+      statsCols = target.statsCols,
+      dirStats = target.dirStats, dirRows = target.dirRows,
+      dirBytes = target.dirBytes,
+      txn = txn,
+      deltas = target.deltas)))
+    v
+  }
+
   /** Z-order clustering rewrite (Delta's `OPTIMIZE ZORDER BY` shape,
     * Armbrust VLDB'20 §4.2): content-identical like [[compact]], but
     * each key-hash bucket's rows are split into up to `slicesPerBucket`
@@ -1576,13 +1701,14 @@ object SnapshotTable {
   }
 
   /** Expire history — the VACUUM of this format: keep the newest
-    * `keepVersions` manifests, delete the expired manifests FIRST (so no
-    * new reader can resolve an expired version), then delete every
-    * bucket data dir no kept manifest references — which also reclaims
-    * orphan dirs from crashed pre-publish commits. Kept versions are
-    * untouched (their file lists stay fully present); a reader mid-scan
-    * ON an expired version can fail, the documented tradeoff every
-    * manifest-format VACUUM carries.
+    * `keepVersions` manifests plus every TAGGED version ([[createTag]] —
+    * a release label pins its snapshot until dropped), delete the
+    * expired manifests FIRST (so no new reader can resolve an expired
+    * version), then delete every bucket data dir no kept manifest
+    * references — which also reclaims orphan dirs from crashed
+    * pre-publish commits. Kept versions are untouched (their file lists
+    * stay fully present); a reader mid-scan ON an expired version can
+    * fail, the documented tradeoff every manifest-format VACUUM carries.
     *
     * Concurrent-writer safety is exact, not time-based: only dirs whose
     * encoded commit version is ≤ the newest KEPT version are deletion
@@ -1599,8 +1725,11 @@ object SnapshotTable {
     val (fsys, rootP) = fs(spark, root)
     val snaps = versions(spark, root)
     require(snaps.nonEmpty, s"no snapshot table at $root")
-    val (expire, keep) =
-      snaps.splitAt(math.max(0, snaps.size - keepVersions))
+    val tagged = tags(spark, root).map(_._2).toSet
+    val recent = snaps.drop(math.max(0, snaps.size - keepVersions))
+      .map(_.version).toSet
+    val (keep, expire) =
+      snaps.partition(s => recent(s.version) || tagged(s.version))
     expire.foreach(s => fsys.delete(manifestPath(rootP, s.version), false))
     val maxKept = keep.map(_.version).max
     val referenced = keep
