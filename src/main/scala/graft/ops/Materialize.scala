@@ -33,6 +33,16 @@ object Materialize {
     def apply(df: DataFrame): DataFrame = df.localCheckpoint()
   }
 
+  /** Test seam: run `hook` at materialization time — which for the
+    * snapshot table's upsert/delete is BETWEEN the base-snapshot read
+    * and the publish — then materialize like [[Local]]. The only way to
+    * exercise the optimistic-concurrency rebase
+    * ([[graft.sources.SnapshotTable]] `retries`) deterministically,
+    * race-free; the production seam is the `publishManifest` twin. */
+  final case class Tap(hook: () => Unit) extends Materialize {
+    def apply(df: DataFrame): DataFrame = { hook(); df.localCheckpoint() }
+  }
+
   /** Cache with a storage level; lazy (first action materializes), lost
     * partitions recompute from lineage. */
   final case class Persist(level: StorageLevel = StorageLevel.DISK_ONLY)

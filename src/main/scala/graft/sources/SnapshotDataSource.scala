@@ -163,6 +163,10 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
     s"unknown sink op '$op' (append | upsert | upsert-mor)")
   private val mergeSchema = opts.get("mergeschema").exists(_.toBoolean)
   private val complete = outputMode == OutputMode.Complete()
+  // optimistic-concurrency rebase budget per micro-batch commit: lets
+  // several streams (or a stream + batch maintenance) share one table;
+  // the txn stamp keeps replay-dedup exact across the retries
+  private val retries = opts.getOrElse("commitretries", "2").toInt
 
   override def addBatch(batchId: Long,
       data0: org.apache.spark.sql.DataFrame): Unit = {
@@ -193,15 +197,16 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
     } else if (complete) {
       SnapshotTable.overwrite(data, path, mergeSchema, txn)
     } else if (op == "upsert") {
-      SnapshotTable.upsert(data, path, mergeSchema, txn = txn)
+      SnapshotTable.upsert(data, path, mergeSchema, txn = txn,
+        retries = retries)
     } else if (op == "upsert-mor") {
       // the high-commit-rate streaming shape: each micro-batch lands as
       // one O(batch) delta layer, no existing bucket bytes read —
       // schedule compact() on the maintenance cadence
       SnapshotTable.upsert(data, path, mergeSchema, txn = txn,
-        mergeOnRead = true)
+        mergeOnRead = true, retries = retries)
     } else {
-      SnapshotTable.append(data, path, mergeSchema, txn)
+      SnapshotTable.append(data, path, mergeSchema, txn, retries = retries)
     }
     ()
   }

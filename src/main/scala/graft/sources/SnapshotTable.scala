@@ -1089,6 +1089,175 @@ object SnapshotTable {
   private def stamped(snap: Snapshot): Snapshot =
     snap.copy(ts = System.currentTimeMillis())
 
+  // ---- optimistic-concurrency retry (multi-writer rebase) ----
+  //
+  // The Delta commit-loop shape (Armbrust VLDB'20 §3.2): a writer that
+  // loses the version race does NOT redo its data writes — the staged
+  // files are good — it re-derives the manifest against the new head and
+  // re-publishes, IF the concurrent commits cannot have invalidated what
+  // it wrote. The safety rule is per write shape:
+  //   - blind APPEND has no read-dependency: it rebases over anything
+  //     (the Delta WriteSerializable append rule);
+  //   - merge-on-write UPSERT/DELETE read the hit buckets at `base`:
+  //     they rebase iff every hit bucket's entry+delta lists are
+  //     BYTE-IDENTICAL between base and the new head — any winner that
+  //     wrote those buckets (append into them, upsert, delete, compact,
+  //     overwrite, restore — all of which change the dir lists) is a
+  //     real read-write conflict and fails;
+  //   - merge-on-read UPSERT/DELETE write an EVENT layer: rebasing just
+  //     re-stamps the events with the new commit version — "my upsert
+  //     serialized after the winner", a correct order for concurrent
+  //     keyed writers.
+  // Schema across the rebase follows the add-column rule: the winner's
+  // evolved columns and mine union (common columns must agree on type);
+  // either side's files simply lack the other's additions and the
+  // explicit-schema read backfills null. Staged commit dirs are RENAMED
+  // to the new version (`c<v>-uuid` → `c<v'>-uuid`, one O(1) dir
+  // rename) so vacuum's exact in-flight guard — "only dirs versioned ≤
+  // the newest kept manifest are sweepable" — keeps protecting them
+  // while the writer retries. A `txn`-stamped commit that discovers its
+  // (appId, version) already landed (another replica won with the SAME
+  // batch) returns that head instead of double-committing.
+
+  /** A prepared commit's own contribution, independent of the base
+    * manifest it lands on — the unit the retry loop rebases. */
+  private final case class Pending(opKind: String, myDdl: String,
+      uuid: String, stagedVersion: Long,
+      entries: Seq[(Int, String)],
+      stats: Map[String, Map[String, ColStats]],
+      rows: Map[String, Long], bytes: Map[String, Long],
+      hit: Option[Set[Int]], txn: Option[(String, Long)])
+
+  /** Table schema for a rebased commit: the head's columns plus my
+    * additions (add-column evolution from both sides); a common column
+    * whose types disagree is a real conflict. */
+  private def mergedDdl(headDdl: String, myDdl: String): String = {
+    if (headDdl == myDdl) return headDdl
+    val head = StructType.fromDDL(headDdl)
+    val mine = StructType.fromDDL(myDdl)
+    val headTypes = head.fields.map(f => f.name -> f.dataType).toMap
+    mine.fields.foreach(f => headTypes.get(f.name).foreach(t =>
+      if (t != f.dataType) throw new ConcurrentCommitException(
+        s"rebase schema conflict on column '${f.name}': " +
+          s"${f.dataType.simpleString} vs ${t.simpleString}")))
+    val extra = mine.fields.filterNot(f => headTypes.contains(f.name))
+      .map(f => org.apache.spark.sql.types.StructField(
+        f.name, f.dataType, nullable = true))
+    StructType(head.fields ++ extra).toDDL
+  }
+
+  /** Rename the staged commit dir to the version about to be published
+    * (no-op when already there), rewriting every staged path in the
+    * pending metadata. */
+  private def restagedTo(fsys: FileSystem, rootP: Path, p: Pending,
+      v: Long): Pending = {
+    if (p.stagedVersion == v) return p
+    val from = new Path(new Path(rootP, "data"), s"c${p.stagedVersion}-${p.uuid}")
+    val to = new Path(new Path(rootP, "data"), s"c$v-${p.uuid}")
+    if (fsys.exists(from)) {
+      if (!fsys.rename(from, to))
+        throw new ConcurrentCommitException(
+          s"could not restage $from as $to (swept by a concurrent " +
+            "vacuum?); retry the operation")
+    } else require(p.entries.isEmpty,
+      s"staged commit dir $from vanished with ${p.entries.size} entries")
+    val fromPfx = from.toString + "/"
+    def mv(d: String): String = {
+      require(d.startsWith(fromPfx), s"staged dir $d is not under $fromPfx")
+      to.toString + "/" + d.drop(fromPfx.length)
+    }
+    p.copy(stagedVersion = v,
+      entries = p.entries.map { case (b, d) => (b, mv(d)) },
+      stats = p.stats.map { case (d, s) => (mv(d), s) },
+      rows = p.rows.map { case (d, n) => (mv(d), n) },
+      bytes = p.bytes.map { case (d, n) => (mv(d), n) })
+  }
+
+  /** The rebased manifest for `p` on head `cur` at version `v` — with
+    * `cur == base` this is exactly the non-contended commit. */
+  private def rebasedSnapshot(cur: Snapshot, v: Long, p: Pending): Snapshot = {
+    val ddl = mergedDdl(cur.schemaDdl, p.myDdl)
+    p.opKind match {
+      case "append" => Snapshot(v, "append", cur.keys, cur.buckets, ddl,
+        p.uuid, cur.entries ++ p.entries,
+        statsCols = cur.statsCols,
+        dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
+        dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
+        deltas = cur.deltas)
+      case "upsert" | "delete" =>
+        val h = p.hit.get
+        Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
+          cur.entries.filterNot(e => h(e._1)) ++ p.entries,
+          statsCols = cur.statsCols,
+          dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
+          dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
+          deltas = cur.deltas.filterNot(d => h(d.bucket)))
+      case "upsert-mor" | "delete-mor" =>
+        val kind = if (p.opKind == "upsert-mor") "rows" else "tomb"
+        Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
+          cur.entries,
+          statsCols = cur.statsCols,
+          dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
+          dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
+          deltas = cur.deltas ++
+            p.entries.map { case (b, d) => DeltaEntry(b, v, kind, d) })
+      case other => sys.error(s"rebasing undefined for op $other")
+    }
+  }
+
+  /** Publish `p` on top of `base`, rebasing onto newer heads up to
+    * `retries` times when the version race is lost and the concurrent
+    * commits are provably compatible (see the retry-loop notes above).
+    * Returns the committed version — or, for a txn-stamped commit whose
+    * (appId, version) a concurrent replica already landed, the head
+    * version WITHOUT committing (exactly-once across racing writers). */
+  private def commitRebasing(spark: SparkSession, root: String,
+      fsys: FileSystem, rootP: Path, base: Snapshot, pending: Pending,
+      retries: Int): Long = {
+    require(retries >= 0, s"retries must be >= 0: $retries")
+    var cur = base
+    var p = pending
+    var attempts = 0
+    while (true) {
+      val v = cur.version + 1
+      p = restagedTo(fsys, rootP, p, v)
+      try {
+        publish(fsys, rootP, stamped(rebasedSnapshot(cur, v, p)))
+        return v
+      } catch {
+        case e: ConcurrentCommitException =>
+          if (attempts >= retries) throw e
+          attempts += 1
+          val cur2 = current(spark, root)
+          // no forward progress (lock starvation, not a newer head):
+          // retrying the identical publish would spin — surface the loss
+          if (cur2.version <= cur.version) throw e
+          val replayed = p.txn.exists { case (app, n) =>
+            versions(spark, root)
+              .filter(s => s.version > base.version &&
+                s.version <= cur2.version)
+              .flatMap(_.txn)
+              .exists { case (a, m) => a == app && m >= n }
+          }
+          if (replayed) return cur2.version // the batch already landed
+          p.hit.foreach { h =>
+            def hitLists(s: Snapshot) =
+              (s.entries.filter(e => h(e._1)).sorted,
+                s.deltas.filter(d => h(d.bucket))
+                  .sortBy(d => (d.bucket, d.seq, d.dir)))
+            if (hitLists(base) != hitLists(cur2))
+              throw new ConcurrentCommitException(
+                s"${p.opKind} merged buckets ${h.toSeq.sorted.mkString(",")} " +
+                  s"at version ${base.version}, but commit(s) " +
+                  s"${base.version + 1}..${cur2.version} rewrote some of " +
+                  "them — rebase unsafe, retry the whole operation")
+          }
+          cur = cur2
+      }
+    }
+    sys.error("unreachable")
+  }
+
   // ---- group-replacement commit (SQL row-level operations) ----
   //
   // The copy-on-write half of Spark's group-based row-level operation
@@ -1230,10 +1399,14 @@ object SnapshotTable {
   /** Blind append: O(batch) data writes, prior entries re-listed
     * verbatim. No key dedup — append the same key twice and both rows
     * surface (use [[upsert]] for keyed semantics). `mergeSchema = true`
-    * allows add-column evolution (see [[commitSchema]]). */
+    * allows add-column evolution (see [[commitSchema]]). `retries`
+    * rebases over concurrent commits instead of failing — an append has
+    * no read-dependency, so it rebases over anything
+    * ([[commitRebasing]]). */
   def append(df: DataFrame, root: String,
       mergeSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      retries: Int = 0): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
     requireCols(df, cur.keys)
@@ -1244,14 +1417,9 @@ object SnapshotTable {
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys)
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
-    publish(fsys, rootP, stamped(Snapshot(v, "append", cur.keys, cur.buckets,
-      ddl, uuid, cur.entries ++ entries,
-      statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
-      txn = txn,
-      deltas = cur.deltas))) // append never resolves a layer
-    v
+    commitRebasing(spark, root, fsys, rootP, cur,
+      Pending("append", ddl, uuid, v, entries, st, rw,
+        dirSizes(fsys, entries), hit = None, txn = txn), retries)
   }
 
   /** Replace the table's content wholesale (config and history are
@@ -1321,7 +1489,8 @@ object SnapshotTable {
       checkDuplicates: Boolean = true,
       mat: Materialize = Materialize.Local,
       txn: Option[(String, Long)] = None,
-      mergeOnRead: Boolean = false): Long = {
+      mergeOnRead: Boolean = false,
+      retries: Int = 0): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
     require(cur.keys.nonEmpty,
@@ -1344,15 +1513,12 @@ object SnapshotTable {
       val entries = writeCommitData(aligned(batch.drop(BucketCol), ddl),
         rootP, v, cur.keys, cur.buckets, uuid, fsys)
       val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
-      publish(fsys, rootP, stamped(Snapshot(v, "upsert-mor", cur.keys,
-        cur.buckets, ddl, uuid, cur.entries,
-        statsCols = cur.statsCols,
-        dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-        dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
-        txn = txn,
-        deltas = cur.deltas ++
-          entries.map { case (b, d) => DeltaEntry(b, v, "rows", d) })))
-      return v
+      // a merge-on-read commit is an EVENT layer with no read-dependency:
+      // it rebases over any concurrent commit (re-stamped to the new
+      // version — "applied after the winner")
+      return commitRebasing(spark, root, fsys, rootP, cur,
+        Pending("upsert-mor", ddl, uuid, v, entries, st, rw,
+          dirSizes(fsys, entries), hit = None, txn = txn), retries)
     }
     val hit = hitBuckets(batch)
     // prior files read under the COMMIT schema (on an evolving upsert
@@ -1369,15 +1535,9 @@ object SnapshotTable {
       writeCommitData(merged, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     requireSubset(entries, hit, "upsert")
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
-    publish(fsys, rootP, stamped(Snapshot(v, "upsert", cur.keys, cur.buckets,
-      ddl, uuid,
-      cur.entries.filterNot(e => hit(e._1)) ++ entries,
-      statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
-      txn = txn,
-      deltas = cur.deltas.filterNot(d => hit(d.bucket)))))
-    v
+    commitRebasing(spark, root, fsys, rootP, cur,
+      Pending("upsert", ddl, uuid, v, entries, st, rw,
+        dirSizes(fsys, entries), hit = Some(hit), txn = txn), retries)
   }
 
   /** Keyed delete: rows whose key tuple appears in `keysDf` are removed;
@@ -1394,7 +1554,8 @@ object SnapshotTable {
     * derivation (same nondeterminism defense as upsert). */
   def delete(keysDf: DataFrame, root: String,
       mat: Materialize = Materialize.Local,
-      mergeOnRead: Boolean = false): Long = {
+      mergeOnRead: Boolean = false,
+      retries: Int = 0): Long = {
     val spark = keysDf.sparkSession
     val cur = current(spark, root)
     require(cur.keys.nonEmpty,
@@ -1412,14 +1573,9 @@ object SnapshotTable {
         cur.buckets, uuid, fsys)
       val (st, rw) = computeStats(spark, entries, tombs.schema.toDDL,
         cur.statsCols)
-      publish(fsys, rootP, stamped(Snapshot(v, "delete-mor", cur.keys,
-        cur.buckets, cur.schemaDdl, uuid, cur.entries,
-        statsCols = cur.statsCols,
-        dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-        dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
-        deltas = cur.deltas ++
-          entries.map { case (b, d) => DeltaEntry(b, v, "tomb", d) })))
-      return v
+      return commitRebasing(spark, root, fsys, rootP, cur,
+        Pending("delete-mor", cur.schemaDdl, uuid, v, entries, st, rw,
+          dirSizes(fsys, entries), hit = None, txn = None), retries)
     }
     val hit = hitBuckets(batch)
     val priorHit = resolvedRead(spark, cur, Some(hit), cur.schemaDdl)
@@ -1428,14 +1584,9 @@ object SnapshotTable {
       writeCommitData(kept, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     requireSubset(entries, hit, "delete")
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
-    publish(fsys, rootP, stamped(Snapshot(v, "delete", cur.keys, cur.buckets,
-      cur.schemaDdl, uuid,
-      cur.entries.filterNot(e => hit(e._1)) ++ entries,
-      statsCols = cur.statsCols,
-      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
-      deltas = cur.deltas.filterNot(d => hit(d.bucket)))))
-    v
+    commitRebasing(spark, root, fsys, rootP, cur,
+      Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
+        dirSizes(fsys, entries), hit = Some(hit), txn = None), retries)
   }
 
   /** Newest transaction version committed under `appId` (the Delta
