@@ -958,8 +958,68 @@ object SourceQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** Change data feed, streamed ([[graft.sources.SnapshotDataSource]]
+    * `readChangeFeed` — the Delta CDF shape): the table is created with
+    * `changeFeed = true`, so its upsert/delete commits record diff-exact
+    * `_cdc` change files at commit time, and the STREAMING source serves
+    * per-commit (op, row) batches from O(changed rows) files — never a
+    * diff job, never a table rescan. The drain replays the whole history
+    * (`startingVersion = 1`): create surfaces as tagged inserts read
+    * straight from its data dirs, the upsert as insert+delete pairs from
+    * its change file (the displaced pre-image rows are the part a
+    * fresh-dir read could never produce), the delete as pre-image
+    * deletes — including one whose pre-image is the UPSERTED row, which
+    * pins the feed's commit ordering. Offsets/restart exactness and
+    * failure modes are SnapshotCdfSpec's job. */
+  val q175 = Q("q175_snapshot_change_stream",
+    """WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+      |           WHERE doc_id % 3 = 0),
+      |up AS (SELECT doc_id, 'xx' AS lang, n_chars + 1 AS n_chars FROM d
+      |       WHERE doc_id % 6 = 0),
+      |v2 AS (SELECT * FROM d WHERE doc_id % 6 <> 0
+      |       UNION ALL SELECT * FROM up)
+      |SELECT 'insert' AS change_type, 1 AS commit_version,
+      |       doc_id, lang, n_chars FROM d
+      |UNION ALL SELECT 'insert', 2, doc_id, lang, n_chars FROM up
+      |UNION ALL SELECT 'delete', 2, doc_id, lang, n_chars FROM d
+      |  WHERE doc_id % 6 = 0
+      |UNION ALL SELECT 'delete', 3, doc_id, lang, n_chars FROM v2
+      |  WHERE doc_id % 5 = 0
+      |ORDER BY commit_version, change_type, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val path = scratch("snapcdf", dir)
+    val ckpt = scratch("snapcdf_ckpt", dir)
+    val out = scratch("snapcdf_out", dir)
+    rmTree(path); rmTree(ckpt); rmTree(out)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 8, changeFeed = true)
+    SnapshotTable.upsert(d.filter(col("doc_id") % 6 === 0)
+      .select(col("doc_id"), lit("xx").as("lang"),
+        (col("n_chars") + 1).as("n_chars")), path) // v2, with change file
+    SnapshotTable.delete( // v3, with change file
+      d.filter(col("doc_id") % 5 === 0).select(col("doc_id")), path)
+    val q = s.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(path)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("_change_type").as("change_type"),
+        col("_commit_version").cast("int").as("commit_version"),
+        col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("commit_version"), col("change_type"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173, q174)
+      q171, q172, q173, q174, q175)
 }

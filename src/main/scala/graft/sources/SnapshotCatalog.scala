@@ -192,9 +192,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
     val statsCols = prop("statscols")
       .map(s => s.split(",").toSeq.filter(_.nonEmpty))
+    val changeFeed = prop("changefeed").exists(_.toBoolean)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    SnapshotTable.create(empty, root, keys, buckets, statsCols)
+    SnapshotTable.create(empty, root, keys, buckets, statsCols,
+      changeFeed = changeFeed)
     loadTable(ident)
   }
 

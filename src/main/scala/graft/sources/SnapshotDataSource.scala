@@ -123,7 +123,8 @@ class SnapshotDataSource extends TableProvider
       val buckets = ci.get("buckets").map(_.toInt).getOrElse(16)
       val statsCols = ci.get("statscols")
         .map(s => s.split(",").toSeq.filter(_.nonEmpty))
-      SnapshotTable.create(data, path, keys, buckets, statsCols)
+      SnapshotTable.create(data, path, keys, buckets, statsCols,
+        changeFeed = ci.get("changefeed").exists(_.toBoolean))
       ()
     }
     mode match {
@@ -193,7 +194,8 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
       val buckets = opts.get("buckets").map(_.toInt).getOrElse(16)
       val statsCols = opts.get("statscols")
         .map(s => s.split(",").toSeq.filter(_.nonEmpty))
-      SnapshotTable.create(data, path, keys, buckets, statsCols, txn)
+      SnapshotTable.create(data, path, keys, buckets, statsCols, txn,
+        changeFeed = opts.get("changefeed").exists(_.toBoolean))
     } else if (complete) {
       SnapshotTable.overwrite(data, path, mergeSchema, txn)
     } else if (op == "upsert") {
@@ -247,11 +249,12 @@ private[graft] object SnapshotV2Table {
     require(version.isEmpty || asOf.isEmpty,
       "set versionAsOf/tagAsOf OR timestampAsOf, not both")
     val snaps = SnapshotTable.versions(spark, path)
+    val cdf = Option(options.get("readChangeFeed")).exists(_.toBoolean)
     // a missing table resolves to a scanless placeholder instead of
     // failing here: the WRITE path must reach the V1 write seam to
     // create-on-first-write (reads of a missing table still fail loudly,
     // at scan building)
-    if (snaps.isEmpty) return new SnapshotV2Table(path, null)
+    if (snaps.isEmpty) return new SnapshotV2Table(path, null, cdf)
     val snap = (version, asOf) match {
       case (Some(v), _) => snaps.find(_.version == v).getOrElse(
         sys.error(s"version $v not found at $path " +
@@ -260,21 +263,29 @@ private[graft] object SnapshotV2Table {
         sys.error(s"no snapshot at or before timestamp $t at $path"))
       case _ => snaps.last
     }
-    new SnapshotV2Table(path, snap)
+    new SnapshotV2Table(path, snap, cdf)
   }
 }
 
 private[graft] class SnapshotV2Table(path: String,
-    val snapshot: SnapshotTable.Snapshot) extends Table with SupportsRead {
+    val snapshot: SnapshotTable.Snapshot,
+    readChangeFeed: Boolean = false) extends Table with SupportsRead {
 
-  /** null snapshot = missing table placeholder (write flows only). */
+  /** null snapshot = missing table placeholder (write flows only).
+    * Change-feed reads surface the table schema PLUS the two change
+    * columns — the Delta CDF shape. */
   val schemaStruct: StructType =
     if (snapshot == null) new StructType()
+    else if (readChangeFeed)
+      StructType.fromDDL(snapshot.schemaDdl)
+        .add(SnapshotTable.ChangeTypeCol, "string")
+        .add(SnapshotTable.CommitVersionCol, "long")
     else StructType.fromDDL(snapshot.schemaDdl)
 
   override def name(): String =
     if (snapshot == null) s"graft-snapshot($path@missing)"
-    else s"graft-snapshot($path@v${snapshot.version})"
+    else s"graft-snapshot($path@v${snapshot.version}" +
+      (if (readChangeFeed) ",cdf)" else ")")
   override def schema(): StructType = schemaStruct
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -283,7 +294,11 @@ private[graft] class SnapshotV2Table(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (snapshot == null)
       throw new IllegalArgumentException(s"no snapshot table at $path")
-    new SnapshotScanBuilder(snapshot, schemaStruct, path,
+    if (readChangeFeed)
+      new SnapshotCdfScanBuilder(snapshot, path,
+        Option(options.get("startingVersion")).map(_.toLong),
+        Option(options.get("endingVersion")).map(_.toLong))
+    else new SnapshotScanBuilder(snapshot, schemaStruct, path,
       ignoreChanges = Option(options.get("ignoreChanges"))
         .exists(_.toBoolean))
   }
@@ -800,6 +815,226 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     * partitions carry the files), so one factory serves every batch. */
   override def createReaderFactory(): PartitionReaderFactory =
     inner(Seq.empty).toBatch.createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+// ---- change-data-feed reads (`option("readChangeFeed", "true")`) ----
+
+/** No pushdown: a change-feed read is change-complete by contract (a
+  * pruned feed would silently drop changes); filters run post-scan. */
+private[graft] class SnapshotCdfScanBuilder(snap: SnapshotTable.Snapshot,
+    root: String, startingVersion: Option[Long],
+    endingVersion: Option[Long]) extends ScanBuilder {
+  override def build(): Scan =
+    new SnapshotCdfScan(snap, root, startingVersion, endingVersion)
+}
+
+/** The change feed as a V2 scan — batch AND streaming (the Delta CDF
+  * surface):
+  *
+  * {{{
+  *   spark.read.format("graft-snapshot")            // batch: commits
+  *     .option("readChangeFeed", "true")            //   [starting,
+  *     .option("startingVersion", 2)                //    ending]
+  *     .option("endingVersion", 5).load(root)       //   inclusive
+  *   spark.readStream.format("graft-snapshot")      // stream: changes
+  *     .option("readChangeFeed", "true").load(root) //   after load
+  * }}}
+  *
+  * Output schema = table schema + `_change_type` + `_commit_version`.
+  * Every batch is served from O(changed rows) files, never a diff job:
+  *
+  *   - `create`/`append` commits read their fresh dirs verbatim, tagged
+  *     `insert` by a constant-appending reader (no change file needed —
+  *     the fresh dirs ARE the inserts);
+  *   - `upsert`/`delete` commits on a `changeFeed = true` table read
+  *     the commit's recorded `_cdc` dir (diff-exact rows written at
+  *     commit time, [[SnapshotTable]] change files);
+  *   - `zorder`/`compact` commits are content-neutral: zero changes,
+  *     skipped;
+  *   - anything else (overwrite, restore, merge-on-read layers,
+  *     row-level UPDATE/MERGE replacements, or upsert/delete on a table
+  *     without the feed) FAILS LOUDLY — serving it would need a
+  *     full-table diff; run [[SnapshotTable.readChanges]] as a batch
+  *     job for those.
+  *
+  * Streaming offsets are manifest versions (the
+  * [[SnapshotMicroBatchStream]] discipline), so checkpointed restarts
+  * resume exactly after the last served commit; `startingVersion` (its
+  * own changes included) rewinds into history, default = changes after
+  * the load-time head. 100 TB framing: a trigger's cost is the commit's
+  * own change volume — the feed never rescans the table. */
+private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
+    root: String, startingVersion: Option[Long],
+    endingVersion: Option[Long]) extends Scan {
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+
+  private val tableSchema = StructType.fromDDL(snap.schemaDdl)
+  private val cdcFileSchema = tableSchema
+    .add(SnapshotTable.ChangeTypeCol, "string")
+
+  override def readSchema(): StructType = cdcFileSchema
+    .add(SnapshotTable.CommitVersionCol, "long")
+  override def description(): String =
+    s"graft-snapshot v${snap.version} change feed"
+
+  private def spark = SparkSession.active
+
+  private def rawInner(paths: Seq[String]): Scan = {
+    val b = GraftParquetBridge.parquetScanBuilder(spark, paths, tableSchema)
+    GraftParquetBridge.pruneColumns(b, tableSchema)
+    GraftParquetBridge.buildScan(b)
+  }
+  private def cdcInner(paths: Seq[String]): Scan = {
+    val b = GraftParquetBridge.parquetScanBuilder(spark, paths, cdcFileSchema)
+    GraftParquetBridge.pruneColumns(b, cdcFileSchema)
+    GraftParquetBridge.buildScan(b)
+  }
+
+  private[sources] def readerFactory: PartitionReaderFactory =
+    new CdfReaderFactory(rawInner(Seq.empty).toBatch.createReaderFactory(),
+      cdcInner(Seq.empty).toBatch.createReaderFactory())
+
+  /** Partitions for ONE commit's changes (`next` against its
+    * predecessor `prev`). */
+  private[sources] def commitPartitions(prev: Option[SnapshotTable.Snapshot],
+      next: SnapshotTable.Snapshot): Array[InputPartition] = {
+    def raw(dirs: Seq[String]): Array[InputPartition] =
+      if (dirs.isEmpty) Array.empty
+      else rawInner(dirs).toBatch.planInputPartitions().map(p =>
+        CdfInputPartition(p, fromCdc = false, "insert", next.version))
+    next.op match {
+      case "create" => raw(next.entries.map(_._2))
+      case "append" =>
+        raw(next.entries.map(_._2).diff(
+          prev.getOrElse(sys.error(s"change feed needs version " +
+            s"${next.version - 1} at $root (vacuumed?)")).entries.map(_._2)))
+      case "upsert" | "delete" if next.cdc.isDefined =>
+        cdcInner(Seq(next.cdc.get)).toBatch.planInputPartitions().map(p =>
+          CdfInputPartition(p, fromCdc = true, null, next.version))
+      case "zorder" | "compact" => Array.empty // content-neutral rewrites
+      case other => sys.error(
+        s"change feed hit commit v${next.version} (op=$other) at $root " +
+          "with no recorded change data — enable changeFeed at create " +
+          "for upsert/delete commits, and read overwrites/restores/" +
+          "row-level rewrites with the batch SnapshotTable.readChanges " +
+          "diff instead")
+    }
+  }
+
+  /** Partitions for every commit in `[fromV, toV]`, against the LIVE
+    * manifest catalog (streaming sees commits newer than the pinned
+    * snapshot). */
+  private[sources] def rangePartitions(fromV: Long,
+      toV: Long): Array[InputPartition] = {
+    if (toV < fromV) return Array.empty
+    val byV = SnapshotTable.versions(spark, root).map(s => s.version -> s).toMap
+    (fromV to toV).toArray.flatMap { v =>
+      val next = byV.getOrElse(v, sys.error(
+        s"change-feed version $v vanished from $root (vacuumed?)"))
+      commitPartitions(byV.get(v - 1), next)
+    }
+  }
+
+  override def toBatch: Batch = {
+    val s = startingVersion.getOrElse(sys.error(
+      "batch change-feed reads need option startingVersion (streaming " +
+        "reads may omit it: they default to changes after the load)"))
+    val e = endingVersion.getOrElse(snap.version)
+    require(s >= 1 && s <= e,
+      s"bad change-feed range [$s, $e] (have versions up to ${snap.version})")
+    new Batch {
+      override def planInputPartitions(): Array[InputPartition] =
+        rangePartitions(s, e)
+      override def createReaderFactory(): PartitionReaderFactory =
+        readerFactory
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(endingVersion.isEmpty,
+      "endingVersion is a batch option; a stream is unbounded")
+    new SnapshotCdfMicroBatchStream(root, this,
+      startingVersion.map(_ - 1).getOrElse(snap.version))
+  }
+}
+
+/** One partition of one commit's change rows: delegates the file read,
+  * remembers how to decorate it (raw dirs get a constant `_change_type`;
+  * `_cdc` dirs carry their own) and with which `_commit_version`. */
+private[graft] case class CdfInputPartition(
+    inner: org.apache.spark.sql.connector.read.InputPartition,
+    fromCdc: Boolean, changeType: String, version: Long)
+    extends org.apache.spark.sql.connector.read.InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+/** Routes each partition to the matching parquet reader factory (table
+  * schema vs table+_change_type schema) and appends the constant change
+  * columns per row — row-mode only; the joined row is consumed before
+  * the next advance. */
+private[graft] class CdfReaderFactory(
+    raw: org.apache.spark.sql.connector.read.PartitionReaderFactory,
+    cdc: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CdfInputPartition]
+    val innerReader = (if (cp.fromCdc) cdc else raw).createReader(cp.inner)
+    val consts: Array[Any] =
+      if (cp.fromCdc) Array(cp.version)
+      else Array(UTF8String.fromString(cp.changeType), cp.version)
+    val constRow = new GenericInternalRow(consts)
+    val joined = new JoinedRow
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = innerReader.next()
+      override def get(): InternalRow = joined(innerReader.get(), constRow)
+      override def close(): Unit = innerReader.close()
+    }
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+}
+
+/** Micro-batch stream over the change feed: offsets are manifest
+  * versions, batch `(start, end]` serves each commit's recorded changes
+  * ([[SnapshotCdfScan.rangePartitions]]) — exactly-once across restarts
+  * by the same offset discipline as the append-tailing source. */
+private[graft] class SnapshotCdfMicroBatchStream(root: String,
+    scan: SnapshotCdfScan, initial: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = SnapshotOffset(initial)
+
+  override def latestOffset(): Offset = SnapshotOffset(
+    SnapshotTable.versions(SparkSession.active, root)
+      .lastOption.map(_.version).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset = {
+    val V = """\{"version":(\d+)\}""".r
+    json.trim match {
+      case V(n) => SnapshotOffset(n.toLong)
+      case other => sys.error(s"bad snapshot offset: $other")
+    }
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] =
+    scan.rangePartitions(
+      start.asInstanceOf[SnapshotOffset].version + 1,
+      end.asInstanceOf[SnapshotOffset].version)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.readerFactory
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -109,7 +109,10 @@ object SnapshotTable {
     * stats for (fixed at [[create]]); `dirStats` maps data dir →
     * per-column [[ColStats]] for the dirs whose writing commit recorded
     * them; `deltas` are the UNRESOLVED merge-on-read events layered
-    * over the base entries (empty on merge-on-write-only tables). */
+    * over the base entries (empty on merge-on-write-only tables);
+    * `changeFeed` is the sticky table flag enabling commit-time change
+    * files, and `cdc` is THIS commit's own change dir when it wrote
+    * one (upsert/delete with the feed on). */
   final case class Snapshot(version: Long, op: String, keys: Seq[String],
       buckets: Int, schemaDdl: String, uuid: String,
       entries: Seq[(Int, String)], ts: Long = 0L,
@@ -118,7 +121,9 @@ object SnapshotTable {
       txn: Option[(String, Long)] = None,
       dirRows: Map[String, Long] = Map.empty,
       dirBytes: Map[String, Long] = Map.empty,
-      deltas: Seq[DeltaEntry] = Seq.empty) {
+      deltas: Seq[DeltaEntry] = Seq.empty,
+      changeFeed: Boolean = false,
+      cdc: Option[String] = None) {
 
     /** Exact row count answered from the manifest alone — `Some` only
       * when EVERY live entry carries a recorded count (manifests from
@@ -534,7 +539,9 @@ object SnapshotTable {
         require(i > 0, s"manifest $p has malformed txn field: $t")
         (t.take(i), t.drop(i + 1).toLong)
       },
-      dirRows, dirBytes, deltas)
+      dirRows, dirBytes, deltas,
+      fieldOpt("changefeed").exists(_.toBoolean),
+      fieldOpt("cdc"))
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -839,6 +846,14 @@ object SnapshotTable {
         if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
         .select(cols.map(col): _*)
       next.op match {
+        case "upsert" | "delete" if next.cdc.isDefined =>
+          // commit-time change file (changeFeed tables): the recorded
+          // rows are diff-exact by construction, so this is the same
+          // answer as the bucket-diff branch below at zero diff cost
+          val schema = StructType.fromDDL(next.schemaDdl)
+            .add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
+          Some(spark.read.schema(schema).parquet(next.cdc.get)
+            .withColumn(CommitVersionCol, lit(next.version)))
         case "append" =>
           // fresh base dirs are pure inserts — and under merge-on-read
           // replay they are always CURRENT (their commit seq exceeds
@@ -927,6 +942,20 @@ object SnapshotTable {
       Literal.create(v, t)
     }, 42).eval(null).asInstanceOf[Int]
     ((h % buckets) + buckets) % buckets
+  }
+
+  /** Write a commit's change rows (table columns + [[ChangeTypeCol]])
+    * under `<commit dir>/_cdc` — hidden from the bucket-dir readers
+    * (Spark's file listing skips underscore-prefixed children) but
+    * directly addressable by the change feed, and renamed/swept along
+    * with its commit dir by rebase and vacuum. Must run AFTER
+    * [[writeCommitData]] created the commit dir. Returns the dir. */
+  private def writeChangeData(changes: DataFrame, root: Path,
+      version: Long, uuid: String): String = {
+    val dir = new Path(
+      new Path(new Path(root, "data"), s"c$version-$uuid"), "_cdc")
+    changes.write.parquet(dir.toString)
+    dir.toString
   }
 
   /** Write `df`'s rows bucket-partitioned under a fresh commit dir;
@@ -1019,6 +1048,8 @@ object SnapshotTable {
       body ++= s"uuid=${snap.uuid}" += '\n'
       body ++= s"ts=${snap.ts}" += '\n'
       body ++= s"statscols=${snap.statsCols.mkString(",")}" += '\n'
+      if (snap.changeFeed) body ++= "changefeed=true" += '\n'
+      snap.cdc.foreach(d => body ++= s"cdc=$d" += '\n')
       snap.txn.foreach { case (app, ver) =>
         require(!app.contains('\n') && !app.contains('\t'),
           s"txn app id must be line-safe: $app")
@@ -1126,7 +1157,8 @@ object SnapshotTable {
       entries: Seq[(Int, String)],
       stats: Map[String, Map[String, ColStats]],
       rows: Map[String, Long], bytes: Map[String, Long],
-      hit: Option[Set[Int]], txn: Option[(String, Long)])
+      hit: Option[Set[Int]], txn: Option[(String, Long)],
+      cdc: Option[String] = None)
 
   /** Table schema for a rebased commit: the head's columns plus my
     * additions (add-column evolution from both sides); a common column
@@ -1170,7 +1202,8 @@ object SnapshotTable {
       entries = p.entries.map { case (b, d) => (b, mv(d)) },
       stats = p.stats.map { case (d, s) => (mv(d), s) },
       rows = p.rows.map { case (d, n) => (mv(d), n) },
-      bytes = p.bytes.map { case (d, n) => (mv(d), n) })
+      bytes = p.bytes.map { case (d, n) => (mv(d), n) },
+      cdc = p.cdc.map(mv))
   }
 
   /** The rebased manifest for `p` on head `cur` at version `v` — with
@@ -1183,7 +1216,7 @@ object SnapshotTable {
         statsCols = cur.statsCols,
         dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
         dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
-        deltas = cur.deltas)
+        deltas = cur.deltas, changeFeed = cur.changeFeed, cdc = p.cdc)
       case "upsert" | "delete" =>
         val h = p.hit.get
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1191,7 +1224,8 @@ object SnapshotTable {
           statsCols = cur.statsCols,
           dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
           dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
-          deltas = cur.deltas.filterNot(d => h(d.bucket)))
+          deltas = cur.deltas.filterNot(d => h(d.bucket)),
+          changeFeed = cur.changeFeed, cdc = p.cdc)
       case "upsert-mor" | "delete-mor" =>
         val kind = if (p.opKind == "upsert-mor") "rows" else "tomb"
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1200,7 +1234,8 @@ object SnapshotTable {
           dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
           dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
           deltas = cur.deltas ++
-            p.entries.map { case (b, d) => DeltaEntry(b, v, kind, d) })
+            p.entries.map { case (b, d) => DeltaEntry(b, v, kind, d) },
+          changeFeed = cur.changeFeed, cdc = p.cdc)
       case other => sys.error(s"rebasing undefined for op $other")
     }
   }
@@ -1315,7 +1350,11 @@ object SnapshotTable {
       // the operation scan refuses delta-bearing snapshots, so this is
       // empty in practice — carried through so a future reader of this
       // code can't silently drop a layer
-      deltas = base.deltas)))
+      deltas = base.deltas,
+      // no change file: the replacement write streams on executors and
+      // never materializes the per-row diff — CDF streams fail loudly on
+      // these commits, the batch change feed diffs them ([[readChanges]])
+      changeFeed = base.changeFeed)))
     v
   }
 
@@ -1371,7 +1410,8 @@ object SnapshotTable {
     * append/overwrite-only table ([[upsert]] then refuses). */
   def create(df: DataFrame, root: String, keys: Seq[String],
       buckets: Int = 16, statsCols: Option[Seq[String]] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      changeFeed: Boolean = false): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     requireCols(df, keys)
     // data-skipping columns, fixed for the table's life: explicit list,
@@ -1392,7 +1432,7 @@ object SnapshotTable {
       ddl, uuid, entries,
       statsCols = sc,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
-      txn = txn)))
+      txn = txn, changeFeed = changeFeed)))
     1L
   }
 
@@ -1426,6 +1466,15 @@ object SnapshotTable {
     * kept — prior versions stay readable). */
   def overwrite(df: DataFrame, root: String,
       mergeSchema: Boolean = false,
+      txn: Option[(String, Long)] = None): Long =
+    overwriteAs(df, root, "overwrite", mergeSchema, txn)
+
+  /** [[overwrite]] published under an explicit op label — full
+    * [[compact]] goes through here as `"compact"` so content-neutral
+    * maintenance rewrites stay distinguishable from real overwrites
+    * (the change feed skips the former and refuses the latter). */
+  private def overwriteAs(df: DataFrame, root: String, op: String,
+      mergeSchema: Boolean = false,
       txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val cur = current(spark, root)
@@ -1437,11 +1486,11 @@ object SnapshotTable {
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys)
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
-    publish(fsys, rootP, stamped(Snapshot(v, "overwrite", cur.keys,
+    publish(fsys, rootP, stamped(Snapshot(v, op, cur.keys,
       cur.buckets, ddl, uuid, entries,
       statsCols = cur.statsCols,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
-      txn = txn)))
+      txn = txn, changeFeed = cur.changeFeed)))
     v
   }
 
@@ -1534,10 +1583,29 @@ object SnapshotTable {
     val entries =
       writeCommitData(merged, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     requireSubset(entries, hit, "upsert")
+    // commit-time change file (the Delta CDF shape): diff-exact rows —
+    // inserts = batch minus identical displaced rows, deletes = displaced
+    // minus identical batch rows — so the recorded feed equals what the
+    // bucket-diff spelling of readChanges computes. Costs one extra pass
+    // over the hit buckets per commit; gated by the table's changeFeed.
+    val cdcDir =
+      if (!cur.changeFeed) None
+      else {
+        val displaced = priorHit
+          .join(batch.select(keyCols: _*), cur.keys, "left_semi")
+        val batchA = aligned(batch.drop(BucketCol), ddl)
+        Some(writeChangeData(
+          batchA.exceptAll(displaced)
+            .withColumn(ChangeTypeCol, lit("insert"))
+          .unionByName(displaced.exceptAll(batchA)
+            .withColumn(ChangeTypeCol, lit("delete"))),
+          rootP, v, uuid))
+      }
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("upsert", ddl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries), hit = Some(hit), txn = txn), retries)
+        dirSizes(fsys, entries), hit = Some(hit), txn = txn,
+        cdc = cdcDir), retries)
   }
 
   /** Keyed delete: rows whose key tuple appears in `keysDf` are removed;
@@ -1583,10 +1651,17 @@ object SnapshotTable {
     val entries =
       writeCommitData(kept, rootP, v, cur.keys, cur.buckets, uuid, fsys)
     requireSubset(entries, hit, "delete")
+    val cdcDir =
+      if (!cur.changeFeed) None
+      else Some(writeChangeData(
+        priorHit.join(batch.drop(BucketCol), cur.keys, "left_semi")
+          .withColumn(ChangeTypeCol, lit("delete")),
+        rootP, v, uuid))
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries), hit = Some(hit), txn = None), retries)
+        dirSizes(fsys, entries), hit = Some(hit), txn = None,
+        cdc = cdcDir), retries)
   }
 
   /** Newest transaction version committed under `appId` (the Delta
@@ -1634,7 +1709,8 @@ object SnapshotTable {
       dirStats = target.dirStats, dirRows = target.dirRows,
       dirBytes = target.dirBytes,
       txn = txn,
-      deltas = target.deltas)))
+      deltas = target.deltas,
+      changeFeed = cur.changeFeed)))
     v
   }
 
@@ -1729,7 +1805,8 @@ object SnapshotTable {
     publish(fsys, rootP, stamped(Snapshot(v, "zorder", cur.keys,
       cur.buckets, cur.schemaDdl, uuid, entries,
       statsCols = cur.statsCols,
-      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries))))
+      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
+      changeFeed = cur.changeFeed)))
     v
   }
 
@@ -1786,6 +1863,8 @@ object SnapshotTable {
             } else if (l.startsWith("bytes=")) {
               val Array(dir, n) = l.drop("bytes=".length).split("\t", 2)
               s"bytes=${moved(dir)}\t$n"
+            } else if (l.startsWith("cdc=")) {
+              s"cdc=${moved(l.drop("cdc=".length))}"
             } else l
           }.mkString("\n")
           val tmp = new Path(st.getPath.getParent,
@@ -1806,7 +1885,7 @@ object SnapshotTable {
     * the version being replaced — safe, since that version's files are
     * immutable and stay addressable afterwards). */
   def compact(spark: SparkSession, root: String): Long =
-    overwrite(read(spark, root), root)
+    overwriteAs(read(spark, root), root, "compact")
 
   /** Bucket-TARGETED compaction — the scale-safe shape: rewrite only
     * buckets whose manifest dir count exceeds `maxDirsPerBucket`, carry
@@ -1847,7 +1926,8 @@ object SnapshotTable {
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
       dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
-      deltas = cur.deltas.filterNot(d => target(d.bucket)))))
+      deltas = cur.deltas.filterNot(d => target(d.bucket)),
+      changeFeed = cur.changeFeed)))
     v
   }
 
@@ -1884,7 +1964,7 @@ object SnapshotTable {
     expire.foreach(s => fsys.delete(manifestPath(rootP, s.version), false))
     val maxKept = keep.map(_.version).max
     val referenced = keep
-      .flatMap(s => s.entries.map(_._2) ++ s.deltas.map(_.dir))
+      .flatMap(s => s.entries.map(_._2) ++ s.deltas.map(_.dir) ++ s.cdc)
       .map(d => fsys.makeQualified(new Path(d)).toString).toSet
     // a bucket dir is live if IT or any DESCENDANT is referenced —
     // z-order commits reference `_gb=b/_zs=k` slice dirs, so the
