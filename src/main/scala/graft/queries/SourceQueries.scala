@@ -1018,8 +1018,66 @@ object SourceQueries {
       .orderBy(col("commit_version"), col("change_type"), col("doc_id"))
   }
 
+  /** Metadata tables ([[graft.sources.SnapshotMeta]] — Iceberg's
+    * `t.history` / `t.files` / `t.tags` introspection surface, served
+    * through the catalog's multipart-identifier resolution and planned
+    * as a driver-local scan): phase 1 reads the commit log (version /
+    * op / manifest-arithmetic live row count — DESCRIBE HISTORY), phase
+    * 2 the named refs, phase 3 sums `files.rows` at a tag pin and at
+    * latest — all answered from manifests alone, ZERO data files read,
+    * which is the point: the oracle reconstructs every number from the
+    * source table arithmetically, so a green row proves the manifest
+    * bookkeeping (per-dir row counts, carried-forward entries after a
+    * merge-on-write delete, tag resolution inside a metadata read)
+    * agrees with the actual content at every version. */
+  val q176 = Q("q176_snapshot_meta_tables",
+    """SELECT CAST(1 AS INT) AS phase, CAST(1 AS BIGINT) AS version, 'create' AS op,
+      |       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n
+      |UNION ALL
+      |SELECT 1, 2, 'append', (SELECT count(*) FROM documents)
+      |UNION ALL
+      |SELECT 1, 3, 'delete',
+      |       (SELECT count(*) FROM documents WHERE doc_id >= 100)
+      |UNION ALL
+      |SELECT 2, 2, 'rel', CAST(NULL AS BIGINT)
+      |UNION ALL
+      |SELECT 3, 2, 'rows_at_tag', (SELECT count(*) FROM documents)
+      |UNION ALL
+      |SELECT 3, 3, 'rows_latest',
+      |       (SELECT count(*) FROM documents WHERE doc_id >= 100)
+      |ORDER BY phase, version, op""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val wh = scratch("snapcat_wh", dir)
+    new java.io.File(wh).mkdirs()
+    s.conf.set("spark.sql.catalog.graftcat", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    val path = s"$wh/docs_meta"
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 2 === 0), path,
+      Seq("doc_id"), buckets = 8)                               // v1
+    SnapshotTable.append(d.filter(col("doc_id") % 2 === 1), path) // v2
+    SnapshotTable.delete(
+      d.filter(col("doc_id") < 100).select(col("doc_id")), path) // v3
+    SnapshotTable.createTag(s, path, "rel", Some(2L))
+    s.sql(
+      """SELECT CAST(1 AS INT) AS phase, version, op, live_rows AS n
+        |FROM graftcat.docs_meta.history
+        |UNION ALL
+        |SELECT 2, version, name AS op, CAST(NULL AS BIGINT) AS n
+        |FROM graftcat.docs_meta.tags
+        |UNION ALL
+        |SELECT 3, CAST(2 AS BIGINT), 'rows_at_tag',
+        |       (SELECT sum(rows) FROM graftcat.docs_meta.files VERSION AS OF 'rel')
+        |UNION ALL
+        |SELECT 3, CAST(3 AS BIGINT), 'rows_latest',
+        |       (SELECT sum(rows) FROM graftcat.docs_meta.files)
+        |ORDER BY phase, version, op""".stripMargin)
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173, q174, q175)
+      q171, q172, q173, q174, q175, q176)
 }

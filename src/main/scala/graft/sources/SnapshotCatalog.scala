@@ -135,9 +135,24 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   private def load(ident: Identifier, opts: Map[String, String]): Table = {
     val root = tableRoot(ident)
-    if (SnapshotTable.versions(spark, root).isEmpty)
+    if (SnapshotTable.versions(spark, root).isEmpty) {
+      // `cat.ns.t.history|files|tags` — the Iceberg metadata-table
+      // spelling: the trailing identifier part names a metadata
+      // relation of the table the namespace tail resolves to. A REAL
+      // table named e.g. `history` wins (checked above); metadata
+      // resolution only fills the miss.
+      val ns = ident.namespace.toSeq
+      if (ns.nonEmpty && SnapshotMeta.MetaNames.contains(ident.name)) {
+        val parentRoot = nsPath(ns).toString
+        if (SnapshotTable.versions(spark, parentRoot).nonEmpty) {
+          val pin = if (opts.isEmpty) None
+            else Some(SnapshotMeta.resolvePin(spark, parentRoot, opts))
+          return new SnapshotMetaTable(parentRoot, ident.name, pin)
+        }
+      }
       throw new NoSuchTableException(
         (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq)
+    }
     val resolved = SnapshotV2Table.resolve(new CaseInsensitiveStringMap(
       (opts + ("path" -> root)).asJava))
     new SnapshotCatalogTable(root, resolved.snapshot)

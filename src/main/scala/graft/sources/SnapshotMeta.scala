@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{StructType, StructField, LongType, IntegerType, StringType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Metadata tables for the snapshot format — the Iceberg `t$history` /
+  * `t.files` introspection surface (Iceberg spec "Metadata tables";
+  * Delta spells the same as `DESCRIBE HISTORY`): the table's own commit
+  * log, live file list, and named refs, queryable as ordinary relations
+  * so operators debug a 100 TB table with SQL instead of filesystem
+  * spelunking.
+  *
+  * SQL (through [[SnapshotCatalog]], Iceberg's multipart spelling —
+  * the metadata name is one extra identifier part after the table):
+  *
+  * {{{
+  *   SELECT * FROM graftcat.db.t.history           -- one row per commit
+  *   SELECT * FROM graftcat.db.t.files             -- live entries, latest
+  *   SELECT * FROM graftcat.db.t.files VERSION AS OF 3
+  *   SELECT * FROM graftcat.db.t.tags              -- named refs
+  * }}}
+  *
+  * Object API: [[SnapshotMeta.history]], [[SnapshotMeta.files]],
+  * [[SnapshotMeta.tags]].
+  *
+  * Scale shape: all three relations are MANIFEST-ONLY — O(versions) or
+  * O(live entries) driver rows, never a data-file read, so `history`
+  * on a 100 TB table costs the same as on a 100 MB one. They surface
+  * as a V2 [[LocalScan]] (driver-local rows, the shape Spark plans as
+  * a `LocalTableScan`), which is exactly right for metadata
+  * cardinalities: entries ≈ buckets × commits-since-compaction, bounded
+  * by the same compaction that bounds manifest size. */
+object SnapshotMeta {
+
+  /** `history` schema — one row per published version, ascending.
+    * `added_dirs` counts the data dirs FIRST listed by this commit
+    * (provenance: carried-forward entries belong to the commit that
+    * wrote them, not to every later manifest that re-lists them);
+    * `live_rows`/`live_bytes` are the manifest-arithmetic totals
+    * ([[SnapshotTable.Snapshot.metadataRowCount]]) and are null when a
+    * live dir predates row counting or merge-on-read deltas make
+    * per-dir sums non-additive. */
+  val HistorySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("ts", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("added_dirs", IntegerType, nullable = false),
+    StructField("live_dirs", IntegerType, nullable = false),
+    StructField("live_rows", LongType, nullable = true),
+    StructField("live_bytes", LongType, nullable = true),
+    StructField("txn_app", StringType, nullable = true),
+    StructField("txn_batch", LongType, nullable = true),
+    StructField("change_file", StringType, nullable = true)))
+
+  /** `files` schema — one row per live entry of ONE resolved snapshot:
+    * base data dirs (`kind = data`) plus unresolved merge-on-read
+    * layers (`kind = rows | tomb`, with `seq` = the layering commit).
+    * `added_version` is the first manifest that listed the dir. */
+  val FilesSchema: StructType = StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("dir", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("seq", LongType, nullable = true),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = true),
+    StructField("added_version", LongType, nullable = true)))
+
+  /** `tags` schema — the named refs, one row per tag. */
+  val TagsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  val MetaNames: Set[String] = Set("history", "files", "tags")
+
+  def schemaOf(kind: String): StructType = kind match {
+    case "history" => HistorySchema
+    case "files" => FilesSchema
+    case "tags" => TagsSchema
+    case other => sys.error(s"unknown metadata table '$other'")
+  }
+
+  /** Rows for one metadata relation. `pin`: resolve `files` at this
+    * snapshot, truncate `history` to versions ≤ it (so `VERSION AS OF`
+    * on a metadata table reads as "the metadata a reader pinned there
+    * would see"); None = latest / full history. */
+  def rows(spark: SparkSession, root: String, kind: String,
+      pin: Option[SnapshotTable.Snapshot]): Seq[Row] = {
+    val snaps = SnapshotTable.versions(spark, root)
+    require(snaps.nonEmpty, s"no snapshot table at $root")
+    // first manifest version listing each dir — provenance for both
+    // history.added_dirs and files.added_version, one ascending pass
+    val firstListed = scala.collection.mutable.Map.empty[String, Long]
+    snaps.foreach { s =>
+      (s.entries.map(_._2) ++ s.deltas.map(_.dir)).foreach { d =>
+        if (!firstListed.contains(d)) firstListed(d) = s.version
+      }
+    }
+    kind match {
+      case "history" =>
+        val kept = pin match {
+          case Some(p) => snaps.filter(_.version <= p.version)
+          case None => snaps
+        }
+        kept.map { s =>
+          val live = s.entries.map(_._2) ++ s.deltas.map(_.dir)
+          Row(s.version, s.ts, s.op,
+            live.count(d => firstListed(d) == s.version),
+            live.size,
+            s.metadataRowCount.map(Long.box).orNull,
+            s.metadataSizeBytes.map(Long.box).orNull,
+            s.txn.map(_._1).orNull,
+            s.txn.map(t => Long.box(t._2)).orNull,
+            s.cdc.orNull)
+        }
+      case "files" =>
+        val s = pin.getOrElse(snaps.last)
+        val base = s.entries.map { case (b, d) =>
+          Row(b, d, "data", null,
+            s.dirRows.get(d).map(Long.box).orNull,
+            s.dirBytes.get(d).map(Long.box).orNull,
+            firstListed.get(d).map(Long.box).orNull)
+        }
+        val layers = s.deltas.map { e =>
+          Row(e.bucket, e.dir, e.kind, Long.box(e.seq),
+            s.dirRows.get(e.dir).map(Long.box).orNull,
+            s.dirBytes.get(e.dir).map(Long.box).orNull,
+            firstListed.get(e.dir).map(Long.box).orNull)
+        }
+        base ++ layers
+      case "tags" =>
+        SnapshotTable.tags(spark, root).map { case (n, v) => Row(n, v) }
+      case other => sys.error(s"unknown metadata table '$other'")
+    }
+  }
+
+  /** Commit history as a DataFrame — `DESCRIBE HISTORY` for the object
+    * API. */
+  def history(spark: SparkSession, root: String): DataFrame =
+    toDf(spark, root, "history", None)
+
+  /** Live file list of one snapshot (latest / `version` / `tag` /
+    * newest-commit-≤-`asOfTimestamp`, same resolution as
+    * [[SnapshotTable.read]]). */
+  def files(spark: SparkSession, root: String,
+      version: Option[Long] = None,
+      asOfTimestamp: Option[Long] = None,
+      tag: Option[String] = None): DataFrame = {
+    val opts = version.map(v => "versionAsOf" -> v.toString).toMap ++
+      asOfTimestamp.map(t => "timestampAsOf" -> t.toString) ++
+      tag.map(t => "tagAsOf" -> t)
+    toDf(spark, root, "files", Some(opts))
+  }
+
+  /** Named refs as a DataFrame. */
+  def tags(spark: SparkSession, root: String): DataFrame =
+    toDf(spark, root, "tags", None)
+
+  private def toDf(spark: SparkSession, root: String, kind: String,
+      opts: Option[Map[String, String]]): DataFrame = {
+    val pin = opts.filter(_.nonEmpty).map(resolvePin(spark, root, _))
+    spark.createDataFrame(
+      util.Arrays.asList(rows(spark, root, kind, pin): _*),
+      schemaOf(kind))
+  }
+
+  /** Resolve versionAsOf/tagAsOf/timestampAsOf options to one snapshot
+    * with the connector's exact rules (numeric-or-tag `versionAsOf`
+    * included). */
+  def resolvePin(spark: SparkSession, root: String,
+      opts: Map[String, String]): SnapshotTable.Snapshot = {
+    import scala.jdk.CollectionConverters._
+    SnapshotV2Table.resolve(new CaseInsensitiveStringMap(
+      (opts + ("path" -> root)).asJava)).snapshot
+  }
+}
+
+/** V2 Table serving one metadata relation — rows are materialized ONCE
+  * at scan build from the manifests (snapshot-isolated like every other
+  * read of the format) and planned as a driver-[[LocalScan]]. */
+private[sources] class SnapshotMetaTable(root: String, kind: String,
+    pin: Option[SnapshotTable.Snapshot]) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-snapshot($root#$kind)"
+  override def schema(): StructType = SnapshotMeta.schemaOf(kind)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = {
+        val schema = SnapshotMeta.schemaOf(kind)
+        val spark = SparkSession.active
+        val data = SnapshotMeta.rows(spark, root, kind, pin)
+          .map(toInternal(schema, _)).toArray
+        new LocalScan {
+          override def rows(): Array[InternalRow] = data
+          override def readSchema(): StructType = schema
+          override def description(): String =
+            s"graft-snapshot metadata $kind($root)"
+        }
+      }
+    }
+
+  /** Metadata schemas are flat long/int/string/null — hand-converted,
+    * no encoder machinery. */
+  private def toInternal(schema: StructType, r: Row): InternalRow = {
+    val vals = schema.fields.indices.map { i =>
+      r.get(i) match {
+        case null => null
+        case s: String => UTF8String.fromString(s)
+        case v => v // Long / Integer box — InternalRow stores as-is
+      }
+    }
+    new GenericInternalRow(vals.toArray)
+  }
+}
