@@ -1076,8 +1076,60 @@ object SourceQueries {
         |ORDER BY phase, version, op""".stripMargin)
   }
 
+  /** Bucket-layout evolution on the snapshot table
+    * ([[graft.sources.SnapshotTable.rescaleBuckets]] — the Iceberg
+    * partition-evolution / extendible-hashing move): create at 4
+    * buckets, GROW to 16 in a pure-metadata commit (phase 1 reads the
+    * rescaled version: content must be untouched), append under the new
+    * layout (mixed-layout table), then a keyed upsert whose hit set
+    * closes over the old dirs it touches and MIGRATES them (phase 2 =
+    * the merged head; update-only batch so the oracle is a CASE).
+    * Phase 3 is a key-pruned lookup ACROSS the layout mix — old dirs
+    * prune at 1/4, fresh dirs at 1/16, exactness of the old-dir sibling
+    * filter is what the hash pins. Phase 4 reads after a full compact:
+    * migration to the uniform new layout is content-neutral. Byte-level
+    * pruning bounds are ScaleSpec's job; the mixed-layout read/write
+    * semantics are SnapshotRescaleSpec's. */
+  val q177 = Q("q177_snapshot_rescale",
+    """WITH v4 AS (
+      |  SELECT doc_id, lang,
+      |         n_chars + (CASE WHEN doc_id % 7 = 0 THEN 50000 ELSE 0 END)
+      |           AS n_chars
+      |  FROM documents)
+      |SELECT 1 AS phase, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 2 = 0
+      |UNION ALL SELECT 2 AS phase, doc_id, lang, n_chars FROM v4
+      |UNION ALL SELECT 3 AS phase, doc_id, lang, n_chars FROM v4
+      |WHERE doc_id % 11 = 0
+      |UNION ALL SELECT 4 AS phase, doc_id, lang, n_chars FROM v4
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snaprescale", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 2 === 0), path,
+      Seq("doc_id"), buckets = 4)
+    SnapshotTable.rescaleBuckets(s, path, 16) // v2: zero bytes moved
+    SnapshotTable.append(d.filter(col("doc_id") % 2 === 1), path) // v3
+    SnapshotTable.upsert(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 50000), path) // v4
+    val probe = d.filter(col("doc_id") % 11 === 0).select("doc_id")
+    def ph(n: Int, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(n).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    val p1 = ph(1, SnapshotTable.read(s, path, Some(2L)))
+    val p2 = ph(2, SnapshotTable.read(s, path, Some(4L)))
+    val p3 = ph(3, SnapshotTable.readForKeys(probe, path))
+    SnapshotTable.compact(s, path) // v5: finishes the migration
+    val p4 = ph(4, SnapshotTable.read(s, path))
+    p1.unionByName(p2).unionByName(p3).unionByName(p4)
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173, q174, q175, q176)
+      q171, q172, q173, q174, q175, q176, q177)
 }

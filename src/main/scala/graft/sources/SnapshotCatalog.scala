@@ -547,7 +547,7 @@ private[sources] object SnapshotProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder",
-    "restore", "create_tag", "drop_tag", "tags")
+    "restore", "create_tag", "drop_tag", "tags", "rescale")
 
   private def spark = SparkSession.active
 
@@ -661,6 +661,16 @@ private[sources] object SnapshotProcedures {
           SnapshotTable.tags(spark, root).map { case (n, v) =>
             InternalRow(UTF8String.fromString(n), v)
           }
+        }
+      }
+      case "rescale" => new Proc("rescale",
+          Seq(tableParam,
+            ProcedureParameter.in("new_buckets", IntegerType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          Seq(InternalRow(SnapshotTable.rescaleBuckets(spark, root,
+            input.getInt(1))))
         }
       }
       case "vacuum" => new Proc("vacuum",

@@ -377,7 +377,11 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
   private[graft] def reprune(cur: Seq[(Int, String)],
       filters: Seq[Filter]): Seq[(Int, String)] = {
     val bucketed = prunedBuckets(filters) match {
-      case Some(hit) => cur.filter(e => hit(e._1))
+      // layout-aware: a historical-layout dir (post-rescale, before
+      // migration) is kept when it can HOLD a hit bucket's keys; its
+      // old-bucket sibling rows are dropped by the residual predicates
+      // (every pushed filter is also kept as post-scan residue)
+      case Some(hit) => cur.filter(e => snap.entryHit(e, hit))
       case None => cur
     }
     statsPruned(bucketed, filters)
@@ -673,7 +677,11 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
-    if (snap.keys.isEmpty) new UnknownPartitioning(entries.size)
+    // a mixed-layout snapshot (mid-migration after a rescale) has no
+    // single bucket transform its dirs all satisfy — storage-partitioned
+    // joins stand down until compaction migrates the old dirs
+    if (snap.keys.isEmpty || snap.mixedLayout)
+      new UnknownPartitioning(entries.size)
     else new KeyGroupedPartitioning(
       Array(Expressions.bucket(snap.buckets, snap.keys: _*)),
       entries.map(_._1).distinct.size)
@@ -681,7 +689,8 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
-    if (snap.keys.isEmpty) inner(entries.map(_._2)).toBatch
+    if (snap.keys.isEmpty || snap.mixedLayout)
+      inner(entries.map(_._2)).toBatch
     else new Batch {
       // per-bucket planning so each partition carries its bucket id;
       // multiple partitions may share a key — Spark groups them
@@ -794,7 +803,9 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         s"offset version $v vanished from $root (vacuumed mid-stream?)"))
       val next = byV(v + 1)
       val fresh = next.entries.map(_._2).diff(prev.entries.map(_._2))
-      if (next.op != "append" && !ignoreChanges)
+      // rescale is pure metadata (identical dirs, zero new rows): the
+      // append-tailing contract is undisturbed
+      if (next.op != "append" && next.op != "rescale" && !ignoreChanges)
         sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
           s"(v${next.version}): its dirs consolidate existing rows, not " +
           "just new ones. Restart from scratch, or set " +
@@ -915,6 +926,7 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
         cdcInner(Seq(next.cdc.get)).toBatch.planInputPartitions().map(p =>
           CdfInputPartition(p, fromCdc = true, null, next.version))
       case "zorder" | "compact" => Array.empty // content-neutral rewrites
+      case "rescale" => Array.empty // pure-metadata layout change
       case other => sys.error(
         s"change feed hit commit v${next.version} (op=$other) at $root " +
           "with no recorded change data — enable changeFeed at create " +

@@ -71,7 +71,12 @@ object SnapshotMeta {
     StructField("seq", LongType, nullable = true),
     StructField("rows", LongType, nullable = true),
     StructField("bytes", LongType, nullable = true),
-    StructField("added_version", LongType, nullable = true)))
+    StructField("added_version", LongType, nullable = true),
+    // bucket layout the dir was written under; differs from the
+    // snapshot's current layout for not-yet-migrated dirs after a
+    // rescale — `SELECT count(*) … WHERE layout != <current>` is the
+    // migration-progress query
+    StructField("layout", IntegerType, nullable = false)))
 
   /** `tags` schema — the named refs, one row per tag. */
   val TagsSchema: StructType = StructType(Seq(
@@ -126,13 +131,15 @@ object SnapshotMeta {
           Row(b, d, "data", null,
             s.dirRows.get(d).map(Long.box).orNull,
             s.dirBytes.get(d).map(Long.box).orNull,
-            firstListed.get(d).map(Long.box).orNull)
+            firstListed.get(d).map(Long.box).orNull,
+            s.layoutOf(d))
         }
         val layers = s.deltas.map { e =>
           Row(e.bucket, e.dir, e.kind, Long.box(e.seq),
             s.dirRows.get(e.dir).map(Long.box).orNull,
             s.dirBytes.get(e.dir).map(Long.box).orNull,
-            firstListed.get(e.dir).map(Long.box).orNull)
+            firstListed.get(e.dir).map(Long.box).orNull,
+            s.buckets) // deltas are always current-layout by invariant
         }
         base ++ layers
       case "tags" =>

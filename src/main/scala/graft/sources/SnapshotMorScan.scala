@@ -95,9 +95,11 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    import org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     val buckets = (baseEntries.map(_._1) ++ deltas.map(_.bucket)).distinct
-    new KeyGroupedPartitioning(
+    // mid-migration mixed layouts have no single bucket transform
+    if (snap.mixedLayout) new UnknownPartitioning(buckets.size)
+    else new KeyGroupedPartitioning(
       Array(Expressions.bucket(snap.buckets, snap.keys: _*)), buckets.size)
   }
 
@@ -121,7 +123,11 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val dirty = deltas.map(_.bucket).toSet
-      val clean = baseEntries.filterNot(e => dirty(e._1))
+      // layout-aware split: an entry replays when ANY current bucket it
+      // covers carries deltas (a historical-layout dir spans several
+      // current buckets until migration)
+      val (dirtyEntries, clean) =
+        baseEntries.partition(e => snap.entryHit(e, dirty))
       val cleanParts = clean.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
         case (b, es) =>
           innerScan(es.map(_._2), required, pushFilters = true)
@@ -135,16 +141,38 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
             .map(seq -> _)
         }
       val deltaBy = deltas.groupBy(_.bucket)
-      val dirtyParts = dirty.toSeq.sorted.map { b =>
-        val ds = deltaBy(b)
-        MorInputPartition(b,
-          perDir(baseEntries.filter(_._1 == b)
-            .map { case (_, d) => seqOfDir(d) -> d }, withKeys,
-            push = true),
-          perDir(ds.filter(_.kind == "rows").map(d => d.seq -> d.dir),
-            withKeys, push = false),
-          perDir(ds.filter(_.kind == "tomb").map(d => d.seq -> d.dir),
-            keySchema, push = false))
+      // REPLAY CLASSES: a historical-layout dir's rows span every
+      // current bucket it covers, so those buckets' events must sit in
+      // the same reader as the dir — union-find merges dirty buckets
+      // linked by a shared old dir. On a uniform-layout table every
+      // class is one bucket and this is exactly the per-bucket plan.
+      val parent = scala.collection.mutable.Map(
+        dirty.toSeq.map(b => b -> b): _*)
+      def find(b: Int): Int = {
+        var x = b; while (parent(x) != x) x = parent(x); x
+      }
+      def union(a: Int, b: Int): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val entryHome = dirtyEntries.map { e =>
+        val covered = snap.coveredBuckets(e).filter(dirty)
+        covered.tail.foreach(union(covered.head, _))
+        e -> covered.head
+      }
+      val dirtyParts = dirty.groupBy(find).toSeq.sortBy(_._1).map {
+        case (cls, bs) =>
+          val es = entryHome.collect {
+            case (e, home) if find(home) == cls => e
+          }
+          val ds = bs.toSeq.sorted.flatMap(b => deltaBy.getOrElse(b, Nil))
+          MorInputPartition(cls,
+            perDir(es.map { case (_, d) => seqOfDir(d) -> d }, withKeys,
+              push = true),
+            perDir(ds.filter(_.kind == "rows").map(d => d.seq -> d.dir),
+              withKeys, push = false),
+            perDir(ds.filter(_.kind == "tomb").map(d => d.seq -> d.dir),
+              keySchema, push = false))
       }
       (cleanParts ++ dirtyParts).toArray
     }

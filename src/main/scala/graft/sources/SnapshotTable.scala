@@ -123,7 +123,39 @@ object SnapshotTable {
       dirBytes: Map[String, Long] = Map.empty,
       deltas: Seq[DeltaEntry] = Seq.empty,
       changeFeed: Boolean = false,
-      cdc: Option[String] = None) {
+      cdc: Option[String] = None,
+      dirLayout: Map[String, Int] = Map.empty) {
+
+    /** Bucket layout a data dir was WRITTEN under. `buckets` is the
+      * CURRENT layout (what new commits hash into); after a
+      * metadata-only [[SnapshotTable.rescaleBuckets]] the carried-forward
+      * dirs keep their narrower historical layout until a write or
+      * compaction migrates them. Every layout present divides every
+      * later one (grow-only power chain), which is what makes an old
+      * dir's key→bucket mapping reconstructible: for `L | B`,
+      * `hash mod L == (hash mod B) mod L`, so the dir with old id `b`
+      * holds exactly the keys whose current bucket is ≡ b (mod L). */
+    def layoutOf(dir: String): Int = dirLayout.getOrElse(dir, buckets)
+
+    /** Does entry `e` hold any key whose CURRENT-layout bucket is in
+      * `hit`? Exact under the divisibility chain (see [[layoutOf]]). */
+    def entryHit(e: (Int, String), hit: Set[Int]): Boolean = {
+      val l = layoutOf(e._2)
+      if (l == buckets) hit(e._1) else hit.exists(h => h % l == e._1)
+    }
+
+    /** Current-layout buckets entry `e`'s keys can hash into. */
+    def coveredBuckets(e: (Int, String)): Seq[Int] = {
+      val l = layoutOf(e._2)
+      if (l == buckets) Seq(e._1) else e._1 until buckets by l
+    }
+
+    /** True when live entries span more than the current layout — the
+      * signal for readers that per-entry bucket ids are NOT all in
+      * current-layout space (storage-partitioned joins and per-bucket
+      * partition stamping must stand down until migration completes). */
+    def mixedLayout: Boolean =
+      entries.exists(e => layoutOf(e._2) != buckets)
 
     /** Exact row count answered from the manifest alone — `Some` only
       * when EVERY live entry carries a recorded count (manifests from
@@ -525,6 +557,11 @@ object SnapshotTable {
         val Array(dir, n) = l.drop("bytes=".length).split("\t", 2)
         dir -> n.toLong
     }.toMap
+    val dirLayout = lines.collect {
+      case l if l.startsWith("layout=") =>
+        val Array(dir, n) = l.drop("layout=".length).split("\t", 2)
+        dir -> n.toInt
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -541,7 +578,7 @@ object SnapshotTable {
       },
       dirRows, dirBytes, deltas,
       fieldOpt("changefeed").exists(_.toBoolean),
-      fieldOpt("cdc"))
+      fieldOpt("cdc"), dirLayout)
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -718,9 +755,34 @@ object SnapshotTable {
   private def resolvedRead(spark: SparkSession, snap: Snapshot,
       buckets: Option[Set[Int]], ddl: String): DataFrame = {
     val sel: Int => Boolean = b => buckets.forall(_.contains(b))
+    // selection and row filtering are in CURRENT-layout bucket space;
+    // entries written under a historical layout (post-rescale, before
+    // migration) are selected when they can HOLD a selected bucket's
+    // keys and their surplus rows (old-bucket siblings outside the
+    // selection) are filtered out exactly, so resolvedRead(S) returns
+    // precisely the rows whose current bucket is in S at any layout mix
+    val exactFilter: Option[org.apache.spark.sql.Column] = buckets
+      .filter(_ => snap.keys.nonEmpty && snap.mixedLayout)
+      .map(s => bucketOf(snap.keys, snap.buckets).isin(s.toSeq: _*))
+    def readGroups(es: Seq[(Int, String)]): DataFrame = {
+      val groups = es.groupBy(e => snap.layoutOf(e._2)).toSeq.sortBy(_._1)
+      if (groups.isEmpty) emptyDf(spark, StructType.fromDDL(ddl))
+      else groups.map { case (l, ge) =>
+        val df = readEntries(spark, ddl, ge.map(_._2))
+        if (l == snap.buckets) df
+        else exactFilter.fold(df)(df.filter)
+      }.reduce(_.unionByName(_))
+    }
     val dirty = snap.deltas.iterator.map(_.bucket).filter(sel).toSet
-    val clean = readEntries(spark, ddl,
-      snap.entries.filter(e => sel(e._1) && !dirty(e._1)).map(_._2))
+    // an old-layout entry is dirty when ANY current bucket it covers
+    // carries deltas: its rows route through the replay join (a no-op
+    // for event-free keys), never past a tombstone
+    def entryDirty(e: (Int, String)): Boolean = snap.entryHit(e, dirty)
+    val selected = buckets match {
+      case Some(s) => snap.entries.filter(e => snap.entryHit(e, s))
+      case None => snap.entries
+    }
+    val clean = readGroups(selected.filterNot(entryDirty))
     if (dirty.isEmpty) return clean
     val schema = StructType.fromDDL(ddl)
     val keySchema = StructType(
@@ -748,8 +810,7 @@ object SnapshotTable {
     val maxEvents = events.groupBy(keyCols: _*)
       .agg(max(col(SeqCol)).as(MaxCol))
     val outCols = schema.fieldNames.map(col).toIndexedSeq
-    val base = readEntries(spark, ddl,
-        snap.entries.filter(e => dirty(e._1)).map(_._2))
+    val base = readGroups(selected.filter(entryDirty))
       .withColumn(SeqCol, fileCommitVersion)
     val liveBase = base.join(maxEvents, snap.keys, "left")
       .filter(col(MaxCol).isNull || col(MaxCol) < col(SeqCol))
@@ -893,24 +954,44 @@ object SnapshotTable {
               .unionByName(tag(oldSide.exceptAll(newSide), "delete")))
           }
         case _ =>
-          // bucket-granular diff: only buckets whose dir OR delta list
-          // changed, each side read RESOLVED so merge-on-write commits
-          // that consume deltas (and compactions that fold them away)
-          // diff by semantic content — a pure resolution is a no-op
-          val oldBy = prev.entries.groupBy(_._1)
-          val newBy = next.entries.groupBy(_._1)
-          val oldDel = prev.deltas.groupBy(_.bucket)
-          val newDel = next.deltas.groupBy(_.bucket)
-          val changed = (oldBy.keySet ++ newBy.keySet ++ oldDel.keySet ++
-            newDel.keySet).filter(b =>
-            oldBy.getOrElse(b, Nil).map(_._2) != newBy.getOrElse(b, Nil).map(_._2) ||
-              oldDel.getOrElse(b, Nil) != newDel.getOrElse(b, Nil))
-          if (changed.isEmpty) None
+          // bucket-granular diff in CURRENT-layout bucket space: only
+          // buckets whose holding dirs OR delta list changed, each side
+          // read RESOLVED so merge-on-write commits that consume deltas
+          // (and compactions that fold them away) diff by semantic
+          // content — a pure resolution is a no-op, and so is a
+          // metadata-only rescale (identical holders everywhere). An
+          // old-layout dir "holds" every current bucket it covers, so a
+          // migrating commit diffs exactly the buckets whose holder set
+          // moved. When the two sides disagree on the layout itself
+          // (restore across a rescale) the bucket spaces aren't
+          // comparable — fall back to a whole-table diff.
+          def holders(s: Snapshot): Map[Int, (Seq[String], Seq[DeltaEntry])] = {
+            val ent = scala.collection.mutable.Map
+              .empty[Int, List[String]].withDefaultValue(Nil)
+            s.entries.foreach(e =>
+              s.coveredBuckets(e).foreach(b => ent(b) ::= e._2))
+            val del = s.deltas.groupBy(_.bucket)
+            (ent.keySet ++ del.keySet).map(b => b -> (
+              (ent(b): Seq[String]).sorted,
+              del.getOrElse(b, Nil).sortBy(d => (d.seq, d.dir)))).toMap
+          }
+          val changed: Option[Set[Int]] =
+            if (prev.buckets != next.buckets) None // whole-table diff
+            else {
+              val ob = holders(prev); val nb = holders(next)
+              Some((ob.keySet ++ nb.keySet)
+                .filter(b => ob.get(b) != nb.get(b)))
+            }
+          // identical dir + delta lists = zero content change at any
+          // layout: pure-metadata commits (rescale) cost nothing here
+          if (prev.entries == next.entries && prev.deltas == next.deltas)
+            None
+          else if (changed.exists(_.isEmpty)) None
           else {
             val oldAligned = alignOld(
-              resolvedRead(spark, prev, Some(changed), prev.schemaDdl))
+              resolvedRead(spark, prev, changed, prev.schemaDdl))
             val newSide =
-              resolvedRead(spark, next, Some(changed), next.schemaDdl)
+              resolvedRead(spark, next, changed, next.schemaDdl)
                 .select(cols.map(col): _*)
             Some(tag(newSide.exceptAll(oldAligned), "insert")
               .unionByName(tag(oldAligned.exceptAll(newSide), "delete")))
@@ -929,6 +1010,33 @@ object SnapshotTable {
   private def bucketOf(keys: Seq[String], buckets: Int) =
     if (keys.isEmpty) lit(0) // keyless: single bucket, append/overwrite only
     else pmod(hash(keys.map(col): _*), lit(buckets))
+
+  /** Close a CURRENT-layout hit set over historical-layout entries: any
+    * old dir holding a hit bucket's keys pulls ALL the current buckets
+    * it covers into the set, to a fixpoint across layouts. A merge that
+    * reads the closure reads whole old dirs — so dropping their manifest
+    * lines loses no rows — and every row it rewrites hashes back inside
+    * the closure (the [[requireSubset]] invariant). This is how
+    * merge-on-write ops MIGRATE old-layout buckets incrementally after
+    * [[rescaleBuckets]]; on a uniform-layout table it is the identity. */
+  private def hitClosure(snap: Snapshot, hit: Set[Int]): Set[Int] = {
+    val oldDirs = snap.entries
+      .map(e => (snap.layoutOf(e._2), e._1)).distinct
+      .filter(_._1 != snap.buckets)
+    if (oldDirs.isEmpty) return hit
+    var s = hit
+    var grew = true
+    while (grew) {
+      grew = false
+      oldDirs.foreach { case (l, b) =>
+        if (s.exists(_ % l == b)) {
+          val kids = (b until snap.buckets by l).toSet
+          if (!kids.subsetOf(s)) { s = s ++ kids; grew = true }
+        }
+      }
+    }
+    s
+  }
 
   /** Driver-side twin of [[bucketOf]] for one literal key tuple — the
     * DSv2 connector's filter-pushdown pruning
@@ -1056,6 +1164,13 @@ object SnapshotTable {
         body ++= s"txn=$app:$ver" += '\n'
       }
       snap.entries.foreach { case (b, d) => body ++= s"entry=$b\t$d" += '\n' }
+      // layout lines only for entries written under a historical bucket
+      // count (absent = current layout), so pre-rescale manifests and
+      // never-rescaled tables serialize byte-identically to before
+      snap.entries.foreach { case (_, d) =>
+        val l = snap.layoutOf(d)
+        if (l != snap.buckets) body ++= s"layout=$d\t$l" += '\n'
+      }
       snap.deltas.foreach { d =>
         body ++= s"delta=${d.bucket}\t${d.seq}\t${d.kind}\t${d.dir}" += '\n'
       }
@@ -1158,7 +1273,12 @@ object SnapshotTable {
       stats: Map[String, Map[String, ColStats]],
       rows: Map[String, Long], bytes: Map[String, Long],
       hit: Option[Set[Int]], txn: Option[(String, Long)],
-      cdc: Option[String] = None)
+      cdc: Option[String] = None,
+      /** bucket layout the staged dirs were written under (the base
+        * head's `buckets`); a rebase onto a rescaled head keeps appends
+        * (tagging their dirs with this historical layout) and refuses
+        * everything bucket-id-dependent. */
+      layoutBuckets: Int = 0)
 
   /** Table schema for a rebased commit: the head's columns plus my
     * additions (add-column evolution from both sides); a common column
@@ -1211,21 +1331,30 @@ object SnapshotTable {
   private def rebasedSnapshot(cur: Snapshot, v: Long, p: Pending): Snapshot = {
     val ddl = mergedDdl(cur.schemaDdl, p.myDdl)
     p.opKind match {
-      case "append" => Snapshot(v, "append", cur.keys, cur.buckets, ddl,
+      case "append" =>
+        // appended onto a rescaled head: the staged dirs keep their
+        // historical layout tag (commitRebasing already verified it
+        // divides the head's)
+        val myLayout =
+          if (p.layoutBuckets == cur.buckets) Map.empty[String, Int]
+          else p.entries.map(e => e._2 -> p.layoutBuckets).toMap
+        Snapshot(v, "append", cur.keys, cur.buckets, ddl,
         p.uuid, cur.entries ++ p.entries,
         statsCols = cur.statsCols,
         dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
         dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
-        deltas = cur.deltas, changeFeed = cur.changeFeed, cdc = p.cdc)
+        deltas = cur.deltas, changeFeed = cur.changeFeed, cdc = p.cdc,
+        dirLayout = cur.dirLayout ++ myLayout)
       case "upsert" | "delete" =>
         val h = p.hit.get
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
-          cur.entries.filterNot(e => h(e._1)) ++ p.entries,
+          cur.entries.filterNot(e => cur.entryHit(e, h)) ++ p.entries,
           statsCols = cur.statsCols,
           dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
           dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
           deltas = cur.deltas.filterNot(d => h(d.bucket)),
-          changeFeed = cur.changeFeed, cdc = p.cdc)
+          changeFeed = cur.changeFeed, cdc = p.cdc,
+          dirLayout = cur.dirLayout)
       case "upsert-mor" | "delete-mor" =>
         val kind = if (p.opKind == "upsert-mor") "rows" else "tomb"
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1235,7 +1364,8 @@ object SnapshotTable {
           dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
           deltas = cur.deltas ++
             p.entries.map { case (b, d) => DeltaEntry(b, v, kind, d) },
-          changeFeed = cur.changeFeed, cdc = p.cdc)
+          changeFeed = cur.changeFeed, cdc = p.cdc,
+          dirLayout = cur.dirLayout)
       case other => sys.error(s"rebasing undefined for op $other")
     }
   }
@@ -1275,9 +1405,24 @@ object SnapshotTable {
               .exists { case (a, m) => a == app && m >= n }
           }
           if (replayed) return cur2.version // the batch already landed
+          // a concurrent RESCALE (or a restore across one) changed the
+          // current bucket layout: a blind append survives if its staged
+          // layout still divides the head's (its dirs rebase as
+          // historical-layout entries); anything that derived bucket ids
+          // from the old layout (hit sets, delta events) must fail
+          if (cur2.buckets != p.layoutBuckets) {
+            val appendSafe = p.opKind == "append" &&
+              p.layoutBuckets > 0 && cur2.buckets % p.layoutBuckets == 0
+            if (!appendSafe)
+              throw new ConcurrentCommitException(
+                s"${p.opKind} staged under bucket layout " +
+                  s"${p.layoutBuckets} but a concurrent commit moved the " +
+                  s"table to ${cur2.buckets} buckets — rebase unsafe, " +
+                  "retry the whole operation")
+          }
           p.hit.foreach { h =>
             def hitLists(s: Snapshot) =
-              (s.entries.filter(e => h(e._1)).sorted,
+              (s.entries.filter(e => s.entryHit(e, h)).sorted,
                 s.deltas.filter(d => h(d.bucket))
                   .sortBy(d => (d.bucket, d.seq, d.dir)))
             if (hitLists(base) != hitLists(cur2))
@@ -1354,7 +1499,10 @@ object SnapshotTable {
       // no change file: the replacement write streams on executors and
       // never materializes the per-row diff — CDF streams fail loudly on
       // these commits, the batch change feed diffs them ([[readChanges]])
-      changeFeed = base.changeFeed)))
+      changeFeed = base.changeFeed,
+      // kept old-layout dirs keep their tags; staged dirs are
+      // current-layout (absent = default)
+      dirLayout = base.dirLayout)))
     v
   }
 
@@ -1459,7 +1607,8 @@ object SnapshotTable {
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("append", ddl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries), hit = None, txn = txn), retries)
+        dirSizes(fsys, entries), hit = None, txn = txn,
+        layoutBuckets = cur.buckets), retries)
   }
 
   /** Replace the table's content wholesale (config and history are
@@ -1567,9 +1716,12 @@ object SnapshotTable {
       // version — "applied after the winner")
       return commitRebasing(spark, root, fsys, rootP, cur,
         Pending("upsert-mor", ddl, uuid, v, entries, st, rw,
-          dirSizes(fsys, entries), hit = None, txn = txn), retries)
+          dirSizes(fsys, entries), hit = None, txn = txn,
+          layoutBuckets = cur.buckets), retries)
     }
-    val hit = hitBuckets(batch)
+    // closure over historical layouts: hit old dirs are read WHOLE and
+    // their rows migrate into current-layout dirs with this commit
+    val hit = hitClosure(cur, hitBuckets(batch))
     // prior files read under the COMMIT schema (on an evolving upsert
     // the old files lack the new columns and backfill null) and
     // RESOLVED: pending deltas in the hit buckets merge in here and
@@ -1605,7 +1757,7 @@ object SnapshotTable {
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("upsert", ddl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = txn,
-        cdc = cdcDir), retries)
+        cdc = cdcDir, layoutBuckets = cur.buckets), retries)
   }
 
   /** Keyed delete: rows whose key tuple appears in `keysDf` are removed;
@@ -1643,9 +1795,12 @@ object SnapshotTable {
         cur.statsCols)
       return commitRebasing(spark, root, fsys, rootP, cur,
         Pending("delete-mor", cur.schemaDdl, uuid, v, entries, st, rw,
-          dirSizes(fsys, entries), hit = None, txn = None), retries)
+          dirSizes(fsys, entries), hit = None, txn = None,
+          layoutBuckets = cur.buckets), retries)
     }
-    val hit = hitBuckets(batch)
+    // closure over historical layouts: hit old dirs are read WHOLE and
+    // their rows migrate into current-layout dirs with this commit
+    val hit = hitClosure(cur, hitBuckets(batch))
     val priorHit = resolvedRead(spark, cur, Some(hit), cur.schemaDdl)
     val kept = priorHit.join(batch.drop(BucketCol), cur.keys, "left_anti")
     val entries =
@@ -1661,7 +1816,7 @@ object SnapshotTable {
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = None,
-        cdc = cdcDir), retries)
+        cdc = cdcDir, layoutBuckets = cur.buckets), retries)
   }
 
   /** Newest transaction version committed under `appId` (the Delta
@@ -1703,14 +1858,20 @@ object SnapshotTable {
         s"${missing.size} data dir(s) no longer exist (vacuumed?) — " +
         s"e.g. ${missing.headOption.getOrElse("")}")
     val v = cur.version + 1
+    // the restore takes the target's BUCKET LAYOUT back too (data,
+    // schema, pending deltas and layout all return to the target's
+    // state): keeping the rescaled layout would leave delta bucket ids
+    // and entry tags in the wrong space, and the re-shrunk layout stays
+    // inside the grow-only divisibility chain for future rescales
     publish(fsys, rootP, stamped(Snapshot(v, "restore", cur.keys,
-      cur.buckets, target.schemaDdl, newUuid(), target.entries,
+      target.buckets, target.schemaDdl, newUuid(), target.entries,
       statsCols = target.statsCols,
       dirStats = target.dirStats, dirRows = target.dirRows,
       dirBytes = target.dirBytes,
       txn = txn,
       deltas = target.deltas,
-      changeFeed = cur.changeFeed)))
+      changeFeed = cur.changeFeed,
+      dirLayout = target.dirLayout)))
     v
   }
 
@@ -1865,6 +2026,9 @@ object SnapshotTable {
               s"bytes=${moved(dir)}\t$n"
             } else if (l.startsWith("cdc=")) {
               s"cdc=${moved(l.drop("cdc=".length))}"
+            } else if (l.startsWith("layout=")) {
+              val Array(dir, n) = l.drop("layout=".length).split("\t", 2)
+              s"layout=${moved(dir)}\t$n"
             } else l
           }.mkString("\n")
           val tmp = new Path(st.getPath.getParent,
@@ -1879,11 +2043,69 @@ object SnapshotTable {
     }
   }
 
+  /** Grow the table's bucket count WITHOUT rewriting a byte — the
+    * partition-evolution move (Iceberg spec "partition evolution";
+    * extendible hashing's directory doubling): a pure-metadata commit
+    * re-publishes the current entries tagged with their HISTORICAL
+    * layout and sets `buckets = newBuckets` for everything that follows.
+    *
+    * Why grow-only multiples: for `L | B`, a key's old bucket is its new
+    * bucket mod L (`hash mod L == (hash mod B) mod L`), so an old dir's
+    * key range stays exactly reconstructible — reads prune old dirs at
+    * 1/L and fresh dirs at 1/B, writes close their hit sets over the old
+    * dirs they touch ([[hitClosure]]) and MIGRATE them incrementally:
+    * every upsert/delete/targeted-compact that touches an old dir
+    * rewrites it under the new layout, so migration amortizes into the
+    * writes the table was doing anyway and [[compact]]/[[zorder]] finish
+    * it in one pass. Shrinking or a non-multiple would break that
+    * identity — refused; spell those as an explicit rewrite into a
+    * fresh table.
+    *
+    * The 100 TB story this closes: bucket count is no longer fixed at
+    * create. A table sized at B buckets that grows 100× doubles its
+    * layout in O(entries) driver metadata k times, keeping one bucket ≈
+    * one comfortable rewrite unit forever, with zero stop-the-world
+    * rewrite.
+    *
+    * Refused on tables with unresolved merge-on-read deltas (their
+    * event bucket ids live in the old space — compact first) and on
+    * keyless tables (no hash layout to grow). Returns the committed
+    * version. */
+  def rescaleBuckets(spark: SparkSession, root: String,
+      newBuckets: Int): Long = {
+    val cur = current(spark, root)
+    require(cur.keys.nonEmpty,
+      s"table at $root is keyless (single bucket 0); rescale undefined")
+    require(newBuckets > cur.buckets && newBuckets % cur.buckets == 0,
+      s"rescaleBuckets grows by integer multiples only: " +
+        s"${cur.buckets} -> $newBuckets (shrink/reshape = rewrite into " +
+        "a fresh table)")
+    require(cur.deltas.isEmpty,
+      s"table at $root has ${cur.deltas.size} unresolved merge-on-read " +
+        "delta dirs whose bucket ids live in the old layout — compact " +
+        "first")
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(Snapshot(v, "rescale", cur.keys,
+      newBuckets, cur.schemaDdl, newUuid(), cur.entries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats, dirRows = cur.dirRows,
+      dirBytes = cur.dirBytes,
+      changeFeed = cur.changeFeed,
+      // every carried dir gets an explicit tag at ITS OWN layout (the
+      // old current-layout dirs become historical; already-historical
+      // tags carry through unchanged)
+      dirLayout = cur.entries.map(e => e._2 -> cur.layoutOf(e._2)).toMap)))
+    v
+  }
+
   /** Full compaction: rewrite every bucket to one fresh dir each,
     * collapsing the per-bucket dir lists appends accumulate. Content is
     * unchanged (it is `overwrite(read(latest))` with the plan reading
     * the version being replaced — safe, since that version's files are
-    * immutable and stay addressable afterwards). */
+    * immutable and stay addressable afterwards). A mixed-layout table
+    * ([[rescaleBuckets]]) comes out fully migrated to the current
+    * layout. */
   def compact(spark: SparkSession, root: String): Long =
     overwriteAs(read(spark, root), root, "compact")
 
@@ -1901,15 +2123,19 @@ object SnapshotTable {
     require(maxDirsPerBucket >= 1,
       s"maxDirsPerBucket must be >= 1: $maxDirsPerBucket")
     val cur = current(spark, root)
-    val byBucket = cur.entries.groupBy(_._1)
-    val deltaBy = cur.deltas.groupBy(_.bucket)
-    // delta dirs count toward fragmentation (each is an extra read +
-    // resolution input); a targeted rewrite RESOLVES its buckets, so
-    // their delta lines fold away with the dir list
-    val target = (byBucket.keySet ++ deltaBy.keySet).filter(b =>
-      byBucket.getOrElse(b, Nil).size + deltaBy.getOrElse(b, Nil).size >
-        maxDirsPerBucket)
-    if (target.isEmpty) return cur.version
+    // fragmentation per CURRENT bucket: delta dirs count (each is an
+    // extra read + resolution input) and a historical-layout dir counts
+    // toward EVERY bucket it covers (it is an extra read input for each).
+    // A targeted rewrite RESOLVES its buckets — delta lines fold away —
+    // and MIGRATES any old-layout dir it touches to the current layout.
+    val frag = scala.collection.mutable.Map.empty[Int, Int]
+      .withDefaultValue(0)
+    cur.entries.foreach(e => cur.coveredBuckets(e).foreach(b =>
+      frag(b) += 1))
+    cur.deltas.foreach(d => frag(d.bucket) += 1)
+    val over = frag.filter(_._2 > maxDirsPerBucket).keys.toSet
+    if (over.isEmpty) return cur.version
+    val target = hitClosure(cur, over)
     val (fsys, rootP) = fs(spark, root)
     val rows = resolvedRead(spark, cur, Some(target), cur.schemaDdl)
     val v = cur.version + 1
@@ -1922,12 +2148,13 @@ object SnapshotTable {
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
     publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
       cur.buckets, cur.schemaDdl, uuid,
-      cur.entries.filterNot(e => target(e._1)) ++ entries,
+      cur.entries.filterNot(e => cur.entryHit(e, target)) ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
       dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
       deltas = cur.deltas.filterNot(d => target(d.bucket)),
-      changeFeed = cur.changeFeed)))
+      changeFeed = cur.changeFeed,
+      dirLayout = cur.dirLayout)))
     v
   }
 

@@ -763,6 +763,57 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"snap_read_full_bytes":$fullBytes,"snap_readforkeys_bytes":$keyBytes,"snap_connector_lookup_bytes":$v2Bytes,"snap_read_buckets":$buckets}}""")
   }
 
+  test("SnapshotTable rescale at 10x: the layout grow moves zero data " +
+      "bytes, a mixed-layout point lookup prunes old dirs at 1/oldB " +
+      "and fresh dirs at 1/newB, and compaction tightens it to 1/newB") {
+    import graft.sources.SnapshotTable
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snaprs10x").toFile,
+      "tbl").getAbsolutePath
+    val (oldB, newB) = (8, 32)
+    val big = spark.range(0, 100000, 1, 8).select(col("id"),
+      concat(lit("v"), col("id")).as("tag"), (col("id") * 7).as("v"))
+    SnapshotTable.create(big, root, Seq("id"), oldB)
+    val (_, baseBytes, _) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.read(spark, root).agg(count(lit(1))).head()
+    }
+    // the grow itself: O(entries) driver metadata, ZERO data input
+    val (_, rescaleBytes, _) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.rescaleBuckets(spark, root, newB)
+    }
+    assert(rescaleBytes === 0L,
+      s"rescale read $rescaleBytes data bytes; must be metadata-only")
+    // fresh commit under the new layout → mixed-layout table
+    val fresh = spark.range(100000, 110000, 1, 4).select(col("id"),
+      concat(lit("v"), col("id")).as("tag"), (col("id") * 7).as("v"))
+    SnapshotTable.append(fresh, root)
+    val (_, fullBytes, fullRecs) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.read(spark, root).agg(count(lit(1))).head()
+    }
+    assert(fullRecs >= 110000L)
+    // point lookup across the mix: ≤ one OLD dir (1/oldB of the base
+    // table) + the congruent fresh dirs (1/newB of the append); 4×
+    // slack for parquet footers
+    val (rows1, mixBytes, _) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.readForKeys(Seq(4242L).toDF("id"), root).collect()
+    }
+    assert(rows1.map(_.getLong(0)).toSeq === Seq(4242L))
+    val mixBound = 4L * (baseBytes / oldB + (fullBytes - baseBytes) / newB)
+    assert(mixBytes <= mixBound,
+      s"mixed-layout lookup read $mixBytes bytes (bound $mixBound)")
+    // full compact migrates everything; the same lookup now prunes at
+    // the NEW layout — the end state the incremental migration reaches
+    SnapshotTable.compact(spark, root)
+    val (rows2, newBytes, _) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.readForKeys(Seq(4242L).toDF("id"), root).collect()
+    }
+    assert(rows2.map(_.getLong(0)).toSeq === Seq(4242L))
+    val newBound = 4L * fullBytes / newB
+    assert(newBytes <= newBound,
+      s"post-migration lookup read $newBytes bytes (bound $newBound)")
+    println(s"""{"scale_invariants":{"snap_rescale_input_bytes":$rescaleBytes,"snap_mixed_lookup_bytes":$mixBytes,"snap_mixed_lookup_bound":$mixBound,"snap_migrated_lookup_bytes":$newBytes,"snap_migrated_lookup_bound":$newBound,"snap_rescale_layouts":"$oldB->$newB"}}""")
+  }
+
   test("SnapshotTable data-skipping at 10x: a range predicate over " +
       "window-correlated append commits reads only the matching " +
       "commits' bytes") {
