@@ -1128,8 +1128,54 @@ object SourceQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** Write-audit-publish on the snapshot table
+    * ([[graft.sources.SnapshotTable.createBranch]] /
+    * [[SnapshotTable.fastForward]] — the Iceberg WAP flow): fork an
+    * audit branch, stage a risky keyed upsert against it (updates
+    * existing doc_ids divisible by 3, inserts the odd ones — the shape
+    * a nightly ingest stages), and pin all three isolation surfaces:
+    * phase 1 reads MAIN while the branch holds staged commits (must be
+    * the untouched create), phase 2 reads the BRANCH head (the audit
+    * view), phase 3 reads main AFTER the fast-forward (= phase 2: the
+    * publish re-listed the branch's dirs verbatim, moving zero data
+    * bytes). Conflict/vacuum/ref semantics are SnapshotBranchSpec's. */
+  val q178 = Q("q178_snapshot_wap",
+    """WITH br AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 70000 AS n_chars FROM documents
+      |  WHERE doc_id % 3 = 0)
+      |SELECT 1 AS phase, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 2 = 0
+      |UNION ALL SELECT 2 AS phase, doc_id, lang, n_chars FROM br
+      |UNION ALL SELECT 3 AS phase, doc_id, lang, n_chars FROM br
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapwap", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 2 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    SnapshotTable.createBranch(s, path, "audit")
+    SnapshotTable.upsert(
+      d.filter(col("doc_id") % 3 === 0)
+        .withColumn("n_chars", col("n_chars") + 70000),
+      path, branch = Some("audit"))
+    def ph(n: Int, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(n).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    val p1 = ph(1, SnapshotTable.read(s, path)) // main: staged invisible
+    val p2 = ph(2, SnapshotTable.read(s, path, branch = Some("audit")))
+    SnapshotTable.fastForward(s, path, "audit")
+    val p3 = ph(3, SnapshotTable.read(s, path)) // main: published
+    p1.unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173, q174, q175, q176, q177)
+      q171, q172, q173, q174, q175, q176, q177, q178)
 }

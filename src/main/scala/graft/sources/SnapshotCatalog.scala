@@ -547,7 +547,8 @@ private[sources] object SnapshotProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder",
-    "restore", "create_tag", "drop_tag", "tags", "rescale")
+    "restore", "create_tag", "drop_tag", "tags", "rescale",
+    "create_branch", "drop_branch", "fast_forward", "branches")
 
   private def spark = SparkSession.active
 
@@ -660,6 +661,49 @@ private[sources] object SnapshotProcedures {
           val root = cat.procTableRoot(input.getUTF8String(0).toString)
           SnapshotTable.tags(spark, root).map { case (n, v) =>
             InternalRow(UTF8String.fromString(n), v)
+          }
+        }
+      }
+      case "create_branch" => new Proc("create_branch",
+          Seq(tableParam,
+            ProcedureParameter.in("name", StringType).build(),
+            // version <= 0 forks from the current head
+            ProcedureParameter.in("version", LongType).build()),
+          StructType.fromDDL("base BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          val v = input.getLong(2)
+          Seq(InternalRow(SnapshotTable.createBranch(spark, root,
+            input.getUTF8String(1).toString,
+            if (v <= 0) None else Some(v))))
+        }
+      }
+      case "drop_branch" => new Proc("drop_branch",
+          Seq(tableParam,
+            ProcedureParameter.in("name", StringType).build()),
+          StructType.fromDDL("abandoned_commits INT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          Seq(InternalRow(SnapshotTable.dropBranch(spark, root,
+            input.getUTF8String(1).toString)))
+        }
+      }
+      case "fast_forward" => new Proc("fast_forward",
+          Seq(tableParam,
+            ProcedureParameter.in("name", StringType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          Seq(InternalRow(SnapshotTable.fastForward(spark, root,
+            input.getUTF8String(1).toString)))
+        }
+      }
+      case "branches" => new Proc("branches", Seq(tableParam),
+          StructType.fromDDL("name STRING, base BIGINT, head BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          SnapshotTable.branchList(spark, root).map { case (n, b, h) =>
+            InternalRow(UTF8String.fromString(n), b, h)
           }
         }
       }

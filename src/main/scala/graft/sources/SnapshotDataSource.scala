@@ -255,6 +255,15 @@ private[graft] object SnapshotV2Table {
     // create-on-first-write (reads of a missing table still fail loudly,
     // at scan building)
     if (snaps.isEmpty) return new SnapshotV2Table(path, null, cdf)
+    // audit reads of a write-audit-publish branch: the branch HEAD,
+    // with the full scan surface (pruning, stats, MOR resolution)
+    Option(options.get("branch")).foreach { b =>
+      require(version.isEmpty && asOf.isEmpty && !cdf,
+        "a branch read resolves the branch HEAD: no version/timestamp/" +
+          "tag/changeFeed options alongside 'branch'")
+      return new SnapshotV2Table(path,
+        SnapshotTable.branchHead(spark, path, b), cdf)
+    }
     val snap = (version, asOf) match {
       case (Some(v), _) => snaps.find(_.version == v).getOrElse(
         sys.error(s"version $v not found at $path " +

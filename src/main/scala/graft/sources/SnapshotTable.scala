@@ -505,11 +505,22 @@ object SnapshotTable {
   }
 
   private def manifestDir(root: Path) = new Path(root, "_manifests")
-  private def manifestPath(root: Path, v: Long) =
-    new Path(manifestDir(root), f"v$v%08d.txt")
+  /** Manifest file name on a LINE: the main line (`line = None`,
+    * `v<N>.txt` — what [[versions]] lists) or a branch's private line
+    * (`b.<name>.v<N>.txt` — skipped by the main listing's anchored
+    * regex, so branch commits are invisible to main readers by
+    * construction). */
+  private def manifestName(line: Option[String], v: Long): String =
+    line.fold(f"v$v%08d.txt")(n => f"b.$n.v$v%08d.txt")
+  private def manifestPath(root: Path, v: Long,
+      line: Option[String] = None) =
+    new Path(manifestDir(root), manifestName(line, v))
   private def refsDir(root: Path) = new Path(root, "_refs")
   private def tagPath(root: Path, name: String) =
     new Path(refsDir(root), s"$name.txt")
+  private def branchesDir(root: Path) = new Path(refsDir(root), "branches")
+  private def branchRefPath(root: Path, name: String) =
+    new Path(branchesDir(root), s"$name.txt")
   // starts alphanumeric (hidden-file names are reader-invisible), one
   // path segment, filesystem-safe on every Hadoop store
   private val TagName = """[A-Za-z0-9][A-Za-z0-9._-]{0,127}""".r
@@ -582,7 +593,14 @@ object SnapshotTable {
   }
 
   /** All published versions, ascending — the time-travel catalog. */
-  def versions(spark: SparkSession, root: String): Seq[Snapshot] = {
+  def versions(spark: SparkSession, root: String): Seq[Snapshot] =
+    versionsOn(spark, root, None)
+
+  /** Published versions of one line (main or a branch's private
+    * manifests), ascending. Scala regex pattern matching anchors the
+    * whole name, so each line's listing is blind to the other's files. */
+  private def versionsOn(spark: SparkSession, root: String,
+      line: Option[String]): Seq[Snapshot] = {
     val (fsys, rootP) = fs(spark, root)
     val dir = manifestDir(rootP)
     if (!fsys.exists(dir)) return Seq.empty
@@ -590,7 +608,11 @@ object SnapshotTable {
     // the listing must accept what the writer can produce — an exact
     // {8} would silently hide versions >= 10^8 (stale reads, commit
     // collisions)
-    val V = """v(\d{8,})\.txt""".r
+    val V = line match {
+      case None => """v(\d{8,})\.txt""".r
+      case Some(n) =>
+        (java.util.regex.Pattern.quote(s"b.$n.") + """v(\d{8,})\.txt""").r
+    }
     fsys.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
         case V(n) => Some(parseManifest(fsys, st.getPath, n.toLong))
@@ -602,6 +624,29 @@ object SnapshotTable {
   private def current(spark: SparkSession, root: String): Snapshot =
     versions(spark, root).lastOption.getOrElse(
       sys.error(s"no snapshot table at $root (no published manifests)"))
+
+  /** Connector seam: the snapshot a `branch` read option resolves to. */
+  private[sources] def branchHead(spark: SparkSession, root: String,
+      name: String): Snapshot = currentOn(spark, root, Some(name))
+
+  /** Test seam: a branch's private manifest chain. */
+  private[graft] def versionsOnForTest(spark: SparkSession, root: String,
+      name: String): Seq[Snapshot] = versionsOn(spark, root, Some(name))
+
+  /** Head of a LINE for a writer: a branch's newest private manifest,
+    * else the branch BASE's main manifest (a fresh branch); main = the
+    * main head. */
+  private def currentOn(spark: SparkSession, root: String,
+      line: Option[String]): Snapshot = line match {
+    case None => current(spark, root)
+    case Some(name) =>
+      versionsOn(spark, root, line).lastOption.getOrElse {
+        val base = branchBase(spark, root, name)
+        versions(spark, root).find(_.version == base).getOrElse(sys.error(
+          s"branch '$name' at $root is based on version $base whose " +
+            "manifest no longer exists (vacuumed?) — drop the branch"))
+      }
+  }
 
   /** Resolve one snapshot: by `version`, by newest-commit-`asOfTimestamp`
     * (Delta's `timestampAsOf` semantics: the snapshot a reader starting
@@ -704,6 +749,129 @@ object SnapshotTable {
       sys.error(s"no tag '$name' at $root " +
         s"(have ${tags(spark, root).map(_._1).mkString(",")})")
     parseTagFile(fsys, p)
+  }
+
+  // ---- named refs (branches) — write-audit-publish ----
+  //
+  // The Iceberg branch/WAP shape: a branch is a PRIVATE commit line
+  // forked from a main version. Branch commits publish under
+  // `_manifests/b.<name>.v<N>.txt` — self-contained manifests the main
+  // listing's anchored regex never matches, so nothing a branch writer
+  // does is visible to main readers until [[fastForward]] re-publishes
+  // the branch's manifests verbatim under main names. The audit flow:
+  // create a branch, run the risky ingest against it, validate with
+  // `read(branch = …)` (or the connector's `branch` option), then
+  // fast-forward — one metadata rename per staged commit, zero data
+  // bytes moved — or drop the branch and let vacuum reclaim its dirs.
+
+  /** Fork branch `name` from `version` (default: current main head).
+    * One atomic ref file; duplicate names are refused (drop first).
+    * Returns the base version. */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      version: Option[Long] = None): Long = {
+    require(TagName.matches(name),
+      s"branch name '$name' must match ${TagName.regex}")
+    val (fsys, rootP) = fs(spark, root)
+    val snaps = versions(spark, root)
+    require(snaps.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(snaps.last.version)
+    require(snaps.exists(_.version == v),
+      s"cannot branch from version $v at $root: not in the catalog " +
+        s"(have ${snaps.map(_.version).mkString(",")})")
+    fsys.mkdirs(branchesDir(rootP))
+    val p = branchRefPath(rootP, name)
+    val out =
+      try fsys.create(p, false)
+      catch { case _: java.io.IOException =>
+        sys.error(s"branch '$name' already exists at $root " +
+          s"(base ${branchBase(spark, root, name)}); dropBranch first")
+      }
+    try out.write(s"base=$v\n".getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  private def branchBase(spark: SparkSession, root: String,
+      name: String): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val p = branchRefPath(rootP, name)
+    if (!fsys.exists(p))
+      sys.error(s"no branch '$name' at $root " +
+        s"(have ${branchList(spark, root).map(_._1).mkString(",")})")
+    val in = fsys.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split("\n").collectFirst {
+      case l if l.startsWith("base=") => l.drop("base=".length).toLong
+    }.getOrElse(sys.error(s"malformed branch ref $p: $text"))
+  }
+
+  /** All branches as (name, base version, head version), name-sorted;
+    * head == base for a branch with no commits yet. */
+  def branchList(spark: SparkSession, root: String): Seq[(String, Long, Long)] = {
+    val (fsys, rootP) = fs(spark, root)
+    val dir = branchesDir(rootP)
+    if (!fsys.exists(dir)) return Seq.empty
+    fsys.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(".txt")) None
+      else {
+        val name = n.dropRight(4)
+        if (!TagName.matches(name)) None
+        else {
+          val base = branchBase(spark, root, name)
+          val head = versionsOn(spark, root, Some(name)).lastOption
+            .map(_.version).getOrElse(base)
+          Some((name, base, head))
+        }
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Delete branch `name`: its ref and private manifests go; its data
+    * dirs become unreferenced and the next [[vacuum]] reclaims them.
+    * Returns the number of abandoned branch commits. */
+  def dropBranch(spark: SparkSession, root: String, name: String): Int = {
+    val (fsys, rootP) = fs(spark, root)
+    val staged = versionsOn(spark, root, Some(name))
+    branchBase(spark, root, name) // existence check, fails loudly
+    staged.foreach(s =>
+      fsys.delete(manifestPath(rootP, s.version, Some(name)), false))
+    fsys.delete(branchRefPath(rootP, name), false)
+    staged.size
+  }
+
+  /** PUBLISH a branch: re-publish each branch commit verbatim as the
+    * next main versions, in order, then drop the branch ref. Strict
+    * fast-forward (the Iceberg `fast_forward` procedure): the main head
+    * must still BE the branch base — a main line that advanced while
+    * the branch was being audited is a real conflict and fails before
+    * anything is copied. Pure metadata: the branch's data dirs are
+    * already in place and every copied manifest is self-contained, so
+    * publishing a 100-commit audit run moves zero data bytes. Each copy
+    * is the same atomic rename-adjudicated publish as a live commit; a
+    * racing main writer makes the copy loop throw mid-way, leaving a
+    * PREFIX of the branch published — every published prefix is a valid
+    * table state (the remaining branch manifests and ref are kept so
+    * the operation can be re-run after inspection). Returns the new
+    * main head version. */
+  def fastForward(spark: SparkSession, root: String, name: String): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val base = branchBase(spark, root, name)
+    val staged = versionsOn(spark, root, Some(name))
+    require(staged.nonEmpty,
+      s"branch '$name' at $root has no commits to fast-forward")
+    val mainHead = current(spark, root).version
+    if (mainHead != base)
+      throw new ConcurrentCommitException(
+        s"cannot fast-forward branch '$name' (base $base) onto main " +
+          s"head $mainHead at $root — main advanced during the audit; " +
+          "drop the branch and re-stage against the new head")
+    staged.foreach(s => publish(fsys, rootP, s, line = None))
+    staged.foreach(s =>
+      fsys.delete(manifestPath(rootP, s.version, Some(name)), false))
+    fsys.delete(branchRefPath(rootP, name), false)
+    staged.last.version
   }
 
   // ---- read side ----
@@ -833,8 +1001,13 @@ object SnapshotTable {
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None,
       asOfTimestamp: Option[Long] = None,
-      tag: Option[String] = None): DataFrame = {
-    val snap = resolve(spark, root, version, asOfTimestamp, tag)
+      tag: Option[String] = None,
+      branch: Option[String] = None): DataFrame = {
+    require(branch.isEmpty ||
+      Seq(version, asOfTimestamp, tag).forall(_.isEmpty),
+      "a branch read resolves the branch HEAD: no version/timestamp/tag")
+    val snap = branch.fold(resolve(spark, root, version, asOfTimestamp,
+      tag))(_ => currentOn(spark, root, branch))
     resolvedRead(spark, snap, None, snap.schemaDdl)
   }
 
@@ -1098,8 +1271,8 @@ object SnapshotTable {
   }
 
   private def withLocalPublishLock[T](fsys: FileSystem, dir: Path,
-      version: Long, targetExists: => Boolean)(body: => T): T = {
-    val lockPath = new Path(dir, f".lock-v$version%08d")
+      lockName: String, targetExists: => Boolean)(body: => T): T = {
+    val lockPath = new Path(dir, s".lock-$lockName")
     val local = java.nio.file.Paths.get(
       fsys.makeQualified(lockPath).toUri.getPath)
     val deadline = System.nanoTime() + LockWaitMs * 1000000L
@@ -1136,10 +1309,11 @@ object SnapshotTable {
     }
   }
 
-  private def publish(fsys: FileSystem, root: Path, snap: Snapshot): Unit = {
+  private def publish(fsys: FileSystem, root: Path, snap: Snapshot,
+      line: Option[String] = None): Unit = {
     val dir = manifestDir(root)
     fsys.mkdirs(dir)
-    val target = manifestPath(root, snap.version)
+    val target = manifestPath(root, snap.version, line)
     def targetExists = fsys.exists(target)
     if (targetExists)
       throw new ConcurrentCommitException(
@@ -1209,7 +1383,8 @@ object SnapshotTable {
     }
     try {
       if (isLocalFs(root))
-        withLocalPublishLock(fsys, dir, snap.version, targetExists) {
+        withLocalPublishLock(fsys, dir, manifestName(line, snap.version),
+            targetExists) {
           renameAndAdjudicate()
         }
       else renameAndAdjudicate()
@@ -1378,7 +1553,7 @@ object SnapshotTable {
     * version WITHOUT committing (exactly-once across racing writers). */
   private def commitRebasing(spark: SparkSession, root: String,
       fsys: FileSystem, rootP: Path, base: Snapshot, pending: Pending,
-      retries: Int): Long = {
+      retries: Int, line: Option[String] = None): Long = {
     require(retries >= 0, s"retries must be >= 0: $retries")
     var cur = base
     var p = pending
@@ -1387,18 +1562,18 @@ object SnapshotTable {
       val v = cur.version + 1
       p = restagedTo(fsys, rootP, p, v)
       try {
-        publish(fsys, rootP, stamped(rebasedSnapshot(cur, v, p)))
+        publish(fsys, rootP, stamped(rebasedSnapshot(cur, v, p)), line)
         return v
       } catch {
         case e: ConcurrentCommitException =>
           if (attempts >= retries) throw e
           attempts += 1
-          val cur2 = current(spark, root)
+          val cur2 = currentOn(spark, root, line)
           // no forward progress (lock starvation, not a newer head):
           // retrying the identical publish would spin — surface the loss
           if (cur2.version <= cur.version) throw e
           val replayed = p.txn.exists { case (app, n) =>
-            versions(spark, root)
+            versionsOn(spark, root, line)
               .filter(s => s.version > base.version &&
                 s.version <= cur2.version)
               .flatMap(_.txn)
@@ -1594,9 +1769,10 @@ object SnapshotTable {
   def append(df: DataFrame, root: String,
       mergeSchema: Boolean = false,
       txn: Option[(String, Long)] = None,
-      retries: Int = 0): Long = {
+      retries: Int = 0,
+      branch: Option[String] = None): Long = {
     val spark = df.sparkSession
-    val cur = current(spark, root)
+    val cur = currentOn(spark, root, branch)
     requireCols(df, cur.keys)
     val ddl = commitSchema(df, cur, mergeSchema)
     val (fsys, rootP) = fs(spark, root)
@@ -1608,15 +1784,16 @@ object SnapshotTable {
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("append", ddl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = None, txn = txn,
-        layoutBuckets = cur.buckets), retries)
+        layoutBuckets = cur.buckets), retries, branch)
   }
 
   /** Replace the table's content wholesale (config and history are
     * kept — prior versions stay readable). */
   def overwrite(df: DataFrame, root: String,
       mergeSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Long =
-    overwriteAs(df, root, "overwrite", mergeSchema, txn)
+      txn: Option[(String, Long)] = None,
+      branch: Option[String] = None): Long =
+    overwriteAs(df, root, "overwrite", mergeSchema, txn, branch)
 
   /** [[overwrite]] published under an explicit op label — full
     * [[compact]] goes through here as `"compact"` so content-neutral
@@ -1624,9 +1801,10 @@ object SnapshotTable {
     * (the change feed skips the former and refuses the latter). */
   private def overwriteAs(df: DataFrame, root: String, op: String,
       mergeSchema: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      branch: Option[String] = None): Long = {
     val spark = df.sparkSession
-    val cur = current(spark, root)
+    val cur = currentOn(spark, root, branch)
     requireCols(df, cur.keys)
     val ddl = commitSchema(df, cur, mergeSchema)
     val (fsys, rootP) = fs(spark, root)
@@ -1639,7 +1817,7 @@ object SnapshotTable {
       cur.buckets, ddl, uuid, entries,
       statsCols = cur.statsCols,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
-      txn = txn, changeFeed = cur.changeFeed)))
+      txn = txn, changeFeed = cur.changeFeed)), branch)
     v
   }
 
@@ -1688,9 +1866,10 @@ object SnapshotTable {
       mat: Materialize = Materialize.Local,
       txn: Option[(String, Long)] = None,
       mergeOnRead: Boolean = false,
-      retries: Int = 0): Long = {
+      retries: Int = 0,
+      branch: Option[String] = None): Long = {
     val spark = df.sparkSession
-    val cur = current(spark, root)
+    val cur = currentOn(spark, root, branch)
     require(cur.keys.nonEmpty,
       s"table at $root was created without keys; upsert undefined")
     requireCols(df, cur.keys)
@@ -1717,7 +1896,7 @@ object SnapshotTable {
       return commitRebasing(spark, root, fsys, rootP, cur,
         Pending("upsert-mor", ddl, uuid, v, entries, st, rw,
           dirSizes(fsys, entries), hit = None, txn = txn,
-          layoutBuckets = cur.buckets), retries)
+          layoutBuckets = cur.buckets), retries, branch)
     }
     // closure over historical layouts: hit old dirs are read WHOLE and
     // their rows migrate into current-layout dirs with this commit
@@ -1757,7 +1936,7 @@ object SnapshotTable {
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("upsert", ddl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = txn,
-        cdc = cdcDir, layoutBuckets = cur.buckets), retries)
+        cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
   }
 
   /** Keyed delete: rows whose key tuple appears in `keysDf` are removed;
@@ -1775,9 +1954,10 @@ object SnapshotTable {
   def delete(keysDf: DataFrame, root: String,
       mat: Materialize = Materialize.Local,
       mergeOnRead: Boolean = false,
-      retries: Int = 0): Long = {
+      retries: Int = 0,
+      branch: Option[String] = None): Long = {
     val spark = keysDf.sparkSession
-    val cur = current(spark, root)
+    val cur = currentOn(spark, root, branch)
     require(cur.keys.nonEmpty,
       s"table at $root was created without keys; delete undefined")
     requireCols(keysDf.select(cur.keys.map(col): _*), cur.keys)
@@ -1796,7 +1976,7 @@ object SnapshotTable {
       return commitRebasing(spark, root, fsys, rootP, cur,
         Pending("delete-mor", cur.schemaDdl, uuid, v, entries, st, rw,
           dirSizes(fsys, entries), hit = None, txn = None,
-          layoutBuckets = cur.buckets), retries)
+          layoutBuckets = cur.buckets), retries, branch)
     }
     // closure over historical layouts: hit old dirs are read WHOLE and
     // their rows migrate into current-layout dirs with this commit
@@ -1816,7 +1996,7 @@ object SnapshotTable {
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = None,
-        cdc = cdcDir, layoutBuckets = cur.buckets), retries)
+        cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
   }
 
   /** Newest transaction version committed under `appId` (the Delta
@@ -1999,7 +2179,8 @@ object SnapshotTable {
           "refusing a half-rename")
       newPrefix + dir.drop(oldPrefix.length)
     }
-    val V = """v(\d{8,})\.txt""".r
+    // main AND branch manifests both carry absolute dir paths
+    val V = """(?:b\.[A-Za-z0-9][A-Za-z0-9._-]{0,127}\.)?v(\d{8,})\.txt""".r
     fsys.listStatus(manifestDir(newP)).toSeq.foreach { st =>
       st.getPath.getName match {
         case V(_) =>
@@ -2183,14 +2364,23 @@ object SnapshotTable {
     val (fsys, rootP) = fs(spark, root)
     val snaps = versions(spark, root)
     require(snaps.nonEmpty, s"no snapshot table at $root")
-    val tagged = tags(spark, root).map(_._2).toSet
+    // tagged versions AND branch bases are pinned (a fresh branch with
+    // no commits reads its base's main manifest); live branch commits'
+    // dirs are protected through `referenced` below. An IN-FLIGHT
+    // branch commit's staging dir can carry a version below main's
+    // kept head, so vacuum remains a quiet-window operation on tables
+    // with active branch writers (same caveat as rename).
+    val pinned = tags(spark, root).map(_._2).toSet ++
+      branchList(spark, root).map(_._2).toSet
     val recent = snaps.drop(math.max(0, snaps.size - keepVersions))
       .map(_.version).toSet
     val (keep, expire) =
-      snaps.partition(s => recent(s.version) || tagged(s.version))
+      snaps.partition(s => recent(s.version) || pinned(s.version))
     expire.foreach(s => fsys.delete(manifestPath(rootP, s.version), false))
     val maxKept = keep.map(_.version).max
-    val referenced = keep
+    val branchSnaps = branchList(spark, root)
+      .flatMap(b => versionsOn(spark, root, Some(b._1)))
+    val referenced = (keep ++ branchSnaps)
       .flatMap(s => s.entries.map(_._2) ++ s.deltas.map(_.dir) ++ s.cdc)
       .map(d => fsys.makeQualified(new Path(d)).toString).toSet
     // a bucket dir is live if IT or any DESCENDANT is referenced —
