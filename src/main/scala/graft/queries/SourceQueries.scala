@@ -1174,8 +1174,61 @@ object SourceQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** Zero-rewrite schema evolution on the snapshot table
+    * ([[graft.sources.SnapshotTable.renameColumn]]/[[SnapshotTable.dropColumn]]
+    * — column mapping, the Delta `name`-mode shape): RENAME a column
+    * (pure metadata; files keep the immutable physical name), write
+    * under the new logical name (append + a keyed upsert, so the scan
+    * mixes pre- and post-rename files), then DROP a column (physical
+    * name reserved). Three phases pin per-version logical views: phase
+    * 1 = the ORIGINAL version under its own column names, phase 2 = the
+    * post-drop head (renamed column, dropped one gone — spelled NULL so
+    * the union types align), phase 3 = the pre-drop version still
+    * serving the dropped column through time travel. Reservation
+    * guards, connector pushdown translation, CDC/MOR relabeling are
+    * SnapshotSchemaEvolutionSpec's. */
+  val q179 = Q("q179_snapshot_schema_evolution",
+    """WITH upd AS (
+      |  SELECT doc_id, lang,
+      |         n_chars + (CASE WHEN doc_id % 5 = 0 THEN 30000 ELSE 0 END)
+      |           AS len
+      |  FROM documents)
+      |SELECT 1 AS phase, doc_id, lang, n_chars AS len FROM documents
+      |WHERE doc_id % 2 = 0
+      |UNION ALL SELECT 2 AS phase, doc_id, CAST(NULL AS VARCHAR) AS lang,
+      |  len FROM upd
+      |UNION ALL SELECT 3 AS phase, doc_id, lang, len FROM upd
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapschema", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 2 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    SnapshotTable.renameColumn(s, path, "n_chars", "len") // v2: metadata
+    SnapshotTable.append(
+      d.filter(col("doc_id") % 2 === 1)
+        .withColumnRenamed("n_chars", "len"), path) // v3: new-name write
+    SnapshotTable.upsert(
+      d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 30000).as("len")), path) // v4: mixed files
+    SnapshotTable.dropColumn(s, path, "lang") // v5: metadata
+    val p1 = SnapshotTable.read(s, path, Some(1L))
+      .select(lit(1).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars").as("len"))
+    val p2 = SnapshotTable.read(s, path)
+      .select(lit(2).as("phase"), col("doc_id"),
+        lit(null).cast("string").as("lang"), col("len"))
+    val p3 = SnapshotTable.read(s, path, Some(4L))
+      .select(lit(3).as("phase"), col("doc_id"), col("lang"), col("len"))
+    p1.unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173, q174, q175, q176, q177, q178)
+      q171, q172, q173, q174, q175, q176, q177, q178, q179)
 }

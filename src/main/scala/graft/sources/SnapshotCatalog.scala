@@ -224,23 +224,41 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val cur = SnapshotTable.versions(spark, root).lastOption.getOrElse(
       throw new NoSuchTableException(
         (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq))
-    val adds = changes.map {
+    // RENAME/DROP COLUMN are pure-metadata commits through column
+    // mapping (zero file rewrites); ADD COLUMNs batch into one empty
+    // mergeSchema append. Mixing kinds applies in statement order.
+    val adds = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMN unsupported: ${a.fieldNames.mkString(".")}")
         require(a.position == null,
           "ADD COLUMN positions unsupported: new columns append")
-        org.apache.spark.sql.types.StructField(
+        adds += org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN unsupported: ${r.fieldNames.mkString(".")}")
+        SnapshotTable.renameColumn(spark, root, r.fieldNames.head,
+          r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN unsupported: ${d.fieldNames.mkString(".")}")
+        SnapshotTable.dropColumn(spark, root, d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
-        s"snapshot tables only support ALTER TABLE … ADD COLUMNS, " +
-          s"got $other")
+        s"snapshot tables support ALTER TABLE … ADD COLUMNS / RENAME " +
+          s"COLUMN / DROP COLUMN, got $other")
     }
-    val extended = StructType(StructType.fromDDL(cur.schemaDdl).fields ++ adds)
-    SnapshotTable.append(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], extended),
-      root, mergeSchema = true)
+    if (adds.nonEmpty) {
+      val head = SnapshotTable.versions(spark, root).last
+      val extended = StructType(
+        StructType.fromDDL(head.schemaDdl).fields ++ adds)
+      SnapshotTable.append(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], extended),
+        root, mergeSchema = true)
+    }
     loadTable(ident)
   }
 

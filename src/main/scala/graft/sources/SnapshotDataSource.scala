@@ -373,9 +373,17 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
       filters: Seq[Filter]): Seq[(Int, String)] = {
     if (snap.dirStats.isEmpty || filters.isEmpty) return entries
     val types = SnapshotTable.statsTypes(snap.schemaDdl)
+    // manifest stats are keyed by PHYSICAL column names; pushed filters
+    // speak the logical view — relabel the per-dir stats once (a
+    // dropped column's orphaned stats keep their physical key and no
+    // filter ever references it)
+    val toLogical = snap.logicalOf
     entries.filter { case (_, dir) =>
-      snap.dirStats.get(dir).forall(st =>
-        filters.forall(f => SnapshotTable.statsSatisfiable(st, types, f)))
+      snap.dirStats.get(dir).forall { st0 =>
+        val st = if (toLogical.isEmpty) st0
+          else st0.map { case (c, v) => toLogical.getOrElse(c, c) -> v }
+        filters.forall(f => SnapshotTable.statsSatisfiable(st, types, f))
+      }
     }
   }
 
@@ -419,10 +427,11 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
     * rows null or empty table). */
   private def foldBounds(c: String,
       hi: Boolean): Option[Option[Long]] = {
-    if (!snap.statsCols.contains(c)) return None
+    val pc = snap.physicalOf(c) // stats + statsCols are keyed physical
+    if (!snap.statsCols.contains(pc)) return None
     val perDir = snap.entries.map { case (_, d) =>
       if (snap.dirRows.get(d).contains(0L)) Some(None) // empty dir
-      else snap.dirStats.get(d).flatMap(_.get(c)) match {
+      else snap.dirStats.get(d).flatMap(_.get(pc)) match {
         case Some(st) =>
           val bound = if (hi) st.hi else st.lo
           bound match {
@@ -656,11 +665,30 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     }
   }
 
+  /** Files store PHYSICAL column names (column mapping): the delegated
+    * parquet plane reads the physicalized schema with attribute-renamed
+    * pushed filters, and [[readSchema]] relabels the pruned result back
+    * to the logical view — InternalRows are positional, so the data
+    * plane never copies. */
+  private def physSchema(st: StructType): StructType =
+    if (snap.colMap.isEmpty) st
+    else StructType(st.fields.map(f =>
+      f.copy(name = snap.colMap.getOrElse(f.name, f.name))))
+  private def physFilters(
+      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    if (snap.colMap.isEmpty) es
+    else es.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if snap.colMap.contains(a.name) =>
+        a.withName(snap.colMap(a.name))
+    })
+
   private def inner(paths: Seq[String]): Scan = {
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths, tableSchema)
-    GraftParquetBridge.pushCatalystFilters(b, catalystFilters)
-    GraftParquetBridge.pruneColumns(b, required)
+      SparkSession.active, paths, physSchema(tableSchema))
+    GraftParquetBridge.pushCatalystFilters(b, physFilters(catalystFilters))
+    GraftParquetBridge.pruneColumns(b, physSchema(required))
     GraftParquetBridge.buildScan(b)
   }
 
@@ -669,7 +697,15 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     * cached file-bearing scan would plan the pre-filter entries. */
   private lazy val schemaOnlyScan: Scan = inner(Seq.empty)
 
-  override def readSchema(): StructType = schemaOnlyScan.readSchema()
+  override def readSchema(): StructType = {
+    val raw = schemaOnlyScan.readSchema()
+    if (snap.colMap.isEmpty) raw
+    else {
+      val back = snap.logicalOf
+      StructType(raw.fields.map(f =>
+        f.copy(name = back.getOrElse(f.name, f.name))))
+    }
+  }
   override def description(): String =
     s"graft-snapshot v${snap.version} (${entries.size} dirs)"
 
@@ -812,9 +848,12 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         s"offset version $v vanished from $root (vacuumed mid-stream?)"))
       val next = byV(v + 1)
       val fresh = next.entries.map(_._2).diff(prev.entries.map(_._2))
-      // rescale is pure metadata (identical dirs, zero new rows): the
+      // rescale and column renames/drops are pure metadata (identical
+      // dirs, zero new rows; file columns are physically stable): the
       // append-tailing contract is undisturbed
-      if (next.op != "append" && next.op != "rescale" && !ignoreChanges)
+      if (next.op != "append" && next.op != "rescale" &&
+          next.op != "rename-column" && next.op != "drop-column" &&
+          !ignoreChanges)
         sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
           s"(v${next.version}): its dirs consolidate existing rows, not " +
           "just new ones. Restart from scratch, or set " +
@@ -892,10 +931,16 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
 
   private val tableSchema = StructType.fromDDL(snap.schemaDdl)
-  private val cdcFileSchema = tableSchema
+  // files (data dirs AND _cdc change files) store PHYSICAL column
+  // names; physical names are immutable, so the pinned snapshot's
+  // mapping reads every commit in the range. Output rows are
+  // positional — readSchema stays the logical view.
+  private val physTable = snap.physicalSchema(snap.schemaDdl)
+  private val cdcFileSchema = physTable
     .add(SnapshotTable.ChangeTypeCol, "string")
 
-  override def readSchema(): StructType = cdcFileSchema
+  override def readSchema(): StructType = tableSchema
+    .add(SnapshotTable.ChangeTypeCol, "string")
     .add(SnapshotTable.CommitVersionCol, "long")
   override def description(): String =
     s"graft-snapshot v${snap.version} change feed"
@@ -903,8 +948,8 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
   private def spark = SparkSession.active
 
   private def rawInner(paths: Seq[String]): Scan = {
-    val b = GraftParquetBridge.parquetScanBuilder(spark, paths, tableSchema)
-    GraftParquetBridge.pruneColumns(b, tableSchema)
+    val b = GraftParquetBridge.parquetScanBuilder(spark, paths, physTable)
+    GraftParquetBridge.pruneColumns(b, physTable)
     GraftParquetBridge.buildScan(b)
   }
   private def cdcInner(paths: Seq[String]): Scan = {
@@ -935,7 +980,8 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
         cdcInner(Seq(next.cdc.get)).toBatch.planInputPartitions().map(p =>
           CdfInputPartition(p, fromCdc = true, null, next.version))
       case "zorder" | "compact" => Array.empty // content-neutral rewrites
-      case "rescale" => Array.empty // pure-metadata layout change
+      case "rescale" | "rename-column" | "drop-column" =>
+        Array.empty // pure-metadata commits: zero row changes
       case other => sys.error(
         s"change feed hit commit v${next.version} (op=$other) at $root " +
           "with no recorded change data — enable changeFeed at create " +

@@ -68,12 +68,26 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
   private val keySchema: StructType =
     StructType(tableSchema.fields.filter(f => snap.keys.contains(f.name)))
 
+  /** Files store PHYSICAL names (column mapping): the delegated scans
+    * read physicalized schemas with renamed pushed filters; output rows
+    * are positional, so the replay projections bind unchanged. */
+  private def physSchema(st: StructType): StructType =
+    if (snap.colMap.isEmpty) st
+    else StructType(st.fields.map(f =>
+      f.copy(name = snap.colMap.getOrElse(f.name, f.name))))
+
   private def innerScan(paths: Seq[String], schema: StructType,
       pushFilters: Boolean): Scan = {
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths, tableSchema)
-    if (pushFilters) GraftParquetBridge.pushCatalystFilters(b, catalystFilters)
-    GraftParquetBridge.pruneColumns(b, schema)
+      SparkSession.active, paths, physSchema(tableSchema))
+    if (pushFilters) GraftParquetBridge.pushCatalystFilters(b,
+      if (snap.colMap.isEmpty) catalystFilters
+      else catalystFilters.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if snap.colMap.contains(a.name) =>
+          a.withName(snap.colMap(a.name))
+      }))
+    GraftParquetBridge.pruneColumns(b, physSchema(schema))
     GraftParquetBridge.buildScan(b)
   }
 

@@ -106,7 +106,11 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
         pInfo: PhysicalWriteInfo): DataWriterFactory =
       new SnapshotReplaceWriterFactory(stageDir, snapshot.schemaDdl,
         snapshot.keys, snapshot.buckets,
-        GraftParquetWriteBridge.rowFileWriterFactory(spark, tableSchema))
+        // files land under PHYSICAL column names (column mapping);
+        // incoming rows are positional, so only the writer's schema
+        // labels change
+        GraftParquetWriteBridge.rowFileWriterFactory(spark,
+          snapshot.physicalSchema(snapshot.schemaDdl)))
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val scan = op.builtScan

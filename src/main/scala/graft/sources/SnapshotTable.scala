@@ -51,12 +51,15 @@ import graft.ops.Materialize
   * commits land as later versions it never consults. Readers never block
   * writers and vice versa.
   *
-  * Schema evolution is ADD-COLUMN only (`mergeSchema = true` on
-  * append/upsert/overwrite): new nullable columns append to the manifest
-  * schema, old data files are never rewritten (the explicit-schema read
-  * backfills null), and time travel serves each version under its own
-  * schema. Drops/retypes are refused — that rewrite is an explicit
-  * overwrite of a fresh table.
+  * Schema evolution, all zero-rewrite: ADD COLUMN (`mergeSchema = true`
+  * on append/upsert/overwrite — new nullable columns append to the
+  * manifest schema, old files backfill null through the explicit-schema
+  * read), RENAME COLUMN ([[renameColumn]] — column mapping: files keep
+  * the column's immutable PHYSICAL name, the manifest repoints the
+  * logical one), and DROP COLUMN ([[dropColumn]] — the logical view
+  * loses the field, its physical name is reserved forever). Time travel
+  * serves each version under its own schema and names. Retypes are
+  * refused — that rewrite is an explicit overwrite of a fresh table.
   *
   * Scale shape (the 100 TB audit):
   *   - data writes are fully distributed; the driver touches only
@@ -124,7 +127,29 @@ object SnapshotTable {
       deltas: Seq[DeltaEntry] = Seq.empty,
       changeFeed: Boolean = false,
       cdc: Option[String] = None,
-      dirLayout: Map[String, Int] = Map.empty) {
+      dirLayout: Map[String, Int] = Map.empty,
+      colMap: Map[String, String] = Map.empty,
+      droppedPhys: Seq[String] = Seq.empty) {
+
+    /** PHYSICAL (file) name of a logical column — column-mapping
+      * indirection (the Delta column-mapping `name` mode, re-derived):
+      * a column's physical name is the name it was FIRST written under
+      * and never changes; [[SnapshotTable.renameColumn]] just repoints
+      * the logical name, so zero data files are rewritten. Absent from
+      * the map = logical == physical (tables that never renamed pay
+      * nothing). Manifest stats and `statsCols` are keyed PHYSICAL
+      * (they describe file contents). */
+    def physicalOf(c: String): String = colMap.getOrElse(c, c)
+
+    /** Reverse mapping for relabeling file-space names back to the
+      * logical view. */
+    lazy val logicalOf: Map[String, String] = colMap.map(_.swap)
+
+    /** `schema` with every field renamed to its physical name — the
+      * schema data files are written and read under. */
+    def physicalSchema(ddl: String): StructType =
+      StructType(StructType.fromDDL(ddl).fields.map(f =>
+        f.copy(name = physicalOf(f.name))))
 
     /** Bucket layout a data dir was WRITTEN under. `buckets` is the
       * CURRENT layout (what new commits hash into); after a
@@ -330,9 +355,12 @@ object SnapshotTable {
     * paid for; with stats disabled it degrades to a count-only pass).
     * Returns (dir → column stats, dir → row count). */
   private def computeStats(spark: SparkSession, entries: Seq[(Int, String)],
-      schemaDdl: String, statsCols: Seq[String])
+      schemaDdl: String, statsCols: Seq[String],
+      colMap: Map[String, String] = Map.empty)
       : (Map[String, Map[String, ColStats]], Map[String, Long]) = {
-    val schema = StructType.fromDDL(schemaDdl)
+    // files store PHYSICAL names; stats and statsCols are keyed physical
+    val schema = StructType(StructType.fromDDL(schemaDdl).fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
     val present = statsCols.filter(schema.fieldNames.contains)
     if (entries.isEmpty) return (Map.empty, Map.empty)
     // key rows back to their entry dir by the dir-path SUFFIX from the
@@ -573,6 +601,11 @@ object SnapshotTable {
         val Array(dir, n) = l.drop("layout=".length).split("\t", 2)
         dir -> n.toInt
     }.toMap
+    val colMap = lines.collect {
+      case l if l.startsWith("colmap=") =>
+        val Array(lg, ph) = l.drop("colmap=".length).split("\t", 2)
+        lg -> ph
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -589,7 +622,9 @@ object SnapshotTable {
       },
       dirRows, dirBytes, deltas,
       fieldOpt("changefeed").exists(_.toBoolean),
-      fieldOpt("cdc"), dirLayout)
+      fieldOpt("cdc"), dirLayout, colMap,
+      fieldOpt("dropped").map(_.split(",").toSeq.filter(_.nonEmpty))
+        .getOrElse(Seq.empty))
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -881,12 +916,20 @@ object SnapshotTable {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   private def readEntries(spark: SparkSession, schemaDdl: String,
-      dirs: Seq[String]): DataFrame = {
-    val schema = StructType.fromDDL(schemaDdl)
-    if (dirs.isEmpty) emptyDf(spark, schema)
+      colMap: Map[String, String], dirs: Seq[String]): DataFrame = {
+    val logical = StructType.fromDDL(schemaDdl)
+    if (dirs.isEmpty) emptyDf(spark, logical)
     // explicit schema: bucket dirs carry no _gb column (it lives in the
-    // dir name) and an explicit schema also pins empty-commit reads
-    else spark.read.schema(schema).parquet(dirs: _*)
+    // dir name) and an explicit schema also pins empty-commit reads.
+    // Files store PHYSICAL column names (column mapping): read physical,
+    // relabel to the logical view — positional, zero copy.
+    else if (colMap.isEmpty) spark.read.schema(logical).parquet(dirs: _*)
+    else {
+      val phys = StructType(logical.fields.map(f =>
+        f.copy(name = colMap.getOrElse(f.name, f.name))))
+      spark.read.schema(phys).parquet(dirs: _*)
+        .toDF(logical.fieldNames.toIndexedSeq: _*)
+    }
   }
 
   /** Commit version of the dir that produced a row, parsed from the
@@ -936,7 +979,7 @@ object SnapshotTable {
       val groups = es.groupBy(e => snap.layoutOf(e._2)).toSeq.sortBy(_._1)
       if (groups.isEmpty) emptyDf(spark, StructType.fromDDL(ddl))
       else groups.map { case (l, ge) =>
-        val df = readEntries(spark, ddl, ge.map(_._2))
+        val df = readEntries(spark, ddl, snap.colMap, ge.map(_._2))
         if (l == snap.buckets) df
         else exactFilter.fold(df)(df.filter)
       }.reduce(_.unionByName(_))
@@ -963,9 +1006,11 @@ object SnapshotTable {
     // RETAINED merge-on-read commits, bounded by the compaction cadence
     val rowFrames = ds.filter(_.kind == "rows").groupBy(_.seq).toSeq
       .sortBy(_._1).map { case (s, es) =>
-        spark.read.schema(schema).parquet(es.map(_.dir): _*)
+        readEntries(spark, ddl, snap.colMap, es.map(_.dir))
           .withColumn(SeqCol, lit(s))
       }
+    // key columns are never renameable, so the tombstone key schema is
+    // physical == logical
     val tombEvents = ds.filter(_.kind == "tomb").groupBy(_.seq).toSeq
       .sortBy(_._1).map { case (s, es) =>
         spark.read.schema(keySchema).parquet(es.map(_.dir): _*)
@@ -1074,19 +1119,33 @@ object SnapshotTable {
         .withColumn(ChangeTypeCol, lit(typ))
         .withColumn(CommitVersionCol, lit(next.version))
       // diff under the NEXT schema: the old side gains any added
-      // columns as null, matching what a reader of `next` sees
+      // columns as null, matching what a reader of `next` sees. Columns
+      // RENAMED between the versions relabel through their stable
+      // physical names first (one atomic select, so even swap-renames
+      // land) — a rename must diff the SAME column, not null-pad a
+      // "new" one.
       val cols = StructType.fromDDL(next.schemaDdl).fieldNames.toSeq
-      def alignOld(d0: DataFrame) = cols.foldLeft(d0)((d, c) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
-        .select(cols.map(col): _*)
+      def alignOld(d0: DataFrame) = {
+        val relabeled =
+          if (prev.colMap.isEmpty && next.colMap.isEmpty) d0
+          else d0.select(d0.columns.map { c =>
+            val ph = prev.physicalOf(c)
+            col(c).as(next.logicalOf.getOrElse(ph, ph))
+          }.toIndexedSeq: _*)
+        cols.foldLeft(relabeled)((d, c) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+          .select(cols.map(col): _*)
+      }
       next.op match {
         case "upsert" | "delete" if next.cdc.isDefined =>
           // commit-time change file (changeFeed tables): the recorded
           // rows are diff-exact by construction, so this is the same
           // answer as the bucket-diff branch below at zero diff cost
-          val schema = StructType.fromDDL(next.schemaDdl)
+          val logical = StructType.fromDDL(next.schemaDdl)
+          val schema = next.physicalSchema(next.schemaDdl)
             .add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
           Some(spark.read.schema(schema).parquet(next.cdc.get)
+            .toDF((logical.fieldNames :+ ChangeTypeCol).toIndexedSeq: _*)
             .withColumn(CommitVersionCol, lit(next.version)))
         case "append" =>
           // fresh base dirs are pure inserts — and under merge-on-read
@@ -1095,7 +1154,9 @@ object SnapshotTable {
           // tables too
           val fresh = dirsOf(next).diff(dirsOf(prev))
           if (fresh.isEmpty) None
-          else Some(tag(readEntries(spark, next.schemaDdl, fresh), "insert"))
+          else Some(tag(
+            readEntries(spark, next.schemaDdl, next.colMap, fresh),
+            "insert"))
         case "upsert-mor" | "delete-mor" =>
           // the commit wrote ONLY delta dirs: changed keys = the fresh
           // deltas' keys, old rows = the PRIOR snapshot resolved over
@@ -1112,7 +1173,7 @@ object SnapshotTable {
             val tombDirs = fresh.filter(_.kind == "tomb").map(_.dir)
             val newRows =
               if (rowDirs.isEmpty) emptyDf(spark, schema)
-              else spark.read.schema(schema).parquet(rowDirs: _*)
+              else readEntries(spark, next.schemaDdl, next.colMap, rowDirs)
             val tombKeys =
               if (tombDirs.isEmpty) emptyDf(spark, keySchema)
               else spark.read.schema(keySchema).parquet(tombDirs: _*)
@@ -1232,10 +1293,14 @@ object SnapshotTable {
     * with its commit dir by rebase and vacuum. Must run AFTER
     * [[writeCommitData]] created the commit dir. Returns the dir. */
   private def writeChangeData(changes: DataFrame, root: Path,
-      version: Long, uuid: String): String = {
+      version: Long, uuid: String,
+      colMap: Map[String, String] = Map.empty): String = {
     val dir = new Path(
       new Path(new Path(root, "data"), s"c$version-$uuid"), "_cdc")
-    changes.write.parquet(dir.toString)
+    val phys = if (colMap.isEmpty) changes
+      else changes.select(changes.columns.map(c =>
+        col(c).as(colMap.getOrElse(c, c))).toIndexedSeq: _*)
+    phys.write.parquet(dir.toString)
     dir.toString
   }
 
@@ -1244,9 +1309,16 @@ object SnapshotTable {
     * rows. */
   private def writeCommitData(df: DataFrame, root: Path, version: Long,
       keys: Seq[String], buckets: Int, uuid: String,
-      fsys: FileSystem): Seq[(Int, String)] = {
+      fsys: FileSystem, colMap: Map[String, String] = Map.empty)
+      : Seq[(Int, String)] = {
     val commitDir = new Path(new Path(root, "data"), s"c$version-$uuid")
-    df.withColumn(BucketCol, bucketOf(keys, buckets))
+    // files land under PHYSICAL column names (one atomic select so even
+    // swap-renames relabel correctly); keys are never renameable, so the
+    // bucket hash below always sees its columns
+    val phys = if (colMap.isEmpty) df
+      else df.select(df.columns.map(c =>
+        col(c).as(colMap.getOrElse(c, c))).toIndexedSeq: _*)
+    phys.withColumn(BucketCol, bucketOf(keys, buckets))
       .repartition(col(BucketCol))
       .write.partitionBy(BucketCol).parquet(commitDir.toString)
     (0 until buckets).flatMap { b =>
@@ -1345,6 +1417,14 @@ object SnapshotTable {
         val l = snap.layoutOf(d)
         if (l != snap.buckets) body ++= s"layout=$d\t$l" += '\n'
       }
+      // column-mapping lines only for renamed columns; dropped physical
+      // names are RESERVED forever (re-adding one would resurrect old
+      // file data under the new logical name)
+      snap.colMap.toSeq.sortBy(_._1).foreach { case (lg, ph) =>
+        body ++= s"colmap=$lg\t$ph" += '\n'
+      }
+      if (snap.droppedPhys.nonEmpty)
+        body ++= s"dropped=${snap.droppedPhys.mkString(",")}" += '\n'
       snap.deltas.foreach { d =>
         body ++= s"delta=${d.bucket}\t${d.seq}\t${d.kind}\t${d.dir}" += '\n'
       }
@@ -1519,7 +1599,8 @@ object SnapshotTable {
         dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
         dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
         deltas = cur.deltas, changeFeed = cur.changeFeed, cdc = p.cdc,
-        dirLayout = cur.dirLayout ++ myLayout)
+        dirLayout = cur.dirLayout ++ myLayout,
+        colMap = cur.colMap, droppedPhys = cur.droppedPhys)
       case "upsert" | "delete" =>
         val h = p.hit.get
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1529,7 +1610,8 @@ object SnapshotTable {
           dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
           deltas = cur.deltas.filterNot(d => h(d.bucket)),
           changeFeed = cur.changeFeed, cdc = p.cdc,
-          dirLayout = cur.dirLayout)
+          dirLayout = cur.dirLayout,
+          colMap = cur.colMap, droppedPhys = cur.droppedPhys)
       case "upsert-mor" | "delete-mor" =>
         val kind = if (p.opKind == "upsert-mor") "rows" else "tomb"
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1540,7 +1622,8 @@ object SnapshotTable {
           deltas = cur.deltas ++
             p.entries.map { case (b, d) => DeltaEntry(b, v, kind, d) },
           changeFeed = cur.changeFeed, cdc = p.cdc,
-          dirLayout = cur.dirLayout)
+          dirLayout = cur.dirLayout,
+          colMap = cur.colMap, droppedPhys = cur.droppedPhys)
       case other => sys.error(s"rebasing undefined for op $other")
     }
   }
@@ -1580,6 +1663,14 @@ object SnapshotTable {
               .exists { case (a, m) => a == app && m >= n }
           }
           if (replayed) return cur2.version // the batch already landed
+          // a concurrent column RENAME/DROP changed the logical view:
+          // my pending ddl speaks the OLD logical names, and merging it
+          // against the new head would re-add renamed columns as ghosts
+          if (cur2.colMap != cur.colMap ||
+              cur2.droppedPhys != cur.droppedPhys)
+            throw new ConcurrentCommitException(
+              s"${p.opKind} raced a concurrent column rename/drop at " +
+                s"$root — rebase unsafe, retry the whole operation")
           // a concurrent RESCALE (or a restore across one) changed the
           // current bucket layout: a blind append survives if its staged
           // layout still divides the head's (its dirs rebase as
@@ -1659,7 +1750,7 @@ object SnapshotTable {
     val v = base.version + 1
     val kept = base.entries.filterNot(e => removedDirs(e._2))
     val (st, rw) = computeStats(spark, stagedDirs, base.schemaDdl,
-      base.statsCols)
+      base.statsCols, base.colMap)
     publish(fsys, rootP, stamped(Snapshot(v, op, base.keys, base.buckets,
       base.schemaDdl, uuid, kept ++ stagedDirs,
       statsCols = base.statsCols,
@@ -1677,7 +1768,8 @@ object SnapshotTable {
       changeFeed = base.changeFeed,
       // kept old-layout dirs keep their tags; staged dirs are
       // current-layout (absent = default)
-      dirLayout = base.dirLayout)))
+      dirLayout = base.dirLayout,
+      colMap = base.colMap, droppedPhys = base.droppedPhys)))
     v
   }
 
@@ -1712,6 +1804,15 @@ object SnapshotTable {
         .filterNot(f => curS.fieldNames.contains(f.name))
         .map(f => org.apache.spark.sql.types.StructField(
           f.name, f.dataType, nullable = true))
+      // physical-name reservations: a new column whose name equals a
+      // renamed column's file name (or a dropped column's) would read
+      // the OLD files' bytes as its own — refused, pick another name
+      extra.foreach(f => require(
+        !cur.colMap.valuesIterator.contains(f.name) &&
+          !cur.droppedPhys.contains(f.name),
+        s"column name '${f.name}' is reserved by column mapping (it is " +
+          "the physical name of a renamed or dropped column); choose a " +
+          "different name"))
       StructType(curS.fields ++ extra).toDDL
     }
 
@@ -1779,8 +1880,9 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
-      cur.buckets, uuid, fsys)
-    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
+      cur.buckets, uuid, fsys, cur.colMap)
+    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
+      cur.colMap)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("append", ddl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = None, txn = txn,
@@ -1811,13 +1913,15 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
-      cur.buckets, uuid, fsys)
-    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
+      cur.buckets, uuid, fsys, cur.colMap)
+    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
+      cur.colMap)
     publish(fsys, rootP, stamped(Snapshot(v, op, cur.keys,
       cur.buckets, ddl, uuid, entries,
       statsCols = cur.statsCols,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
-      txn = txn, changeFeed = cur.changeFeed)), branch)
+      txn = txn, changeFeed = cur.changeFeed,
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys)), branch)
     v
   }
 
@@ -1888,8 +1992,9 @@ object SnapshotTable {
     val uuid = newUuid()
     if (mergeOnRead) {
       val entries = writeCommitData(aligned(batch.drop(BucketCol), ddl),
-        rootP, v, cur.keys, cur.buckets, uuid, fsys)
-      val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
+        rootP, v, cur.keys, cur.buckets, uuid, fsys, cur.colMap)
+      val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
+        cur.colMap)
       // a merge-on-read commit is an EVENT layer with no read-dependency:
       // it rebases over any concurrent commit (re-stamped to the new
       // version — "applied after the winner")
@@ -1911,8 +2016,8 @@ object SnapshotTable {
     val merged = priorHit
       .join(batch.select(keyCols: _*), cur.keys, "left_anti")
       .unionByName(aligned(batch.drop(BucketCol), ddl))
-    val entries =
-      writeCommitData(merged, rootP, v, cur.keys, cur.buckets, uuid, fsys)
+    val entries = writeCommitData(merged, rootP, v, cur.keys,
+      cur.buckets, uuid, fsys, cur.colMap)
     requireSubset(entries, hit, "upsert")
     // commit-time change file (the Delta CDF shape): diff-exact rows —
     // inserts = batch minus identical displaced rows, deletes = displaced
@@ -1930,9 +2035,10 @@ object SnapshotTable {
             .withColumn(ChangeTypeCol, lit("insert"))
           .unionByName(displaced.exceptAll(batchA)
             .withColumn(ChangeTypeCol, lit("delete"))),
-          rootP, v, uuid))
+          rootP, v, uuid, cur.colMap))
       }
-    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols)
+    val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
+      cur.colMap)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("upsert", ddl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = txn,
@@ -1970,9 +2076,9 @@ object SnapshotTable {
     if (mergeOnRead) {
       val tombs = batch.drop(BucketCol)
       val entries = writeCommitData(tombs, rootP, v, cur.keys,
-        cur.buckets, uuid, fsys)
+        cur.buckets, uuid, fsys, cur.colMap)
       val (st, rw) = computeStats(spark, entries, tombs.schema.toDDL,
-        cur.statsCols)
+        cur.statsCols, cur.colMap)
       return commitRebasing(spark, root, fsys, rootP, cur,
         Pending("delete-mor", cur.schemaDdl, uuid, v, entries, st, rw,
           dirSizes(fsys, entries), hit = None, txn = None,
@@ -1983,16 +2089,17 @@ object SnapshotTable {
     val hit = hitClosure(cur, hitBuckets(batch))
     val priorHit = resolvedRead(spark, cur, Some(hit), cur.schemaDdl)
     val kept = priorHit.join(batch.drop(BucketCol), cur.keys, "left_anti")
-    val entries =
-      writeCommitData(kept, rootP, v, cur.keys, cur.buckets, uuid, fsys)
+    val entries = writeCommitData(kept, rootP, v, cur.keys,
+      cur.buckets, uuid, fsys, cur.colMap)
     requireSubset(entries, hit, "delete")
     val cdcDir =
       if (!cur.changeFeed) None
       else Some(writeChangeData(
         priorHit.join(batch.drop(BucketCol), cur.keys, "left_semi")
           .withColumn(ChangeTypeCol, lit("delete")),
-        rootP, v, uuid))
-    val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
+        rootP, v, uuid, cur.colMap))
+    val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
+      cur.statsCols, cur.colMap)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = None,
@@ -2051,7 +2158,8 @@ object SnapshotTable {
       txn = txn,
       deltas = target.deltas,
       changeFeed = cur.changeFeed,
-      dirLayout = target.dirLayout)))
+      dirLayout = target.dirLayout,
+      colMap = target.colMap, droppedPhys = target.droppedPhys)))
     v
   }
 
@@ -2096,7 +2204,7 @@ object SnapshotTable {
     val schema = StructType.fromDDL(cur.schemaDdl)
     cols.foreach(c => require(schema.fieldNames.contains(c),
       s"z-order column $c missing from ${cur.schemaDdl}"))
-    cols.foreach(c => require(cur.statsCols.contains(c),
+    cols.foreach(c => require(cur.statsCols.contains(cur.physicalOf(c)),
       s"z-order column $c is not in statsCols=${cur.statsCols} — no read " +
         "would ever prune on it; recreate the table with it in statsCols"))
     val data = read(spark, root)
@@ -2124,7 +2232,7 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val commitDir = new Path(new Path(rootP, "data"), s"c$v-$uuid")
-    data.withColumn(BucketCol, bucketOf(cur.keys, cur.buckets))
+    val out0 = data.withColumn(BucketCol, bucketOf(cur.keys, cur.buckets))
       .withColumn(ZSliceCol,
         coalesce(shiftrightunsigned(zk, shift).cast("int"),
           lit(0))) // null dims → slice 0
@@ -2132,7 +2240,12 @@ object SnapshotTable {
       .repartition(col(BucketCol), col(ZSliceCol))
       .sortWithinPartitions(col(BucketCol), col(ZSliceCol), col("__zk"))
       .drop("__zk")
-      .write.partitionBy(BucketCol, ZSliceCol).parquet(commitDir.toString)
+    // files land under PHYSICAL names (column mapping); the partition
+    // columns are reserved and never mapped
+    val out = if (cur.colMap.isEmpty) out0
+      else out0.select(out0.columns.map(c =>
+        col(c).as(cur.colMap.getOrElse(c, c))).toIndexedSeq: _*)
+    out.write.partitionBy(BucketCol, ZSliceCol).parquet(commitDir.toString)
     val entries = (0 until cur.buckets).flatMap { bk =>
       val bdir = new Path(commitDir, s"$BucketCol=$bk")
       if (!fsys.exists(bdir)) Seq.empty
@@ -2142,12 +2255,14 @@ object SnapshotTable {
         .sortBy(_.getPath.getName)
         .map(st => bk -> st.getPath.toString)
     }
-    val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
+    val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
+      cur.statsCols, cur.colMap)
     publish(fsys, rootP, stamped(Snapshot(v, "zorder", cur.keys,
       cur.buckets, cur.schemaDdl, uuid, entries,
       statsCols = cur.statsCols,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
-      changeFeed = cur.changeFeed)))
+      changeFeed = cur.changeFeed,
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys)))
     v
   }
 
@@ -2276,7 +2391,93 @@ object SnapshotTable {
       // every carried dir gets an explicit tag at ITS OWN layout (the
       // old current-layout dirs become historical; already-historical
       // tags carry through unchanged)
-      dirLayout = cur.entries.map(e => e._2 -> cur.layoutOf(e._2)).toMap)))
+      dirLayout = cur.entries.map(e => e._2 -> cur.layoutOf(e._2)).toMap,
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys)))
+    v
+  }
+
+  /** Rename a column WITHOUT rewriting a byte — column mapping (the
+    * Delta column-mapping `name` mode, re-derived): data files keep the
+    * column's PHYSICAL name (the name it was first written under,
+    * immutable for the column's life); this pure-metadata commit
+    * repoints the LOGICAL name and records `logical -> physical` in the
+    * manifest. Reads relabel at scan (positional, zero copy); later
+    * writes land under the physical name; manifest stats stay keyed
+    * physical and pruning translates. Time travel serves each version
+    * under ITS OWN logical names.
+    *
+    * Refused for KEY columns (the bucket hash, merge joins, tombstone
+    * schemas and connector pushdown all speak key names — renaming one
+    * would ripple through every keyed surface for no modeling win;
+    * spell that as an explicit rewrite into a fresh table). The new
+    * name must be free as a logical name AND as a physical one (a
+    * logical name that shadowed some other column's file name would
+    * read that column's bytes). Returns the committed version. */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Long = {
+    val cur = current(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' in ${cur.schemaDdl}")
+    require(!cur.keys.contains(oldName),
+      s"'$oldName' is a key column; keys are not renameable")
+    require(oldName != newName && !schema.fieldNames.contains(newName),
+      s"column '$newName' already exists in ${cur.schemaDdl}")
+    val phys = cur.physicalOf(oldName)
+    // renaming a column BACK to its own physical (original) name is
+    // fine; any OTHER reserved physical name would shadow file data
+    require(newName == phys ||
+      (!cur.colMap.valuesIterator.contains(newName) &&
+        !cur.droppedPhys.contains(newName)),
+      s"column name '$newName' is reserved by column mapping (another " +
+        "column's physical name); choose a different name")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    // renaming BACK to the physical name drops the mapping entry
+    val newMap = (cur.colMap - oldName) ++
+      (if (newName == phys) Map.empty else Map(newName -> phys))
+    alterCommit(spark, root, cur, "rename-column", newSchema.toDDL,
+      newMap, cur.droppedPhys)
+  }
+
+  /** Drop a column WITHOUT rewriting a byte: the logical schema loses
+    * the field, data files keep their (now unreadable) column, and the
+    * column's physical name is RESERVED forever — re-adding it would
+    * resurrect the old files' values under the new column. Pure
+    * metadata; prior versions keep serving the column through time
+    * travel. Key columns are not droppable. Returns the committed
+    * version. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val cur = current(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' in ${cur.schemaDdl}")
+    require(!cur.keys.contains(name),
+      s"'$name' is a key column; keys are not droppable")
+    require(schema.fields.length > 1,
+      s"cannot drop the only column of $root")
+    val phys = cur.physicalOf(name)
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    alterCommit(spark, root, cur, "drop-column", newSchema.toDDL,
+      cur.colMap - name, cur.droppedPhys :+ phys)
+  }
+
+  /** One pure-metadata schema-alter commit: entries, layout, deltas and
+    * stats all carry forward verbatim; only the logical view moves. */
+  private def alterCommit(spark: SparkSession, root: String,
+      cur: Snapshot, op: String, newDdl: String,
+      newMap: Map[String, String], newDropped: Seq[String]): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(Snapshot(v, op, cur.keys, cur.buckets,
+      newDdl, newUuid(), cur.entries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats, dirRows = cur.dirRows,
+      dirBytes = cur.dirBytes,
+      deltas = cur.deltas,
+      changeFeed = cur.changeFeed,
+      dirLayout = cur.dirLayout,
+      colMap = newMap, droppedPhys = newDropped)))
     v
   }
 
@@ -2321,12 +2522,13 @@ object SnapshotTable {
     val rows = resolvedRead(spark, cur, Some(target), cur.schemaDdl)
     val v = cur.version + 1
     val uuid = newUuid()
-    val entries =
-      writeCommitData(rows, rootP, v, cur.keys, cur.buckets, uuid, fsys)
+    val entries = writeCommitData(rows, rootP, v, cur.keys,
+      cur.buckets, uuid, fsys, cur.colMap)
     // committed parquet is deterministic input: rows rehash to exactly
     // their original buckets, so the produced set must stay inside target
     requireSubset(entries, target, "compact")
-    val (st, rw) = computeStats(spark, entries, cur.schemaDdl, cur.statsCols)
+    val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
+      cur.statsCols, cur.colMap)
     publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
       cur.buckets, cur.schemaDdl, uuid,
       cur.entries.filterNot(e => cur.entryHit(e, target)) ++ entries,
@@ -2335,7 +2537,8 @@ object SnapshotTable {
       dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
       deltas = cur.deltas.filterNot(d => target(d.bucket)),
       changeFeed = cur.changeFeed,
-      dirLayout = cur.dirLayout)))
+      dirLayout = cur.dirLayout,
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys)))
     v
   }
 
