@@ -337,7 +337,12 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
     * top-level conjuncts constrain (each pushed filter IS one conjunct),
     * so the implication is sound: any row outside the hit buckets would
     * violate one of the equality predicates. */
-  private[graft] def prunedBuckets(filters: Seq[Filter]): Option[Set[Int]] = {
+  private def keyTypes: Seq[DataType] =
+    snap.keys.map(k => tableSchema(k).dataType)
+
+  /** Literal key tuples the pushed conjuncts pin, or None when they
+    * don't cover every key column with a finite value set. */
+  private[graft] def probeTuples(filters: Seq[Filter]): Option[Seq[Seq[Any]]] = {
     if (snap.keys.isEmpty) return None
     val keySet = snap.keys.toSet
     val valueSets = scala.collection.mutable.Map.empty[String, Set[Any]]
@@ -353,14 +358,32 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
     if (!snap.keys.forall(valueSets.contains)) return None
     val sets = snap.keys.map(valueSets)
     if (sets.map(_.size.toLong).product > MaxProbeTuples) return None
-    val types: Seq[DataType] =
-      snap.keys.map(k => tableSchema(k).dataType)
-    val tuples = sets.foldLeft(Seq(Seq.empty[Any])) { (acc, s) =>
+    Some(sets.foldLeft(Seq(Seq.empty[Any])) { (acc, s) =>
       acc.flatMap(prefix => s.toSeq.map(prefix :+ _))
+    })
+  }
+
+  private[graft] def prunedBuckets(filters: Seq[Filter]): Option[Set[Int]] =
+    probeTuples(filters).map(_.map(t =>
+      SnapshotTable.bucketOfLiterals(t, keyTypes, snap.buckets)).toSet)
+
+  /** Per-dir key-bloom pruning for literal point lookups: a dir whose
+    * filter rejects every probe hash provably holds none of the probe
+    * keys (no false negatives), so `WHERE key = <absent>` plans ZERO
+    * input partitions. Composes after bucket + stats pruning; dirs
+    * without a filter (or any read error) always survive. */
+  private def bloomPruned(cur: Seq[(Int, String)],
+      filters: Seq[Filter]): Seq[(Int, String)] = {
+    if (root.isEmpty || cur.isEmpty) return cur
+    probeTuples(filters) match {
+      case Some(tuples) if tuples.nonEmpty =>
+        val hashes = tuples.map(t =>
+          SnapshotTable.keyHashOfLiterals(t, keyTypes))
+        val fsys = new org.apache.hadoop.fs.Path(root).getFileSystem(
+          SparkSession.active.sessionState.newHadoopConf())
+        cur.filter(e => SnapshotTable.bloomMayContain(fsys, e._2, hashes))
+      case _ => cur
     }
-    Some(tuples
-      .map(t => SnapshotTable.bucketOfLiterals(t, types, snap.buckets))
-      .toSet)
   }
 
   /** Entries surviving data-skipping: a dir is read unless SOME pushed
@@ -401,7 +424,7 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
       case Some(hit) => cur.filter(e => snap.entryHit(e, hit))
       case None => cur
     }
-    statsPruned(bucketed, filters)
+    bloomPruned(statsPruned(bucketed, filters), filters)
   }
 
   // ---- complete aggregate pushdown from manifest statistics ----

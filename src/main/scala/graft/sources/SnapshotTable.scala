@@ -354,15 +354,69 @@ object SnapshotTable {
     * written files (the count rides the same job the stats already
     * paid for; with stats disabled it degrades to a count-only pass).
     * Returns (dir → column stats, dir → row count). */
+  /** Bloom sizing: fixed 2^17 bits (16 KB per dir) against an 8k-item
+    * estimate — ~11 hashes, sub-percent false-positive rate at the
+    * intended "one bucket ≈ one rewrite unit" dir sizes, degrading
+    * GRACEFULLY (never unsoundly) on oversized dirs. The probe side
+    * treats an absent/corrupt filter as "may contain". */
+  private val BloomNumBits = 1L << 17
+  private val BloomEstItems = 8192L
+  private[sources] val BloomFileName = ".bloom"
+  /** Largest literal-key probe set worth bloom-testing on the driver. */
+  private[sources] val BloomProbeMax = 4096
+
+  /** Driver-side twin of the write path's `xxhash64(keyCols)` — the
+    * long a literal key tuple contributes to a dir's bloom filter. */
+  private[sources] def keyHashOfLiterals(values: Seq[Any],
+      types: Seq[org.apache.spark.sql.types.DataType]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    XxHash64(values.zip(types).map { case (v, t) => Literal.create(v, t) },
+      42L).eval(null).asInstanceOf[Long]
+  }
+
+  /** May `dir` hold ANY of the probe key hashes? Absent or unreadable
+    * bloom files answer true (read the dir) — pruning only narrows. */
+  private[sources] def bloomMayContain(fsys: FileSystem, dir: String,
+      hashes: Seq[Long]): Boolean = {
+    val p = new Path(dir, BloomFileName)
+    val in =
+      try fsys.open(p)
+      catch { case _: java.io.IOException => return true }
+    val bf =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      catch { case _: java.io.IOException => in.close(); return true }
+      finally in.close()
+    hashes.exists(bf.mightContainLong)
+  }
+
   private def computeStats(spark: SparkSession, entries: Seq[(Int, String)],
       schemaDdl: String, statsCols: Seq[String],
-      colMap: Map[String, String] = Map.empty)
+      colMap: Map[String, String] = Map.empty,
+      bloomKeys: Seq[String] = Seq.empty,
+      bloomFs: Option[FileSystem] = None)
       : (Map[String, Map[String, ColStats]], Map[String, Long]) = {
     // files store PHYSICAL names; stats and statsCols are keyed physical
     val schema = StructType(StructType.fromDDL(schemaDdl).fields.map(f =>
       f.copy(name = colMap.getOrElse(f.name, f.name))))
     val present = statsCols.filter(schema.fieldNames.contains)
     if (entries.isEmpty) return (Map.empty, Map.empty)
+    // per-dir KEY bloom filter, riding the same aggregation pass (keys
+    // are never renameable, so their physical names are their logical
+    // ones): the read side prunes point lookups with it — an
+    // absent-key probe reads ZERO data bytes
+    val withBloom = bloomFs.isDefined && bloomKeys.nonEmpty &&
+      bloomKeys.forall(schema.fieldNames.contains)
+    val bloomAgg: Seq[org.apache.spark.sql.Column] = if (!withBloom) Nil
+      else {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+        Seq(org.apache.spark.sql.GraftSqlBridge.column(
+          new BloomFilterAggregate(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              xxhash64(bloomKeys.map(col): _*)),
+            Literal(BloomEstItems), Literal(BloomNumBits))
+            .toAggregateExpression()).as("bloom:"))
+      }
     // key rows back to their entry dir by the dir-path SUFFIX from the
     // bucket segment on (`_gb=b` or `_gb=b/_zs=k`): the suffix comes
     // verbatim from the entry string, so scheme qualification in
@@ -371,9 +425,9 @@ object SnapshotTable {
     val bySuffix = entries.map { case (_, d) =>
       d.substring(d.lastIndexOf(s"$BucketCol=")) -> d
     }.toMap
-    val aggs = count(lit(1)).as("cnt:") +: present.flatMap(c => Seq(
+    val aggs = (count(lit(1)).as("cnt:") +: present.flatMap(c => Seq(
       min(col(c)).as(s"lo:$c"), max(col(c)).as(s"hi:$c"),
-      max(when(col(c).isNull, 1).otherwise(0)).as(s"nn:$c")))
+      max(when(col(c).isNull, 1).otherwise(0)).as(s"nn:$c")))) ++ bloomAgg
     val rows = spark.read.schema(schema).parquet(entries.map(_._2): _*)
       .groupBy(regexp_extract(input_file_name(),
         s"($BucketCol=\\d+(?:/$ZSliceCol=\\d+)?)/", 1).as("_b"))
@@ -381,6 +435,15 @@ object SnapshotTable {
       .collect()
     val dirRows = rows.flatMap(r => bySuffix.get(r.getString(0))
       .map(_ -> r.getLong(r.fieldIndex("cnt:")))).toMap
+    if (withBloom) rows.foreach { r =>
+      bySuffix.get(r.getString(0)).foreach { dir =>
+        val bytes = r.get(r.fieldIndex("bloom:")).asInstanceOf[Array[Byte]]
+        if (bytes != null) {
+          val out = bloomFs.get.create(new Path(dir, BloomFileName), true)
+          try out.write(bytes) finally out.close()
+        }
+      }
+    }
     // a dir absent from the agg output received ZERO rows (empty
     // parquet write): its count is exactly 0, not unknown
     val allRows = entries.map(_._2).map(d => d -> dirRows.getOrElse(d, 0L))
@@ -410,13 +473,19 @@ object SnapshotTable {
     (statsMap, allRows)
   }
 
-  /** Exact on-disk bytes per fresh dir — one driver `getContentSummary`
-    * per dir, O(commit dirs), feeding the planner-statistics field of
-    * the manifest. */
+  /** Exact on-disk DATA bytes per fresh dir — one driver listing per
+    * dir, O(commit dirs), feeding the planner-statistics field of the
+    * manifest. Hidden sidecars (`.bloom`, markers) are index metadata,
+    * not scan input, so they stay out of the size a join planner
+    * compares against its broadcast threshold. */
   private def dirSizes(fsys: FileSystem,
       entries: Seq[(Int, String)]): Map[String, Long] =
     entries.map { case (_, d) =>
-      d -> fsys.getContentSummary(new Path(d)).getLength
+      d -> fsys.listStatus(new Path(d)).iterator
+        .filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_")
+        }).map(_.getLen).sum
     }.toMap
 
   // stats serialization: one flat JSON object per dir, our own
@@ -1083,7 +1152,23 @@ object SnapshotTable {
       .withColumn(BucketCol, bucketOf(snap.keys, snap.buckets)))
     val hit = probe.select(col(BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet // O(buckets) driver list
-    resolvedRead(spark, snap, Some(hit), snap.schemaDdl)
+    // per-dir key BLOOM pruning for bounded probes: a dir whose filter
+    // rejects every probe hash provably holds none of the keys (blooms
+    // have no false negatives), so an ABSENT-key lookup reads zero data
+    // bytes; dirs without a filter always read. Deltas are never
+    // bloom-dropped (their events stay; the semi-join below keeps the
+    // output exact regardless).
+    val hashes = probe.drop(BucketCol)
+      .select(xxhash64(keyCols: _*)).distinct()
+      .limit(BloomProbeMax + 1).collect().map(_.getLong(0)).toSeq
+    val snapB =
+      if (hashes.size > BloomProbeMax) snap
+      else {
+        val (fsys, _) = fs(spark, root)
+        snap.copy(entries = snap.entries.filter(e =>
+          !snap.entryHit(e, hit) || bloomMayContain(fsys, e._2, hashes)))
+      }
+    resolvedRead(spark, snapB, Some(hit), snap.schemaDdl)
       .join(probe.drop(BucketCol), snap.keys, "left_semi")
   }
 
@@ -1750,7 +1835,7 @@ object SnapshotTable {
     val v = base.version + 1
     val kept = base.entries.filterNot(e => removedDirs(e._2))
     val (st, rw) = computeStats(spark, stagedDirs, base.schemaDdl,
-      base.statsCols, base.colMap)
+      base.statsCols, base.colMap, base.keys, Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(v, op, base.keys, base.buckets,
       base.schemaDdl, uuid, kept ++ stagedDirs,
       statsCols = base.statsCols,
@@ -1851,7 +1936,8 @@ object SnapshotTable {
     val uuid = newUuid()
     val ddl = df.schema.toDDL
     val entries = writeCommitData(df, rootP, 1L, keys, buckets, uuid, fsys)
-    val (st, rw) = computeStats(df.sparkSession, entries, ddl, sc)
+    val (st, rw) = computeStats(df.sparkSession, entries, ddl, sc,
+      bloomKeys = keys, bloomFs = Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(1L, "create", keys, buckets,
       ddl, uuid, entries,
       statsCols = sc,
@@ -1882,7 +1968,7 @@ object SnapshotTable {
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys, cur.colMap)
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
-      cur.colMap)
+      cur.colMap, cur.keys, Some(fsys))
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("append", ddl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = None, txn = txn,
@@ -1915,7 +2001,7 @@ object SnapshotTable {
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys, cur.colMap)
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
-      cur.colMap)
+      cur.colMap, cur.keys, Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(v, op, cur.keys,
       cur.buckets, ddl, uuid, entries,
       statsCols = cur.statsCols,
@@ -1993,6 +2079,9 @@ object SnapshotTable {
     if (mergeOnRead) {
       val entries = writeCommitData(aligned(batch.drop(BucketCol), ddl),
         rootP, v, cur.keys, cur.buckets, uuid, fsys, cur.colMap)
+      // no bloom sidecars for DELTA dirs: reads never bloom-prune them
+      // (their events shadow older rows), so the 16 KB filter would be
+      // pure write amplification on the O(batch) commit path
       val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
         cur.colMap)
       // a merge-on-read commit is an EVENT layer with no read-dependency:
@@ -2038,7 +2127,7 @@ object SnapshotTable {
           rootP, v, uuid, cur.colMap))
       }
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
-      cur.colMap)
+      cur.colMap, cur.keys, Some(fsys))
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("upsert", ddl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = txn,
@@ -2077,6 +2166,7 @@ object SnapshotTable {
       val tombs = batch.drop(BucketCol)
       val entries = writeCommitData(tombs, rootP, v, cur.keys,
         cur.buckets, uuid, fsys, cur.colMap)
+      // tombstone dirs are events too: never bloom-pruned, no sidecar
       val (st, rw) = computeStats(spark, entries, tombs.schema.toDDL,
         cur.statsCols, cur.colMap)
       return commitRebasing(spark, root, fsys, rootP, cur,
@@ -2099,7 +2189,7 @@ object SnapshotTable {
           .withColumn(ChangeTypeCol, lit("delete")),
         rootP, v, uuid, cur.colMap))
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
-      cur.statsCols, cur.colMap)
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = None,
@@ -2256,7 +2346,7 @@ object SnapshotTable {
         .map(st => bk -> st.getPath.toString)
     }
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
-      cur.statsCols, cur.colMap)
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(v, "zorder", cur.keys,
       cur.buckets, cur.schemaDdl, uuid, entries,
       statsCols = cur.statsCols,
@@ -2528,7 +2618,7 @@ object SnapshotTable {
     // their original buckets, so the produced set must stay inside target
     requireSubset(entries, target, "compact")
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
-      cur.statsCols, cur.colMap)
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
       cur.buckets, cur.schemaDdl, uuid,
       cur.entries.filterNot(e => cur.entryHit(e, target)) ++ entries,

@@ -814,6 +814,37 @@ class ScaleSpec extends AnyFunSuite {
     println(s"""{"scale_invariants":{"snap_rescale_input_bytes":$rescaleBytes,"snap_mixed_lookup_bytes":$mixBytes,"snap_mixed_lookup_bound":$mixBound,"snap_migrated_lookup_bytes":$newBytes,"snap_migrated_lookup_bound":$newBound,"snap_rescale_layouts":"$oldB->$newB"}}""")
   }
 
+  test("SnapshotTable key blooms at 10x: an absent-key point lookup " +
+      "plans ZERO input bytes through the connector; a present key " +
+      "stays inside the single-bucket envelope") {
+    import graft.sources.SnapshotTable
+    val root = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_snapbloom10x").toFile,
+      "tbl").getAbsolutePath
+    val buckets = 32
+    val big = spark.range(0, 100000, 1, 8).select(col("id"),
+      concat(lit("v"), col("id")).as("tag"), (col("id") * 7).as("v"))
+    SnapshotTable.create(big, root, Seq("id"), buckets)
+    val (_, fullBytes, _) = ShuffleMetrics.measureInput(spark) {
+      SnapshotTable.read(spark, root).agg(count(lit(1))).head()
+    }
+    // absent key: the bucket pruner keeps 1 dir, the bloom rejects it —
+    // the scan plans no partitions at all
+    val (miss, missBytes, _) = ShuffleMetrics.measureInput(spark) {
+      spark.read.format("graft-snapshot").load(root)
+        .filter(col("id") === 7777777L).collect()
+    }
+    assert(miss.isEmpty && missBytes === 0L,
+      s"absent-key lookup read $missBytes bytes")
+    // present key: bloom keeps exactly the hit dir
+    val (hit, hitBytes, _) = ShuffleMetrics.measureInput(spark) {
+      spark.read.format("graft-snapshot").load(root)
+        .filter(col("id") === 4242L).collect()
+    }
+    assert(hit.length === 1 && hitBytes <= 4L * fullBytes / buckets)
+    println(s"""{"scale_invariants":{"snap_bloom_full_bytes":$fullBytes,"snap_bloom_miss_bytes":$missBytes,"snap_bloom_hit_bytes":$hitBytes,"snap_bloom_buckets":$buckets}}""")
+  }
+
   test("SnapshotTable data-skipping at 10x: a range predicate over " +
       "window-correlated append commits reads only the matching " +
       "commits' bytes") {
