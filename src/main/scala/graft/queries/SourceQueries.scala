@@ -1227,8 +1227,65 @@ object SourceQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** CHECK constraints on the snapshot table
+    * ([[graft.sources.SnapshotTable.addConstraint]] — the Delta
+    * invariant shape): add a constraint the live data satisfies, write
+    * valid batches through it, REFUSE a violating upsert (phase 2 is
+    * the refusal marker: the exception fired, no commit landed, row
+    * counts unchanged), then drop the constraint and land the same
+    * shape of row. Phase 1 = content after the guarded writes (the
+    * refused batch must be absent), phase 3 = after drop + the
+    * previously-refused write. Per-path enforcement, NULL semantics,
+    * rename pinning and the rebase guard are SnapshotConstraintSpec's. */
+  val q180 = Q("q180_snapshot_constraints",
+    """WITH ok AS (
+      |  SELECT doc_id, lang,
+      |         n_chars + (CASE WHEN doc_id % 9 = 0 THEN 40000 ELSE 0 END)
+      |           AS n_chars
+      |  FROM documents)
+      |SELECT 1 AS phase, doc_id, lang, n_chars FROM ok
+      |UNION ALL SELECT 2 AS phase, CAST(-999 AS BIGINT) AS doc_id,
+      |  'rejected' AS lang, CAST(1 AS BIGINT) AS n_chars
+      |UNION ALL SELECT 3 AS phase, doc_id, lang, n_chars FROM ok
+      |UNION ALL SELECT 3 AS phase, CAST(-1 AS BIGINT) AS doc_id,
+      |  'zz' AS lang, CAST(-7 AS BIGINT) AS n_chars
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    import s.implicits._
+    val path = scratch("snapcheck", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 2 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    SnapshotTable.addConstraint(s, path, "len_pos", "n_chars >= 0")
+    SnapshotTable.append(d.filter(col("doc_id") % 2 === 1), path)
+    SnapshotTable.upsert(
+      d.filter(col("doc_id") % 9 === 0)
+        .withColumn("n_chars", col("n_chars") + 40000), path)
+    val rejected =
+      try {
+        SnapshotTable.upsert(
+          Seq((-1L, "zz", -7L)).toDF("doc_id", "lang", "n_chars"), path)
+        0
+      } catch { case _: IllegalArgumentException => 1 }
+    def ph(n: Int, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(n).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    val p1 = ph(1, SnapshotTable.read(s, path))
+    val p2 = Seq((2, -999L, "rejected", rejected.toLong))
+      .toDF("phase", "doc_id", "lang", "n_chars")
+    SnapshotTable.dropConstraint(s, path, "len_pos")
+    SnapshotTable.append(
+      Seq((-1L, "zz", -7L)).toDF("doc_id", "lang", "n_chars"), path)
+    val p3 = ph(3, SnapshotTable.read(s, path))
+    p1.unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173, q174, q175, q176, q177, q178, q179)
+      q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
 }

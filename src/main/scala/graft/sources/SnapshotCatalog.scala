@@ -566,7 +566,8 @@ private[sources] object SnapshotProcedures {
 
   val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder",
     "restore", "create_tag", "drop_tag", "tags", "rescale",
-    "create_branch", "drop_branch", "fast_forward", "branches")
+    "create_branch", "drop_branch", "fast_forward", "branches",
+    "add_constraint", "drop_constraint", "constraints")
 
   private def spark = SparkSession.active
 
@@ -680,6 +681,38 @@ private[sources] object SnapshotProcedures {
           SnapshotTable.tags(spark, root).map { case (n, v) =>
             InternalRow(UTF8String.fromString(n), v)
           }
+        }
+      }
+      case "add_constraint" => new Proc("add_constraint",
+          Seq(tableParam,
+            ProcedureParameter.in("name", StringType).build(),
+            ProcedureParameter.in("expression", StringType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          Seq(InternalRow(SnapshotTable.addConstraint(spark, root,
+            input.getUTF8String(1).toString,
+            input.getUTF8String(2).toString)))
+        }
+      }
+      case "drop_constraint" => new Proc("drop_constraint",
+          Seq(tableParam,
+            ProcedureParameter.in("name", StringType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          Seq(InternalRow(SnapshotTable.dropConstraint(spark, root,
+            input.getUTF8String(1).toString)))
+        }
+      }
+      case "constraints" => new Proc("constraints", Seq(tableParam),
+          StructType.fromDDL("name STRING, expression STRING")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          SnapshotTable.versions(spark, root).last.constraints.toSeq
+            .sortBy(_._1).map { case (n, e) =>
+              InternalRow(UTF8String.fromString(n), UTF8String.fromString(e))
+            }
         }
       }
       case "create_branch" => new Proc("create_branch",

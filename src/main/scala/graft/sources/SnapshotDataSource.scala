@@ -876,6 +876,7 @@ private[graft] class SnapshotMicroBatchStream(root: String,
       // append-tailing contract is undisturbed
       if (next.op != "append" && next.op != "rescale" &&
           next.op != "rename-column" && next.op != "drop-column" &&
+          next.op != "set-constraint" && next.op != "drop-constraint" &&
           !ignoreChanges)
         sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
           s"(v${next.version}): its dirs consolidate existing rows, not " +
@@ -1003,7 +1004,8 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
         cdcInner(Seq(next.cdc.get)).toBatch.planInputPartitions().map(p =>
           CdfInputPartition(p, fromCdc = true, null, next.version))
       case "zorder" | "compact" => Array.empty // content-neutral rewrites
-      case "rescale" | "rename-column" | "drop-column" =>
+      case "rescale" | "rename-column" | "drop-column" |
+           "set-constraint" | "drop-constraint" =>
         Array.empty // pure-metadata commits: zero row changes
       case other => sys.error(
         s"change feed hit commit v${next.version} (op=$other) at $root " +

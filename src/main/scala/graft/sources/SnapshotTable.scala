@@ -129,7 +129,8 @@ object SnapshotTable {
       cdc: Option[String] = None,
       dirLayout: Map[String, Int] = Map.empty,
       colMap: Map[String, String] = Map.empty,
-      droppedPhys: Seq[String] = Seq.empty) {
+      droppedPhys: Seq[String] = Seq.empty,
+      constraints: Map[String, String] = Map.empty) {
 
     /** PHYSICAL (file) name of a logical column — column-mapping
       * indirection (the Delta column-mapping `name` mode, re-derived):
@@ -675,6 +676,11 @@ object SnapshotTable {
         val Array(lg, ph) = l.drop("colmap=".length).split("\t", 2)
         lg -> ph
     }.toMap
+    val constraints = lines.collect {
+      case l if l.startsWith("constraint=") =>
+        val Array(n, e) = l.drop("constraint=".length).split("\t", 2)
+        n -> e
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -693,7 +699,7 @@ object SnapshotTable {
       fieldOpt("changefeed").exists(_.toBoolean),
       fieldOpt("cdc"), dirLayout, colMap,
       fieldOpt("dropped").map(_.split(",").toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty), constraints)
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -1508,6 +1514,9 @@ object SnapshotTable {
       snap.colMap.toSeq.sortBy(_._1).foreach { case (lg, ph) =>
         body ++= s"colmap=$lg\t$ph" += '\n'
       }
+      snap.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
+        body ++= s"constraint=$n\t$e" += '\n'
+      }
       if (snap.droppedPhys.nonEmpty)
         body ++= s"dropped=${snap.droppedPhys.mkString(",")}" += '\n'
       snap.deltas.foreach { d =>
@@ -1685,7 +1694,8 @@ object SnapshotTable {
         dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
         deltas = cur.deltas, changeFeed = cur.changeFeed, cdc = p.cdc,
         dirLayout = cur.dirLayout ++ myLayout,
-        colMap = cur.colMap, droppedPhys = cur.droppedPhys)
+        colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints)
       case "upsert" | "delete" =>
         val h = p.hit.get
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1696,7 +1706,8 @@ object SnapshotTable {
           deltas = cur.deltas.filterNot(d => h(d.bucket)),
           changeFeed = cur.changeFeed, cdc = p.cdc,
           dirLayout = cur.dirLayout,
-          colMap = cur.colMap, droppedPhys = cur.droppedPhys)
+          colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints)
       case "upsert-mor" | "delete-mor" =>
         val kind = if (p.opKind == "upsert-mor") "rows" else "tomb"
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1708,7 +1719,8 @@ object SnapshotTable {
             p.entries.map { case (b, d) => DeltaEntry(b, v, kind, d) },
           changeFeed = cur.changeFeed, cdc = p.cdc,
           dirLayout = cur.dirLayout,
-          colMap = cur.colMap, droppedPhys = cur.droppedPhys)
+          colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints)
       case other => sys.error(s"rebasing undefined for op $other")
     }
   }
@@ -1755,6 +1767,12 @@ object SnapshotTable {
               cur2.droppedPhys != cur.droppedPhys)
             throw new ConcurrentCommitException(
               s"${p.opKind} raced a concurrent column rename/drop at " +
+                s"$root — rebase unsafe, retry the whole operation")
+          // a constraint added mid-flight was never probed against this
+          // batch: publishing would sneak unvalidated rows in
+          if (cur2.constraints != cur.constraints)
+            throw new ConcurrentCommitException(
+              s"${p.opKind} raced a concurrent constraint change at " +
                 s"$root — rebase unsafe, retry the whole operation")
           // a concurrent RESCALE (or a restore across one) changed the
           // current bucket layout: a blind append survives if its staged
@@ -1834,6 +1852,12 @@ object SnapshotTable {
           s"${cur.version} is now current at $root; retry the statement")
     val v = base.version + 1
     val kept = base.entries.filterNot(e => removedDirs(e._2))
+    // row-level SQL writes stream on executors past the driver-side
+    // batch probe — validate the staged parquet before it becomes
+    // visible (one O(replacement) scan, only on constrained tables)
+    if (base.constraints.nonEmpty)
+      requireConstraints(readEntries(spark, base.schemaDdl, base.colMap,
+        stagedDirs.map(_._2)), base, op)
     val (st, rw) = computeStats(spark, stagedDirs, base.schemaDdl,
       base.statsCols, base.colMap, base.keys, Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(v, op, base.keys, base.buckets,
@@ -1854,7 +1878,8 @@ object SnapshotTable {
       // kept old-layout dirs keep their tags; staged dirs are
       // current-layout (absent = default)
       dirLayout = base.dirLayout,
-      colMap = base.colMap, droppedPhys = base.droppedPhys)))
+      colMap = base.colMap, droppedPhys = base.droppedPhys,
+      constraints = base.constraints)))
     v
   }
 
@@ -1961,6 +1986,7 @@ object SnapshotTable {
     val spark = df.sparkSession
     val cur = currentOn(spark, root, branch)
     requireCols(df, cur.keys)
+    requireConstraints(df, cur, "append")
     val ddl = commitSchema(df, cur, mergeSchema)
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
@@ -1994,6 +2020,8 @@ object SnapshotTable {
     val spark = df.sparkSession
     val cur = currentOn(spark, root, branch)
     requireCols(df, cur.keys)
+    // compact re-publishes content that already passed — no re-probe
+    if (op == "overwrite") requireConstraints(df, cur, op)
     val ddl = commitSchema(df, cur, mergeSchema)
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
@@ -2007,7 +2035,8 @@ object SnapshotTable {
       statsCols = cur.statsCols,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       txn = txn, changeFeed = cur.changeFeed,
-      colMap = cur.colMap, droppedPhys = cur.droppedPhys)), branch)
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints)), branch)
     v
   }
 
@@ -2067,6 +2096,7 @@ object SnapshotTable {
     val (fsys, rootP) = fs(spark, root)
     val keyCols = cur.keys.map(col)
     val batch = mat(df.withColumn(BucketCol, bucketOf(cur.keys, cur.buckets)))
+    requireConstraints(batch, cur, "upsert")
     if (checkDuplicates) {
       val dupKeys = batch.groupBy(keyCols: _*).count()
         .filter(col("count") > 1).limit(1).collect() // 1-row guard probe
@@ -2249,7 +2279,8 @@ object SnapshotTable {
       deltas = target.deltas,
       changeFeed = cur.changeFeed,
       dirLayout = target.dirLayout,
-      colMap = target.colMap, droppedPhys = target.droppedPhys)))
+      colMap = target.colMap, droppedPhys = target.droppedPhys,
+      constraints = target.constraints)))
     v
   }
 
@@ -2352,7 +2383,8 @@ object SnapshotTable {
       statsCols = cur.statsCols,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       changeFeed = cur.changeFeed,
-      colMap = cur.colMap, droppedPhys = cur.droppedPhys)))
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints)))
     v
   }
 
@@ -2482,7 +2514,8 @@ object SnapshotTable {
       // old current-layout dirs become historical; already-historical
       // tags carry through unchanged)
       dirLayout = cur.entries.map(e => e._2 -> cur.layoutOf(e._2)).toMap,
-      colMap = cur.colMap, droppedPhys = cur.droppedPhys)))
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints)))
     v
   }
 
@@ -2513,6 +2546,7 @@ object SnapshotTable {
       s"'$oldName' is a key column; keys are not renameable")
     require(oldName != newName && !schema.fieldNames.contains(newName),
       s"column '$newName' already exists in ${cur.schemaDdl}")
+    constraintRefsGuard(spark, cur, oldName, "rename")
     val phys = cur.physicalOf(oldName)
     // renaming a column BACK to its own physical (original) name is
     // fine; any OTHER reserved physical name would shadow file data
@@ -2546,10 +2580,101 @@ object SnapshotTable {
       s"'$name' is a key column; keys are not droppable")
     require(schema.fields.length > 1,
       s"cannot drop the only column of $root")
+    constraintRefsGuard(spark, cur, name, "drop")
     val phys = cur.physicalOf(name)
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     alterCommit(spark, root, cur, "drop-column", newSchema.toDDL,
       cur.colMap - name, cur.droppedPhys :+ phys)
+  }
+
+  /** Column names a constraint expression references (top-level
+    * attributes of the parsed SQL expression). */
+  private def constraintRefs(spark: SparkSession, expr: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(expr).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.toSet
+
+  private def constraintRefsGuard(spark: SparkSession, cur: Snapshot,
+      column: String, what: String): Unit =
+    cur.constraints.foreach { case (n, e) =>
+      require(!constraintRefs(spark, e).contains(column),
+        s"cannot $what column '$column': CHECK constraint '$n' ($e) " +
+          "references it — drop the constraint first")
+    }
+
+  /** The rows of `df` violating any constraint — SQL CHECK semantics:
+    * a constraint passes on TRUE or NULL, violates only on FALSE. */
+  private def violations(df: DataFrame,
+      constraints: Map[String, String]): DataFrame =
+    df.filter(constraints.values.map(e =>
+      not(coalesce(expr(e), lit(true)))).reduce(_ || _))
+
+  /** Refuse a batch that violates any table constraint — one
+    * short-circuiting probe job over the (materialized) batch, the
+    * Delta invariant-enforcement shape. O(batch), runs BEFORE any data
+    * is staged. */
+  private def requireConstraints(df: DataFrame, cur: Snapshot,
+      what: String): Unit = {
+    if (cur.constraints.isEmpty) return
+    val bad = violations(df, cur.constraints).limit(1).collect()
+    require(bad.isEmpty,
+      s"$what batch violates CHECK constraint(s) " +
+        s"${cur.constraints.map { case (n, e) => s"$n: $e" }.mkString("; ")} " +
+        s"— e.g. ${bad.headOption.getOrElse("")}")
+  }
+
+  /** ADD a named CHECK constraint (the Delta `ADD CONSTRAINT` shape):
+    * the EXISTING content is validated first (one full-scan probe — a
+    * constraint that doesn't hold today is refused, never recorded),
+    * then a pure-metadata commit stores the expression and every later
+    * write batch is validated against it (O(batch) probe per commit).
+    * Expressions are SQL over the LOGICAL columns; `c IS NOT NULL`
+    * spells a NOT NULL invariant. Columns referenced by a constraint
+    * can't be renamed or dropped until it is dropped. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      expression: String): Long = {
+    require(TagName.matches(name),
+      s"constraint name '$name' must match ${TagName.regex}")
+    require(!expression.contains('\n') && !expression.contains('\t'),
+      "constraint expression must be line-safe")
+    val cur = current(spark, root)
+    require(!cur.constraints.contains(name),
+      s"constraint '$name' already exists at $root " +
+        s"(${cur.constraints(name)}); dropConstraint first")
+    // parse + reference check up front (fails loudly on typos), then
+    // validate the live content
+    val refs = constraintRefs(spark, expression)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    refs.foreach(c => require(schema.fieldNames.contains(c),
+      s"constraint '$name' references unknown column '$c' " +
+        s"(schema: ${cur.schemaDdl})"))
+    val bad = violations(read(spark, root), Map(name -> expression))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"cannot add constraint '$name' ($expression): existing rows " +
+        s"violate it — e.g. ${bad.headOption.getOrElse("")}")
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(cur.copy(version = v,
+      op = "set-constraint", uuid = newUuid(), txn = None, cdc = None,
+      constraints = cur.constraints + (name -> expression))))
+    v
+  }
+
+  /** Drop a CHECK constraint; later writes stop validating it. */
+  def dropConstraint(spark: SparkSession, root: String,
+      name: String): Long = {
+    val cur = current(spark, root)
+    require(cur.constraints.contains(name),
+      s"no constraint '$name' at $root " +
+        s"(have ${cur.constraints.keys.toSeq.sorted.mkString(",")})")
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(cur.copy(version = v,
+      op = "drop-constraint", uuid = newUuid(), txn = None, cdc = None,
+      constraints = cur.constraints - name)))
+    v
   }
 
   /** One pure-metadata schema-alter commit: entries, layout, deltas and
@@ -2567,7 +2692,8 @@ object SnapshotTable {
       deltas = cur.deltas,
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout,
-      colMap = newMap, droppedPhys = newDropped)))
+      colMap = newMap, droppedPhys = newDropped,
+      constraints = cur.constraints)))
     v
   }
 
@@ -2628,7 +2754,8 @@ object SnapshotTable {
       deltas = cur.deltas.filterNot(d => target(d.bucket)),
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout,
-      colMap = cur.colMap, droppedPhys = cur.droppedPhys)))
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints)))
     v
   }
 
