@@ -83,12 +83,27 @@ object SnapshotMeta {
     StructField("name", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
 
-  val MetaNames: Set[String] = Set("history", "files", "tags")
+  /** `branches` schema — write-audit-publish lines, one row per branch
+    * (head == base for a branch with no commits yet). */
+  val BranchesSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("base", LongType, nullable = false),
+    StructField("head", LongType, nullable = false)))
+
+  /** `constraints` schema — the CHECK constraints of one snapshot. */
+  val ConstraintsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("expression", StringType, nullable = false)))
+
+  val MetaNames: Set[String] =
+    Set("history", "files", "tags", "branches", "constraints")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => HistorySchema
     case "files" => FilesSchema
     case "tags" => TagsSchema
+    case "branches" => BranchesSchema
+    case "constraints" => ConstraintsSchema
     case other => sys.error(s"unknown metadata table '$other'")
   }
 
@@ -144,6 +159,13 @@ object SnapshotMeta {
         base ++ layers
       case "tags" =>
         SnapshotTable.tags(spark, root).map { case (n, v) => Row(n, v) }
+      case "branches" =>
+        SnapshotTable.branchList(spark, root).map { case (n, b, h) =>
+          Row(n, b, h)
+        }
+      case "constraints" =>
+        val s = pin.getOrElse(snaps.last)
+        s.constraints.toSeq.sortBy(_._1).map { case (n, e) => Row(n, e) }
       case other => sys.error(s"unknown metadata table '$other'")
     }
   }
@@ -169,6 +191,14 @@ object SnapshotMeta {
   /** Named refs as a DataFrame. */
   def tags(spark: SparkSession, root: String): DataFrame =
     toDf(spark, root, "tags", None)
+
+  /** Branches as a DataFrame. */
+  def branches(spark: SparkSession, root: String): DataFrame =
+    toDf(spark, root, "branches", None)
+
+  /** CHECK constraints of the head snapshot as a DataFrame. */
+  def constraints(spark: SparkSession, root: String): DataFrame =
+    toDf(spark, root, "constraints", None)
 
   private def toDf(spark: SparkSession, root: String, kind: String,
       opts: Option[Map[String, String]]): DataFrame = {

@@ -174,6 +174,9 @@ class SnapshotBranchSpec extends AnyFunSuite {
       s"$wh/wt", branch = Some("audit"))
     assert(spark.sql("CALL brcat.system.branches('wt')")
       .as[(String, Long, Long)].collect().toSeq === Seq(("audit", 2L, 3L)))
+    // the `branches` METADATA TABLE reads the same refs
+    assert(spark.sql("SELECT name, base, head FROM brcat.wt.branches")
+      .as[(String, Long, Long)].collect().toSeq === Seq(("audit", 2L, 3L)))
     assert(spark.sql("SELECT count(*) FROM brcat.wt").as[Long].head() === 1L)
     assert(spark.sql("CALL brcat.system.fast_forward('wt', 'audit')")
       .as[Long].head() === 3L)

@@ -113,6 +113,10 @@ class SnapshotConstraintSpec extends AnyFunSuite {
       .as[Long].head() === 3L)
     assert(spark.sql("CALL ckcat.system.constraints('ct')")
       .as[(String, String)].collect().toSeq === Seq(("vpos", "v >= 0")))
+    // the `constraints` METADATA TABLE reads the same rules
+    assert(spark.sql(
+      "SELECT name, expression FROM ckcat.ct.constraints")
+      .as[(String, String)].collect().toSeq === Seq(("vpos", "v >= 0")))
     // UPDATE that would break the constraint is refused at commit; the
     // staged replacement never becomes visible
     val e = intercept[Exception](
