@@ -26,12 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT * FROM graftcat.db.t.files             -- live entries, latest
   *   SELECT * FROM graftcat.db.t.files VERSION AS OF 3
   *   SELECT * FROM graftcat.db.t.tags              -- named refs
+  *   SELECT * FROM graftcat.db.t.branches          -- WAP lines
+  *   SELECT * FROM graftcat.db.t.constraints       -- CHECK rules
   * }}}
   *
   * Object API: [[SnapshotMeta.history]], [[SnapshotMeta.files]],
-  * [[SnapshotMeta.tags]].
+  * [[SnapshotMeta.tags]], [[SnapshotMeta.branches]],
+  * [[SnapshotMeta.constraints]].
   *
-  * Scale shape: all three relations are MANIFEST-ONLY — O(versions) or
+  * Scale shape: all five relations are MANIFEST-ONLY — O(versions) or
   * O(live entries) driver rows, never a data-file read, so `history`
   * on a 100 TB table costs the same as on a 100 MB one. They surface
   * as a V2 [[LocalScan]] (driver-local rows, the shape Spark plans as
