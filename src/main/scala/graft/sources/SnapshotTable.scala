@@ -1146,9 +1146,14 @@ object SnapshotTable {
       version: Option[Long] = None,
       asOfTimestamp: Option[Long] = None,
       mat: Materialize = Materialize.Local,
-      tag: Option[String] = None): DataFrame = {
+      tag: Option[String] = None,
+      branch: Option[String] = None): DataFrame = {
     val spark = keysDf.sparkSession
-    val snap = resolve(spark, root, version, asOfTimestamp, tag)
+    require(branch.isEmpty ||
+      Seq(version, asOfTimestamp, tag).forall(_.isEmpty),
+      "a branch lookup resolves the branch HEAD: no version/timestamp/tag")
+    val snap = branch.fold(resolve(spark, root, version, asOfTimestamp,
+      tag))(_ => currentOn(spark, root, branch))
     require(snap.keys.nonEmpty,
       s"table at $root was created without keys; readForKeys undefined")
     snap.keys.foreach(k => require(keysDf.columns.contains(k),

@@ -159,6 +159,12 @@ class SnapshotBranchSpec extends AnyFunSuite {
     // pushed point lookup against the branch head still prunes + answers
     assert(viaConnector.where(col("id") === 5L)
       .select("tag").as[String].collect().toSeq === Seq("UPD"))
+    // keyed lookups resolve the branch head too (bloom-pruned like main)
+    assert(SnapshotTable.readForKeys(Seq(5L).toDF("id"), root,
+      branch = Some("audit")).select("tag").as[String]
+      .collect().toSeq === Seq("UPD"))
+    assert(SnapshotTable.readForKeys(Seq(12345L).toDF("id"), root,
+      branch = Some("audit")).count() === 0L)
     // catalog procedures: a full create→stage→inspect→publish cycle
     val wh = java.nio.file.Files.createTempDirectory("graft_branch_wh")
     wh.toFile.deleteOnExit()
