@@ -92,29 +92,47 @@ object Bench {
         canaryNames.map(n => n -> timeOne(n)))
     // cross-pass spike detector: any query costing > 5× its across-pass
     // median says a contention burst hit mid-run even if the canaries
-    // happened to land in quiet moments
-    def spiky(passes: Seq[Pass]): Boolean = passes.length > 1 && {
+    // happened to land in quiet moments. Judged on a SPECIFIC pass (the
+    // best one), not the last: r12's window stopped retrying because pass
+    // 2 was steady-state slow (low swing) while the BEST pass carried
+    // swing 3.22 — the emitted number was visibly contended.
+    def spiky(p: Pass, passes: Seq[Pass]): Boolean = passes.length > 1 && {
       val byName = passes.flatMap(_.results).groupBy(_._1)
-      passes.last.results.exists { case (n, v) =>
+      p.results.exists { case (n, v) =>
         val xs = byName(n).map(_._2).filter(_ > 0).sorted
         xs.nonEmpty && v > 5.0 * xs(xs.length / 2) && v > 1.0
       }
     }
+    // Optional canonical total (seconds) for the measured surface, from
+    // BASELINE.md's quiet recording. When set, a best pass > 1.4× the
+    // canonical counts as contention even if its canaries were quiet —
+    // the r12 failure mode was exactly a window where EVERY pass was
+    // uniformly slow. Env-injected so a grown query surface can't be
+    // gated against a stale constant by accident.
+    val canonical = sys.env.get("SPARK_GRAFT_CANONICAL_SEC").map(_.toDouble)
+    def contended(p: Pass, passes: Seq[Pass]): Boolean =
+      p.canarySwing > 1.5 || spiky(p, passes) ||
+        canonical.exists(c => p.total > 1.4 * c)
     // TWO passes unconditionally: a single pass cannot see a mid-run
     // contention burst that settles before the end canary (observed: one
     // query at 10× its normal cost inside a pass whose canary swing read
     // 1.27 — under the 1.5 gate — because the burst ended early). With a
-    // second pass the cross-pass spike detector has data, and best-of-2
-    // is the honest quiet number on a host this volatile.
-    val maxPasses = 3
+    // second pass the cross-pass spike detector has data, and best-of-N
+    // is the honest quiet number on a host this volatile. Retries continue
+    // while the BEST pass (the one the artifact will emit) still shows
+    // contention, up to 4 passes; if retries run out the artifact says so
+    // explicitly instead of passing off a contended number as quiet.
+    val maxPasses = 4
     var passes = Vector(runPass(), runPass())
     while (passes.length < maxPasses &&
-        (passes.last.canarySwing > 1.5 || spiky(passes))) {
-      System.err.println(s"[bench] contention detected (swing=" +
-        s"${passes.last.canarySwing}); re-running timed loop in-process")
+        contended(passes.minBy(_.total), passes)) {
+      val b = passes.minBy(_.total)
+      System.err.println(s"[bench] contention in best pass (swing=" +
+        s"${b.canarySwing}, total=${b.total}); re-running timed loop in-process")
       passes :+= runPass()
     }
     val best = passes.minBy(_.total)
+    val retriesExhausted = contended(best, passes)
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => " "; case c => c.toString } + "\""
@@ -130,6 +148,7 @@ object Bench {
       s""""canary_swing":${best.canarySwing},""" +
       s""""value_runs":${passes.map(_.total).mkString("[", ",", "]")},""" +
       s""""passes":${passes.length},""" +
+      s""""retries_exhausted":$retriesExhausted,""" +
       s""""failed":${errors.keys.map(jstr).mkString("[", ",", "]")},""" +
       s""""failed_count":${errors.size},""" +
       s""""metric":"total","value":${best.total},"unit":"sec","sf":"$sfDir"}"""

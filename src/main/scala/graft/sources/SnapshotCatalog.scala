@@ -225,10 +225,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(
         (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq))
     // RENAME/DROP COLUMN are pure-metadata commits through column
-    // mapping (zero file rewrites); ADD COLUMNs batch into one empty
-    // mergeSchema append. Mixing kinds applies in statement order.
+    // mapping (zero file rewrites); ADD COLUMNs are collected and batch
+    // into ONE empty mergeSchema append AFTER all renames/drops, so an
+    // added column always lands at the end of the schema regardless of
+    // its position in the statement. Renames/drops apply in statement
+    // order, each as its own commit. Because a multi-change ALTER is
+    // therefore multiple commits, the WHOLE list is validated up front
+    // against a simulated schema — a change that would fail cannot
+    // leave earlier changes half-applied. (A crash mid-ALTER can still
+    // leave a committed prefix — each prefix is a valid table state.)
     val adds = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.types.StructField]
+    val ordered = scala.collection.mutable.ArrayBuffer
+      .empty[Either[(String, String), String]] // Left=rename, Right=drop
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -240,15 +249,54 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"nested RENAME COLUMN unsupported: ${r.fieldNames.mkString(".")}")
-        SnapshotTable.renameColumn(spark, root, r.fieldNames.head,
-          r.newName)
+        ordered += Left(r.fieldNames.head -> r.newName)
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           s"nested DROP COLUMN unsupported: ${d.fieldNames.mkString(".")}")
-        SnapshotTable.dropColumn(spark, root, d.fieldNames.head)
+        ordered += Right(d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"snapshot tables support ALTER TABLE … ADD COLUMNS / RENAME " +
           s"COLUMN / DROP COLUMN, got $other")
+    }
+    // ---- up-front validation over the simulated schema ----
+    locally {
+      var names = org.apache.spark.sql.types.StructType
+        .fromDDL(cur.schemaDdl).fieldNames.toVector
+      val phys = cur.colMap
+      val reserved = (cur.colMap.values ++ cur.droppedPhys).toSet
+      val constrained = cur.constraints.values
+        .flatMap(e => SnapshotTable.constraintRefs(spark, e)).toSet
+      ordered.foreach {
+        case Left((old, nw)) =>
+          require(names.contains(old), s"no column '$old' to rename")
+          require(!cur.keys.contains(old),
+            s"'$old' is a key column; keys are not renameable")
+          require(!constrained.contains(old),
+            s"cannot rename column '$old': a CHECK constraint references it")
+          require(old != nw && !names.contains(nw),
+            s"rename target '$nw' already exists")
+          require(nw == phys.getOrElse(old, old) || !reserved.contains(nw),
+            s"column name '$nw' is reserved by column mapping")
+          names = names.map(n => if (n == old) nw else n)
+        case Right(name) =>
+          require(names.contains(name), s"no column '$name' to drop")
+          require(!cur.keys.contains(name),
+            s"'$name' is a key column; keys are not droppable")
+          require(!constrained.contains(name),
+            s"cannot drop column '$name': a CHECK constraint references it")
+          names = names.filterNot(_ == name)
+      }
+      adds.foreach { f =>
+        require(!names.contains(f.name),
+          s"ADD COLUMN '${f.name}': column already exists")
+        require(!reserved.contains(f.name),
+          s"ADD COLUMN '${f.name}': name is reserved by column mapping")
+        names :+= f.name
+      }
+    }
+    ordered.foreach {
+      case Left((old, nw)) => SnapshotTable.renameColumn(spark, root, old, nw)
+      case Right(name) => SnapshotTable.dropColumn(spark, root, name)
     }
     if (adds.nonEmpty) {
       val head = SnapshotTable.versions(spark, root).last

@@ -382,10 +382,14 @@ object SnapshotTable {
     val p = new Path(dir, BloomFileName)
     val in =
       try fsys.open(p)
-      catch { case _: java.io.IOException => return true }
+      catch { case scala.util.control.NonFatal(_) => return true }
+    // NonFatal, not just IOException: a corrupt .bloom can make
+    // BloomFilter.readFrom throw e.g. NegativeArraySizeException, and
+    // the contract is "absent/corrupt filter answers true" — degrading
+    // to a full read beats failing it. Single close via finally.
     val bf =
       try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-      catch { case _: java.io.IOException => in.close(); return true }
+      catch { case scala.util.control.NonFatal(_) => return true }
       finally in.close()
     hashes.exists(bf.mightContainLong)
   }
@@ -890,13 +894,50 @@ object SnapshotTable {
         s"(have ${snaps.map(_.version).mkString(",")})")
     fsys.mkdirs(branchesDir(rootP))
     val p = branchRefPath(rootP, name)
-    val out =
-      try fsys.create(p, false)
-      catch { case _: java.io.IOException =>
-        sys.error(s"branch '$name' already exists at $root " +
-          s"(base ${branchBase(spark, root, name)}); dropBranch first")
+    // Same adjudication as manifest publish, not a bare
+    // create-if-absent: on object stores without atomic O_EXCL create,
+    // two racing createBranch calls could both "succeed" and silently
+    // clobber each other's base pointer. Write a uuid-stamped tmp,
+    // rename (no-overwrite on HDFS-like stores; serialized by the
+    // O_EXCL lock on local POSIX), read back and compare the uuid —
+    // exactly one creator wins, the loser throws.
+    if (fsys.exists(p))
+      sys.error(s"branch '$name' already exists at $root " +
+        s"(base ${branchBase(spark, root, name)}); dropBranch first")
+    val uuid = newUuid()
+    val tmp = new Path(branchesDir(rootP), s".tmp-b-$name-$uuid")
+    val out = fsys.create(tmp, false)
+    try out.write(s"base=$v\nuuid=$uuid\n".getBytes("UTF-8"))
+    finally out.close()
+    def renameAndAdjudicate(): Unit = {
+      if (fsys.exists(p)) {
+        fsys.delete(tmp, false)
+        sys.error(s"branch '$name' already exists at $root; dropBranch first")
       }
-    try out.write(s"base=$v\n".getBytes("UTF-8")) finally out.close()
+      if (!fsys.rename(tmp, p)) {
+        fsys.delete(tmp, false)
+        sys.error(s"lost branch-create race for '$name' at $root")
+      }
+      val in = fsys.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (!text.contains(s"uuid=$uuid"))
+        sys.error(s"lost branch-create race for '$name' at $root " +
+          "(another creator's ref was published)")
+    }
+    try {
+      if (isLocalFs(rootP))
+        withLocalPublishLock(fsys, branchesDir(rootP), s"b-$name",
+            fsys.exists(p)) {
+          renameAndAdjudicate()
+        }
+      else renameAndAdjudicate()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        fsys.delete(tmp, false) // idempotent: already gone on most paths
+        throw e
+    }
     v
   }
 
@@ -962,22 +1003,38 @@ object SnapshotTable {
     * is the same atomic rename-adjudicated publish as a live commit; a
     * racing main writer makes the copy loop throw mid-way, leaving a
     * PREFIX of the branch published — every published prefix is a valid
-    * table state (the remaining branch manifests and ref are kept so
-    * the operation can be re-run after inspection). Returns the new
-    * main head version. */
+    * table state, and the remaining branch manifests and ref are kept
+    * so the SAME call can be re-run: a re-run recognizes main versions
+    * beyond the base whose uuids match the staged chain in order (the
+    * prefix it already published), skips them, and publishes the rest.
+    * Main versions beyond the base that do NOT uuid-match the staged
+    * chain are a genuine concurrent commit and fail before anything is
+    * copied. Returns the new main head version. */
   def fastForward(spark: SparkSession, root: String, name: String): Long = {
     val (fsys, rootP) = fs(spark, root)
     val base = branchBase(spark, root, name)
     val staged = versionsOn(spark, root, Some(name))
     require(staged.nonEmpty,
       s"branch '$name' at $root has no commits to fast-forward")
-    val mainHead = current(spark, root).version
-    if (mainHead != base)
+    val mainBeyondBase = versions(spark, root).filter(_.version > base)
+    // Re-run support: a prior fastForward that crashed or lost a race
+    // mid-loop left main holding a prefix of this branch's commits.
+    // Those manifests were published VERBATIM, so uuid equality (with
+    // version alignment) identifies them exactly; re-staging instead
+    // would duplicate the published prefix's rows for append commits.
+    val published = mainBeyondBase.size <= staged.size &&
+      mainBeyondBase.zip(staged).forall { case (m, s) =>
+        m.version == s.version && m.uuid == s.uuid }
+    if (!published)
       throw new ConcurrentCommitException(
         s"cannot fast-forward branch '$name' (base $base) onto main " +
-          s"head $mainHead at $root — main advanced during the audit; " +
-          "drop the branch and re-stage against the new head")
-    staged.foreach(s => publish(fsys, rootP, s, line = None))
+          s"head ${mainBeyondBase.lastOption.fold(base)(_.version)} at " +
+          s"$root — main advanced during the audit with commits not " +
+          "from this branch; drop the branch and re-stage against the " +
+          "new head (re-staging must NOT re-include any rows a partial " +
+          "fast-forward already published)")
+    staged.drop(mainBeyondBase.size)
+      .foreach(s => publish(fsys, rootP, s, line = None))
     staged.foreach(s =>
       fsys.delete(manifestPath(rootP, s.version, Some(name)), false))
     fsys.delete(branchRefPath(rootP, name), false)
@@ -1448,7 +1505,7 @@ object SnapshotTable {
     while (!held) {
       if (targetExists) // fast-lose: no lock needed to observe a publish
         throw new ConcurrentCommitException(
-          s"version $version already committed (lost race before lock)")
+          s"$lockName already published (lost race before lock)")
       try {
         java.nio.file.Files.createFile(local) // O_EXCL: atomic on POSIX
         held = true
@@ -2594,7 +2651,7 @@ object SnapshotTable {
 
   /** Column names a constraint expression references (top-level
     * attributes of the parsed SQL expression). */
-  private def constraintRefs(spark: SparkSession, expr: String): Set[String] =
+  private[sources] def constraintRefs(spark: SparkSession, expr: String): Set[String] =
     spark.sessionState.sqlParser.parseExpression(expr).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
         a.name

@@ -80,6 +80,31 @@ class SnapshotBloomSpec extends AnyFunSuite {
     assert(SnapshotTable.readForKeys(probe, root2).count() === 5000L)
   }
 
+  test("a CORRUPT .bloom degrades to may-contain (full read), never a " +
+      "failed read — even when the corruption throws a non-IO error " +
+      "inside the sketch decoder") {
+    val root = freshRoot("corrupt")
+    SnapshotTable.create(rows(0L until 100L, "a"), root, Seq("id"), 4)
+    // garbage that parses a negative array length → the decoder throws
+    // NegativeArraySizeException / IllegalArgumentException, not IO
+    bloomFiles(root).foreach { f =>
+      val out = new java.io.FileOutputStream(f)
+      try out.write(Array[Byte](1, -1, -1, -1, -1, 0, 0, 0, 0))
+      finally out.close()
+    }
+    assert(SnapshotTable.readForKeys(Seq(7L).toDF("id"), root)
+      .select("v").as[Long].collect().toSeq === Seq(70L))
+    assert(SnapshotTable.readForKeys(Seq(999L).toDF("id"), root)
+      .count() === 0L)
+    // truncated-to-empty is the other common corruption shape
+    bloomFiles(root).foreach { f =>
+      val out = new java.io.FileOutputStream(f)
+      out.close()
+    }
+    assert(SnapshotTable.readForKeys(Seq(8L).toDF("id"), root)
+      .select("v").as[Long].collect().toSeq === Seq(80L))
+  }
+
   test("blooms compose with merge-on-read deltas, rescale, and column " +
       "mapping: events are never bloom-dropped and migrated dirs get " +
       "fresh filters") {

@@ -105,6 +105,40 @@ class SnapshotBranchSpec extends AnyFunSuite {
     assert(SnapshotTable.dropBranch(spark, root, "wap") === 1)
   }
 
+  test("fastForward RE-RUN after a mid-publish crash: the published " +
+      "prefix is recognized by uuid and skipped, the remainder " +
+      "publishes, no rows duplicate") {
+    val root = freshRoot("rerun")
+    SnapshotTable.create(rows(0L until 8L, "base"), root, Seq("id"), 4)
+    SnapshotTable.createBranch(spark, root, "wap")
+    SnapshotTable.append(rows(Seq(100L), "s1"), root, branch = Some("wap"))
+    SnapshotTable.append(rows(Seq(101L), "s2"), root, branch = Some("wap"))
+    val staged = SnapshotTable.versionsOnForTest(spark, root, "wap")
+    // simulate a crash after the first copy: publish ONLY the prefix
+    // verbatim on main, leaving the branch ref + manifests in place
+    SnapshotTable.publishManifest(spark, root, staged.head)
+    assert(SnapshotTable.versions(spark, root).map(_.version) ===
+      Seq(1L, 2L))
+    // the SAME call re-runs: prefix skipped, remainder published
+    assert(SnapshotTable.fastForward(spark, root, "wap") === 3L)
+    val vs = SnapshotTable.versions(spark, root)
+    assert(vs.map(_.version) === Seq(1L, 2L, 3L))
+    assert(vs.drop(1).map(_.uuid) === staged.map(_.uuid)) // verbatim
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(0L until 8L, "base")) +
+        ((100L, "s1", 1000L)) + ((101L, "s2", 1010L)))
+    assert(SnapshotTable.branchList(spark, root) === Seq.empty)
+    // but a FOREIGN main commit beyond the base still conflicts
+    val root2 = freshRoot("rerun2")
+    SnapshotTable.create(rows(0L until 8L, "base"), root2, Seq("id"), 4)
+    SnapshotTable.createBranch(spark, root2, "wap")
+    SnapshotTable.append(rows(Seq(100L), "s1"), root2, branch = Some("wap"))
+    SnapshotTable.append(rows(Seq(200L), "foreign"), root2)
+    val e = intercept[ConcurrentCommitException](
+      SnapshotTable.fastForward(spark, root2, "wap"))
+    assert(e.getMessage.contains("not from this branch"))
+  }
+
   test("vacuum keeps a live branch's dirs and pins its base; after " +
       "dropBranch the staged dirs are reclaimed") {
     val root = freshRoot("vac")

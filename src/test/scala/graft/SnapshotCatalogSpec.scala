@@ -110,6 +110,41 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .as[String].collect().toSet.contains("t3r"))
   }
 
+  test("a multi-change ALTER validates the WHOLE list up front: one " +
+      "invalid change leaves NOTHING applied (no half-applied ALTER)") {
+    sqlDf("CREATE TABLE snapcat.talter (id BIGINT, tag STRING, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, id))")
+    val root = s"$warehouse/talter"
+    sqlDf("INSERT INTO snapcat.talter VALUES (1, 'a', 10)")
+    val before = SnapshotTable.versions(spark, root).size
+    // single-change SQL path works
+    sqlDf("ALTER TABLE snapcat.talter RENAME COLUMN tag TO label")
+    // drive the catalog API directly to get a genuinely mixed list
+    // whose FIRST change is valid and SECOND is not (drops a key)
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("snapcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = Identifier.of(Array.empty[String], "talter")
+    val bad = intercept[IllegalArgumentException](cat.alterTable(ident,
+      TableChange.renameColumn(Array("label"), "name2"),
+      TableChange.deleteColumn(Array("id"), false))) // key: invalid
+    assert(bad.getMessage.contains("key"))
+    // NOTHING applied: schema unchanged, no new versions beyond the
+    // single-change rename above
+    val vs = SnapshotTable.versions(spark, root)
+    assert(SnapshotTable.read(spark, root).columns.toSeq ===
+      Seq("id", "label", "v"))
+    assert(vs.size === before + 1) // only the valid single rename landed
+    // and a fully-valid mixed list applies in order: rename + drop + add
+    cat.alterTable(ident,
+      TableChange.renameColumn(Array("label"), "tag2"),
+      TableChange.deleteColumn(Array("v"), false),
+      TableChange.addColumn(Array("w"),
+        org.apache.spark.sql.types.LongType))
+    assert(SnapshotTable.read(spark, root).columns.toSeq ===
+      Seq("id", "tag2", "w"))
+  }
+
   test("namespaces are directories: CREATE NAMESPACE, qualified table " +
       "names, SHOW TABLES IN ns, DROP NAMESPACE refuses non-empty " +
       "without CASCADE") {
