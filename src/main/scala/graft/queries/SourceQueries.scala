@@ -1284,8 +1284,45 @@ object SourceQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** Identity/date partition transforms on the snapshot table
+    * ([[graft.sources.SnapshotTable.create]] `partitionBy` — the
+    * Iceberg `PARTITIONED BY (days(ts), event_type)` shape): a 30-day
+    * events table lays out `_gb=b/_pt0=day/_pt1=type` dirs, and the
+    * day-range + type aggregate below reads THROUGH the connector, so
+    * the pushed `ts`/`event_type` conjuncts prune on the
+    * partition-derived per-dir bounds ([[graft.sources.SnapshotTable
+    * .Snapshot.partDirStats]]) before any stats or data bytes.
+    * statsCols is DISABLED at create to prove the prune is carried by
+    * the partition values alone. The 100 TB shape: a one-day scan of a
+    * year-partitioned table plans ~1/365 of the entries (measured
+    * byte-level in SnapshotPartitionSpec); the manifest costs
+    * O(buckets × days touched per commit) driver metadata. */
+  val q181 = Q("q181_snapshot_partition_prune",
+    """SELECT event_type, count(*) AS n, sum(value) AS sum_v
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      |  AND event_type <> 'error'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snappart", dir)
+    rmTree(path)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    SnapshotTable.create(ev, path, Seq("event_id"), buckets = 8,
+      statsCols = Some(Seq.empty),
+      partitionBy = Seq("days(ts)", "event_type"))
+    s.read.format("graft-snapshot").load(path)
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp") &&
+        col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173, q174, q175, q176, q177, q178, q179, q180)
+      q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181)
 }

@@ -195,15 +195,34 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val props = properties.asScala
     def prop(k: String): Option[String] =
       props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
-    // keys/buckets from the bucket transform (preferred), else properties
-    val (buckets, keys) = partitions.toSeq match {
+    // keys/buckets from the AT-MOST-ONE bucket transform (preferred,
+    // else properties); every other transform is an identity/date
+    // partition field — `PARTITIONED BY (days(ts), lang, bucket(8, id))`
+    // in any order
+    val (bucketTs, partTs) = partitions.toSeq.partition(_.name == "bucket")
+    val (buckets, keys) = bucketTs match {
       case Seq() => (
         prop("buckets").map(_.toInt).getOrElse(16),
         prop("keys").map(_.split(",").toSeq.filter(_.nonEmpty))
           .getOrElse(Seq.empty))
       case Seq(one) => parseBucket(one)
       case many => throw new UnsupportedOperationException(
-        s"snapshot tables take ONE bucket(n, keys…) transform, got $many")
+        s"snapshot tables take at most ONE bucket(n, keys…) transform, " +
+          s"got $many")
+    }
+    val partitionBy = partTs.map { t =>
+      val cols = t.arguments.collect { case r: NamedReference =>
+        r.fieldNames.mkString(".") }
+      require(cols.length == 1, s"partition transform $t must reference " +
+        "exactly one column")
+      t.name match {
+        case "identity" => cols.head
+        case n @ ("hours" | "days" | "months" | "years") =>
+          s"$n(${cols.head})"
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other' in $t (have " +
+            "identity, hours, days, months, years, bucket)")
+      }
     }
     val statsCols = prop("statscols")
       .map(s => s.split(",").toSeq.filter(_.nonEmpty))
@@ -211,7 +230,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     SnapshotTable.create(empty, root, keys, buckets, statsCols,
-      changeFeed = changeFeed)
+      changeFeed = changeFeed, partitionBy = partitionBy)
     loadTable(ident)
   }
 
@@ -266,11 +285,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       val reserved = (cur.colMap.values ++ cur.droppedPhys).toSet
       val constrained = cur.constraints.values
         .flatMap(e => SnapshotTable.constraintRefs(spark, e)).toSet
+      val partSources = cur.partSpec.map(_.col).toSet
       ordered.foreach {
         case Left((old, nw)) =>
           require(names.contains(old), s"no column '$old' to rename")
           require(!cur.keys.contains(old),
             s"'$old' is a key column; keys are not renameable")
+          require(!partSources.contains(old),
+            s"'$old' is a partition source column; not renameable")
           require(!constrained.contains(old),
             s"cannot rename column '$old': a CHECK constraint references it")
           require(old != nw && !names.contains(nw),
@@ -282,6 +304,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           require(names.contains(name), s"no column '$name' to drop")
           require(!cur.keys.contains(name),
             s"'$name' is a key column; keys are not droppable")
+          require(!partSources.contains(name),
+            s"'$name' is a partition source column; not droppable")
           require(!constrained.contains(name),
             s"cannot drop column '$name': a CHECK constraint references it")
           names = names.filterNot(_ == name)

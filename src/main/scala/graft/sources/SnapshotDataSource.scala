@@ -394,15 +394,20 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
     * correlated (usually time-like) columns appends sort into dirs. */
   private[graft] def statsPruned(entries: Seq[(Int, String)],
       filters: Seq[Filter]): Seq[(Int, String)] = {
-    if (snap.dirStats.isEmpty || filters.isEmpty) return entries
+    if ((snap.dirStats.isEmpty && snap.partSpec.isEmpty) ||
+      filters.isEmpty) return entries
     val types = SnapshotTable.statsTypes(snap.schemaDdl)
     // manifest stats are keyed by PHYSICAL column names; pushed filters
     // speak the logical view — relabel the per-dir stats once (a
     // dropped column's orphaned stats keep their physical key and no
-    // filter ever references it)
+    // filter ever references it). statsFor overlays partition-derived
+    // bounds (guaranteed on partitioned dirs) under the recorded ones,
+    // so `PARTITIONED BY (days(ts))` prunes a time-range scan even on a
+    // stats-disabled table.
     val toLogical = snap.logicalOf
     entries.filter { case (_, dir) =>
-      snap.dirStats.get(dir).forall { st0 =>
+      val st0 = snap.statsFor(dir)
+      st0.isEmpty || {
         val st = if (toLogical.isEmpty) st0
           else st0.map { case (c, v) => toLogical.getOrElse(c, c) -> v }
         filters.forall(f => SnapshotTable.statsSatisfiable(st, types, f))

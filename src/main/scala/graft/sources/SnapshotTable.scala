@@ -130,7 +130,51 @@ object SnapshotTable {
       dirLayout: Map[String, Int] = Map.empty,
       colMap: Map[String, String] = Map.empty,
       droppedPhys: Seq[String] = Seq.empty,
-      constraints: Map[String, String] = Map.empty) {
+      constraints: Map[String, String] = Map.empty,
+      partSpec: Seq[PartField] = Seq.empty) {
+
+    /** GUARANTEED per-dir column bounds derived from the partition
+      * value segments (`_pt{i}=v`) in each entry dir's path — the
+      * Iceberg identity/date partition-prune, expressed in the stats
+      * vocabulary: `days(ts)=D` bounds `ts` to exactly day D's micros,
+      * `identity(lang)=en` bounds `lang` to the point ['en','en'].
+      * Unlike recorded `dirStats` (opt-in via statsCols, absent on
+      * disabled tables), these exist for EVERY partitioned dir, so a
+      * predicate on a partition source column always prunes. Dirs
+      * without partition segments (row-level staged dirs, merge-on-read
+      * delta bases) simply contribute nothing — absence only widens
+      * reads. O(entries) driver string parsing, computed lazily once
+      * per resolved snapshot. */
+    lazy val partDirStats: Map[String, Map[String, ColStats]] =
+      if (partSpec.isEmpty) Map.empty
+      else {
+        val types = StructType.fromDDL(schemaDdl).fields
+          .map(f => f.name -> f.dataType).toMap
+        entries.map(_._2).distinct.flatMap { dir =>
+          val segs = dir.split('/').iterator.flatMap { s =>
+            val i = s.indexOf('=')
+            if (i > 0 && s.startsWith(PartPrefix)) Some(s.take(i) -> s.drop(i + 1))
+            else None
+          }.toMap
+          val st = partSpec.zipWithIndex.flatMap { case (f, i) =>
+            for {
+              raw <- segs.get(s"$PartPrefix$i")
+              dt <- types.get(f.col)
+              cs <- partFieldStats(f, dt, raw)
+            } yield f.col -> cs
+          }.toMap
+          if (st.isEmpty) None else Some(dir -> st)
+        }.toMap
+      }
+
+    /** Effective data-skipping bounds for a dir: recorded stats overlay
+      * partition-derived ones per column (recorded are at least as
+      * tight — they describe the actual rows). */
+    def statsFor(dir: String): Map[String, ColStats] = {
+      val p = partDirStats.getOrElse(dir, Map.empty)
+      if (p.isEmpty) dirStats.getOrElse(dir, Map.empty)
+      else p ++ dirStats.getOrElse(dir, Map.empty)
+    }
 
     /** PHYSICAL (file) name of a logical column — column-mapping
       * indirection (the Delta column-mapping `name` mode, re-derived):
@@ -435,7 +479,7 @@ object SnapshotTable {
       max(when(col(c).isNull, 1).otherwise(0)).as(s"nn:$c")))) ++ bloomAgg
     val rows = spark.read.schema(schema).parquet(entries.map(_._2): _*)
       .groupBy(regexp_extract(input_file_name(),
-        s"($BucketCol=\\d+(?:/$ZSliceCol=\\d+)?)/", 1).as("_b"))
+        s"($BucketCol=\\d+(?:/[^/]+=[^/]+)*)/[^/]+$$", 1).as("_b"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val dirRows = rows.flatMap(r => bySuffix.get(r.getString(0))
@@ -597,6 +641,194 @@ object SnapshotTable {
   /** Reserved bucket-partition column; inputs must not use it. */
   private val BucketCol = "_gb"
   private val ZSliceCol = "_zs"
+  private[sources] val PartPrefix = "_pt"
+  private val PartNullDir = "__HIVE_DEFAULT_PARTITION__"
+
+  // ---- identity/date partition transforms ----
+  //
+  // The Iceberg partition-transform shape (identity, hours/days/months/
+  // years over time columns), re-derived for the bucket-first layout:
+  // each commit's bucket dir splits into `_pt0=v/_pt1=w/…` value dirs,
+  // one manifest entry per leaf, and the READ side prunes by deriving
+  // exact per-dir column bounds from the dir names ([[Snapshot
+  // .partDirStats]]) — so partition pruning rides the existing stats
+  // pruner with zero new read logic and is GUARANTEED (independent of
+  // the opt-in statsCols). The spec is fixed at [[create]], stored in
+  // every manifest, and its source columns are protected from rename/
+  // drop like keys. Time-zone discipline: transforms over TIMESTAMP are
+  // pure epoch arithmetic (hours/days — UTC-fixed regardless of session
+  // zone); calendar transforms (months/years) are offered on DATE and
+  // TIMESTAMP_NTZ where field extraction is zone-free, and REFUSED on
+  // TIMESTAMP (year()/month() there follow the session zone, which
+  // would make dir names — and thus derived bounds — session-dependent).
+
+  /** One partition-spec field: `transform` ∈ {identity, hours, days,
+    * months, years} over source column `col`. Serialized in manifests
+    * as `transform(col)`. */
+  final case class PartField(transform: String, col: String) {
+    override def toString: String = s"$transform($col)"
+  }
+
+  private val PartFieldRe = """^([a-z]+)\(([^()]+)\)$""".r
+  private val PartB64Prefix = "B64~"
+
+  /** Reverse of the identity-string dir encoding in [[partValueCol]]. */
+  private def decodePartString(v: String): String =
+    if (!v.startsWith(PartB64Prefix)) v
+    else {
+      val b64 = v.drop(PartB64Prefix.length).map {
+        case '-' => '+'; case '_' => '/'; case '~' => '='; case ch => ch
+      }
+      new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+    }
+
+  /** Parse `"days(ts)"` / `"lang"` (bare name = identity) specs. */
+  private[sources] def parsePartSpec(specs: Seq[String]): Seq[PartField] =
+    specs.map(_.trim).filter(_.nonEmpty).map {
+      case PartFieldRe(t, c) =>
+        require(Set("identity", "hours", "days", "months", "years")(t),
+          s"unknown partition transform '$t' (have identity/hours/days/" +
+            "months/years)")
+        PartField(t, c.trim)
+      case bare => PartField("identity", bare)
+    }
+
+  /** Validate a spec against a schema: source exists, transform/type
+    * combination supported. */
+  private def requirePartSpec(spec: Seq[PartField],
+      schema: StructType): Unit = {
+    import org.apache.spark.sql.types._
+    require(spec.map(_.col).distinct.size == spec.size,
+      s"duplicate partition source columns in ${spec.mkString(",")}")
+    spec.foreach { f =>
+      val field = schema.fields.find(_.name == f.col).getOrElse(
+        sys.error(s"partition column ${f.col} missing from ${schema.toDDL}"))
+      val ok = (f.transform, field.dataType) match {
+        case ("identity", ByteType | ShortType | IntegerType | LongType |
+            StringType | BooleanType | DateType) => true
+        case ("hours" | "days", TimestampType | TimestampNTZType) => true
+        case ("days" | "months" | "years", DateType) => true
+        case ("months" | "years", TimestampNTZType) => true
+        case _ => false
+      }
+      require(ok, s"partition transform $f unsupported for type " +
+        s"${field.dataType.sql} (identity: integral/string/boolean/date; " +
+        "hours/days: timestamp/timestamp_ntz; days/months/years: date; " +
+        "months/years: timestamp_ntz — NOT timestamp, whose calendar " +
+        "fields follow the session time zone)")
+    }
+  }
+
+  /** The STRING value column a write derives for partition field `i` —
+    * what lands in the `_pt{i}=` dir name. Epoch-unit integers for time
+    * transforms (UTC-fixed), canonical strings for identity. */
+  private def partValueCol(f: PartField,
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val c = col(f.col)
+    def ntzDay = datediff(c.cast(DateType), to_date(lit("1970-01-01")))
+    (f.transform, dt) match {
+      case ("identity", DateType) =>
+        datediff(c, to_date(lit("1970-01-01"))).cast(LongType).cast(StringType)
+      case ("identity", StringType) =>
+        // dir-safe self-encoding: values already in the safe alphabet go
+        // raw (the common `lang=en` case stays human-readable); anything
+        // else — separators, spaces, '%', the empty string (which the
+        // Hive dir convention would silently conflate with null) — rides
+        // as filesystem-safe base64 behind a prefix no raw value can
+        // produce ('~' is outside the safe set). Percent-escaping is NOT
+        // an option here: Hadoop Path/URI round trips decode %XX and
+        // would silently re-point the manifest's dir strings.
+        when(c.rlike("^[A-Za-z0-9_.\\-]+$"), c).otherwise(
+          concat(lit(PartB64Prefix),
+            translate(base64(encode(c, "UTF-8")), "+/=", "-_~")))
+      case ("identity", _) => c.cast(StringType)
+      case ("hours", TimestampType) =>
+        floor(unix_micros(c) / lit(3600000000L)).cast(StringType)
+      case ("days", TimestampType) =>
+        floor(unix_micros(c) / lit(86400000000L)).cast(StringType)
+      case ("hours", TimestampNTZType) =>
+        (ntzDay.cast(LongType) * 24 + hour(c)).cast(StringType)
+      case ("days", TimestampNTZType) => ntzDay.cast(LongType).cast(StringType)
+      case ("days", DateType) =>
+        datediff(c, to_date(lit("1970-01-01"))).cast(LongType).cast(StringType)
+      case ("months", DateType | TimestampNTZType) =>
+        ((year(c) - 1970) * 12 + month(c) - 1).cast(LongType).cast(StringType)
+      case ("years", DateType | TimestampNTZType) =>
+        year(c).cast(LongType).cast(StringType)
+      case other => sys.error(s"unsupported partition transform $other")
+    }
+  }
+
+  /** Spark's partition-dir escaping, reversed (char-wise %XX). */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '%' && i + 2 < s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        try { sb.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(ch); i += 1 }
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Exact bounds (in the NORMALIZED stats space of `dt` —
+    * [[normalizeStatsValue]]) implied for `f.col` by partition value
+    * `raw` from a dir name. None on unparseable values (no pruning —
+    * sound); the null dir yields unknown-bounds-with-null. */
+  private[sources] def partFieldStats(f: PartField,
+      dt: org.apache.spark.sql.types.DataType,
+      raw: String): Option[ColStats] = {
+    import org.apache.spark.sql.types._
+    import java.time.{LocalDate, LocalDateTime, YearMonth, ZoneOffset}
+    if (raw == PartNullDir) return Some(ColStats(None, None, hasNull = true))
+    def micros(ldt: LocalDateTime): Long = {
+      val i = ldt.toInstant(ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    def point(v: Any) = ColStats(Some(v), Some(v), hasNull = false)
+    def range(lo: Any, hi: Any) = ColStats(Some(lo), Some(hi), hasNull = false)
+    val v = unescapePathName(raw)
+    try {
+      Some((f.transform, dt) match {
+        case ("identity", ByteType | ShortType | IntegerType | LongType |
+            DateType) => point(v.toLong) // date identity encodes epochDay
+        case ("identity", StringType) => point(decodePartString(v))
+        case ("identity", BooleanType) => point(v.toBoolean)
+        case ("hours", TimestampType | TimestampNTZType) =>
+          val h = v.toLong
+          range(h * 3600000000L, h * 3600000000L + 3599999999L)
+        case ("days", TimestampType | TimestampNTZType) =>
+          val d = v.toLong
+          range(d * 86400000000L, d * 86400000000L + 86399999999L)
+        case ("days", DateType) => point(v.toLong)
+        case ("months", DateType) =>
+          val m = v.toLong
+          val ym = YearMonth.of(1970 + Math.floorDiv(m, 12L).toInt,
+            Math.floorMod(m, 12L).toInt + 1)
+          range(ym.atDay(1).toEpochDay, ym.atEndOfMonth.toEpochDay)
+        case ("months", TimestampNTZType) =>
+          val m = v.toLong
+          val ym = YearMonth.of(1970 + Math.floorDiv(m, 12L).toInt,
+            Math.floorMod(m, 12L).toInt + 1)
+          range(micros(ym.atDay(1).atStartOfDay),
+            micros(ym.plusMonths(1).atDay(1).atStartOfDay) - 1L)
+        case ("years", DateType) =>
+          val y = v.toInt
+          range(LocalDate.of(y, 1, 1).toEpochDay,
+            LocalDate.of(y, 12, 31).toEpochDay)
+        case ("years", TimestampNTZType) =>
+          val y = v.toInt
+          range(micros(LocalDate.of(y, 1, 1).atStartOfDay),
+            micros(LocalDate.of(y + 1, 1, 1).atStartOfDay) - 1L)
+        case _ => return None
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
   /** Change-feed metadata columns ([[readChanges]]). */
   val ChangeTypeCol = "_change_type"
   val CommitVersionCol = "_commit_version"
@@ -703,7 +935,9 @@ object SnapshotTable {
       fieldOpt("changefeed").exists(_.toBoolean),
       fieldOpt("cdc"), dirLayout, colMap,
       fieldOpt("dropped").map(_.split(",").toSeq.filter(_.nonEmpty))
-        .getOrElse(Seq.empty), constraints)
+        .getOrElse(Seq.empty), constraints,
+      fieldOpt("partspec").map(s => parsePartSpec(s.split(",").toSeq))
+        .getOrElse(Seq.empty))
   }
 
   /** All published versions, ascending — the time-travel catalog. */
@@ -1071,7 +1305,7 @@ object SnapshotTable {
     * qualification (file:/ vs bare) can't break a suffix match. */
   private def fileCommitVersion =
     regexp_extract(input_file_name(),
-      s"c(\\d+)-[^/]+/$BucketCol=\\d+(?:/$ZSliceCol=\\d+)?/[^/]+$$", 1)
+      s"c(\\d+)-[^/]+/$BucketCol=\\d+(?:/[^/]+=[^/]+)*/[^/]+$$", 1)
       .cast("long")
 
   /** Resolution-aware read of a snapshot restricted to `buckets` (None =
@@ -1462,7 +1696,8 @@ object SnapshotTable {
     * rows. */
   private def writeCommitData(df: DataFrame, root: Path, version: Long,
       keys: Seq[String], buckets: Int, uuid: String,
-      fsys: FileSystem, colMap: Map[String, String] = Map.empty)
+      fsys: FileSystem, colMap: Map[String, String] = Map.empty,
+      partSpec: Seq[PartField] = Seq.empty)
       : Seq[(Int, String)] = {
     val commitDir = new Path(new Path(root, "data"), s"c$version-$uuid")
     // files land under PHYSICAL column names (one atomic select so even
@@ -1471,12 +1706,39 @@ object SnapshotTable {
     val phys = if (colMap.isEmpty) df
       else df.select(df.columns.map(c =>
         col(c).as(colMap.getOrElse(c, c))).toIndexedSeq: _*)
-    phys.withColumn(BucketCol, bucketOf(keys, buckets))
-      .repartition(col(BucketCol))
-      .write.partitionBy(BucketCol).parquet(commitDir.toString)
+    // partition value dirs nest UNDER the bucket dir: `_gb=b/_pt0=v/…`
+    // — one manifest entry per leaf, so every per-entry surface (stats,
+    // blooms, rows/bytes, layout tags, CDF dir diffs) works unchanged
+    // at partition granularity. The _pt columns are DERIVED (the source
+    // column stays in the files), so reads never reconstruct values
+    // from dir names.
+    val schema = phys.schema
+    val ptNames = partSpec.indices.map(i => s"$PartPrefix$i")
+    val withPt = partSpec.zipWithIndex.foldLeft(
+        phys.withColumn(BucketCol, bucketOf(keys, buckets))) {
+      case (d, (f, i)) =>
+        d.withColumn(s"$PartPrefix$i", partValueCol(f, schema(f.col).dataType))
+    }
+    withPt.repartition((col(BucketCol) +: ptNames.map(col)): _*)
+      .write.partitionBy((BucketCol +: ptNames): _*)
+      .parquet(commitDir.toString)
+    enumerateEntries(fsys, commitDir, buckets)
+  }
+
+  /** Entries of a freshly-written commit dir: one per LEAF data dir
+    * under each `_gb=b` (the bucket dir itself when unpartitioned,
+    * each `_pt…`/`_zs…` leaf otherwise), name-sorted for deterministic
+    * manifests. */
+  private def enumerateEntries(fsys: FileSystem, commitDir: Path,
+      buckets: Int): Seq[(Int, String)] = {
+    def leaves(d: Path): Seq[Path] = {
+      val subs = fsys.listStatus(d).toSeq.filter(_.isDirectory)
+      if (subs.isEmpty) Seq(d)
+      else subs.sortBy(_.getPath.getName).flatMap(s => leaves(s.getPath))
+    }
     (0 until buckets).flatMap { b =>
       val d = new Path(commitDir, s"$BucketCol=$b")
-      if (fsys.exists(d)) Some(b -> d.toString) else None
+      if (fsys.exists(d)) leaves(d).map(b -> _.toString) else Seq.empty
     }
   }
 
@@ -1555,6 +1817,8 @@ object SnapshotTable {
       body ++= s"uuid=${snap.uuid}" += '\n'
       body ++= s"ts=${snap.ts}" += '\n'
       body ++= s"statscols=${snap.statsCols.mkString(",")}" += '\n'
+      if (snap.partSpec.nonEmpty)
+        body ++= s"partspec=${snap.partSpec.mkString(",")}" += '\n'
       if (snap.changeFeed) body ++= "changefeed=true" += '\n'
       snap.cdc.foreach(d => body ++= s"cdc=$d" += '\n')
       snap.txn.foreach { case (app, ver) =>
@@ -1757,7 +2021,7 @@ object SnapshotTable {
         deltas = cur.deltas, changeFeed = cur.changeFeed, cdc = p.cdc,
         dirLayout = cur.dirLayout ++ myLayout,
         colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints)
+      constraints = cur.constraints, partSpec = cur.partSpec)
       case "upsert" | "delete" =>
         val h = p.hit.get
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1769,7 +2033,7 @@ object SnapshotTable {
           changeFeed = cur.changeFeed, cdc = p.cdc,
           dirLayout = cur.dirLayout,
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints)
+      constraints = cur.constraints, partSpec = cur.partSpec)
       case "upsert-mor" | "delete-mor" =>
         val kind = if (p.opKind == "upsert-mor") "rows" else "tomb"
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -1782,7 +2046,7 @@ object SnapshotTable {
           changeFeed = cur.changeFeed, cdc = p.cdc,
           dirLayout = cur.dirLayout,
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints)
+      constraints = cur.constraints, partSpec = cur.partSpec)
       case other => sys.error(s"rebasing undefined for op $other")
     }
   }
@@ -1941,7 +2205,7 @@ object SnapshotTable {
       // current-layout (absent = default)
       dirLayout = base.dirLayout,
       colMap = base.colMap, droppedPhys = base.droppedPhys,
-      constraints = base.constraints)))
+      constraints = base.constraints, partSpec = base.partSpec)))
     v
   }
 
@@ -1995,8 +2259,10 @@ object SnapshotTable {
 
   private def requireCols(df: DataFrame, keys: Seq[String]): Unit = {
     require(!df.columns.contains(BucketCol) &&
-      !df.columns.contains(ZSliceCol),
-      s"column names $BucketCol/$ZSliceCol are reserved by SnapshotTable")
+      !df.columns.contains(ZSliceCol) &&
+      !df.columns.exists(_.matches(s"$PartPrefix\\d+")),
+      s"column names $BucketCol/$ZSliceCol/$PartPrefix<N> are reserved " +
+        "by SnapshotTable")
     keys.foreach(k => require(df.columns.contains(k),
       s"key column $k missing from ${df.columns.mkString(",")}"))
   }
@@ -2007,9 +2273,14 @@ object SnapshotTable {
   def create(df: DataFrame, root: String, keys: Seq[String],
       buckets: Int = 16, statsCols: Option[Seq[String]] = None,
       txn: Option[(String, Long)] = None,
-      changeFeed: Boolean = false): Long = {
+      changeFeed: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     requireCols(df, keys)
+    // identity/date partition transforms, fixed for the table's life
+    // (like keys/buckets); source columns become rename/drop-protected
+    val pSpec = parsePartSpec(partitionBy)
+    requirePartSpec(pSpec, df.schema)
     // data-skipping columns, fixed for the table's life: explicit list,
     // or (default) every stats-eligible atomic column; Some(Nil) disables
     val sc = statsCols.getOrElse(
@@ -2022,14 +2293,15 @@ object SnapshotTable {
       s"snapshot table already exists at $root")
     val uuid = newUuid()
     val ddl = df.schema.toDDL
-    val entries = writeCommitData(df, rootP, 1L, keys, buckets, uuid, fsys)
+    val entries = writeCommitData(df, rootP, 1L, keys, buckets, uuid, fsys,
+      partSpec = pSpec)
     val (st, rw) = computeStats(df.sparkSession, entries, ddl, sc,
       bloomKeys = keys, bloomFs = Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(1L, "create", keys, buckets,
       ddl, uuid, entries,
       statsCols = sc,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
-      txn = txn, changeFeed = changeFeed)))
+      txn = txn, changeFeed = changeFeed, partSpec = pSpec)))
     1L
   }
 
@@ -2054,7 +2326,7 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
-      cur.buckets, uuid, fsys, cur.colMap)
+      cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
       cur.colMap, cur.keys, Some(fsys))
     commitRebasing(spark, root, fsys, rootP, cur,
@@ -2089,7 +2361,7 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
-      cur.buckets, uuid, fsys, cur.colMap)
+      cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
       cur.colMap, cur.keys, Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(v, op, cur.keys,
@@ -2098,7 +2370,7 @@ object SnapshotTable {
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       txn = txn, changeFeed = cur.changeFeed,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints)), branch)
+      constraints = cur.constraints, partSpec = cur.partSpec)), branch)
     v
   }
 
@@ -2198,7 +2470,7 @@ object SnapshotTable {
       .join(batch.select(keyCols: _*), cur.keys, "left_anti")
       .unionByName(aligned(batch.drop(BucketCol), ddl))
     val entries = writeCommitData(merged, rootP, v, cur.keys,
-      cur.buckets, uuid, fsys, cur.colMap)
+      cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
     requireSubset(entries, hit, "upsert")
     // commit-time change file (the Delta CDF shape): diff-exact rows —
     // inserts = batch minus identical displaced rows, deletes = displaced
@@ -2272,7 +2544,7 @@ object SnapshotTable {
     val priorHit = resolvedRead(spark, cur, Some(hit), cur.schemaDdl)
     val kept = priorHit.join(batch.drop(BucketCol), cur.keys, "left_anti")
     val entries = writeCommitData(kept, rootP, v, cur.keys,
-      cur.buckets, uuid, fsys, cur.colMap)
+      cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
     requireSubset(entries, hit, "delete")
     val cdcDir =
       if (!cur.changeFeed) None
@@ -2425,19 +2697,21 @@ object SnapshotTable {
       .drop("__zk")
     // files land under PHYSICAL names (column mapping); the partition
     // columns are reserved and never mapped
-    val out = if (cur.colMap.isEmpty) out0
+    val out1 = if (cur.colMap.isEmpty) out0
       else out0.select(out0.columns.map(c =>
         col(c).as(cur.colMap.getOrElse(c, c))).toIndexedSeq: _*)
-    out.write.partitionBy(BucketCol, ZSliceCol).parquet(commitDir.toString)
-    val entries = (0 until cur.buckets).flatMap { bk =>
-      val bdir = new Path(commitDir, s"$BucketCol=$bk")
-      if (!fsys.exists(bdir)) Seq.empty
-      else fsys.listStatus(bdir).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(s"$ZSliceCol="))
-        .sortBy(_.getPath.getName)
-        .map(st => bk -> st.getPath.toString)
+    // on a partitioned table the value dirs keep their place between
+    // the bucket and the z-slice: `_gb=b/_pt0=v/_zs=k` — partition
+    // pruning and z-range pruning compose on the clustered layout
+    val ptNames = cur.partSpec.indices.map(i => s"$PartPrefix$i")
+    val out = cur.partSpec.zipWithIndex.foldLeft(out1) { case (d, (f, i)) =>
+      d.withColumn(s"$PartPrefix$i",
+        partValueCol(f, out1.schema(f.col).dataType))
     }
+    out.write
+      .partitionBy((BucketCol +: ptNames :+ ZSliceCol): _*)
+      .parquet(commitDir.toString)
+    val entries = enumerateEntries(fsys, commitDir, cur.buckets)
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
       cur.statsCols, cur.colMap, cur.keys, Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(v, "zorder", cur.keys,
@@ -2446,7 +2720,7 @@ object SnapshotTable {
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       changeFeed = cur.changeFeed,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints)))
+      constraints = cur.constraints, partSpec = cur.partSpec)))
     v
   }
 
@@ -2577,7 +2851,7 @@ object SnapshotTable {
       // tags carry through unchanged)
       dirLayout = cur.entries.map(e => e._2 -> cur.layoutOf(e._2)).toMap,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints)))
+      constraints = cur.constraints, partSpec = cur.partSpec)))
     v
   }
 
@@ -2606,6 +2880,10 @@ object SnapshotTable {
       s"no column '$oldName' in ${cur.schemaDdl}")
     require(!cur.keys.contains(oldName),
       s"'$oldName' is a key column; keys are not renameable")
+    require(!cur.partSpec.exists(_.col == oldName),
+      s"'$oldName' is a partition source column " +
+        s"(${cur.partSpec.mkString(",")}); partition sources are not " +
+        "renameable")
     require(oldName != newName && !schema.fieldNames.contains(newName),
       s"column '$newName' already exists in ${cur.schemaDdl}")
     constraintRefsGuard(spark, cur, oldName, "rename")
@@ -2640,6 +2918,10 @@ object SnapshotTable {
       s"no column '$name' in ${cur.schemaDdl}")
     require(!cur.keys.contains(name),
       s"'$name' is a key column; keys are not droppable")
+    require(!cur.partSpec.exists(_.col == name),
+      s"'$name' is a partition source column " +
+        s"(${cur.partSpec.mkString(",")}); partition sources are not " +
+        "droppable")
     require(schema.fields.length > 1,
       s"cannot drop the only column of $root")
     constraintRefsGuard(spark, cur, name, "drop")
@@ -2755,7 +3037,7 @@ object SnapshotTable {
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout,
       colMap = newMap, droppedPhys = newDropped,
-      constraints = cur.constraints)))
+      constraints = cur.constraints, partSpec = cur.partSpec)))
     v
   }
 
@@ -2801,7 +3083,7 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val entries = writeCommitData(rows, rootP, v, cur.keys,
-      cur.buckets, uuid, fsys, cur.colMap)
+      cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
     // committed parquet is deterministic input: rows rehash to exactly
     // their original buckets, so the produced set must stay inside target
     requireSubset(entries, target, "compact")
@@ -2817,7 +3099,7 @@ object SnapshotTable {
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints)))
+      constraints = cur.constraints, partSpec = cur.partSpec)))
     v
   }
 

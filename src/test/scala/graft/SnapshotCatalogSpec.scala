@@ -162,7 +162,7 @@ class SnapshotCatalogSpec extends AnyFunSuite {
   }
 
   test("guard rails: path-traversal identifiers are rejected, CREATE on " +
-      "an existing table throws, non-bucket transforms are refused, and " +
+      "an existing table throws, unsupported transforms are refused, and " +
       "properties fall back when no transform is given") {
     intercept[Exception](sqlDf(
       "CREATE TABLE snapcat.`..`.oops (id BIGINT) "))
@@ -172,8 +172,11 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     assert((snap.keys, snap.buckets) === (Seq("id"), 4))
     intercept[Exception](sqlDf(
       "CREATE TABLE snapcat.t5 (id BIGINT) "))
-    intercept[Exception](sqlDf(
-      "CREATE TABLE snapcat.t6 (id BIGINT, d DATE) PARTITIONED BY (days(d))"))
+    // unsupported transform NAME and unsupported TYPE combos still fail
+    intercept[Exception](sqlDf("CREATE TABLE snapcat.t6 (id BIGINT, " +
+      "tag STRING) PARTITIONED BY (truncate(4, tag))"))
+    intercept[Exception](sqlDf("CREATE TABLE snapcat.t6 (id BIGINT, " +
+      "tag STRING) PARTITIONED BY (days(id))"))
     sqlDf("DROP TABLE snapcat.t5")
   }
 
