@@ -230,6 +230,46 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** HTML -> text extraction (graft.ops.TextExtract — jusText-lite,
+    * Pomikalek 2011's shape re-derived as pure Column regex/HOF
+    * expressions): the FIRST curation stage of a web-crawl pipeline.
+    * Each document is wrapped in a realistic page (head/script/style,
+    * nav bar, list items, entity-bearing footer) and the extractor
+    * must recover exactly the body prose: containers vanish WITH
+    * their content, block tags segment, short boilerplate blocks drop
+    * under the minWords gate, entities decode. The oracle runs the
+    * SAME RE2-safe patterns in DuckDB ([[TextExtract.mainTextSql]]),
+    * so the hash compare proves the two regex engines agree
+    * byte-for-byte on the extraction. No UDF, no shuffle — O(doc)
+    * per row at scan speed, the 100 TB CommonCrawl shape. */
+  val q184 = Q("q184_html_extract",
+    s"""WITH pages AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>doc</title><script>var a = 1 < 2;'
+      |    || '</script></head><body><!-- tracker -->'
+      |    || '<div class="nav">Home | About</div><p>' || text
+      |    || '</p><ul><li>item one</li><li>item two</li></ul>'
+      |    || '<p>Tail prose block with exactly seven words here</p>'
+      |    || '<footer>&copy; 2024</footer></body></html>' AS html
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ${graft.ops.TextExtract.mainTextSql("html")} AS main_text
+      |FROM pages ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.ops.TextExtract
+    val pages = Tables.documents(s, dir).select(col("doc_id"),
+      concat(
+        lit("<html><head><title>doc</title><script>var a = 1 < 2;" +
+          "</script></head><body><!-- tracker -->" +
+          "<div class=\"nav\">Home | About</div><p>"),
+        col("text"),
+        lit("</p><ul><li>item one</li><li>item two</li></ul>" +
+          "<p>Tail prose block with exactly seven words here</p>" +
+          "<footer>&copy; 2024</footer></body></html>")).as("html"))
+    pages.select(col("doc_id"),
+        TextExtract.mainText(col("html")).as("main_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113, q126, q132,
-    q136)
+    q136, q184)
 }

@@ -1321,8 +1321,104 @@ object SourceQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Type-widening schema evolution on the snapshot table
+    * ([[graft.sources.SnapshotTable.widenColumn]] — the Delta
+    * type-widening / Iceberg primitive-promotion shape): `int → long`
+    * as a pure-metadata commit; old narrow files are promoted by the
+    * parquet reader at scan (zero rewrites), later writes land wide,
+    * and the head read mixes narrow and wide files exactly. Phase 1
+    * pins the pre-widen version under its own narrow type through time
+    * travel (cast for the union only); phase 2 is the head after a
+    * beyond-int32 append and a keyed upsert. Guards, SQL ALTER COLUMN
+    * TYPE, stats/CDF/MOR composition are
+    * SnapshotSchemaEvolutionSpec's. */
+  val q182 = Q("q182_snapshot_type_widening",
+    """WITH head AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5000000000
+      |         WHEN doc_id % 2 = 1 THEN n_chars + 3000000000
+      |         ELSE n_chars END AS n_chars
+      |  FROM documents)
+      |SELECT 1 AS phase, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 2 = 0
+      |UNION ALL SELECT 2 AS phase, doc_id, lang, n_chars FROM head
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapwiden", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("int").as("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 2 === 0), path,
+      Seq("doc_id"), buckets = 8) // v1: narrow int files
+    SnapshotTable.widenColumn(s, path, "n_chars", "BIGINT") // v2: metadata
+    SnapshotTable.append(
+      d.filter(col("doc_id") % 2 === 1)
+        .withColumn("n_chars",
+          col("n_chars").cast("long") + 3000000000L), path) // v3: wide
+    SnapshotTable.upsert(
+      d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars").cast("long") + 5000000000L).as("n_chars")),
+      path) // v4: rewrites hit buckets, mixing narrow+wide inputs
+    val p1 = SnapshotTable.read(s, path, Some(1L))
+      .select(lit(1).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    val p2 = SnapshotTable.read(s, path)
+      .select(lit(2).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    p1.unionByName(p2).orderBy(col("phase"), col("doc_id"))
+  }
+
+  /** Positional (deletion-vector) merge-on-read DELETE on a KEYLESS
+    * snapshot table ([[graft.sources.SnapshotTable.deleteWhere]]
+    * `mergeOnRead = true`): the commit records only the matched rows'
+    * `(file, row_index)` positions — O(matched) data written, zero
+    * existing bytes rewritten, closing the "keyless DELETE degrades to
+    * a full copy-on-write" gap. Phase 1 reads the resolved head through
+    * the CONNECTOR (the replaying [[graft.sources.SnapshotPosScan]]
+    * anti-joins parquet row indexes against the recorded positions);
+    * phase 2 stacks a second delete plus an append (older tombstones
+    * can't touch new files) and reads via the object API. SQL DELETE
+    * routing, write-amplification gate, CDF, and compact folding are
+    * SnapshotMorSpec's. */
+  val q183 = Q("q183_snapshot_pos_delete",
+    """WITH d1 AS (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE NOT coalesce(n_chars % 3 = 0, FALSE)),
+      |d2 AS (
+      |  SELECT doc_id, lang, n_chars FROM d1
+      |  WHERE NOT coalesce(lang = 'en', FALSE)
+      |  UNION ALL SELECT CAST(-1 AS BIGINT), 'en', CAST(3 AS BIGINT))
+      |SELECT 1 AS phase, doc_id, lang, n_chars FROM d1
+      |UNION ALL SELECT 2 AS phase, doc_id, lang, n_chars FROM d2
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    import s.implicits._
+    val path = scratch("snappos", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    SnapshotTable.create(d, path, Seq.empty, 1) // keyless: single bucket
+    SnapshotTable.deleteWhere(s, path, col("n_chars") % 3 === 0,
+      mergeOnRead = true)
+    val p1 = s.read.format("graft-snapshot").load(path)
+      .select(lit(1).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    SnapshotTable.deleteWhere(s, path, col("lang") === "en",
+      mergeOnRead = true)
+    SnapshotTable.append(
+      Seq((-1L, "en", 3L)).toDF("doc_id", "lang", "n_chars"), path)
+    val p2 = SnapshotTable.read(s, path)
+      .select(lit(2).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    p1.unionByName(p2).orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
-      q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181)
+      q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
+      q182, q183)
 }

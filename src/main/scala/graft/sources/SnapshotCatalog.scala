@@ -243,8 +243,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val cur = SnapshotTable.versions(spark, root).lastOption.getOrElse(
       throw new NoSuchTableException(
         (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq))
-    // RENAME/DROP COLUMN are pure-metadata commits through column
-    // mapping (zero file rewrites); ADD COLUMNs are collected and batch
+    // RENAME/DROP COLUMN (column mapping) and ALTER COLUMN TYPE
+    // (widening) are pure-metadata commits — zero file rewrites; ADD
+    // COLUMNs are collected and batch
     // into ONE empty mergeSchema append AFTER all renames/drops, so an
     // added column always lands at the end of the schema regardless of
     // its position in the statement. Renames/drops apply in statement
@@ -253,10 +254,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // against a simulated schema — a change that would fail cannot
     // leave earlier changes half-applied. (A crash mid-ALTER can still
     // leave a committed prefix — each prefix is a valid table state.)
+    sealed trait Ch
+    final case class ChRename(old: String, nw: String) extends Ch
+    final case class ChDrop(name: String) extends Ch
+    final case class ChWiden(name: String,
+        to: org.apache.spark.sql.types.DataType) extends Ch
     val adds = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.types.StructField]
-    val ordered = scala.collection.mutable.ArrayBuffer
-      .empty[Either[(String, String), String]] // Left=rename, Right=drop
+    val ordered = scala.collection.mutable.ArrayBuffer.empty[Ch]
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -268,26 +273,33 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"nested RENAME COLUMN unsupported: ${r.fieldNames.mkString(".")}")
-        ordered += Left(r.fieldNames.head -> r.newName)
+        ordered += ChRename(r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           s"nested DROP COLUMN unsupported: ${d.fieldNames.mkString(".")}")
-        ordered += Right(d.fieldNames.head)
+        ordered += ChDrop(d.fieldNames.head)
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"nested ALTER COLUMN TYPE unsupported: ${u.fieldNames.mkString(".")}")
+        ordered += ChWiden(u.fieldNames.head, u.newDataType)
       case other => throw new UnsupportedOperationException(
         s"snapshot tables support ALTER TABLE … ADD COLUMNS / RENAME " +
-          s"COLUMN / DROP COLUMN, got $other")
+          s"COLUMN / DROP COLUMN / ALTER COLUMN … TYPE (widening), " +
+          s"got $other")
     }
     // ---- up-front validation over the simulated schema ----
     locally {
-      var names = org.apache.spark.sql.types.StructType
-        .fromDDL(cur.schemaDdl).fieldNames.toVector
+      var fields = org.apache.spark.sql.types.StructType
+        .fromDDL(cur.schemaDdl).fields
+        .map(f => f.name -> f.dataType).toVector
+      def names = fields.map(_._1)
       val phys = cur.colMap
       val reserved = (cur.colMap.values ++ cur.droppedPhys).toSet
       val constrained = cur.constraints.values
         .flatMap(e => SnapshotTable.constraintRefs(spark, e)).toSet
       val partSources = cur.partSpec.map(_.col).toSet
       ordered.foreach {
-        case Left((old, nw)) =>
+        case ChRename(old, nw) =>
           require(names.contains(old), s"no column '$old' to rename")
           require(!cur.keys.contains(old),
             s"'$old' is a key column; keys are not renameable")
@@ -299,8 +311,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             s"rename target '$nw' already exists")
           require(nw == phys.getOrElse(old, old) || !reserved.contains(nw),
             s"column name '$nw' is reserved by column mapping")
-          names = names.map(n => if (n == old) nw else n)
-        case Right(name) =>
+          fields = fields.map { case (n, t) =>
+            (if (n == old) nw else n) -> t }
+        case ChDrop(name) =>
           require(names.contains(name), s"no column '$name' to drop")
           require(!cur.keys.contains(name),
             s"'$name' is a key column; keys are not droppable")
@@ -308,19 +321,32 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             s"'$name' is a partition source column; not droppable")
           require(!constrained.contains(name),
             s"cannot drop column '$name': a CHECK constraint references it")
-          names = names.filterNot(_ == name)
+          fields = fields.filterNot(_._1 == name)
+        case ChWiden(name, to) =>
+          require(names.contains(name), s"no column '$name' to widen")
+          require(!cur.keys.contains(name),
+            s"'$name' is a key column; key types are frozen at create")
+          require(!partSources.contains(name),
+            s"'$name' is a partition source column; its type is frozen")
+          val from = fields.find(_._1 == name).get._2
+          require(SnapshotTable.typeWidens(from, to),
+            s"unsupported widening ${from.sql} -> ${to.sql} for '$name'")
+          fields = fields.map { case (n, t) =>
+            n -> (if (n == name) to else t) }
       }
       adds.foreach { f =>
         require(!names.contains(f.name),
           s"ADD COLUMN '${f.name}': column already exists")
         require(!reserved.contains(f.name),
           s"ADD COLUMN '${f.name}': name is reserved by column mapping")
-        names :+= f.name
+        fields :+= f.name -> f.dataType
       }
     }
     ordered.foreach {
-      case Left((old, nw)) => SnapshotTable.renameColumn(spark, root, old, nw)
-      case Right(name) => SnapshotTable.dropColumn(spark, root, name)
+      case ChRename(old, nw) => SnapshotTable.renameColumn(spark, root, old, nw)
+      case ChDrop(name) => SnapshotTable.dropColumn(spark, root, name)
+      case ChWiden(name, to) =>
+        SnapshotTable.widenColumn(spark, root, name, to.sql)
     }
     if (adds.nonEmpty) {
       val head = SnapshotTable.versions(spark, root).last
@@ -602,13 +628,19 @@ private[sources] class SnapshotCatalogTable(path: String,
       case None =>
         val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
           .getOrElse(lit(true))
-        // keep rows where the condition is NOT TRUE — a NULL condition
-        // keeps its row (DELETE's three-valued semantics; a bare
-        // not(pred) would silently delete the NULL rows too)
-        SnapshotTable.overwrite(
-          SnapshotTable.read(spark, path)
-            .filter(not(org.apache.spark.sql.functions
-              .coalesce(pred, lit(false)))), path)
+        if (snapshot.keys.isEmpty)
+          // keyless: positional merge-on-read — O(matched) tombstone
+          // positions instead of a full copy-on-write rewrite (the
+          // deletion-vector shape; compact folds it away)
+          SnapshotTable.deleteWhere(spark, path, pred, mergeOnRead = true)
+        else
+          // keep rows where the condition is NOT TRUE — a NULL condition
+          // keeps its row (DELETE's three-valued semantics; a bare
+          // not(pred) would silently delete the NULL rows too)
+          SnapshotTable.overwrite(
+            SnapshotTable.read(spark, path)
+              .filter(not(org.apache.spark.sql.functions
+                .coalesce(pred, lit(false)))), path)
         ()
     }
   }

@@ -589,11 +589,19 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
           s"${snap.deltas.size} unresolved merge-on-read delta dirs — " +
           "compact the table first (SnapshotTable.compact / " +
           "CALL <cat>.system.compact)")
-      val hit = prunedBuckets(v1Filters.toSeq)
-      new SnapshotMorScan(snap, tableSchema, required, catalystFilters,
-        reprune(snap.entries, v1Filters.toSeq),
-        hit.fold(snap.deltas)(h => snap.deltas.filter(d => h(d.bucket))),
-        root, ignoreChanges)
+      if (snap.deltas.forall(_.kind == "pos"))
+        // keyless positional (deletion-vector) layer: the replaying
+        // scan anti-joins base rows' parquet row indexes against the
+        // small recorded position set
+        new SnapshotPosScan(snap, tableSchema, required, catalystFilters,
+          statsPruned(snap.entries, v1Filters.toSeq), snap.deltas, root)
+      else {
+        val hit = prunedBuckets(v1Filters.toSeq)
+        new SnapshotMorScan(snap, tableSchema, required, catalystFilters,
+          reprune(snap.entries, v1Filters.toSeq),
+          hit.fold(snap.deltas)(h => snap.deltas.filter(d => h(d.bucket))),
+          root, ignoreChanges)
+      }
     case None =>
       new SnapshotScan(snap, tableSchema, required, catalystFilters,
         reprune(snap.entries, v1Filters.toSeq), root, ignoreChanges,
@@ -1005,9 +1013,11 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
         raw(next.entries.map(_._2).diff(
           prev.getOrElse(sys.error(s"change feed needs version " +
             s"${next.version - 1} at $root (vacuumed?)")).entries.map(_._2)))
-      case "upsert" | "delete" if next.cdc.isDefined =>
+      case "upsert" | "delete" | "delete-pos" if next.cdc.isDefined =>
         cdcInner(Seq(next.cdc.get)).toBatch.planInputPartitions().map(p =>
           CdfInputPartition(p, fromCdc = true, null, next.version))
+      case "widen-column" =>
+        Array.empty // pure-metadata commit: zero row changes
       case "zorder" | "compact" => Array.empty // content-neutral rewrites
       case "rescale" | "rename-column" | "drop-column" |
            "set-constraint" | "drop-constraint" =>

@@ -100,8 +100,10 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
     * the read-path file parse; end-anchored so user path segments can't
     * alias). */
   private def seqOfDir(dir: String): Long = {
+    // value-dir segments after the bucket: `_pt{i}=v` partition values
+    // and/or a `_zs=k` z-order slice
     val m = java.util.regex.Pattern
-      .compile("c(\\d+)-[^/]+/_gb=\\d+(?:/_zs=\\d+)?$").matcher(dir)
+      .compile("c(\\d+)-[^/]+/_gb=\\d+(?:/[^/]+=[^/]+)*$").matcher(dir)
     require(m.find(), s"cannot parse commit version from dir $dir")
     m.group(1).toLong
   }
@@ -336,6 +338,222 @@ private[graft] class MorPartitionReader(part: MorInputPartition,
     if (survivors.hasNext) {
       currentRow = toRequired(survivors.next()); true
     } else false
+  }
+
+  override def get(): InternalRow = currentRow
+
+  override def close(): Unit =
+    if (baseReader != null) { baseReader.close(); baseReader = null }
+}
+
+/** Resolution-aware DSv2 scan for KEYLESS snapshots carrying positional
+  * (deletion-vector) deltas — the connector half of the `kind = "pos"`
+  * replay in [[SnapshotTable.resolvedRead]]: a row lives unless some
+  * retained pos delta recorded its physical `(file-suffix, row_index)`.
+  *
+  * Plan shape: base FILES are listed driver-side (O(files), the same
+  * listing the manifest writer paid) and round-robined into at most
+  * ~2×defaultParallelism partitions; each partition bundles its files'
+  * parquet splits — every split tagged with its file's stable path
+  * suffix — plus the (small) tombstone partitions. The reader drains
+  * the tombstones into a per-file position set, then streams the base
+  * splits, asking the parquet reader itself for each row's file row
+  * index (the `_tmp_metadata_row_index` generated column — exact under
+  * splits, pushed filters, and row-group skipping, so base reads keep
+  * FULL pushdown). Executor memory is O(retained tombstones), the
+  * deletion-vector residency bound; compaction restores the plain
+  * [[SnapshotScan]] path. Tombstone re-read cost is bounded by the
+  * partition-count cap, not by the file count. */
+private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
+    tableSchema: StructType, required: StructType,
+    catalystFilters: Seq[Expression],
+    baseEntries: Seq[(Int, String)],
+    posDeltas: Seq[SnapshotTable.DeltaEntry],
+    root: String)
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  require(snap.keys.isEmpty, "positional deltas imply a keyless table")
+
+  private def physSchema(st: StructType): StructType =
+    if (snap.colMap.isEmpty) st
+    else StructType(st.fields.map(f =>
+      f.copy(name = snap.colMap.getOrElse(f.name, f.name))))
+
+  /** Base read schema: the physicalized required columns plus the
+    * parquet readers' row-index generated column (always LAST, so the
+    * reader's projection drops a fixed tail index). */
+  private val idxCol = org.apache.spark.sql.GraftParquetBridge.rowIndexTempColumn
+  private val withIdx: StructType = StructType(
+    physSchema(required).fields :+
+      org.apache.spark.sql.types.StructField(idxCol,
+        org.apache.spark.sql.types.LongType))
+
+  private val tombSchema: StructType = new StructType()
+    .add("_sdv_file", org.apache.spark.sql.types.StringType)
+    .add("_sdv_pos", org.apache.spark.sql.types.LongType)
+
+  private def innerScan(paths: Seq[String], schema: StructType,
+      tblSchema: StructType, pushFilters: Boolean): Scan = {
+    val b = GraftParquetBridge.parquetScanBuilder(
+      SparkSession.active, paths, tblSchema)
+    if (pushFilters) GraftParquetBridge.pushCatalystFilters(b,
+      if (snap.colMap.isEmpty) catalystFilters
+      else catalystFilters.map(_.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+            if snap.colMap.contains(a.name) =>
+          a.withName(snap.colMap(a.name))
+      }))
+    GraftParquetBridge.pruneColumns(b, schema)
+    GraftParquetBridge.buildScan(b)
+  }
+
+  /** Table schema the base inner scans are built under: physical table
+    * columns plus the row-index column, so pruning to [[withIdx]] is a
+    * legal subset. */
+  private val baseTblSchema: StructType = StructType(
+    physSchema(tableSchema).fields :+
+      org.apache.spark.sql.types.StructField(idxCol,
+        org.apache.spark.sql.types.LongType))
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-snapshot v${snap.version} positional merge-on-read " +
+      s"(${baseEntries.size} base dirs, ${posDeltas.size} tombstone dirs)"
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val dirs = baseEntries.map(_._2)
+    val bytes = dirs.flatMap(snap.dirBytes.get)
+    val rows = dirs.flatMap(snap.dirRows.get)
+    new org.apache.spark.sql.connector.read.Statistics {
+      // upper bounds: tombstoned rows subtract at read
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (bytes.size == dirs.size) java.util.OptionalLong.of(bytes.sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (rows.size == dirs.size) java.util.OptionalLong.of(rows.sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  private val SuffixRe = java.util.regex.Pattern.compile("(c\\d+-[^/]+/.*)$")
+
+  private def suffixOf(path: String): String = {
+    val m = SuffixRe.matcher(path)
+    require(m.find(), s"cannot derive a commit-relative suffix from $path")
+    m.group(1)
+  }
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val spark = SparkSession.active
+      val fsys = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val files = baseEntries.map(_._2).distinct.flatMap { d =>
+        fsys.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
+          .filter(st => st.isFile && {
+            val n = st.getPath.getName
+            !n.startsWith(".") && !n.startsWith("_")
+          })
+          .map(_.getPath.toString)
+      }
+      if (files.isEmpty) return Array.empty
+      val tombParts = innerScan(posDeltas.map(_.dir), tombSchema,
+        tombSchema, pushFilters = false).toBatch.planInputPartitions()
+      val groups = math.max(1, math.min(files.size,
+        spark.sparkContext.defaultParallelism * 2))
+      files.zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1)
+        .map { case (_, fs) =>
+          PosInputPartition(
+            fs.flatMap { case (f, _) =>
+              innerScan(Seq(f), withIdx, baseTblSchema, pushFilters = true)
+                .toBatch.planInputPartitions()
+                .map(p => suffixOf(f) -> p)
+            },
+            tombParts.toSeq): InputPartition
+        }.toArray
+    }
+
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PosReaderFactory(
+        innerScan(Seq.empty, withIdx, baseTblSchema, pushFilters = true)
+          .toBatch.createReaderFactory(),
+        innerScan(Seq.empty, tombSchema, tombSchema, pushFilters = false)
+          .toBatch.createReaderFactory(),
+        withIdx.fields.map(_.dataType),
+        required.length)
+  }
+}
+
+/** One group of base-file splits (each tagged with its file's stable
+  * suffix) plus the shared tombstone partitions. */
+private[graft] case class PosInputPartition(
+    base: Seq[(String, InputPartition)],
+    tombs: Seq[InputPartition]) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    base.flatMap(_._2.preferredLocations()).distinct.toArray
+}
+
+private[graft] class PosReaderFactory(baseF: PartitionReaderFactory,
+    tombF: PartitionReaderFactory,
+    withIdxTypes: Array[org.apache.spark.sql.types.DataType],
+    requiredLen: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case pos: PosInputPartition =>
+        new PosPartitionReader(pos, baseF, tombF, withIdxTypes, requiredLen)
+      case other => baseF.createReader(other)
+    }
+}
+
+/** Positional replay: drain the tombstone side into a per-file position
+  * set, stream base splits dropping recorded positions. */
+private[graft] class PosPartitionReader(part: PosInputPartition,
+    baseF: PartitionReaderFactory, tombF: PartitionReaderFactory,
+    withIdxTypes: Array[org.apache.spark.sql.types.DataType],
+    requiredLen: Int) extends PartitionReader[InternalRow] {
+
+  private val toRequired = UnsafeProjection.create(
+    (0 until requiredLen).map(
+      i => BoundReference(i, withIdxTypes(i), nullable = true): Expression))
+  private val idxPos = withIdxTypes.length - 1
+
+  // (file suffix → recorded positions); O(retained tombstones) memory
+  private val dead = new mutable.HashMap[String, java.util.HashSet[java.lang.Long]]
+  part.tombs.foreach { tp =>
+    val r = tombF.createReader(tp)
+    try while (r.next()) {
+      val row = r.get()
+      if (!row.isNullAt(0) && !row.isNullAt(1))
+        dead.getOrElseUpdate(row.getUTF8String(0).toString,
+          new java.util.HashSet[java.lang.Long]()).add(row.getLong(1))
+    } finally r.close()
+  }
+
+  private val basePartsIt = part.base.iterator
+  private var baseReader: PartitionReader[InternalRow] = _
+  private var deadHere: java.util.HashSet[java.lang.Long] = _
+  private var currentRow: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (baseReader == null) {
+        if (!basePartsIt.hasNext) return false
+        val (suffix, p) = basePartsIt.next()
+        deadHere = dead.getOrElse(suffix, null)
+        baseReader = baseF.createReader(p)
+      } else if (baseReader.next()) {
+        val row = baseReader.get()
+        if (deadHere == null || !deadHere.contains(row.getLong(idxPos))) {
+          currentRow = toRequired(row)
+          return true
+        }
+      } else {
+        baseReader.close(); baseReader = null
+      }
+    }
+    false
   }
 
   override def get(): InternalRow = currentRow

@@ -642,6 +642,8 @@ object SnapshotTable {
   private val BucketCol = "_gb"
   private val ZSliceCol = "_zs"
   private[sources] val PartPrefix = "_pt"
+  private[sources] val PosFileCol = "_sdv_file"
+  private[sources] val PosPosCol = "_sdv_pos"
   private val PartNullDir = "__HIVE_DEFAULT_PARTITION__"
 
   // ---- identity/date partition transforms ----
@@ -881,7 +883,7 @@ object SnapshotTable {
     val deltas = lines.collect {
       case l if l.startsWith("delta=") =>
         val Array(b, seq, kind, dir) = l.drop("delta=".length).split("\t", 4)
-        require(kind == "rows" || kind == "tomb",
+        require(kind == "rows" || kind == "tomb" || kind == "pos",
           s"manifest $p has unknown delta kind '$kind'")
         DeltaEntry(b.toInt, seq.toLong, kind, dir)
     }
@@ -1041,16 +1043,20 @@ object SnapshotTable {
     require(snaps.exists(_.version == v),
       s"cannot tag version $v at $root: not in the catalog " +
         s"(have ${snaps.map(_.version).mkString(",")})")
-    fsys.mkdirs(refsDir(rootP))
     val p = tagPath(rootP, name)
-    val out =
-      try fsys.create(p, false)
-      catch { case _: java.io.IOException =>
-        sys.error(s"tag '$name' already exists at $root " +
-          s"(points at version ${tagVersion(spark, root, name)}); " +
-          "dropTag first to repoint")
-      }
-    try out.write(s"version=$v\n".getBytes("UTF-8")) finally out.close()
+    // adjudicated like every protocol publish ([[CommitStore]]); the
+    // uuid line keeps same-version bodies distinct across racers
+    if (fsys.exists(p))
+      sys.error(s"tag '$name' already exists at $root " +
+        s"(points at version ${tagVersion(spark, root, name)}); " +
+        "dropTag first to repoint")
+    try storeFor(fsys).writeNoOverwrite(p,
+      s"version=$v\nuuid=${newUuid()}\n".getBytes("UTF-8"))
+    catch {
+      case e: ConcurrentCommitException =>
+        sys.error(s"tag '$name' already exists at $root or lost the " +
+          s"create race (${e.getMessage}); dropTag first to repoint")
+    }
     v
   }
 
@@ -1126,51 +1132,21 @@ object SnapshotTable {
     require(snaps.exists(_.version == v),
       s"cannot branch from version $v at $root: not in the catalog " +
         s"(have ${snaps.map(_.version).mkString(",")})")
-    fsys.mkdirs(branchesDir(rootP))
     val p = branchRefPath(rootP, name)
-    // Same adjudication as manifest publish, not a bare
-    // create-if-absent: on object stores without atomic O_EXCL create,
+    // Same adjudication as manifest publish ([[CommitStore]]), not a
+    // bare create-if-absent: on stores without atomic O_EXCL create,
     // two racing createBranch calls could both "succeed" and silently
-    // clobber each other's base pointer. Write a uuid-stamped tmp,
-    // rename (no-overwrite on HDFS-like stores; serialized by the
-    // O_EXCL lock on local POSIX), read back and compare the uuid —
-    // exactly one creator wins, the loser throws.
+    // clobber each other's base pointer. The uuid line keeps same-base
+    // bodies distinct so the byte-exact read-back names one winner.
     if (fsys.exists(p))
       sys.error(s"branch '$name' already exists at $root " +
         s"(base ${branchBase(spark, root, name)}); dropBranch first")
-    val uuid = newUuid()
-    val tmp = new Path(branchesDir(rootP), s".tmp-b-$name-$uuid")
-    val out = fsys.create(tmp, false)
-    try out.write(s"base=$v\nuuid=$uuid\n".getBytes("UTF-8"))
-    finally out.close()
-    def renameAndAdjudicate(): Unit = {
-      if (fsys.exists(p)) {
-        fsys.delete(tmp, false)
-        sys.error(s"branch '$name' already exists at $root; dropBranch first")
-      }
-      if (!fsys.rename(tmp, p)) {
-        fsys.delete(tmp, false)
-        sys.error(s"lost branch-create race for '$name' at $root")
-      }
-      val in = fsys.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      if (!text.contains(s"uuid=$uuid"))
+    try storeFor(fsys).writeNoOverwrite(p,
+      s"base=$v\nuuid=${newUuid()}\n".getBytes("UTF-8"))
+    catch {
+      case e: ConcurrentCommitException =>
         sys.error(s"lost branch-create race for '$name' at $root " +
-          "(another creator's ref was published)")
-    }
-    try {
-      if (isLocalFs(rootP))
-        withLocalPublishLock(fsys, branchesDir(rootP), s"b-$name",
-            fsys.exists(p)) {
-          renameAndAdjudicate()
-        }
-      else renameAndAdjudicate()
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        fsys.delete(tmp, false) // idempotent: already gone on most paths
-        throw e
+          s"(${e.getMessage}); dropBranch first if it now exists")
     }
     v
   }
@@ -1329,8 +1305,75 @@ object SnapshotTable {
     * table — the broadcast-join cost profile of Delta's deletion-vector
     * reads, never a shuffle of the base data by key. Compaction
     * ([[compact]]) restores the zero-overhead path. */
+  /** Stable file identity for positional tombstones: the path suffix
+    * from the commit-dir segment on, so scheme qualification
+    * (`file:///` vs bare) of `_metadata.file_path` can never split the
+    * identity of one physical file. */
+  private def posFileOf: org.apache.spark.sql.Column =
+    regexp_extract(col("_metadata.file_path"), "(c\\d+-[^/]+/.*)$", 1)
+
+  private def posTombSchema: StructType = new StructType()
+    .add(PosFileCol, org.apache.spark.sql.types.StringType)
+    .add(PosPosCol, org.apache.spark.sql.types.LongType)
+
+  /** [[readEntries]] plus the row's physical position identity
+    * (`_sdv_file`, `_sdv_pos` from the parquet reader's file metadata —
+    * exact under splits, filters, and row-group skipping). */
+  private def readEntriesWithPos(spark: SparkSession, schemaDdl: String,
+      colMap: Map[String, String], dirs: Seq[String]): DataFrame = {
+    val logical = StructType.fromDDL(schemaDdl)
+    val out = StructType(logical.fields ++ posTombSchema.fields)
+    if (dirs.isEmpty) return emptyDf(spark, out)
+    val phys = StructType(logical.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+    spark.read.schema(phys).parquet(dirs: _*)
+      .select(logical.fields.map(f =>
+        col(colMap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq ++
+        Seq(posFileOf.as(PosFileCol),
+          col("_metadata.row_index").as(PosPosCol)): _*)
+  }
+
+  /** Resolved content of a pos-delta-bearing (keyless) snapshot WITH
+    * the position identity columns — what [[deleteWhere]] matches new
+    * tombstones against, so re-deleting an already-deleted position is
+    * impossible by construction. */
+  private def resolvedReadWithPos(spark: SparkSession,
+      snap: Snapshot): DataFrame = {
+    val base = readEntriesWithPos(spark, snap.schemaDdl, snap.colMap,
+      snap.entries.map(_._2))
+    val posDs = snap.deltas.filter(_.kind == "pos")
+    if (posDs.isEmpty) base
+    else base.join(
+      spark.read.schema(posTombSchema).parquet(posDs.map(_.dir): _*),
+      Seq(PosFileCol, PosPosCol), "left_anti")
+  }
+
   private def resolvedRead(spark: SparkSession, snap: Snapshot,
       buckets: Option[Set[Int]], ddl: String): DataFrame = {
+    // positional (deletion-vector) deltas — the KEYLESS shape: a row
+    // lives unless some retained pos delta recorded its (file, pos).
+    // Physical identities are immutable and set-like (ordering between
+    // pos commits is irrelevant; duplicates are idempotent), so replay
+    // is one anti-join of the base against the SMALL tombstone side —
+    // the Delta deletion-vector read shape, never a shuffle of the base
+    // by key. Kinds never mix: keyed tables carry rows/tomb, keyless
+    // carry pos.
+    val posDs = snap.deltas.filter(_.kind == "pos")
+    if (posDs.nonEmpty) {
+      require(snap.keys.isEmpty && posDs.size == snap.deltas.size,
+        s"corrupt manifest: positional deltas on a keyed table " +
+          s"(keys=${snap.keys}, kinds=${snap.deltas.map(_.kind).distinct})")
+      val sel = buckets match {
+        case Some(st) => snap.entries.filter(e => snap.entryHit(e, st))
+        case None => snap.entries
+      }
+      val outCols = StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq
+      return readEntriesWithPos(spark, ddl, snap.colMap, sel.map(_._2))
+        .join(spark.read.schema(posTombSchema)
+          .parquet(posDs.map(_.dir): _*),
+          Seq(PosFileCol, PosPosCol), "left_anti")
+        .select(outCols: _*)
+    }
     val sel: Int => Boolean = b => buckets.forall(_.contains(b))
     // selection and row filtering are in CURRENT-layout bucket space;
     // entries written under a historical layout (post-rescale, before
@@ -1524,7 +1567,7 @@ object SnapshotTable {
           .select(cols.map(col): _*)
       }
       next.op match {
-        case "upsert" | "delete" if next.cdc.isDefined =>
+        case "upsert" | "delete" | "delete-pos" if next.cdc.isDefined =>
           // commit-time change file (changeFeed tables): the recorded
           // rows are diff-exact by construction, so this is the same
           // answer as the bucket-diff branch below at zero diff cost
@@ -1796,18 +1839,96 @@ object SnapshotTable {
     }
   }
 
+  /** Commit-store seam — the narrow storage contract every protocol
+    * publish point (manifest, branch ref, tag ref) reduces to, the
+    * Delta LogStore split: atomically publish a small metadata file at
+    * `target`, REFUSING an existing target, such that exactly one of N
+    * concurrent writers of one target succeeds and every loser throws
+    * [[ConcurrentCommitException]]. The protocol code above this trait
+    * performs no rename/create of its own, so swapping the store swaps
+    * the whole durability story. [[HadoopCommitStore]] is the shipped
+    * instance (HDFS-class atomic no-overwrite rename; POSIX local
+    * serialized by the O_EXCL lock file); an S3-class object store
+    * needs a coordination-service implementation of THIS trait — the
+    * same split Delta ships as LogStore. `commitStoreOverride` is the
+    * test seam SnapshotConcurrencySpec uses to inject FAULTY stores
+    * (fail after write, spurious loss) and prove the protocol
+    * surfaces them loudly instead of tearing the table. */
+  private[graft] trait CommitStore {
+    /** Publish `body` at `target`; throw [[ConcurrentCommitException]]
+      * if `target` exists or another writer wins the race. */
+    def writeNoOverwrite(target: Path, body: Array[Byte]): Unit
+  }
+
+  @volatile private[graft] var commitStoreOverride: Option[CommitStore] = None
+
+  private def storeFor(fsys: FileSystem): CommitStore =
+    commitStoreOverride.getOrElse(new HadoopCommitStore(fsys))
+
+  /** The filesystem [[CommitStore]]: tmp write + rename + byte-exact
+    * read-back, serialized by the O_EXCL lock on clobbering local
+    * renames (see the commit-protocol scaladoc at the top of this
+    * file). */
+  private[graft] final class HadoopCommitStore(fsys: FileSystem)
+      extends CommitStore {
+    override def writeNoOverwrite(target: Path, body: Array[Byte]): Unit = {
+      val dir = target.getParent
+      fsys.mkdirs(dir)
+      def targetExists = fsys.exists(target)
+      if (targetExists)
+        throw new ConcurrentCommitException(s"$target already published")
+      val tmp = new Path(dir, s".tmp-${target.getName}-${newUuid()}")
+      val out = fsys.create(tmp, false)
+      try out.write(body) finally out.close()
+      def renameAndAdjudicate(): Unit = {
+        if (targetExists) { // re-check inside the critical section
+          fsys.delete(tmp, false)
+          throw new ConcurrentCommitException(
+            s"$target already published (lost race)")
+        }
+        // Atomic publish. On HDFS-like stores rename-to-existing fails
+        // and the loser lands here; on clobbering local rename the lock
+        // serializes this section and the read-back double-checks.
+        if (!fsys.rename(tmp, target)) {
+          fsys.delete(tmp, false)
+          throw new ConcurrentCommitException(
+            s"lost publish race for $target")
+        }
+        val in = fsys.open(target)
+        val read = try in.readAllBytes() finally in.close()
+        if (!java.util.Arrays.equals(read, body))
+          throw new ConcurrentCommitException(
+            s"lost publish race for $target (another writer's file was " +
+              "published)")
+      }
+      try {
+        if (isLocalFs(target))
+          withLocalPublishLock(fsys, dir, target.getName, targetExists) {
+            renameAndAdjudicate()
+          }
+        else renameAndAdjudicate()
+      } catch {
+        case e: ConcurrentCommitException =>
+          fsys.delete(tmp, false) // idempotent: already gone on most paths
+          throw e
+      }
+    }
+  }
+
   private def publish(fsys: FileSystem, root: Path, snap: Snapshot,
       line: Option[String] = None): Unit = {
-    val dir = manifestDir(root)
-    fsys.mkdirs(dir)
     val target = manifestPath(root, snap.version, line)
-    def targetExists = fsys.exists(target)
-    if (targetExists)
-      throw new ConcurrentCommitException(
-        s"version ${snap.version} already committed at $root")
-    val tmp = new Path(dir, s".tmp-${snap.uuid}")
-    val out = fsys.create(tmp, false)
-    try {
+    try storeFor(fsys).writeNoOverwrite(target,
+      manifestBody(snap).getBytes("UTF-8"))
+    catch {
+      case e: ConcurrentCommitException =>
+        throw new ConcurrentCommitException(
+          s"version ${snap.version} at $root: ${e.getMessage}")
+    }
+  }
+
+  private def manifestBody(snap: Snapshot): String = {
+    {
       val body = new StringBuilder
       body ++= FormatHeader += '\n'
       body ++= s"op=${snap.op}" += '\n'
@@ -1859,39 +1980,7 @@ object SnapshotTable {
         .foreach { case (d, n) => body ++= s"rows=$d\t$n" += '\n' }
       snap.dirBytes.toSeq.filter(e => live(e._1)).sortBy(_._1)
         .foreach { case (d, n) => body ++= s"bytes=$d\t$n" += '\n' }
-      out.write(body.toString.getBytes("UTF-8"))
-    } finally out.close()
-    def renameAndAdjudicate(): Unit = {
-      if (targetExists) { // re-check inside the critical section
-        fsys.delete(tmp, false)
-        throw new ConcurrentCommitException(
-          s"version ${snap.version} already committed at $root")
-      }
-      // Atomic publish. On HDFS-like stores rename-to-existing fails and
-      // the loser lands here; on clobbering local rename the lock above
-      // serializes this section and the read-back double-checks.
-      if (!fsys.rename(tmp, target)) {
-        fsys.delete(tmp, false)
-        throw new ConcurrentCommitException(
-          s"lost commit race for version ${snap.version} at $root")
-      }
-      val won = parseManifest(fsys, target, snap.version).uuid == snap.uuid
-      if (!won)
-        throw new ConcurrentCommitException(
-          s"lost commit race for version ${snap.version} at $root " +
-            "(another writer's manifest was published)")
-    }
-    try {
-      if (isLocalFs(root))
-        withLocalPublishLock(fsys, dir, manifestName(line, snap.version),
-            targetExists) {
-          renameAndAdjudicate()
-        }
-      else renameAndAdjudicate()
-    } catch {
-      case e: ConcurrentCommitException =>
-        fsys.delete(tmp, false) // idempotent: already gone on most paths
-        throw e
+      body.toString
     }
   }
 
@@ -2034,8 +2123,12 @@ object SnapshotTable {
           dirLayout = cur.dirLayout,
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec)
-      case "upsert-mor" | "delete-mor" =>
-        val kind = if (p.opKind == "upsert-mor") "rows" else "tomb"
+      case "upsert-mor" | "delete-mor" | "delete-pos" =>
+        val kind = p.opKind match {
+          case "upsert-mor" => "rows"
+          case "delete-mor" => "tomb"
+          case _ => "pos"
+        }
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
           cur.entries,
           statsCols = cur.statsCols,
@@ -2260,9 +2353,10 @@ object SnapshotTable {
   private def requireCols(df: DataFrame, keys: Seq[String]): Unit = {
     require(!df.columns.contains(BucketCol) &&
       !df.columns.contains(ZSliceCol) &&
+      !df.columns.contains(PosFileCol) && !df.columns.contains(PosPosCol) &&
       !df.columns.exists(_.matches(s"$PartPrefix\\d+")),
-      s"column names $BucketCol/$ZSliceCol/$PartPrefix<N> are reserved " +
-        "by SnapshotTable")
+      s"column names $BucketCol/$ZSliceCol/$PosFileCol/$PosPosCol/" +
+        s"$PartPrefix<N> are reserved by SnapshotTable")
     keys.foreach(k => require(df.columns.contains(k),
       s"key column $k missing from ${df.columns.mkString(",")}"))
   }
@@ -2558,6 +2652,67 @@ object SnapshotTable {
       Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(hit), txn = None,
         cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
+  }
+
+  /** Predicate DELETE. Two commit shapes, same semantics (rows where
+    * `condition` is TRUE go; FALSE or NULL stay — SQL three-valued
+    * DELETE):
+    *
+    *   - COPY-ON-WRITE (default): one overwrite commit keeping the
+    *     surviving rows — exact everywhere, O(table) rewrite.
+    *   - POSITIONAL MERGE-ON-READ (`mergeOnRead = true`, KEYLESS tables
+    *     only — the deletion-vector shape): the commit writes ONLY the
+    *     matched rows' physical positions (`(file-suffix, row_index)`
+    *     pairs from the parquet reader's file metadata) as a `pos`
+    *     delta layer; reads anti-join the base against that small side
+    *     until [[compact]] folds it in. O(matched) data written, zero
+    *     existing bytes rewritten — the keyless twin of the keyed
+    *     tombstone layer, closing the "a keyless DELETE degrades to a
+    *     full copy-on-write" gap. Keyed tables keep their exact keyed
+    *     spellings ([[delete]]); positional layers on them would have
+    *     to interleave with key-event replay ordering for no win.
+    *
+    * Positions are matched against the RESOLVED current content, so a
+    * second delete never re-records an already-dead position, and a
+    * duplicate (file, pos) pair would be idempotent anyway. Fail-fast
+    * on concurrent data commits (positions pin this snapshot's files;
+    * `retries` rebases only over commits that provably touched no
+    * data — the hit-list guard covers the keyless single bucket). */
+  def deleteWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      mergeOnRead: Boolean = false,
+      retries: Int = 0): Long = {
+    val cur = current(spark, root)
+    if (!mergeOnRead)
+      return overwrite(
+        read(spark, root).filter(not(coalesce(condition, lit(false)))),
+        root)
+    require(cur.keys.isEmpty,
+      s"positional merge-on-read deletes are the KEYLESS-table shape; " +
+        s"table at $root is keyed ${cur.keys.mkString(",")} — use " +
+        "delete(keysDf, mergeOnRead = true) (tombstones) or the " +
+        "copy-on-write spelling")
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    val uuid = newUuid()
+    val matched = Materialize.Local(
+      resolvedReadWithPos(spark, cur)
+        .filter(coalesce(condition, lit(false))))
+    val tomb = matched.select(col(PosFileCol), col(PosPosCol))
+    val entries = writeCommitData(tomb, rootP, v, Seq.empty, cur.buckets,
+      uuid, fsys)
+    val (st, rw) = computeStats(spark, entries, posTombSchema.toDDL,
+      Seq.empty)
+    val cdcDir =
+      if (!cur.changeFeed) None
+      else Some(writeChangeData(
+        matched.drop(PosFileCol, PosPosCol)
+          .withColumn(ChangeTypeCol, lit("delete")),
+        rootP, v, uuid, cur.colMap))
+    commitRebasing(spark, root, fsys, rootP, cur,
+      Pending("delete-pos", cur.schemaDdl, uuid, v, entries, st, rw,
+        dirSizes(fsys, entries), hit = Some(Set(0)), txn = None,
+        cdc = cdcDir, layoutBuckets = cur.buckets), retries)
   }
 
   /** Newest transaction version committed under `appId` (the Delta
@@ -2929,6 +3084,66 @@ object SnapshotTable {
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     alterCommit(spark, root, cur, "drop-column", newSchema.toDDL,
       cur.colMap - name, cur.droppedPhys :+ phys)
+  }
+
+  /** Widen a column's type WITHOUT rewriting a byte — type-widening
+    * schema evolution (the Delta type-widening / Iceberg primitive-
+    * promotion shape): a pure-metadata commit swaps the manifest
+    * schema's field type; existing files keep their narrow physical
+    * encoding and the parquet vectorized reader promotes at scan
+    * (INT32→INT64, FLOAT→DOUBLE — native in Spark 4's reader, no
+    * per-dir cast plan needed). Supported: the integral chain
+    * byte→short→int→long and float→double; narrowing and kind changes
+    * are refused (spell those as an explicit rewrite). Recorded
+    * data-skipping stats stay valid as-is: the normalized stats space
+    * ([[normalizeStatsValue]]) already collapses all integrals to Long
+    * and all floats to Double, so old dirs' bounds compare exactly
+    * against literals of the widened type. Time travel serves each
+    * version under its OWN type; later writes must speak the widened
+    * type ([[commitSchema]] refuses the stale one). KEY columns are
+    * refused (the bucket hash is byte-exact per type — widening one
+    * would silently re-map every bucket), as are partition sources
+    * (their dir-name encoding is type-determined). Returns the
+    * committed version. */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+      newType: String): Long = {
+    import org.apache.spark.sql.types._
+    val cur = current(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' in ${cur.schemaDdl}")
+    require(!cur.keys.contains(name),
+      s"'$name' is a key column; the bucket hash is type-exact, so key " +
+        "types are frozen at create")
+    require(!cur.partSpec.exists(_.col == name),
+      s"'$name' is a partition source column " +
+        s"(${cur.partSpec.mkString(",")}); partition value encodings " +
+        "are type-determined, so their types are frozen at create")
+    val to = DataType.fromDDL(newType)
+    val from = schema(name).dataType
+    require(typeWidens(from, to),
+      s"unsupported widening ${from.sql} -> ${to.sql} for '$name' " +
+        "(have byte->short->int->long and float->double; narrowing and " +
+        "kind changes are explicit rewrites into a fresh table)")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    alterCommit(spark, root, cur, "widen-column", newSchema.toDDL,
+      cur.colMap, cur.droppedPhys)
+  }
+
+  /** Is `from` → `to` a lossless widening the parquet reader promotes
+    * natively? */
+  private[sources] def typeWidens(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
   }
 
   /** Column names a constraint expression references (top-level

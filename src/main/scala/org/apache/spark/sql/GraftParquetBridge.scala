@@ -51,6 +51,15 @@ object GraftParquetBridge {
 
   def buildScan(builder: ScanBuilder): Scan = builder.build()
 
+  /** The parquet readers' magic column name: a `LongType` field with
+    * this name in the read schema is POPULATED WITH FILE ROW INDEXES by
+    * both the vectorized and row-based readers (exact under splits,
+    * pushed filters, and row-group skipping) — the mechanism behind
+    * `_metadata.row_index`, reachable here for V2 delegated scans that
+    * need per-row physical positions (deletion-vector replay). */
+  def rowIndexTempColumn: String =
+    ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
   /** Catalyst predicate → V1 `sources.Filter` (None when untranslatable)
     * — the connector's bucket-pruning analysis runs on the stable V1
     * shapes (`EqualTo`/`In`) rather than raw expression trees. */

@@ -206,4 +206,87 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
       (1 to n).flatMap(i => asSet(rows(Seq(i * 1000L), s"t$i")))
     assert(asSet(SnapshotTable.read(spark, root)) === expect)
   }
+
+  // ---- CommitStore contract: the protocol against a FAULTY store ----
+
+  test("a store that loses every race surfaces ConcurrentCommitException " +
+      "on every protocol publish point (manifest, tag, branch) and the " +
+      "table state is untouched") {
+    val root = freshRoot("faulty")
+    SnapshotTable.create(rows(Seq(0L, 1L), "base"), root, Seq("id"), Buckets)
+    val before = asSet(SnapshotTable.read(spark, root))
+    val losing = new SnapshotTable.CommitStore {
+      override def writeNoOverwrite(
+          target: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit =
+        throw new ConcurrentCommitException(s"injected loss for $target")
+    }
+    SnapshotTable.commitStoreOverride = Some(losing)
+    try {
+      intercept[ConcurrentCommitException](
+        SnapshotTable.append(rows(Seq(2L), "x"), root))
+      intercept[ConcurrentCommitException](
+        SnapshotTable.upsert(rows(Seq(0L), "x"), root))
+      intercept[RuntimeException](
+        SnapshotTable.createTag(spark, root, "t1"))
+      intercept[RuntimeException](
+        SnapshotTable.createBranch(spark, root, "b1"))
+    } finally SnapshotTable.commitStoreOverride = None
+    // nothing published, nothing torn: version 1, same content, no refs
+    assert(SnapshotTable.versions(spark, root).map(_.version) === Seq(1L))
+    assert(asSet(SnapshotTable.read(spark, root)) === before)
+    assert(SnapshotTable.tags(spark, root).isEmpty)
+    assert(SnapshotTable.branchList(spark, root).isEmpty)
+  }
+
+  test("a store that CRASHES after making the file visible leaves a " +
+      "valid published commit: the retry observes 'already committed' " +
+      "instead of tearing, and readers serve the full content") {
+    val root = freshRoot("crashpub")
+    SnapshotTable.create(rows(Seq(0L), "base"), root, Seq("id"), Buckets)
+    val (fsys, _) = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    val real = new SnapshotTable.HadoopCommitStore(fsys)
+    val crashing = new SnapshotTable.CommitStore {
+      override def writeNoOverwrite(
+          target: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit = {
+        real.writeNoOverwrite(target, body) // fully published…
+        sys.error("injected crash after publish") // …then the node dies
+      }
+    }
+    SnapshotTable.commitStoreOverride = Some(crashing)
+    val crashed = try intercept[RuntimeException](
+      SnapshotTable.append(rows(Seq(7L), "x"), root))
+    finally SnapshotTable.commitStoreOverride = None
+    assert(crashed.getMessage.contains("injected crash"))
+    // the commit IS on disk and valid — a reader sees the appended row
+    assert(SnapshotTable.versions(spark, root).map(_.version) ===
+      Seq(1L, 2L))
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(Seq(0L), "base")) ++ asSet(rows(Seq(7L), "x")))
+    // a blind re-run of the same append lands as v3 (append has no
+    // read-dependency); a VERSIONED retry would see already-committed
+    SnapshotTable.append(rows(Seq(8L), "y"), root)
+    assert(SnapshotTable.versions(spark, root).last.version === 3L)
+  }
+
+  test("the real store refuses an existing target byte-for-byte: a " +
+      "second write of DIFFERENT content to the same path loses, and " +
+      "the first writer's bytes survive") {
+    val root = freshRoot("noclobber")
+    SnapshotTable.create(rows(Seq(0L), "base"), root, Seq("id"), Buckets)
+    val p = new org.apache.hadoop.fs.Path(s"$root/_manifests/probe.txt")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new SnapshotTable.HadoopCommitStore(fsys)
+    store.writeNoOverwrite(p, "first".getBytes("UTF-8"))
+    intercept[ConcurrentCommitException](
+      store.writeNoOverwrite(p, "second".getBytes("UTF-8")))
+    val in = fsys.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(text === "first")
+    fsys.delete(p, false)
+  }
 }

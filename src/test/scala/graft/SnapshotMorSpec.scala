@@ -313,4 +313,138 @@ class SnapshotMorSpec extends AnyFunSuite {
       SnapshotTable.delete(Seq(1L).toDF("id"), root, mergeOnRead = true)
     }
   }
+
+  // ---- positional (deletion-vector) merge-on-read: the KEYLESS shape ----
+
+  test("keyless positional delete: O(matched) tombstone commit, exact " +
+      "three-valued DELETE semantics, stacking deletes, appends " +
+      "interleave, time travel serves pre-delete content, compact " +
+      "folds the layer away") {
+    val root = freshRoot("pos")
+    val d = (0 until 100).map(i =>
+      (i.toLong, if (i % 10 == 0) null else s"t${i % 3}", i * 10L))
+      .toDF("id", "tag", "v")
+    SnapshotTable.create(d, root, Seq.empty, 1)
+    // rows where tag = 't1' go; NULL-tag rows STAY (condition NULL)
+    SnapshotTable.deleteWhere(spark, root, col("tag") === "t1",
+      mergeOnRead = true)
+    val head1 = SnapshotTable.versions(spark, root).last
+    assert(head1.op === "delete-pos" &&
+      head1.deltas.map(_.kind) === Seq("pos"))
+    val expect1 = asSet(d.filter(
+      not(coalesce(col("tag") === "t1", lit(false)))))
+    assert(asSet(SnapshotTable.read(spark, root)) === expect1)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("tag").isNull).count() === 10L)
+    // a second delete stacks (and never re-records dead positions)
+    SnapshotTable.deleteWhere(spark, root, col("v") >= 900L,
+      mergeOnRead = true)
+    val expect2 = expect1.filter(_._3 < 900L)
+    assert(asSet(SnapshotTable.read(spark, root)) === expect2)
+    // appended rows interleave: older tombstones can't touch new files
+    SnapshotTable.append(Seq((1000L, "t1", 5L)).toDF("id", "tag", "v"), root)
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      expect2 + ((1000L, "t1", 5L)))
+    // time travel: pre-delete content intact
+    assert(asSet(SnapshotTable.read(spark, root, Some(1L))) === asSet(d))
+    // compact folds the positional layer away
+    SnapshotTable.compact(spark, root)
+    val folded = SnapshotTable.versions(spark, root).last
+    assert(folded.deltas.isEmpty)
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      expect2 + ((1000L, "t1", 5L)))
+  }
+
+  test("keyless positional write amplification: the delete commits " +
+      "< 1/10 the bytes of the copy-on-write spelling, with identical " +
+      "resolved content") {
+    def freshBytes(root: String, v: Long): Long = {
+      val prev = snapAt(root, v - 1)
+      val cur = snapAt(root, v)
+      val prevDirs = (prev.entries.map(_._2) ++ prev.deltas.map(_.dir)).toSet
+      val curDirs = cur.entries.map(_._2) ++ cur.deltas.map(_.dir)
+      curDirs.filterNot(prevDirs).map(cur.dirBytes).sum
+    }
+    val big = (0 until 20000)
+      .map(i => (i.toLong, s"payload_$i" * 8, i.toLong))
+      .toDF("id", "tag", "v")
+    val rootPos = freshRoot("wap1")
+    val rootCow = freshRoot("wap2")
+    SnapshotTable.create(big, rootPos, Seq.empty, 1)
+    SnapshotTable.create(big, rootCow, Seq.empty, 1)
+    SnapshotTable.deleteWhere(spark, rootPos, col("v") === 7L,
+      mergeOnRead = true)
+    SnapshotTable.deleteWhere(spark, rootCow, col("v") === 7L)
+    val posB = freshBytes(rootPos, 2)
+    val cowB = freshBytes(rootCow, 2)
+    assert(posB * 10 < cowB, s"pos=$posB cow=$cowB")
+    assert(asSet(SnapshotTable.read(spark, rootPos)) ===
+      asSet(SnapshotTable.read(spark, rootCow)))
+  }
+
+  test("the CONNECTOR replays positional deltas: full scan, pushed " +
+      "filters, column pruning, and SQL DELETE on a keyless catalog " +
+      "table takes the positional path") {
+    val root = freshRoot("posconn")
+    val d = (0 until 200).map(i => (i.toLong, s"t${i % 4}", i * 10L))
+      .toDF("id", "tag", "v")
+    SnapshotTable.create(d, root, Seq.empty, 1)
+    SnapshotTable.deleteWhere(spark, root, col("tag") === "t2",
+      mergeOnRead = true)
+    val expect = asSet(d.filter(col("tag") =!= "t2"))
+    def scan = spark.read.format("graft-snapshot").load(root)
+    assert(asSet(scan) === expect)
+    // pushed filter composes with the replay (never resurrects)
+    assert(scan.filter(col("tag") === "t2").count() === 0L)
+    assert(scan.filter(col("v") < 100L).count() ===
+      expect.count(_._3 < 100L).toLong)
+    // column pruning through the replay
+    assert(scan.select("v").as[Long].collect().sorted.toSeq ===
+      expect.map(_._3).toSeq.sorted)
+    // SQL end-to-end through the catalog: DELETE is O(matched), SELECT
+    // resolves through the positional scan
+    val wh = java.nio.file.Files.createTempDirectory("graft_pos_wh")
+    wh.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.poscat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.poscat.warehouse", wh.toString)
+    spark.sql("CREATE TABLE poscat.kl (id BIGINT, tag STRING, v BIGINT)" +
+      " TBLPROPERTIES ('buckets'='1')")
+    spark.sql("INSERT INTO poscat.kl SELECT id, concat('t', id % 4), " +
+      "id * 10 FROM range(200)")
+    spark.sql("DELETE FROM poscat.kl WHERE v >= 1000 AND v < 1500")
+    val klRoot = s"$wh/kl"
+    assert(SnapshotTable.versions(spark, klRoot).last.op === "delete-pos")
+    assert(spark.sql("SELECT count(*) FROM poscat.kl").as[Long].head() ===
+      150L)
+    assert(spark.sql("SELECT sum(v) FROM poscat.kl WHERE v < 1200")
+      .as[Long].head() === (0 until 100).map(_ * 10L).sum)
+  }
+
+  test("positional deletes fail-fast on concurrent data commits and " +
+      "refuse keyed tables; change feed reports the deleted rows") {
+    val root = freshRoot("posguard")
+    SnapshotTable.create(rows(0 until 20, "a"), root, Seq.empty, 1,
+      changeFeed = true)
+    // keyed table refusal
+    val keyedRoot = freshRoot("poskeyed")
+    SnapshotTable.create(rows(0 until 5, "a"), keyedRoot, Seq("id"), 2)
+    intercept[IllegalArgumentException](SnapshotTable.deleteWhere(
+      spark, keyedRoot, col("v") > 0L, mergeOnRead = true))
+    // change feed: recorded change file carries the deleted rows
+    SnapshotTable.deleteWhere(spark, root, col("id") < 3L,
+      mergeOnRead = true)
+    val feed = SnapshotTable.readChanges(spark, root, 1L, 2L)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet === Set(0L, 1L, 2L))
+    // and the batch-diff spelling agrees on a NON-feed table
+    val root2 = freshRoot("posdiff")
+    SnapshotTable.create(rows(0 until 20, "a"), root2, Seq.empty, 1)
+    SnapshotTable.deleteWhere(spark, root2, col("id") < 3L,
+      mergeOnRead = true)
+    val feed2 = SnapshotTable.readChanges(spark, root2, 1L, 2L)
+    assert(feed2.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSet === Set(0L, 1L, 2L))
+    assert(feed2.filter(col("_change_type") === "insert").count() === 0L)
+  }
 }

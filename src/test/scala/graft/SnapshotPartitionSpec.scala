@@ -257,4 +257,20 @@ class SnapshotPartitionSpec extends AnyFunSuite {
       head.entries.forall(_._2.contains("_pt0=")))
     assert(asSet(SnapshotTable.read(spark, root)) === expect)
   }
+
+  test("the CONNECTOR replays keyed MOR deltas on a partitioned table " +
+      "(value-dir segments parse in the executor replay's commit-" +
+      "version extraction)") {
+    val root = freshRoot("morconn")
+    SnapshotTable.create(events(0 until 64, "b"), root, Seq("id"), 4,
+      partitionBy = Seq("days(ts)", "lang"))
+    SnapshotTable.upsert(events(0 until 4, "MOR"), root, mergeOnRead = true)
+    SnapshotTable.delete(Seq(9L).toDF("id"), root, mergeOnRead = true)
+    val expect = asSet(events(0 until 4, "MOR")) ++
+      asSet(events(4 until 64, "b")) -- asSet(events(9 until 10, "b"))
+    assert(asSet(spark.read.format("graft-snapshot").load(root)) === expect)
+    assert(spark.read.format("graft-snapshot").load(root)
+      .filter(col("id") === 1L).select("tag").as[String]
+      .collect().toSeq === Seq("MOR"))
+  }
 }

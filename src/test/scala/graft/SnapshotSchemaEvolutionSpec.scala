@@ -231,4 +231,122 @@ class SnapshotSchemaEvolutionSpec extends AnyFunSuite {
     assert(SnapshotTable.readForKeys(Seq(7L).toDF("id"), root)
       .select("lon").as[Long].collect().toSeq === Seq(99L))
   }
+
+  test("type widening is a pure-metadata commit: int->long and float->" +
+      "double serve old narrow files promoted at scan, new writes land " +
+      "wide, mixed files read exact, and time travel keeps each " +
+      "version's OWN type") {
+    val root = freshRoot("widen")
+    val d = (0L until 16L).map(i => (i, i.toInt, i.toFloat / 2))
+      .toDF("id", "n", "x")
+    SnapshotTable.create(d, root, Seq("id"), 4)
+    val v1 = SnapshotTable.versions(spark, root).head
+    assert(SnapshotTable.widenColumn(spark, root, "n", "BIGINT") === 2L)
+    assert(SnapshotTable.widenColumn(spark, root, "x", "DOUBLE") === 3L)
+    val v3 = SnapshotTable.versions(spark, root).last
+    assert(v3.op === "widen-column" && v3.entries === v1.entries)
+    val head = SnapshotTable.read(spark, root)
+    assert(head.schema("n").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(head.schema("x").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    assert(head.select(sum("n")).as[Long].head() === 120L)
+    // new writes land under the wide type; reads mix narrow + wide files
+    SnapshotTable.append((16L until 20L).map(i => (i, i * 1000000000L,
+      i.toDouble)).toDF("id", "n", "x"), root)
+    SnapshotTable.upsert(Seq((3L, 30L, 0.25d)).toDF("id", "n", "x"), root)
+    val all = SnapshotTable.read(spark, root)
+    assert(all.count() === 20L)
+    assert(all.filter(col("id") === 3L).select("n", "x")
+      .as[(Long, Double)].head() === ((30L, 0.25d)))
+    assert(all.filter(col("id") === 17L).select("n").as[Long].head() ===
+      17000000000L)
+    // connector parity + stats pruning across the widen: recorded
+    // narrow-file stats compare exactly against wide literals
+    val scan = spark.read.format("graft-snapshot").load(root)
+    assert(scan.filter(col("n") === 17000000000L).count() === 1L)
+    assert(scan.filter(col("n") < 0L).count() === 0L)
+    // time travel: v1 under its own narrow types
+    val old = SnapshotTable.read(spark, root, Some(1L))
+    assert(old.schema("n").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(old.schema("x").dataType ===
+      org.apache.spark.sql.types.FloatType)
+    // a batch still speaking the NARROW type is refused (cast upstream)
+    intercept[IllegalArgumentException](SnapshotTable.append(
+      Seq((99L, 1, 0.5f)).toDF("id", "n", "x"), root))
+  }
+
+  test("widening guards: narrowing, kind changes, keys, and partition " +
+      "sources are refused; the SQL ALTER COLUMN TYPE surface works " +
+      "and validates mixed lists up front") {
+    val root = freshRoot("wguard")
+    val d = (0L until 8L).map(i =>
+      (i, i.toInt, i.toFloat, java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "n", "x", "day")
+    SnapshotTable.create(d, root, Seq("id"), 2,
+      partitionBy = Seq("months(day)"))
+    intercept[IllegalArgumentException]( // narrowing
+      SnapshotTable.widenColumn(spark, root, "n", "SHORT"))
+    intercept[IllegalArgumentException]( // kind change
+      SnapshotTable.widenColumn(spark, root, "n", "STRING"))
+    intercept[IllegalArgumentException]( // double -> nothing above it
+      SnapshotTable.widenColumn(spark, root, "x", "DECIMAL(20,2)"))
+    intercept[IllegalArgumentException]( // key
+      SnapshotTable.widenColumn(spark, root, "id", "DECIMAL(30,0)"))
+    intercept[IllegalArgumentException]( // partition source
+      SnapshotTable.widenColumn(spark, root, "day", "TIMESTAMP_NTZ"))
+    // SQL surface through the catalog
+    val wh = java.nio.file.Files.createTempDirectory("graft_widen_wh")
+    wh.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.widecat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.widecat.warehouse", wh.toString)
+    spark.sql("CREATE TABLE widecat.t (id BIGINT, n INT, x FLOAT) " +
+      "PARTITIONED BY (bucket(2, id))")
+    spark.sql("INSERT INTO widecat.t VALUES (1, 10, 0.5), (2, 20, 1.5)")
+    spark.sql("ALTER TABLE widecat.t ALTER COLUMN n TYPE BIGINT")
+    assert(spark.sql("SELECT sum(n) FROM widecat.t").as[Long].head() === 30L)
+    spark.sql("INSERT INTO widecat.t VALUES (3, 30000000000, 2.5)")
+    assert(spark.sql("SELECT max(n) FROM widecat.t").as[Long].head() ===
+      30000000000L)
+    // mixed ALTER with an invalid tail applies NOTHING
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("widecat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val before = SnapshotTable.versions(spark, s"$wh/t").size
+    intercept[IllegalArgumentException](cat.alterTable(
+      Identifier.of(Array.empty[String], "t"),
+      TableChange.updateColumnType(Array("x"),
+        org.apache.spark.sql.types.DoubleType),
+      TableChange.updateColumnType(Array("id"),
+        org.apache.spark.sql.types.IntegerType))) // key + narrowing
+    assert(SnapshotTable.versions(spark, s"$wh/t").size === before)
+    assert(spark.table("widecat.t").schema("x").dataType ===
+      org.apache.spark.sql.types.FloatType)
+  }
+
+  test("widening composes with column mapping, merge-on-read deltas, " +
+      "and the change feed: a renamed-then-widened column serves " +
+      "narrow deltas promoted, and CDF unions across the widen") {
+    val root = freshRoot("wmix")
+    val d = (0L until 12L).map(i => (i, i.toInt)).toDF("id", "n")
+    SnapshotTable.create(d, root, Seq("id"), 2, changeFeed = true)
+    SnapshotTable.renameColumn(spark, root, "n", "m") // physical stays 'n'
+    SnapshotTable.upsert(Seq((1L, 111)).toDF("id", "m"), root,
+      mergeOnRead = true) // narrow delta layer
+    SnapshotTable.widenColumn(spark, root, "m", "BIGINT")
+    // resolved read promotes base AND delta files under the wide type
+    assert(SnapshotTable.readForKeys(Seq(1L).toDF("id"), root)
+      .select("m").as[Long].collect().toSeq === Seq(111L))
+    SnapshotTable.upsert(Seq((2L, 40000000000L)).toDF("id", "m"), root)
+    assert(SnapshotTable.read(spark, root).select(max("m"))
+      .as[Long].head() === 40000000000L)
+    // change feed across the widen: the union coerces to the wide type
+    val feed = SnapshotTable.readChanges(spark, root, 1L, 5L)
+    assert(feed.schema("m").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(feed.filter(col("_change_type") === "insert" &&
+      col("id") === 2L).select("m").as[Long].head() === 40000000000L)
+  }
 }
