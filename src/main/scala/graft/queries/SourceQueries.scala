@@ -1296,7 +1296,14 @@ object SourceQueries {
     * the partition values alone. The 100 TB shape: a one-day scan of a
     * year-partitioned table plans ~1/365 of the entries (measured
     * byte-level in SnapshotPartitionSpec); the manifest costs
-    * O(buckets × days touched per commit) driver metadata. */
+    * O(buckets × days touched per commit) driver metadata. The spec is
+    * deliberately DAYS-ONLY here: a second identity dimension at sf0.1
+    * (30 days × 5 types × 8 buckets = 1,200 leaf dirs over 100k rows)
+    * is the classic over-partitioning anti-pattern — measured 24.8 s of
+    * tiny-file and per-dir-metadata overhead in the r13 recording —
+    * and partition dimensionality is a MODELING choice the format
+    * surfaces, not hides (the two-transform composition is
+    * SnapshotPartitionSpec's). */
   val q181 = Q("q181_snapshot_partition_prune",
     """SELECT event_type, count(*) AS n, sum(value) AS sum_v
       |FROM events
@@ -1309,9 +1316,9 @@ object SourceQueries {
     rmTree(path)
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-    SnapshotTable.create(ev, path, Seq("event_id"), buckets = 8,
+    SnapshotTable.create(ev, path, Seq("event_id"), buckets = 4,
       statsCols = Some(Seq.empty),
-      partitionBy = Seq("days(ts)", "event_type"))
+      partitionBy = Seq("days(ts)"))
     s.read.format("graft-snapshot").load(path)
       .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
         col("ts") < lit("2024-01-13 00:00:00").cast("timestamp") &&
