@@ -79,7 +79,21 @@ object SnapshotMeta {
     // snapshot's current layout for not-yet-migrated dirs after a
     // rescale — `SELECT count(*) … WHERE layout != <current>` is the
     // migration-progress query
-    StructField("layout", IntegerType, nullable = false)))
+    StructField("layout", IntegerType, nullable = false),
+    // decoded partition tuple ("days(ts)=19723/identity(lang)=en");
+    // null for unpartitioned tables, delta layers, and staged dirs
+    // without partition segments
+    StructField("partition", StringType, nullable = true)))
+
+  /** `partitions` schema — the Iceberg partitions-table shape: one row
+    * per live partition tuple of ONE resolved snapshot, with dir/row/
+    * byte totals (row/byte nulls when any member dir predates
+    * counting). Empty on unpartitioned tables. */
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("dirs", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = true)))
 
   /** `tags` schema — the named refs, one row per tag. */
   val TagsSchema: StructType = StructType(Seq(
@@ -99,11 +113,13 @@ object SnapshotMeta {
     StructField("expression", StringType, nullable = false)))
 
   val MetaNames: Set[String] =
-    Set("history", "files", "tags", "branches", "constraints")
+    Set("history", "files", "tags", "branches", "constraints",
+      "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => HistorySchema
     case "files" => FilesSchema
+    case "partitions" => PartitionsSchema
     case "tags" => TagsSchema
     case "branches" => BranchesSchema
     case "constraints" => ConstraintsSchema
@@ -150,16 +166,30 @@ object SnapshotMeta {
             s.dirRows.get(d).map(Long.box).orNull,
             s.dirBytes.get(d).map(Long.box).orNull,
             firstListed.get(d).map(Long.box).orNull,
-            s.layoutOf(d))
+            s.layoutOf(d),
+            SnapshotTable.partValuesOf(s.partSpec, d).orNull)
         }
         val layers = s.deltas.map { e =>
           Row(e.bucket, e.dir, e.kind, Long.box(e.seq),
             s.dirRows.get(e.dir).map(Long.box).orNull,
             s.dirBytes.get(e.dir).map(Long.box).orNull,
             firstListed.get(e.dir).map(Long.box).orNull,
-            s.buckets) // deltas are always current-layout by invariant
+            s.buckets, // deltas are always current-layout by invariant
+            null) // delta layers carry no partition segments
         }
         base ++ layers
+      case "partitions" =>
+        val s = pin.getOrElse(snaps.last)
+        s.entries.flatMap { case (_, d) =>
+          SnapshotTable.partValuesOf(s.partSpec, d).map(_ -> d)
+        }.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, ds) =>
+          val dirs = ds.map(_._2)
+          Row(p, dirs.size,
+            (if (dirs.forall(s.dirRows.contains))
+              Some(Long.box(dirs.map(s.dirRows).sum)) else None).orNull,
+            (if (dirs.forall(s.dirBytes.contains))
+              Some(Long.box(dirs.map(s.dirBytes).sum)) else None).orNull)
+        }
       case "tags" =>
         SnapshotTable.tags(spark, root).map { case (n, v) => Row(n, v) }
       case "branches" =>
@@ -198,6 +228,10 @@ object SnapshotMeta {
   /** Branches as a DataFrame. */
   def branches(spark: SparkSession, root: String): DataFrame =
     toDf(spark, root, "branches", None)
+
+  /** Per-partition dir/row/byte totals of the latest snapshot. */
+  def partitions(spark: SparkSession, root: String): DataFrame =
+    toDf(spark, root, "partitions", None)
 
   /** CHECK constraints of the head snapshot as a DataFrame. */
   def constraints(spark: SparkSession, root: String): DataFrame =

@@ -674,6 +674,29 @@ object SnapshotTable {
   private val PartFieldRe = """^([a-z]+)\(([^()]+)\)$""".r
   private val PartB64Prefix = "B64~"
 
+  /** Human-readable partition tuple of a data dir under `spec` —
+    * `"days(ts)=19723/identity(lang)=en"` — for the metadata tables;
+    * None for dirs without partition segments (unpartitioned tables,
+    * row-level staged dirs, delta layers). */
+  private[sources] def partValuesOf(spec: Seq[PartField],
+      dir: String): Option[String] = {
+    if (spec.isEmpty) return None
+    val segs = dir.split('/').iterator.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > 0 && seg.startsWith(PartPrefix))
+        Some(seg.take(i) -> seg.drop(i + 1))
+      else None
+    }.toMap
+    val parts = spec.zipWithIndex.flatMap { case (f, i) =>
+      segs.get(s"$PartPrefix$i").map { raw =>
+        val v = if (raw == PartNullDir) "null"
+          else decodePartString(unescapePathName(raw))
+        s"$f=$v"
+      }
+    }
+    if (parts.isEmpty) None else Some(parts.mkString("/"))
+  }
+
   /** Reverse of the identity-string dir encoding in [[partValueCol]]. */
   private def decodePartString(v: String): String =
     if (!v.startsWith(PartB64Prefix)) v

@@ -258,6 +258,101 @@ class SnapshotPartitionSpec extends AnyFunSuite {
     assert(asSet(SnapshotTable.read(spark, root)) === expect)
   }
 
+  test("metadata tables expose the partition layout: files.partition " +
+      "carries the decoded tuple, the partitions table aggregates " +
+      "dirs/rows/bytes per tuple, and both are SQL-addressable") {
+    val root = freshRoot("meta")
+    SnapshotTable.create(events(0 until 64, "m"), root, Seq("id"), 2,
+      partitionBy = Seq("days(ts)", "lang"))
+    val files = graft.sources.SnapshotMeta.files(spark, root)
+    assert(files.columns.contains("partition"))
+    val parts = files.select("partition").as[String].collect()
+    assert(parts.forall(_ != null) &&
+      parts.forall(_.matches("days\\(ts\\)=\\d+/identity\\(lang\\)=[a-z]+")))
+    val pt = graft.sources.SnapshotMeta.partitions(spark, root)
+      .as[(String, Int, Option[Long], Option[Long])].collect()
+    // day = i % 4 and lang = i % 2 correlate: even days are all-en,
+    // odd days all-ja — exactly 4 live tuples
+    assert(pt.length === 4)
+    assert(pt.map(_._3.get).sum === 64L) // row totals exact
+    assert(pt.forall(_._4.exists(_ > 0L)))
+    // unpartitioned table: empty partitions, null files.partition
+    val root2 = freshRoot("meta2")
+    SnapshotTable.create(events(0 until 8, "m"), root2, Seq("id"), 2)
+    assert(graft.sources.SnapshotMeta.partitions(spark, root2).count() === 0L)
+    assert(graft.sources.SnapshotMeta.files(spark, root2)
+      .filter(col("partition").isNotNull).count() === 0L)
+    // SQL route: cat.tbl.partitions
+    val wh = java.nio.file.Files.createTempDirectory("graft_pmeta_wh")
+    wh.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.pmetacat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.pmetacat.warehouse", wh.toString)
+    spark.sql("CREATE TABLE pmetacat.ev (id BIGINT, ts TIMESTAMP, " +
+      "v BIGINT) PARTITIONED BY (days(ts), bucket(2, id))")
+    spark.sql("INSERT INTO pmetacat.ev VALUES " +
+      "(1, timestamp'1970-01-01 05:00:00', 10), " +
+      "(2, timestamp'1970-01-02 05:00:00', 20)")
+    val sqlPt = spark.sql(
+      "SELECT partition, rows FROM pmetacat.ev.partitions ORDER BY 1")
+      .as[(String, Long)].collect()
+    assert(sqlPt.toSeq === Seq(("days(ts)=0", 1L), ("days(ts)=1", 1L)))
+  }
+
+  test("row-level SQL UPDATE on a partitioned table stays exact: the " +
+      "staged dirs land unpartitioned (documented — derived bounds " +
+      "absent only WIDENS reads), and compact re-partitions them") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_prl_wh")
+    wh.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.prlcat",
+      "graft.sources.SnapshotCatalog")
+    spark.conf.set("spark.sql.catalog.prlcat.warehouse", wh.toString)
+    spark.sql("CREATE TABLE prlcat.ev (id BIGINT, ts TIMESTAMP, " +
+      "lang STRING, v BIGINT) PARTITIONED BY (days(ts), bucket(2, id))")
+    spark.sql("INSERT INTO prlcat.ev SELECT id, " +
+      "timestamp_seconds((id % 3) * 86400), " +
+      "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'ja' END, id * 10 " +
+      "FROM range(30)")
+    spark.sql("UPDATE prlcat.ev SET v = v + 1 WHERE id = 7")
+    assert(spark.sql("SELECT v FROM prlcat.ev WHERE id = 7")
+      .as[Long].head() === 71L)
+    assert(spark.sql("SELECT count(*) FROM prlcat.ev").as[Long]
+      .head() === 30L)
+    val root = s"$wh/ev"
+    // the replaced bucket's staged dir has no _pt segments (sound:
+    // absence only widens); compaction restores partition granularity
+    val head = SnapshotTable.versions(spark, root).last
+    assert(head.entries.exists(e => !e._2.contains("_pt0=")))
+    SnapshotTable.compact(spark, root)
+    val folded = SnapshotTable.versions(spark, root).last
+    assert(folded.entries.forall(_._2.contains("_pt0=")))
+    assert(spark.sql("SELECT sum(v) FROM prlcat.ev").as[Long].head() ===
+      (0 until 30).map(_ * 10L).sum + 1L)
+    // a day-range scan still prunes on the re-partitioned layout
+    assert(spark.sql("SELECT count(*) FROM prlcat.ev WHERE " +
+      "ts >= timestamp_seconds(2 * 86400)").as[Long].head() ===
+      (0 until 30).count(_ % 3 == 2).toLong)
+  }
+
+  test("a partitioned table serves as a STREAMING SOURCE: appended " +
+      "partition-value dirs tail exactly like plain appends") {
+    val root = freshRoot("stream")
+    SnapshotTable.create(events(0 until 16, "s0"), root, Seq("id"), 2,
+      partitionBy = Seq("days(ts)"))
+    SnapshotTable.append(events(16 until 24, "s1"), root)
+    val out = java.nio.file.Files.createTempDirectory("graft_pstream")
+    out.toFile.deleteOnExit()
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream.format("memory").queryName("pstream_sink")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(asSet(spark.table("pstream_sink")) ===
+      asSet(events(0 until 16, "s0")) ++ asSet(events(16 until 24, "s1")))
+    spark.sql("DROP TABLE IF EXISTS pstream_sink")
+  }
+
   test("the CONNECTOR replays keyed MOR deltas on a partitioned table " +
       "(value-dir segments parse in the executor replay's commit-" +
       "version extraction)") {
