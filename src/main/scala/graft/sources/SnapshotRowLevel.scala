@@ -110,7 +110,12 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
         // incoming rows are positional, so only the writer's schema
         // labels change
         GraftParquetWriteBridge.rowFileWriterFactory(spark,
-          snapshot.physicalSchema(snapshot.schemaDdl)))
+          snapshot.physicalSchema(snapshot.schemaDdl)),
+        // partition dir values: resolved once here, projected per row
+        // on the executors, so replacement dirs keep the table's
+        // partition granularity (and its guaranteed pruning)
+        SnapshotTable.boundPartExprs(spark, snapshot.schemaDdl,
+          snapshot.partSpec))
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val scan = op.builtScan
@@ -118,9 +123,10 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
         "row-level write committed without its group scan — refusing " +
           "a replacement whose replaced set is unknown")
       val staged = messages.flatMap {
-        case m: SnapshotReplaceCommitMessage => m.buckets
-      }.distinct.sorted.map(b =>
-        b -> s"$stageDir/${SnapshotTable.bucketDirName(b)}").toSeq
+        case m: SnapshotReplaceCommitMessage => m.dirs
+      }.distinct.sorted.map { case (b, rel) =>
+        b -> s"$stageDir/$rel"
+      }.toSeq
       // temp attempt dirs stay out of the registered bucket dirs; sweep
       // them before the manifest makes the commit dir live
       val fsys = new org.apache.hadoop.fs.Path(stageDir).getFileSystem(
@@ -150,9 +156,11 @@ private[sources] class SnapshotReplaceDataWrite(root: String,
   override def description(): String = s"graft-snapshot replace-data $root"
 }
 
-/** Buckets one task's staged files landed in. */
-private[sources] case class SnapshotReplaceCommitMessage(buckets: Seq[Int])
-    extends WriterCommitMessage
+/** Staged (bucket, relative dir) pairs one task's files landed in —
+  * dir-granular so partitioned tables register one entry per partition
+  * value dir. */
+private[sources] case class SnapshotReplaceCommitMessage(
+    dirs: Seq[(Int, String)]) extends WriterCommitMessage
 
 /** Executor-side writers: rows land in per-bucket parquet files under a
   * task-private temp dir, renamed into the staged bucket dirs at TASK
@@ -161,19 +169,22 @@ private[sources] case class SnapshotReplaceCommitMessage(buckets: Seq[Int])
   * registered dir. */
 private[sources] class SnapshotReplaceWriterFactory(stageDir: String,
     schemaDdl: String, keys: Seq[String], buckets: Int,
-    files: GraftParquetWriteBridge.RowFileWriterFactory)
+    files: GraftParquetWriteBridge.RowFileWriterFactory,
+    partExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new SnapshotReplaceDataWriter(stageDir, schemaDdl, keys, buckets,
-      files, partitionId, taskId)
+      files, partitionId, taskId, partExprs)
 }
 
 private[sources] class SnapshotReplaceDataWriter(stageDir: String,
     schemaDdl: String, keys: Seq[String], buckets: Int,
     files: GraftParquetWriteBridge.RowFileWriterFactory,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    partExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      Seq.empty)
     extends DataWriter[InternalRow] {
 
   import org.apache.hadoop.fs.Path
@@ -216,43 +227,72 @@ private[sources] class SnapshotReplaceDataWriter(stageDir: String,
       else UnsafeProjection.create(schema.fields.zipWithIndex.map {
         case (f, i) => BoundReference(i + off, f.dataType, nullable = true)
       }.toIndexedSeq)
+    // partition dir values: the SAME resolved expressions the batch
+    // write paths project ([[SnapshotTable.boundPartExprs]]), ordinals
+    // shifted past the marker prefix; outputs are dir-safe by the
+    // identity self-encoding, so the suffix needs no further escaping
+    private val partProj =
+      if (partExprs.isEmpty) null
+      else UnsafeProjection.create(partExprs.map(_.transform {
+        case b: BoundReference => b.copy(ordinal = b.ordinal + off)
+      }).toIndexedSeq)
     def bucket(row: InternalRow): Int =
       if (bucketProj == null) 0 else bucketProj(row).getInt(0)
     def align(row: InternalRow): InternalRow =
       if (alignProj == null) row else alignProj(row)
+    def dirSuffix(row: InternalRow): String =
+      if (partProj == null) ""
+      else {
+        val r = partProj(row)
+        val sb = new StringBuilder
+        var i = 0
+        while (i < partExprs.length) {
+          sb.append('/').append(SnapshotTable.PartPrefix).append(i)
+            .append('=')
+            .append(if (r.isNullAt(i)) SnapshotTable.PartNullDir
+              else r.getUTF8String(i).toString)
+          i += 1
+        }
+        sb.toString
+      }
   }
 
   private var lane: Lane = _
 
   private val tmpDir = s"$stageDir/_temp/$partitionId-$taskId"
-  private val open =
-    scala.collection.mutable.Map.empty[Int, GraftParquetWriteBridge.RowFileWriter]
+  // staged dir (bucket + partition suffix) -> (tmp file ordinal, writer)
+  private val open = scala.collection.mutable.Map
+    .empty[(Int, String), (Int, GraftParquetWriteBridge.RowFileWriter)]
 
   override def write(row: InternalRow): Unit = {
     if (lane == null) lane = new Lane(prefixOf(row))
-    val b = lane.bucket(row)
-    open.getOrElseUpdate(b,
-      files.open(s"$tmpDir/b$b.parquet", partitionId, taskId))
-      .write(lane.align(row))
+    val key = (lane.bucket(row), lane.dirSuffix(row))
+    open.getOrElseUpdate(key, {
+      val n = open.size
+      n -> files.open(s"$tmpDir/f$n.parquet", partitionId, taskId)
+    })._2.write(lane.align(row))
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_.close())
+    open.values.foreach(_._2.close())
     val fsys = new Path(stageDir).getFileSystem(files.hadoopConf)
-    open.keys.foreach { b =>
+    open.foreach { case ((b, suffix), (n, _)) =>
+      val rel = s"${SnapshotTable.bucketDirName(b)}$suffix"
       val dest = new Path(stageDir,
-        s"${SnapshotTable.bucketDirName(b)}/part-$partitionId-$taskId.parquet")
+        s"$rel/part-$partitionId-$taskId.parquet")
       fsys.mkdirs(dest.getParent)
-      require(fsys.rename(new Path(s"$tmpDir/b$b.parquet"), dest),
+      require(fsys.rename(new Path(s"$tmpDir/f$n.parquet"), dest),
         s"failed to move staged file into $dest")
     }
     fsys.delete(new Path(tmpDir), true)
-    SnapshotReplaceCommitMessage(open.keys.toSeq)
+    SnapshotReplaceCommitMessage(open.keys.toSeq.map { case (b, suffix) =>
+      (b, s"${SnapshotTable.bucketDirName(b)}$suffix")
+    })
   }
 
   override def abort(): Unit = {
-    open.values.foreach(w =>
-      try w.close() catch { case _: Throwable => () })
+    open.values.foreach { case (_, w) =>
+      try w.close() catch { case _: Throwable => () } }
     val fsys = new Path(tmpDir).getFileSystem(files.hadoopConf)
     fsys.delete(new Path(tmpDir), true)
     ()

@@ -140,10 +140,11 @@ object SnapshotTable {
       * `identity(lang)=en` bounds `lang` to the point ['en','en'].
       * Unlike recorded `dirStats` (opt-in via statsCols, absent on
       * disabled tables), these exist for EVERY partitioned dir, so a
-      * predicate on a partition source column always prunes. Dirs
-      * without partition segments (row-level staged dirs, merge-on-read
-      * delta bases) simply contribute nothing — absence only widens
-      * reads. O(entries) driver string parsing, computed lazily once
+      * predicate on a partition source column always prunes — row-level
+      * staged dirs included (their writers project the same resolved
+      * partition expressions per row, [[SnapshotTable.boundPartExprs]]).
+      * A dir without partition segments simply contributes nothing —
+      * absence only widens reads. O(entries) driver string parsing, computed lazily once
       * per resolved snapshot. */
     lazy val partDirStats: Map[String, Map[String, ColStats]] =
       if (partSpec.isEmpty) Map.empty
@@ -644,7 +645,7 @@ object SnapshotTable {
   private[sources] val PartPrefix = "_pt"
   private[sources] val PosFileCol = "_sdv_file"
   private[sources] val PosPosCol = "_sdv_pos"
-  private val PartNullDir = "__HIVE_DEFAULT_PARTITION__"
+  private[sources] val PartNullDir = "__HIVE_DEFAULT_PARTITION__"
 
   // ---- identity/date partition transforms ----
   //
@@ -673,6 +674,35 @@ object SnapshotTable {
 
   private val PartFieldRe = """^([a-z]+)\(([^()]+)\)$""".r
   private val PartB64Prefix = "B64~"
+
+  /** Partition-value expressions of `spec` over `ddl`'s columns:
+    * RESOLVED through a real (empty) plan, RuntimeReplaceable nodes
+    * swapped for their evaluable replacements, and bound to the
+    * schema's positional order — so executor-side row-level writers
+    * project per-row partition dir values with EXACTLY the plan the
+    * batch write paths use ([[partValueCol]]), never a re-derivation
+    * that could drift. Driver-side, O(spec) once per write. */
+  private[sources] def boundPartExprs(spark: SparkSession, ddl: String,
+      spec: Seq[PartField])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression, RuntimeReplaceable}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    if (spec.isEmpty) return Seq.empty
+    val schema = StructType.fromDDL(ddl)
+    val df = emptyDf(spark, schema).select(spec.map(f =>
+      partValueCol(f, schema(f.col).dataType)): _*)
+    df.queryExecution.analyzed match {
+      case Project(list, child) =>
+        list.map { ne =>
+          val replaced = ne.transformUp {
+            case r: RuntimeReplaceable => r.replacement
+          }.asInstanceOf[Expression]
+          BindReferences.bindReference(replaced, child.output)
+        }
+      case other => sys.error(
+        s"unexpected partition-expression plan shape: $other")
+    }
+  }
 
   /** Human-readable partition tuple of a data dir under `spec` —
     * `"days(ts)=19723/identity(lang)=en"` — for the metadata tables;

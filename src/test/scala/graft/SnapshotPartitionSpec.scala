@@ -299,9 +299,9 @@ class SnapshotPartitionSpec extends AnyFunSuite {
     assert(sqlPt.toSeq === Seq(("days(ts)=0", 1L), ("days(ts)=1", 1L)))
   }
 
-  test("row-level SQL UPDATE on a partitioned table stays exact: the " +
-      "staged dirs land unpartitioned (documented — derived bounds " +
-      "absent only WIDENS reads), and compact re-partitions them") {
+  test("row-level SQL UPDATE on a partitioned table stays exact AND " +
+      "keeps partition granularity: executor-staged dirs carry the " +
+      "value segments, so replaced buckets keep guaranteed pruning") {
     val wh = java.nio.file.Files.createTempDirectory("graft_prl_wh")
     wh.toFile.deleteOnExit()
     spark.conf.set("spark.sql.catalog.prlcat",
@@ -319,15 +319,15 @@ class SnapshotPartitionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM prlcat.ev").as[Long]
       .head() === 30L)
     val root = s"$wh/ev"
-    // the replaced bucket's staged dir has no _pt segments (sound:
-    // absence only widens); compaction restores partition granularity
+    // every entry — the carried ones AND the executor-staged
+    // replacements — carries its partition value segments
     val head = SnapshotTable.versions(spark, root).last
-    assert(head.entries.exists(e => !e._2.contains("_pt0=")))
-    SnapshotTable.compact(spark, root)
-    val folded = SnapshotTable.versions(spark, root).last
-    assert(folded.entries.forall(_._2.contains("_pt0=")))
+    assert(head.op === "update" &&
+      head.entries.forall(_._2.matches(".*_gb=\\d+/_pt0=-?\\d+$")),
+      s"entries: ${head.entries.map(_._2)}")
     assert(spark.sql("SELECT sum(v) FROM prlcat.ev").as[Long].head() ===
       (0 until 30).map(_ * 10L).sum + 1L)
+    SnapshotTable.compact(spark, root)
     // a day-range scan still prunes on the re-partitioned layout
     assert(spark.sql("SELECT count(*) FROM prlcat.ev WHERE " +
       "ts >= timestamp_seconds(2 * 86400)").as[Long].head() ===
