@@ -270,6 +270,51 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization + RefinedWeb-style domain frequency cap
+    * ([[graft.ops.UrlCuration]]): each document gets a URL on its
+    * source's domain (a twentieth of them null — unparseable crawl
+    * records form their own capped group), hosts/registrable domains
+    * extract via portable regexes (no parse_url — non-codegen, no
+    * DuckDB twin), and at most 10 documents per domain survive,
+    * deterministically preferring (n_chars desc, doc_id asc). The
+    * rank-limit window lowers onto the two-phase
+    * [[graft.plans.TopKPerGroup]] heap under the session extensions,
+    * so a hot domain reduces map-side before the shuffle — domain
+    * skew, the defining hazard of this gate at crawl scale, never
+    * concentrates on a reducer. */
+  val q185 = Q("q185_domain_cap",
+    s"""WITH urls AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 17 = 0 THEN NULL
+      |         ELSE 'https://www.' || source || '-site.org/doc/' || doc_id
+      |    END AS url
+      |  FROM documents),
+      |hosts AS (
+      |  SELECT doc_id, n_chars,
+      |    ${graft.ops.UrlCuration.registrableDomainSql(
+             graft.ops.UrlCuration.urlHostSql("url"))} AS domain
+      |  FROM urls),
+      |ranked AS (
+      |  SELECT domain, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+      |  FROM hosts)
+      |SELECT coalesce(domain, '(none)') AS domain, doc_id, n_chars
+      |FROM ranked WHERE rk <= 10
+      |ORDER BY domain, doc_id""".stripMargin) { (s, dir) =>
+    import graft.ops.UrlCuration
+    val urls = Tables.documents(s, dir).select(col("doc_id"),
+      col("n_chars"),
+      when(col("doc_id") % 17 === 0, lit(null)).otherwise(
+        concat(lit("https://www."), col("source"),
+          lit("-site.org/doc/"), col("doc_id").cast("string"))).as("url"))
+    UrlCuration.domainCap(urls, "url", cap = 10,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+      .select(coalesce(col("_domain"), lit("(none)")).as("domain"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("domain"), col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113, q126, q132,
-    q136, q184)
+    q136, q184, q185)
 }

@@ -2734,12 +2734,14 @@ object SnapshotTable {
   def deleteWhere(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column,
       mergeOnRead: Boolean = false,
-      retries: Int = 0): Long = {
-    val cur = current(spark, root)
+      retries: Int = 0,
+      branch: Option[String] = None): Long = {
+    val cur = currentOn(spark, root, branch)
     if (!mergeOnRead)
       return overwrite(
-        read(spark, root).filter(not(coalesce(condition, lit(false)))),
-        root)
+        resolvedRead(spark, cur, None, cur.schemaDdl)
+          .filter(not(coalesce(condition, lit(false)))),
+        root, branch = branch)
     require(cur.keys.isEmpty,
       s"positional merge-on-read deletes are the KEYLESS-table shape; " +
         s"table at $root is keyed ${cur.keys.mkString(",")} — use " +
@@ -2765,7 +2767,7 @@ object SnapshotTable {
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete-pos", cur.schemaDdl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(Set(0)), txn = None,
-        cdc = cdcDir, layoutBuckets = cur.buckets), retries)
+        cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
   }
 
   /** Newest transaction version committed under `appId` (the Delta

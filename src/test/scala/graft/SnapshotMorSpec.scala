@@ -421,6 +421,22 @@ class SnapshotMorSpec extends AnyFunSuite {
       .as[Long].head() === (0 until 100).map(_ * 10L).sum)
   }
 
+  test("positional deletes stage against a BRANCH: main readers see " +
+      "nothing until fast-forward; the published line resolves the " +
+      "positions exactly") {
+    val root = freshRoot("posbranch")
+    SnapshotTable.create(rows(0 until 20, "a"), root, Seq.empty, 1)
+    SnapshotTable.createBranch(spark, root, "audit")
+    SnapshotTable.deleteWhere(spark, root, col("id") < 5L,
+      mergeOnRead = true, branch = Some("audit"))
+    assert(SnapshotTable.read(spark, root).count() === 20L) // main intact
+    assert(SnapshotTable.read(spark, root, branch = Some("audit"))
+      .count() === 15L)
+    SnapshotTable.fastForward(spark, root, "audit")
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(5 until 20, "a")))
+  }
+
   test("positional deletes fail-fast on concurrent data commits and " +
       "refuse keyed tables; change feed reports the deleted rows") {
     val root = freshRoot("posguard")
