@@ -71,6 +71,20 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(plan.contains("TopKPerGroup") && !plan.contains("Window"),
         s"rank-limit window not lowered in the driver-config session:\n$plan")
       assert(df.count() === 21)
+      // the domain-cap curation gate rides the same lowering: its
+      // rank-limit spelling must plan onto the heap, never a full
+      // per-domain Window sort — the map-side reduction is what makes
+      // the cap domain-skew-safe on a crawl
+      val urls = s2.range(0, 60).select(col("id"),
+        concat(lit("https://www.d"), (col("id") % 5).cast("string"),
+          lit(".org/x/"), col("id").cast("string")).as("url"),
+        (col("id") * 13 % 17).as("q"))
+      val capped = graft.ops.UrlCuration.domainCap(urls.toDF(), "url", 4,
+        Seq(col("q").desc, col("id").asc))
+      val cPlan = capped.queryExecution.executedPlan.toString
+      assert(cPlan.contains("TopKPerGroup") && !cPlan.contains("Window"),
+        s"domainCap's rank-limit not lowered:\n$cPlan")
+      assert(capped.count() === 20) // 5 domains × cap 4
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
