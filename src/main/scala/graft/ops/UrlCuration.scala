@@ -66,6 +66,12 @@ object UrlCuration {
   def domainCap(df: DataFrame, urlCol: String, cap: Int,
       order: Seq[Column]): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
+    // reserved working columns — overwriting a caller's same-named
+    // column via withColumn would silently corrupt its data (the
+    // SnapshotTable.requireCols reserved-name discipline)
+    Seq("_domain", "_rk").foreach(r => require(!df.columns.contains(r),
+      s"input already has a '$r' column — rename it; domainCap " +
+        "reserves _domain (emitted) and _rk (internal)"))
     val withDomain = df.withColumn("_domain",
       registrableDomain(urlHost(col(urlCol))))
     // rank-limit window: the session extensions lower this onto the

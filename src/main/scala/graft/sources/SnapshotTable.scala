@@ -708,7 +708,7 @@ object SnapshotTable {
     * `"days(ts)=19723/identity(lang)=en"` — for the metadata tables;
     * None for dirs without partition segments (unpartitioned tables,
     * row-level staged dirs, delta layers). */
-  private[sources] def partValuesOf(spec: Seq[PartField],
+  private[graft] def partValuesOf(spec: Seq[PartField],
       dir: String): Option[String] = {
     if (spec.isEmpty) return None
     val segs = dir.split('/').iterator.flatMap { seg =>
@@ -793,8 +793,14 @@ object SnapshotTable {
         // as filesystem-safe base64 behind a prefix no raw value can
         // produce ('~' is outside the safe set). Percent-escaping is NOT
         // an option here: Hadoop Path/URI round trips decode %XX and
-        // would silently re-point the manifest's dir strings.
-        when(c.rlike("^[A-Za-z0-9_.\\-]+$"), c).otherwise(
+        // would silently re-point the manifest's dir strings. The one
+        // safe-alphabet value that must NOT go raw is the Hive null
+        // sentinel itself — a real string literally equal to
+        // '__HIVE_DEFAULT_PARTITION__' rides as base64 so the read side
+        // ([[partFieldStats]]/[[partValuesOf]], which test the sentinel
+        // FIRST) never conflates it with the null dir.
+        when(c.rlike("^[A-Za-z0-9_.\\-]+$") && c =!= lit(PartNullDir), c)
+          .otherwise(
           concat(lit(PartB64Prefix),
             translate(base64(encode(c, "UTF-8")), "+/=", "-_~")))
       case ("identity", _) => c.cast(StringType)

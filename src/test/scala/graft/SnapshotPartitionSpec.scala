@@ -188,6 +188,39 @@ class SnapshotPartitionSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet === Set(1L, 4L))
   }
 
+  test("a string value literally equal to the Hive null sentinel stays " +
+      "distinct from a real null: it self-encodes (never writes a raw " +
+      "sentinel dir), roundtrips, keeps its guaranteed prune, and the " +
+      "partitions metadata reports the value — not 'null'") {
+    val root = freshRoot("sentinel")
+    val df = Seq((1L, "__HIVE_DEFAULT_PARTITION__"), (2L, null), (3L, "en"))
+      .toDF("id", "lang")
+    SnapshotTable.create(df, root, Seq("id"), 1,
+      statsCols = Some(Seq.empty), partitionBy = Seq("lang"))
+    val snap = SnapshotTable.versions(spark, root).last
+    // the real value's dir must NOT be the raw sentinel (that dir name
+    // is reserved for null rows), so its derived bounds stay exact
+    val dirs = snap.entries.map(_._2)
+    assert(dirs.count(_.endsWith("=__HIVE_DEFAULT_PARTITION__")) === 1,
+      s"exactly the null row lands in the sentinel dir: $dirs")
+    val valueDir = dirs.find(_.contains("_pt0=B64~")).getOrElse(
+      fail(s"sentinel-valued string must self-encode, got $dirs"))
+    val st = snap.partDirStats(valueDir)("lang")
+    assert(st.lo === Some("__HIVE_DEFAULT_PARTITION__") &&
+      st.hi === Some("__HIVE_DEFAULT_PARTITION__") && !st.hasNull)
+    def scan = spark.read.format("graft-snapshot").load(root)
+    assert(scan.filter(col("lang") === "__HIVE_DEFAULT_PARTITION__")
+      .select("id").as[Long].collect().toSet === Set(1L))
+    assert(scan.filter(col("lang").isNull)
+      .select("id").as[Long].collect().toSet === Set(2L))
+    // metadata plane: the value decodes back, the null dir reports null
+    val parts = dirs.flatMap(d =>
+      SnapshotTable.partValuesOf(snap.partSpec, d))
+    assert(parts.toSet ===
+      Set("identity(lang)=__HIVE_DEFAULT_PARTITION__",
+        "identity(lang)=null", "identity(lang)=en"))
+  }
+
   test("guards: unsupported transform/type combos, reserved _pt names, " +
       "and rename/drop of partition sources are refused; months on " +
       "TIMESTAMP is refused (session-zone calendar)") {

@@ -68,4 +68,16 @@ class UrlCurationSpec extends AnyFunSuite {
       .select("count").as[Long].collect()
     assert(perDomain.forall(_ <= 3L))
   }
+
+  test("domainCap refuses inputs that already carry the reserved " +
+      "_domain/_rk columns instead of silently overwriting them") {
+    val base = Seq((1L, "https://a.org/x")).toDF("id", "url")
+    val e1 = intercept[IllegalArgumentException](UrlCuration.domainCap(
+      base.withColumn("_domain", lit("caller-data")), "url", 3,
+      Seq(col("id"))))
+    assert(e1.getMessage.contains("_domain"))
+    val e2 = intercept[IllegalArgumentException](UrlCuration.domainCap(
+      base.withColumn("_rk", lit(9)), "url", 3, Seq(col("id"))))
+    assert(e2.getMessage.contains("_rk"))
+  }
 }
