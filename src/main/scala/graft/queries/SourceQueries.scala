@@ -400,11 +400,11 @@ object SourceQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
     SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
       Seq("doc_id"), buckets = 8)
-    val t1 = SnapshotTable.versions(s, path).last.ts
+    val t1 = SnapshotTable.headOption(s, path).get.ts
     // commits in the same millisecond would make "as of t1" ambiguous
     while (System.currentTimeMillis() <= t1) Thread.sleep(1)
     SnapshotTable.append(d.filter(col("doc_id") % 3 === 1), path)
-    val t2 = SnapshotTable.versions(s, path).last.ts
+    val t2 = SnapshotTable.headOption(s, path).get.ts
     val v1 = SnapshotTable.read(s, path, asOfTimestamp = Some(t1))
       .select(lit(1).as("at_version"), col("doc_id"), col("lang"),
         col("n_chars"))

@@ -121,7 +121,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   // ---- tables ----
 
   override def tableExists(ident: Identifier): Boolean =
-    SnapshotTable.versions(spark, tableRoot(ident)).nonEmpty
+    SnapshotTable.exists(spark, tableRoot(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace.toSeq)
@@ -135,7 +135,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   private def load(ident: Identifier, opts: Map[String, String]): Table = {
     val root = tableRoot(ident)
-    if (SnapshotTable.versions(spark, root).isEmpty) {
+    if (!SnapshotTable.exists(spark, root)) {
       // `cat.ns.t.history|files|tags` — the Iceberg metadata-table
       // spelling: the trailing identifier part names a metadata
       // relation of the table the namespace tail resolves to. A REAL
@@ -144,7 +144,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       val ns = ident.namespace.toSeq
       if (ns.nonEmpty && SnapshotMeta.MetaNames.contains(ident.name)) {
         val parentRoot = nsPath(ns).toString
-        if (SnapshotTable.versions(spark, parentRoot).nonEmpty) {
+        if (SnapshotTable.exists(spark, parentRoot)) {
           val pin = if (opts.isEmpty) None
             else Some(SnapshotMeta.resolvePin(spark, parentRoot, opts))
           return new SnapshotMetaTable(parentRoot, ident.name, pin)
@@ -240,7 +240,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val root = tableRoot(ident)
-    val cur = SnapshotTable.versions(spark, root).lastOption.getOrElse(
+    val cur = SnapshotTable.headOption(spark, root).getOrElse(
       throw new NoSuchTableException(
         (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq))
     // RENAME/DROP COLUMN (column mapping) and ALTER COLUMN TYPE
@@ -349,7 +349,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         SnapshotTable.widenColumn(spark, root, name, to.sql)
     }
     if (adds.nonEmpty) {
-      val head = SnapshotTable.versions(spark, root).last
+      val head = SnapshotTable.headOption(spark, root).get
       val extended = StructType(
         StructType.fromDDL(head.schemaDdl).fields ++ adds)
       SnapshotTable.append(
@@ -390,7 +390,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val parts = table.split("\\.").toSeq
     val ident = Identifier.of(parts.init.toArray, parts.last)
     val root = tableRoot(ident)
-    require(SnapshotTable.versions(spark, root).nonEmpty,
+    require(SnapshotTable.exists(spark, root),
       s"no snapshot table '$table' in catalog $catName")
     root
   }
@@ -813,7 +813,7 @@ private[sources] object SnapshotProcedures {
           StructType.fromDDL("name STRING, expression STRING")) {
         override def run(input: InternalRow): Seq[InternalRow] = {
           val root = cat.procTableRoot(input.getUTF8String(0).toString)
-          SnapshotTable.versions(spark, root).last.constraints.toSeq
+          SnapshotTable.headOption(spark, root).get.constraints.toSeq
             .sortBy(_._1).map { case (n, e) =>
               InternalRow(UTF8String.fromString(n), UTF8String.fromString(e))
             }

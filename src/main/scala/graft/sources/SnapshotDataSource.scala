@@ -115,8 +115,7 @@ class SnapshotDataSource extends TableProvider
         .contains(op),
       s"unknown op '$op' (append | upsert | delete | upsert-mor | " +
         "delete-mor)")
-    val exists =
-      SnapshotTable.versions(data.sparkSession, path).nonEmpty
+    val exists = SnapshotTable.exists(data.sparkSession, path)
     def createNew(): Unit = {
       val keys = ci.get("keys").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Seq.empty)
@@ -181,7 +180,7 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
     val appId = opts.getOrElse("txnappid",
       Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
         .getOrElse("graft-snapshot-sink"))
-    val exists = SnapshotTable.versions(spark, path).nonEmpty
+    val exists = SnapshotTable.exists(spark, path)
     if (exists &&
         SnapshotTable.lastTxn(spark, path, appId).exists(_ >= batchId)) {
       // replayed batch (crash after commit, before checkpoint): skip
@@ -248,13 +247,13 @@ private[graft] object SnapshotV2Table {
     }
     require(version.isEmpty || asOf.isEmpty,
       "set versionAsOf/tagAsOf OR timestampAsOf, not both")
-    val snaps = SnapshotTable.versions(spark, path)
     val cdf = Option(options.get("readChangeFeed")).exists(_.toBoolean)
     // a missing table resolves to a scanless placeholder instead of
     // failing here: the WRITE path must reach the V1 write seam to
     // create-on-first-write (reads of a missing table still fail loudly,
     // at scan building)
-    if (snaps.isEmpty) return new SnapshotV2Table(path, null, cdf)
+    if (!SnapshotTable.exists(spark, path))
+      return new SnapshotV2Table(path, null, cdf)
     // audit reads of a write-audit-publish branch: the branch HEAD,
     // with the full scan surface (pruning, stats, MOR resolution)
     Option(options.get("branch")).foreach { b =>
@@ -264,14 +263,8 @@ private[graft] object SnapshotV2Table {
       return new SnapshotV2Table(path,
         SnapshotTable.branchHead(spark, path, b), cdf)
     }
-    val snap = (version, asOf) match {
-      case (Some(v), _) => snaps.find(_.version == v).getOrElse(
-        sys.error(s"version $v not found at $path " +
-          s"(have ${snaps.map(_.version).mkString(",")})"))
-      case (_, Some(t)) => snaps.filter(_.ts <= t).lastOption.getOrElse(
-        sys.error(s"no snapshot at or before timestamp $t at $path"))
-      case _ => snaps.last
-    }
+    // O(1)-parse resolution (checkpoint-assisted for timestamps)
+    val snap = SnapshotTable.resolve(spark, path, version, asOf)
     new SnapshotV2Table(path, snap, cdf)
   }
 }
@@ -856,12 +849,12 @@ private[graft] class SnapshotMicroBatchStream(root: String,
   import org.apache.spark.sql.connector.read.streaming.Offset
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
-  private def snaps = SnapshotTable.versions(SparkSession.active, root)
-
   override def initialOffset(): Offset = SnapshotOffset(0L)
 
-  override def latestOffset(): Offset =
-    SnapshotOffset(snaps.lastOption.map(_.version).getOrElse(0L))
+  // names-only head probe: a per-tick latestOffset must not parse (or
+  // list-and-parse) an unbounded history
+  override def latestOffset(): Offset = SnapshotOffset(
+    SnapshotTable.headVersion(SparkSession.active, root).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset = {
     val V = """\{"version":(\d+)\}""".r
@@ -875,7 +868,9 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     * startV == 0 serves the consolidated snapshot AT endV instead. */
   private[graft] def rangeDirs(startV: Long, endV: Long): Seq[String] = {
     if (endV <= startV) return Seq.empty
-    val byV = snaps.map(s => s.version -> s).toMap
+    // parse only the batch window, not the whole history
+    val byV = SnapshotTable.versionWindow(SparkSession.active, root,
+      math.max(1L, startV), endV)
     val end = byV.getOrElse(endV, sys.error(
       s"offset version $endV vanished from $root (vacuumed mid-stream?)"))
     if (startV == 0L) return end.entries.map(_._2)
@@ -1037,7 +1032,8 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
   private[sources] def rangePartitions(fromV: Long,
       toV: Long): Array[InputPartition] = {
     if (toV < fromV) return Array.empty
-    val byV = SnapshotTable.versions(spark, root).map(s => s.version -> s).toMap
+    val byV = SnapshotTable.versionWindow(spark, root,
+      math.max(1L, fromV - 1), toV)
     (fromV to toV).toArray.flatMap { v =>
       val next = byV.getOrElse(v, sys.error(
         s"change-feed version $v vanished from $root (vacuumed?)"))
@@ -1123,8 +1119,7 @@ private[graft] class SnapshotCdfMicroBatchStream(root: String,
   override def initialOffset(): Offset = SnapshotOffset(initial)
 
   override def latestOffset(): Offset = SnapshotOffset(
-    SnapshotTable.versions(SparkSession.active, root)
-      .lastOption.map(_.version).getOrElse(0L))
+    SnapshotTable.headVersion(SparkSession.active, root).getOrElse(0L))
 
   override def deserializeOffset(json: String): Offset = {
     val V = """\{"version":(\d+)\}""".r

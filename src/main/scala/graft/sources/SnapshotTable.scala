@@ -922,7 +922,15 @@ object SnapshotTable {
 
   // ---- manifest read side ----
 
+  /** Test/scale seam: manifest bodies opened AND parsed since process
+    * start — the unit the O(1)-resolution contract is asserted in
+    * (SnapshotCheckpointSpec): `current()` on an N-commit table must
+    * parse ONE manifest, not N. */
+  private[graft] val manifestParses =
+    new java.util.concurrent.atomic.AtomicLong
+
   private def parseManifest(fsys: FileSystem, p: Path, v: Long): Snapshot = {
+    manifestParses.incrementAndGet()
     val in = fsys.open(p)
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -1001,18 +1009,147 @@ object SnapshotTable {
         .getOrElse(Seq.empty))
   }
 
-  /** All published versions, ascending — the time-travel catalog. */
-  def versions(spark: SparkSession, root: String): Seq[Snapshot] =
-    versionsOn(spark, root, None)
+  // ---- consolidated checkpoints ----
+  //
+  // The Delta `_last_checkpoint` shape, re-derived for self-contained
+  // manifests: every manifest already IS a complete table state, so the
+  // checkpoint does not replay a log — it consolidates the two history
+  // SUMMARIES whose naive spelling is O(versions) manifest parses:
+  //   - version → (commit ts, uuid), for `asOfTimestamp` resolution;
+  //   - per-app newest txn version, for exactly-once streaming resume
+  //     ([[lastTxn]] — a replayed sink batch must not reopen 8,640
+  //     manifests on a 1-commit/10 s table to learn its watermark).
+  // One `ckpt.v<N>.txt` file per CheckpointInterval main commits,
+  // written best-effort by the committer that lands the interval
+  // version, published through the same no-overwrite [[CommitStore]]
+  // (racers: one wins, losers swallow — a checkpoint is a cache of
+  // published truth, never truth itself). Readers take the newest
+  // checkpoint from the SAME single listing every resolution already
+  // pays and parse only the ≤ interval manifests past it. A missing,
+  // stale, or unreadable checkpoint only costs parses — every consumer
+  // falls back to the per-manifest spelling.
 
-  /** Published versions of one line (main or a branch's private
-    * manifests), ascending. Scala regex pattern matching anchors the
-    * whole name, so each line's listing is blind to the other's files. */
-  private def versionsOn(spark: SparkSession, root: String,
-      line: Option[String]): Seq[Snapshot] = {
+  private[graft] val CheckpointInterval = 10L
+  private val CkptHeader = "graft-checkpoint-v1"
+  private def ckptPath(root: Path, v: Long) =
+    new Path(manifestDir(root), f"ckpt.v$v%08d.txt")
+
+  /** Parsed checkpoint: summaries for every main version ≤ `version`
+    * that existed when it was written. `vers`: version → (ts, uuid);
+    * `txns`: appId → newest txn version. Txn watermarks survive history
+    * expiry through here (an IMPROVEMENT on scanning retained
+    * manifests: vacuuming below a replayable batch no longer forfeits
+    * its exactly-once dedup once a checkpoint has covered it). */
+  private[graft] final case class Checkpoint(version: Long,
+      vers: Map[Long, (Long, String)], txns: Map[String, Long])
+
+  /** Test seam: checkpoint bodies parsed since process start. */
+  private[graft] val checkpointParses =
+    new java.util.concurrent.atomic.AtomicLong
+
+  private def parseCheckpoint(fsys: FileSystem, p: Path): Checkpoint = {
+    checkpointParses.incrementAndGet()
+    val in = fsys.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains(CkptHeader),
+      s"$p is not a $CkptHeader file (header: ${lines.headOption})")
+    val v = lines.collectFirst {
+      case l if l.startsWith("version=") => l.drop("version=".length).toLong
+    }.getOrElse(sys.error(s"checkpoint $p missing version field"))
+    val vers = lines.collect {
+      case l if l.startsWith("ver=") =>
+        val Array(n, ts, uuid) = l.drop("ver=".length).split("\t", 3)
+        n.toLong -> (ts.toLong, uuid)
+    }.toMap
+    val txns = lines.collect {
+      case l if l.startsWith("txn=") =>
+        val Array(app, n) = l.drop("txn=".length).split("\t", 2)
+        app -> n.toLong
+    }.toMap
+    Checkpoint(v, vers, txns)
+  }
+
+  /** Newest readable checkpoint in `listed`, or None (absent/corrupt —
+    * both degrade to per-manifest parses, never to failure). */
+  private def newestCheckpoint(fsys: FileSystem,
+      listed: ManifestListing): Option[Checkpoint] =
+    listed.ckpts.lastOption.flatMap { case (_, p) =>
+      try Some(parseCheckpoint(fsys, p))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Test seam: the newest checkpoint's parsed content. */
+  private[graft] def parseCheckpointForTest(spark: SparkSession,
+      root: String): Checkpoint = {
     val (fsys, rootP) = fs(spark, root)
+    newestCheckpoint(fsys, listManifests(fsys, rootP, None))
+      .getOrElse(sys.error(s"no readable checkpoint at $root"))
+  }
+
+  /** Best-effort checkpoint publish after main commit `snap` when its
+    * version is an interval multiple. Builds from the prior checkpoint
+    * plus the ≤ interval gap manifests — O(interval), never
+    * O(versions). Any failure (gap manifest vacuumed mid-build, lost
+    * publish race, store hiccup) is swallowed: the next interval
+    * commit tries again. */
+  private def writeCheckpointIfDue(fsys: FileSystem, rootP: Path,
+      snap: Snapshot): Unit = {
+    if (snap.version % CheckpointInterval != 0L) return
+    try {
+      val listed = listManifests(fsys, rootP, None)
+      val prior = listed.ckpts.filter(_._1 < snap.version).lastOption
+        .flatMap { case (_, p) =>
+          try Some(parseCheckpoint(fsys, p))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      val base = prior.getOrElse(Checkpoint(0L, Map.empty, Map.empty))
+      val gap = listed.versions
+        .filter { case (v, _) => v > base.version && v < snap.version }
+        .flatMap { case (v, p) =>
+          try Some(parseManifest(fsys, p, v))
+          catch { case scala.util.control.NonFatal(_) => None }
+        } :+ snap
+      val vers = base.vers ++
+        gap.map(s => s.version -> (s.ts, s.uuid))
+      val txns = gap.flatMap(_.txn).foldLeft(base.txns) {
+        case (m, (app, n)) => m.updated(app, m.get(app).fold(n)(_ max n))
+      }
+      val body = new StringBuilder
+      body ++= CkptHeader += '\n'
+      body ++= s"version=${snap.version}" += '\n'
+      vers.toSeq.sortBy(_._1).foreach { case (v, (ts, uuid)) =>
+        body ++= s"ver=$v\t$ts\t$uuid" += '\n'
+      }
+      txns.toSeq.sortBy(_._1).foreach { case (app, n) =>
+        require(!app.contains('\n') && !app.contains('\t'),
+          s"txn app id must be line-safe: $app")
+        body ++= s"txn=$app\t$n" += '\n'
+      }
+      storeFor(fsys).writeNoOverwrite(ckptPath(rootP, snap.version),
+        body.toString.getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** One dir listing of `_manifests`, names only — ZERO manifest
+    * parses. `versions` ascending; `ckpts` are the consolidated
+    * checkpoints (main line only, [[writeCheckpointIfDue]]). */
+  private final case class ManifestListing(versions: Seq[(Long, Path)],
+      ckpts: Seq[(Long, Path)]) {
+    def versionNumbers: Seq[Long] = versions.map(_._1)
+  }
+
+  /** List one line's manifest names (and, for main, its checkpoints) in
+    * a single `listStatus` — the O(1)-RPC metadata read every resolution
+    * path starts from. Scala regex pattern matching anchors the whole
+    * name, so each line's listing is blind to the other lines' files,
+    * to checkpoints, and to hidden .tmp/.lock strays. */
+  private def listManifests(fsys: FileSystem, rootP: Path,
+      line: Option[String]): ManifestListing = {
     val dir = manifestDir(rootP)
-    if (!fsys.exists(dir)) return Seq.empty
+    if (!fsys.exists(dir)) return ManifestListing(Seq.empty, Seq.empty)
     // \d{8,}: the writer zero-pads to 8 digits but GROWS past them, so
     // the listing must accept what the writer can produce — an exact
     // {8} would silently hide versions >= 10^8 (stale reads, commit
@@ -1022,17 +1159,80 @@ object SnapshotTable {
       case Some(n) =>
         (java.util.regex.Pattern.quote(s"b.$n.") + """v(\d{8,})\.txt""").r
     }
-    fsys.listStatus(dir).toSeq.flatMap { st =>
+    val C = """ckpt\.v(\d{8,})\.txt""".r
+    val vs = Seq.newBuilder[(Long, Path)]
+    val cs = Seq.newBuilder[(Long, Path)]
+    fsys.listStatus(dir).foreach { st =>
       st.getPath.getName match {
-        case V(n) => Some(parseManifest(fsys, st.getPath, n.toLong))
-        case _ => None // hidden .tmp/.lock files and strays are invisible
+        case V(n) => vs += ((n.toLong, st.getPath))
+        case C(n) if line.isEmpty => cs += ((n.toLong, st.getPath))
+        case _ => () // other lines' files, checkpoints, strays: invisible
       }
-    }.sortBy(_.version)
+    }
+    ManifestListing(vs.result().sortBy(_._1), cs.result().sortBy(_._1))
   }
 
+  /** All published versions, ascending, every manifest PARSED — the
+    * full time-travel catalog. O(versions) manifest reads by nature:
+    * reserve it for surfaces that genuinely need every snapshot
+    * (history metadata table, vacuum, whole-history audits). Head
+    * resolution, tag/version/timestamp reads, txn watermarks, and
+    * branch heads all have O(1)-parse paths ([[current]], [[resolve]],
+    * [[lastTxn]], [[branchList]]) riding [[listManifests]] + the
+    * consolidated checkpoint — use those. */
+  def versions(spark: SparkSession, root: String): Seq[Snapshot] =
+    versionsOn(spark, root, None)
+
+  /** Published versions of one line (main or a branch's private
+    * manifests), ascending, all parsed. */
+  private def versionsOn(spark: SparkSession, root: String,
+      line: Option[String]): Seq[Snapshot] = {
+    val (fsys, rootP) = fs(spark, root)
+    listManifests(fsys, rootP, line).versions
+      .map { case (v, p) => parseManifest(fsys, p, v) }
+  }
+
+  /** Does a snapshot table exist at `root`? One dir listing, zero
+    * manifest parses. */
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val (fsys, rootP) = fs(spark, root)
+    listManifests(fsys, rootP, None).versions.nonEmpty
+  }
+
+  /** Newest main version NUMBER without parsing anything — the
+    * streaming `latestOffset` probe (called once per micro-batch tick,
+    * the hottest metadata read a streaming table serves). */
+  private[sources] def headVersion(spark: SparkSession,
+      root: String): Option[Long] = {
+    val (fsys, rootP) = fs(spark, root)
+    listManifests(fsys, rootP, None).versions.lastOption.map(_._1)
+  }
+
+  /** Parse only the listed main versions in `[fromV, toV]` — the
+    * streaming/CDF window read (a micro-batch over a long-lived table
+    * must not pay O(history) parses per batch). */
+  private[sources] def versionWindow(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): Map[Long, Snapshot] = {
+    val (fsys, rootP) = fs(spark, root)
+    listManifests(fsys, rootP, None).versions
+      .filter { case (v, _) => v >= fromV && v <= toV }
+      .map { case (v, p) => v -> parseManifest(fsys, p, v) }.toMap
+  }
+
+  /** Head snapshot: ONE manifest parse regardless of history length
+    * (the Delta `_last_checkpoint`-class property, achieved here by
+    * listing names and parsing only the newest — manifests are
+    * self-contained, so no log replay is needed at all). */
   private def current(spark: SparkSession, root: String): Snapshot =
-    versions(spark, root).lastOption.getOrElse(
+    headOption(spark, root).getOrElse(
       sys.error(s"no snapshot table at $root (no published manifests)"))
+
+  private[graft] def headOption(spark: SparkSession,
+      root: String): Option[Snapshot] = {
+    val (fsys, rootP) = fs(spark, root)
+    listManifests(fsys, rootP, None).versions.lastOption
+      .map { case (v, p) => parseManifest(fsys, p, v) }
+  }
 
   /** Connector seam: the snapshot a `branch` read option resolves to. */
   private[sources] def branchHead(spark: SparkSession, root: String,
@@ -1044,39 +1244,73 @@ object SnapshotTable {
 
   /** Head of a LINE for a writer: a branch's newest private manifest,
     * else the branch BASE's main manifest (a fresh branch); main = the
-    * main head. */
+    * main head. O(1) manifest parses either way. */
   private def currentOn(spark: SparkSession, root: String,
       line: Option[String]): Snapshot = line match {
     case None => current(spark, root)
     case Some(name) =>
-      versionsOn(spark, root, line).lastOption.getOrElse {
-        val base = branchBase(spark, root, name)
-        versions(spark, root).find(_.version == base).getOrElse(sys.error(
-          s"branch '$name' at $root is based on version $base whose " +
-            "manifest no longer exists (vacuumed?) — drop the branch"))
-      }
+      val (fsys, rootP) = fs(spark, root)
+      listManifests(fsys, rootP, line).versions.lastOption
+        .map { case (v, p) => parseManifest(fsys, p, v) }
+        .getOrElse {
+          val base = branchBase(spark, root, name)
+          listManifests(fsys, rootP, None).versions.find(_._1 == base)
+            .map { case (v, p) => parseManifest(fsys, p, v) }
+            .getOrElse(sys.error(
+              s"branch '$name' at $root is based on version $base whose " +
+                "manifest no longer exists (vacuumed?) — drop the branch"))
+        }
   }
 
   /** Resolve one snapshot: by `version`, by newest-commit-`asOfTimestamp`
     * (Delta's `timestampAsOf` semantics: the snapshot a reader starting
-    * at time `t` would have seen), by named `tag`, or latest. */
-  private def resolve(spark: SparkSession, root: String,
+    * at time `t` would have seen), by named `tag`, or latest.
+    *
+    * Parse budget: version/tag/latest cost ONE manifest parse (the
+    * listing adjudicates existence by NAME). A timestamp lookup needs
+    * the version→ts map, which the consolidated checkpoint
+    * ([[writeCheckpointIfDue]]) serves for everything at or below its
+    * coverage — only the ≤ [[CheckpointInterval]] manifests past the
+    * newest checkpoint are parsed, plus one for the chosen version. */
+  private[sources] def resolve(spark: SparkSession, root: String,
       version: Option[Long], asOfTimestamp: Option[Long],
       tag: Option[String] = None): Snapshot = {
     require(Seq(version, asOfTimestamp, tag).count(_.isDefined) <= 1,
       "pass version OR asOfTimestamp OR tag, not a combination")
-    val snaps = versions(spark, root)
-    require(snaps.nonEmpty, s"no snapshot table at $root")
+    val (fsys, rootP) = fs(spark, root)
+    val listed = listManifests(fsys, rootP, None)
+    require(listed.versions.nonEmpty, s"no snapshot table at $root")
+    def parseV(v: Long, p: Path) = parseManifest(fsys, p, v)
     (version.orElse(tag.map(tagVersion(spark, root, _))), asOfTimestamp) match {
       case (Some(v), _) =>
-        snaps.find(_.version == v).getOrElse(sys.error(
-          s"version $v not found at $root " +
-            s"(have ${snaps.map(_.version).mkString(",")})"))
+        listed.versions.find(_._1 == v).map((parseV _).tupled)
+          .getOrElse(sys.error(
+            s"version $v not found at $root " +
+              s"(have ${listed.versionNumbers.mkString(",")})"))
       case (_, Some(t)) =>
-        snaps.filter(_.ts <= t).lastOption.getOrElse(sys.error(
-          s"no snapshot at or before timestamp $t at $root " +
-            s"(first commit ts=${snaps.head.ts})"))
-      case _ => snaps.last
+        val byTs = versionTimestamps(fsys, listed)
+        byTs.filter(_._2 <= t).lastOption match {
+          case Some((v, _)) =>
+            parseV(v, listed.versions.find(_._1 == v).get._2)
+          case None => sys.error(
+            s"no snapshot at or before timestamp $t at $root " +
+              s"(first commit ts=${byTs.headOption.fold(0L)(_._2)})")
+        }
+      case _ => (parseV _).tupled(listed.versions.last)
+    }
+  }
+
+  /** (version, commit ts) for every LISTED main version, ascending —
+    * checkpoint-covered versions answer from the checkpoint body;
+    * only the gap past it (≤ interval) parses manifests. Listed-but-
+    * uncovered versions always fall back to their own manifest, so a
+    * missing/stale/raced checkpoint only costs parses, never truth. */
+  private def versionTimestamps(fsys: FileSystem,
+      listed: ManifestListing): Seq[(Long, Long)] = {
+    val ck = newestCheckpoint(fsys, listed)
+    listed.versions.map { case (v, p) =>
+      v -> ck.flatMap(_.vers.get(v).map(_._1))
+        .getOrElse(parseManifest(fsys, p, v).ts)
     }
   }
 
@@ -1096,12 +1330,13 @@ object SnapshotTable {
     require(TagName.matches(name),
       s"tag name '$name' must match ${TagName.regex}")
     val (fsys, rootP) = fs(spark, root)
-    val snaps = versions(spark, root)
-    require(snaps.nonEmpty, s"no snapshot table at $root")
-    val v = version.getOrElse(snaps.last.version)
-    require(snaps.exists(_.version == v),
+    // existence adjudicates by NAME: zero manifest parses to tag
+    val listed = listManifests(fsys, rootP, None).versionNumbers
+    require(listed.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(listed.last)
+    require(listed.contains(v),
       s"cannot tag version $v at $root: not in the catalog " +
-        s"(have ${snaps.map(_.version).mkString(",")})")
+        s"(have ${listed.mkString(",")})")
     val p = tagPath(rootP, name)
     // adjudicated like every protocol publish ([[CommitStore]]); the
     // uuid line keeps same-version bodies distinct across racers
@@ -1185,12 +1420,12 @@ object SnapshotTable {
     require(TagName.matches(name),
       s"branch name '$name' must match ${TagName.regex}")
     val (fsys, rootP) = fs(spark, root)
-    val snaps = versions(spark, root)
-    require(snaps.nonEmpty, s"no snapshot table at $root")
-    val v = version.getOrElse(snaps.last.version)
-    require(snaps.exists(_.version == v),
+    val listed = listManifests(fsys, rootP, None).versionNumbers
+    require(listed.nonEmpty, s"no snapshot table at $root")
+    val v = version.getOrElse(listed.last)
+    require(listed.contains(v),
       s"cannot branch from version $v at $root: not in the catalog " +
-        s"(have ${snaps.map(_.version).mkString(",")})")
+        s"(have ${listed.mkString(",")})")
     val p = branchRefPath(rootP, name)
     // Same adjudication as manifest publish ([[CommitStore]]), not a
     // bare create-if-absent: on stores without atomic O_EXCL create,
@@ -1240,8 +1475,9 @@ object SnapshotTable {
         if (!TagName.matches(name)) None
         else {
           val base = branchBase(spark, root, name)
-          val head = versionsOn(spark, root, Some(name)).lastOption
-            .map(_.version).getOrElse(base)
+          // head by NAME from the branch line's listing — zero parses
+          val head = listManifests(fsys, rootP, Some(name))
+            .versionNumbers.lastOption.getOrElse(base)
           Some((name, base, head))
         }
       }
@@ -1285,7 +1521,11 @@ object SnapshotTable {
     val staged = versionsOn(spark, root, Some(name))
     require(staged.nonEmpty,
       s"branch '$name' at $root has no commits to fast-forward")
-    val mainBeyondBase = versions(spark, root).filter(_.version > base)
+    // parse only main manifests PAST the base (the contested window —
+    // normally empty or a previously-published prefix of this branch)
+    val mainBeyondBase = listManifests(fsys, rootP, None).versions
+      .filter(_._1 > base)
+      .map { case (v, p) => parseManifest(fsys, p, v) }
     // Re-run support: a prior fastForward that crashed or lost a race
     // mid-loop left main holding a prefix of this branch's commits.
     // Those manifests were published VERBATIM, so uuid equality (with
@@ -1593,14 +1833,20 @@ object SnapshotTable {
     * unioning by name (missing columns backfill null). */
   def readChanges(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
-    val snaps = versions(spark, root)
-    require(snaps.nonEmpty, s"no snapshot table at $root")
-    val byV = snaps.map(s => s.version -> s).toMap
-    require(byV.contains(fromVersion),
+    val (fsys, rootP) = fs(spark, root)
+    val listed = listManifests(fsys, rootP, None)
+    require(listed.versions.nonEmpty, s"no snapshot table at $root")
+    val names = listed.versionNumbers.toSet
+    require(names.contains(fromVersion),
       s"fromVersion $fromVersion not found at $root")
-    require(byV.contains(toVersion), s"toVersion $toVersion not found at $root")
+    require(names.contains(toVersion),
+      s"toVersion $toVersion not found at $root")
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
+    // parse only the requested window, not the whole history
+    val byV = listed.versions
+      .filter { case (v, _) => v >= fromVersion && v <= toVersion }
+      .map { case (v, p) => v -> parseManifest(fsys, p, v) }.toMap
     val steps = (fromVersion until toVersion).map(v => (byV(v), byV(v + 1)))
     val parts = steps.flatMap { case (prev, next) =>
       def dirsOf(s: Snapshot) = s.entries.map(_._2)
@@ -1984,6 +2230,10 @@ object SnapshotTable {
         throw new ConcurrentCommitException(
           s"version ${snap.version} at $root: ${e.getMessage}")
     }
+    // the commit IS published at this point; the checkpoint is a
+    // best-effort cache on top (main line only — branch chains are
+    // short-lived audit runs)
+    if (line.isEmpty) writeCheckpointIfDue(fsys, root, snap)
   }
 
   private def manifestBody(snap: Snapshot): String = {
@@ -2231,10 +2481,11 @@ object SnapshotTable {
           // retrying the identical publish would spin — surface the loss
           if (cur2.version <= cur.version) throw e
           val replayed = p.txn.exists { case (app, n) =>
-            versionsOn(spark, root, line)
-              .filter(s => s.version > base.version &&
-                s.version <= cur2.version)
-              .flatMap(_.txn)
+            // parse only the contested window (base, cur2]
+            listManifests(fsys, rootP, line).versions
+              .filter { case (sv, _) =>
+                sv > base.version && sv <= cur2.version }
+              .flatMap { case (sv, sp) => parseManifest(fsys, sp, sv).txn }
               .exists { case (a, m) => a == app && m >= n }
           }
           if (replayed) return cur2.version // the batch already landed
@@ -2442,7 +2693,7 @@ object SnapshotTable {
       df.schema.fields.exists(f => f.name == c && statsEligible(f)),
       s"stats column $c missing or not stats-eligible in ${df.schema.toDDL}"))
     val (fsys, rootP) = fs(df.sparkSession, root)
-    require(versions(df.sparkSession, root).isEmpty,
+    require(!exists(df.sparkSession, root),
       s"snapshot table already exists at $root")
     val uuid = newUuid()
     val ddl = df.schema.toDDL
@@ -2780,14 +3031,25 @@ object SnapshotTable {
     * `SetTransaction` idempotency shape): write ops take an optional
     * `txn = (appId, version)` stamped into the SAME manifest as the
     * data, so "has batch N landed?" is answered by the commit log
-    * itself and a replayed batch can be skipped exactly-once. Scans
-    * RETAINED manifests only — vacuuming history below a replayable
-    * batch forfeits its dedup, the documented Delta caveat. */
+    * itself and a replayed batch can be skipped exactly-once.
+    *
+    * O(1)-class parse budget: the consolidated checkpoint carries the
+    * per-app watermark for everything at or below its coverage; only
+    * the ≤ [[CheckpointInterval]] manifests past it are parsed. That
+    * also means checkpointed watermarks SURVIVE history expiry —
+    * vacuuming below a replayable batch forfeits its dedup (the
+    * documented Delta caveat) only on the not-yet-checkpointed tail. */
   def lastTxn(spark: SparkSession, root: String,
-      appId: String): Option[Long] =
-    versions(spark, root).flatMap(_.txn)
-      .collect { case (a, v) if a == appId => v }
-      .maxOption
+      appId: String): Option[Long] = {
+    val (fsys, rootP) = fs(spark, root)
+    val listed = listManifests(fsys, rootP, None)
+    val ck = newestCheckpoint(fsys, listed)
+    val after = ck.map(_.version).getOrElse(0L)
+    val tail = listed.versions.filter(_._1 > after)
+      .flatMap { case (v, p) => parseManifest(fsys, p, v).txn }
+      .collect { case (a, n) if a == appId => n }
+    (ck.flatMap(_.txns.get(appId)).toSeq ++ tail).maxOption
+  }
 
   /** Roll the table back to `version` (or a `tag`) AS A NEW COMMIT — the
     * Delta `RESTORE` shape: data, schema, and pending merge-on-read
@@ -2954,8 +3216,7 @@ object SnapshotTable {
   def rename(spark: SparkSession, oldRoot: String, newRoot: String): Unit = {
     val (fsys, oldP) = fs(spark, oldRoot)
     val (_, newP) = fs(spark, newRoot)
-    require(versions(spark, oldRoot).nonEmpty,
-      s"no snapshot table at $oldRoot")
+    require(exists(spark, oldRoot), s"no snapshot table at $oldRoot")
     require(!fsys.exists(newP), s"rename target $newRoot already exists")
     Option(newP.getParent).foreach(fsys.mkdirs)
     require(fsys.rename(oldP, newP),
@@ -3417,6 +3678,13 @@ object SnapshotTable {
     val (keep, expire) =
       snaps.partition(s => recent(s.version) || pinned(s.version))
     expire.foreach(s => fsys.delete(manifestPath(rootP, s.version), false))
+    // checkpoint hygiene: readers only ever open the NEWEST checkpoint,
+    // so older ones are dead weight — drop them here (stale ts/uuid/txn
+    // entries for expired versions in the kept one are harmless: ts
+    // lookups filter against listed names, txn watermarks deliberately
+    // survive expiry)
+    listManifests(fsys, rootP, None).ckpts.dropRight(1)
+      .foreach { case (_, p) => fsys.delete(p, false) }
     val maxKept = keep.map(_.version).max
     val branchSnaps = branchList(spark, root)
       .flatMap(b => versionsOn(spark, root, Some(b._1)))

@@ -408,7 +408,7 @@ object EventStream {
         val deduped = batch.withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
         val sp = batch.sparkSession
-        if (graft.sources.SnapshotTable.versions(sp, tblPath).isEmpty)
+        if (!graft.sources.SnapshotTable.exists(sp, tblPath))
           graft.sources.SnapshotTable.create(deduped, tblPath,
             Seq("user_id"), buckets = 8)
         else graft.sources.SnapshotTable.upsert(deduped, tblPath)
