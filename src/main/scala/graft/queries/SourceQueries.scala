@@ -1423,9 +1423,58 @@ object SourceQueries {
     p1.unionByName(p2).orderBy(col("phase"), col("doc_id"))
   }
 
+  /** Partition-pinned metadata-only retention DELETE
+    * ([[graft.sources.SnapshotTable.deleteWhere]] +
+    * [[graft.sources.SnapshotTable.statsCertain]]): on a `days(ts)`-
+    * partitioned table, `DELETE WHERE ts < cutoff` classifies every
+    * live dir against its partition-derived bounds — provably-all-
+    * match day dirs DROP as pure metadata (zero data bytes read or
+    * written, the 100 TB retention shape), provably-none-match days
+    * carry verbatim, and only a cutoff-straddling day rewrites. Phase
+    * 1 time-travels to the pre-delete snapshot; phase 2 is the head
+    * after an ALIGNED cutoff (metadata-only commit); phase 3 after a
+    * MISALIGNED mid-day cutoff (one boundary day rewritten, later days
+    * verbatim). The zero-byte write-amplification gate and CDF
+    * exactness are SnapshotPartitionSpec's. */
+  val q186 = Q("q186_snapshot_retention_delete",
+    """WITH p1 AS (SELECT event_type, count(*) AS n, sum(value) AS sum_v
+      |            FROM events GROUP BY event_type),
+      |p2 AS (SELECT event_type, count(*) AS n, sum(value) AS sum_v
+      |       FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |       GROUP BY event_type),
+      |p3 AS (SELECT event_type, count(*) AS n, sum(value) AS sum_v
+      |       FROM events WHERE ts >= TIMESTAMP '2024-01-12 12:00:00'
+      |       GROUP BY event_type)
+      |SELECT 1 AS phase, * FROM p1
+      |UNION ALL SELECT 2 AS phase, * FROM p2
+      |UNION ALL SELECT 3 AS phase, * FROM p3
+      |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapret", dir)
+    rmTree(path)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    SnapshotTable.create(ev, path, Seq("event_id"), buckets = 4,
+      statsCols = Some(Seq.empty), partitionBy = Seq("days(ts)"))
+    SnapshotTable.deleteWhere(s, path,
+      col("ts") < lit("2024-01-10 00:00:00").cast("timestamp")) // aligned
+    val v2 = SnapshotTable.headOption(s, path).get.version
+    SnapshotTable.deleteWhere(s, path,
+      col("ts") < lit("2024-01-12 12:00:00").cast("timestamp")) // boundary
+    def phase(df: org.apache.spark.sql.DataFrame, p: Int) =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .select(lit(p).as("phase"), col("event_type"), col("n"),
+          col("sum_v"))
+    phase(SnapshotTable.read(s, path, Some(1L)), 1)
+      .unionByName(phase(SnapshotTable.read(s, path, Some(v2)), 2))
+      .unionByName(phase(SnapshotTable.read(s, path), 3))
+      .orderBy(col("phase"), col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
       q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-      q182, q183)
+      q182, q183, q186)
 }

@@ -634,13 +634,11 @@ private[sources] class SnapshotCatalogTable(path: String,
           // deletion-vector shape; compact folds it away)
           SnapshotTable.deleteWhere(spark, path, pred, mergeOnRead = true)
         else
-          // keep rows where the condition is NOT TRUE — a NULL condition
-          // keeps its row (DELETE's three-valued semantics; a bare
-          // not(pred) would silently delete the NULL rows too)
-          SnapshotTable.overwrite(
-            SnapshotTable.read(spark, path)
-              .filter(not(org.apache.spark.sql.functions
-                .coalesce(pred, lit(false)))), path)
+          // keyed: the partition/stats-pinned copy-on-write DELETE —
+          // provably-all-match dirs drop as pure metadata, provably-
+          // none-match dirs carry verbatim, boundary dirs rewrite
+          // (three-valued semantics handled inside deleteWhere)
+          SnapshotTable.deleteWhere(spark, path, pred)
         ()
     }
   }

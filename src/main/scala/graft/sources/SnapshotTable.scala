@@ -390,6 +390,60 @@ object SnapshotTable {
     }
   }
 
+  /** Does EVERY row in a dir with `stats` satisfy conjunct `f`? The
+    * dual of [[statsSatisfiable]], with the opposite sound default:
+    * unknown shapes, absent bounds, and un-normalizable literals all
+    * answer FALSE (not provable — read the dir). This is what lets a
+    * retention `DELETE WHERE ts < cutoff` drop whole partition dirs as
+    * pure metadata ([[deleteWhere]]): a dir is droppable only when the
+    * predicate is provably TRUE for all its rows.
+    *
+    * Soundness under the stored-bound semantics: `lo` is a valid LOWER
+    * bound on the dir's minimum (string lows may be truncated prefixes,
+    * which only lowers them), `hi` is exact-or-absent (truncated string
+    * highs are dropped at record time), and any null row evaluates a
+    * comparison to NULL ≠ TRUE — so every rule requires `!hasNull`. */
+  private[graft] def statsCertain(
+      stats: Map[String, ColStats],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def norm(c: String, v: Any) =
+      types.get(c).flatMap(normalizeStatsValue(_, v))
+    // min ≥ lo-bound check: lo ≤ real-min, so lo ⊕ v proves min ⊕ v
+    def loCmp(c: String, v: Any)(pred: Int => Boolean): Boolean =
+      (stats.get(c), norm(c, v)) match {
+        case (Some(st), Some(nv)) if !st.hasNull =>
+          st.lo.exists(lo => cmpNorm(lo, nv).exists(pred))
+        case _ => false
+      }
+    // max ≤ hi check: hi ≥ real-max, so hi ⊕ v proves max ⊕ v
+    def hiCmp(c: String, v: Any)(pred: Int => Boolean): Boolean =
+      (stats.get(c), norm(c, v)) match {
+        case (Some(st), Some(nv)) if !st.hasNull =>
+          st.hi.exists(hi => cmpNorm(hi, nv).exists(pred))
+        case _ => false
+      }
+    def allEqual(c: String, v: Any): Boolean =
+      v != null && loCmp(c, v)(_ >= 0) && hiCmp(c, v)(_ <= 0)
+    f match {
+      case EqualTo(c, v) => allEqual(c, v)
+      case EqualNullSafe(c, v) if v != null => allEqual(c, v)
+      case In(c, vs) => vs.exists(allEqual(c, _))
+      case LessThan(c, v) => hiCmp(c, v)(_ < 0)
+      case LessThanOrEqual(c, v) => hiCmp(c, v)(_ <= 0)
+      case GreaterThan(c, v) => loCmp(c, v)(_ > 0)
+      case GreaterThanOrEqual(c, v) => loCmp(c, v)(_ >= 0)
+      case IsNotNull(c) => stats.get(c).exists(!_.hasNull)
+      case And(a, b) =>
+        statsCertain(stats, types, a) && statsCertain(stats, types, b)
+      case Or(a, b) =>
+        statsCertain(stats, types, a) || statsCertain(stats, types, b)
+      case _ => false // IsNull (bounds can't prove all-null), Not,
+                      // string predicates, unknown shapes: not provable
+    }
+  }
+
   /** One aggregation job over the freshly written commit dirs →
     * per-bucket column stats, keyed back to dirs through the bucket id
     * embedded in the path (this commit wrote exactly one dir per
@@ -2968,8 +3022,19 @@ object SnapshotTable {
     * `condition` is TRUE go; FALSE or NULL stay — SQL three-valued
     * DELETE):
     *
-    *   - COPY-ON-WRITE (default): one overwrite commit keeping the
-    *     surviving rows — exact everywhere, O(table) rewrite.
+    *   - COPY-ON-WRITE (default), PARTITION/STATS-PINNED: the predicate
+    *     is classified per live dir against the manifest's guaranteed
+    *     partition-derived bounds and recorded stats
+    *     ([[Snapshot.statsFor]]). Dirs where it is provably TRUE for
+    *     every row ([[statsCertain]]) are DROPPED as pure metadata —
+    *     zero data bytes read or written; dirs where some conjunct is
+    *     provably FALSE ([[statsSatisfiable]]) carry forward VERBATIM;
+    *     only the boundary dirs are read and rewritten. A retention
+    *     `DELETE WHERE ts < cutoff` on a `days(ts)`-partitioned table
+    *     is O(entries) driver metadata + a rewrite of at most the one
+    *     cutoff-straddling day — the 100 TB retention shape. With no
+    *     stats power (untranslatable/nondeterministic predicate,
+    *     pending merge-on-read deltas) it degrades to the full rewrite.
     *   - POSITIONAL MERGE-ON-READ (`mergeOnRead = true`, KEYLESS tables
     *     only — the deletion-vector shape): the commit writes ONLY the
     *     matched rows' physical positions (`(file-suffix, row_index)`
@@ -2982,23 +3047,29 @@ object SnapshotTable {
     *     spellings ([[delete]]); positional layers on them would have
     *     to interleave with key-event replay ordering for no win.
     *
-    * Positions are matched against the RESOLVED current content, so a
-    * second delete never re-records an already-dead position, and a
-    * duplicate (file, pos) pair would be idempotent anyway. Fail-fast
-    * on concurrent data commits (positions pin this snapshot's files;
-    * `retries` rebases only over commits that provably touched no
-    * data — the hit-list guard covers the keyless single bucket). */
+    * Change feed: the pinned copy-on-write commit records its deleted
+    * rows as commit-time change data (reading only the dropped/boundary
+    * dirs — O(deleted), never O(table)), so CDF stays exact. Positions
+    * are matched against the RESOLVED current content, so a second
+    * delete never re-records an already-dead position, and a duplicate
+    * (file, pos) pair would be idempotent anyway. Copy-on-write
+    * publishes FAIL-FAST (an overwrite-shaped commit has no safe
+    * rebase) — `retries` is refused there rather than silently
+    * ignored; merge-on-read honors it (positions pin this snapshot's
+    * files; the hit-list guard covers the keyless single bucket). */
   def deleteWhere(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column,
       mergeOnRead: Boolean = false,
       retries: Int = 0,
       branch: Option[String] = None): Long = {
     val cur = currentOn(spark, root, branch)
-    if (!mergeOnRead)
-      return overwrite(
-        resolvedRead(spark, cur, None, cur.schemaDdl)
-          .filter(not(coalesce(condition, lit(false)))),
-        root, branch = branch)
+    if (!mergeOnRead) {
+      require(retries == 0,
+        "copy-on-write deleteWhere publishes fail-fast (an overwrite-" +
+          "shaped commit has no safe rebase); retries is only " +
+          "meaningful with mergeOnRead = true")
+      return deleteWhereCow(spark, root, cur, condition, branch)
+    }
     require(cur.keys.isEmpty,
       s"positional merge-on-read deletes are the KEYLESS-table shape; " +
         s"table at $root is keyed ${cur.keys.mkString(",")} — use " +
@@ -3025,6 +3096,124 @@ object SnapshotTable {
       Pending("delete-pos", cur.schemaDdl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries), hit = Some(Set(0)), txn = None,
         cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
+  }
+
+  /** Copy-on-write predicate DELETE, partition/stats-pinned (see
+    * [[deleteWhere]]). One commit, three dir classes: dropped (pure
+    * metadata), kept (verbatim manifest lines), rewritten (read +
+    * filter + write, boundary dirs only). */
+  private def deleteWhereCow(spark: SparkSession, root: String,
+      cur: Snapshot, condition: org.apache.spark.sql.Column,
+      branch: Option[String]): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val (dropped, kept, rewrite) = deleteClassify(spark, cur, condition)
+    if (dropped.isEmpty && kept.isEmpty)
+      // no stats power: the plain full copy-on-write (also the only
+      // path that must CONSUME pending merge-on-read deltas)
+      return overwrite(
+        resolvedRead(spark, cur, None, cur.schemaDdl)
+          .filter(not(coalesce(condition, lit(false)))),
+        root, branch = branch)
+    val v = cur.version + 1
+    val uuid = newUuid()
+    val rewriteDirs = rewrite.map(_._2)
+    // deltas are empty by classification's precondition, so a plain
+    // dir read IS the resolved content of the boundary dirs
+    val newEntries =
+      if (rewrite.isEmpty) Seq.empty[(Int, String)]
+      else writeCommitData(
+        readEntries(spark, cur.schemaDdl, cur.colMap, rewriteDirs)
+          .filter(not(coalesce(condition, lit(false)))),
+        rootP, v, cur.keys, cur.buckets, uuid, fsys, cur.colMap,
+        cur.partSpec)
+    val (st, rw) = computeStats(spark, newEntries, cur.schemaDdl,
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
+    // commit-time change data from the DROPPED + boundary dirs only —
+    // O(deleted rows), never O(table); classification guarantees the
+    // predicate is deterministic, so this re-evaluation matches the
+    // survivor filter exactly
+    val cdcDir =
+      if (!cur.changeFeed) None
+      else {
+        val deadDirs = dropped.map(_._2) ++ rewriteDirs
+        val dead = readEntries(spark, cur.schemaDdl, cur.colMap, deadDirs)
+          .filter(
+            if (rewrite.isEmpty) lit(true) // dropped dirs die wholesale
+            else coalesce(condition, lit(false)))
+        Some(writeChangeData(
+          dead.withColumn(ChangeTypeCol, lit("delete")),
+          rootP, v, uuid, cur.colMap))
+      }
+    publish(fsys, rootP, stamped(Snapshot(v, "delete", cur.keys,
+      cur.buckets, cur.schemaDdl, uuid,
+      kept ++ newEntries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, newEntries),
+      deltas = Seq.empty, changeFeed = cur.changeFeed, cdc = cdcDir,
+      dirLayout = cur.dirLayout, colMap = cur.colMap,
+      droppedPhys = cur.droppedPhys, constraints = cur.constraints,
+      partSpec = cur.partSpec)), branch)
+    v
+  }
+
+  /** Classify `cur`'s live entries under DELETE predicate `condition`:
+    * (provably-all-match → droppable, provably-none-match → keep
+    * verbatim, boundary → rewrite), in original entry order. Returns
+    * (Nil, Nil, entries) — "no power, full rewrite" — when pending
+    * deltas shadow the base dirs, the predicate is nondeterministic,
+    * or no conjunct translates to a stats-reasoning shape. Dropping
+    * requires EVERY conjunct translated (an untranslatable conjunct
+    * could be FALSE on a row the translated ones accept); keeping only
+    * needs ONE translated conjunct provably unsatisfiable. */
+  private def deleteClassify(spark: SparkSession, cur: Snapshot,
+      condition: org.apache.spark.sql.Column)
+      : (Seq[(Int, String)], Seq[(Int, String)], Seq[(Int, String)]) = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, Expression, Literal}
+    val noPower = (Seq.empty[(Int, String)], Seq.empty[(Int, String)],
+      cur.entries)
+    if (cur.deltas.nonEmpty) return noPower
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    // resolve the predicate against the table schema through a real
+    // plan (names→attributes, implicit casts), then fold constant
+    // subtrees so cast('2024-01-10' as timestamp)-style literals
+    // translate
+    val condExpr = emptyDf(spark, schema).filter(condition)
+      .queryExecution.analyzed match {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+        case _ => return noPower
+      }
+    if (!condExpr.deterministic) return noPower
+    val folded = condExpr.transformUp {
+      case e: Expression if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(), e.dataType)
+    }
+    def split(e: Expression): Seq[Expression] = e match {
+      case CatAnd(a, b) => split(a) ++ split(b)
+      case o => Seq(o)
+    }
+    val translated = split(folded)
+      .map(org.apache.spark.sql.GraftParquetBridge.translateFilter)
+    val filters = translated.flatten
+    if (filters.isEmpty) return noPower
+    val fullTranslation = translated.forall(_.isDefined)
+    val types = statsTypes(cur.schemaDdl)
+    val toLogical = cur.logicalOf
+    val classes = cur.entries.map { e =>
+      val st0 = cur.statsFor(e._2)
+      val st = if (toLogical.isEmpty) st0
+        else st0.map { case (c, v) => toLogical.getOrElse(c, c) -> v }
+      if (st.isEmpty) "rewrite"
+      else if (fullTranslation &&
+          filters.forall(f => statsCertain(st, types, f))) "drop"
+      else if (filters.exists(f => !statsSatisfiable(st, types, f))) "keep"
+      else "rewrite"
+    }
+    val z = cur.entries.zip(classes)
+    (z.collect { case (e, "drop") => e },
+      z.collect { case (e, "keep") => e },
+      z.collect { case (e, "rewrite") => e })
   }
 
   /** Newest transaction version committed under `appId` (the Delta

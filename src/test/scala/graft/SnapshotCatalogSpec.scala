@@ -200,12 +200,19 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === Seq(4L, 7L, 8L, 9L))
     // key-AND-other-column predicate must NOT take the keyed path (it
     // would delete id=8 regardless of tag): id=8 has tag '2', so
-    // nothing matches and nothing is deleted
+    // nothing matches and nothing is deleted — and the stats-pinned
+    // classifier PROVES it (tag='nope' is unsatisfiable against every
+    // dir's recorded bounds), so the commit is a pure-metadata "delete"
+    // that carries every dir verbatim instead of a full rewrite
     sqlDf("DELETE FROM snapcat.t8 WHERE id = 8 AND tag = 'nope'")
     assert(sqlDf("SELECT * FROM snapcat.t8").count() === 4L)
     val ops = SnapshotTable.versions(spark, root).map(_.op)
     assert(ops === Seq("create", "append", "delete", "delete",
-      "overwrite", "overwrite"))
+      "overwrite", "delete"))
+    val last = SnapshotTable.versions(spark, root).last
+    assert(last.entries.toSet ===
+      SnapshotTable.versions(spark, root).init.last.entries.toSet,
+      "a provably-no-match DELETE must be pure metadata")
     sqlDf("TRUNCATE TABLE snapcat.t8")
     assert(sqlDf("SELECT * FROM snapcat.t8").count() === 0L)
     assert(sqlDf(s"SELECT * FROM snapcat.t8 VERSION AS OF ${ops.size}")

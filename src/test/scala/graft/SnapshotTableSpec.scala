@@ -542,6 +542,45 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(ok(EqualTo("ghost", 1L)))
   }
 
+  test("statsCertain: the provably-ALL-rows-match dual — sound default " +
+      "FALSE on unknowns/nulls/absent bounds; comparisons, IN, " +
+      "IsNotNull, And/Or prove; IsNull/Not/prefixes never do") {
+    import SnapshotTable.{ColStats, statsCertain}
+    import org.apache.spark.sql.sources._
+    val types =
+      SnapshotTable.statsTypes("x BIGINT, s STRING, n BIGINT, f DOUBLE")
+    val st = Map(
+      "x" -> ColStats(Some(10L), Some(20L), hasNull = false),
+      "s" -> ColStats(Some("en"), Some("en"), hasNull = false),
+      "n" -> ColStats(Some(1L), Some(2L), hasNull = true), // has nulls
+      "f" -> ColStats(None, None, hasNull = false)) // unknown bounds
+    def ok(f: Filter) = statsCertain(st, types, f)
+    // point dirs: identity-partition value proves equality
+    assert(ok(EqualTo("s", "en")) && !ok(EqualTo("s", "ja")))
+    assert(ok(In("s", Array("ja", "en"))) && !ok(In("s", Array("ja"))))
+    // ranges: strict/inclusive boundaries against [10, 20]
+    assert(ok(LessThan("x", 21L)) && !ok(LessThan("x", 20L)))
+    assert(ok(LessThanOrEqual("x", 20L)) && !ok(LessThanOrEqual("x", 19L)))
+    assert(ok(GreaterThan("x", 9L)) && !ok(GreaterThan("x", 10L)))
+    assert(ok(GreaterThanOrEqual("x", 10L)) && !ok(GreaterThanOrEqual("x", 11L)))
+    assert(!ok(EqualTo("x", 15L))) // range dir: equality not provable
+    // a null row evaluates any comparison to NULL ≠ TRUE: never certain
+    assert(!ok(LessThan("n", 100L)) && !ok(IsNotNull("n")))
+    assert(ok(IsNotNull("x")) && ok(IsNotNull("s")) && ok(IsNotNull("f")))
+    // absent bounds / unknown columns: not provable
+    assert(!ok(LessThan("f", 1e300)) && !ok(EqualTo("ghost", 1L)))
+    // And needs both, Or needs either
+    assert(ok(And(LessThan("x", 21L), EqualTo("s", "en"))))
+    assert(!ok(And(LessThan("x", 21L), EqualTo("s", "ja"))))
+    assert(ok(Or(EqualTo("s", "ja"), LessThan("x", 21L))))
+    assert(!ok(Or(EqualTo("s", "ja"), LessThan("x", 15L))))
+    // shapes bounds cannot prove for ALL rows
+    assert(!ok(IsNull("n")) && !ok(StringStartsWith("s", "e")) &&
+      !ok(Not(EqualTo("s", "ja"))))
+    // int literal normalizes against BIGINT
+    assert(ok(LessThan("x", 21)))
+  }
+
   test("compact collapses accumulated append entries; content unchanged") {
     val root = freshRoot("cp")
     val buckets = 4
