@@ -448,29 +448,23 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = SparkSession.active
-      val fsys = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      val files = baseEntries.map(_._2).distinct.flatMap { d =>
-        fsys.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
-          .filter(st => st.isFile && {
-            val n = st.getPath.getName
-            !n.startsWith(".") && !n.startsWith("_")
-          })
-          .map(_.getPath.toString)
-      }
-      if (files.isEmpty) return Array.empty
+      // ONE inner scan over every base dir (one driver file-index
+      // listing, one plan), then re-group its planned splits per FILE
+      // so each split carries its file's tombstone suffix — never one
+      // ScanBuilder per file, which was an O(files) driver hotspot at
+      // crawl scale
+      val perFile = GraftParquetBridge.splitPartitionsByFile(
+        innerScan(baseEntries.map(_._2).distinct, withIdx, baseTblSchema,
+          pushFilters = true).toBatch.planInputPartitions())
+      if (perFile.isEmpty) return Array.empty
       val tombParts = innerScan(posDeltas.map(_.dir), tombSchema,
         tombSchema, pushFilters = false).toBatch.planInputPartitions()
-      val groups = math.max(1, math.min(files.size,
+      val groups = math.max(1, math.min(perFile.size,
         spark.sparkContext.defaultParallelism * 2))
-      files.zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1)
+      perFile.zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1)
         .map { case (_, fs) =>
           PosInputPartition(
-            fs.flatMap { case (f, _) =>
-              innerScan(Seq(f), withIdx, baseTblSchema, pushFilters = true)
-                .toBatch.planInputPartitions()
-                .map(p => suffixOf(f) -> p)
-            },
+            fs.map { case ((f, p), _) => suffixOf(f) -> p },
             tombParts.toSeq): InputPartition
         }.toArray
     }

@@ -66,6 +66,30 @@ object GraftParquetBridge {
   def translateFilter(e: Expression): Option[sources.Filter] =
     DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** Re-group ONE planned parquet batch's partitions per FILE: each
+    * element is (plain file path, a FilePartition holding only that
+    * file's splits). For consumers that must tag rows with per-file
+    * state (deletion-vector replay) while paying a single driver-side
+    * scan plan over ALL files — Spark packs splits from different files
+    * into shared FilePartitions, so the planned shape can't be consumed
+    * per-file directly, but the PartitionedFiles inside it can be
+    * re-grouped without replanning. */
+  def splitPartitionsByFile(
+      parts: Array[org.apache.spark.sql.connector.read.InputPartition])
+      : Seq[(String, org.apache.spark.sql.connector.read.InputPartition)] = {
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    parts.toSeq.flatMap {
+      case fp: FilePartition =>
+        fp.files.groupBy(_.filePath.toPath.toString).toSeq.sortBy(_._1)
+          .map { case (path, fs) =>
+            path -> (FilePartition(fp.index, fs)
+              : org.apache.spark.sql.connector.read.InputPartition)
+          }
+      case other => sys.error(
+        s"parquet batch planned a non-file partition: $other")
+    }
+  }
+
   /** V1 filters → V2 predicates, for `pushedFilters()` reporting. */
   def toV2Predicates(fs: Array[sources.Filter]): Array[Predicate] =
     fs.map(_.toV2)
