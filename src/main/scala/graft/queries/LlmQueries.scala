@@ -1300,7 +1300,105 @@ object LlmQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- Q187: web-crawl capstone (the CommonCrawl-side flagship) ----
+
+  /** [[graft.pipeline.CrawlPipeline.run]] end to end: HTML→text
+    * extraction (q184's page shape) → URL canonicalization + per-domain
+    * frequency cap (q185, cap 20 so it bites) → language-ID agreement
+    * (q45's markers as a gate) → hashed repetition gate (q77/q86's
+    * thresholds) → exact + MinHash-LSH near dedup (q40/q41), over a
+    * corpus salted with exact copies (every 7th doc) and near copies
+    * (every 5th, 'zz '-prefixed), a twentieth of URLs null. Stages 1–4
+    * are ONE lazy plan with exactly one exchange (the domain-cap
+    * shuffle) — CrawlPipelineSpec asserts the plan shape; this oracle
+    * re-runs all five stages in one DuckDB statement. */
+  val q187 = Q("q187_crawl_pipeline", {
+    val lscores = TextAnalysis.LangMarkers.map { case (l, ms) =>
+      l -> TextAnalysis.markerScoreSql("ltoks", ms)
+    }
+    val lscoreCols = lscores.map { case (l, e) => s"$e AS ls_$l" }
+      .mkString(",\n      |  ")
+    val lpred = TextAnalysis.predictLangSql(
+      TextAnalysis.LangMarkers.map { case (l, _) => l -> s"ls_$l" })
+    s"""WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text, lang, source
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, 'zz ' || text AS text, lang, source
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |pages AS (SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 17 = 0 THEN NULL
+      |       ELSE 'https://www.' || source || '-site.org/doc/' || doc_id
+      |  END AS url,
+      |  '<html><head><title>doc</title><script>var a = 1 < 2;'
+      |  || '</script></head><body><!-- tracker -->'
+      |  || '<div class="nav">Home | About</div><p>' || text
+      |  || '</p><ul><li>item one</li><li>item two</li></ul>'
+      |  || '<p>Tail prose block with exactly seven words here</p>'
+      |  || '<footer>&copy; 2024</footer></body></html>' AS html
+      |  FROM corpus),
+      |ext AS (SELECT doc_id, lang, url,
+      |  ${graft.ops.TextExtract.mainTextSql("html")} AS text FROM pages),
+      |hosts AS (SELECT doc_id, lang, text,
+      |  ${graft.ops.UrlCuration.registrableDomainSql(
+           graft.ops.UrlCuration.urlHostSql("url"))} AS domain
+      |  FROM ext),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY domain
+      |  ORDER BY length(text) DESC, doc_id ASC) AS rk FROM hosts),
+      |dcap AS (SELECT doc_id, lang, domain, text FROM ranked WHERE rk <= 20),
+      |ltok AS (SELECT doc_id, lang, domain, text,
+      |  ${TextAnalysis.toksSql} AS ltoks FROM dcap),
+      |lsc AS (SELECT doc_id, lang, domain, text, ltoks,
+      |  $lscoreCols
+      |  FROM ltok),
+      |lid AS (SELECT doc_id, lang, domain, text, ltoks FROM lsc
+      |        WHERE $lpred = lang),
+      |qth AS (SELECT doc_id, lang, domain, text,
+      |  list_transform(ltoks, t -> ${Hashing.hash31Sql("t")}) AS qh
+      |  FROM lid WHERE len(ltoks) >= 2),
+      |qgate AS (SELECT doc_id, lang, domain, text FROM qth
+      |  WHERE ${TextAnalysis.repeatedHashFracSql("qh", 8, 8, partial = true)} <= 0.3
+      |    AND ${TextAnalysis.repeatedHashFracSql("qh", 2, 1, partial = false)} <= 0.9),
+      |s1 AS (SELECT doc_id, lang, domain, text FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY md5(text)
+      |    ORDER BY doc_id) AS rn FROM qgate) x WHERE rn = 1),
+      |${pairCtes("s1")},
+      |$ccCtes
+      |SELECT doc_id, lang, coalesce(domain, '(none)') AS domain,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM s1
+      |WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster_id)
+      |ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val corpus = d
+      .unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"),
+          col("lang"), col("source")))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zz "), col("text")).as("text"), col("lang"),
+          col("source")))
+    val pages = corpus.select(col("doc_id"), col("lang"),
+      when(col("doc_id") % 17 === 0, lit(null)).otherwise(
+        concat(lit("https://www."), col("source"), lit("-site.org/doc/"),
+          col("doc_id").cast("string"))).as("url"),
+      concat(
+        lit("<html><head><title>doc</title><script>var a = 1 < 2;" +
+          "</script></head><body><!-- tracker -->" +
+          "<div class=\"nav\">Home | About</div><p>"),
+        col("text"),
+        lit("</p><ul><li>item one</li><li>item two</li></ul>" +
+          "<p>Tail prose block with exactly seven words here</p>" +
+          "<footer>&copy; 2024</footer></body></html>")).as("html"))
+    graft.pipeline.CrawlPipeline.run(pages, domainCap = 20)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q47, q48, q49, q60,
     q72, q76, q77, q78, q79, q80, q82, q83, q84, q85, q86, q87, q88, q89, q93,
-    q95, q96, q97, q98, q130, q137)
+    q95, q96, q97, q98, q130, q137, q187)
 }
