@@ -1472,9 +1472,61 @@ object SourceQueries {
       .orderBy(col("phase"), col("event_type"))
   }
 
+  /** Partition-spec EVOLUTION
+    * ([[graft.sources.SnapshotTable.repartitionSpec]] — the Iceberg
+    * partition-evolution shape): a `days(ts)` table evolves to
+    * `days(ts), identity(event_type)` as a pure-metadata commit; dirs
+    * written before the change keep their own spec's segments (and
+    * guaranteed pruning), later appends land under the new one, and a
+    * head read serves the mixed layout exactly. Phase 1 time-travels
+    * to the pre-evolution snapshot; phase 2 reads the head across both
+    * generations with a day-range + type predicate that prunes on each
+    * dir's OWN derived bounds. Segment-number permanence,
+    * re-activation, and guards are SnapshotPartitionSpec's. */
+  val q188 = Q("q188_snapshot_partition_evolution",
+    """WITH p1 AS (
+      |  SELECT event_type, count(*) AS n, sum(value) AS sum_v
+      |  FROM events WHERE event_id % 2 = 0 GROUP BY event_type),
+      |p2 AS (
+      |  SELECT event_type, count(*) AS n, sum(value) AS sum_v
+      |  FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |    AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      |    AND event_type <> 'error'
+      |  GROUP BY event_type)
+      |SELECT 1 AS phase, * FROM p1
+      |UNION ALL SELECT 2 AS phase, * FROM p2
+      |ORDER BY phase, event_type""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val path = scratch("snapevo", dir)
+    rmTree(path)
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    SnapshotTable.create(ev.filter(col("event_id") % 2 === 0), path,
+      Seq("event_id"), buckets = 4, statsCols = Some(Seq.empty),
+      partitionBy = Seq("days(ts)"))
+    SnapshotTable.repartitionSpec(s, path,
+      Seq("days(ts)", "event_type")) // v2: pure metadata
+    SnapshotTable.append(ev.filter(col("event_id") % 2 === 1), path)
+    val p1 = SnapshotTable.read(s, path, Some(1L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(lit(1).as("phase"), col("event_type"), col("n"),
+        col("sum_v"))
+    val p2 = s.read.format("graft-snapshot").load(path)
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-13 00:00:00").cast("timestamp") &&
+        col("event_type") =!= "error")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(lit(2).as("phase"), col("event_type"), col("n"),
+        col("sum_v"))
+    p1.unionByName(p2).orderBy(col("phase"), col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
       q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-      q182, q183, q186)
+      q182, q183, q186, q188)
 }

@@ -885,7 +885,7 @@ private[graft] class SnapshotMicroBatchStream(root: String,
       if (next.op != "append" && next.op != "rescale" &&
           next.op != "rename-column" && next.op != "drop-column" &&
           next.op != "set-constraint" && next.op != "drop-constraint" &&
-          !ignoreChanges)
+          next.op != "repartition-spec" && !ignoreChanges)
         sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
           s"(v${next.version}): its dirs consolidate existing rows, not " +
           "just new ones. Restart from scratch, or set " +
@@ -1015,7 +1015,7 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
         Array.empty // pure-metadata commit: zero row changes
       case "zorder" | "compact" => Array.empty // content-neutral rewrites
       case "rescale" | "rename-column" | "drop-column" |
-           "set-constraint" | "drop-constraint" =>
+           "set-constraint" | "drop-constraint" | "repartition-spec" =>
         Array.empty // pure-metadata commits: zero row changes
       case other => sys.error(
         s"change feed hit commit v${next.version} (op=$other) at $root " +

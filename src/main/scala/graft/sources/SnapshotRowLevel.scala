@@ -170,7 +170,7 @@ private[sources] case class SnapshotReplaceCommitMessage(
 private[sources] class SnapshotReplaceWriterFactory(stageDir: String,
     schemaDdl: String, keys: Seq[String], buckets: Int,
     files: GraftParquetWriteBridge.RowFileWriterFactory,
-    partExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    partExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)])
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -183,7 +183,7 @@ private[sources] class SnapshotReplaceDataWriter(stageDir: String,
     schemaDdl: String, keys: Seq[String], buckets: Int,
     files: GraftParquetWriteBridge.RowFileWriterFactory,
     partitionId: Int, taskId: Long,
-    partExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    partExprs: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] =
       Seq.empty)
     extends DataWriter[InternalRow] {
 
@@ -233,7 +233,7 @@ private[sources] class SnapshotReplaceDataWriter(stageDir: String,
     // identity self-encoding, so the suffix needs no further escaping
     private val partProj =
       if (partExprs.isEmpty) null
-      else UnsafeProjection.create(partExprs.map(_.transform {
+      else UnsafeProjection.create(partExprs.map(_._2.transform {
         case b: BoundReference => b.copy(ordinal = b.ordinal + off)
       }).toIndexedSeq)
     def bucket(row: InternalRow): Int =
@@ -247,8 +247,10 @@ private[sources] class SnapshotReplaceDataWriter(stageDir: String,
         val sb = new StringBuilder
         var i = 0
         while (i < partExprs.length) {
-          sb.append('/').append(SnapshotTable.PartPrefix).append(i)
-            .append('=')
+          // the field's PERMANENT segment number, not its position —
+          // spec evolution retires numbers, never reuses them
+          sb.append('/').append(SnapshotTable.PartPrefix)
+            .append(partExprs(i)._1).append('=')
             .append(if (r.isNullAt(i)) SnapshotTable.PartNullDir
               else r.getUTF8String(i).toString)
           i += 1

@@ -157,9 +157,12 @@ object SnapshotTable {
             if (i > 0 && s.startsWith(PartPrefix)) Some(s.take(i) -> s.drop(i + 1))
             else None
           }.toMap
-          val st = partSpec.zipWithIndex.flatMap { case (f, i) =>
+          // EVERY registered field (active or retired) resolves its
+          // own _pt<idx> segment, so dirs written under any historical
+          // spec keep their guaranteed derived bounds
+          val st = partSpec.flatMap { f =>
             for {
-              raw <- segs.get(s"$PartPrefix$i")
+              raw <- segs.get(s"$PartPrefix${f.idx}")
               dt <- types.get(f.col)
               cs <- partFieldStats(f, dt, raw)
             } yield f.col -> cs
@@ -720,13 +723,36 @@ object SnapshotTable {
   // would make dir names — and thus derived bounds — session-dependent).
 
   /** One partition-spec field: `transform` ∈ {identity, hours, days,
-    * months, years} over source column `col`. Serialized in manifests
-    * as `transform(col)`. */
-  final case class PartField(transform: String, col: String) {
+    * months, years} over source column `col`. `idx` is the field's
+    * PERMANENT dir-segment number (`_pt<idx>=`) — assigned once, never
+    * reused, so a dir written under ANY historical spec stays
+    * self-describing through the registry ([[Snapshot.partSpec]] holds
+    * every field ever registered; `active = false` marks fields a
+    * [[repartitionSpec]] evolution retired — their old dirs keep full
+    * derived-bound pruning, new writes just stop producing them).
+    * Serialized in manifests as `transform(col)` (legacy positional
+    * form, byte-identical for never-evolved tables) or
+    * `transform(col)@idx[!]` after an evolution. */
+  final case class PartField(transform: String, col: String,
+      idx: Int = -1, active: Boolean = true) {
     override def toString: String = s"$transform($col)"
+    private[sources] def serialized: String =
+      if (active && idx >= 0) s"$transform($col)@$idx"
+      else if (idx >= 0) s"$transform($col)@$idx!"
+      else toString
   }
 
+  /** Fields new writes partition by, in spec order. */
+  private def activeSpec(spec: Seq[PartField]): Seq[PartField] =
+    spec.filter(_.active)
+
+  /** Does `spec` serialize in the legacy positional form? True until
+    * the first evolution (all active, idx == position). */
+  private def legacySpecShape(spec: Seq[PartField]): Boolean =
+    spec.zipWithIndex.forall { case (f, i) => f.active && f.idx == i }
+
   private val PartFieldRe = """^([a-z]+)\(([^()]+)\)$""".r
+  private val PartFieldIdxRe = """^([a-z]+)\(([^()]+)\)@(\d+)(!?)$""".r
   private val PartB64Prefix = "B64~"
 
   /** Partition-value expressions of `spec` over `ddl`'s columns:
@@ -738,21 +764,22 @@ object SnapshotTable {
     * that could drift. Driver-side, O(spec) once per write. */
   private[sources] def boundPartExprs(spark: SparkSession, ddl: String,
       spec: Seq[PartField])
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      : Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression, RuntimeReplaceable}
     import org.apache.spark.sql.catalyst.plans.logical.Project
-    if (spec.isEmpty) return Seq.empty
+    val act = activeSpec(spec)
+    if (act.isEmpty) return Seq.empty
     val schema = StructType.fromDDL(ddl)
-    val df = emptyDf(spark, schema).select(spec.map(f =>
+    val df = emptyDf(spark, schema).select(act.map(f =>
       partValueCol(f, schema(f.col).dataType)): _*)
     df.queryExecution.analyzed match {
       case Project(list, child) =>
-        list.map { ne =>
+        act.map(_.idx).zip(list.map { ne =>
           val replaced = ne.transformUp {
             case r: RuntimeReplaceable => r.replacement
           }.asInstanceOf[Expression]
           BindReferences.bindReference(replaced, child.output)
-        }
+        })
       case other => sys.error(
         s"unexpected partition-expression plan shape: $other")
     }
@@ -771,8 +798,8 @@ object SnapshotTable {
         Some(seg.take(i) -> seg.drop(i + 1))
       else None
     }.toMap
-    val parts = spec.zipWithIndex.flatMap { case (f, i) =>
-      segs.get(s"$PartPrefix$i").map { raw =>
+    val parts = spec.flatMap { f =>
+      segs.get(s"$PartPrefix${f.idx}").map { raw =>
         val v = if (raw == PartNullDir) "null"
           else decodePartString(unescapePathName(raw))
         s"$f=$v"
@@ -791,16 +818,28 @@ object SnapshotTable {
       new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
     }
 
-  /** Parse `"days(ts)"` / `"lang"` (bare name = identity) specs. */
-  private[sources] def parsePartSpec(specs: Seq[String]): Seq[PartField] =
-    specs.map(_.trim).filter(_.nonEmpty).map {
-      case PartFieldRe(t, c) =>
-        require(Set("identity", "hours", "days", "months", "years")(t),
-          s"unknown partition transform '$t' (have identity/hours/days/" +
-            "months/years)")
-        PartField(t, c.trim)
+  /** Parse `"days(ts)"` / `"lang"` (bare name = identity) specs —
+    * user input and legacy manifests get POSITIONAL indices; evolved
+    * manifests carry explicit `@idx` (and `!` for retired fields). */
+  private[sources] def parsePartSpec(specs: Seq[String]): Seq[PartField] = {
+    def txOk(t: String): String = {
+      require(Set("identity", "hours", "days", "months", "years")(t),
+        s"unknown partition transform '$t' (have identity/hours/days/" +
+          "months/years)")
+      t
+    }
+    val fields = specs.map(_.trim).filter(_.nonEmpty).map {
+      case PartFieldIdxRe(t, c, i, bang) =>
+        PartField(txOk(t), c.trim, i.toInt, active = bang.isEmpty)
+      case PartFieldRe(t, c) => PartField(txOk(t), c.trim)
       case bare => PartField("identity", bare)
     }
+    // positional fill for the legacy/user form (explicit-idx specs keep
+    // their recorded numbers)
+    if (fields.forall(_.idx < 0))
+      fields.zipWithIndex.map { case (f, i) => f.copy(idx = i) }
+    else fields
+  }
 
   /** Validate a spec against a schema: source exists, transform/type
     * combination supported. */
@@ -2115,11 +2154,13 @@ object SnapshotTable {
     // column stays in the files), so reads never reconstruct values
     // from dir names.
     val schema = phys.schema
-    val ptNames = partSpec.indices.map(i => s"$PartPrefix$i")
-    val withPt = partSpec.zipWithIndex.foldLeft(
+    val act = activeSpec(partSpec)
+    val ptNames = act.map(f => s"$PartPrefix${f.idx}")
+    val withPt = act.foldLeft(
         phys.withColumn(BucketCol, bucketOf(keys, buckets))) {
-      case (d, (f, i)) =>
-        d.withColumn(s"$PartPrefix$i", partValueCol(f, schema(f.col).dataType))
+      case (d, f) =>
+        d.withColumn(s"$PartPrefix${f.idx}",
+          partValueCol(f, schema(f.col).dataType))
     }
     withPt.repartition((col(BucketCol) +: ptNames.map(col)): _*)
       .write.partitionBy((BucketCol +: ptNames): _*)
@@ -2301,8 +2342,15 @@ object SnapshotTable {
       body ++= s"uuid=${snap.uuid}" += '\n'
       body ++= s"ts=${snap.ts}" += '\n'
       body ++= s"statscols=${snap.statsCols.mkString(",")}" += '\n'
-      if (snap.partSpec.nonEmpty)
-        body ++= s"partspec=${snap.partSpec.mkString(",")}" += '\n'
+      if (snap.partSpec.nonEmpty) {
+        // legacy positional form until the first evolution (so
+        // never-evolved tables serialize byte-identically to before);
+        // explicit @idx[!] entries afterwards
+        val ser =
+          if (legacySpecShape(snap.partSpec)) snap.partSpec.mkString(",")
+          else snap.partSpec.map(_.serialized).mkString(",")
+        body ++= s"partspec=$ser" += '\n'
+      }
       if (snap.changeFeed) body ++= "changefeed=true" += '\n'
       snap.cdc.foreach(d => body ++= s"cdc=$d" += '\n')
       snap.txn.foreach { case (app, ver) =>
@@ -3281,7 +3329,11 @@ object SnapshotTable {
       changeFeed = cur.changeFeed,
       dirLayout = target.dirLayout,
       colMap = target.colMap, droppedPhys = target.droppedPhys,
-      constraints = target.constraints)))
+      // the target's spec registry covers every dir it re-lists (specs
+      // only ever grow), so the restore serves the target's partition
+      // shape exactly — previously dropped, which silently unpartitioned
+      // the table's future writes
+      constraints = target.constraints, partSpec = target.partSpec)))
     v
   }
 
@@ -3370,9 +3422,10 @@ object SnapshotTable {
     // on a partitioned table the value dirs keep their place between
     // the bucket and the z-slice: `_gb=b/_pt0=v/_zs=k` — partition
     // pruning and z-range pruning compose on the clustered layout
-    val ptNames = cur.partSpec.indices.map(i => s"$PartPrefix$i")
-    val out = cur.partSpec.zipWithIndex.foldLeft(out1) { case (d, (f, i)) =>
-      d.withColumn(s"$PartPrefix$i",
+    val zAct = activeSpec(cur.partSpec)
+    val ptNames = zAct.map(f => s"$PartPrefix${f.idx}")
+    val out = zAct.foldLeft(out1) { case (d, f) =>
+      d.withColumn(s"$PartPrefix${f.idx}",
         partValueCol(f, out1.schema(f.col).dataType))
     }
     out.write
@@ -3518,6 +3571,63 @@ object SnapshotTable {
       dirLayout = cur.entries.map(e => e._2 -> cur.layoutOf(e._2)).toMap,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec)))
+    v
+  }
+
+  /** Evolve the partition SPEC as a pure-metadata commit — the Iceberg
+    * partition-evolution shape, re-derived for the registry
+    * representation ([[PartField]]): new writes partition by
+    * `partitionBy`; every EXISTING dir keeps the spec that wrote it,
+    * self-described through its permanent `_pt<idx>=` segment numbers,
+    * so old dirs keep their full guaranteed derived-bound pruning and
+    * time travel serves each version's own spec. Zero data moved or
+    * read — O(spec) manifest arithmetic.
+    *
+    * Index discipline: a field identical to one ever registered
+    * (same transform + source) RE-ACTIVATES under its original number
+    * (returning to an old spec restores the old dir shape exactly);
+    * brand-new fields take the next free number; numbers are never
+    * reused for a different field. Retired fields stay in the registry
+    * inactive — their source columns remain rename/drop/widen-frozen
+    * (old dirs' derived bounds must keep describing them; a re-added
+    * same-name column would otherwise prune unsoundly against stale
+    * dir values). Same validation as [[create]]'s `partitionBy`;
+    * refused when nothing changes. `partitionBy = Seq.empty` retires
+    * every field (new writes land unpartitioned). */
+  def repartitionSpec(spark: SparkSession, root: String,
+      partitionBy: Seq[String], branch: Option[String] = None): Long = {
+    val cur = currentOn(spark, root, branch)
+    val wanted = parsePartSpec(partitionBy)
+    requirePartSpec(wanted, StructType.fromDDL(cur.schemaDdl))
+    var free = (cur.partSpec.map(_.idx) :+ -1).max + 1
+    val act = wanted.map { f =>
+      cur.partSpec.find(r =>
+          r.transform == f.transform && r.col == f.col) match {
+        case Some(r) => r.copy(active = true)
+        case None =>
+          val assigned = f.copy(idx = free, active = true)
+          free += 1
+          assigned
+      }
+    }
+    val retired = cur.partSpec
+      .filterNot(r => act.exists(_.idx == r.idx))
+      .map(_.copy(active = false))
+      .sortBy(_.idx)
+    val newSpec = act ++ retired
+    require(newSpec != cur.partSpec,
+      s"partition spec at $root is already " +
+        s"(${activeSpec(cur.partSpec).mkString(",")})")
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(Snapshot(v, "repartition-spec",
+      cur.keys, cur.buckets, cur.schemaDdl, newUuid(), cur.entries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats, dirRows = cur.dirRows,
+      dirBytes = cur.dirBytes, deltas = cur.deltas,
+      changeFeed = cur.changeFeed, dirLayout = cur.dirLayout,
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints, partSpec = newSpec)), branch)
     v
   }
 

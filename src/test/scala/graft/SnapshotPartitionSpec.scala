@@ -309,6 +309,100 @@ class SnapshotPartitionSpec extends AnyFunSuite {
     assert(SnapshotTable.read(spark, root).columns.contains("label"))
   }
 
+  test("partition-spec EVOLUTION: repartitionSpec is a pure-metadata " +
+      "commit — old dirs keep their own spec's segments and pruning, " +
+      "new writes land under the new spec, segment numbers never get " +
+      "reused (re-activation restores the original number), time " +
+      "travel serves each version's spec, and the guards hold") {
+    val root = freshRoot("evolve")
+    SnapshotTable.create(events(0 until 256, "g1"), root, Seq("id"), 2,
+      statsCols = Some(Seq.empty), partitionBy = Seq("days(ts)"))
+    val gen1Dirs = SnapshotTable.versions(spark, root).last.entries.toSet
+    // gen 2: days(ts), lang — days re-registers at its number 0
+    SnapshotTable.repartitionSpec(spark, root, Seq("days(ts)", "lang"))
+    val sEv = SnapshotTable.versions(spark, root).last
+    assert(sEv.op === "repartition-spec" && sEv.entries.toSet === gen1Dirs,
+      "evolution must carry every dir verbatim (pure metadata)")
+    SnapshotTable.append(events(256 until 512, "g2"), root)
+    val s3 = SnapshotTable.versions(spark, root).last
+    val gen2Dirs = s3.entries.toSet -- gen1Dirs
+    assert(gen2Dirs.nonEmpty &&
+      gen2Dirs.forall(_._2.matches(".*_pt0=\\d+/_pt1=[a-z]+$")),
+      s"gen-2 dirs carry both segments: $gen2Dirs")
+    assert(gen1Dirs.subsetOf(s3.entries.toSet))
+    // derived bounds exist for BOTH generations: every gen-1 dir still
+    // bounds ts; every gen-2 dir bounds ts AND lang
+    gen1Dirs.foreach(e =>
+      assert(s3.partDirStats(e._2).keySet === Set("ts")))
+    gen2Dirs.foreach(e =>
+      assert(s3.partDirStats(e._2).keySet === Set("ts", "lang")))
+    // content + pruning stay exact across the mixed layout
+    def scan = spark.read.format("graft-snapshot").load(root)
+    assert(asSet(scan) === asSet(events(0 until 512, "g1"))
+      .map { case (id, _, v) => (id, if (id < 256) "g1" else "g2", v) })
+    val (dayRows, dayBytes, _) = ShuffleMetrics.measureInput(spark) {
+      scan.filter(col("ts") >= lit(new Timestamp(86400000L)) &&
+        col("ts") < lit(new Timestamp(2 * 86400000L))).collect()
+    }
+    val (allRows, allBytes, _) = ShuffleMetrics.measureInput(spark) {
+      scan.collect()
+    }
+    assert(dayRows.length === 128 && allRows.length === 512)
+    assert(dayBytes < allBytes,
+      s"day filter must prune dirs of both generations: $dayBytes/$allBytes")
+    // gen 3: retire days, lang alone — then RE-ACTIVATE days: number 0
+    // comes back, lang keeps 1, nothing ever renumbers
+    SnapshotTable.repartitionSpec(spark, root, Seq("lang"))
+    SnapshotTable.append(events(512 until 640, "g3"), root)
+    val s5 = SnapshotTable.versions(spark, root).last
+    assert(s5.partSpec.map(f => (f.toString, f.idx, f.active)).toSet ===
+      Set(("identity(lang)", 1, true), ("days(ts)", 0, false)))
+    val gen3Dirs = s5.entries.toSet -- s3.entries.toSet
+    assert(gen3Dirs.nonEmpty &&
+      gen3Dirs.forall(_._2.matches(".*_pt1=[a-z]+$")))
+    SnapshotTable.repartitionSpec(spark, root, Seq("days(ts)", "lang"))
+    val s6 = SnapshotTable.versions(spark, root).last
+    assert(s6.partSpec.map(f => (f.idx, f.active)).toSet ===
+      Set((0, true), (1, true)))
+    // a brand-new field takes the next free number, never a retired one
+    SnapshotTable.repartitionSpec(spark, root, Seq("days(ts)", "tag"))
+    val s7 = SnapshotTable.versions(spark, root).last
+    assert(s7.partSpec.find(_.col == "tag").map(_.idx) === Some(2))
+    assert(s7.partSpec.find(_.col == "lang")
+      .map(f => (f.idx, f.active)) === Some((1, false)))
+    // time travel serves each version's spec
+    assert(SnapshotTable.versions(spark, root)
+      .find(_.version == 1L).get.partSpec.map(_.toString) ===
+      Seq("days(ts)"))
+    // guards: no-op spec, unknown column, retired sources stay frozen
+    intercept[Exception](SnapshotTable.repartitionSpec(spark, root,
+      Seq("days(ts)", "tag")))
+    intercept[Exception](SnapshotTable.repartitionSpec(spark, root,
+      Seq("days(nope)")))
+    intercept[Exception](SnapshotTable.renameColumn(spark, root,
+      "lang", "lang2")) // retired field's source: still frozen
+    assert(asSet(scan).size === 640)
+  }
+
+  test("RESTORE keeps the target's partition spec (regression: the " +
+      "restore manifest used to drop it, silently unpartitioning every " +
+      "later write)") {
+    val root = freshRoot("restorespec")
+    SnapshotTable.create(events(0 until 64, "a"), root, Seq("id"), 2,
+      statsCols = Some(Seq.empty), partitionBy = Seq("days(ts)"))
+    SnapshotTable.append(events(64 until 128, "b"), root)
+    SnapshotTable.restore(spark, root, version = Some(1L))
+    val restored = SnapshotTable.versions(spark, root).last
+    assert(restored.op === "restore" &&
+      restored.partSpec.map(_.toString) === Seq("days(ts)"))
+    // later writes still land partitioned and prune
+    SnapshotTable.append(events(128 until 192, "c"), root)
+    val head = SnapshotTable.versions(spark, root).last
+    val fresh = head.entries.toSet -- restored.entries.toSet
+    assert(fresh.nonEmpty && fresh.forall(_._2.contains("_pt0=")))
+    assert(spark.read.format("graft-snapshot").load(root).count() === 128L)
+  }
+
   test("SQL DDL: PARTITIONED BY (days(ts), lang, bucket(4, id)) through " +
       "the catalog creates the spec; INSERT + pruned SELECT answer " +
       "exactly; partition sources are ALTER-protected") {
