@@ -57,6 +57,73 @@ object UrlCuration {
     s"CASE WHEN $col IS NULL THEN NULL ELSE coalesce(nullif(" +
       s"regexp_extract($col, '([^.]+\\.[^.]+)$$', 1), ''), $col) END"
 
+  /** Deepest public suffix the PSL-backed matcher tests (real PSL rules
+    * top out at 4 labels). */
+  private val MaxSuffixLabels = 4
+
+  /** PSL-BACKED registrable domain: the longest entry of
+    * `publicSuffixes` that is a proper label-suffix of the host, plus
+    * one label — `a.b.co.uk` with `co.uk` listed → `b.co.uk`. Hosts
+    * matching no entry fall back to the last-two-labels heuristic
+    * ([[registrableDomain]]), so an EMPTY list reproduces it exactly
+    * (the no-data default).
+    *
+    * Pure Column logic: label-suffix candidates (≤ 4 labels, the real
+    * PSL's depth) probe the suffix set via `isin`, which Catalyst
+    * compiles to an O(1) hashed `InSet` per row — no UDF, no join, no
+    * shuffle; a 9k-rule PSL rides the plan as one broadcast-sized
+    * literal set. Wildcard (`*.ck`) and exception (`!www.ck`) rules are
+    * NOT modeled ([[loadPublicSuffixes]] drops them): for the
+    * frequency-cap use the divergence only shifts CAP KEYS — a missing
+    * wildcard rule makes the key one label coarser (the cap tightens,
+    * never leaks), the same direction as the no-data heuristic's
+    * multi-label blindness. */
+  def registrableDomain(host: Column, publicSuffixes: Seq[String]): Column = {
+    if (publicSuffixes.isEmpty) return registrableDomain(host)
+    val suffixes = publicSuffixes.map(_.toLowerCase)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column = array_join(slice(labels, -k, k), ".")
+    // longest match wins: try 4-label suffixes first, each needs at
+    // least one label LEFT of it to be registrable
+    val matched = (MaxSuffixLabels to 1 by -1).foldRight(
+        registrableDomain(host)) { (k, fallback) =>
+      when(n > k && lastK(k).isin(suffixes: _*), lastK(k + 1))
+        .otherwise(fallback)
+    }
+    when(host.isNull, lit(null)).otherwise(matched)
+  }
+
+  /** The DuckDB spelling of [[registrableDomain]] with suffixes —
+    * the same longest-match CASE chain, so the PSL-backed cap is
+    * oracle-checkable too. */
+  def registrableDomainSql(col: String, publicSuffixes: Seq[String]): String = {
+    if (publicSuffixes.isEmpty) return registrableDomainSql(col)
+    val inList = publicSuffixes.map(s =>
+      s"'${s.toLowerCase.replace("'", "''")}'").mkString(", ")
+    def lastK(k: Int) =
+      s"array_to_string(list_slice(string_split($col, '.'), -$k, -1), '.')"
+    def nLabels = s"len(string_split($col, '.'))"
+    val chain = (MaxSuffixLabels to 1 by -1).foldRight(
+        registrableDomainSql(col)) { (k, fallback) =>
+      s"CASE WHEN $nLabels > $k AND ${lastK(k)} IN ($inList) " +
+        s"THEN ${lastK(k + 1)} ELSE $fallback END"
+    }
+    s"CASE WHEN $col IS NULL THEN NULL ELSE $chain END"
+  }
+
+  /** Parse a standard-format public-suffix-list file (one rule per
+    * line, `//` comments, blank lines; the publicsuffix.org shape) into
+    * the plain rules [[registrableDomain]] consumes. Wildcard and
+    * exception rules are dropped with the documented cap-key caveat.
+    * Driver-side, O(file) — the PSL is ~240 KB. */
+  def loadPublicSuffixes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("//") &&
+        !l.startsWith("*") && !l.startsWith("!"))
+
   /** RefinedWeb-style domain frequency cap: keep at most `cap` rows per
     * registrable domain of `urlCol`, deterministically preferring rows
     * by `order` (e.g. quality desc, id asc). Null/unparseable URLs form
@@ -64,7 +131,8 @@ object UrlCuration {
     * them is a separate gate's job). Emits the input columns plus
     * `_domain`. */
   def domainCap(df: DataFrame, urlCol: String, cap: Int,
-      order: Seq[Column]): DataFrame = {
+      order: Seq[Column],
+      publicSuffixes: Seq[String] = Seq.empty): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     // reserved working columns — overwriting a caller's same-named
     // column via withColumn would silently corrupt its data (the
@@ -73,7 +141,7 @@ object UrlCuration {
       s"input already has a '$r' column — rename it; domainCap " +
         "reserves _domain (emitted) and _rk (internal)"))
     val withDomain = df.withColumn("_domain",
-      registrableDomain(urlHost(col(urlCol))))
+      registrableDomain(urlHost(col(urlCol)), publicSuffixes))
     // rank-limit window: the session extensions lower this onto the
     // two-phase TopKPerGroup heap (map-side partial top-k), so a hot
     // domain reduces to `cap` rows per task before the shuffle

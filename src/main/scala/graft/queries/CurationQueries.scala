@@ -315,6 +315,66 @@ object CurationQueries {
       .orderBy(col("domain"), col("doc_id"))
   }
 
+  /** Cap key for q189: the four multi-label public suffixes the query's
+    * synthetic URLs exercise. */
+  private val Q189Psl = Seq("co.uk", "gov.uk", "com.au", "k12.ca.us")
+
+  /** PSL-BACKED domain cap ([[graft.ops.UrlCuration.registrableDomain]]
+    * with a public-suffix list): half the URLs live under multi-label
+    * public suffixes (`<source>.co.uk`, `<source>.com.au`), where the
+    * last-two-labels heuristic would collapse EVERY host into one cap
+    * key (`co.uk`) — the PSL matcher keys the cap per registrable
+    * domain instead. Longest-match, ≤ 4 labels, `isin` → hashed
+    * `InSet` per row (no UDF, no join); the oracle runs the SAME
+    * longest-match CASE chain, so the hash compare proves the two
+    * engines agree on every cap key. */
+  val q189 = Q("q189_psl_domain_cap", {
+    import graft.ops.UrlCuration
+    s"""WITH urls AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 17 = 0 THEN NULL
+      |         WHEN doc_id % 2 = 0
+      |           THEN 'https://www.' || source || '.co.uk/doc/' || doc_id
+      |         WHEN doc_id % 3 = 0
+      |           THEN 'https://' || source || '.com.au/doc/' || doc_id
+      |         ELSE 'https://www.' || source || '-site.org/doc/' || doc_id
+      |    END AS url
+      |  FROM documents),
+      |hosts AS (
+      |  SELECT doc_id, n_chars,
+      |    ${UrlCuration.registrableDomainSql(
+             UrlCuration.urlHostSql("url"), Q189Psl)} AS domain
+      |  FROM urls),
+      |ranked AS (
+      |  SELECT domain, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY domain
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+      |  FROM hosts)
+      |SELECT coalesce(domain, '(none)') AS domain, doc_id, n_chars
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY domain, doc_id""".stripMargin
+  }) { (s, dir) =>
+    import graft.ops.UrlCuration
+    val urls = Tables.documents(s, dir).select(col("doc_id"),
+      col("n_chars"),
+      when(col("doc_id") % 17 === 0, lit(null))
+        .when(col("doc_id") % 2 === 0,
+          concat(lit("https://www."), col("source"), lit(".co.uk/doc/"),
+            col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 0,
+          concat(lit("https://"), col("source"), lit(".com.au/doc/"),
+            col("doc_id").cast("string")))
+        .otherwise(
+          concat(lit("https://www."), col("source"), lit("-site.org/doc/"),
+            col("doc_id").cast("string"))).as("url"))
+    UrlCuration.domainCap(urls, "url", cap = 5,
+        Seq(col("n_chars").desc, col("doc_id").asc),
+        publicSuffixes = Q189Psl)
+      .select(coalesce(col("_domain"), lit("(none)")).as("domain"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("domain"), col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q103, q104, q109, q111, q112, q113, q126, q132,
-    q136, q184, q185)
+    q136, q184, q185, q189)
 }

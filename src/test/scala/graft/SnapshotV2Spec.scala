@@ -533,12 +533,22 @@ class SnapshotV2Spec extends AnyFunSuite {
       asSet(rows(0 until 3, "a")) ++ asSet(rows(3 until 8, "b")) ++
         asSet(rows(8 until 10, "c")))
     // a REPLAYED batch id (crash between commit and checkpoint write)
-    // is skipped: same app id + old batch id → no new version
+    // is skipped: same app id + old batch id → no new version. The
+    // dedup probe must stay O(1)-class in manifest opens: the
+    // watermark answers from the listing + consolidated checkpoint +
+    // at most the uncheckpointed tail — NEVER a parse of every
+    // manifest (the 8,640-opens/day streaming-resume hazard).
     val appId = snaps.head.txn.get._1
     val sink = new SnapshotSink(root,
       Map("op" -> "upsert", "txnappid" -> appId),
       org.apache.spark.sql.streaming.OutputMode.Append())
+    val parses0 = SnapshotTable.manifestParses.get()
     sink.addBatch(2L, rows(0 until 5, "REPLAY"))
+    val replayParses = SnapshotTable.manifestParses.get() - parses0
+    assert(replayParses <= SnapshotTable.CheckpointInterval + 1,
+      s"replayed-batch dedup parsed $replayParses manifests — the txn " +
+        "watermark must come from the checkpoint + tail, not a history " +
+        "scan")
     assert(SnapshotTable.versions(spark, root).size === 3)
     assert(asSet(SnapshotTable.read(spark, root)
       .filter(col("id") === 0L)) === asSet(rows(0 until 1, "a")))

@@ -69,6 +69,53 @@ class UrlCurationSpec extends AnyFunSuite {
     assert(perDomain.forall(_ <= 3L))
   }
 
+  test("PSL-backed registrableDomain: longest listed suffix + one " +
+      "label wins; unlisted hosts fall back to the heuristic; an empty " +
+      "list IS the heuristic; the InSet probe stays a Column (no UDF)") {
+    val psl = Seq("co.uk", "gov.uk", "com.au", "k12.ca.us")
+    val hosts = Seq(
+      "a.b.co.uk", "b.co.uk", "co.uk", // suffix itself: heuristic
+      "x.gov.uk", "deep.x.com.au",
+      "school.k12.ca.us", "very.deep.school.k12.ca.us",
+      "plain.org", "localhost", null)
+    val df = hosts.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      .toDF("id", "host")
+    val got = df.select(col("id"),
+        UrlCuration.registrableDomain(col("host"), psl).as("d"))
+      .orderBy("id").as[(Long, Option[String])].collect().map(_._2)
+    assert(got.toSeq === Seq(
+      Some("b.co.uk"), Some("b.co.uk"),
+      Some("co.uk"), // no label left of the suffix: heuristic keeps it
+      Some("x.gov.uk"), Some("x.com.au"),
+      Some("school.k12.ca.us"), Some("school.k12.ca.us"),
+      Some("plain.org"), Some("localhost"), None))
+    // empty list = the plain heuristic, exactly
+    val both = df.select(
+      UrlCuration.registrableDomain(col("host"), Seq.empty).as("a"),
+      UrlCuration.registrableDomain(col("host")).as("b"))
+    assert(both.filter(not(col("a") <=> col("b"))).count() === 0L)
+    // the probe compiles to a hashed set, not a UDF
+    val plan = df.select(UrlCuration.registrableDomain(col("host"), psl))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"PSL match must stay native:\n$plan")
+  }
+
+  test("loadPublicSuffixes parses the standard PSL file shape and " +
+      "drops comment/wildcard/exception lines") {
+    val f = java.nio.file.Files.createTempFile("psl", ".dat")
+    java.nio.file.Files.write(f,
+      """// ===BEGIN ICANN DOMAINS===
+        |com
+        |co.uk
+        |
+        |*.ck
+        |!www.ck
+        |com.au
+        |""".stripMargin.getBytes("UTF-8"))
+    assert(UrlCuration.loadPublicSuffixes(spark, f.toString).sorted ===
+      Seq("co.uk", "com", "com.au"))
+  }
+
   test("domainCap refuses inputs that already carry the reserved " +
       "_domain/_rk columns instead of silently overwriting them") {
     val base = Seq((1L, "https://a.org/x")).toDF("id", "url")
