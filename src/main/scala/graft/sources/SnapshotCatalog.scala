@@ -668,6 +668,7 @@ private[sources] object SnapshotProcedures {
 
   val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder",
     "restore", "create_tag", "drop_tag", "tags", "rescale",
+    "repartition_spec",
     "create_branch", "drop_branch", "fast_forward", "branches",
     "add_constraint", "drop_constraint", "constraints")
 
@@ -858,6 +859,20 @@ private[sources] object SnapshotProcedures {
           SnapshotTable.branchList(spark, root).map { case (n, b, h) =>
             InternalRow(UTF8String.fromString(n), b, h)
           }
+        }
+      }
+      case "repartition_spec" => new Proc("repartition_spec",
+          Seq(tableParam,
+            // comma-separated transforms, the PARTITIONED BY spelling:
+            // 'days(ts),lang'; empty string retires every field
+            ProcedureParameter.in("spec", StringType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          val spec = input.getUTF8String(1).toString.split(",")
+            .toSeq.map(_.trim).filter(_.nonEmpty)
+          Seq(InternalRow(
+            SnapshotTable.repartitionSpec(spark, root, spec)))
         }
       }
       case "rescale" => new Proc("rescale",

@@ -428,6 +428,21 @@ class SnapshotPartitionSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE partcat.ev RENAME COLUMN ts TO t2"))
     intercept[Exception](
       spark.sql("ALTER TABLE partcat.ev DROP COLUMN lang"))
+    // spec evolution through SQL: CALL repartition_spec, then the next
+    // INSERT lands under the new spec while old dirs keep theirs
+    val v = spark.sql(
+      "CALL partcat.system.repartition_spec('ev', 'lang')")
+      .as[Long].head()
+    assert(SnapshotTable.versions(spark, root)
+      .find(_.version == v).get.op === "repartition-spec")
+    spark.sql("INSERT INTO partcat.ev VALUES " +
+      "(4, timestamp'1970-01-03 05:00:00', 'en', 40)")
+    val head = SnapshotTable.versions(spark, root).last
+    val fresh = head.entries.filter(_._2.contains(s"c${head.version}-"))
+    assert(fresh.nonEmpty && fresh.forall(e =>
+      e._2.matches(".*_pt1=[a-z]+$")), s"post-evolution dirs: $fresh")
+    assert(spark.sql("SELECT count(*) FROM partcat.ev WHERE lang = 'en'")
+      .as[Long].head() === 3L)
   }
 
   test("composition: merge-on-read deltas and key lookups stay exact on " +
