@@ -289,4 +289,49 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
     assert(text === "first")
     fsys.delete(p, false)
   }
+
+  test("a store that fails ONLY checkpoint publishes never affects " +
+      "commits: the table advances normally with no checkpoints, every " +
+      "resolution falls back to per-manifest parses with identical " +
+      "answers, and checkpointing resumes at the next interval once " +
+      "the store heals") {
+    val root = freshRoot("ckptfail")
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val real = new SnapshotTable.HadoopCommitStore(fsys)
+    val ckptFailing = new SnapshotTable.CommitStore {
+      override def writeNoOverwrite(
+          target: org.apache.hadoop.fs.Path, body: Array[Byte]): Unit = {
+        if (target.getName.startsWith("ckpt."))
+          sys.error(s"injected checkpoint-store outage for $target")
+        else real.writeNoOverwrite(target, body)
+      }
+    }
+    SnapshotTable.commitStoreOverride = Some(ckptFailing)
+    try {
+      SnapshotTable.create(rows(Seq(0L), "base"), root, Seq("id"), 1,
+        statsCols = Some(Seq.empty))
+      (1 until 12).foreach(i =>
+        SnapshotTable.append(rows(Seq(i.toLong), "a"), root,
+          txn = Some("app" -> i.toLong)))
+    } finally SnapshotTable.commitStoreOverride = None
+    // 12 versions landed, zero checkpoints (v10's write was swallowed)
+    assert(SnapshotTable.versions(spark, root).size === 12)
+    val mDir = new java.io.File(root, "_manifests")
+    assert(!mDir.listFiles.exists(_.getName.startsWith("ckpt.")),
+      "checkpoint outage must not leave partial checkpoint files")
+    // resolution still exact, from per-manifest parses
+    assert(SnapshotTable.read(spark, root).count() === 12L)
+    assert(SnapshotTable.lastTxn(spark, root, "app") === Some(11L))
+    // store heals: the NEXT interval commit re-checkpoints and covers
+    // the whole history it can still read
+    (12 until 20).foreach(i =>
+      SnapshotTable.append(rows(Seq(i.toLong), "a"), root,
+        txn = Some("app" -> i.toLong)))
+    assert(mDir.listFiles.map(_.getName).count(_.startsWith("ckpt.")) === 1)
+    val ck = SnapshotTable.parseCheckpointForTest(spark, root)
+    assert(ck.version === 20L && ck.vers.keySet === (1L to 20L).toSet)
+    assert(ck.txns === Map("app" -> 19L))
+    assert(SnapshotTable.lastTxn(spark, root, "app") === Some(19L))
+  }
 }
