@@ -1205,8 +1205,15 @@ object SnapshotTable {
           try Some(parseManifest(fsys, p, v))
           catch { case scala.util.control.NonFatal(_) => None }
         } :+ snap
-      val vers = base.vers ++
-        gap.map(s => s.version -> (s.ts, s.uuid))
+      // ver entries are only ever consulted for LISTED versions, so
+      // prune vacuum-expired ones here — a long-lived table's
+      // checkpoint stays O(retained history), not O(all history).
+      // Txn watermarks are the opposite: one entry per app,
+      // deliberately CUMULATIVE across expiry (exactly-once resume
+      // must survive vacuum).
+      val listedV = listed.versionNumbers.toSet
+      val vers = (base.vers ++ gap.map(s => s.version -> (s.ts, s.uuid)))
+        .filter { case (ver, _) => listedV(ver) || ver == snap.version }
       val txns = gap.flatMap(_.txn).foldLeft(base.txns) {
         case (m, (app, n)) => m.updated(app, m.get(app).fold(n)(_ max n))
       }

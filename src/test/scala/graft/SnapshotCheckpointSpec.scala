@@ -108,6 +108,17 @@ class SnapshotCheckpointSpec extends AnyFunSuite {
     assert(ckptFiles(root) === Seq("ckpt.v00000020.txt"))
     assert(SnapshotTable.lastTxn(spark, root, "app") === Some(24L),
       "checkpointed txn watermark must survive history expiry")
+    // the NEXT checkpoint after the vacuum prunes expired ver entries
+    // (the map stays O(retained history)) while the txn watermark stays
+    // cumulative across expiry
+    (25 until 31).foreach(i =>
+      SnapshotTable.append(batch(i), root, txn = Some("app" -> i.toLong)))
+    assert(ckptFiles(root).last === "ckpt.v00000030.txt")
+    val ck = SnapshotTable.parseCheckpointForTest(spark, root)
+    assert(ck.vers.keySet === (25L to 30L).toSet,
+      s"expired versions must leave the ver map, got ${ck.vers.keySet}")
+    assert(ck.txns === Map("app" -> 29L)) // v30's stamped txn
+    assert(SnapshotTable.lastTxn(spark, root, "app") === Some(30L))
   }
 
   test("a corrupt checkpoint degrades to per-manifest parses with the " +
