@@ -302,7 +302,8 @@ private[graft] class SnapshotV2Table(path: String,
         Option(options.get("endingVersion")).map(_.toLong))
     else new SnapshotScanBuilder(snapshot, schemaStruct, path,
       ignoreChanges = Option(options.get("ignoreChanges"))
-        .exists(_.toBoolean))
+        .exists(_.toBoolean),
+      streamOpts = SnapshotStreamOptions.from(options))
   }
 }
 
@@ -312,7 +313,8 @@ private[graft] class SnapshotV2Table(path: String,
 private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
     tableSchema: StructType, root: String = "",
     ignoreChanges: Boolean = false,
-    runtimeFilterKeysOnly: Boolean = false)
+    runtimeFilterKeysOnly: Boolean = false,
+    streamOpts: SnapshotStreamOptions = SnapshotStreamOptions())
     extends GraftCatalystFilterScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -593,12 +595,12 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
         new SnapshotMorScan(snap, tableSchema, required, catalystFilters,
           reprune(snap.entries, v1Filters.toSeq),
           hit.fold(snap.deltas)(h => snap.deltas.filter(d => h(d.bucket))),
-          root, ignoreChanges)
+          root, ignoreChanges, streamOpts)
       }
     case None =>
       new SnapshotScan(snap, tableSchema, required, catalystFilters,
         reprune(snap.entries, v1Filters.toSeq), root, ignoreChanges,
-        reprune, runtimeFilterKeysOnly)
+        reprune, runtimeFilterKeysOnly, streamOpts)
   }
 }
 
@@ -612,7 +614,8 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     entries0: Seq[(Int, String)], root: String, ignoreChanges: Boolean,
     reprune: (Seq[(Int, String)], Seq[Filter]) => Seq[(Int, String)] =
       (cur, _) => cur,
-    runtimeFilterKeysOnly: Boolean = false)
+    runtimeFilterKeysOnly: Boolean = false,
+    streamOpts: SnapshotStreamOptions = SnapshotStreamOptions())
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -782,7 +785,7 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new SnapshotMicroBatchStream(root, inner, ignoreChanges)
+    new SnapshotMicroBatchStream(root, inner, ignoreChanges, streamOpts)
 }
 
 /** A delegate input partition stamped with its key-hash bucket id —
@@ -816,10 +819,76 @@ private[graft] class KeyedReaderFactory(
     inner.supportColumnarReads(unwrap(p))
 }
 
-/** Micro-batch offsets ARE table versions: `{"version": N}`. */
-private[graft] case class SnapshotOffset(version: Long)
+/** Micro-batch offset: how much of the table the stream has served.
+  * Three forms (the sub-version `index` is what lets admission control
+  * split one huge snapshot/commit across triggers, the Delta
+  * `(reservoirVersion, index, isStartingVersion)` shape):
+  *
+  *   - `{"version":0}` — nothing served yet, initial snapshot pending;
+  *   - `{"version":V}` — everything through commit V fully served (the
+  *     legacy whole-version form every pre-admission checkpoint holds,
+  *     still emitted whenever a boundary is clean);
+  *   - `{"version":V,"index":i,"phase":"init"}` — rate-limited initial
+  *     snapshot: the first `i` dirs (manifest order) of the
+  *     consolidated snapshot pinned AT V;
+  *   - `{"version":V,"index":i,"phase":"tail"}` — rate-limited tail:
+  *     everything through V−1, plus the first `i` fresh dirs of commit
+  *     V. (`{"version":0,"index":-1,"phase":"tail"}` is the explicit
+  *     from-scratch tail anchor `startingVersion=1` begins at.)
+  */
+private[graft] case class SnapshotOffset(version: Long, index: Int = -1,
+    phase: String = "")
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"version":$version}"""
+  override def json(): String =
+    if (phase.isEmpty) s"""{"version":$version}"""
+    else s"""{"version":$version,"index":$index,"phase":"$phase"}"""
+}
+
+/** Streaming read knobs parsed from `readStream` options — admission
+  * control (how much backlog one micro-batch admits) and the starting
+  * position (skip the initial snapshot), the Delta source option
+  * surface:
+  *
+  *   - `maxFilesPerTrigger` — max data DIRS admitted per batch (the
+  *     manifest's commit unit — a hard cap);
+  *   - `maxBytesPerTrigger` — soft cap on manifest-recorded bytes per
+  *     batch (a batch admits dirs until the cap is crossed, always at
+  *     least one, so progress never stalls);
+  *   - `maxRowsPerTrigger`  — same, over manifest-recorded row counts;
+  *   - `startingVersion`    — serve commits from this version on
+  *     (inclusive; `"latest"` = only commits after stream start)
+  *     INSTEAD of the consolidated initial snapshot — the
+  *     backfill-free subscription;
+  *   - `startingTimestamp`  — earliest commit at/after this timestamp
+  *     (epoch millis or a `java.sql.Timestamp` string).
+  *
+  * 100 TB framing: without admission control the FIRST batch of a new
+  * stream is the whole table — one micro-batch sized O(100 TB) that no
+  * executor fleet drains inside a trigger. With it, the initial
+  * snapshot and any append backlog stream through in bounded,
+  * checkpointed slices, and a crash resumes mid-slice exactly. */
+private[graft] case class SnapshotStreamOptions(
+    maxFiles: Option[Int] = None, maxBytes: Option[Long] = None,
+    maxRows: Option[Long] = None, startingVersion: Option[String] = None,
+    startingTimestamp: Option[Long] = None) {
+  require(maxFiles.forall(_ >= 1), "maxFilesPerTrigger must be >= 1")
+  require(maxBytes.forall(_ >= 1), "maxBytesPerTrigger must be >= 1")
+  require(maxRows.forall(_ >= 1), "maxRowsPerTrigger must be >= 1")
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "set startingVersion OR startingTimestamp, not both")
+  def limited: Boolean =
+    maxFiles.isDefined || maxBytes.isDefined || maxRows.isDefined
+}
+
+private[graft] object SnapshotStreamOptions {
+  def from(options: CaseInsensitiveStringMap): SnapshotStreamOptions =
+    SnapshotStreamOptions(
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+      Option(options.get("startingVersion")),
+      Option(options.get("startingTimestamp")).map { s =>
+        s.toLongOption.getOrElse(java.sql.Timestamp.valueOf(s).getTime) })
 }
 
 /** Streaming source over the snapshot table — an APPEND-tailing reader
@@ -842,62 +911,280 @@ private[graft] case class SnapshotOffset(version: Long)
   * The version listing re-reads the manifest catalog each trigger
   * (O(versions) driver metadata); partitions and the reader factory are
   * delegated to per-range parquet scans, so executors stream the same
-  * vectorized path batch reads use. */
+  * vectorized path batch reads use.
+  *
+  * ADMISSION CONTROL ([[SupportsAdmissionControl]], the Delta source
+  * shape): `maxFilesPerTrigger` / `maxBytesPerTrigger` /
+  * `maxRowsPerTrigger` bound what one micro-batch admits, splitting the
+  * initial snapshot AND any append backlog across triggers via
+  * sub-version offsets ([[SnapshotOffset]]) — budgets are charged from
+  * the manifest's per-dir byte/row counts, zero data reads. Unlimited
+  * streams keep the names-only O(1) head probe per tick; limited ones
+  * parse only the unserved window. [[SupportsTriggerAvailableNow]] pins
+  * the head at query start, so `Trigger.AvailableNow` drains exactly
+  * the backlog-at-start in bounded batches and stops. */
 private[graft] class SnapshotMicroBatchStream(root: String,
-    inner: Seq[String] => Scan, ignoreChanges: Boolean)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    inner: Seq[String] => Scan, ignoreChanges: Boolean,
+    opts: SnapshotStreamOptions = SnapshotStreamOptions())
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
-  override def initialOffset(): Offset = SnapshotOffset(0L)
+  private def spark = SparkSession.active
+
+  private def head(): Long =
+    SnapshotTable.headVersion(spark, root).getOrElse(0L)
+
+  /** AvailableNow pin: commits past this are out of this run's scope
+    * (the run "behaves as if no new data arrives after prepare"). */
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(head())
+
+  override def initialOffset(): Offset = opts.startingVersion match {
+    case Some("latest") => SnapshotOffset(head())
+    case Some(s) =>
+      val v = s.toLongOption.getOrElse(sys.error(
+        s"startingVersion must be a version number or 'latest', got '$s'"))
+      require(v >= 1, s"startingVersion must be >= 1, got $v")
+      val h = head()
+      require(v <= h + 1, s"startingVersion $v is past the head of " +
+        s"$root (v$h)")
+      if (v == 1L) SnapshotOffset(0L, -1, "tail") else SnapshotOffset(v - 1)
+    case None => opts.startingTimestamp match {
+      case Some(t) =>
+        SnapshotTable.firstVersionAtOrAfter(spark, root, t) match {
+          case Some(v) =>
+            if (v == 1L) SnapshotOffset(0L, -1, "tail")
+            else SnapshotOffset(v - 1)
+          case None => sys.error(s"startingTimestamp $t is after the " +
+            s"newest commit at $root — every existing commit predates it")
+        }
+      case None => SnapshotOffset(0L)
+    }
+  }
 
   // names-only head probe: a per-tick latestOffset must not parse (or
   // list-and-parse) an unbounded history
-  override def latestOffset(): Offset = SnapshotOffset(
-    SnapshotTable.headVersion(SparkSession.active, root).getOrElse(0L))
+  override def latestOffset(): Offset = SnapshotOffset(head())
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = Seq(opts.maxFiles.map(ReadLimit.maxFiles),
+      opts.maxBytes.map(ReadLimit.maxBytes),
+      opts.maxRows.map(ReadLimit.maxRows)).flatten
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = SnapshotOffset(head())
+
+  /** Per-batch admission budgets decoded from Spark's [[ReadLimit]]
+    * (min-wins across a composite). `Long.MaxValue` = unbounded. */
+  private case class Budgets(files: Long, bytes: Long, rows: Long) {
+    def unlimited: Boolean = files == Long.MaxValue &&
+      bytes == Long.MaxValue && rows == Long.MaxValue
+  }
+  private def budgetsOf(limit: ReadLimit): Budgets = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxBytes, ReadMaxFiles, ReadMaxRows}
+    limit match {
+      case _: ReadAllAvailable => Budgets(Long.MaxValue, Long.MaxValue, Long.MaxValue)
+      case f: ReadMaxFiles => Budgets(f.maxFiles.toLong, Long.MaxValue, Long.MaxValue)
+      case b: ReadMaxBytes => Budgets(Long.MaxValue, b.maxBytes, Long.MaxValue)
+      case r: ReadMaxRows => Budgets(Long.MaxValue, Long.MaxValue, r.maxRows)
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(budgetsOf).reduceOption { (a, b) =>
+          Budgets(math.min(a.files, b.files), math.min(a.bytes, b.bytes),
+            math.min(a.rows, b.rows))
+        }.getOrElse(Budgets(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+      // min-rows and future limit kinds don't bound dir admission
+      case _ => Budgets(Long.MaxValue, Long.MaxValue, Long.MaxValue)
+    }
+  }
+
+  private def snapAt(v: Long): SnapshotTable.Snapshot =
+    SnapshotTable.versionWindow(spark, root, v, v).getOrElse(v, sys.error(
+      s"offset version $v vanished from $root (vacuumed mid-stream?)"))
+
+  /** The stream's served-position decoded from an offset:
+    * `Left((V, i))` = mid-initial-snapshot at V, i dirs in;
+    * `Right((a, s))` = tailing, commits ≤ a fully served plus the first
+    * `s` fresh dirs of commit a+1; `None` = initial snapshot pending. */
+  private def stateOf(o: SnapshotOffset)
+      : Option[Either[(Long, Int), (Long, Int)]] = o match {
+    case SnapshotOffset(0L, -1, "") => None
+    case SnapshotOffset(v, i, "init") => Some(Left((v, i)))
+    case SnapshotOffset(v, -1, _) => Some(Right((v, 0)))
+    case SnapshotOffset(v, i, "tail") => Some(Right((v - 1, i)))
+    case other => sys.error(s"bad snapshot offset state: ${other.json()}")
+  }
+
+  /** Dir list the pinned initial snapshot serves, in manifest order —
+    * deterministic across restarts, so index offsets slice into it
+    * stably. */
+  private def initDirs(s: SnapshotTable.Snapshot): Seq[String] =
+    s.entries.map(_._2)
+
+  /** Fresh dirs of commit `next` over its predecessor's entries, under
+    * append-tail semantics. Rescale and column renames/drops are pure
+    * metadata (identical dirs, zero new rows; file columns are
+    * physically stable), so the append-tailing contract is undisturbed;
+    * any other non-append data commit fails loudly unless
+    * `ignoreChanges` streams its rewritten dirs verbatim. */
+  private def freshDirs(next: SnapshotTable.Snapshot,
+      prevEntries: Seq[String]): Seq[String] = {
+    val fresh = next.entries.map(_._2).diff(prevEntries)
+    if (next.op != "append" && next.op != "create" && next.op != "clone" &&
+        next.op != "rescale" &&
+        next.op != "rename-column" && next.op != "drop-column" &&
+        next.op != "set-constraint" && next.op != "drop-constraint" &&
+        next.op != "repartition-spec" && !ignoreChanges)
+      sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
+        s"(v${next.version}): its dirs consolidate existing rows, not " +
+        "just new ones. Restart from scratch, or set " +
+        "ignoreChanges=true to stream rewritten dirs verbatim " +
+        "(re-emits rewritten rows, the Delta ignoreChanges caveat)")
+    fresh
+  }
+
+  /** (snapshot, fresh dirs) per commit in `(anchorV, toV]` — ONE window
+    * parse, O(batch span) not O(history). */
+  private def tailWindow(anchorV: Long, toV: Long)
+      : Seq[(SnapshotTable.Snapshot, Seq[String])] = {
+    if (toV <= anchorV) return Seq.empty
+    val byV = SnapshotTable.versionWindow(spark, root,
+      math.max(1L, anchorV), toV)
+    def at(v: Long): SnapshotTable.Snapshot =
+      byV.getOrElse(v, sys.error(
+        s"offset version $v vanished from $root (vacuumed mid-stream?)"))
+    ((anchorV + 1) to toV).map { v =>
+      val prev = if (v == 1L) Seq.empty else at(v - 1).entries.map(_._2)
+      val next = at(v)
+      next -> freshDirs(next, prev)
+    }
+  }
+
+  /** Greedy in-order dir admission against `b`, charged from the
+    * manifest's per-dir stats: hard file cap, soft byte/row caps (the
+    * crossing dir is admitted — a dir bigger than the budget still
+    * streams, alone). Unknown counts (legacy manifests) fill the soft
+    * budget whole, so such dirs go one per batch rather than starving
+    * the stream. Returns dirs taken; >= 1 whenever any is offered. */
+  private def admit(dirs: Seq[String], sn: SnapshotTable.Snapshot,
+      b: Budgets, used: Budgets): (Int, Budgets) = {
+    def sat(a: Long, d: Long): Long =
+      if (a + d < 0 || a == Long.MaxValue) Long.MaxValue else a + d
+    // charge only the LIMITED budgets: an unlimited one must never trip
+    // (an unknown per-dir stat would otherwise saturate it)
+    def charge(limitedTo: Long, acc: Long, d: Long): Long =
+      if (limitedTo == Long.MaxValue) acc else sat(acc, d)
+    var n = 0
+    var u = used
+    while (n < dirs.size && u.files < b.files && u.bytes < b.bytes &&
+        u.rows < b.rows) {
+      val d = dirs(n)
+      u = Budgets(u.files + 1,
+        charge(b.bytes, u.bytes, sn.dirBytes.getOrElse(d, Long.MaxValue)),
+        charge(b.rows, u.rows, sn.dirRows.getOrElse(d, Long.MaxValue)))
+      n += 1
+    }
+    (n, u)
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val so = start.asInstanceOf[SnapshotOffset]
+    val b = budgetsOf(limit)
+    val h = availableNowCap.fold(head())(math.min(head(), _))
+    stateOf(so) match {
+      case None => // initial snapshot pending
+        if (h == 0) return so // empty table
+        if (b.unlimited) return SnapshotOffset(h) // legacy path, 0 parses
+        val sn = snapAt(h) // pin the initial snapshot at today's head
+        val dirs = initDirs(sn)
+        val (n, _) = admit(dirs, sn, b, Budgets(0, 0, 0))
+        if (n >= dirs.size) SnapshotOffset(h)
+        else SnapshotOffset(h, n, "init")
+      case Some(Left((v, i))) => // mid-initial-snapshot at pinned v
+        val sn = snapAt(v)
+        val dirs = initDirs(sn)
+        if (b.unlimited) return SnapshotOffset(v)
+        val (n, _) = admit(dirs.drop(i), sn, b, Budgets(0, 0, 0))
+        if (i + n >= dirs.size) SnapshotOffset(v)
+        else SnapshotOffset(v, i + n, "init")
+      case Some(Right((a, s))) => // tailing
+        if (h <= a && s == 0) return so
+        if (b.unlimited) return SnapshotOffset(math.max(h, a + 1))
+        var anchor = a
+        var served = s
+        var u = Budgets(0, 0, 0)
+        val win = tailWindow(a, math.max(h, a + 1)).iterator
+        var open = true
+        while (open && win.hasNext) {
+          val (sn, fresh) = win.next()
+          val from = if (sn.version == a + 1) s else 0
+          val (n, u2) = admit(fresh.drop(from), sn, b, u)
+          u = u2
+          if (from + n >= fresh.size) { anchor = sn.version; served = 0 }
+          else { anchor = sn.version - 1; served = from + n; open = false }
+          if (u.files >= b.files || u.bytes >= b.bytes || u.rows >= b.rows)
+            open = false
+        }
+        if (anchor == a && served == s) so
+        else if (served == 0) SnapshotOffset(anchor)
+        else SnapshotOffset(anchor + 1, served, "tail")
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = {
-    val V = """\{"version":(\d+)\}""".r
+    val P = """\{"version":(\d+)\}""".r
+    val F = """\{"version":(\d+),"index":(-?\d+),"phase":"(init|tail)"\}""".r
     json.trim match {
-      case V(n) => SnapshotOffset(n.toLong)
+      case P(n) => SnapshotOffset(n.toLong)
+      case F(v, i, p) =>
+        val (vv, ii) = (v.toLong, i.toInt)
+        // normalize the redundant complete-tail spelling so offset
+        // equality (= "no new data") is structural
+        if (p == "tail" && ii < 0 && vv > 0) SnapshotOffset(vv)
+        else SnapshotOffset(vv, ii, p)
       case other => sys.error(s"bad snapshot offset: $other")
     }
   }
 
-  /** Dirs newly visible in `(startV, endV]` under append-tail semantics;
-    * startV == 0 serves the consolidated snapshot AT endV instead. */
-  private[graft] def rangeDirs(startV: Long, endV: Long): Seq[String] = {
-    if (endV <= startV) return Seq.empty
-    // parse only the batch window, not the whole history
-    val byV = SnapshotTable.versionWindow(SparkSession.active, root,
-      math.max(1L, startV), endV)
-    val end = byV.getOrElse(endV, sys.error(
-      s"offset version $endV vanished from $root (vacuumed mid-stream?)"))
-    if (startV == 0L) return end.entries.map(_._2)
-    (startV until endV).flatMap { v =>
-      val prev = byV.getOrElse(v, sys.error(
-        s"offset version $v vanished from $root (vacuumed mid-stream?)"))
-      val next = byV(v + 1)
-      val fresh = next.entries.map(_._2).diff(prev.entries.map(_._2))
-      // rescale and column renames/drops are pure metadata (identical
-      // dirs, zero new rows; file columns are physically stable): the
-      // append-tailing contract is undisturbed
-      if (next.op != "append" && next.op != "rescale" &&
-          next.op != "rename-column" && next.op != "drop-column" &&
-          next.op != "set-constraint" && next.op != "drop-constraint" &&
-          next.op != "repartition-spec" && !ignoreChanges)
-        sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
-          s"(v${next.version}): its dirs consolidate existing rows, not " +
-          "just new ones. Restart from scratch, or set " +
-          "ignoreChanges=true to stream rewritten dirs verbatim " +
-          "(re-emits rewritten rows, the Delta ignoreChanges caveat)")
-      fresh
+  /** Dirs the batch `(start, end]` serves — every admissible offset
+    * pair (legacy whole-version, mid-initial-snapshot slices, partial
+    * tail slices). Slicing indexes into manifest-ordered dir lists, so
+    * the same offsets always name the same dirs. */
+  private[graft] def rangeDirs(so: SnapshotOffset,
+      eo: SnapshotOffset): Seq[String] = {
+    if (so == eo) return Seq.empty
+    def bad(): Nothing = sys.error(
+      s"inconsistent snapshot offsets: ${so.json()} -> ${eo.json()}")
+    (stateOf(so), stateOf(eo)) match {
+      case (None, Some(Left((v, j)))) => initDirs(snapAt(v)).take(j)
+      case (None, Some(Right((v, 0)))) if v > 0 => initDirs(snapAt(v))
+      case (Some(Left((v, i))), Some(Left((v2, j)))) if v2 == v && j > i =>
+        initDirs(snapAt(v)).slice(i, j)
+      case (Some(Left((v, i))), Some(Right((v2, 0)))) if v2 == v =>
+        initDirs(snapAt(v)).drop(i)
+      case (Some(Right((a, s))), Some(Right((a2, s2))))
+          if a2 > a || (a2 == a && s2 > s) =>
+        val lastV = if (s2 > 0) a2 + 1 else a2
+        tailWindow(a, lastV).flatMap { case (sn, fresh) =>
+          val from = if (sn.version == a + 1) s else 0
+          val until = if (s2 > 0 && sn.version == a2 + 1) s2 else fresh.size
+          fresh.slice(from, until)
+        }
+      case _ => bad()
     }
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val dirs = rangeDirs(start.asInstanceOf[SnapshotOffset].version,
-      end.asInstanceOf[SnapshotOffset].version)
+    val dirs = rangeDirs(start.asInstanceOf[SnapshotOffset],
+      end.asInstanceOf[SnapshotOffset])
     if (dirs.isEmpty) Array.empty
     else inner(dirs).toBatch.planInputPartitions()
   }

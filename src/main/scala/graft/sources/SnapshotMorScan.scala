@@ -52,7 +52,8 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
     catalystFilters: Seq[Expression],
     baseEntries: Seq[(Int, String)],
     deltas: Seq[SnapshotTable.DeltaEntry],
-    root: String, ignoreChanges: Boolean)
+    root: String, ignoreChanges: Boolean,
+    streamOpts: SnapshotStreamOptions = SnapshotStreamOptions())
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -217,7 +218,7 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapshotMicroBatchStream(root,
       paths => innerScan(paths, required, pushFilters = true),
-      ignoreChanges)
+      ignoreChanges, streamOpts)
 }
 
 /** One delta-bearing bucket: base file partitions stamped with their

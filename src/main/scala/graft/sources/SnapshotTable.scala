@@ -1400,6 +1400,19 @@ object SnapshotTable {
     }
   }
 
+  /** Earliest main version committed at or after `ts` (epoch millis) —
+    * the streaming `startingTimestamp` resolution (the inverse of
+    * [[resolve]]'s as-of lookup, sharing its checkpoint-assisted
+    * version→ts map: only the ≤ interval manifests past the newest
+    * checkpoint are parsed). `None` = every commit predates `ts`. */
+  private[sources] def firstVersionAtOrAfter(spark: SparkSession,
+      root: String, ts: Long): Option[Long] = {
+    val (fsys, rootP) = fs(spark, root)
+    val listed = listManifests(fsys, rootP, None)
+    require(listed.versions.nonEmpty, s"no snapshot table at $root")
+    versionTimestamps(fsys, listed).find(_._2 >= ts).map(_._1)
+  }
+
   /** (version, commit ts) for every LISTED main version, ascending —
     * checkpoint-covered versions answer from the checkpoint body;
     * only the gap past it (≤ interval) parses manifests. Listed-but-

@@ -1,0 +1,293 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{SnapshotMicroBatchStream, SnapshotOffset, SnapshotStreamOptions, SnapshotTable}
+
+/** Streaming ADMISSION CONTROL on the snapshot source — the Delta
+  * `maxFilesPerTrigger`/`maxBytesPerTrigger` surface: without it, a new
+  * stream's first micro-batch is the ENTIRE table (one O(100 TB) batch
+  * at production scale). These tests pin the sub-version offset
+  * arithmetic (slices are disjoint, exactly covering, bounded, and
+  * restart-stable) and the end-to-end drain through a real
+  * `Trigger.AvailableNow` query, plus the `startingVersion` /
+  * `startingTimestamp` backfill-free subscription anchors. */
+class SnapshotStreamAdmissionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_snapadm_$tag")
+    d.toFile.deleteOnExit()
+    new java.io.File(d.toFile, "tbl").getAbsolutePath
+  }
+
+  private def rows(n: Range, tag: String) =
+    n.map(i => (i.toLong, tag, i * 10L)).toDF("id", "tag", "v")
+
+  private def asSet(df: DataFrame) =
+    df.select("id", "tag", "v").as[(Long, String, Long)].collect().toSet
+
+  /** Offset-arithmetic-only stream (planInputPartitions unused). */
+  private def mkStream(root: String,
+      opts: SnapshotStreamOptions = SnapshotStreamOptions()) =
+    new SnapshotMicroBatchStream(root, _ => null, false, opts)
+
+  /** Drain the stream's offset walk: (slices of dirs, final offset). */
+  private def drain(st: SnapshotMicroBatchStream,
+      from: SnapshotOffset): (Seq[Seq[String]], SnapshotOffset) = {
+    val limit = st.getDefaultReadLimit
+    var cur = from
+    val slices = scala.collection.mutable.Buffer.empty[Seq[String]]
+    var steps = 0
+    var open = true
+    while (open && steps < 200) {
+      val next = st.latestOffset(cur, limit).asInstanceOf[SnapshotOffset]
+      if (next == cur) open = false
+      else { slices += st.rangeDirs(cur, next); cur = next }
+      steps += 1
+    }
+    assert(steps < 200, "offset walk did not converge")
+    (slices.toSeq, cur)
+  }
+
+  private def headSnap(root: String) =
+    SnapshotTable.versions(spark, root).last
+
+  test("maxFilesPerTrigger slices the initial snapshot into bounded, " +
+      "disjoint, exactly-covering batches that end at the plain head " +
+      "offset (checkpoint-compatible)") {
+    val root = freshRoot("initslice")
+    SnapshotTable.create(rows(0 until 64, "a"), root, Seq("id"), 8)
+    SnapshotTable.append(rows(64 until 96, "b"), root)
+    val live = headSnap(root).entries.map(_._2)
+    assert(live.size > 3, s"need >3 dirs to slice, got ${live.size}")
+
+    val st = mkStream(root, SnapshotStreamOptions(maxFiles = Some(3)))
+    val (slices, fin) = drain(st,
+      st.initialOffset().asInstanceOf[SnapshotOffset])
+    // bounded per batch, >1 batch, disjoint, exact cover
+    assert(slices.size > 1)
+    assert(slices.forall(s => s.nonEmpty && s.size <= 3))
+    val all = slices.flatten
+    assert(all.size === all.distinct.size, "a dir was served twice")
+    assert(all.toSet === live.toSet, "slices must cover the snapshot")
+    // initial-phase offsets slice the snapshot pinned at ONE version
+    assert(fin === SnapshotOffset(headSnap(root).version))
+  }
+
+  test("maxBytesPerTrigger=1 and maxRowsPerTrigger=1 degrade to one dir " +
+      "per batch (soft caps admit the crossing dir; progress never " +
+      "stalls)") {
+    val root = freshRoot("bytes")
+    SnapshotTable.create(rows(0 until 32, "a"), root, Seq("id"), 4)
+    val live = headSnap(root).entries.map(_._2)
+    for (o <- Seq(SnapshotStreamOptions(maxBytes = Some(1L)),
+        SnapshotStreamOptions(maxRows = Some(1L)))) {
+      val st = mkStream(root, o)
+      val (slices, _) = drain(st,
+        st.initialOffset().asInstanceOf[SnapshotOffset])
+      assert(slices.forall(_.size === 1))
+      assert(slices.flatten.toSet === live.toSet)
+    }
+    // a generous byte budget takes everything in one batch
+    val st = mkStream(root,
+      SnapshotStreamOptions(maxBytes = Some(Long.MaxValue / 2)))
+    val (slices, _) = drain(st,
+      st.initialOffset().asInstanceOf[SnapshotOffset])
+    assert(slices.size === 1)
+  }
+
+  test("tail backlog splits across commit boundaries: partial offsets " +
+      "carry phase=tail, slices stay disjoint and in order, and the walk " +
+      "lands on the plain head") {
+    val root = freshRoot("tail")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 4)
+    val st = mkStream(root, SnapshotStreamOptions(maxFiles = Some(1)))
+    val (_, afterInit) = drain(st,
+      st.initialOffset().asInstanceOf[SnapshotOffset])
+    val v1 = headSnap(root).version
+    assert(afterInit === SnapshotOffset(v1))
+    // two append commits form the backlog
+    val before = headSnap(root).entries.map(_._2).toSet
+    SnapshotTable.append(rows(8 until 24, "b"), root)
+    SnapshotTable.append(rows(24 until 40, "c"), root)
+    val freshDirs = headSnap(root).entries.map(_._2).filterNot(before)
+    assert(freshDirs.size > 2)
+    val (slices, fin) = drain(st, afterInit)
+    assert(slices.forall(_.size === 1))
+    assert(slices.flatten === freshDirs, "tail slices must serve the " +
+      "backlog's fresh dirs in manifest order")
+    assert(fin === SnapshotOffset(headSnap(root).version))
+  }
+
+  test("offset forms interoperate: legacy plain offsets plan whole-" +
+      "version ranges, partial spellings round-trip through json, and " +
+      "the redundant complete-tail form normalizes") {
+    val root = freshRoot("offsets")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 4)
+    SnapshotTable.append(rows(8 until 12, "b"), root)
+    SnapshotTable.append(rows(12 until 16, "c"), root)
+    val st = mkStream(root)
+    val vs = SnapshotTable.versions(spark, root)
+    // legacy whole-version range = fresh dirs of (v1, v3]
+    val dirs = st.rangeDirs(SnapshotOffset(vs(0).version),
+      SnapshotOffset(vs(2).version))
+    assert(dirs.toSet === vs(2).entries.map(_._2).toSet --
+      vs(0).entries.map(_._2).toSet)
+    // json round-trips (legacy and sliced forms)
+    for (o <- Seq(SnapshotOffset(3), SnapshotOffset(5, 2, "init"),
+        SnapshotOffset(4, 1, "tail"), SnapshotOffset(0, -1, "tail")))
+      assert(st.deserializeOffset(o.json()) === o)
+    // complete-tail normalizes to the legacy plain spelling
+    assert(st.deserializeOffset("""{"version":7,"index":-1,"phase":"tail"}""")
+      === SnapshotOffset(7))
+    // an empty range plans nothing
+    assert(st.rangeDirs(SnapshotOffset(2), SnapshotOffset(2)) === Seq.empty)
+  }
+
+  test("startingVersion / startingTimestamp anchor the stream PAST the " +
+      "initial snapshot (the backfill-free subscription), 'latest' " +
+      "serves only future commits, and out-of-range anchors refuse") {
+    val root = freshRoot("anchor")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 4)
+    Thread.sleep(30)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapshotTable.append(rows(8 until 12, "b"), root)
+    val vs = SnapshotTable.versions(spark, root)
+    val head = vs.last.version
+
+    def anchorOf(o: SnapshotStreamOptions) =
+      mkStream(root, o).initialOffset().asInstanceOf[SnapshotOffset]
+    // explicit version: inclusive (v2 ⇒ anchor after v1)
+    assert(anchorOf(SnapshotStreamOptions(
+      startingVersion = Some("2"))) === SnapshotOffset(1))
+    // from version 1 = the whole history as a tail (no consolidated
+    // snapshot): serves v1's dirs + each append's fresh dirs
+    val st1 = mkStream(root,
+      SnapshotStreamOptions(startingVersion = Some("1")))
+    val a1 = st1.initialOffset().asInstanceOf[SnapshotOffset]
+    assert(a1 === SnapshotOffset(0, -1, "tail"))
+    val (slices, fin) = drain(st1, a1)
+    assert(slices.flatten.toSet === vs.last.entries.map(_._2).toSet)
+    assert(fin === SnapshotOffset(head))
+    // latest: nothing until a NEW commit lands
+    val stL = mkStream(root,
+      SnapshotStreamOptions(startingVersion = Some("latest")))
+    val aL = stL.initialOffset().asInstanceOf[SnapshotOffset]
+    assert(aL === SnapshotOffset(head))
+    assert(drain(stL, aL)._1.isEmpty)
+    SnapshotTable.append(rows(12 until 14, "d"), root)
+    val (lSlices, _) = drain(stL, aL)
+    assert(lSlices.flatten.toSet ===
+      headSnap(root).entries.map(_._2).toSet --
+        vs.last.entries.map(_._2).toSet)
+    // timestamp between v1 and v2 anchors at v2 (first commit >= t)
+    assert(anchorOf(SnapshotStreamOptions(
+      startingTimestamp = Some(tMid))) === SnapshotOffset(1))
+    // timestamp before v1 = the whole history
+    assert(anchorOf(SnapshotStreamOptions(
+      startingTimestamp = Some(vs.head.ts - 1000)))
+      === SnapshotOffset(0, -1, "tail"))
+    // refusals: past-the-head anchors and a future timestamp
+    intercept[Exception](anchorOf(SnapshotStreamOptions(
+      startingVersion = Some(s"${headSnap(root).version + 2}"))))
+    intercept[Exception](anchorOf(SnapshotStreamOptions(
+      startingTimestamp = Some(System.currentTimeMillis() + 3600 * 1000))))
+    intercept[IllegalArgumentException](SnapshotStreamOptions(
+      startingVersion = Some("2"), startingTimestamp = Some(1L)))
+    intercept[IllegalArgumentException](
+      SnapshotStreamOptions(maxFiles = Some(0)))
+  }
+
+  test("prepareForTriggerAvailableNow pins the head: commits landing " +
+      "after the pin are out of the run's scope") {
+    val root = freshRoot("pin")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 4)
+    val st = mkStream(root, SnapshotStreamOptions(maxFiles = Some(2)))
+    st.prepareForTriggerAvailableNow()
+    val pinned = headSnap(root).version
+    SnapshotTable.append(rows(8 until 16, "b"), root)
+    val (slices, fin) = drain(st,
+      st.initialOffset().asInstanceOf[SnapshotOffset])
+    assert(fin === SnapshotOffset(pinned))
+    assert(slices.flatten.toSet ===
+      SnapshotTable.versions(spark, root)
+        .find(_.version == pinned).get.entries.map(_._2).toSet)
+  }
+
+  test("END-TO-END: a rate-limited AvailableNow drain runs >1 batch, " +
+      "lands the exact table content, and a checkpointed restart serves " +
+      "ONLY the commits since — exactly once, mid-slice offsets and all") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("e2e")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_snapadm_ckpt").toString
+    val outBase = java.nio.file.Files
+      .createTempDirectory("graft_snapadm_out").toString
+    SnapshotTable.create(rows(0 until 64, "a"), root, Seq("id"), 8)
+    SnapshotTable.append(rows(64 until 80, "b"), root)
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def runOnce(name: String): DataFrame = {
+      val out = s"$outBase/$name"
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxFilesPerTrigger", "2").load(root)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) batchSizes.add(n)
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (new java.io.File(out).exists) spark.read.parquet(out)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        rows(0 until 1, "x").schema)
+    }
+    assert(asSet(runOnce("s1")) === asSet(rows(0 until 80, "a"))
+      .map { case (i, _, v) => (i, if (i < 64) "a" else "b", v) })
+    assert(batchSizes.size > 1,
+      s"expected a multi-batch drain, got ${batchSizes.size} batch(es)")
+    // restart: two more commits, still rate-limited, nothing re-emits
+    SnapshotTable.append(rows(80 until 88, "c"), root)
+    SnapshotTable.append(rows(88 until 90, "d"), root)
+    assert(asSet(runOnce("s2")) ===
+      asSet(rows(80 until 88, "c")) ++ asSet(rows(88 until 90, "d")))
+    // quiet restart emits nothing
+    assert(runOnce("s3").count() === 0L)
+  }
+
+  test("END-TO-END: startingVersion=latest subscribes without backfill " +
+      "through a real checkpointed query") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("e2elatest")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_snapadm_lck").toString
+    val outBase = java.nio.file.Files
+      .createTempDirectory("graft_snapadm_lout").toString
+    SnapshotTable.create(rows(0 until 32, "a"), root, Seq("id"), 4)
+    def runOnce(name: String): DataFrame = {
+      val out = s"$outBase/$name"
+      val q = spark.readStream.format("graft-snapshot")
+        .option("startingVersion", "latest").load(root)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      if (new java.io.File(out).exists) spark.read.parquet(out)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        rows(0 until 1, "x").schema)
+    }
+    assert(runOnce("l1").count() === 0L) // no backfill
+    SnapshotTable.append(rows(32 until 40, "z"), root)
+    assert(asSet(runOnce("l2")) === asSet(rows(32 until 40, "z")))
+  }
+}
