@@ -1529,9 +1529,99 @@ object SourceQueries {
     p1.unionByName(p2).orderBy(col("phase"), col("event_type"))
   }
 
+  /** Streaming ADMISSION CONTROL on the snapshot source
+    * ([[graft.sources.SnapshotMicroBatchStream]] with
+    * `maxFilesPerTrigger` — the Delta rate-limit surface): run 1 drains
+    * a 3-commit table through `Trigger.AvailableNow` at 2 dirs/batch,
+    * so the initial snapshot is SPLIT across micro-batches by
+    * sub-version offsets instead of arriving as one table-sized batch
+    * (the 100 TB first-trigger killer); the union of the slices must
+    * still be exactly the snapshot — any dir served twice or dropped at
+    * a slice boundary flips the hash. Run 2 starts a SEPARATE stream
+    * with `startingVersion=2` (the backfill-free subscription): only
+    * commits >= 2 arrive, rate-limited to 1 dir/batch, nothing of the
+    * initial snapshot re-emits. Batch-count/boundary-restart mechanics
+    * are SnapshotStreamAdmissionSpec's; this row pins end-to-end
+    * content exactness. */
+  val q190 = Q("q190_snapshot_stream_ratelimit",
+    """SELECT 1 AS run, doc_id, lang, n_chars FROM documents
+      |UNION ALL
+      |SELECT 2 AS run, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 3 <> 0
+      |ORDER BY run, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.streaming.Trigger
+    val path = scratch("snaprate", dir)
+    rmTree(path)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 3 === 0), path,
+      Seq("doc_id"), buckets = 8)
+    SnapshotTable.append(d.filter(col("doc_id") % 3 === 1), path)
+    SnapshotTable.append(d.filter(col("doc_id") % 3 === 2), path)
+    def drain(out: String, ckpt: String, opts: (String, String)*): Unit = {
+      rmTree(out); rmTree(ckpt)
+      val src = opts.foldLeft(s.readStream.format("graft-snapshot"))(
+        (r, o) => r.option(o._1, o._2)).load(path)
+      val q = src.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val out1 = scratch("snaprate_run1", dir)
+    val out2 = scratch("snaprate_run2", dir)
+    drain(out1, scratch("snaprate_ck1", dir), "maxFilesPerTrigger" -> "2")
+    drain(out2, scratch("snaprate_ck2", dir),
+      "startingVersion" -> "2", "maxFilesPerTrigger" -> "1")
+    s.read.parquet(out1).withColumn("run", lit(1))
+      .unionByName(s.read.parquet(out2).withColumn("run", lit(2)))
+      .select(col("run"), col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("run"), col("doc_id"))
+  }
+
+  /** SHALLOW CLONE ([[graft.sources.SnapshotTable.cloneTable]] — the
+    * Delta `SHALLOW CLONE` shape): the fork's version 1 re-lists the
+    * source's dirs BY REFERENCE (one metadata commit, zero data bytes —
+    * forking a 100 TB table costs what a tag costs; SnapshotCloneSpec
+    * gates the zero-copy bytes). Phase 1 reads the fork through the
+    * CONNECTOR after appending to it — new rows land under the fork's
+    * own root, over by-reference base dirs. Phase 2 proves isolation:
+    * the source is byte-identical to before the fork's writes. Phase 3
+    * time-travels the fork to its clone commit — the pinned source
+    * content. Any sharing leak (fork write surfacing in the source,
+    * clone listing drifting from the source snapshot) flips a phase. */
+  val q191 = Q("q191_snapshot_clone",
+    """WITH evens AS (SELECT doc_id, lang, n_chars FROM documents
+      |              WHERE doc_id % 2 = 0)
+      |SELECT 1 AS phase, doc_id, lang, n_chars FROM documents
+      |UNION ALL SELECT 2 AS phase, doc_id, lang, n_chars FROM evens
+      |UNION ALL SELECT 3 AS phase, doc_id, lang, n_chars FROM evens
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    import graft.sources.SnapshotTable
+    val src = scratch("snapclone_src", dir)
+    val fork = scratch("snapclone_fork", dir)
+    rmTree(src); rmTree(fork)
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    SnapshotTable.create(d.filter(col("doc_id") % 2 === 0), src,
+      Seq("doc_id"), buckets = 8)
+    SnapshotTable.cloneTable(s, src, fork)
+    SnapshotTable.append(d.filter(col("doc_id") % 2 === 1), fork)
+    def phase(df: DataFrame, p: Int) =
+      df.select(lit(p).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    phase(s.read.format("graft-snapshot").load(fork), 1)
+      .unionByName(phase(SnapshotTable.read(s, src), 2))
+      .unionByName(phase(SnapshotTable.read(s, fork, Some(1L)), 3))
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
       q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-      q182, q183, q186, q188)
+      q182, q183, q186, q188, q190, q191)
 }

@@ -395,6 +395,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     root
   }
 
+  /** Resolve a procedure's TARGET table argument (clone destination) to
+    * its root path — must NOT exist yet (the operation creates it). */
+  private[sources] def procNewTableRoot(table: String): String = {
+    val parts = table.split("\\.").toSeq
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val root = tableRoot(ident)
+    require(!SnapshotTable.exists(spark, root),
+      s"snapshot table '$table' already exists in catalog $catName")
+    root
+  }
+
   override def listProcedures(
       namespace: Array[String]): Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
@@ -667,7 +678,7 @@ private[sources] object SnapshotProcedures {
   import org.apache.spark.unsafe.types.UTF8String
 
   val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder",
-    "restore", "create_tag", "drop_tag", "tags", "rescale",
+    "restore", "clone", "create_tag", "drop_tag", "tags", "rescale",
     "repartition_spec",
     "create_branch", "drop_branch", "fast_forward", "branches",
     "add_constraint", "drop_constraint", "constraints")
@@ -751,6 +762,20 @@ private[sources] object SnapshotProcedures {
           val root = cat.procTableRoot(input.getUTF8String(0).toString)
           Seq(InternalRow(SnapshotTable.restore(spark, root,
             version = Some(input.getLong(1)))))
+        }
+      }
+      case "clone" => new Proc("clone",
+          Seq(tableParam,
+            ProcedureParameter.in("target", StringType).build(),
+            // version <= 0 clones the current head
+            ProcedureParameter.in("version", LongType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val src = cat.procTableRoot(input.getUTF8String(0).toString)
+          val dst = cat.procNewTableRoot(input.getUTF8String(1).toString)
+          val v = input.getLong(2)
+          Seq(InternalRow(SnapshotTable.cloneTable(spark, src, dst,
+            version = if (v <= 0) None else Some(v))))
         }
       }
       case "create_tag" => new Proc("create_tag",

@@ -168,6 +168,21 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
   // the txn stamp keeps replay-dedup exact across the retries
   private val retries = opts.getOrElse("commitretries", "2").toInt
 
+  /** AUTO-COMPACTION (Delta's post-write auto-compact shape): after
+    * each batch commit, buckets whose dir/delta count exceeds this run
+    * a bucket-TARGETED [[SnapshotTable.compact]] — so a 10 s-trigger
+    * stream (8,640 commits/day) keeps its data plane bounded at
+    * O(threshold) read inputs per bucket instead of accumulating one
+    * dir per commit forever. Below-threshold batches cost one O(entries)
+    * driver check, zero jobs, no commit. The compact commit is
+    * content-neutral, so DOWNSTREAM tailing/CDF streams skip it (the
+    * dataChange=false discipline) — maintenance doesn't break readers.
+    * Best-effort: a lost race or transient failure defers to the next
+    * batch; the data commit above is already durable. */
+  private val autoCompactDirs = opts.get("autocompactdirs").map(_.toInt)
+  autoCompactDirs.foreach(k => require(k >= 1,
+    s"autoCompactDirs must be >= 1: $k"))
+
   override def addBatch(batchId: Long,
       data0: org.apache.spark.sql.DataFrame): Unit = {
     // the harness hands a streaming-flagged frame; re-wrap its executed
@@ -208,6 +223,15 @@ private[graft] class SnapshotSink(path: String, opts: Map[String, String],
         mergeOnRead = true, retries = retries)
     } else {
       SnapshotTable.append(data, path, mergeSchema, txn, retries = retries)
+    }
+    autoCompactDirs.foreach { k =>
+      try { SnapshotTable.compact(spark, path, k); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"auto-compact of $path deferred (batch $batchId committed " +
+              s"fine): ${e.getMessage}")
+      }
     }
     ()
   }
@@ -1032,11 +1056,16 @@ private[graft] class SnapshotMicroBatchStream(root: String,
   /** Fresh dirs of commit `next` over its predecessor's entries, under
     * append-tail semantics. Rescale and column renames/drops are pure
     * metadata (identical dirs, zero new rows; file columns are
-    * physically stable), so the append-tailing contract is undisturbed;
-    * any other non-append data commit fails loudly unless
-    * `ignoreChanges` streams its rewritten dirs verbatim. */
+    * physically stable), so the append-tailing contract is undisturbed.
+    * `compact`/`zorder` commits REWRITE dirs but are content-neutral by
+    * construction, so the stream SKIPS them entirely (the Delta
+    * `dataChange = false` semantics) — table maintenance and tailing
+    * readers coexist, no re-emits, no restart. Any other non-append
+    * data commit fails loudly unless `ignoreChanges` streams its
+    * rewritten dirs verbatim. */
   private def freshDirs(next: SnapshotTable.Snapshot,
       prevEntries: Seq[String]): Seq[String] = {
+    if (next.op == "compact" || next.op == "zorder") return Seq.empty
     val fresh = next.entries.map(_._2).diff(prevEntries)
     if (next.op != "append" && next.op != "create" && next.op != "clone" &&
         next.op != "rescale" &&
@@ -1290,7 +1319,9 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
       else rawInner(dirs).toBatch.planInputPartitions().map(p =>
         CdfInputPartition(p, fromCdc = false, "insert", next.version))
     next.op match {
-      case "create" => raw(next.entries.map(_._2))
+      // a clone's first commit IS its table's initial content — served
+      // as inserts, exactly like create
+      case "create" | "clone" => raw(next.entries.map(_._2))
       case "append" =>
         raw(next.entries.map(_._2).diff(
           prev.getOrElse(sys.error(s"change feed needs version " +

@@ -3357,6 +3357,59 @@ object SnapshotTable {
     v
   }
 
+  /** SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE` shape): a
+    * new, independent snapshot table at `dstRoot` whose version 1
+    * re-lists the SOURCE snapshot's data dirs BY REFERENCE — zero data
+    * bytes move, ONE metadata commit, O(entries) driver work. Forking a
+    * 100 TB table for a dev/test/what-if sandbox costs the same as a
+    * tag; the `version`/`tag` arguments clone any point of the source's
+    * history.
+    *
+    * Everything that makes the listing serveable travels with it: keys
+    * and bucket count (key-pruned reads, storage-partitioned joins),
+    * per-dir stats/rows/bytes (data skipping, exact planner stats,
+    * metadata-only `count(*)`), unresolved merge-on-read layers,
+    * historical bucket layouts mid-rescale, column mapping, CHECK
+    * constraints, and the partition-spec registry. History does NOT
+    * travel: the clone's history begins at its clone commit (time
+    * travel into the source's past belongs to the source), and the
+    * source's tags/branches stay behind.
+    *
+    * Clone and source then diverge freely — each root's writes land
+    * under that root. The clone's [[vacuum]] only ever sweeps
+    * `dstRoot/data`, so referenced SOURCE dirs are structurally
+    * untouchable from the clone side. CAVEAT (exactly Delta's):
+    * vacuuming the SOURCE knows nothing of clones — expiring source
+    * history a clone still references breaks that clone. Tag the cloned
+    * version on the source (tags pin vacuum) to keep it safe.
+    *
+    * Returns the clone's head version (always 1). */
+  def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Long] = None, tag: Option[String] = None): Long = {
+    val src = resolve(spark, srcRoot, version, None, tag)
+    require(!exists(spark, dstRoot),
+      s"snapshot table already exists at $dstRoot")
+    val (sfs, _) = fs(spark, srcRoot)
+    val missing = (src.entries.map(_._2) ++ src.deltas.map(_.dir))
+      .filterNot(d => sfs.exists(new Path(d)))
+    require(missing.isEmpty,
+      s"cannot clone $srcRoot v${src.version}: ${missing.size} data " +
+        "dir(s) no longer exist (vacuumed?) — e.g. " +
+        missing.headOption.getOrElse(""))
+    val (fsys, rootP) = fs(spark, dstRoot)
+    publish(fsys, rootP, stamped(Snapshot(1L, "clone", src.keys,
+      src.buckets, src.schemaDdl, newUuid(), src.entries,
+      statsCols = src.statsCols,
+      dirStats = src.dirStats, dirRows = src.dirRows,
+      dirBytes = src.dirBytes,
+      deltas = src.deltas,
+      changeFeed = src.changeFeed,
+      dirLayout = src.dirLayout,
+      colMap = src.colMap, droppedPhys = src.droppedPhys,
+      constraints = src.constraints, partSpec = src.partSpec)))
+    1L
+  }
+
   /** Z-order clustering rewrite (Delta's `OPTIMIZE ZORDER BY` shape,
     * Armbrust VLDB'20 §4.2): content-identical like [[compact]], but
     * each key-hash bucket's rows are split into up to `slicesPerBucket`

@@ -261,6 +261,99 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
     assert(runOnce("s3").count() === 0L)
   }
 
+  test("a tailing stream SKIPS content-neutral compact/zorder commits " +
+      "(the Delta dataChange=false discipline): maintenance between " +
+      "appends re-emits nothing and never fail-fasts the reader") {
+    val root = freshRoot("skipcompact")
+    SnapshotTable.create(rows(0 until 16, "a"), root, Seq("id"), 4)
+    val st = mkStream(root)
+    val (_, afterInit) = drain(st,
+      st.initialOffset().asInstanceOf[SnapshotOffset])
+    val preAppend = headSnap(root).entries.map(_._2).toSet
+    SnapshotTable.append(rows(16 until 24, "b"), root)
+    val freshB = headSnap(root).entries.map(_._2).filterNot(preAppend)
+    SnapshotTable.compact(spark, root) // full rewrite, content-neutral
+    val postCompact = headSnap(root).entries.map(_._2).toSet
+    SnapshotTable.append(rows(24 until 28, "c"), root)
+    val freshC = headSnap(root).entries.map(_._2).filterNot(postCompact)
+    val (slices, fin) = drain(st, afterInit)
+    // served dirs = exactly the two appends' fresh dirs — the compacted
+    // rewrite (which re-lists EVERY row) contributes nothing
+    assert(slices.flatten.toSet === (freshB ++ freshC).toSet,
+      "compact commit's rewritten dirs must not re-emit")
+    assert(fin === SnapshotOffset(headSnap(root).version))
+  }
+
+  test("sink AUTO-COMPACTION (autoCompactDirs) bounds per-bucket dir " +
+      "counts across a many-batch drain, keeps content exact, and its " +
+      "compact commits stay invisible to a tailing reader") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_autocomp")
+    base.toFile.deleteOnExit()
+    val stage = new java.io.File(base.toFile, "in"); stage.mkdirs()
+    val root = new java.io.File(base.toFile, "tbl").getAbsolutePath
+    val ckpt = new java.io.File(base.toFile, "ckpt").getAbsolutePath
+    def stageOne(i: Int, df: DataFrame): Unit = {
+      val tmp = new java.io.File(base.toFile, s"tmp$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.listFiles.filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(stage, f"b$i%03d.parquet")
+      assert(part.renameTo(dst))
+      dst.setLastModified(1000000L * (i + 1))
+    }
+    (0 until 6).foreach(i =>
+      stageOne(i, rows(i * 10 until (i + 1) * 10, s"t$i")))
+    val q = spark.readStream.schema(rows(0 until 1, "x").schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      .writeStream.format("graft-snapshot")
+      .option("keys", "id").option("buckets", "2")
+      .option("autoCompactDirs", "2")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(root)
+    q.awaitTermination()
+    val snaps = SnapshotTable.versions(spark, root)
+    // maintenance actually ran
+    assert(snaps.exists(_.op == "compact"),
+      s"no compact commit in ${snaps.map(_.op)}")
+    // the data plane stayed bounded: without auto-compact each bucket
+    // would hold ~6 dirs (one per batch); the threshold keeps the head
+    // at <= threshold + 1 read inputs per bucket
+    val head = snaps.last
+    val perBucket = head.entries.groupBy(_._1).map(_._2.size)
+    assert(perBucket.max <= 3,
+      s"auto-compact left ${perBucket.max} dirs in a bucket")
+    // content is exact
+    val got = SnapshotTable.read(spark, root)
+      .select("id", "tag", "v").as[(Long, String, Long)].collect().toSet
+    assert(got === (0 until 6).flatMap(i =>
+      (i * 10 until (i + 1) * 10).map(j =>
+        (j.toLong, s"t$i", j * 10L))).toSet)
+    // a from-scratch tailing walk over the mixed history serves every
+    // append exactly once and nothing from the compact rewrites
+    val st = mkStream(root,
+      SnapshotStreamOptions(startingVersion = Some("1")))
+    val (slices, _) = drain(st,
+      st.initialOffset().asInstanceOf[SnapshotOffset])
+    val served = slices.flatten
+    assert(served.size === served.distinct.size)
+    // introduced-dirs per commit (entries minus predecessor's): the
+    // walk must serve exactly the DATA commits' dirs, none of compact's
+    val byV = snaps.sortBy(_.version)
+    def introduced(p: SnapshotTable.Snapshot, n: SnapshotTable.Snapshot) =
+      n.entries.map(_._2).diff(p.entries.map(_._2))
+    val fromCompact = byV.sliding(2).collect {
+      case Seq(p, n) if n.op == "compact" => introduced(p, n)
+    }.flatten.toSet
+    val fromData = byV.head.entries.map(_._2) ++ byV.sliding(2).collect {
+      case Seq(p, n) if n.op != "compact" => introduced(p, n)
+    }.flatten
+    assert(fromCompact.nonEmpty)
+    assert(served.toSet === fromData.toSet,
+      "tailing walk must serve exactly the data commits' fresh dirs")
+    assert(served.toSet.intersect(fromCompact).isEmpty,
+      "tailing reader served a compact rewrite dir")
+  }
+
   test("END-TO-END: startingVersion=latest subscribes without backfill " +
       "through a real checkpointed query") {
     import org.apache.spark.sql.streaming.Trigger
