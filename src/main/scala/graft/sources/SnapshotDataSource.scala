@@ -323,7 +323,16 @@ private[graft] class SnapshotV2Table(path: String,
     if (readChangeFeed)
       new SnapshotCdfScanBuilder(snapshot, path,
         Option(options.get("startingVersion")).map(_.toLong),
-        Option(options.get("endingVersion")).map(_.toLong))
+        Option(options.get("endingVersion")).map(_.toLong),
+        Option(options.get("endingTimestamp"))
+          .map(SnapshotStreamOptions.parseTs),
+        SnapshotStreamOptions(
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+          Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+          Option(options.get("maxRowsPerTrigger")).map(_.toLong),
+          None, // startingVersion is the CDF builder's own option above
+          Option(options.get("startingTimestamp"))
+            .map(SnapshotStreamOptions.parseTs)))
     else new SnapshotScanBuilder(snapshot, schemaStruct, path,
       ignoreChanges = Option(options.get("ignoreChanges"))
         .exists(_.toBoolean),
@@ -911,8 +920,60 @@ private[graft] object SnapshotStreamOptions {
       Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       Option(options.get("maxRowsPerTrigger")).map(_.toLong),
       Option(options.get("startingVersion")),
-      Option(options.get("startingTimestamp")).map { s =>
-        s.toLongOption.getOrElse(java.sql.Timestamp.valueOf(s).getTime) })
+      Option(options.get("startingTimestamp")).map(parseTs))
+
+  /** Epoch millis or any `java.sql.Timestamp`-parsable string. */
+  def parseTs(s: String): Long =
+    s.toLongOption.getOrElse(java.sql.Timestamp.valueOf(s).getTime)
+}
+
+/** Per-batch admission budgets decoded from Spark's [[ReadLimit]]
+  * (min-wins across a composite; `Long.MaxValue` = unbounded) — shared
+  * by the append-tailing source and the change-feed stream. */
+private[graft] object StreamAdmission {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows}
+
+  case class Budgets(files: Long, bytes: Long, rows: Long) {
+    def unlimited: Boolean = files == Long.MaxValue &&
+      bytes == Long.MaxValue && rows == Long.MaxValue
+    def exhaustedBy(used: Budgets): Boolean =
+      used.files >= files || used.bytes >= bytes || used.rows >= rows
+  }
+  val None0: Budgets = Budgets(0L, 0L, 0L)
+  val Unlimited: Budgets = Budgets(Long.MaxValue, Long.MaxValue, Long.MaxValue)
+
+  def budgetsOf(limit: ReadLimit): Budgets = limit match {
+    case _: ReadAllAvailable => Unlimited
+    case f: ReadMaxFiles => Budgets(f.maxFiles.toLong, Long.MaxValue, Long.MaxValue)
+    case b: ReadMaxBytes => Budgets(Long.MaxValue, b.maxBytes, Long.MaxValue)
+    case r: ReadMaxRows => Budgets(Long.MaxValue, Long.MaxValue, r.maxRows)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(budgetsOf).reduceOption { (a, b) =>
+        Budgets(math.min(a.files, b.files), math.min(a.bytes, b.bytes),
+          math.min(a.rows, b.rows))
+      }.getOrElse(Unlimited)
+    // min-rows and future limit kinds don't bound dir admission
+    case _ => Unlimited
+  }
+
+  /** The default limit advertised for a set of stream options. */
+  def defaultLimit(opts: SnapshotStreamOptions): ReadLimit = {
+    val ls = Seq(opts.maxFiles.map(ReadLimit.maxFiles),
+      opts.maxBytes.map(ReadLimit.maxBytes),
+      opts.maxRows.map(ReadLimit.maxRows)).flatten
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Saturating add where only LIMITED budgets charge (an unknown
+    * per-dir stat must never trip an unlimited budget). */
+  def charge(limitedTo: Long, acc: Long, d: Long): Long =
+    if (limitedTo == Long.MaxValue) acc
+    else if (acc + d < 0 || acc == Long.MaxValue) Long.MaxValue
+    else acc + d
 }
 
 /** Streaming source over the snapshot table — an APPEND-tailing reader
@@ -994,41 +1055,16 @@ private[graft] class SnapshotMicroBatchStream(root: String,
   // list-and-parse) an unbounded history
   override def latestOffset(): Offset = SnapshotOffset(head())
 
-  override def getDefaultReadLimit: ReadLimit = {
-    val ls = Seq(opts.maxFiles.map(ReadLimit.maxFiles),
-      opts.maxBytes.map(ReadLimit.maxBytes),
-      opts.maxRows.map(ReadLimit.maxRows)).flatten
-    ls match {
-      case Seq() => ReadLimit.allAvailable()
-      case Seq(one) => one
-      case many => ReadLimit.compositeLimit(many.toArray)
-    }
-  }
+  override def getDefaultReadLimit: ReadLimit =
+    StreamAdmission.defaultLimit(opts)
 
   override def reportLatestOffset(): Offset = SnapshotOffset(head())
 
-  /** Per-batch admission budgets decoded from Spark's [[ReadLimit]]
-    * (min-wins across a composite). `Long.MaxValue` = unbounded. */
-  private case class Budgets(files: Long, bytes: Long, rows: Long) {
-    def unlimited: Boolean = files == Long.MaxValue &&
-      bytes == Long.MaxValue && rows == Long.MaxValue
-  }
-  private def budgetsOf(limit: ReadLimit): Budgets = {
-    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxBytes, ReadMaxFiles, ReadMaxRows}
-    limit match {
-      case _: ReadAllAvailable => Budgets(Long.MaxValue, Long.MaxValue, Long.MaxValue)
-      case f: ReadMaxFiles => Budgets(f.maxFiles.toLong, Long.MaxValue, Long.MaxValue)
-      case b: ReadMaxBytes => Budgets(Long.MaxValue, b.maxBytes, Long.MaxValue)
-      case r: ReadMaxRows => Budgets(Long.MaxValue, Long.MaxValue, r.maxRows)
-      case c: CompositeReadLimit =>
-        c.getReadLimits.map(budgetsOf).reduceOption { (a, b) =>
-          Budgets(math.min(a.files, b.files), math.min(a.bytes, b.bytes),
-            math.min(a.rows, b.rows))
-        }.getOrElse(Budgets(Long.MaxValue, Long.MaxValue, Long.MaxValue))
-      // min-rows and future limit kinds don't bound dir admission
-      case _ => Budgets(Long.MaxValue, Long.MaxValue, Long.MaxValue)
-    }
-  }
+  private type Budgets = StreamAdmission.Budgets
+  private def Budgets(f: Long, b: Long, r: Long): Budgets =
+    StreamAdmission.Budgets(f, b, r)
+  private def budgetsOf(limit: ReadLimit): Budgets =
+    StreamAdmission.budgetsOf(limit)
 
   private def snapAt(v: Long): SnapshotTable.Snapshot =
     SnapshotTable.versionWindow(spark, root, v, v).getOrElse(v, sys.error(
@@ -1105,16 +1141,10 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     * the stream. Returns dirs taken; >= 1 whenever any is offered. */
   private def admit(dirs: Seq[String], sn: SnapshotTable.Snapshot,
       b: Budgets, used: Budgets): (Int, Budgets) = {
-    def sat(a: Long, d: Long): Long =
-      if (a + d < 0 || a == Long.MaxValue) Long.MaxValue else a + d
-    // charge only the LIMITED budgets: an unlimited one must never trip
-    // (an unknown per-dir stat would otherwise saturate it)
-    def charge(limitedTo: Long, acc: Long, d: Long): Long =
-      if (limitedTo == Long.MaxValue) acc else sat(acc, d)
+    import StreamAdmission.charge
     var n = 0
     var u = used
-    while (n < dirs.size && u.files < b.files && u.bytes < b.bytes &&
-        u.rows < b.rows) {
+    while (n < dirs.size && !b.exhaustedBy(u)) {
       val d = dirs(n)
       u = Budgets(u.files + 1,
         charge(b.bytes, u.bytes, sn.dirBytes.getOrElse(d, Long.MaxValue)),
@@ -1230,12 +1260,32 @@ private[graft] class SnapshotMicroBatchStream(root: String,
 // ---- change-data-feed reads (`option("readChangeFeed", "true")`) ----
 
 /** No pushdown: a change-feed read is change-complete by contract (a
-  * pruned feed would silently drop changes); filters run post-scan. */
+  * pruned feed would silently drop changes); filters run post-scan.
+  * Timestamp options resolve to versions HERE (checkpoint-assisted):
+  * `startingTimestamp` = earliest commit at/after t (refused when every
+  * commit predates it — the Delta semantics), `endingTimestamp` =
+  * newest commit at/before t. */
 private[graft] class SnapshotCdfScanBuilder(snap: SnapshotTable.Snapshot,
     root: String, startingVersion: Option[Long],
-    endingVersion: Option[Long]) extends ScanBuilder {
-  override def build(): Scan =
-    new SnapshotCdfScan(snap, root, startingVersion, endingVersion)
+    endingVersion: Option[Long],
+    endingTimestamp: Option[Long] = None,
+    streamOpts: SnapshotStreamOptions = SnapshotStreamOptions())
+    extends ScanBuilder {
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    require(startingVersion.isEmpty || streamOpts.startingTimestamp.isEmpty,
+      "set startingVersion OR startingTimestamp, not both")
+    require(endingVersion.isEmpty || endingTimestamp.isEmpty,
+      "set endingVersion OR endingTimestamp, not both")
+    val sv = startingVersion.orElse(streamOpts.startingTimestamp.map { t =>
+      SnapshotTable.firstVersionAtOrAfter(spark, root, t).getOrElse(
+        sys.error(s"startingTimestamp $t is after the newest commit at " +
+          s"$root — every existing commit predates it"))
+    })
+    val ev = endingVersion.orElse(endingTimestamp.map(t =>
+      SnapshotTable.resolve(spark, root, None, Some(t)).version))
+    new SnapshotCdfScan(snap, root, sv, ev, streamOpts)
+  }
 }
 
 /** The change feed as a V2 scan — batch AND streaming (the Delta CDF
@@ -1275,7 +1325,9 @@ private[graft] class SnapshotCdfScanBuilder(snap: SnapshotTable.Snapshot,
   * own change volume — the feed never rescans the table. */
 private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
     root: String, startingVersion: Option[Long],
-    endingVersion: Option[Long]) extends Scan {
+    endingVersion: Option[Long],
+    streamOpts: SnapshotStreamOptions = SnapshotStreamOptions())
+    extends Scan {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
 
   private val tableSchema = StructType.fromDDL(snap.schemaDdl)
@@ -1379,7 +1431,7 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
     require(endingVersion.isEmpty,
       "endingVersion is a batch option; a stream is unbounded")
     new SnapshotCdfMicroBatchStream(root, this,
-      startingVersion.map(_ - 1).getOrElse(snap.version))
+      startingVersion.map(_ - 1).getOrElse(snap.version), streamOpts)
   }
 }
 
@@ -1427,17 +1479,97 @@ private[graft] class CdfReaderFactory(
 /** Micro-batch stream over the change feed: offsets are manifest
   * versions, batch `(start, end]` serves each commit's recorded changes
   * ([[SnapshotCdfScan.rangePartitions]]) — exactly-once across restarts
-  * by the same offset discipline as the append-tailing source. */
+  * by the same offset discipline as the append-tailing source.
+  *
+  * ADMISSION CONTROL (`maxFilesPerTrigger` / `maxBytesPerTrigger` /
+  * `maxRowsPerTrigger`, the Delta CDF rate-limit surface): a limited
+  * batch admits whole COMMITS until the budget crosses — a CDF
+  * backfill from `startingVersion=1` over a long history streams
+  * through in bounded slices instead of one history-sized batch.
+  * Budgets charge from the manifest: create/append/clone commits cost
+  * their fresh dirs' recorded bytes/rows; a `_cdc`-bearing commit costs
+  * one file of unknown size (its change file is not manifest-sized, so
+  * under a byte/row budget it closes the batch — never starves: the
+  * first costed commit always admits); metadata/compact/zorder commits
+  * are free. Commits stay atomic in the feed (no sub-commit split —
+  * one commit's change volume is bounded by its writer's own batch). */
 private[graft] class SnapshotCdfMicroBatchStream(root: String,
-    scan: SnapshotCdfScan, initial: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+    scan: SnapshotCdfScan, initial: Long,
+    opts: SnapshotStreamOptions = SnapshotStreamOptions())
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-  import org.apache.spark.sql.connector.read.streaming.Offset
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def spark = SparkSession.active
+  private def head(): Long =
+    SnapshotTable.headVersion(spark, root).getOrElse(0L)
+
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(head())
 
   override def initialOffset(): Offset = SnapshotOffset(initial)
 
-  override def latestOffset(): Offset = SnapshotOffset(
-    SnapshotTable.headVersion(SparkSession.active, root).getOrElse(0L))
+  override def latestOffset(): Offset = SnapshotOffset(head())
+  override def reportLatestOffset(): Offset = SnapshotOffset(head())
+  override def getDefaultReadLimit: ReadLimit =
+    StreamAdmission.defaultLimit(opts)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import StreamAdmission.{Budgets, charge}
+    val a = start.asInstanceOf[SnapshotOffset].version
+    val h = availableNowCap.fold(head())(math.min(head(), _))
+    if (h <= a) return start
+    val b = StreamAdmission.budgetsOf(limit)
+    if (b.unlimited) return SnapshotOffset(h)
+    val byV = SnapshotTable.versionWindow(spark, root, math.max(1L, a), h)
+    def at(v: Long) = byV.getOrElse(v, sys.error(
+      s"change-feed version $v vanished from $root (vacuumed?)"))
+    def satSum(xs: Seq[Long]): Long = xs.foldLeft(0L)((acc, x) =>
+      if (acc == Long.MaxValue || x == Long.MaxValue || acc + x < 0)
+        Long.MaxValue else acc + x)
+    var endV = a
+    var u = Budgets(0L, 0L, 0L)
+    var open = true
+    var v = a + 1
+    while (open && v <= h) {
+      val next = at(v)
+      // commit cost in (files, bytes, rows); None = free metadata
+      val cost: Option[(Long, Long, Long)] = next.op match {
+        case "create" | "clone" =>
+          val dirs = next.entries.map(_._2)
+          Some((dirs.size.toLong,
+            satSum(dirs.map(d => next.dirBytes.getOrElse(d, Long.MaxValue))),
+            satSum(dirs.map(d => next.dirRows.getOrElse(d, Long.MaxValue)))))
+        case "append" =>
+          val prev = if (v == 1L) Seq.empty
+            else at(v - 1).entries.map(_._2)
+          val fresh = next.entries.map(_._2).diff(prev)
+          Some((fresh.size.toLong,
+            satSum(fresh.map(d => next.dirBytes.getOrElse(d, Long.MaxValue))),
+            satSum(fresh.map(d => next.dirRows.getOrElse(d, Long.MaxValue)))))
+        case _ if next.cdc.isDefined =>
+          Some((1L, Long.MaxValue, Long.MaxValue)) // unknown change size
+        case _ => None // metadata / content-neutral / unservable: plan-
+                       // time decides; admission passes them through free
+      }
+      cost match {
+        case None => endV = v
+        case Some((cf, cb, cr)) =>
+          if (b.exhaustedBy(u)) open = false
+          else {
+            u = Budgets(u.files + cf, charge(b.bytes, u.bytes, cb),
+              charge(b.rows, u.rows, cr))
+            endV = v
+            if (b.exhaustedBy(u)) open = false
+          }
+      }
+      v += 1
+    }
+    if (endV == a) start else SnapshotOffset(endV)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val V = """\{"version":(\d+)\}""".r

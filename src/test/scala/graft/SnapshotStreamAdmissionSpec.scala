@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{SnapshotMicroBatchStream, SnapshotOffset, SnapshotStreamOptions, SnapshotTable}
+import graft.sources.{SnapshotCdfMicroBatchStream, SnapshotCdfScan, SnapshotMicroBatchStream, SnapshotOffset, SnapshotStreamOptions, SnapshotTable}
 
 /** Streaming ADMISSION CONTROL on the snapshot source — the Delta
   * `maxFilesPerTrigger`/`maxBytesPerTrigger` surface: without it, a new
@@ -352,6 +352,94 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
       "tailing walk must serve exactly the data commits' fresh dirs")
     assert(served.toSet.intersect(fromCompact).isEmpty,
       "tailing reader served a compact rewrite dir")
+  }
+
+  test("CDF admission control: a rate-limited change-feed backfill " +
+      "admits whole commits per batch (cdc commits close byte-limited " +
+      "batches; metadata commits are free) and lands on the head") {
+    val root = freshRoot("cdfadm")
+    SnapshotTable.create(rows(0 until 16, "a"), root, Seq("id"), 4,
+      changeFeed = true)
+    SnapshotTable.append(rows(16 until 32, "b"), root)
+    SnapshotTable.upsert(Seq((1L, "U", 1L)).toDF("id", "tag", "v"), root)
+    SnapshotTable.append(rows(32 until 40, "c"), root)
+    val head = SnapshotTable.versions(spark, root).last
+    def walk(opts: SnapshotStreamOptions): Seq[Long] = {
+      val st = new SnapshotCdfScan(head, root, Some(1L), None, opts)
+        .toMicroBatchStream("").asInstanceOf[SnapshotCdfMicroBatchStream]
+      val limit = st.getDefaultReadLimit
+      var cur = st.initialOffset().asInstanceOf[SnapshotOffset]
+      val ends = scala.collection.mutable.Buffer.empty[Long]
+      var open = true
+      var steps = 0
+      while (open && steps < 50) {
+        val next = st.latestOffset(cur, limit).asInstanceOf[SnapshotOffset]
+        if (next == cur) open = false
+        else { ends += next.version; cur = next }
+        steps += 1
+      }
+      ends.toSeq
+    }
+    // one commit per batch under maxFiles=1 (commits stay atomic)
+    assert(walk(SnapshotStreamOptions(maxFiles = Some(1))) ===
+      Seq(1L, 2L, 3L, 4L))
+    // byte-limited: the cdc commit (v3, unknown size) closes its batch
+    assert(walk(SnapshotStreamOptions(maxBytes = Some(1L))) ===
+      Seq(1L, 2L, 3L, 4L))
+    // unlimited: one batch to the head
+    assert(walk(SnapshotStreamOptions()) === Seq(4L))
+  }
+
+  test("END-TO-END: a rate-limited CDF stream drains a backfill in >1 " +
+      "batch with content equal to the batch feed; CDF timestamps " +
+      "resolve start/end versions") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot("cdfe2e")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cdfadm_ck").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_cdfadm_out").toString + "/r"
+    SnapshotTable.create(rows(0 until 16, "a"), root, Seq("id"), 4)
+    Thread.sleep(30)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapshotTable.append(rows(16 until 24, "b"), root)
+    SnapshotTable.append(rows(24 until 32, "c"), root)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("maxFilesPerTrigger", "2").load(root)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (b.count() > 0) nBatches.incrementAndGet()
+        b.write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(nBatches.get() > 1, s"expected a multi-batch CDF backfill")
+    val batch = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(root)
+    assert(spark.read.parquet(out).count() === batch.count())
+    assert(spark.read.parquet(out).count() === 32L)
+    // startingTimestamp resolves to the first commit >= t (v2)
+    val fromMid = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", tMid.toString).load(root)
+    assert(fromMid.count() === 16L) // the two appends' inserts
+    // endingTimestamp resolves to the newest commit <= t
+    val upToMid = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingTimestamp",
+        (tMid).toString).load(root)
+    assert(upToMid.count() === 16L) // just the create's inserts
+    // a future-only startingTimestamp refuses
+    intercept[Exception](spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp",
+        (System.currentTimeMillis() + 3600000L).toString).load(root)
+      .count())
   }
 
   test("END-TO-END: startingVersion=latest subscribes without backfill " +
