@@ -1532,14 +1532,15 @@ object SourceQueries {
   /** Streaming ADMISSION CONTROL on the snapshot source
     * ([[graft.sources.SnapshotMicroBatchStream]] with
     * `maxFilesPerTrigger` — the Delta rate-limit surface): run 1 drains
-    * a 3-commit table through `Trigger.AvailableNow` at 2 dirs/batch,
-    * so the initial snapshot is SPLIT across micro-batches by
-    * sub-version offsets instead of arriving as one table-sized batch
-    * (the 100 TB first-trigger killer); the union of the slices must
-    * still be exactly the snapshot — any dir served twice or dropped at
-    * a slice boundary flips the hash. Run 2 starts a SEPARATE stream
-    * with `startingVersion=2` (the backfill-free subscription): only
-    * commits >= 2 arrive, rate-limited to 1 dir/batch, nothing of the
+    * a 3-commit table through `Trigger.AvailableNow` at 8 dirs/batch
+    * (~24 live dirs → a 3+ batch drain), so the initial snapshot is
+    * SPLIT across micro-batches by sub-version offsets instead of
+    * arriving as one table-sized batch (the 100 TB first-trigger
+    * killer); the union of the slices must still be exactly the
+    * snapshot — any dir served twice or dropped at a slice boundary
+    * flips the hash. Run 2 starts a SEPARATE stream with
+    * `startingVersion=2` (the backfill-free subscription): only
+    * commits >= 2 arrive, same 8-dir rate limit, nothing of the
     * initial snapshot re-emits. Batch-count/boundary-restart mechanics
     * are SnapshotStreamAdmissionSpec's; this row pins end-to-end
     * content exactness. */

@@ -677,7 +677,8 @@ private[sources] object SnapshotProcedures {
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
 
-  val Names: Seq[String] = Seq("history", "compact", "vacuum", "zorder",
+  val Names: Seq[String] = Seq("history", "compact", "compact_where",
+    "vacuum", "zorder",
     "restore", "clone", "create_tag", "drop_tag", "tags", "rescale",
     "repartition_spec",
     "create_branch", "drop_branch", "fast_forward", "branches",
@@ -738,6 +739,17 @@ private[sources] object SnapshotProcedures {
           val v = if (maxDirs <= 0) SnapshotTable.compact(spark, root)
             else SnapshotTable.compact(spark, root, maxDirs)
           Seq(InternalRow(v))
+        }
+      }
+      case "compact_where" => new Proc("compact_where",
+          Seq(tableParam,
+            ProcedureParameter.in("predicate", StringType).build()),
+          StructType.fromDDL("version BIGINT")) {
+        override def run(input: InternalRow): Seq[InternalRow] = {
+          val root = cat.procTableRoot(input.getUTF8String(0).toString)
+          Seq(InternalRow(SnapshotTable.compactWhere(spark, root,
+            org.apache.spark.sql.functions.expr(
+              input.getUTF8String(1).toString))))
         }
       }
       case "zorder" => new Proc("zorder",

@@ -922,9 +922,17 @@ private[graft] object SnapshotStreamOptions {
       Option(options.get("startingVersion")),
       Option(options.get("startingTimestamp")).map(parseTs))
 
-  /** Epoch millis or any `java.sql.Timestamp`-parsable string. */
+  /** Epoch millis, a `java.sql.Timestamp` string
+    * (`yyyy-MM-dd HH:mm:ss[.f…]`), or a date-only `yyyy-MM-dd`
+    * (midnight local — the Delta-style spelling). */
   def parseTs(s: String): Long =
-    s.toLongOption.getOrElse(java.sql.Timestamp.valueOf(s).getTime)
+    s.toLongOption.getOrElse {
+      try java.sql.Timestamp.valueOf(s).getTime
+      catch {
+        case _: IllegalArgumentException =>
+          java.sql.Date.valueOf(s).getTime
+      }
+    }
 }
 
 /** Per-batch admission budgets decoded from Spark's [[ReadLimit]]
@@ -974,6 +982,19 @@ private[graft] object StreamAdmission {
     if (limitedTo == Long.MaxValue) acc
     else if (acc + d < 0 || acc == Long.MaxValue) Long.MaxValue
     else acc + d
+
+  /** Saturating plain sum (per-dir costs can be `Long.MaxValue` =
+    * unknown; several must not wrap negative). */
+  def satSum(xs: Seq[Long]): Long = xs.foldLeft(0L)((acc, x) =>
+    if (acc == Long.MaxValue || x == Long.MaxValue || acc + x < 0)
+      Long.MaxValue else acc + x)
+
+  /** Manifests parsed per admission step while walking a backlog: a
+    * budget-limited `latestOffset` parses the unserved window in
+    * chunks this size and stops at exhaustion, so a long backfill
+    * costs O(served + skipped-free) parses per trigger — never
+    * O(backlog) per trigger (which would be O(backlog²) to drain). */
+  val WindowChunk = 64L
 }
 
 /** Streaming source over the snapshot table — an APPEND-tailing reader
@@ -1028,22 +1049,39 @@ private[graft] class SnapshotMicroBatchStream(root: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(head())
 
+  /** Anchor at commit `v` (inclusive): serving v's fresh rows requires
+    * DIFFING against v−1's entry list, so v−1's manifest must still be
+    * listed — a vacuumed predecessor refuses UP FRONT with guidance
+    * (self-contained manifests carry full entry lists, not per-commit
+    * adds, hence the predecessor dependency; Delta reads commit v's own
+    * actions instead and doesn't have it). */
+  private def anchorAt(v: Long): SnapshotOffset = {
+    require(v >= 1, s"startingVersion must be >= 1, got $v")
+    val listed = SnapshotTable.listedVersions(spark, root)
+    val h = listed.lastOption.getOrElse(0L)
+    require(v <= h + 1, s"startingVersion $v is past the head of " +
+      s"$root (v$h)")
+    if (v == 1L) SnapshotOffset(0L, -1, "tail")
+    else {
+      if (!listed.contains(v - 1))
+        sys.error(s"cannot start at version $v of $root: version " +
+          s"${v - 1} (needed to diff v$v's fresh rows) has been " +
+          s"vacuumed — oldest retained is ${listed.headOption.getOrElse(0L)}; " +
+          "start at a version whose predecessor is retained, or stream " +
+          "the consolidated snapshot (no startingVersion)")
+      SnapshotOffset(v - 1)
+    }
+  }
+
   override def initialOffset(): Offset = opts.startingVersion match {
     case Some("latest") => SnapshotOffset(head())
     case Some(s) =>
-      val v = s.toLongOption.getOrElse(sys.error(
-        s"startingVersion must be a version number or 'latest', got '$s'"))
-      require(v >= 1, s"startingVersion must be >= 1, got $v")
-      val h = head()
-      require(v <= h + 1, s"startingVersion $v is past the head of " +
-        s"$root (v$h)")
-      if (v == 1L) SnapshotOffset(0L, -1, "tail") else SnapshotOffset(v - 1)
+      anchorAt(s.toLongOption.getOrElse(sys.error(
+        s"startingVersion must be a version number or 'latest', got '$s'")))
     case None => opts.startingTimestamp match {
       case Some(t) =>
         SnapshotTable.firstVersionAtOrAfter(spark, root, t) match {
-          case Some(v) =>
-            if (v == 1L) SnapshotOffset(0L, -1, "tail")
-            else SnapshotOffset(v - 1)
+          case Some(v) => anchorAt(v)
           case None => sys.error(s"startingTimestamp $t is after the " +
             s"newest commit at $root — every existing commit predates it")
         }
@@ -1085,9 +1123,17 @@ private[graft] class SnapshotMicroBatchStream(root: String,
 
   /** Dir list the pinned initial snapshot serves, in manifest order —
     * deterministic across restarts, so index offsets slice into it
-    * stably. */
-  private def initDirs(s: SnapshotTable.Snapshot): Seq[String] =
+    * stably. A snapshot carrying unresolved merge-on-read deltas
+    * REFUSES: its base entries served verbatim would emit tombstoned
+    * and shadowed rows a batch read (which resolves) does not. */
+  private def initDirs(s: SnapshotTable.Snapshot): Seq[String] = {
+    require(s.deltas.isEmpty,
+      s"snapshot stream at $root: v${s.version} carries " +
+        s"${s.deltas.size} unresolved merge-on-read delta dir(s); its " +
+        "base entries alone are not the table's content — compact " +
+        "before streaming")
     s.entries.map(_._2)
+  }
 
   /** Fresh dirs of commit `next` over its predecessor's entries, under
     * append-tail semantics. Rescale and column renames/drops are pure
@@ -1101,7 +1147,20 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     * rewritten dirs verbatim. */
   private def freshDirs(next: SnapshotTable.Snapshot,
       prevEntries: Seq[String]): Seq[String] = {
-    if (next.op == "compact" || next.op == "zorder") return Seq.empty
+    // content-neutral rewrites are skipped for clean streams; under
+    // ignoreChanges they keep the OLD verbatim-re-emit semantics — that
+    // re-emit is the only path by which an ignoreChanges stream ever
+    // delivers merge-on-read changes (the fold-at-compact), so removing
+    // it would turn the documented re-emit caveat into silent loss
+    if ((next.op == "compact" || next.op == "zorder") && !ignoreChanges)
+      return Seq.empty
+    // a clone commit serves its entries as pure inserts — unsound if it
+    // carried unresolved deltas (tombstoned/shadowed rows would emit)
+    if (next.op == "clone" && next.deltas.nonEmpty)
+      sys.error(s"snapshot stream at $root: clone commit " +
+        s"v${next.version} carries ${next.deltas.size} unresolved " +
+        "merge-on-read delta dir(s) — compact the clone before " +
+        "streaming its history")
     val fresh = next.entries.map(_._2).diff(prevEntries)
     if (next.op != "append" && next.op != "create" && next.op != "clone" &&
         next.op != "rescale" &&
@@ -1180,17 +1239,24 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         var anchor = a
         var served = s
         var u = Budgets(0, 0, 0)
-        val win = tailWindow(a, math.max(h, a + 1)).iterator
         var open = true
-        while (open && win.hasNext) {
-          val (sn, fresh) = win.next()
-          val from = if (sn.version == a + 1) s else 0
-          val (n, u2) = admit(fresh.drop(from), sn, b, u)
-          u = u2
-          if (from + n >= fresh.size) { anchor = sn.version; served = 0 }
-          else { anchor = sn.version - 1; served = from + n; open = false }
-          if (u.files >= b.files || u.bytes >= b.bytes || u.rows >= b.rows)
-            open = false
+        // chunked walk: parse only as far as the budget reaches, never
+        // the whole backlog per trigger (StreamAdmission.WindowChunk)
+        var lo = a
+        val hi = math.max(h, a + 1)
+        while (open && lo < hi) {
+          val chunkHi = math.min(hi, lo + StreamAdmission.WindowChunk)
+          val win = tailWindow(lo, chunkHi).iterator
+          while (open && win.hasNext) {
+            val (sn, fresh) = win.next()
+            val from = if (sn.version == a + 1) s else 0
+            val (n, u2) = admit(fresh.drop(from), sn, b, u)
+            u = u2
+            if (from + n >= fresh.size) { anchor = sn.version; served = 0 }
+            else { anchor = sn.version - 1; served = from + n; open = false }
+            if (b.exhaustedBy(u)) open = false
+          }
+          lo = chunkHi
         }
         if (anchor == a && served == s) so
         else if (served == 0) SnapshotOffset(anchor)
@@ -1372,7 +1438,13 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
         CdfInputPartition(p, fromCdc = false, "insert", next.version))
     next.op match {
       // a clone's first commit IS its table's initial content — served
-      // as inserts, exactly like create
+      // as inserts, exactly like create; REFUSED when it carries
+      // unresolved merge-on-read deltas (base entries alone would
+      // include tombstoned/shadowed rows — change-incomplete)
+      case "clone" if next.deltas.nonEmpty => sys.error(
+        s"change feed at $root: clone commit v${next.version} carries " +
+          s"${next.deltas.size} unresolved merge-on-read delta dir(s) — " +
+          "compact the clone before reading its feed from v1")
       case "create" | "clone" => raw(next.entries.map(_._2))
       case "append" =>
         raw(next.entries.map(_._2).diff(
@@ -1524,49 +1596,59 @@ private[graft] class SnapshotCdfMicroBatchStream(root: String,
     if (h <= a) return start
     val b = StreamAdmission.budgetsOf(limit)
     if (b.unlimited) return SnapshotOffset(h)
-    val byV = SnapshotTable.versionWindow(spark, root, math.max(1L, a), h)
-    def at(v: Long) = byV.getOrElse(v, sys.error(
-      s"change-feed version $v vanished from $root (vacuumed?)"))
-    def satSum(xs: Seq[Long]): Long = xs.foldLeft(0L)((acc, x) =>
-      if (acc == Long.MaxValue || x == Long.MaxValue || acc + x < 0)
-        Long.MaxValue else acc + x)
+    import StreamAdmission.satSum
     var endV = a
     var u = Budgets(0L, 0L, 0L)
     var open = true
-    var v = a + 1
-    while (open && v <= h) {
-      val next = at(v)
-      // commit cost in (files, bytes, rows); None = free metadata
-      val cost: Option[(Long, Long, Long)] = next.op match {
-        case "create" | "clone" =>
-          val dirs = next.entries.map(_._2)
-          Some((dirs.size.toLong,
-            satSum(dirs.map(d => next.dirBytes.getOrElse(d, Long.MaxValue))),
-            satSum(dirs.map(d => next.dirRows.getOrElse(d, Long.MaxValue)))))
-        case "append" =>
-          val prev = if (v == 1L) Seq.empty
-            else at(v - 1).entries.map(_._2)
-          val fresh = next.entries.map(_._2).diff(prev)
-          Some((fresh.size.toLong,
-            satSum(fresh.map(d => next.dirBytes.getOrElse(d, Long.MaxValue))),
-            satSum(fresh.map(d => next.dirRows.getOrElse(d, Long.MaxValue)))))
-        case _ if next.cdc.isDefined =>
-          Some((1L, Long.MaxValue, Long.MaxValue)) // unknown change size
-        case _ => None // metadata / content-neutral / unservable: plan-
-                       // time decides; admission passes them through free
-      }
-      cost match {
-        case None => endV = v
-        case Some((cf, cb, cr)) =>
-          if (b.exhaustedBy(u)) open = false
-          else {
-            u = Budgets(u.files + cf, charge(b.bytes, u.bytes, cb),
-              charge(b.rows, u.rows, cr))
-            endV = v
+    // chunked walk (StreamAdmission.WindowChunk): parse only as far as
+    // the budget reaches, never the whole backlog per trigger
+    var lo = a
+    while (open && lo < h) {
+      val chunkHi = math.min(h, lo + StreamAdmission.WindowChunk)
+      val byV = SnapshotTable.versionWindow(spark, root,
+        math.max(1L, lo), chunkHi)
+      def at(v: Long) = byV.getOrElse(v, sys.error(
+        s"change-feed version $v vanished from $root (vacuumed?)"))
+      var v = lo + 1
+      while (open && v <= chunkHi) {
+        val next = at(v)
+        // commit cost in (files, bytes, rows); None = free metadata
+        val cost: Option[(Long, Long, Long)] = next.op match {
+          case "create" | "clone" =>
+            val dirs = next.entries.map(_._2)
+            Some((dirs.size.toLong,
+              satSum(dirs.map(d => next.dirBytes.getOrElse(d, Long.MaxValue))),
+              satSum(dirs.map(d => next.dirRows.getOrElse(d, Long.MaxValue)))))
+          case "append" =>
+            val prev = if (v == 1L) Seq.empty
+              else at(v - 1).entries.map(_._2)
+            val fresh = next.entries.map(_._2).diff(prev)
+            Some((fresh.size.toLong,
+              satSum(fresh.map(d => next.dirBytes.getOrElse(d, Long.MaxValue))),
+              satSum(fresh.map(d => next.dirRows.getOrElse(d, Long.MaxValue)))))
+          case _ if next.cdc.isDefined =>
+            // commit-recorded change-file bytes (round-14 manifests);
+            // legacy manifests without them fill the byte budget whole
+            Some((1L,
+              next.dirBytes.getOrElse(next.cdc.get, Long.MaxValue),
+              Long.MaxValue))
+          case _ => None // metadata / content-neutral / unservable: plan-
+                         // time decides; admission passes them through free
+        }
+        cost match {
+          case None => endV = v
+          case Some((cf, cb, cr)) =>
             if (b.exhaustedBy(u)) open = false
-          }
+            else {
+              u = Budgets(u.files + cf, charge(b.bytes, u.bytes, cb),
+                charge(b.rows, u.rows, cr))
+              endV = v
+              if (b.exhaustedBy(u)) open = false
+            }
+        }
+        v += 1
       }
-      v += 1
+      lo = chunkHi
     }
     if (endV == a) start else SnapshotOffset(endV)
   }

@@ -595,6 +595,16 @@ object SnapshotTable {
         }).map(_.getLen).sum
     }.toMap
 
+  /** On-disk bytes of a commit's `_cdc` change dir, keyed like
+    * [[dirSizes]] — recorded so a rate-limited change-feed reader can
+    * charge a cdc commit's REAL size against its byte budget instead
+    * of "unknown" (one extra listing on the commit that already paid
+    * one per fresh dir). */
+  private def cdcSizes(fsys: FileSystem,
+      cdc: Option[String]): Map[String, Long] =
+    cdc.fold(Map.empty[String, Long])(d =>
+      dirSizes(fsys, Seq(0 -> d)))
+
   // stats serialization: one flat JSON object per dir, our own
   // writer/parser (the grammar is fixed and tab/newline-free so the
   // line-oriented manifest stays parseable; no library dependency drift)
@@ -1398,6 +1408,14 @@ object SnapshotTable {
         }
       case _ => (parseV _).tupled(listed.versions.last)
     }
+  }
+
+  /** All listed main version NUMBERS, ascending — one dir listing,
+    * zero manifest parses (the streaming start-anchor validation). */
+  private[sources] def listedVersions(spark: SparkSession,
+      root: String): Seq[Long] = {
+    val (fsys, rootP) = fs(spark, root)
+    listManifests(fsys, rootP, None).versionNumbers
   }
 
   /** Earliest main version committed at or after `ts` (epoch millis) —
@@ -2401,8 +2419,10 @@ object SnapshotTable {
         body ++= s"delta=${d.bucket}\t${d.seq}\t${d.kind}\t${d.dir}" += '\n'
       }
       // stats/rows only for live entries: carried-forward dirs keep
-      // theirs, dropped dirs' metadata goes with them
-      val live = snap.entries.map(_._2).toSet ++ snap.deltas.map(_.dir)
+      // theirs, dropped dirs' metadata goes with them. The commit's own
+      // cdc dir is live too (its recorded bytes feed CDF admission).
+      val live = snap.entries.map(_._2).toSet ++ snap.deltas.map(_.dir) ++
+        snap.cdc
       snap.dirStats.toSeq.filter(e => live(e._1)).sortBy(_._1)
         .foreach { case (d, st) =>
           body ++= s"stats=$d\t${statsToJson(st)}" += '\n'
@@ -3020,7 +3040,8 @@ object SnapshotTable {
       cur.colMap, cur.keys, Some(fsys))
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("upsert", ddl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries), hit = Some(hit), txn = txn,
+        dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
+        hit = Some(hit), txn = txn,
         cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
   }
 
@@ -3082,7 +3103,8 @@ object SnapshotTable {
       cur.statsCols, cur.colMap, cur.keys, Some(fsys))
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries), hit = Some(hit), txn = None,
+        dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
+        hit = Some(hit), txn = None,
         cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
   }
 
@@ -3162,7 +3184,8 @@ object SnapshotTable {
         rootP, v, uuid, cur.colMap))
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete-pos", cur.schemaDdl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries), hit = Some(Set(0)), txn = None,
+        dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
+        hit = Some(Set(0)), txn = None,
         cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
   }
 
@@ -3217,7 +3240,8 @@ object SnapshotTable {
       kept ++ newEntries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, newEntries),
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, newEntries) ++
+        cdcSizes(fsys, cdcDir),
       deltas = Seq.empty, changeFeed = cur.changeFeed, cdc = cdcDir,
       dirLayout = cur.dirLayout, colMap = cur.colMap,
       droppedPhys = cur.droppedPhys, constraints = cur.constraints,
@@ -4007,6 +4031,54 @@ object SnapshotTable {
       deltas = cur.deltas.filterNot(d => target(d.bucket)),
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout,
+      colMap = cur.colMap, droppedPhys = cur.droppedPhys,
+      constraints = cur.constraints, partSpec = cur.partSpec)))
+    v
+  }
+
+  /** PARTITION-SCOPED compaction — the maintenance companion to the
+    * partition-pinned retention DELETE: consolidate ONLY the dirs whose
+    * rows provably ALL satisfy `predicate` (partition-derived bounds +
+    * recorded stats — the same [[deleteClassify]] certainty pass), one
+    * fresh dir per bucket(×partition leaf). "Compact yesterday's
+    * ingest" costs O(yesterday's bytes), not O(table) — the cadence a
+    * streaming table actually needs, since the hot write region is
+    * where small dirs accumulate. Dirs not PROVABLY inside the region
+    * (boundary dirs, stats-less dirs) carry verbatim — conservative:
+    * skipped, never half-compacted; old-layout dirs it does touch
+    * migrate to the current bucket layout like any compact.
+    * Content-neutral, so clean tailing streams skip the commit (the
+    * dataChange=false discipline). Returns the committed version — or
+    * the current one (no empty commit) when fewer than `minDirs` dirs
+    * qualify, or when the table carries unresolved merge-on-read
+    * deltas (rewritten rows would outrank their shadowing events in
+    * replay order — run the full [[compact]] instead). */
+  def compactWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      minDirs: Int = 2): Long = {
+    require(minDirs >= 1, s"minDirs must be >= 1: $minDirs")
+    val cur = current(spark, root)
+    val (target, _, _) = deleteClassify(spark, cur, predicate)
+    if (target.size < minDirs) return cur.version
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    val uuid = newUuid()
+    val rows = readEntries(spark, cur.schemaDdl, cur.colMap,
+      target.map(_._2))
+    val entries = writeCommitData(rows, rootP, v, cur.keys, cur.buckets,
+      uuid, fsys, cur.colMap, cur.partSpec)
+    val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
+    val targetDirs = target.map(_._2).toSet
+    publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
+      cur.buckets, cur.schemaDdl, uuid,
+      cur.entries.filterNot(e => targetDirs(e._2)) ++ entries,
+      statsCols = cur.statsCols,
+      dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
+      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
+      deltas = cur.deltas, // empty: classification refuses delta tables
+      changeFeed = cur.changeFeed,
+      dirLayout = cur.dirLayout, // rewritten dirs are current-layout
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec)))
     v

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{SnapshotMicroBatchStream, SnapshotOffset, SnapshotStreamOptions, SnapshotTable}
+import graft.sources.{SnapshotCdfScan, SnapshotMicroBatchStream, SnapshotOffset, SnapshotStreamOptions, SnapshotTable}
 
 /** SHALLOW CLONE of the snapshot format ([[SnapshotTable.cloneTable]]
   * — the Delta `CREATE TABLE … SHALLOW CLONE` shape): version 1 of the
@@ -127,6 +127,22 @@ class SnapshotCloneSpec extends AnyFunSuite {
     assert(SnapshotTable.versions(spark, dst).head.deltas.nonEmpty)
     assert(asSet(SnapshotTable.read(spark, dst)) ===
       asSet(SnapshotTable.read(spark, src)))
+    // a delta-bearing clone commit REFUSES to stream or CDF-serve:
+    // its base entries verbatim would emit tombstoned/shadowed rows
+    val stTail = new SnapshotMicroBatchStream(dst, _ => null, false,
+      SnapshotStreamOptions(startingVersion = Some("1")))
+    val eT = intercept[Exception](stTail.rangeDirs(
+      stTail.initialOffset().asInstanceOf[SnapshotOffset],
+      SnapshotOffset(1)))
+    assert(eT.getMessage.contains("compact"))
+    val stInit = new SnapshotMicroBatchStream(dst, _ => null, false)
+    val eI = intercept[Exception](
+      stInit.rangeDirs(SnapshotOffset(0), SnapshotOffset(1)))
+    assert(eI.getMessage.contains("compact"))
+    val eC = intercept[Exception](
+      new SnapshotCdfScan(SnapshotTable.versions(spark, dst).last, dst,
+        Some(1L), None).toBatch.planInputPartitions())
+    assert(eC.getMessage.contains("compact"))
   }
 
   test("the clone's VACUUM can never touch source data: after the " +

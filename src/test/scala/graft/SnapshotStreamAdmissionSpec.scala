@@ -31,8 +31,9 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
 
   /** Offset-arithmetic-only stream (planInputPartitions unused). */
   private def mkStream(root: String,
-      opts: SnapshotStreamOptions = SnapshotStreamOptions()) =
-    new SnapshotMicroBatchStream(root, _ => null, false, opts)
+      opts: SnapshotStreamOptions = SnapshotStreamOptions(),
+      ignoreChanges: Boolean = false) =
+    new SnapshotMicroBatchStream(root, _ => null, ignoreChanges, opts)
 
   /** Drain the stream's offset walk: (slices of dirs, final offset). */
   private def drain(st: SnapshotMicroBatchStream,
@@ -354,6 +355,53 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
       "tailing reader served a compact rewrite dir")
   }
 
+  test("an ignoreChanges stream KEEPS the verbatim re-emit on " +
+      "compact/zorder (its only delivery path for merge-on-read " +
+      "folds), while the default stream fail-fasts at the MOR commit") {
+    val root = freshRoot("ignfold")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 2)
+    val stIgn = mkStream(root, ignoreChanges = true)
+    val stDef = mkStream(root)
+    val (_, afterInit) = drain(stIgn,
+      stIgn.initialOffset().asInstanceOf[SnapshotOffset])
+    // a MOR upsert adds only delta dirs: the ignoreChanges stream
+    // under-delivers silently (documented); the default stream refuses
+    SnapshotTable.upsert(Seq((1L, "M", 1L)).toDF("id", "tag", "v"), root,
+      mergeOnRead = true)
+    SnapshotTable.compact(spark, root) // folds the delta layer
+    val e = intercept[Exception](drain(stDef, afterInit))
+    assert(e.getMessage.contains("upsert-mor"))
+    val (slices, fin) = drain(stIgn, afterInit)
+    // the compact's rewritten dirs re-emit VERBATIM — the fold (and
+    // with it the upserted row) reaches the ignoreChanges consumer
+    assert(slices.flatten.nonEmpty,
+      "ignoreChanges must still deliver the compact fold")
+    assert(slices.flatten.toSet ===
+      headSnap(root).entries.map(_._2).toSet)
+    assert(fin === SnapshotOffset(headSnap(root).version))
+  }
+
+  test("start anchors refuse when the predecessor manifest needed to " +
+      "diff the anchor commit was vacuumed; retained anchors still " +
+      "work; date-only timestamp strings parse") {
+    val root = freshRoot("vacanchor")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 2)
+    SnapshotTable.append(rows(8 until 12, "b"), root)
+    SnapshotTable.append(rows(12 until 16, "c"), root)
+    SnapshotTable.append(rows(16 until 20, "d"), root)
+    SnapshotTable.vacuum(spark, root, keepVersions = 2) // keeps v3, v4
+    def anchorOf(sv: String) = mkStream(root,
+      SnapshotStreamOptions(startingVersion = Some(sv)))
+      .initialOffset().asInstanceOf[SnapshotOffset]
+    assert(anchorOf("4") === SnapshotOffset(3)) // v3 retained: diffable
+    val e = intercept[Exception](anchorOf("3")) // v2 vacuumed: refuse
+    assert(e.getMessage.contains("vacuumed"))
+    assert(SnapshotStreamOptions.parseTs("2024-01-05") ===
+      java.sql.Date.valueOf("2024-01-05").getTime)
+    assert(SnapshotStreamOptions.parseTs("2024-01-05 06:07:08") ===
+      java.sql.Timestamp.valueOf("2024-01-05 06:07:08").getTime)
+  }
+
   test("CDF admission control: a rate-limited change-feed backfill " +
       "admits whole commits per batch (cdc commits close byte-limited " +
       "batches; metadata commits are free) and lands on the head") {
@@ -383,11 +431,15 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
     // one commit per batch under maxFiles=1 (commits stay atomic)
     assert(walk(SnapshotStreamOptions(maxFiles = Some(1))) ===
       Seq(1L, 2L, 3L, 4L))
-    // byte-limited: the cdc commit (v3, unknown size) closes its batch
+    // byte-limited: every commit's recorded bytes cross the 1-byte cap
     assert(walk(SnapshotStreamOptions(maxBytes = Some(1L))) ===
       Seq(1L, 2L, 3L, 4L))
     // unlimited: one batch to the head
     assert(walk(SnapshotStreamOptions()) === Seq(4L))
+    // the cdc commit records its change file's REAL bytes, so CDF byte
+    // budgets charge it exactly (not "unknown fills the budget")
+    val v3 = SnapshotTable.versions(spark, root).find(_.version == 3L).get
+    assert(v3.cdc.isDefined && v3.dirBytes.get(v3.cdc.get).exists(_ > 0L))
   }
 
   test("END-TO-END: a rate-limited CDF stream drains a backfill in >1 " +
