@@ -1624,9 +1624,52 @@ object SourceQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** Write-side column DEFAULTs ([[graft.sources.SnapshotTable
+    * .setColumnDefault]] + the catalog's `SUPPORT_COLUMN_DEFAULT_VALUE`
+    * — the Delta `DEFAULT` surface): a pure-SQL lifecycle where INSERTs
+    * omit columns and Spark's analyzer fills them from the manifest's
+    * defaults — CREATE-time defaults for phase-a rows, full explicit
+    * rows for phase-b, then `ALTER COLUMN … SET DEFAULT` changes what
+    * phase-c rows get WITHOUT touching a byte of phases a/b (a
+    * pure-metadata commit). The oracle recomputes every row's expected
+    * fill from its phase, so a default leaking into the wrong phase
+    * (e.g. read-path back-fill of old files) flips the hash. NULL-
+    * contract and refusal mechanics are SnapshotDefaultsSpec's. */
+  val q192 = Q("q192_snapshot_defaults",
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 3 = 0 THEN 'und'
+      |            WHEN doc_id % 3 = 1 THEN lang
+      |            ELSE 'xx' END AS lang,
+      |       CASE WHEN doc_id % 3 = 0 THEN 0
+      |            ELSE n_chars END AS n_chars
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val wh = scratch("snapdef_wh", dir)
+    rmTree(wh); new java.io.File(wh).mkdirs()
+    s.conf.set("spark.sql.catalog.defcat", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.defcat.warehouse", wh)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .createOrReplaceTempView("q192_docs")
+    s.sql("DROP TABLE IF EXISTS defcat.ddocs")
+    s.sql("CREATE TABLE defcat.ddocs (doc_id BIGINT, " +
+      "lang STRING DEFAULT 'und', n_chars BIGINT DEFAULT 0) " +
+      "PARTITIONED BY (bucket(8, doc_id))")
+    s.sql("INSERT INTO defcat.ddocs (doc_id) " +
+      "SELECT doc_id FROM q192_docs WHERE doc_id % 3 = 0")
+    s.sql("INSERT INTO defcat.ddocs " +
+      "SELECT doc_id, lang, n_chars FROM q192_docs WHERE doc_id % 3 = 1")
+    s.sql("ALTER TABLE defcat.ddocs ALTER COLUMN lang SET DEFAULT 'xx'")
+    s.sql("INSERT INTO defcat.ddocs (doc_id, n_chars) " +
+      "SELECT doc_id, n_chars FROM q192_docs WHERE doc_id % 3 = 2")
+    s.sql("SELECT doc_id, lang, n_chars FROM defcat.ddocs " +
+      "ORDER BY doc_id")
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
       q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-      q182, q183, q186, q188, q190, q191)
+      q182, q183, q186, q188, q190, q191, q192)
 }

@@ -158,6 +158,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     new SnapshotCatalogTable(root, resolved.snapshot)
   }
 
+  /** Catalog-level capabilities: column DEFAULTs are declared so
+    * Spark's parser/analyzer accepts `DEFAULT` clauses and fills
+    * INSERTs from the schema's CURRENT_DEFAULT metadata
+    * ([[SnapshotCatalogTable.schema]]). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
 
   /** `VERSION AS OF n`. */
@@ -227,10 +236,21 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val statsCols = prop("statscols")
       .map(s => s.split(",").toSeq.filter(_.nonEmpty))
     val changeFeed = prop("changefeed").exists(_.toBoolean)
+    // CREATE-time column DEFAULTs arrive as Spark's CURRENT_DEFAULT
+    // field metadata (the V2 column↔StructType encoding)
+    val colDefaults = schema.fields.flatMap { f =>
+      if (f.metadata.contains("CURRENT_DEFAULT"))
+        Some(f.name -> f.metadata.getString("CURRENT_DEFAULT"))
+      else None
+    }.toMap
+    // stripped schema: toDDL would serialize DEFAULT clauses fromDDL
+    // can't parse — defaults live in the manifest's own field instead
     val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      SnapshotTable.stripDefaultMeta(schema))
     SnapshotTable.create(empty, root, keys, buckets, statsCols,
-      changeFeed = changeFeed, partitionBy = partitionBy)
+      changeFeed = changeFeed, partitionBy = partitionBy,
+      colDefaults = colDefaults)
     loadTable(ident)
   }
 
@@ -259,6 +279,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     final case class ChDrop(name: String) extends Ch
     final case class ChWiden(name: String,
         to: org.apache.spark.sql.types.DataType) extends Ch
+    final case class ChDefault(name: String, sql: Option[String]) extends Ch
     val adds = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.types.StructField]
     val ordered = scala.collection.mutable.ArrayBuffer.empty[Ch]
@@ -268,6 +289,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           s"nested ADD COLUMN unsupported: ${a.fieldNames.mkString(".")}")
         require(a.position == null,
           "ADD COLUMN positions unsupported: new columns append")
+        // write-side defaults only (the Delta surface): an ADDED column
+        // with a default would need read-path fill for every
+        // pre-existing file — unsound under pushdown, refused
+        require(a.defaultValue == null,
+          s"ADD COLUMN '${a.fieldNames.head}' with a DEFAULT is " +
+            "unsupported (existing rows would need read-path fill); " +
+            "ADD the column, then ALTER COLUMN … SET DEFAULT for " +
+            "future inserts")
         adds += org.apache.spark.sql.types.StructField(
           a.fieldNames.head, a.dataType, nullable = true)
       case r: TableChange.RenameColumn =>
@@ -282,6 +311,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         require(u.fieldNames.length == 1,
           s"nested ALTER COLUMN TYPE unsupported: ${u.fieldNames.mkString(".")}")
         ordered += ChWiden(u.fieldNames.head, u.newDataType)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          "nested ALTER COLUMN DEFAULT unsupported: " +
+            u.fieldNames.mkString("."))
+        // SET DEFAULT '<sql>' / DROP DEFAULT (arrives as empty text)
+        ordered += ChDefault(u.fieldNames.head,
+          Option(u.newDefaultValue).filter(_.nonEmpty))
       case other => throw new UnsupportedOperationException(
         s"snapshot tables support ALTER TABLE … ADD COLUMNS / RENAME " +
           s"COLUMN / DROP COLUMN / ALTER COLUMN … TYPE (widening), " +
@@ -333,6 +369,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             s"unsupported widening ${from.sql} -> ${to.sql} for '$name'")
           fields = fields.map { case (n, t) =>
             n -> (if (n == name) to else t) }
+        case ChDefault(name, _) =>
+          require(names.contains(name),
+            s"no column '$name' to set a DEFAULT on")
       }
       adds.foreach { f =>
         require(!names.contains(f.name),
@@ -347,6 +386,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       case ChDrop(name) => SnapshotTable.dropColumn(spark, root, name)
       case ChWiden(name, to) =>
         SnapshotTable.widenColumn(spark, root, name, to.sql)
+      case ChDefault(name, sql) =>
+        SnapshotTable.setColumnDefault(spark, root, name, sql)
     }
     if (adds.nonEmpty) {
       val head = SnapshotTable.headOption(spark, root).get
@@ -564,6 +605,29 @@ private[sources] class SnapshotCatalogTable(path: String,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER)
+
+  /** Catalog view of the schema: columns with write-side DEFAULTs carry
+    * Spark's `CURRENT_DEFAULT`/`EXISTS_DEFAULT` field metadata, so the
+    * analyzer fills SQL INSERTs that omit them (ResolveDefaultColumns)
+    * — the writes below the analyzer then see complete rows. Defaults
+    * are constant-foldable by construction ([[SnapshotTable
+    * .setColumnDefault]] validates at declaration), so EXISTS_DEFAULT
+    * (which Spark requires alongside) is the same constant; the SCAN
+    * plane strips both keys ([[SnapshotScan]]) so a read never
+    * back-fills old files with them. */
+  override def schema(): StructType = {
+    val base = super.schema()
+    if (snapshot == null || snapshot.colDefaults.isEmpty) base
+    else StructType(base.fields.map { f =>
+      snapshot.colDefaults.get(f.name).fold(f) { d =>
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT", d)
+          .putString("EXISTS_DEFAULT", d)
+        f.copy(metadata = mb.build())
+      }
+    })
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotCatalogWriteBuilder(path)

@@ -750,10 +750,15 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     })
 
   private def inner(paths: Seq[String]): Scan = {
+    // default-metadata stripped: the parquet plane must never apply
+    // EXISTS_DEFAULT fill to files lacking a column (write-side-only
+    // defaults; add-column reads keep the null contract)
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths, physSchema(tableSchema))
+      SparkSession.active, paths,
+      SnapshotTable.stripDefaultMeta(physSchema(tableSchema)))
     GraftParquetBridge.pushCatalystFilters(b, physFilters(catalystFilters))
-    GraftParquetBridge.pruneColumns(b, physSchema(required))
+    GraftParquetBridge.pruneColumns(b,
+      SnapshotTable.stripDefaultMeta(physSchema(required)))
     GraftParquetBridge.buildScan(b)
   }
 
@@ -1166,7 +1171,8 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         next.op != "rescale" &&
         next.op != "rename-column" && next.op != "drop-column" &&
         next.op != "set-constraint" && next.op != "drop-constraint" &&
-        next.op != "repartition-spec" && !ignoreChanges)
+        next.op != "repartition-spec" && next.op != "set-default" &&
+        !ignoreChanges)
       sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
         s"(v${next.version}): its dirs consolidate existing rows, not " +
         "just new ones. Restart from scratch, or set " +
@@ -1457,7 +1463,8 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
         Array.empty // pure-metadata commit: zero row changes
       case "zorder" | "compact" => Array.empty // content-neutral rewrites
       case "rescale" | "rename-column" | "drop-column" |
-           "set-constraint" | "drop-constraint" | "repartition-spec" =>
+           "set-constraint" | "drop-constraint" | "repartition-spec" |
+           "set-default" =>
         Array.empty // pure-metadata commits: zero row changes
       case other => sys.error(
         s"change feed hit commit v${next.version} (op=$other) at $root " +

@@ -79,8 +79,11 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
 
   private def innerScan(paths: Seq[String], schema: StructType,
       pushFilters: Boolean): Scan = {
+    // default metadata never reaches the parquet plane (write-side-only
+    // DEFAULTs — see SnapshotTable.stripDefaultMeta)
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths, physSchema(tableSchema))
+      SparkSession.active, paths,
+      SnapshotTable.stripDefaultMeta(physSchema(tableSchema)))
     if (pushFilters) GraftParquetBridge.pushCatalystFilters(b,
       if (snap.colMap.isEmpty) catalystFilters
       else catalystFilters.map(_.transform {
@@ -88,7 +91,8 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
             if snap.colMap.contains(a.name) =>
           a.withName(snap.colMap(a.name))
       }))
-    GraftParquetBridge.pruneColumns(b, physSchema(schema))
+    GraftParquetBridge.pruneColumns(b,
+      SnapshotTable.stripDefaultMeta(physSchema(schema)))
     GraftParquetBridge.buildScan(b)
   }
 
@@ -397,7 +401,8 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
   private def innerScan(paths: Seq[String], schema: StructType,
       tblSchema: StructType, pushFilters: Boolean): Scan = {
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths, tblSchema)
+      SparkSession.active, paths,
+      SnapshotTable.stripDefaultMeta(tblSchema))
     if (pushFilters) GraftParquetBridge.pushCatalystFilters(b,
       if (snap.colMap.isEmpty) catalystFilters
       else catalystFilters.map(_.transform {
@@ -405,7 +410,8 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
             if snap.colMap.contains(a.name) =>
           a.withName(snap.colMap(a.name))
       }))
-    GraftParquetBridge.pruneColumns(b, schema)
+    GraftParquetBridge.pruneColumns(b,
+      SnapshotTable.stripDefaultMeta(schema))
     GraftParquetBridge.buildScan(b)
   }
 

@@ -131,7 +131,8 @@ object SnapshotTable {
       colMap: Map[String, String] = Map.empty,
       droppedPhys: Seq[String] = Seq.empty,
       constraints: Map[String, String] = Map.empty,
-      partSpec: Seq[PartField] = Seq.empty) {
+      partSpec: Seq[PartField] = Seq.empty,
+      colDefaults: Map[String, String] = Map.empty) {
 
     /** GUARANTEED per-dir column bounds derived from the partition
       * value segments (`_pt{i}=v`) in each entry dir's path — the
@@ -1089,6 +1090,11 @@ object SnapshotTable {
         val Array(n, e) = l.drop("constraint=".length).split("\t", 2)
         n -> e
     }.toMap
+    val colDefaults = lines.collect {
+      case l if l.startsWith("coldefault=") =>
+        val Array(c, d) = l.drop("coldefault=".length).split("\t", 2)
+        c -> d
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -1109,7 +1115,8 @@ object SnapshotTable {
       fieldOpt("dropped").map(_.split(",").toSeq.filter(_.nonEmpty))
         .getOrElse(Seq.empty), constraints,
       fieldOpt("partspec").map(s => parsePartSpec(s.split(",").toSeq))
-        .getOrElse(Seq.empty))
+        .getOrElse(Seq.empty),
+      colDefaults)
   }
 
   // ---- consolidated checkpoints ----
@@ -1409,6 +1416,23 @@ object SnapshotTable {
       case _ => (parseV _).tupled(listed.versions.last)
     }
   }
+
+  /** Strip Spark's column-DEFAULT metadata keys from a read schema:
+    * defaults are a WRITE-side (analyzer INSERT-fill) feature here — if
+    * `EXISTS_DEFAULT` reached the delegated parquet readers they would
+    * back-fill files that physically lack a column with the default
+    * instead of the add-column null contract, silently changing
+    * existing rows. The scan plane applies this to every schema it
+    * hands the parquet layer. */
+  private[sources] def stripDefaultMeta(st: StructType): StructType =
+    if (!st.fields.exists(f => f.metadata.contains("CURRENT_DEFAULT") ||
+        f.metadata.contains("EXISTS_DEFAULT"))) st
+    else StructType(st.fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .remove("CURRENT_DEFAULT").remove("EXISTS_DEFAULT")
+      f.copy(metadata = mb.build())
+    })
 
   /** All listed main version NUMBERS, ascending — one dir listing,
     * zero manifest parses (the streaming start-anchor validation). */
@@ -2413,6 +2437,10 @@ object SnapshotTable {
       snap.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
         body ++= s"constraint=$n\t$e" += '\n'
       }
+      // write-side column DEFAULTs (SQL expression text, logical names)
+      snap.colDefaults.toSeq.sortBy(_._1).foreach { case (c, d) =>
+        body ++= s"coldefault=$c\t$d" += '\n'
+      }
       if (snap.droppedPhys.nonEmpty)
         body ++= s"dropped=${snap.droppedPhys.mkString(",")}" += '\n'
       snap.deltas.foreach { d =>
@@ -2561,7 +2589,8 @@ object SnapshotTable {
         deltas = cur.deltas, changeFeed = cur.changeFeed, cdc = p.cdc,
         dirLayout = cur.dirLayout ++ myLayout,
         colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = cur.partSpec)
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = cur.colDefaults)
       case "upsert" | "delete" =>
         val h = p.hit.get
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -2573,7 +2602,8 @@ object SnapshotTable {
           changeFeed = cur.changeFeed, cdc = p.cdc,
           dirLayout = cur.dirLayout,
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = cur.partSpec)
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = cur.colDefaults)
       case "upsert-mor" | "delete-mor" | "delete-pos" =>
         val kind = p.opKind match {
           case "upsert-mor" => "rows"
@@ -2590,7 +2620,8 @@ object SnapshotTable {
           changeFeed = cur.changeFeed, cdc = p.cdc,
           dirLayout = cur.dirLayout,
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = cur.partSpec)
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = cur.colDefaults)
       case other => sys.error(s"rebasing undefined for op $other")
     }
   }
@@ -2750,7 +2781,8 @@ object SnapshotTable {
       // current-layout (absent = default)
       dirLayout = base.dirLayout,
       colMap = base.colMap, droppedPhys = base.droppedPhys,
-      constraints = base.constraints, partSpec = base.partSpec)))
+      constraints = base.constraints, partSpec = base.partSpec,
+      colDefaults = base.colDefaults)))
     v
   }
 
@@ -2820,9 +2852,11 @@ object SnapshotTable {
       buckets: Int = 16, statsCols: Option[Seq[String]] = None,
       txn: Option[(String, Long)] = None,
       changeFeed: Boolean = false,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      colDefaults: Map[String, String] = Map.empty): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     requireCols(df, keys)
+    validateDefaults(df.sparkSession, df.schema, colDefaults)
     // identity/date partition transforms, fixed for the table's life
     // (like keys/buckets); source columns become rename/drop-protected
     val pSpec = parsePartSpec(partitionBy)
@@ -2847,8 +2881,80 @@ object SnapshotTable {
       ddl, uuid, entries,
       statsCols = sc,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
-      txn = txn, changeFeed = changeFeed, partSpec = pSpec)))
+      txn = txn, changeFeed = changeFeed, partSpec = pSpec,
+      colDefaults = colDefaults)))
     1L
+  }
+
+  /** Validate write-default expressions: each column exists, each
+    * expression is deterministic and CONSTANT-FOLDABLE (a default is a
+    * value, not a per-row computation — Spark's own DEFAULT
+    * restriction), and casts to the column's type. Evaluated once here
+    * so an expression that would throw at insert time fails at
+    * declaration instead. */
+  private def validateDefaults(spark: SparkSession, schema: StructType,
+      defaults: Map[String, String]): Unit = defaults.foreach {
+    case (c, d) =>
+      val f = schema.fields.find(_.name == c).getOrElse(sys.error(
+        s"DEFAULT for unknown column '$c' (schema: ${schema.toDDL})"))
+      val analyzed =
+        try emptyDf(spark, StructType(Nil))
+          .select(org.apache.spark.sql.functions.expr(d)
+            .cast(f.dataType).as("d"))
+          .queryExecution.analyzed.expressions.head
+        catch {
+          case scala.util.control.NonFatal(ex) => sys.error(
+            s"DEFAULT for column '$c' does not resolve as a constant " +
+              s"of ${f.dataType.sql}: $d (${ex.getMessage})")
+        }
+      val child = analyzed match {
+        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+        case e => e
+      }
+      require(child.deterministic && child.foldable,
+        s"DEFAULT for column '$c' must be a constant-foldable " +
+          s"expression, got: $d")
+      try { child.eval(); () }
+      catch {
+        case scala.util.control.NonFatal(ex) => sys.error(
+          s"DEFAULT for column '$c' fails to evaluate: $d " +
+            s"(${ex.getMessage})")
+      }
+  }
+
+  /** Set or clear a column's write-side DEFAULT (the Delta
+    * `ALTER COLUMN … SET/DROP DEFAULT` shape): ONE pure-metadata
+    * commit. From then on, SQL INSERTs that omit the column get the
+    * default — filled at ANALYSIS time by Spark's own resolver from
+    * the catalog schema's `CURRENT_DEFAULT` field metadata
+    * ([[SnapshotCatalog]] advertises
+    * `SUPPORT_COLUMN_DEFAULT_VALUE` and attaches the metadata), so the
+    * write path sees a complete row and nothing changes below the
+    * analyzer. Existing rows are untouched (write-side only — exactly
+    * Delta's surface; ADD COLUMN with a default is refused since old
+    * files' reads would need unsound read-path fill). Object-API
+    * writers keep their explicit-schema contract (missing columns are
+    * an error / mergeSchema null-backfill, documented divergence).
+    * Time travel serves each version's own defaults. Returns the
+    * committed version. */
+  def setColumnDefault(spark: SparkSession, root: String, column: String,
+      default: Option[String]): Long = {
+    val cur = current(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(column),
+      s"no column '$column' in ${cur.schemaDdl}")
+    default match {
+      case Some(d) => validateDefaults(spark, schema, Map(column -> d))
+      case None => require(cur.colDefaults.contains(column),
+        s"no DEFAULT on column '$column' at $root to drop")
+    }
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(cur.copy(version = v,
+      op = "set-default", uuid = newUuid(), txn = None, cdc = None,
+      colDefaults = default.fold(cur.colDefaults - column)(d =>
+        cur.colDefaults + (column -> d)))))
+    v
   }
 
   /** Blind append: O(batch) data writes, prior entries re-listed
@@ -2916,7 +3022,8 @@ object SnapshotTable {
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       txn = txn, changeFeed = cur.changeFeed,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = cur.partSpec)), branch)
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = cur.colDefaults)), branch)
     v
   }
 
@@ -3245,7 +3352,7 @@ object SnapshotTable {
       deltas = Seq.empty, changeFeed = cur.changeFeed, cdc = cdcDir,
       dirLayout = cur.dirLayout, colMap = cur.colMap,
       droppedPhys = cur.droppedPhys, constraints = cur.constraints,
-      partSpec = cur.partSpec)), branch)
+      partSpec = cur.partSpec, colDefaults = cur.colDefaults)), branch)
     v
   }
 
@@ -3377,7 +3484,8 @@ object SnapshotTable {
       // only ever grow), so the restore serves the target's partition
       // shape exactly — previously dropped, which silently unpartitioned
       // the table's future writes
-      constraints = target.constraints, partSpec = target.partSpec)))
+      constraints = target.constraints, partSpec = target.partSpec,
+      colDefaults = target.colDefaults)))
     v
   }
 
@@ -3430,7 +3538,8 @@ object SnapshotTable {
       changeFeed = src.changeFeed,
       dirLayout = src.dirLayout,
       colMap = src.colMap, droppedPhys = src.droppedPhys,
-      constraints = src.constraints, partSpec = src.partSpec)))
+      constraints = src.constraints, partSpec = src.partSpec,
+      colDefaults = src.colDefaults)))
     1L
   }
 
@@ -3537,7 +3646,8 @@ object SnapshotTable {
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       changeFeed = cur.changeFeed,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = cur.partSpec)))
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = cur.colDefaults)))
     v
   }
 
@@ -3667,7 +3777,8 @@ object SnapshotTable {
       // tags carry through unchanged)
       dirLayout = cur.entries.map(e => e._2 -> cur.layoutOf(e._2)).toMap,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = cur.partSpec)))
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = cur.colDefaults)))
     v
   }
 
@@ -3724,7 +3835,8 @@ object SnapshotTable {
       dirBytes = cur.dirBytes, deltas = cur.deltas,
       changeFeed = cur.changeFeed, dirLayout = cur.dirLayout,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = newSpec)), branch)
+      constraints = cur.constraints, partSpec = newSpec,
+      colDefaults = cur.colDefaults)), branch)
     v
   }
 
@@ -3774,7 +3886,13 @@ object SnapshotTable {
     val newMap = (cur.colMap - oldName) ++
       (if (newName == phys) Map.empty else Map(newName -> phys))
     alterCommit(spark, root, cur, "rename-column", newSchema.toDDL,
-      newMap, cur.droppedPhys)
+      newMap, cur.droppedPhys,
+      // the column's write-default follows its new logical name; any
+      // default whose EXPRESSION references the column stays valid
+      // because defaults are constant-foldable by construction
+      newDefaults = Some(cur.colDefaults.map { case (c, d) =>
+        (if (c == oldName) newName else c) -> d
+      }))
   }
 
   /** Drop a column WITHOUT rewriting a byte: the logical schema loses
@@ -3801,7 +3919,8 @@ object SnapshotTable {
     val phys = cur.physicalOf(name)
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     alterCommit(spark, root, cur, "drop-column", newSchema.toDDL,
-      cur.colMap - name, cur.droppedPhys :+ phys)
+      cur.colMap - name, cur.droppedPhys :+ phys,
+      newDefaults = Some(cur.colDefaults - name))
   }
 
   /** Widen a column's type WITHOUT rewriting a byte — type-widening
@@ -3958,7 +4077,8 @@ object SnapshotTable {
     * stats all carry forward verbatim; only the logical view moves. */
   private def alterCommit(spark: SparkSession, root: String,
       cur: Snapshot, op: String, newDdl: String,
-      newMap: Map[String, String], newDropped: Seq[String]): Long = {
+      newMap: Map[String, String], newDropped: Seq[String],
+      newDefaults: Option[Map[String, String]] = None): Long = {
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
     publish(fsys, rootP, stamped(Snapshot(v, op, cur.keys, cur.buckets,
@@ -3970,7 +4090,8 @@ object SnapshotTable {
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout,
       colMap = newMap, droppedPhys = newDropped,
-      constraints = cur.constraints, partSpec = cur.partSpec)))
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = newDefaults.getOrElse(cur.colDefaults))))
     v
   }
 
@@ -4032,7 +4153,8 @@ object SnapshotTable {
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = cur.partSpec)))
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = cur.colDefaults)))
     v
   }
 
@@ -4080,7 +4202,8 @@ object SnapshotTable {
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout, // rewritten dirs are current-layout
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
-      constraints = cur.constraints, partSpec = cur.partSpec)))
+      constraints = cur.constraints, partSpec = cur.partSpec,
+      colDefaults = cur.colDefaults)))
     v
   }
 
