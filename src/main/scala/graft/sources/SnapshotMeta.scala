@@ -112,9 +112,15 @@ object SnapshotMeta {
     StructField("name", StringType, nullable = false),
     StructField("expression", StringType, nullable = false)))
 
+  /** `defaults` schema — the write-side column DEFAULTs of one
+    * snapshot. */
+  val DefaultsSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("expression", StringType, nullable = false)))
+
   val MetaNames: Set[String] =
     Set("history", "files", "tags", "branches", "constraints",
-      "partitions")
+      "partitions", "defaults")
 
   def schemaOf(kind: String): StructType = kind match {
     case "history" => HistorySchema
@@ -123,6 +129,7 @@ object SnapshotMeta {
     case "tags" => TagsSchema
     case "branches" => BranchesSchema
     case "constraints" => ConstraintsSchema
+    case "defaults" => DefaultsSchema
     case other => sys.error(s"unknown metadata table '$other'")
   }
 
@@ -199,6 +206,9 @@ object SnapshotMeta {
       case "constraints" =>
         val s = pin.getOrElse(snaps.last)
         s.constraints.toSeq.sortBy(_._1).map { case (n, e) => Row(n, e) }
+      case "defaults" =>
+        val s = pin.getOrElse(snaps.last)
+        s.colDefaults.toSeq.sortBy(_._1).map { case (c, d) => Row(c, d) }
       case other => sys.error(s"unknown metadata table '$other'")
     }
   }
@@ -236,6 +246,10 @@ object SnapshotMeta {
   /** CHECK constraints of the head snapshot as a DataFrame. */
   def constraints(spark: SparkSession, root: String): DataFrame =
     toDf(spark, root, "constraints", None)
+
+  /** Write-side column DEFAULTs of the head snapshot as a DataFrame. */
+  def defaults(spark: SparkSession, root: String): DataFrame =
+    toDf(spark, root, "defaults", None)
 
   private def toDf(spark: SparkSession, root: String, kind: String,
       opts: Option[Map[String, String]]): DataFrame = {

@@ -65,6 +65,10 @@ class SnapshotDefaultsSpec extends AnyFunSuite {
       .find(_.version == 1L).get.colDefaults("v") === "42")
     assert(SnapshotTable.versions(spark, s"$wh/t1")
       .find(_.version == vNow).get.colDefaults.get("v").isEmpty)
+    // the defaults metadata table reflects the head's map
+    assert(sql("SELECT * FROM dcat.t1.defaults").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ===
+      Set("tag" -> "'x'"))
   }
 
   test("ADD COLUMN with DEFAULT refuses; ADD then SET DEFAULT keeps the " +
