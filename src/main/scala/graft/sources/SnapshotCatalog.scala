@@ -615,7 +615,7 @@ private[sources] class SnapshotCatalogTable(path: String,
     * (which Spark requires alongside) is the same constant; the SCAN
     * plane strips both keys ([[SnapshotScan]]) so a read never
     * back-fills old files with them. */
-  override def schema(): StructType = {
+  private lazy val schemaWithDefaults: StructType = {
     val base = super.schema()
     if (snapshot == null || snapshot.colDefaults.isEmpty) base
     else StructType(base.fields.map { f =>
@@ -628,6 +628,9 @@ private[sources] class SnapshotCatalogTable(path: String,
       }
     })
   }
+  // computed once per loaded table: analysis consults schema() on every
+  // query touching the relation
+  override def schema(): StructType = schemaWithDefaults
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotCatalogWriteBuilder(path)

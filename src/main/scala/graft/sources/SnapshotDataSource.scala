@@ -927,16 +927,20 @@ private[graft] object SnapshotStreamOptions {
       Option(options.get("startingVersion")),
       Option(options.get("startingTimestamp")).map(parseTs))
 
-  /** Epoch millis, a `java.sql.Timestamp` string
-    * (`yyyy-MM-dd HH:mm:ss[.f…]`), or a date-only `yyyy-MM-dd`
-    * (midnight local — the Delta-style spelling). */
+  /** Epoch millis, a timestamp string (`yyyy-MM-dd HH:mm:ss[.f…]`), or
+    * a date-only `yyyy-MM-dd` (midnight — the Delta-style spelling).
+    * String forms resolve in the SPARK SESSION time zone
+    * (`spark.sql.session.timeZone`), not the driver JVM's: a stream's
+    * start point must not shift with deployment host settings. */
   def parseTs(s: String): Long =
     s.toLongOption.getOrElse {
-      try java.sql.Timestamp.valueOf(s).getTime
-      catch {
-        case _: IllegalArgumentException =>
-          java.sql.Date.valueOf(s).getTime
-      }
+      val zone = java.time.ZoneId.of(
+        SparkSession.active.conf.get("spark.sql.session.timeZone"))
+      val t = s.trim
+      val local =
+        if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+        else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      local.atZone(zone).toInstant.toEpochMilli
     }
 }
 
@@ -1066,7 +1070,19 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     val h = listed.lastOption.getOrElse(0L)
     require(v <= h + 1, s"startingVersion $v is past the head of " +
       s"$root (v$h)")
-    if (v == 1L) SnapshotOffset(0L, -1, "tail")
+    if (v == 1L) {
+      // a delta-bearing clone commit can never be tail-served, and its
+      // v1 manifest is immutable — refuse at query start (before any
+      // offset is checkpointed) with guidance that actually works
+      val first = snapAt(1L)
+      if (first.op == "clone" && first.deltas.nonEmpty)
+        sys.error(s"cannot start at version 1 of $root: its clone " +
+          s"commit immutably carries ${first.deltas.size} unresolved " +
+          "merge-on-read delta dir(s). Stream the consolidated " +
+          "snapshot instead (no startingVersion, after a compact), or " +
+          "re-clone from a compacted source")
+      SnapshotOffset(0L, -1, "tail")
+    }
     else {
       if (!listed.contains(v - 1))
         sys.error(s"cannot start at version $v of $root: version " +
@@ -1151,21 +1167,31 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     * data commit fails loudly unless `ignoreChanges` streams its
     * rewritten dirs verbatim. */
   private def freshDirs(next: SnapshotTable.Snapshot,
-      prevEntries: Seq[String]): Seq[String] = {
-    // content-neutral rewrites are skipped for clean streams; under
-    // ignoreChanges they keep the OLD verbatim-re-emit semantics — that
-    // re-emit is the only path by which an ignoreChanges stream ever
-    // delivers merge-on-read changes (the fold-at-compact), so removing
-    // it would turn the documented re-emit caveat into silent loss
-    if ((next.op == "compact" || next.op == "zorder") && !ignoreChanges)
-      return Seq.empty
+      prev: Option[SnapshotTable.Snapshot]): Seq[String] = {
+    val prevEntries = prev.fold(Seq.empty[String])(_.entries.map(_._2))
+    // content-neutral rewrites are skipped for clean streams (the Delta
+    // dataChange=false discipline). Under ignoreChanges the verbatim
+    // re-emit happens ONLY when the commit actually FOLDED merge-on-
+    // read deltas — that re-emit is ignoreChanges' sole delivery path
+    // for MOR changes (removing it would turn the documented caveat
+    // into silent loss), while a pure fragmentation compact stays
+    // invisible to every consumer (no full-table duplicate flood on
+    // the nightly maintenance cadence)
+    if (next.op == "compact" || next.op == "zorder") {
+      val folded = prev.exists(p =>
+        p.deltas.exists(d => !next.deltas.contains(d)))
+      if (!(ignoreChanges && folded)) return Seq.empty
+    }
     // a clone commit serves its entries as pure inserts — unsound if it
-    // carried unresolved deltas (tombstoned/shadowed rows would emit)
+    // carried unresolved deltas (tombstoned/shadowed rows would emit);
+    // its v1 manifest is immutable, so the only servable spellings are
+    // the consolidated snapshot (after compact) or a fresh clone
     if (next.op == "clone" && next.deltas.nonEmpty)
       sys.error(s"snapshot stream at $root: clone commit " +
-        s"v${next.version} carries ${next.deltas.size} unresolved " +
-        "merge-on-read delta dir(s) — compact the clone before " +
-        "streaming its history")
+        s"v${next.version} immutably carries ${next.deltas.size} " +
+        "unresolved merge-on-read delta dir(s). Stream the " +
+        "consolidated snapshot instead (no startingVersion, after a " +
+        "compact), or re-clone from a compacted source")
     val fresh = next.entries.map(_._2).diff(prevEntries)
     if (next.op != "append" && next.op != "create" && next.op != "clone" &&
         next.op != "rescale" &&
@@ -1183,16 +1209,17 @@ private[graft] class SnapshotMicroBatchStream(root: String,
 
   /** (snapshot, fresh dirs) per commit in `(anchorV, toV]` — ONE window
     * parse, O(batch span) not O(history). */
-  private def tailWindow(anchorV: Long, toV: Long)
+  private def tailWindow(anchorV: Long, toV: Long,
+      fetch: (Long, Long) => Map[Long, SnapshotTable.Snapshot] =
+        (f, t) => SnapshotTable.versionWindow(spark, root, f, t))
       : Seq[(SnapshotTable.Snapshot, Seq[String])] = {
     if (toV <= anchorV) return Seq.empty
-    val byV = SnapshotTable.versionWindow(spark, root,
-      math.max(1L, anchorV), toV)
+    val byV = fetch(math.max(1L, anchorV), toV)
     def at(v: Long): SnapshotTable.Snapshot =
       byV.getOrElse(v, sys.error(
         s"offset version $v vanished from $root (vacuumed mid-stream?)"))
     ((anchorV + 1) to toV).map { v =>
-      val prev = if (v == 1L) Seq.empty else at(v - 1).entries.map(_._2)
+      val prev = if (v == 1L) None else Some(at(v - 1))
       val next = at(v)
       next -> freshDirs(next, prev)
     }
@@ -1226,9 +1253,14 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     stateOf(so) match {
       case None => // initial snapshot pending
         if (h == 0) return so // empty table
-        if (b.unlimited) return SnapshotOffset(h) // legacy path, 0 parses
+        // ONE manifest parse on the very first trigger, limited or not:
+        // the delta-bearing refusal must fire HERE, before Spark logs
+        // the offset — thrown at plan time it would wedge the
+        // checkpoint (the logged batch replays against the same pinned
+        // version forever, even after the advised compact)
         val sn = snapAt(h) // pin the initial snapshot at today's head
         val dirs = initDirs(sn)
+        if (b.unlimited) return SnapshotOffset(h)
         val (n, _) = admit(dirs, sn, b, Budgets(0, 0, 0))
         if (n >= dirs.size) SnapshotOffset(h)
         else SnapshotOffset(h, n, "init")
@@ -1247,12 +1279,14 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         var u = Budgets(0, 0, 0)
         var open = true
         // chunked walk: parse only as far as the budget reaches, never
-        // the whole backlog per trigger (StreamAdmission.WindowChunk)
+        // the whole backlog per trigger (StreamAdmission.WindowChunk);
+        // ONE listing serves every chunk
+        val fetch = SnapshotTable.versionLister(spark, root)
         var lo = a
         val hi = math.max(h, a + 1)
         while (open && lo < hi) {
           val chunkHi = math.min(hi, lo + StreamAdmission.WindowChunk)
-          val win = tailWindow(lo, chunkHi).iterator
+          val win = tailWindow(lo, chunkHi, fetch).iterator
           while (open && win.hasNext) {
             val (sn, fresh) = win.next()
             val from = if (sn.version == a + 1) s else 0
@@ -1448,9 +1482,11 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
       // unresolved merge-on-read deltas (base entries alone would
       // include tombstoned/shadowed rows — change-incomplete)
       case "clone" if next.deltas.nonEmpty => sys.error(
-        s"change feed at $root: clone commit v${next.version} carries " +
-          s"${next.deltas.size} unresolved merge-on-read delta dir(s) — " +
-          "compact the clone before reading its feed from v1")
+        s"change feed at $root: clone commit v${next.version} immutably " +
+          s"carries ${next.deltas.size} unresolved merge-on-read delta " +
+          "dir(s) — its feed can never serve v1; start the feed after " +
+          "a compact (startingVersion >= the compact commit), or " +
+          "re-clone from a compacted source")
       case "create" | "clone" => raw(next.entries.map(_._2))
       case "append" =>
         raw(next.entries.map(_._2).diff(
@@ -1608,12 +1644,13 @@ private[graft] class SnapshotCdfMicroBatchStream(root: String,
     var u = Budgets(0L, 0L, 0L)
     var open = true
     // chunked walk (StreamAdmission.WindowChunk): parse only as far as
-    // the budget reaches, never the whole backlog per trigger
+    // the budget reaches, never the whole backlog per trigger; ONE
+    // listing serves every chunk
+    val fetch = SnapshotTable.versionLister(spark, root)
     var lo = a
     while (open && lo < h) {
       val chunkHi = math.min(h, lo + StreamAdmission.WindowChunk)
-      val byV = SnapshotTable.versionWindow(spark, root,
-        math.max(1L, lo), chunkHi)
+      val byV = fetch(math.max(1L, lo), chunkHi)
       def at(v: Long) = byV.getOrElse(v, sys.error(
         s"change-feed version $v vanished from $root (vacuumed?)"))
       var v = lo + 1

@@ -1336,6 +1336,20 @@ object SnapshotTable {
       .map { case (v, p) => v -> parseManifest(fsys, p, v) }.toMap
   }
 
+  /** [[versionWindow]] factored over ONE directory listing: the
+    * chunked admission walks ([[SnapshotMicroBatchStream]] /
+    * [[SnapshotCdfMicroBatchStream]]) bound PARSES at O(served) per
+    * trigger — reusing a single listing across their chunks keeps
+    * LIST RPCs constant per trigger too. */
+  private[sources] def versionLister(spark: SparkSession,
+      root: String): (Long, Long) => Map[Long, Snapshot] = {
+    val (fsys, rootP) = fs(spark, root)
+    val listed = listManifests(fsys, rootP, None).versions
+    (fromV, toV) => listed
+      .filter { case (v, _) => v >= fromV && v <= toV }
+      .map { case (v, p) => v -> parseManifest(fsys, p, v) }.toMap
+  }
+
   /** Head snapshot: ONE manifest parse regardless of history length
     * (the Delta `_last_checkpoint`-class property, achieved here by
     * listing names and parsing only the newest — manifests are

@@ -379,6 +379,17 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
     assert(slices.flatten.toSet ===
       headSnap(root).entries.map(_._2).toSet)
     assert(fin === SnapshotOffset(headSnap(root).version))
+    // a later PURE fragmentation compact (nothing to fold) stays
+    // invisible even under ignoreChanges — maintenance must not flood
+    // the consumer with a full-table duplicate re-emit
+    val preAppend = headSnap(root).entries.map(_._2).toSet
+    SnapshotTable.append(rows(8 until 12, "z"), root)
+    val freshZ = headSnap(root).entries.map(_._2).filterNot(preAppend)
+    SnapshotTable.compact(spark, root)
+    val (slices2, fin2) = drain(stIgn, fin)
+    assert(slices2.flatten === freshZ,
+      "a fold-free compact must not re-emit under ignoreChanges")
+    assert(fin2 === SnapshotOffset(headSnap(root).version))
   }
 
   test("start anchors refuse when the predecessor manifest needed to " +
@@ -396,10 +407,15 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
     assert(anchorOf("4") === SnapshotOffset(3)) // v3 retained: diffable
     val e = intercept[Exception](anchorOf("3")) // v2 vacuumed: refuse
     assert(e.getMessage.contains("vacuumed"))
+    // string timestamps resolve in the SESSION time zone, not JVM-local
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone"))
     assert(SnapshotStreamOptions.parseTs("2024-01-05") ===
-      java.sql.Date.valueOf("2024-01-05").getTime)
+      java.time.LocalDate.parse("2024-01-05").atStartOfDay(zone)
+        .toInstant.toEpochMilli)
     assert(SnapshotStreamOptions.parseTs("2024-01-05 06:07:08") ===
-      java.sql.Timestamp.valueOf("2024-01-05 06:07:08").getTime)
+      java.time.LocalDateTime.parse("2024-01-05T06:07:08").atZone(zone)
+        .toInstant.toEpochMilli)
   }
 
   test("CDF admission control: a rate-limited change-feed backfill " +
