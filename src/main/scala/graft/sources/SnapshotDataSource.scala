@@ -1067,6 +1067,10 @@ private[graft] class SnapshotMicroBatchStream(root: String,
   private def anchorAt(v: Long): SnapshotOffset = {
     require(v >= 1, s"startingVersion must be >= 1, got $v")
     val listed = SnapshotTable.listedVersions(spark, root)
+    // empty/not-yet-created table: v=1 would pass the head check
+    // (h=0, 1 <= 0+1) and then snapAt(1) would blame a mid-stream
+    // vacuum — name the real condition instead
+    require(listed.nonEmpty, s"no snapshot table at $root")
     val h = listed.lastOption.getOrElse(0L)
     require(v <= h + 1, s"startingVersion $v is past the head of " +
       s"$root (v$h)")
@@ -1208,17 +1212,22 @@ private[graft] class SnapshotMicroBatchStream(root: String,
   }
 
   /** (snapshot, fresh dirs) per commit in `(anchorV, toV]` — ONE window
-    * parse, O(batch span) not O(history). */
+    * parse, O(batch span) not O(history). LAZY per commit: `freshDirs`
+    * fail-fasts on unservable ops (overwrite/restore), and a
+    * rate-limited trigger must be able to serve+checkpoint the in-budget
+    * commits BEFORE the unservable one — a strict map would abort the
+    * whole chunk up front. The failure surfaces on the trigger whose
+    * budget actually reaches the bad commit. */
   private def tailWindow(anchorV: Long, toV: Long,
       fetch: (Long, Long) => Map[Long, SnapshotTable.Snapshot] =
         (f, t) => SnapshotTable.versionWindow(spark, root, f, t))
-      : Seq[(SnapshotTable.Snapshot, Seq[String])] = {
-    if (toV <= anchorV) return Seq.empty
+      : Iterator[(SnapshotTable.Snapshot, Seq[String])] = {
+    if (toV <= anchorV) return Iterator.empty
     val byV = fetch(math.max(1L, anchorV), toV)
     def at(v: Long): SnapshotTable.Snapshot =
       byV.getOrElse(v, sys.error(
         s"offset version $v vanished from $root (vacuumed mid-stream?)"))
-    ((anchorV + 1) to toV).map { v =>
+    ((anchorV + 1) to toV).iterator.map { v =>
       val prev = if (v == 1L) None else Some(at(v - 1))
       val next = at(v)
       next -> freshDirs(next, prev)
@@ -1286,7 +1295,7 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         val hi = math.max(h, a + 1)
         while (open && lo < hi) {
           val chunkHi = math.min(hi, lo + StreamAdmission.WindowChunk)
-          val win = tailWindow(lo, chunkHi, fetch).iterator
+          val win = tailWindow(lo, chunkHi, fetch)
           while (open && win.hasNext) {
             val (sn, fresh) = win.next()
             val from = if (sn.version == a + 1) s else 0
@@ -1342,7 +1351,7 @@ private[graft] class SnapshotMicroBatchStream(root: String,
           val from = if (sn.version == a + 1) s else 0
           val until = if (s2 > 0 && sn.version == a2 + 1) s2 else fresh.size
           fresh.slice(from, until)
-        }
+        }.toSeq
       case _ => bad()
     }
   }
@@ -1625,7 +1634,29 @@ private[graft] class SnapshotCdfMicroBatchStream(root: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = Some(head())
 
-  override def initialOffset(): Offset = SnapshotOffset(initial)
+  /** A delta-bearing clone's v1 can never serve a change feed
+    * (commitPartitions refuses it — base entries alone are
+    * change-incomplete). Refuse BEFORE any offset covering v1 is
+    * logged: thrown at plan time the refusal would wedge the
+    * checkpoint (the logged batch replays into the same error
+    * forever, even after the advised compact). Clone commits only
+    * exist at v1, so one manifest parse at feed start covers it. */
+  private def refuseUnservableV1(): Unit = {
+    SnapshotTable.versionWindow(spark, root, 1L, 1L).get(1L).foreach {
+      first =>
+        if (first.op == "clone" && first.deltas.nonEmpty)
+          sys.error(s"change feed at $root: clone commit v1 immutably " +
+            s"carries ${first.deltas.size} unresolved merge-on-read " +
+            "delta dir(s) — its feed can never serve v1; start the " +
+            "feed after a compact (startingVersion >= the compact " +
+            "commit), or re-clone from a compacted source")
+    }
+  }
+
+  override def initialOffset(): Offset = {
+    if (initial == 0L && head() >= 1L) refuseUnservableV1()
+    SnapshotOffset(initial)
+  }
 
   override def latestOffset(): Offset = SnapshotOffset(head())
   override def reportLatestOffset(): Offset = SnapshotOffset(head())
@@ -1637,6 +1668,7 @@ private[graft] class SnapshotCdfMicroBatchStream(root: String,
     val a = start.asInstanceOf[SnapshotOffset].version
     val h = availableNowCap.fold(head())(math.min(head(), _))
     if (h <= a) return start
+    if (a == 0L) refuseUnservableV1()
     val b = StreamAdmission.budgetsOf(limit)
     if (b.unlimited) return SnapshotOffset(h)
     import StreamAdmission.satSum

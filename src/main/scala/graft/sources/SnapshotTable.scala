@@ -2909,6 +2909,14 @@ object SnapshotTable {
   private def validateDefaults(spark: SparkSession, schema: StructType,
       defaults: Map[String, String]): Unit = defaults.foreach {
     case (c, d) =>
+      // line-safety: the expression text is serialized verbatim into
+      // the line-oriented manifest ('coldefault=col\t<expr>'); a raw
+      // newline/tab — legal inside a multi-line string literal — would
+      // silently truncate the stored expression (same guard as
+      // addConstraint)
+      require(!d.contains('\n') && !d.contains('\t'),
+        s"DEFAULT for column '$c' must be line-safe (no raw newline/" +
+          s"tab in the expression text; use \\n escapes): $d")
       val f = schema.fields.find(_.name == c).getOrElse(sys.error(
         s"DEFAULT for unknown column '$c' (schema: ${schema.toDDL})"))
       val analyzed =

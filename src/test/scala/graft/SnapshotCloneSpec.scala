@@ -143,6 +143,20 @@ class SnapshotCloneSpec extends AnyFunSuite {
       new SnapshotCdfScan(SnapshotTable.versions(spark, dst).last, dst,
         Some(1L), None).toBatch.planInputPartitions())
     assert(eC.getMessage.contains("compact"))
+    // the CDF STREAM refuses BEFORE any offset is logged (initialOffset
+    // and admission-control latestOffset) — thrown only at plan time it
+    // would wedge the checkpoint: the logged batch replays into the
+    // same error forever, even after the advised compact
+    val cdfStream = new SnapshotCdfScan(
+      SnapshotTable.versions(spark, dst).last, dst, Some(1L), None)
+      .toMicroBatchStream("unused-ckpt")
+    val eIo = intercept[Exception](cdfStream.initialOffset())
+    assert(eIo.getMessage.contains("compact"))
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl}
+    val eLo = intercept[Exception](
+      cdfStream.asInstanceOf[SupportsAdmissionControl]
+        .latestOffset(SnapshotOffset(0), ReadLimit.allAvailable()))
+    assert(eLo.getMessage.contains("compact"))
   }
 
   test("the clone's VACUUM can never touch source data: after the " +

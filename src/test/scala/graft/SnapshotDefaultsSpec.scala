@@ -142,4 +142,27 @@ class SnapshotDefaultsSpec extends AnyFunSuite {
     assert(SnapshotTable.versions(spark, root).last.colDefaults ===
       Map.empty)
   }
+
+  test("line-safety: a DEFAULT whose SQL text carries a raw newline or " +
+      "tab (legal inside a string literal) refuses instead of silently " +
+      "truncating in the line-oriented manifest") {
+    val root = s"$wh/linesafe"
+    val df = Seq((1L, "a")).toDF("id", "tag")
+    // raw newline inside a multi-line string literal: parses fine as
+    // SQL, but would truncate at manifest serialization — refused
+    val nl = intercept[Exception](SnapshotTable.create(df, root,
+      Seq("id"), 2, colDefaults = Map("tag" -> "'a\nb'")))
+    assert(nl.getMessage.contains("line-safe"))
+    val tab = intercept[Exception](SnapshotTable.create(df, root,
+      Seq("id"), 2, colDefaults = Map("tag" -> "'a\tb'")))
+    assert(tab.getMessage.contains("line-safe"))
+    // same guard on the post-create path
+    SnapshotTable.create(df, root, Seq("id"), 2)
+    val post = intercept[Exception](SnapshotTable.setColumnDefault(
+      spark, root, "tag", Some("'x\ny'")))
+    assert(post.getMessage.contains("line-safe"))
+    // the ESCAPED spelling stays legal: '\n' as two characters is
+    // line-safe text that evaluates to a newline at fill time
+    SnapshotTable.setColumnDefault(spark, root, "tag", Some("'a\\nb'"))
+  }
 }

@@ -539,4 +539,48 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
     SnapshotTable.append(rows(32 until 40, "z"), root)
     assert(asSet(runOnce("l2")) === asSet(rows(32 until 40, "z")))
   }
+
+  test("a rate-limited tail serves in-budget commits BEFORE an " +
+      "unservable one: the overwrite refusal fires on the trigger " +
+      "whose budget reaches it, after earlier data is delivered") {
+    val root = freshRoot("lazywin")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 4) // v1
+    SnapshotTable.append(rows(8 until 16, "b"), root)              // v2
+    SnapshotTable.overwrite(rows(100 until 104, "o"), root)        // v3
+    val vs = SnapshotTable.versions(spark, root)
+    val v2fresh = vs.find(_.version == 2L).get.entries.map(_._2)
+      .diff(vs.find(_.version == 1L).get.entries.map(_._2))
+    assert(v2fresh.nonEmpty)
+    val st = mkStream(root, SnapshotStreamOptions(maxFiles = Some(1),
+      startingVersion = Some("2")))
+    val limit = st.getDefaultReadLimit
+    var cur = st.initialOffset().asInstanceOf[SnapshotOffset]
+    val served = scala.collection.mutable.Buffer.empty[String]
+    // v2's dirs must drain (and be checkpointable) one per trigger
+    // WITHOUT touching v3 — an eager window map would abort trigger 1
+    // by evaluating v3's freshDirs while budgeting v2
+    val e = intercept[Exception] {
+      var steps = 0
+      while (steps < 50) {
+        val next = st.latestOffset(cur, limit).asInstanceOf[SnapshotOffset]
+        assert(next != cur, "walk stalled before reaching the overwrite")
+        served ++= st.rangeDirs(cur, next)
+        cur = next
+        steps += 1
+      }
+    }
+    assert(e.getMessage.contains("overwrite"))
+    assert(served.toSet === v2fresh.toSet,
+      "every in-budget commit before the overwrite must be delivered")
+    assert(served.size === v2fresh.size)
+  }
+
+  test("startingVersion on an empty/not-yet-created table names the " +
+      "real condition, not a phantom mid-stream vacuum") {
+    val root = freshRoot("norootyet") // dir never created
+    val st = mkStream(root,
+      SnapshotStreamOptions(startingVersion = Some("1")))
+    val e = intercept[Exception](st.initialOffset())
+    assert(e.getMessage.contains("no snapshot table"))
+  }
 }
