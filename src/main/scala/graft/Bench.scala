@@ -110,9 +110,20 @@ object Bench {
     // uniformly slow. Env-injected so a grown query surface can't be
     // gated against a stale constant by accident.
     val canonical = sys.env.get("SPARK_GRAFT_CANONICAL_SEC").map(_.toDouble)
+    // ARMED-BY-DEFAULT canonical: the committed per-query quiet
+    // recording (tools/bench_canonical.json). The env total above
+    // requires the driver to set it — it never does, which is exactly
+    // how a uniformly-contended 1.73× window got banked with swing
+    // 1.47 < 1.5. The per-query file gates the OVERLAP of measured vs
+    // recorded names, so a grown surface and SPARK_GRAFT_ONLY subsets
+    // stay safe, and an SF mismatch disarms it (see BenchGate).
+    val canonicalMap = BenchGate.loadCanonical(
+      sys.env.getOrElse("SPARK_GRAFT_CANONICAL_FILE",
+        "tools/bench_canonical.json"), sfDir)
     def contended(p: Pass, passes: Seq[Pass]): Boolean =
       p.canarySwing > 1.5 || spiky(p, passes) ||
-        canonical.exists(c => p.total > 1.4 * c)
+        canonical.exists(c => p.total > 1.4 * c) ||
+        BenchGate.overCanonical(p.results, canonicalMap)
     // TWO passes unconditionally: a single pass cannot see a mid-run
     // contention burst that settles before the end canary (observed: one
     // query at 10× its normal cost inside a pass whose canary swing read
@@ -146,6 +157,8 @@ object Bench {
       s""""errors":${errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString("{", ",", "}")},""" +
       s""""canary_swing":${best.canarySwing},""" +
+      s""""canonical_ratio":${BenchGate.ratioVsCanonical(best.results,
+        canonicalMap).fold("null")(r => (math.rint(r * 1e3) / 1e3).toString)},""" +
       s""""value_runs":${passes.map(_.total).mkString("[", ",", "]")},""" +
       s""""passes":${passes.length},""" +
       s""""retries_exhausted":$retriesExhausted,""" +

@@ -93,6 +93,15 @@ object Tagger {
       }
   }
 
+  /** Production scorer chooser for [[ImagePreproc.scoreImagesDF]]: the
+    * env-gated REAL ONNX session when configured (`GRAFT_ONNX_MODEL` —
+    * [[OnnxScorer.ifConfigured]]; its own labels file supplies the
+    * vocabulary), else the deterministic stub over `vocab` (this
+    * sandbox — every oracle query pins the stub's values, so flipping
+    * the env var never changes a CORRECTNESS row, only the model). */
+  def tensorScorer(vocab: Seq[String]): TensorBatchScorer =
+    OnnxScorer.ifConfigured().getOrElse(new StubTensorScorer(vocab))
+
   /** U1 integration path: score every row's `keyCol` against the scorer's
     * vocabulary via mapPartitions (scorer constructed once per partition),
     * producing (key, tags array<struct<tag, conf>>). */

@@ -61,68 +61,108 @@ object UrlCuration {
     * top out at 4 labels). */
   private val MaxSuffixLabels = 4
 
-  /** PSL-BACKED registrable domain: the longest entry of
-    * `publicSuffixes` that is a proper label-suffix of the host, plus
-    * one label — `a.b.co.uk` with `co.uk` listed → `b.co.uk`. Hosts
-    * matching no entry fall back to the last-two-labels heuristic
-    * ([[registrableDomain]]), so an EMPTY list reproduces it exactly
-    * (the no-data default).
+  /** Split raw PSL rules into (plain by label count, wildcard PARENTS
+    * by the wildcard rule's label count, exceptions by label count),
+    * lowercased — `*.ck` stores parent `ck` under k=2 (the rule `*.ck`
+    * is 2 labels); `!www.ck` stores `www.ck` under k=2. */
+  private def splitRules(rules: Seq[String]): (Map[Int, Seq[String]],
+      Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+    def labelsOf(s: String) = s.count(_ == '.') + 1
+    val lc = rules.map(_.toLowerCase)
+    val plain = lc.filter(s => !s.startsWith("*.") && !s.startsWith("!"))
+    val wild = lc.collect { case s if s.startsWith("*.") => s.drop(2) }
+    val exc = lc.collect { case s if s.startsWith("!") => s.drop(1) }
+    (plain.groupBy(labelsOf), wild.groupBy(labelsOf(_) + 1),
+      exc.groupBy(labelsOf))
+  }
+
+  /** PSL-BACKED registrable domain, full publicsuffix.org semantics:
+    *
+    *   - EXCEPTION rules prevail over everything (`!www.ck` makes
+    *     `www.ck` itself registrable — the public suffix is the rule
+    *     minus its leftmost label), then
+    *   - the LONGEST matching rule wins: a plain rule `co.uk` makes a
+    *     host's last 2 labels the public suffix; a WILDCARD rule `*.ck`
+    *     makes ⟨any-label⟩.ck one (the rule is 2 labels long);
+    *   - registrable domain = public suffix + one label; a host EQUAL
+    *     to a public suffix, or matching no rule, falls back to the
+    *     last-two-labels heuristic ([[registrableDomain]]) — the PSL's
+    *     implicit `*` rule. An EMPTY rule list reproduces the
+    *     heuristic exactly (the no-data default).
     *
     * Pure Column logic: label-suffix candidates (≤ 4 labels, the real
-    * PSL's depth) probe the suffix set via `isin`, which Catalyst
+    * PSL's depth) probe per-length rule sets via `isin`, which Catalyst
     * compiles to an O(1) hashed `InSet` per row — no UDF, no join, no
-    * shuffle; a 9k-rule PSL rides the plan as one broadcast-sized
-    * literal set. Wildcard (`*.ck`) and exception (`!www.ck`) rules are
-    * NOT modeled ([[loadPublicSuffixes]] drops them): for the
-    * frequency-cap use the divergence only shifts CAP KEYS — a missing
-    * wildcard rule makes the key one label coarser (the cap tightens,
-    * never leaks), the same direction as the no-data heuristic's
-    * multi-label blindness. */
+    * shuffle; a 9k-rule PSL rides the plan as broadcast-sized literal
+    * sets. A wildcard probe is an `isin` on the PARENT suffix
+    * (`lastK(k-1)`), an exception probe on the candidate itself. */
   def registrableDomain(host: Column, publicSuffixes: Seq[String]): Column = {
     if (publicSuffixes.isEmpty) return registrableDomain(host)
-    val suffixes = publicSuffixes.map(_.toLowerCase)
+    val (plainByK, wildByK, excByK) = splitRules(publicSuffixes)
     val labels = split(host, "\\.")
     val n = size(labels)
     def lastK(k: Int): Column = array_join(slice(labels, -k, k), ".")
     // longest match wins: try 4-label suffixes first, each needs at
     // least one label LEFT of it to be registrable
-    val matched = (MaxSuffixLabels to 1 by -1).foldRight(
+    val suffixChain = (MaxSuffixLabels to 1 by -1).foldRight(
         registrableDomain(host)) { (k, fallback) =>
-      when(n > k && lastK(k).isin(suffixes: _*), lastK(k + 1))
+      val hits = Seq(
+        plainByK.get(k).map(ps => lastK(k).isin(ps: _*)),
+        wildByK.get(k).filter(_ => k >= 2)
+          .map(ws => lastK(k - 1).isin(ws: _*))).flatten
+      if (hits.isEmpty) fallback
+      else when(n > k && hits.reduce(_ || _), lastK(k + 1))
         .otherwise(fallback)
+    }
+    // exceptions first — they prevail over ANY other matching rule
+    val matched = (MaxSuffixLabels to 1 by -1).foldRight(suffixChain) {
+      (k, rest) =>
+        excByK.get(k).fold(rest)(es =>
+          when(n >= k && lastK(k).isin(es: _*), lastK(k)).otherwise(rest))
     }
     when(host.isNull, lit(null)).otherwise(matched)
   }
 
   /** The DuckDB spelling of [[registrableDomain]] with suffixes —
-    * the same longest-match CASE chain, so the PSL-backed cap is
-    * oracle-checkable too. */
+    * the same exception-then-longest-match CASE chain, so the
+    * PSL-backed cap is oracle-checkable too. */
   def registrableDomainSql(col: String, publicSuffixes: Seq[String]): String = {
     if (publicSuffixes.isEmpty) return registrableDomainSql(col)
-    val inList = publicSuffixes.map(s =>
-      s"'${s.toLowerCase.replace("'", "''")}'").mkString(", ")
+    val (plainByK, wildByK, excByK) = splitRules(publicSuffixes)
+    def inList(ss: Seq[String]) = ss.map(s =>
+      s"'${s.replace("'", "''")}'").mkString(", ")
     def lastK(k: Int) =
       s"array_to_string(list_slice(string_split($col, '.'), -$k, -1), '.')"
     def nLabels = s"len(string_split($col, '.'))"
-    val chain = (MaxSuffixLabels to 1 by -1).foldRight(
+    val suffixChain = (MaxSuffixLabels to 1 by -1).foldRight(
         registrableDomainSql(col)) { (k, fallback) =>
-      s"CASE WHEN $nLabels > $k AND ${lastK(k)} IN ($inList) " +
+      val hits = Seq(
+        plainByK.get(k).map(ps => s"${lastK(k)} IN (${inList(ps)})"),
+        wildByK.get(k).filter(_ => k >= 2)
+          .map(ws => s"${lastK(k - 1)} IN (${inList(ws)})")).flatten
+      if (hits.isEmpty) fallback
+      else s"CASE WHEN $nLabels > $k AND (${hits.mkString(" OR ")}) " +
         s"THEN ${lastK(k + 1)} ELSE $fallback END"
+    }
+    val chain = (MaxSuffixLabels to 1 by -1).foldRight(suffixChain) {
+      (k, rest) =>
+        excByK.get(k).fold(rest)(es =>
+          s"CASE WHEN $nLabels >= $k AND ${lastK(k)} IN (${inList(es)}) " +
+            s"THEN ${lastK(k)} ELSE $rest END")
     }
     s"CASE WHEN $col IS NULL THEN NULL ELSE $chain END"
   }
 
   /** Parse a standard-format public-suffix-list file (one rule per
     * line, `//` comments, blank lines; the publicsuffix.org shape) into
-    * the plain rules [[registrableDomain]] consumes. Wildcard and
-    * exception rules are dropped with the documented cap-key caveat.
-    * Driver-side, O(file) — the PSL is ~240 KB. */
+    * the rules [[registrableDomain]] consumes — plain, wildcard
+    * (`*.ck`) and exception (`!www.ck`) rules all kept. Driver-side,
+    * O(file) — the PSL is ~240 KB. */
   def loadPublicSuffixes(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[String] =
     spark.read.textFile(path).collect().toSeq
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("//") &&
-        !l.startsWith("*") && !l.startsWith("!"))
+      .filter(l => l.nonEmpty && !l.startsWith("//"))
 
   /** RefinedWeb-style domain frequency cap: keep at most `cap` rows per
     * registrable domain of `urlCol`, deterministically preferring rows

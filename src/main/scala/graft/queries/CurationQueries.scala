@@ -315,9 +315,11 @@ object CurationQueries {
       .orderBy(col("domain"), col("doc_id"))
   }
 
-  /** Cap key for q189: the four multi-label public suffixes the query's
-    * synthetic URLs exercise. */
-  private val Q189Psl = Seq("co.uk", "gov.uk", "com.au", "k12.ca.us")
+  /** Cap key rules for q189: four multi-label plain suffixes plus the
+    * real PSL's ck block — wildcard `*.ck` (any label under ck is a
+    * public suffix) countered by exception `!www.ck`. */
+  private val Q189Psl = Seq("co.uk", "gov.uk", "com.au", "k12.ca.us",
+    "*.ck", "!www.ck")
 
   /** PSL-BACKED domain cap ([[graft.ops.UrlCuration.registrableDomain]]
     * with a public-suffix list): half the URLs live under multi-label
@@ -333,6 +335,12 @@ object CurationQueries {
     s"""WITH urls AS (
       |  SELECT doc_id, n_chars,
       |    CASE WHEN doc_id % 17 = 0 THEN NULL
+      |         WHEN doc_id % 11 = 0
+      |           THEN 'https://pg' || (doc_id % 3) || '.' || source ||
+      |                '.ck/doc/' || doc_id
+      |         WHEN doc_id % 13 = 0
+      |           THEN 'https://sub' || (doc_id % 2) || '.www.ck/doc/' ||
+      |                doc_id
       |         WHEN doc_id % 2 = 0
       |           THEN 'https://www.' || source || '.co.uk/doc/' || doc_id
       |         WHEN doc_id % 3 = 0
@@ -358,6 +366,16 @@ object CurationQueries {
     val urls = Tables.documents(s, dir).select(col("doc_id"),
       col("n_chars"),
       when(col("doc_id") % 17 === 0, lit(null))
+        .when(col("doc_id") % 11 === 0, // wildcard *.ck: <source>.ck is
+          // the public suffix, so the cap key is the full 3-label
+          // pgN.<source>.ck (the heuristic would coarsen to source.ck)
+          concat(lit("https://pg"), (col("doc_id") % 3).cast("string"),
+            lit("."), col("source"), lit(".ck/doc/"),
+            col("doc_id").cast("string")))
+        .when(col("doc_id") % 13 === 0, // exception !www.ck: every
+          // subN.www.ck host collapses to the single key www.ck
+          concat(lit("https://sub"), (col("doc_id") % 2).cast("string"),
+            lit(".www.ck/doc/"), col("doc_id").cast("string")))
         .when(col("doc_id") % 2 === 0,
           concat(lit("https://www."), col("source"), lit(".co.uk/doc/"),
             col("doc_id").cast("string")))

@@ -1635,14 +1635,24 @@ object SourceQueries {
     * fill from its phase, so a default leaking into the wrong phase
     * (e.g. read-path back-fill of old files) flips the hash. NULL-
     * contract and refusal mechanics are SnapshotDefaultsSpec's. */
+  /** Column DEFAULTs, both halves of the Delta surface: write-side
+    * fill (CREATE-time + `SET DEFAULT` for inserts that omit columns)
+    * AND `ADD COLUMN … DEFAULT`, whose frozen value back-fills files
+    * written before the column existed at SCAN time (`EXISTS_DEFAULT`
+    * parquet metadata fill, per-file footer truth) — rows inserted
+    * after the add carry the write-side fill physically. The final
+    * filter on the added column proves pushdown over the metadata fill
+    * stays sound (mod-3=0 rows exist only as pre-add files). */
   val q192 = Q("q192_snapshot_defaults",
     """SELECT doc_id,
       |       CASE WHEN doc_id % 3 = 0 THEN 'und'
       |            WHEN doc_id % 3 = 1 THEN lang
       |            ELSE 'xx' END AS lang,
       |       CASE WHEN doc_id % 3 = 0 THEN 0
-      |            ELSE n_chars END AS n_chars
+      |            ELSE n_chars END AS n_chars,
+      |       CASE WHEN doc_id % 3 = 2 THEN 7 ELSE 5 END AS grade
       |FROM documents
+      |WHERE NOT (doc_id % 3 = 1 AND n_chars >= 2000)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val wh = scratch("snapdef_wh", dir)
     rmTree(wh); new java.io.File(wh).mkdirs()
@@ -1661,10 +1671,18 @@ object SourceQueries {
     s.sql("INSERT INTO defcat.ddocs " +
       "SELECT doc_id, lang, n_chars FROM q192_docs WHERE doc_id % 3 = 1")
     s.sql("ALTER TABLE defcat.ddocs ALTER COLUMN lang SET DEFAULT 'xx'")
-    s.sql("INSERT INTO defcat.ddocs (doc_id, n_chars) " +
-      "SELECT doc_id, n_chars FROM q192_docs WHERE doc_id % 3 = 2")
-    s.sql("SELECT doc_id, lang, n_chars FROM defcat.ddocs " +
-      "ORDER BY doc_id")
+    // added mid-history with a default: every row above reads the
+    // frozen 5 from the metadata fill (their files predate 'grade')
+    s.sql("ALTER TABLE defcat.ddocs ADD COLUMN grade BIGINT DEFAULT 5")
+    // rows after the add: write-side fill for omitted (mod-3=2 inserts
+    // override explicitly to 7); a delete on mod-3=1 high-n_chars rows
+    // exercises the fill through a row-level rewrite too
+    s.sql("INSERT INTO defcat.ddocs (doc_id, n_chars, grade) " +
+      "SELECT doc_id, n_chars, 7 FROM q192_docs WHERE doc_id % 3 = 2")
+    s.sql("DELETE FROM defcat.ddocs WHERE doc_id % 3 = 1 " +
+      "AND n_chars >= 2000")
+    s.sql("SELECT doc_id, lang, n_chars, grade FROM defcat.ddocs " +
+      "WHERE grade IN (5, 7) ORDER BY doc_id")
   }
 
   val all: Seq[Q] =

@@ -281,7 +281,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         to: org.apache.spark.sql.types.DataType) extends Ch
     final case class ChDefault(name: String, sql: Option[String]) extends Ch
     val adds = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.types.StructField]
+      .empty[(org.apache.spark.sql.types.StructField, Option[String])]
     val ordered = scala.collection.mutable.ArrayBuffer.empty[Ch]
     changes.foreach {
       case a: TableChange.AddColumn =>
@@ -289,16 +289,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           s"nested ADD COLUMN unsupported: ${a.fieldNames.mkString(".")}")
         require(a.position == null,
           "ADD COLUMN positions unsupported: new columns append")
-        // write-side defaults only (the Delta surface): an ADDED column
-        // with a default would need read-path fill for every
-        // pre-existing file — unsound under pushdown, refused
-        require(a.defaultValue == null,
-          s"ADD COLUMN '${a.fieldNames.head}' with a DEFAULT is " +
-            "unsupported (existing rows would need read-path fill); " +
-            "ADD the column, then ALTER COLUMN … SET DEFAULT for " +
-            "future inserts")
-        adds += org.apache.spark.sql.types.StructField(
-          a.fieldNames.head, a.dataType, nullable = true)
+        // ADD COLUMN … DEFAULT: write-side default for future inserts
+        // AND a frozen existence default filled at scan for files that
+        // predate the column ([[SnapshotTable.addColumns]] — the Delta
+        // metadata-fill semantics)
+        adds += (org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, nullable = true) ->
+          Option(a.defaultValue).map(_.getSql))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           s"nested RENAME COLUMN unsupported: ${r.fieldNames.mkString(".")}")
@@ -373,7 +370,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           require(names.contains(name),
             s"no column '$name' to set a DEFAULT on")
       }
-      adds.foreach { f =>
+      adds.foreach { case (f, _) =>
         require(!names.contains(f.name),
           s"ADD COLUMN '${f.name}': column already exists")
         require(!reserved.contains(f.name),
@@ -389,15 +386,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       case ChDefault(name, sql) =>
         SnapshotTable.setColumnDefault(spark, root, name, sql)
     }
-    if (adds.nonEmpty) {
-      val head = SnapshotTable.headOption(spark, root).get
-      val extended = StructType(
-        StructType.fromDDL(head.schemaDdl).fields ++ adds)
-      SnapshotTable.append(
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], extended),
-        root, mergeSchema = true)
-    }
+    if (adds.nonEmpty)
+      SnapshotTable.addColumns(spark, root, adds.toSeq)
     loadTable(ident)
   }
 

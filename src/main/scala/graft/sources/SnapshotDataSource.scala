@@ -749,16 +749,22 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
         a.withName(snap.colMap(a.name))
     })
 
+  /** The MANIFEST's frozen existence defaults in physical-name space —
+    * the only default metadata allowed to reach the parquet plane:
+    * catalog-attached CURRENT/EXISTS pairs (write-side, head-version)
+    * are stripped and replaced with this snapshot's own recorded map,
+    * so time travel fills each version's truth and plain ADD COLUMN
+    * (no DEFAULT) keeps the null contract. */
+  private def metaFor(st: StructType): StructType =
+    SnapshotTable.readSchemaMeta(physSchema(st),
+      snap.existsDefaults.map { case (c, d) =>
+        snap.colMap.getOrElse(c, c) -> d })
+
   private def inner(paths: Seq[String]): Scan = {
-    // default-metadata stripped: the parquet plane must never apply
-    // EXISTS_DEFAULT fill to files lacking a column (write-side-only
-    // defaults; add-column reads keep the null contract)
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths,
-      SnapshotTable.stripDefaultMeta(physSchema(tableSchema)))
+      SparkSession.active, paths, metaFor(tableSchema))
     GraftParquetBridge.pushCatalystFilters(b, physFilters(catalystFilters))
-    GraftParquetBridge.pruneColumns(b,
-      SnapshotTable.stripDefaultMeta(physSchema(required)))
+    GraftParquetBridge.pruneColumns(b, metaFor(required))
     GraftParquetBridge.buildScan(b)
   }
 
@@ -1202,6 +1208,7 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         next.op != "rename-column" && next.op != "drop-column" &&
         next.op != "set-constraint" && next.op != "drop-constraint" &&
         next.op != "repartition-spec" && next.op != "set-default" &&
+        next.op != "add-column" &&
         !ignoreChanges)
       sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
         s"(v${next.version}): its dirs consolidate existing rows, not " +
@@ -1509,7 +1516,7 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
       case "zorder" | "compact" => Array.empty // content-neutral rewrites
       case "rescale" | "rename-column" | "drop-column" |
            "set-constraint" | "drop-constraint" | "repartition-spec" |
-           "set-default" =>
+           "set-default" | "add-column" =>
         Array.empty // pure-metadata commits: zero row changes
       case other => sys.error(
         s"change feed hit commit v${next.version} (op=$other) at $root " +

@@ -112,11 +112,14 @@ object SnapshotMeta {
     StructField("name", StringType, nullable = false),
     StructField("expression", StringType, nullable = false)))
 
-  /** `defaults` schema — the write-side column DEFAULTs of one
-    * snapshot. */
+  /** `defaults` schema — the column DEFAULTs of one snapshot:
+    * `expression` is the write-side fill for future inserts;
+    * `exists_value` is the frozen `ADD COLUMN … DEFAULT` literal old
+    * files read at scan (null for plain write-side defaults). */
   val DefaultsSchema: StructType = StructType(Seq(
     StructField("column", StringType, nullable = false),
-    StructField("expression", StringType, nullable = false)))
+    StructField("expression", StringType, nullable = true),
+    StructField("exists_value", StringType, nullable = true)))
 
   val MetaNames: Set[String] =
     Set("history", "files", "tags", "branches", "constraints",
@@ -208,7 +211,9 @@ object SnapshotMeta {
         s.constraints.toSeq.sortBy(_._1).map { case (n, e) => Row(n, e) }
       case "defaults" =>
         val s = pin.getOrElse(snaps.last)
-        s.colDefaults.toSeq.sortBy(_._1).map { case (c, d) => Row(c, d) }
+        (s.colDefaults.keySet ++ s.existsDefaults.keySet).toSeq.sorted
+          .map(c => Row(c, s.colDefaults.get(c).orNull,
+            s.existsDefaults.get(c).orNull))
       case other => sys.error(s"unknown metadata table '$other'")
     }
   }

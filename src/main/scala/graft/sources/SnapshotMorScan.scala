@@ -77,13 +77,19 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
     else StructType(st.fields.map(f =>
       f.copy(name = snap.colMap.getOrElse(f.name, f.name))))
 
+  /** Manifest existence defaults in physical-name space — the only
+    * default metadata allowed to reach the parquet plane (see
+    * [[SnapshotTable.readSchemaMeta]]): pre-add base/delta files fill
+    * the frozen ADD COLUMN value per footer truth. */
+  private def metaFor(st: StructType): StructType =
+    SnapshotTable.readSchemaMeta(st,
+      snap.existsDefaults.map { case (c, d) =>
+        snap.colMap.getOrElse(c, c) -> d })
+
   private def innerScan(paths: Seq[String], schema: StructType,
       pushFilters: Boolean): Scan = {
-    // default metadata never reaches the parquet plane (write-side-only
-    // DEFAULTs — see SnapshotTable.stripDefaultMeta)
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths,
-      SnapshotTable.stripDefaultMeta(physSchema(tableSchema)))
+      SparkSession.active, paths, metaFor(physSchema(tableSchema)))
     if (pushFilters) GraftParquetBridge.pushCatalystFilters(b,
       if (snap.colMap.isEmpty) catalystFilters
       else catalystFilters.map(_.transform {
@@ -91,8 +97,7 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
             if snap.colMap.contains(a.name) =>
           a.withName(snap.colMap(a.name))
       }))
-    GraftParquetBridge.pruneColumns(b,
-      SnapshotTable.stripDefaultMeta(physSchema(schema)))
+    GraftParquetBridge.pruneColumns(b, metaFor(physSchema(schema)))
     GraftParquetBridge.buildScan(b)
   }
 
@@ -398,11 +403,19 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
     .add("_sdv_file", org.apache.spark.sql.types.StringType)
     .add("_sdv_pos", org.apache.spark.sql.types.LongType)
 
+  /** Manifest existence defaults in physical-name space — the only
+    * default metadata allowed to reach the parquet plane (see
+    * [[SnapshotTable.readSchemaMeta]]): pre-add base/delta files fill
+    * the frozen ADD COLUMN value per footer truth. */
+  private def metaFor(st: StructType): StructType =
+    SnapshotTable.readSchemaMeta(st,
+      snap.existsDefaults.map { case (c, d) =>
+        snap.colMap.getOrElse(c, c) -> d })
+
   private def innerScan(paths: Seq[String], schema: StructType,
       tblSchema: StructType, pushFilters: Boolean): Scan = {
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths,
-      SnapshotTable.stripDefaultMeta(tblSchema))
+      SparkSession.active, paths, metaFor(tblSchema))
     if (pushFilters) GraftParquetBridge.pushCatalystFilters(b,
       if (snap.colMap.isEmpty) catalystFilters
       else catalystFilters.map(_.transform {
@@ -410,8 +423,7 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
             if snap.colMap.contains(a.name) =>
           a.withName(snap.colMap(a.name))
       }))
-    GraftParquetBridge.pruneColumns(b,
-      SnapshotTable.stripDefaultMeta(schema))
+    GraftParquetBridge.pruneColumns(b, metaFor(schema))
     GraftParquetBridge.buildScan(b)
   }
 

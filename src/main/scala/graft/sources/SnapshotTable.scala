@@ -132,7 +132,8 @@ object SnapshotTable {
       droppedPhys: Seq[String] = Seq.empty,
       constraints: Map[String, String] = Map.empty,
       partSpec: Seq[PartField] = Seq.empty,
-      colDefaults: Map[String, String] = Map.empty) {
+      colDefaults: Map[String, String] = Map.empty,
+      existsDefaults: Map[String, String] = Map.empty) {
 
     /** GUARANTEED per-dir column bounds derived from the partition
       * value segments (`_pt{i}=v`) in each entry dir's path — the
@@ -726,12 +727,15 @@ object SnapshotTable {
   // pruner with zero new read logic and is GUARANTEED (independent of
   // the opt-in statsCols). The spec is fixed at [[create]], stored in
   // every manifest, and its source columns are protected from rename/
-  // drop like keys. Time-zone discipline: transforms over TIMESTAMP are
-  // pure epoch arithmetic (hours/days — UTC-fixed regardless of session
-  // zone); calendar transforms (months/years) are offered on DATE and
-  // TIMESTAMP_NTZ where field extraction is zone-free, and REFUSED on
-  // TIMESTAMP (year()/month() there follow the session zone, which
-  // would make dir names — and thus derived bounds — session-dependent).
+  // drop like keys. Time-zone discipline: every transform over
+  // TIMESTAMP is UTC-FIXED regardless of session zone — hours/days as
+  // pure epoch arithmetic, months/years via zone-free epoch-day →
+  // civil-date arithmetic (never year()/month() on the timestamp
+  // itself, which follow the session zone and would make dir names —
+  // and thus derived bounds — session-dependent). This is Iceberg's
+  // definition: month/year of a timestamptz partition by the UTC
+  // instant. DATE and TIMESTAMP_NTZ calendar transforms are zone-free
+  // by construction.
 
   /** One partition-spec field: `transform` ∈ {identity, hours, days,
     * months, years} over source column `col`. `idx` is the field's
@@ -865,16 +869,15 @@ object SnapshotTable {
       val ok = (f.transform, field.dataType) match {
         case ("identity", ByteType | ShortType | IntegerType | LongType |
             StringType | BooleanType | DateType) => true
-        case ("hours" | "days", TimestampType | TimestampNTZType) => true
+        case ("hours" | "days" | "months" | "years",
+            TimestampType | TimestampNTZType) => true
         case ("days" | "months" | "years", DateType) => true
-        case ("months" | "years", TimestampNTZType) => true
         case _ => false
       }
       require(ok, s"partition transform $f unsupported for type " +
         s"${field.dataType.sql} (identity: integral/string/boolean/date; " +
-        "hours/days: timestamp/timestamp_ntz; days/months/years: date; " +
-        "months/years: timestamp_ntz — NOT timestamp, whose calendar " +
-        "fields follow the session time zone)")
+        "hours/days/months/years: timestamp/timestamp_ntz — UTC-fixed " +
+        "on timestamp; days/months/years: date)")
     }
   }
 
@@ -921,6 +924,19 @@ object SnapshotTable {
         ((year(c) - 1970) * 12 + month(c) - 1).cast(LongType).cast(StringType)
       case ("years", DateType | TimestampNTZType) =>
         year(c).cast(LongType).cast(StringType)
+      // TIMESTAMP calendar transforms, UTC-FIXED (the Iceberg
+      // timestamptz definition): never year()/month() on the timestamp
+      // (session-zoned) — route through the UTC epoch day rebuilt as a
+      // DATE (epoch arithmetic + date_add on a literal are zone-free),
+      // whose calendar fields are zone-free by type
+      case ("months" | "years", TimestampType) =>
+        val utcDate = date_add(to_date(lit("1970-01-01")),
+          floor(unix_micros(c) / lit(86400000000L)).cast(IntegerType))
+        val v =
+          if (f.transform == "months")
+            (year(utcDate) - 1970) * 12 + month(utcDate) - 1
+          else year(utcDate)
+        v.cast(LongType).cast(StringType)
       case other => sys.error(s"unsupported partition transform $other")
     }
   }
@@ -976,7 +992,9 @@ object SnapshotTable {
           val ym = YearMonth.of(1970 + Math.floorDiv(m, 12L).toInt,
             Math.floorMod(m, 12L).toInt + 1)
           range(ym.atDay(1).toEpochDay, ym.atEndOfMonth.toEpochDay)
-        case ("months", TimestampNTZType) =>
+        // TIMESTAMP shares the NTZ spelling: its month index is defined
+        // on the UTC instant and its stats space IS utc micros
+        case ("months", TimestampNTZType | TimestampType) =>
           val m = v.toLong
           val ym = YearMonth.of(1970 + Math.floorDiv(m, 12L).toInt,
             Math.floorMod(m, 12L).toInt + 1)
@@ -986,7 +1004,7 @@ object SnapshotTable {
           val y = v.toInt
           range(LocalDate.of(y, 1, 1).toEpochDay,
             LocalDate.of(y, 12, 31).toEpochDay)
-        case ("years", TimestampNTZType) =>
+        case ("years", TimestampNTZType | TimestampType) =>
           val y = v.toInt
           range(micros(LocalDate.of(y, 1, 1).atStartOfDay),
             micros(LocalDate.of(y + 1, 1, 1).atStartOfDay) - 1L)
@@ -1095,6 +1113,11 @@ object SnapshotTable {
         val Array(c, d) = l.drop("coldefault=".length).split("\t", 2)
         c -> d
     }.toMap
+    val existsDefaults = lines.collect {
+      case l if l.startsWith("existsdefault=") =>
+        val Array(c, d) = l.drop("existsdefault=".length).split("\t", 2)
+        c -> d
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -1116,7 +1139,7 @@ object SnapshotTable {
         .getOrElse(Seq.empty), constraints,
       fieldOpt("partspec").map(s => parsePartSpec(s.split(",").toSeq))
         .getOrElse(Seq.empty),
-      colDefaults)
+      colDefaults, existsDefaults)
   }
 
   // ---- consolidated checkpoints ----
@@ -1448,6 +1471,26 @@ object SnapshotTable {
       f.copy(metadata = mb.build())
     })
 
+  /** Attach the MANIFEST's frozen existence defaults ([[addColumns]],
+    * logical names) to a read schema as `EXISTS_DEFAULT` field
+    * metadata, after stripping whatever the catalog session attached
+    * (write-side CURRENT_DEFAULTs must never fill at read; the
+    * manifest's own map is the time-travel-correct one). The parquet
+    * plane fills a column from this metadata ONLY for files whose
+    * footer physically lacks it — explicit nulls in newer files read
+    * verbatim. */
+  private[sources] def readSchemaMeta(st: StructType,
+      exists: Map[String, String]): StructType = {
+    val clean = stripDefaultMeta(st)
+    if (exists.isEmpty) clean
+    else StructType(clean.fields.map { f =>
+      exists.get(f.name).fold(f) { d =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString("EXISTS_DEFAULT", d).build())
+      }
+    })
+  }
+
   /** All listed main version NUMBERS, ascending — one dir listing,
     * zero manifest parses (the streaming start-anchor validation). */
   private[sources] def listedVersions(spark: SparkSession,
@@ -1726,18 +1769,24 @@ object SnapshotTable {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   private def readEntries(spark: SparkSession, schemaDdl: String,
-      colMap: Map[String, String], dirs: Seq[String]): DataFrame = {
+      colMap: Map[String, String], dirs: Seq[String],
+      exists: Map[String, String] = Map.empty): DataFrame = {
     val logical = StructType.fromDDL(schemaDdl)
     if (dirs.isEmpty) emptyDf(spark, logical)
     // explicit schema: bucket dirs carry no _gb column (it lives in the
     // dir name) and an explicit schema also pins empty-commit reads.
     // Files store PHYSICAL column names (column mapping): read physical,
-    // relabel to the logical view — positional, zero copy.
-    else if (colMap.isEmpty) spark.read.schema(logical).parquet(dirs: _*)
+    // relabel to the logical view — positional, zero copy. Existence
+    // defaults ride as EXISTS_DEFAULT field metadata ([[readSchemaMeta]])
+    // so pre-add files fill per footer truth.
+    else if (colMap.isEmpty)
+      spark.read.schema(readSchemaMeta(logical, exists)).parquet(dirs: _*)
     else {
       val phys = StructType(logical.fields.map(f =>
         f.copy(name = colMap.getOrElse(f.name, f.name))))
-      spark.read.schema(phys).parquet(dirs: _*)
+      val physExists = exists.map { case (c, d) =>
+        colMap.getOrElse(c, c) -> d }
+      spark.read.schema(readSchemaMeta(phys, physExists)).parquet(dirs: _*)
         .toDF(logical.fieldNames.toIndexedSeq: _*)
     }
   }
@@ -1788,13 +1837,15 @@ object SnapshotTable {
     * (`_sdv_file`, `_sdv_pos` from the parquet reader's file metadata —
     * exact under splits, filters, and row-group skipping). */
   private def readEntriesWithPos(spark: SparkSession, schemaDdl: String,
-      colMap: Map[String, String], dirs: Seq[String]): DataFrame = {
+      colMap: Map[String, String], dirs: Seq[String],
+      exists: Map[String, String] = Map.empty): DataFrame = {
     val logical = StructType.fromDDL(schemaDdl)
     val out = StructType(logical.fields ++ posTombSchema.fields)
     if (dirs.isEmpty) return emptyDf(spark, out)
     val phys = StructType(logical.fields.map(f =>
       f.copy(name = colMap.getOrElse(f.name, f.name))))
-    spark.read.schema(phys).parquet(dirs: _*)
+    val physExists = exists.map { case (c, d) => colMap.getOrElse(c, c) -> d }
+    spark.read.schema(readSchemaMeta(phys, physExists)).parquet(dirs: _*)
       .select(logical.fields.map(f =>
         col(colMap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq ++
         Seq(posFileOf.as(PosFileCol),
@@ -1808,7 +1859,7 @@ object SnapshotTable {
   private def resolvedReadWithPos(spark: SparkSession,
       snap: Snapshot): DataFrame = {
     val base = readEntriesWithPos(spark, snap.schemaDdl, snap.colMap,
-      snap.entries.map(_._2))
+      snap.entries.map(_._2), snap.existsDefaults)
     val posDs = snap.deltas.filter(_.kind == "pos")
     if (posDs.isEmpty) base
     else base.join(
@@ -1836,7 +1887,8 @@ object SnapshotTable {
         case None => snap.entries
       }
       val outCols = StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq
-      return readEntriesWithPos(spark, ddl, snap.colMap, sel.map(_._2))
+      return readEntriesWithPos(spark, ddl, snap.colMap, sel.map(_._2),
+          snap.existsDefaults)
         .join(spark.read.schema(posTombSchema)
           .parquet(posDs.map(_.dir): _*),
           Seq(PosFileCol, PosPosCol), "left_anti")
@@ -1856,7 +1908,8 @@ object SnapshotTable {
       val groups = es.groupBy(e => snap.layoutOf(e._2)).toSeq.sortBy(_._1)
       if (groups.isEmpty) emptyDf(spark, StructType.fromDDL(ddl))
       else groups.map { case (l, ge) =>
-        val df = readEntries(spark, ddl, snap.colMap, ge.map(_._2))
+        val df = readEntries(spark, ddl, snap.colMap, ge.map(_._2),
+          snap.existsDefaults)
         if (l == snap.buckets) df
         else exactFilter.fold(df)(df.filter)
       }.reduce(_.unionByName(_))
@@ -1883,7 +1936,8 @@ object SnapshotTable {
     // RETAINED merge-on-read commits, bounded by the compaction cadence
     val rowFrames = ds.filter(_.kind == "rows").groupBy(_.seq).toSeq
       .sortBy(_._1).map { case (s, es) =>
-        readEntries(spark, ddl, snap.colMap, es.map(_.dir))
+        readEntries(spark, ddl, snap.colMap, es.map(_.dir),
+          snap.existsDefaults)
           .withColumn(SeqCol, lit(s))
       }
     // key columns are never renameable, so the tombstone key schema is
@@ -2059,7 +2113,8 @@ object SnapshotTable {
           val fresh = dirsOf(next).diff(dirsOf(prev))
           if (fresh.isEmpty) None
           else Some(tag(
-            readEntries(spark, next.schemaDdl, next.colMap, fresh),
+            readEntries(spark, next.schemaDdl, next.colMap, fresh,
+              next.existsDefaults),
             "insert"))
         case "upsert-mor" | "delete-mor" =>
           // the commit wrote ONLY delta dirs: changed keys = the fresh
@@ -2077,7 +2132,8 @@ object SnapshotTable {
             val tombDirs = fresh.filter(_.kind == "tomb").map(_.dir)
             val newRows =
               if (rowDirs.isEmpty) emptyDf(spark, schema)
-              else readEntries(spark, next.schemaDdl, next.colMap, rowDirs)
+              else readEntries(spark, next.schemaDdl, next.colMap, rowDirs,
+                next.existsDefaults)
             val tombKeys =
               if (tombDirs.isEmpty) emptyDf(spark, keySchema)
               else spark.read.schema(keySchema).parquet(tombDirs: _*)
@@ -2455,6 +2511,12 @@ object SnapshotTable {
       snap.colDefaults.toSeq.sortBy(_._1).foreach { case (c, d) =>
         body ++= s"coldefault=$c\t$d" += '\n'
       }
+      // existence DEFAULTs of ADD COLUMN … DEFAULT (frozen literal SQL,
+      // logical names): files physically lacking the column read this
+      // value at scan — the Delta metadata-fill shape
+      snap.existsDefaults.toSeq.sortBy(_._1).foreach { case (c, d) =>
+        body ++= s"existsdefault=$c\t$d" += '\n'
+      }
       if (snap.droppedPhys.nonEmpty)
         body ++= s"dropped=${snap.droppedPhys.mkString(",")}" += '\n'
       snap.deltas.foreach { d =>
@@ -2604,7 +2666,8 @@ object SnapshotTable {
         dirLayout = cur.dirLayout ++ myLayout,
         colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = cur.colDefaults)
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)
       case "upsert" | "delete" =>
         val h = p.hit.get
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -2617,7 +2680,8 @@ object SnapshotTable {
           dirLayout = cur.dirLayout,
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = cur.colDefaults)
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)
       case "upsert-mor" | "delete-mor" | "delete-pos" =>
         val kind = p.opKind match {
           case "upsert-mor" => "rows"
@@ -2635,7 +2699,8 @@ object SnapshotTable {
           dirLayout = cur.dirLayout,
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = cur.colDefaults)
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)
       case other => sys.error(s"rebasing undefined for op $other")
     }
   }
@@ -2773,7 +2838,7 @@ object SnapshotTable {
     // visible (one O(replacement) scan, only on constrained tables)
     if (base.constraints.nonEmpty)
       requireConstraints(readEntries(spark, base.schemaDdl, base.colMap,
-        stagedDirs.map(_._2)), base, op)
+        stagedDirs.map(_._2), base.existsDefaults), base, op)
     val (st, rw) = computeStats(spark, stagedDirs, base.schemaDdl,
       base.statsCols, base.colMap, base.keys, Some(fsys))
     publish(fsys, rootP, stamped(Snapshot(v, op, base.keys, base.buckets,
@@ -2796,7 +2861,8 @@ object SnapshotTable {
       dirLayout = base.dirLayout,
       colMap = base.colMap, droppedPhys = base.droppedPhys,
       constraints = base.constraints, partSpec = base.partSpec,
-      colDefaults = base.colDefaults)))
+      colDefaults = base.colDefaults,
+      existsDefaults = base.existsDefaults)))
     v
   }
 
@@ -2909,39 +2975,51 @@ object SnapshotTable {
   private def validateDefaults(spark: SparkSession, schema: StructType,
       defaults: Map[String, String]): Unit = defaults.foreach {
     case (c, d) =>
-      // line-safety: the expression text is serialized verbatim into
-      // the line-oriented manifest ('coldefault=col\t<expr>'); a raw
-      // newline/tab — legal inside a multi-line string literal — would
-      // silently truncate the stored expression (same guard as
-      // addConstraint)
-      require(!d.contains('\n') && !d.contains('\t'),
-        s"DEFAULT for column '$c' must be line-safe (no raw newline/" +
-          s"tab in the expression text; use \\n escapes): $d")
       val f = schema.fields.find(_.name == c).getOrElse(sys.error(
         s"DEFAULT for unknown column '$c' (schema: ${schema.toDDL})"))
-      val analyzed =
-        try emptyDf(spark, StructType(Nil))
-          .select(org.apache.spark.sql.functions.expr(d)
-            .cast(f.dataType).as("d"))
-          .queryExecution.analyzed.expressions.head
-        catch {
-          case scala.util.control.NonFatal(ex) => sys.error(
-            s"DEFAULT for column '$c' does not resolve as a constant " +
-              s"of ${f.dataType.sql}: $d (${ex.getMessage})")
-        }
-      val child = analyzed match {
-        case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
-        case e => e
-      }
-      require(child.deterministic && child.foldable,
-        s"DEFAULT for column '$c' must be a constant-foldable " +
-          s"expression, got: $d")
-      try { child.eval(); () }
+      validateDefault(spark, f, d)
+      ()
+  }
+
+  /** Validate ONE default expression against its column and return the
+    * evaluated constant (Catalyst internal value) — shared by write-side
+    * declaration ([[validateDefaults]]) and the ADD-COLUMN existence
+    * freeze ([[addColumns]]). */
+  private def validateDefault(spark: SparkSession,
+      f: org.apache.spark.sql.types.StructField,
+      d: String): Any = {
+    val c = f.name
+    // line-safety: the expression text is serialized verbatim into
+    // the line-oriented manifest ('coldefault=col\t<expr>'); a raw
+    // newline/tab — legal inside a multi-line string literal — would
+    // silently truncate the stored expression (same guard as
+    // addConstraint)
+    require(!d.contains('\n') && !d.contains('\t'),
+      s"DEFAULT for column '$c' must be line-safe (no raw newline/" +
+        s"tab in the expression text; use \\n escapes): $d")
+    val analyzed =
+      try emptyDf(spark, StructType(Nil))
+        .select(org.apache.spark.sql.functions.expr(d)
+          .cast(f.dataType).as("d"))
+        .queryExecution.analyzed.expressions.head
       catch {
         case scala.util.control.NonFatal(ex) => sys.error(
-          s"DEFAULT for column '$c' fails to evaluate: $d " +
-            s"(${ex.getMessage})")
+          s"DEFAULT for column '$c' does not resolve as a constant " +
+            s"of ${f.dataType.sql}: $d (${ex.getMessage})")
       }
+    val child = analyzed match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    require(child.deterministic && child.foldable,
+      s"DEFAULT for column '$c' must be a constant-foldable " +
+        s"expression, got: $d")
+    try child.eval()
+    catch {
+      case scala.util.control.NonFatal(ex) => sys.error(
+        s"DEFAULT for column '$c' fails to evaluate: $d " +
+          s"(${ex.getMessage})")
+    }
   }
 
   /** Set or clear a column's write-side DEFAULT (the Delta
@@ -2953,8 +3031,9 @@ object SnapshotTable {
     * `SUPPORT_COLUMN_DEFAULT_VALUE` and attaches the metadata), so the
     * write path sees a complete row and nothing changes below the
     * analyzer. Existing rows are untouched (write-side only — exactly
-    * Delta's surface; ADD COLUMN with a default is refused since old
-    * files' reads would need unsound read-path fill). Object-API
+    * Delta's surface; back-filling old files belongs to
+    * `ADD COLUMN … DEFAULT`, [[addColumns]], whose fill is frozen at
+    * add time). Object-API
     * writers keep their explicit-schema contract (missing columns are
     * an error / mergeSchema null-backfill, documented divergence).
     * Time travel serves each version's own defaults. Returns the
@@ -2976,6 +3055,74 @@ object SnapshotTable {
       op = "set-default", uuid = newUuid(), txn = None, cdc = None,
       colDefaults = default.fold(cur.colDefaults - column)(d =>
         cur.colDefaults + (column -> d)))))
+    v
+  }
+
+  /** `ALTER TABLE … ADD COLUMNS`, with optional per-column DEFAULTs —
+    * ONE pure-metadata commit (`op = "add-column"`), zero data files
+    * touched (the Delta add-column-with-default shape):
+    *
+    *   - every default becomes the WRITE-side default (future INSERTs
+    *     that omit the column fill it at analysis, like
+    *     [[setColumnDefault]]), and
+    *   - its value is FROZEN at add time into an existence default
+    *     (`existsDefaults`, serialized as literal SQL): files written
+    *     BEFORE the column existed read the frozen value instead of
+    *     null, filled by the parquet reader from per-file footer truth
+    *     (`EXISTS_DEFAULT` field metadata — a file physically lacking
+    *     the column fills; a file carrying it, even with explicit
+    *     nulls, reads verbatim). Per-file presence makes the fill
+    *     sound under clone (foreign dirs keep their own footers) and
+    *     under compaction (rewrites materialize the fill physically).
+    *     Freezing (evaluate-then-store, e.g. `current_date()` becomes
+    *     the add-day literal) keeps every future read of old files
+    *     deterministic — Delta's EXISTS_DEFAULT semantics.
+    *
+    * Filters stay sound: the pushed parquet predicate on a filled
+    * column can't evaluate against a file lacking it, so Spark's
+    * residual evaluation above the scan judges the filled value.
+    * Columns without a default keep the NULL contract for old files
+    * (and a LATER `SET DEFAULT` does not backfill — write-side only).
+    * Time travel serves each version's own schema and fills. Returns
+    * the committed version. */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[(org.apache.spark.sql.types.StructField, Option[String])])
+      : Long = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val cur = current(spark, root)
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val reserved = (cur.colMap.values ++ cur.droppedPhys).toSet
+    val frozen = cols.map { case (f0, d) =>
+      val f = f0.copy(nullable = true) // absent in old files ⇒ nullable
+      require(!schema.fieldNames.contains(f.name) &&
+        !cols.exists(c => c._1.name == f.name && c._1.ne(f0)),
+        s"ADD COLUMN '${f.name}': column already exists")
+      require(!reserved.contains(f.name),
+        s"ADD COLUMN '${f.name}': name is reserved by column mapping")
+      val exists = d.map { expr =>
+        val v = validateDefault(spark, f, expr)
+        val l = org.apache.spark.sql.catalyst.expressions
+          .Literal(v, f.dataType).sql
+        // the frozen literal rides the line-oriented manifest too: a
+        // string VALUE containing a newline would truncate it even
+        // when the source expression spelled it with escapes
+        require(!l.contains('\n') && !l.contains('\t'),
+          s"ADD COLUMN '${f.name}' DEFAULT evaluates to a value whose " +
+            s"literal is not line-safe: $l")
+        l
+      }
+      (f, d, exists)
+    }
+    val newDdl = StructType(schema.fields ++ frozen.map(_._1)).toDDL
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(cur.copy(version = v,
+      op = "add-column", uuid = newUuid(), txn = None, cdc = None,
+      schemaDdl = newDdl,
+      colDefaults = cur.colDefaults ++ frozen.collect {
+        case (f, Some(d), _) => f.name -> d },
+      existsDefaults = cur.existsDefaults ++ frozen.collect {
+        case (f, _, Some(l)) => f.name -> l })))
     v
   }
 
@@ -3045,7 +3192,8 @@ object SnapshotTable {
       txn = txn, changeFeed = cur.changeFeed,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = cur.colDefaults)), branch)
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)), branch)
     v
   }
 
@@ -3342,7 +3490,8 @@ object SnapshotTable {
     val newEntries =
       if (rewrite.isEmpty) Seq.empty[(Int, String)]
       else writeCommitData(
-        readEntries(spark, cur.schemaDdl, cur.colMap, rewriteDirs)
+        readEntries(spark, cur.schemaDdl, cur.colMap, rewriteDirs,
+          cur.existsDefaults)
           .filter(not(coalesce(condition, lit(false)))),
         rootP, v, cur.keys, cur.buckets, uuid, fsys, cur.colMap,
         cur.partSpec)
@@ -3356,7 +3505,8 @@ object SnapshotTable {
       if (!cur.changeFeed) None
       else {
         val deadDirs = dropped.map(_._2) ++ rewriteDirs
-        val dead = readEntries(spark, cur.schemaDdl, cur.colMap, deadDirs)
+        val dead = readEntries(spark, cur.schemaDdl, cur.colMap, deadDirs,
+          cur.existsDefaults)
           .filter(
             if (rewrite.isEmpty) lit(true) // dropped dirs die wholesale
             else coalesce(condition, lit(false)))
@@ -3374,7 +3524,8 @@ object SnapshotTable {
       deltas = Seq.empty, changeFeed = cur.changeFeed, cdc = cdcDir,
       dirLayout = cur.dirLayout, colMap = cur.colMap,
       droppedPhys = cur.droppedPhys, constraints = cur.constraints,
-      partSpec = cur.partSpec, colDefaults = cur.colDefaults)), branch)
+      partSpec = cur.partSpec, colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)), branch)
     v
   }
 
@@ -3507,7 +3658,8 @@ object SnapshotTable {
       // shape exactly — previously dropped, which silently unpartitioned
       // the table's future writes
       constraints = target.constraints, partSpec = target.partSpec,
-      colDefaults = target.colDefaults)))
+      colDefaults = target.colDefaults,
+      existsDefaults = target.existsDefaults)))
     v
   }
 
@@ -3532,10 +3684,14 @@ object SnapshotTable {
     * Clone and source then diverge freely — each root's writes land
     * under that root. The clone's [[vacuum]] only ever sweeps
     * `dstRoot/data`, so referenced SOURCE dirs are structurally
-    * untouchable from the clone side. CAVEAT (exactly Delta's):
-    * vacuuming the SOURCE knows nothing of clones — expiring source
-    * history a clone still references breaks that clone. Tag the cloned
-    * version on the source (tags pin vacuum) to keep it safe.
+    * untouchable from the clone side. The reverse hazard — vacuuming
+    * the SOURCE out from under a clone, Delta's documented data-loss
+    * caveat — is a REFUSAL here: the clone registers itself at the
+    * source (`_refs/clones/`, best-effort — a read-only source still
+    * clones, with the caveat logged), and the source's [[vacuum]]
+    * refuses to expire a registered clone's pinned version until the
+    * registration is dropped ([[unregisterClone]]) or explicitly
+    * overridden.
     *
     * Returns the clone's head version (always 1). */
   def cloneTable(spark: SparkSession, srcRoot: String, dstRoot: String,
@@ -3543,7 +3699,7 @@ object SnapshotTable {
     val src = resolve(spark, srcRoot, version, None, tag)
     require(!exists(spark, dstRoot),
       s"snapshot table already exists at $dstRoot")
-    val (sfs, _) = fs(spark, srcRoot)
+    val (sfs, srcP) = fs(spark, srcRoot)
     val missing = (src.entries.map(_._2) ++ src.deltas.map(_.dir))
       .filterNot(d => sfs.exists(new Path(d)))
     require(missing.isEmpty,
@@ -3561,8 +3717,69 @@ object SnapshotTable {
       dirLayout = src.dirLayout,
       colMap = src.colMap, droppedPhys = src.droppedPhys,
       constraints = src.constraints, partSpec = src.partSpec,
-      colDefaults = src.colDefaults)))
+      colDefaults = src.colDefaults,
+      existsDefaults = src.existsDefaults)))
+    // best-effort registration AT THE SOURCE, after the clone is
+    // published (an unregistered-but-published clone degrades to the
+    // Delta caveat; a registered-but-unpublished one would pin garbage)
+    try {
+      val body = s"$CloneRefHeader\ndst=${fsys.makeQualified(rootP)}\n" +
+        s"version=${src.version}\n"
+      val p = cloneRefPath(srcP, newUuid())
+      val out = sfs.create(p, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case scala.util.control.NonFatal(e) => System.err.println(
+        s"[snapshot] clone registration at $srcRoot failed ($e) — the " +
+          "source's vacuum cannot see this clone; tag the cloned " +
+          "version there to protect it")
+    }
     1L
+  }
+
+  private val CloneRefHeader = "graft-clone-ref-v1"
+  private def clonesDir(root: Path) = new Path(refsDir(root), "clones")
+  private def cloneRefPath(root: Path, id: String) =
+    new Path(clonesDir(root), s"$id.txt")
+
+  /** Registered clones of this table: (registry file name, clone root,
+    * pinned source version). Unreadable entries are skipped (a stray
+    * file must not wedge vacuum — an unparseable registration can't
+    * name a version to protect anyway). */
+  private[sources] def registeredClones(fsys: FileSystem,
+      rootP: Path): Seq[(String, String, Long)] = {
+    val dir = clonesDir(rootP)
+    if (!fsys.exists(dir)) return Seq.empty
+    fsys.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+      try {
+        val in = fsys.open(st.getPath)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = text.split("\n").toSeq
+        if (!lines.headOption.contains(CloneRefHeader)) None
+        else for {
+          d <- lines.collectFirst { case l if l.startsWith("dst=") =>
+            l.drop(4) }
+          v <- lines.collectFirst { case l if l.startsWith("version=") =>
+            l.drop(8).toLong }
+        } yield (st.getPath.getName, d, v)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Drop `dstRoot`'s clone registration(s) at `srcRoot` — run this
+    * after retiring a clone so the source's [[vacuum]] stops protecting
+    * its pinned version. Returns how many registrations were removed. */
+  def unregisterClone(spark: SparkSession, srcRoot: String,
+      dstRoot: String): Int = {
+    val (fsys, rootP) = fs(spark, srcRoot)
+    val dstQ = fs(spark, dstRoot) match { case (f, p) =>
+      f.makeQualified(p).toString }
+    val hits = registeredClones(fsys, rootP).filter(_._2 == dstQ)
+    hits.foreach { case (name, _, _) =>
+      fsys.delete(cloneRefPath(rootP, name.stripSuffix(".txt")), false) }
+    hits.size
   }
 
   /** Z-order clustering rewrite (Delta's `OPTIMIZE ZORDER BY` shape,
@@ -3669,7 +3886,8 @@ object SnapshotTable {
       changeFeed = cur.changeFeed,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = cur.colDefaults)))
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)))
     v
   }
 
@@ -3800,7 +4018,8 @@ object SnapshotTable {
       dirLayout = cur.entries.map(e => e._2 -> cur.layoutOf(e._2)).toMap,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = cur.colDefaults)))
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)))
     v
   }
 
@@ -3858,7 +4077,8 @@ object SnapshotTable {
       changeFeed = cur.changeFeed, dirLayout = cur.dirLayout,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = newSpec,
-      colDefaults = cur.colDefaults)), branch)
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)), branch)
     v
   }
 
@@ -3914,6 +4134,9 @@ object SnapshotTable {
       // because defaults are constant-foldable by construction
       newDefaults = Some(cur.colDefaults.map { case (c, d) =>
         (if (c == oldName) newName else c) -> d
+      }),
+      newExists = Some(cur.existsDefaults.map { case (c, d) =>
+        (if (c == oldName) newName else c) -> d
       }))
   }
 
@@ -3942,7 +4165,8 @@ object SnapshotTable {
     val newSchema = StructType(schema.fields.filterNot(_.name == name))
     alterCommit(spark, root, cur, "drop-column", newSchema.toDDL,
       cur.colMap - name, cur.droppedPhys :+ phys,
-      newDefaults = Some(cur.colDefaults - name))
+      newDefaults = Some(cur.colDefaults - name),
+      newExists = Some(cur.existsDefaults - name))
   }
 
   /** Widen a column's type WITHOUT rewriting a byte — type-widening
@@ -4100,7 +4324,8 @@ object SnapshotTable {
   private def alterCommit(spark: SparkSession, root: String,
       cur: Snapshot, op: String, newDdl: String,
       newMap: Map[String, String], newDropped: Seq[String],
-      newDefaults: Option[Map[String, String]] = None): Long = {
+      newDefaults: Option[Map[String, String]] = None,
+      newExists: Option[Map[String, String]] = None): Long = {
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
     publish(fsys, rootP, stamped(Snapshot(v, op, cur.keys, cur.buckets,
@@ -4113,7 +4338,8 @@ object SnapshotTable {
       dirLayout = cur.dirLayout,
       colMap = newMap, droppedPhys = newDropped,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = newDefaults.getOrElse(cur.colDefaults))))
+      colDefaults = newDefaults.getOrElse(cur.colDefaults),
+      existsDefaults = newExists.getOrElse(cur.existsDefaults))))
     v
   }
 
@@ -4176,7 +4402,8 @@ object SnapshotTable {
       dirLayout = cur.dirLayout,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = cur.colDefaults)))
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)))
     v
   }
 
@@ -4208,7 +4435,7 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val rows = readEntries(spark, cur.schemaDdl, cur.colMap,
-      target.map(_._2))
+      target.map(_._2), cur.existsDefaults)
     val entries = writeCommitData(rows, rootP, v, cur.keys, cur.buckets,
       uuid, fsys, cur.colMap, cur.partSpec)
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
@@ -4225,7 +4452,8 @@ object SnapshotTable {
       dirLayout = cur.dirLayout, // rewritten dirs are current-layout
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
-      colDefaults = cur.colDefaults)))
+      colDefaults = cur.colDefaults,
+      existsDefaults = cur.existsDefaults)))
     v
   }
 
@@ -4249,7 +4477,7 @@ object SnapshotTable {
     * cost is O(versions + data dirs) metadata listings; deletes are
     * FS-side. */
   def vacuum(spark: SparkSession, root: String,
-      keepVersions: Int = 1): (Int, Int) = {
+      keepVersions: Int = 1, ignoreClones: Boolean = false): (Int, Int) = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     val (fsys, rootP) = fs(spark, root)
     val snaps = versions(spark, root)
@@ -4266,6 +4494,23 @@ object SnapshotTable {
       .map(_.version).toSet
     val (keep, expire) =
       snaps.partition(s => recent(s.version) || pinned(s.version))
+    // registered shallow clones ([[cloneTable]]) pin their source
+    // version: expiring it would delete data dirs the clone's manifest
+    // still lists — silent data loss AT THE CLONE. Refuse instead of
+    // inherit Delta's footgun; `ignoreClones = true` (after
+    // [[unregisterClone]], or knowingly) restores the old behavior.
+    if (!ignoreClones) {
+      val expiring = expire.map(_.version).toSet
+      registeredClones(fsys, rootP)
+        .filter { case (_, _, v) => expiring(v) }
+        .foreach { case (_, dst, v) => sys.error(
+          s"vacuum at $root would expire version $v, which the clone " +
+            s"at $dst still references — its reads would lose data " +
+            "dirs. Keep more versions, tag the version, drop the " +
+            "registration (SnapshotTable.unregisterClone) once the " +
+            "clone is retired, or pass ignoreClones=true to accept " +
+            "the breakage") }
+    }
     expire.foreach(s => fsys.delete(manifestPath(rootP, s.version), false))
     // checkpoint hygiene: readers only ever open the NEWEST checkpoint,
     // so older ones are dead weight — drop them here (stale ts/uuid/txn

@@ -159,6 +159,42 @@ class SnapshotCloneSpec extends AnyFunSuite {
     assert(eLo.getMessage.contains("compact"))
   }
 
+  test("the SOURCE's vacuum refuses to expire a registered clone's " +
+      "pinned version (the Delta footgun becomes a refusal); keeping " +
+      "the version, unregistering, or ignoreClones all unblock") {
+    val src = freshRoot("vacguard_src")
+    val dst = freshRoot("vacguard_dst")
+    SnapshotTable.create(rows(0 until 8, "a"), src, Seq("id"), 2)
+    SnapshotTable.cloneTable(spark, src, dst) // pins src v1
+    SnapshotTable.append(rows(8 until 12, "b"), src) // v2
+    SnapshotTable.append(rows(12 until 16, "c"), src) // v3
+    // keepVersions=1 would expire v1 — the clone still lists v1's dirs
+    val e = intercept[Exception](SnapshotTable.vacuum(spark, src, 1))
+    assert(e.getMessage.contains(dst) && e.getMessage.contains("clone"))
+    // nothing was expired by the refused attempt
+    assert(SnapshotTable.versions(spark, src).map(_.version) ===
+      Seq(1L, 2L, 3L))
+    // keeping through the pinned version is fine
+    val (exp0, _) = SnapshotTable.vacuum(spark, src, 3)
+    assert(exp0 === 0)
+    // unregistering drops the guard; the vacuum then proceeds and the
+    // clone breaks EXPLICITLY (documented), not silently
+    assert(SnapshotTable.unregisterClone(spark, src, dst) === 1)
+    val (exp1, _) = SnapshotTable.vacuum(spark, src, 1)
+    assert(exp1 === 2)
+    // a second unregister has nothing to remove
+    assert(SnapshotTable.unregisterClone(spark, src, dst) === 0)
+    // ignoreClones overrides without unregistering
+    val src2 = freshRoot("vacguard_src2")
+    val dst2 = freshRoot("vacguard_dst2")
+    SnapshotTable.create(rows(0 until 8, "a"), src2, Seq("id"), 2)
+    SnapshotTable.cloneTable(spark, src2, dst2)
+    SnapshotTable.append(rows(8 until 12, "b"), src2)
+    val (exp2, _) = SnapshotTable.vacuum(spark, src2, 1,
+      ignoreClones = true)
+    assert(exp2 === 1)
+  }
+
   test("the clone's VACUUM can never touch source data: after the " +
       "clone drops every referenced dir (overwrite) and expires its " +
       "history, the source still reads intact") {

@@ -71,16 +71,12 @@ class SnapshotDefaultsSpec extends AnyFunSuite {
       Set("tag" -> "'x'"))
   }
 
-  test("ADD COLUMN with DEFAULT refuses; ADD then SET DEFAULT keeps the " +
-      "NULL contract for files written before the column existed (no " +
+  test("plain ADD COLUMN then SET DEFAULT keeps the NULL contract for " +
+      "files written before the column existed (write-side only, no " +
       "read-path back-fill)") {
     sql("CREATE TABLE dcat.t2 (id BIGINT, v BIGINT) " +
       "PARTITIONED BY (bucket(2, id))")
     sql("INSERT INTO dcat.t2 VALUES (1, 10)")
-    val e = intercept[Exception](spark.sql(
-      "ALTER TABLE dcat.t2 ADD COLUMN w BIGINT DEFAULT 3"))
-    assert(e.getMessage.contains("DEFAULT") ||
-      Option(e.getCause).exists(_.getMessage.contains("DEFAULT")))
     sql("ALTER TABLE dcat.t2 ADD COLUMN w BIGINT")
     sql("ALTER TABLE dcat.t2 ALTER COLUMN w SET DEFAULT 3")
     sql("INSERT INTO dcat.t2 (id, v) VALUES (2, 20)")
@@ -93,6 +89,82 @@ class SnapshotDefaultsSpec extends AnyFunSuite {
       .as[Long].collect().toSeq === Seq(2L))
     assert(spark.sql("SELECT id FROM dcat.t2 WHERE w IS NULL")
       .as[Long].collect().toSeq === Seq(1L))
+  }
+
+  test("ADD COLUMN … DEFAULT fills files that predate the column with " +
+      "the FROZEN value at scan (the Delta metadata-fill), while newer " +
+      "files — explicit nulls included — read verbatim") {
+    sql("CREATE TABLE dcat.t6 (id BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, id))")
+    sql("INSERT INTO dcat.t6 VALUES (1, 10), (2, 20)")
+    sql("ALTER TABLE dcat.t6 ADD COLUMN w BIGINT DEFAULT 3")
+    val root = s"$wh/t6"
+    val head = SnapshotTable.versions(spark, root).last
+    assert(head.op === "add-column") // pure metadata, zero data files
+    assert(head.existsDefaults === Map("w" -> "3L"))
+    assert(head.colDefaults === Map("w" -> "3"))
+    // write-side fill for new inserts; explicit value and NULL honored
+    sql("INSERT INTO dcat.t6 (id, v) VALUES (3, 30)")
+    sql("INSERT INTO dcat.t6 VALUES (4, 40, 99)")
+    sql("INSERT INTO dcat.t6 VALUES (5, 50, NULL)")
+    assert(rows("t6") === Set(
+      (1L, Some(10L), Some(3L)), // pre-add file: FILLED, not null
+      (2L, Some(20L), Some(3L)),
+      (3L, Some(30L), Some(3L)),
+      (4L, Some(40L), Some(99L)),
+      (5L, Some(50L), None))) // explicit null survives the fill
+    // filters on the filled column are sound both ways (connector path)
+    assert(spark.sql("SELECT id FROM dcat.t6 WHERE w = 3 ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    assert(spark.sql("SELECT id FROM dcat.t6 WHERE w IS NULL")
+      .as[Long].collect().toSeq === Seq(5L))
+    // object-API read path fills identically
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("w") === 3).count() === 3L)
+    // time travel BEFORE the add serves the old schema (no w at all)
+    assert(!SnapshotTable.read(spark, root, Some(2L))
+      .columns.contains("w"))
+    // the frozen fill travels rename and upsert/compact lifecycles
+    sql("ALTER TABLE dcat.t6 RENAME COLUMN w TO z")
+    assert(SnapshotTable.versions(spark, root).last.existsDefaults ===
+      Map("z" -> "3L"))
+    assert(spark.sql("SELECT id FROM dcat.t6 WHERE z = 3").count() === 3L)
+    SnapshotTable.compact(spark, root)
+    // compaction materialized the fill physically; answers unchanged
+    assert(spark.sql("SELECT id FROM dcat.t6 WHERE z = 3").count() === 3L)
+    assert(spark.sql("SELECT id FROM dcat.t6 WHERE z IS NULL").count() === 1L)
+    // and dies with its column
+    sql("ALTER TABLE dcat.t6 DROP COLUMN z")
+    assert(SnapshotTable.versions(spark, root).last.existsDefaults ===
+      Map.empty)
+  }
+
+  test("ADD COLUMN … DEFAULT freezes a non-literal constant at add " +
+      "time and fills merge-on-read bases written before the add") {
+    val root = s"$wh/obj_add"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    SnapshotTable.create(df, root, Seq("id"), 2)
+    // MOR layer BEFORE the add: its delta dirs also predate the column
+    SnapshotTable.upsert(Seq((2L, "B")).toDF("id", "tag"), root,
+      mergeOnRead = true)
+    val v = SnapshotTable.addColumns(spark, root, Seq(
+      (org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType), Some("1.5 * 2")),
+      (org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType), None)))
+    val head = SnapshotTable.versions(spark, root).last
+    assert(head.version === v && head.op === "add-column")
+    // the expression froze to its VALUE (3.0), not its text
+    assert(head.existsDefaults === Map("score" -> "3.0D"))
+    val got = SnapshotTable.read(spark, root)
+      .select("id", "tag", "score", "note")
+      .as[(Long, String, Option[Double], Option[String])].collect().toSet
+    assert(got === Set((1L, "a", Some(3.0), None),
+      (2L, "B", Some(3.0), None))) // note: no default ⇒ null contract
+    // a default that can't fold still refuses
+    intercept[Exception](SnapshotTable.addColumns(spark, root, Seq(
+      (org.apache.spark.sql.types.StructField("r",
+        org.apache.spark.sql.types.DoubleType), Some("rand()")))))
   }
 
   test("defaults travel the commit lifecycle (append/upsert/compact/" +

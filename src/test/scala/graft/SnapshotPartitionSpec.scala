@@ -170,6 +170,62 @@ class SnapshotPartitionSpec extends AnyFunSuite {
     assert(leapRows.isEmpty && leapBytes === 0L)
   }
 
+  test("months/years on TIMESTAMP are UTC-FIXED (the Iceberg " +
+      "timestamptz definition): dir values ignore the session zone, " +
+      "month-range scans prune to zero bytes outside the hit month, " +
+      "and boundary instants land in their UTC month") {
+    // 2024-01-31T23:30Z: in UTC it is January; a session in
+    // Pacific/Kiritimati (+14) would call it February — the dir value
+    // must say January either way
+    val boundary = new Timestamp(1706743800000L) // 2024-01-31T23:30:00Z
+    val feb = new Timestamp(1706745600000L) // 2024-02-01T00:00:00Z
+    val dec23 = new Timestamp(1703980800000L) // 2023-12-31T00:00:00Z
+    def build(root: String): Unit = SnapshotTable.create(
+      Seq((1L, dec23), (2L, boundary), (3L, feb))
+        .toDF("id", "ts"), root, Seq("id"), 1,
+      statsCols = Some(Seq.empty), partitionBy = Seq("months(ts)"))
+    val rootUtc = freshRoot("moutc")
+    build(rootUtc)
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val rootKir = freshRoot("mokir")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+      build(rootKir)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+    def dirsOf(root: String) = SnapshotTable.versions(spark, root).last
+      .entries.map(_._2.replaceAll("^.*/(c\\d+)", "$1")
+        .replace(rootKir, "").replace(rootUtc, "")
+        .replaceAll("c\\d+-[0-9a-f]+", "c"))
+      .map(_.replaceAll(".*(_pt0=-?\\d+).*", "$1")).sorted
+    // identical month-index dirs from both sessions, the UTC ones:
+    // 2023-12 → 647, 2024-01 → 648, 2024-02 → 649
+    assert(dirsOf(rootUtc) === Seq("_pt0=647", "_pt0=648", "_pt0=649"))
+    assert(dirsOf(rootKir) === dirsOf(rootUtc))
+    // derived bounds prune: a January-only UTC range reads ONE dir's
+    // bytes and answers exactly the boundary row
+    def scan = spark.read.format("graft-snapshot").load(rootUtc)
+    val jan = scan.filter(
+      col("ts") >= lit(new Timestamp(1704067200000L)) && // 2024-01-01Z
+        col("ts") < lit(feb))
+    assert(jan.select("id").as[Long].collect().toSeq === Seq(2L))
+    val (rows0, bytes0, _) = ShuffleMetrics.measureInput(spark) {
+      scan.filter(col("ts") >= lit(new Timestamp(1709251200000L)))
+        .collect() // 2024-03-01Z onward: nothing
+    }
+    assert(rows0.isEmpty && bytes0 === 0L)
+    // years(ts) on TIMESTAMP, same discipline
+    val rootY = freshRoot("yrutc")
+    SnapshotTable.create(Seq((1L, dec23), (2L, boundary))
+      .toDF("id", "ts"), rootY, Seq("id"), 1,
+      statsCols = Some(Seq.empty), partitionBy = Seq("years(ts)"))
+    assert(SnapshotTable.versions(spark, rootY).last.entries
+      .map(_._2.replaceAll(".*(_pt0=-?\\d+).*", "$1")).sorted ===
+      Seq("_pt0=2023", "_pt0=2024"))
+    val scanY = spark.read.format("graft-snapshot").load(rootY)
+    assert(scanY.filter(col("ts") < lit(new Timestamp(1704067200000L)))
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("null and escaped identity values stay exact: a null partition " +
       "value lands in the default dir and is never pruned wrongly; a " +
       "string value with path-hostile characters roundtrips") {
@@ -288,12 +344,9 @@ class SnapshotPartitionSpec extends AnyFunSuite {
   }
 
   test("guards: unsupported transform/type combos, reserved _pt names, " +
-      "and rename/drop of partition sources are refused; months on " +
-      "TIMESTAMP is refused (session-zone calendar)") {
+      "and rename/drop of partition sources are refused") {
     val root = freshRoot("guard")
     val df = events(0 until 8, "g")
-    intercept[Exception](SnapshotTable.create(df, root, Seq("id"), 2,
-      partitionBy = Seq("months(ts)"))) // TIMESTAMP calendar: refused
     intercept[Exception](SnapshotTable.create(df, root, Seq("id"), 2,
       partitionBy = Seq("days(lang)"))) // days on string: refused
     intercept[Exception](SnapshotTable.create(df, root, Seq("id"), 2,
