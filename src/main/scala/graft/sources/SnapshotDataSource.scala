@@ -1457,7 +1457,13 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
   // names; physical names are immutable, so the pinned snapshot's
   // mapping reads every commit in the range. Output rows are
   // positional — readSchema stays the logical view.
-  private val physTable = snap.physicalSchema(snap.schemaDdl)
+  // existence defaults ride the change feed too: a CDF range spanning
+  // an ADD COLUMN … DEFAULT serves pre-add commits' rows with the
+  // frozen fill — the same value a table read of those rows returns
+  // (per-file footer truth, post-add files verbatim)
+  private val physTable = SnapshotTable.readSchemaMeta(
+    snap.physicalSchema(snap.schemaDdl),
+    snap.existsDefaults.map { case (c, d) => snap.physicalOf(c) -> d })
   private val cdcFileSchema = physTable
     .add(SnapshotTable.ChangeTypeCol, "string")
 

@@ -167,6 +167,36 @@ class SnapshotDefaultsSpec extends AnyFunSuite {
         org.apache.spark.sql.types.DoubleType), Some("rand()")))))
   }
 
+  test("existence defaults survive type WIDENING and ride the change " +
+      "feed: a CDF range spanning the add serves pre-add rows with the " +
+      "frozen fill, post-add rows verbatim") {
+    import org.apache.spark.sql.types.{StructField, IntegerType}
+    val root = s"$wh/cdf_add"
+    val df = Seq((1L, 10), (2L, 20)).toDF("id", "v")
+    SnapshotTable.create(df, root, Seq("id"), 2, changeFeed = true)  // v1
+    SnapshotTable.addColumns(spark, root,
+      Seq((StructField("w", IntegerType), Some("7"))))               // v2
+    SnapshotTable.append(Seq((3L, 30, 99), (4L, 40, 0))
+      .toDF("id", "v", "w"), root)                                   // v3
+    // widen the added column: the frozen INT literal coerces at fill
+    SnapshotTable.widenColumn(spark, root, "w", "BIGINT")            // v4
+    assert(SnapshotTable.read(spark, root)
+      .select("id", "w").as[(Long, Option[Long])].collect().toSet ===
+      Set((1L, Some(7L)), (2L, Some(7L)), (3L, Some(99L)),
+        (4L, Some(0L))))
+    // connector CDF across the add: pre-add inserts carry the fill
+    // (the head read's value for those rows), post-add theirs
+    val cdf = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(root)
+      .select(col("id"), col("w"), col("_change_type"),
+        col("_commit_version"))
+      .as[(Long, Option[Long], String, Long)].collect().toSet
+    assert(cdf === Set(
+      (1L, Some(7L), "insert", 1L), (2L, Some(7L), "insert", 1L),
+      (3L, Some(99L), "insert", 3L), (4L, Some(0L), "insert", 3L)))
+  }
+
   test("defaults travel the commit lifecycle (append/upsert/compact/" +
       "clone/restore), follow renames, and die with their column") {
     val root = s"$wh/obj"
