@@ -1685,9 +1685,48 @@ object SourceQueries {
       "WHERE grade IN (5, 7) ORDER BY doc_id")
   }
 
+  /** Atomic, history-preserving `CREATE OR REPLACE TABLE`
+    * ([[graft.sources.SnapshotTable.replaceTable]] through the
+    * catalog's StagingTableCatalog): ONE `replace` commit swaps
+    * content AND definition (schema/keys/buckets) — phase 1 reads the
+    * PRE-replace version through time travel (old schema, old rows,
+    * proving history survived), phase 2 the replaced head (new shape,
+    * RTAS data). Spark's non-staging fallback would have dropped the
+    * table (destroying phase 1's history) non-atomically. */
+  val q193 = Q("q193_snapshot_replace",
+    """SELECT 1 AS phase, doc_id, lang AS s FROM documents
+      |WHERE doc_id % 4 = 0
+      |UNION ALL
+      |SELECT 2 AS phase, doc_id, CAST(n_chars AS VARCHAR) AS s
+      |FROM documents WHERE doc_id % 3 = 0
+      |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
+    val wh = scratch("snaprep_wh", dir)
+    rmTree(wh); new java.io.File(wh).mkdirs()
+    s.conf.set("spark.sql.catalog.repq", "graft.sources.SnapshotCatalog")
+    s.conf.set("spark.sql.catalog.repq.warehouse", wh)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+      .createOrReplaceTempView("q193_docs")
+    s.sql("DROP TABLE IF EXISTS repq.rdocs")
+    s.sql("CREATE TABLE repq.rdocs (doc_id BIGINT, lang STRING) " +
+      "PARTITIONED BY (bucket(8, doc_id))")                        // v1
+    s.sql("INSERT INTO repq.rdocs " +
+      "SELECT doc_id, lang FROM q193_docs WHERE doc_id % 4 = 0")   // v2
+    s.sql("CREATE OR REPLACE TABLE repq.rdocs " +
+      "PARTITIONED BY (bucket(4, doc_id)) AS " +
+      "SELECT doc_id, CAST(n_chars AS STRING) AS s " +
+      "FROM q193_docs WHERE doc_id % 3 = 0")                       // v3
+    val pre = s.sql("SELECT doc_id, lang AS s FROM repq.rdocs VERSION AS OF 2")
+      .select(lit(1).as("phase"), col("doc_id"), col("s"))
+    val post = s.sql("SELECT doc_id, s FROM repq.rdocs")
+      .select(lit(2).as("phase"), col("doc_id"), col("s"))
+    pre.unionByName(post).orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q90, q91, q92, q94, q110, q146, q147, q148, q149, q156, q160,
       q161, q162, q163, q164, q165, q166, q167, q168, q169, q170,
       q171, q172, q173, q174, q175, q176, q177, q178, q179, q180, q181,
-      q182, q183, q186, q188, q190, q191, q192)
+      q182, q183, q186, q188, q190, q191, q192, q193)
 }

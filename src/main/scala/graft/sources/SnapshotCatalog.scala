@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsDelete, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsDelete, SupportsNamespaces, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit, not}
@@ -57,6 +57,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * an O(versions) manifest rewrite, see [[SnapshotTable.rename]]).
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
@@ -195,19 +196,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     (n.getOrElse(sys.error(s"bucket transform without a count: $t")), cols)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
+  /** The CREATE/REPLACE definition parsed from a V2 statement: keys/
+    * buckets from the at-most-one `bucket(n, keys…)` transform
+    * (preferred, else properties), every other transform an identity/
+    * date partition field — `PARTITIONED BY (days(ts), lang,
+    * bucket(8, id))` in any order; CREATE-time column DEFAULTs arrive
+    * as Spark's CURRENT_DEFAULT field metadata (the V2
+    * column↔StructType encoding); `stripped` is the schema without
+    * default metadata (toDDL would serialize DEFAULT clauses fromDDL
+    * can't parse — defaults live in the manifest's own field). */
+  private case class TableDef(keys: Seq[String], buckets: Int,
+      partitionBy: Seq[String], statsCols: Option[Seq[String]],
+      changeFeed: Boolean, colDefaults: Map[String, String],
+      stripped: StructType)
+
+  private def parseTableDef(schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    val root = tableRoot(ident)
-    if (tableExists(ident)) throw new TableAlreadyExistsException(
-      (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq)
+      properties: util.Map[String, String]): TableDef = {
     val props = properties.asScala
     def prop(k: String): Option[String] =
       props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
-    // keys/buckets from the AT-MOST-ONE bucket transform (preferred,
-    // else properties); every other transform is an identity/date
-    // partition field — `PARTITIONED BY (days(ts), lang, bucket(8, id))`
-    // in any order
     val (bucketTs, partTs) = partitions.toSeq.partition(_.name == "bucket")
     val (buckets, keys) = bucketTs match {
       case Seq() => (
@@ -233,26 +241,107 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             "identity, hours, days, months, years, bucket)")
       }
     }
-    val statsCols = prop("statscols")
-      .map(s => s.split(",").toSeq.filter(_.nonEmpty))
-    val changeFeed = prop("changefeed").exists(_.toBoolean)
-    // CREATE-time column DEFAULTs arrive as Spark's CURRENT_DEFAULT
-    // field metadata (the V2 column↔StructType encoding)
     val colDefaults = schema.fields.flatMap { f =>
       if (f.metadata.contains("CURRENT_DEFAULT"))
         Some(f.name -> f.metadata.getString("CURRENT_DEFAULT"))
       else None
     }.toMap
-    // stripped schema: toDDL would serialize DEFAULT clauses fromDDL
-    // can't parse — defaults live in the manifest's own field instead
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    TableDef(keys, buckets, partitionBy,
+      prop("statscols").map(_.split(",").toSeq.filter(_.nonEmpty)),
+      prop("changefeed").exists(_.toBoolean), colDefaults,
       SnapshotTable.stripDefaultMeta(schema))
-    SnapshotTable.create(empty, root, keys, buckets, statsCols,
-      changeFeed = changeFeed, partitionBy = partitionBy,
-      colDefaults = colDefaults)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val root = tableRoot(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq)
+    val d = parseTableDef(schema, partitions, properties)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.stripped)
+    SnapshotTable.create(empty, root, d.keys, d.buckets, d.statsCols,
+      changeFeed = d.changeFeed, partitionBy = d.partitionBy,
+      colDefaults = d.colDefaults)
     loadTable(ident)
   }
+
+  // ---- atomic CREATE OR REPLACE (StagingTableCatalog) ----
+  //
+  // Without staging, Spark's ReplaceTableExec falls back to DROP +
+  // CREATE: non-atomic (a crash between the two loses the table) and
+  // HISTORY-DESTROYING (drop deletes every manifest). The staged path
+  // publishes ONE `replace` commit instead ([[SnapshotTable
+  // .replaceTable]]): content and definition swap atomically, prior
+  // versions stay time-travelable. Writes (RTAS) buffer on the staged
+  // table through the same V1 bridge as normal inserts and execute
+  // inside commitStagedChanges(); nothing lands before it, so
+  // abortStagedChanges() has nothing to clean.
+
+  private class StagedSnapshotTable(ident: Identifier, root: String,
+      d: TableDef, orReplace: Boolean) extends StagedTable
+      with SupportsWrite {
+    private var buffered: Option[org.apache.spark.sql.DataFrame] = None
+
+    override def name(): String =
+      (catName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+    override def schema(): StructType = d.stripped
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        override def truncate(): WriteBuilder = this // staged = whole table
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = { buffered = Some(data); () }
+            }
+        }
+      }
+
+    override def commitStagedChanges(): Unit = {
+      val data = buffered.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.stripped))
+      if (orReplace)
+        SnapshotTable.replaceTable(data, root, d.keys, d.buckets,
+          d.statsCols, changeFeed = d.changeFeed,
+          partitionBy = d.partitionBy, colDefaults = d.colDefaults)
+      else
+        SnapshotTable.create(data, root, d.keys, d.buckets, d.statsCols,
+          changeFeed = d.changeFeed, partitionBy = d.partitionBy,
+          colDefaults = d.colDefaults)
+      ()
+    }
+    override def abortStagedChanges(): Unit = () // nothing published
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(
+      (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq)
+    new StagedSnapshotTable(ident, tableRoot(ident),
+      parseTableDef(schema, partitions, properties), orReplace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(
+      (catName +: ident.namespace.toSeq :+ ident.name).toArray.toSeq)
+    new StagedSnapshotTable(ident, tableRoot(ident),
+      parseTableDef(schema, partitions, properties), orReplace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    new StagedSnapshotTable(ident, tableRoot(ident),
+      parseTableDef(schema, partitions, properties), orReplace = true)
 
   /** ADD COLUMNS only (the format's add-column evolution): an empty
     * append commit with the extended schema — no data file is touched,

@@ -1176,8 +1176,41 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     * readers coexist, no re-emits, no restart. Any other non-append
     * data commit fails loudly unless `ignoreChanges` streams its
     * rewritten dirs verbatim. */
+  /** Why commit `next` can NEVER tail-serve, or None when it can —
+    * checked by the admission walk BEFORE an offset covering the
+    * commit is logged (thrown only at plan time, the refusal would
+    * wedge the checkpoint: the logged batch replays into the same
+    * error forever) and enforced again by [[freshDirs]]. */
+  private def tailRefusal(next: SnapshotTable.Snapshot): Option[String] = {
+    // a clone commit serves its entries as pure inserts — unsound if it
+    // carried unresolved deltas (tombstoned/shadowed rows would emit);
+    // its v1 manifest is immutable, so the only servable spellings are
+    // the consolidated snapshot (after compact) or a fresh clone
+    if (next.op == "clone" && next.deltas.nonEmpty)
+      Some(s"snapshot stream at $root: clone commit " +
+        s"v${next.version} immutably carries ${next.deltas.size} " +
+        "unresolved merge-on-read delta dir(s). Stream the " +
+        "consolidated snapshot instead (no startingVersion, after a " +
+        "compact), or re-clone from a compacted source")
+    else if (next.op != "append" && next.op != "create" &&
+        next.op != "clone" && next.op != "rescale" &&
+        next.op != "compact" && next.op != "zorder" &&
+        next.op != "rename-column" && next.op != "drop-column" &&
+        next.op != "set-constraint" && next.op != "drop-constraint" &&
+        next.op != "repartition-spec" && next.op != "set-default" &&
+        next.op != "add-column" &&
+        !ignoreChanges)
+      Some(s"snapshot stream at $root hit a '${next.op}' commit " +
+        s"(v${next.version}): its dirs consolidate existing rows, not " +
+        "just new ones. Restart from scratch, or set " +
+        "ignoreChanges=true to stream rewritten dirs verbatim " +
+        "(re-emits rewritten rows, the Delta ignoreChanges caveat)")
+    else None
+  }
+
   private def freshDirs(next: SnapshotTable.Snapshot,
       prev: Option[SnapshotTable.Snapshot]): Seq[String] = {
+    tailRefusal(next).foreach(sys.error)
     val prevEntries = prev.fold(Seq.empty[String])(_.entries.map(_._2))
     // content-neutral rewrites are skipped for clean streams (the Delta
     // dataChange=false discipline). Under ignoreChanges the verbatim
@@ -1192,52 +1225,30 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         p.deltas.exists(d => !next.deltas.contains(d)))
       if (!(ignoreChanges && folded)) return Seq.empty
     }
-    // a clone commit serves its entries as pure inserts — unsound if it
-    // carried unresolved deltas (tombstoned/shadowed rows would emit);
-    // its v1 manifest is immutable, so the only servable spellings are
-    // the consolidated snapshot (after compact) or a fresh clone
-    if (next.op == "clone" && next.deltas.nonEmpty)
-      sys.error(s"snapshot stream at $root: clone commit " +
-        s"v${next.version} immutably carries ${next.deltas.size} " +
-        "unresolved merge-on-read delta dir(s). Stream the " +
-        "consolidated snapshot instead (no startingVersion, after a " +
-        "compact), or re-clone from a compacted source")
-    val fresh = next.entries.map(_._2).diff(prevEntries)
-    if (next.op != "append" && next.op != "create" && next.op != "clone" &&
-        next.op != "rescale" &&
-        next.op != "rename-column" && next.op != "drop-column" &&
-        next.op != "set-constraint" && next.op != "drop-constraint" &&
-        next.op != "repartition-spec" && next.op != "set-default" &&
-        next.op != "add-column" &&
-        !ignoreChanges)
-      sys.error(s"snapshot stream at $root hit a '${next.op}' commit " +
-        s"(v${next.version}): its dirs consolidate existing rows, not " +
-        "just new ones. Restart from scratch, or set " +
-        "ignoreChanges=true to stream rewritten dirs verbatim " +
-        "(re-emits rewritten rows, the Delta ignoreChanges caveat)")
-    fresh
+    next.entries.map(_._2).diff(prevEntries)
   }
 
-  /** (snapshot, fresh dirs) per commit in `(anchorV, toV]` — ONE window
-    * parse, O(batch span) not O(history). LAZY per commit: `freshDirs`
-    * fail-fasts on unservable ops (overwrite/restore), and a
-    * rate-limited trigger must be able to serve+checkpoint the in-budget
-    * commits BEFORE the unservable one — a strict map would abort the
-    * whole chunk up front. The failure surfaces on the trigger whose
-    * budget actually reaches the bad commit. */
+  /** (snapshot, lazy fresh dirs) per commit in `(anchorV, toV]` — ONE
+    * window parse, O(batch span) not O(history). The dirs thunk (and
+    * `freshDirs`' unservable-op fail-fast inside it) evaluates only
+    * when the caller actually serves the commit: the admission walk
+    * probes [[tailRefusal]] on the SNAPSHOT first, so a rate-limited
+    * trigger serves+checkpoints the in-budget commits BEFORE an
+    * unservable one, and the refusal fires on the trigger that
+    * reaches it — with its offset still unlogged. */
   private def tailWindow(anchorV: Long, toV: Long,
       fetch: (Long, Long) => Map[Long, SnapshotTable.Snapshot] =
         (f, t) => SnapshotTable.versionWindow(spark, root, f, t))
-      : Iterator[(SnapshotTable.Snapshot, Seq[String])] = {
+      : Iterator[(SnapshotTable.Snapshot, () => Seq[String])] = {
     if (toV <= anchorV) return Iterator.empty
     val byV = fetch(math.max(1L, anchorV), toV)
     def at(v: Long): SnapshotTable.Snapshot =
       byV.getOrElse(v, sys.error(
         s"offset version $v vanished from $root (vacuumed mid-stream?)"))
     ((anchorV + 1) to toV).iterator.map { v =>
-      val prev = if (v == 1L) None else Some(at(v - 1))
       val next = at(v)
-      next -> freshDirs(next, prev)
+      next -> (() => freshDirs(next,
+        if (v == 1L) None else Some(at(v - 1))))
     }
   }
 
@@ -1289,14 +1300,16 @@ private[graft] class SnapshotMicroBatchStream(root: String,
         else SnapshotOffset(v, i + n, "init")
       case Some(Right((a, s))) => // tailing
         if (h <= a && s == 0) return so
-        if (b.unlimited) return SnapshotOffset(math.max(h, a + 1))
         var anchor = a
         var served = s
         var u = Budgets(0, 0, 0)
         var open = true
         // chunked walk: parse only as far as the budget reaches, never
-        // the whole backlog per trigger (StreamAdmission.WindowChunk);
-        // ONE listing serves every chunk
+        // the whole backlog per trigger (StreamAdmission.WindowChunk) —
+        // an UNLIMITED trigger walks its whole window (which it serves
+        // anyway): the walk is where the unservable-commit refusal
+        // fires BEFORE the offset is logged; ONE listing serves every
+        // chunk
         val fetch = SnapshotTable.versionLister(spark, root)
         var lo = a
         val hi = math.max(h, a + 1)
@@ -1304,13 +1317,23 @@ private[graft] class SnapshotMicroBatchStream(root: String,
           val chunkHi = math.min(hi, lo + StreamAdmission.WindowChunk)
           val win = tailWindow(lo, chunkHi, fetch)
           while (open && win.hasNext) {
-            val (sn, fresh) = win.next()
-            val from = if (sn.version == a + 1) s else 0
-            val (n, u2) = admit(fresh.drop(from), sn, b, u)
-            u = u2
-            if (from + n >= fresh.size) { anchor = sn.version; served = 0 }
-            else { anchor = sn.version - 1; served = from + n; open = false }
-            if (b.exhaustedBy(u)) open = false
+            val (sn, freshF) = win.next()
+            tailRefusal(sn) match {
+              case Some(reason) =>
+                // serve and checkpoint everything before the
+                // unservable commit first; refuse (offset unlogged)
+                // only when it is the very next commit
+                if (anchor > a || served != s) open = false
+                else sys.error(reason)
+              case None =>
+                val fresh = freshF()
+                val from = if (sn.version == a + 1) s else 0
+                val (n, u2) = admit(fresh.drop(from), sn, b, u)
+                u = u2
+                if (from + n >= fresh.size) { anchor = sn.version; served = 0 }
+                else { anchor = sn.version - 1; served = from + n; open = false }
+                if (b.exhaustedBy(u)) open = false
+            }
           }
           lo = chunkHi
         }
@@ -1354,7 +1377,8 @@ private[graft] class SnapshotMicroBatchStream(root: String,
       case (Some(Right((a, s))), Some(Right((a2, s2))))
           if a2 > a || (a2 == a && s2 > s) =>
         val lastV = if (s2 > 0) a2 + 1 else a2
-        tailWindow(a, lastV).flatMap { case (sn, fresh) =>
+        tailWindow(a, lastV).flatMap { case (sn, freshF) =>
+          val fresh = freshF()
           val from = if (sn.version == a + 1) s else 0
           val until = if (s2 > 0 && sn.version == a2 + 1) s2 else fresh.size
           fresh.slice(from, until)
@@ -1445,6 +1469,40 @@ private[graft] class SnapshotCdfScanBuilder(snap: SnapshotTable.Snapshot,
   * own changes included) rewinds into history, default = changes after
   * the load-time head. 100 TB framing: a trigger's cost is the commit's
   * own change volume — the feed never rescans the table. */
+private[graft] object SnapshotCdfScan {
+  /** Why commit `s` can NEVER serve a change feed, or None when it can —
+    * the ONE source of truth shared by plan-time refusal
+    * ([[SnapshotCdfScan.commitPartitions]]) and the STREAM's admission
+    * walk ([[SnapshotCdfMicroBatchStream.latestOffset]], which must
+    * refuse BEFORE Spark logs an offset covering the commit; refused
+    * only at plan time, the logged batch would replay into the same
+    * error forever). Keep in lockstep with commitPartitions' match. */
+  def unservableOp(root: String, s: SnapshotTable.Snapshot): Option[String] =
+    s.op match {
+      // a clone's v1 IS its table's initial content (served as inserts,
+      // like create) — UNLESS it carries unresolved merge-on-read
+      // deltas: base entries alone would include tombstoned/shadowed
+      // rows, change-incomplete forever (v1 manifests are immutable)
+      case "clone" if s.deltas.nonEmpty => Some(
+        s"change feed at $root: clone commit v${s.version} immutably " +
+          s"carries ${s.deltas.size} unresolved merge-on-read delta " +
+          "dir(s) — its feed can never serve v1; start the feed after " +
+          "a compact (startingVersion >= the compact commit), or " +
+          "re-clone from a compacted source")
+      case "create" | "clone" | "append" | "widen-column" | "zorder" |
+           "compact" | "rescale" | "rename-column" | "drop-column" |
+           "set-constraint" | "drop-constraint" | "repartition-spec" |
+           "set-default" | "add-column" => None
+      case "upsert" | "delete" | "delete-pos" if s.cdc.isDefined => None
+      case other => Some(
+        s"change feed hit commit v${s.version} (op=$other) at $root " +
+          "with no recorded change data — enable changeFeed at create " +
+          "for upsert/delete commits, and read overwrites/restores/" +
+          "row-level rewrites with the batch SnapshotTable.readChanges " +
+          "diff instead")
+    }
+}
+
 private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
     root: String, startingVersion: Option[Long],
     endingVersion: Option[Long],
@@ -1491,24 +1549,19 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
       cdcInner(Seq.empty).toBatch.createReaderFactory())
 
   /** Partitions for ONE commit's changes (`next` against its
-    * predecessor `prev`). */
+    * predecessor `prev`). Unservable commits refuse with
+    * [[SnapshotCdfScan.unservableOp]]'s reason — the SAME check the
+    * streaming admission path runs BEFORE logging an offset, so the
+    * plan-time error here only ever fires on batch reads (a stream
+    * never logs past an unservable commit). */
   private[sources] def commitPartitions(prev: Option[SnapshotTable.Snapshot],
       next: SnapshotTable.Snapshot): Array[InputPartition] = {
+    SnapshotCdfScan.unservableOp(root, next).foreach(sys.error)
     def raw(dirs: Seq[String]): Array[InputPartition] =
       if (dirs.isEmpty) Array.empty
       else rawInner(dirs).toBatch.planInputPartitions().map(p =>
         CdfInputPartition(p, fromCdc = false, "insert", next.version))
     next.op match {
-      // a clone's first commit IS its table's initial content — served
-      // as inserts, exactly like create; REFUSED when it carries
-      // unresolved merge-on-read deltas (base entries alone would
-      // include tombstoned/shadowed rows — change-incomplete)
-      case "clone" if next.deltas.nonEmpty => sys.error(
-        s"change feed at $root: clone commit v${next.version} immutably " +
-          s"carries ${next.deltas.size} unresolved merge-on-read delta " +
-          "dir(s) — its feed can never serve v1; start the feed after " +
-          "a compact (startingVersion >= the compact commit), or " +
-          "re-clone from a compacted source")
       case "create" | "clone" => raw(next.entries.map(_._2))
       case "append" =>
         raw(next.entries.map(_._2).diff(
@@ -1524,12 +1577,9 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
            "set-constraint" | "drop-constraint" | "repartition-spec" |
            "set-default" | "add-column" =>
         Array.empty // pure-metadata commits: zero row changes
-      case other => sys.error(
+      case other => sys.error( // unreachable: unservableOp covers it
         s"change feed hit commit v${next.version} (op=$other) at $root " +
-          "with no recorded change data — enable changeFeed at create " +
-          "for upsert/delete commits, and read overwrites/restores/" +
-          "row-level rewrites with the batch SnapshotTable.readChanges " +
-          "diff instead")
+          "with no recorded change data")
     }
   }
 
@@ -1683,14 +1733,16 @@ private[graft] class SnapshotCdfMicroBatchStream(root: String,
     if (h <= a) return start
     if (a == 0L) refuseUnservableV1()
     val b = StreamAdmission.budgetsOf(limit)
-    if (b.unlimited) return SnapshotOffset(h)
     import StreamAdmission.satSum
     var endV = a
     var u = Budgets(0L, 0L, 0L)
     var open = true
     // chunked walk (StreamAdmission.WindowChunk): parse only as far as
-    // the budget reaches, never the whole backlog per trigger; ONE
-    // listing serves every chunk
+    // the budget reaches — for an UNLIMITED trigger that is the whole
+    // unserved window, which this trigger serves anyway (the walk is
+    // what lets the unservable-commit refusal fire HERE, before the
+    // offset is logged, instead of wedging the checkpoint at plan
+    // time); ONE listing serves every chunk
     val fetch = SnapshotTable.versionLister(spark, root)
     var lo = a
     while (open && lo < h) {
@@ -1701,38 +1753,51 @@ private[graft] class SnapshotCdfMicroBatchStream(root: String,
       var v = lo + 1
       while (open && v <= chunkHi) {
         val next = at(v)
-        // commit cost in (files, bytes, rows); None = free metadata
-        val cost: Option[(Long, Long, Long)] = next.op match {
-          case "create" | "clone" =>
-            val dirs = next.entries.map(_._2)
-            Some((dirs.size.toLong,
-              satSum(dirs.map(d => next.dirBytes.getOrElse(d, Long.MaxValue))),
-              satSum(dirs.map(d => next.dirRows.getOrElse(d, Long.MaxValue)))))
-          case "append" =>
-            val prev = if (v == 1L) Seq.empty
-              else at(v - 1).entries.map(_._2)
-            val fresh = next.entries.map(_._2).diff(prev)
-            Some((fresh.size.toLong,
-              satSum(fresh.map(d => next.dirBytes.getOrElse(d, Long.MaxValue))),
-              satSum(fresh.map(d => next.dirRows.getOrElse(d, Long.MaxValue)))))
-          case _ if next.cdc.isDefined =>
-            // commit-recorded change-file bytes (round-14 manifests);
-            // legacy manifests without them fill the byte budget whole
-            Some((1L,
-              next.dirBytes.getOrElse(next.cdc.get, Long.MaxValue),
-              Long.MaxValue))
-          case _ => None // metadata / content-neutral / unservable: plan-
-                         // time decides; admission passes them through free
-        }
-        cost match {
-          case None => endV = v
-          case Some((cf, cb, cr)) =>
-            if (b.exhaustedBy(u)) open = false
-            else {
-              u = Budgets(u.files + cf, charge(b.bytes, u.bytes, cb),
-                charge(b.rows, u.rows, cr))
-              endV = v
-              if (b.exhaustedBy(u)) open = false
+        SnapshotCdfScan.unservableOp(root, next) match {
+          case Some(reason) =>
+            // serve and checkpoint everything BEFORE the unservable
+            // commit first; only when it is the very next commit is
+            // the stream truly stuck — refuse with the offset unlogged
+            if (endV > a) open = false
+            else sys.error(reason)
+          case None =>
+            // commit cost in (files, bytes, rows); None = free metadata
+            val cost: Option[(Long, Long, Long)] = next.op match {
+              case "create" | "clone" =>
+                val dirs = next.entries.map(_._2)
+                Some((dirs.size.toLong,
+                  satSum(dirs.map(d =>
+                    next.dirBytes.getOrElse(d, Long.MaxValue))),
+                  satSum(dirs.map(d =>
+                    next.dirRows.getOrElse(d, Long.MaxValue)))))
+              case "append" =>
+                val prev = if (v == 1L) Seq.empty
+                  else at(v - 1).entries.map(_._2)
+                val fresh = next.entries.map(_._2).diff(prev)
+                Some((fresh.size.toLong,
+                  satSum(fresh.map(d =>
+                    next.dirBytes.getOrElse(d, Long.MaxValue))),
+                  satSum(fresh.map(d =>
+                    next.dirRows.getOrElse(d, Long.MaxValue)))))
+              case _ if next.cdc.isDefined =>
+                // commit-recorded change-file bytes (round-14
+                // manifests); legacy manifests without them fill the
+                // byte budget whole
+                Some((1L,
+                  next.dirBytes.getOrElse(next.cdc.get, Long.MaxValue),
+                  Long.MaxValue))
+              case _ => None // metadata / content-neutral: free
+            }
+            cost match {
+              case None => endV = v
+              case Some((cf, cb, cr)) =>
+                if (!b.unlimited && b.exhaustedBy(u)) open = false
+                else {
+                  u = Budgets(u.files + cf, charge(b.bytes, u.bytes, cb),
+                    charge(b.rows, u.rows, cr))
+                  endV = v
+                  if (!b.unlimited && b.exhaustedBy(u)) open = false
+                }
             }
         }
         v += 1

@@ -2966,6 +2966,60 @@ object SnapshotTable {
     1L
   }
 
+  /** ATOMIC, HISTORY-PRESERVING `CREATE OR REPLACE TABLE` (the Delta
+    * REPLACE semantics — Spark's non-staging fallback would DROP the
+    * table first, destroying its history non-atomically): one commit
+    * (`op = "replace"`) swaps content AND definition wholesale — new
+    * schema, keys, bucket count, partition spec, stats columns,
+    * defaults, constraints-reset — while every prior version stays
+    * time-travelable under its own definition (self-contained
+    * manifests make a mid-history definition change safe: nothing
+    * about version N is derived from version N−1). New data dirs land
+    * before the manifest publish, so a crash leaves the old head
+    * intact (orphan dirs reclaimed by vacuum); a lost publish race
+    * fails cleanly. Merge-on-read layers, column mapping, and dir
+    * layouts reset with the definition (no old dirs are carried).
+    * Tail streams refuse a replace commit (its dirs replace existing
+    * rows) and the change feed directs to the batch diff — the same
+    * contract as overwrite. On an absent table this IS create.
+    * Returns the committed version. */
+  def replaceTable(df: DataFrame, root: String, keys: Seq[String],
+      buckets: Int = 16, statsCols: Option[Seq[String]] = None,
+      changeFeed: Boolean = false,
+      partitionBy: Seq[String] = Seq.empty,
+      colDefaults: Map[String, String] = Map.empty): Long = {
+    val spark = df.sparkSession
+    val cur = headOption(spark, root).getOrElse(
+      return create(df, root, keys, buckets, statsCols,
+        changeFeed = changeFeed, partitionBy = partitionBy,
+        colDefaults = colDefaults))
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    requireCols(df, keys)
+    validateDefaults(spark, df.schema, colDefaults)
+    val pSpec = parsePartSpec(partitionBy)
+    requirePartSpec(pSpec, df.schema)
+    val sc = statsCols.getOrElse(
+      df.schema.fields.filter(statsEligible).map(_.name).toSeq)
+    sc.foreach(c => require(
+      df.schema.fields.exists(f => f.name == c && statsEligible(f)),
+      s"stats column $c missing or not stats-eligible in ${df.schema.toDDL}"))
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    val uuid = newUuid()
+    val ddl = df.schema.toDDL
+    val entries = writeCommitData(df, rootP, v, keys, buckets, uuid, fsys,
+      partSpec = pSpec)
+    val (st, rw) = computeStats(spark, entries, ddl, sc,
+      bloomKeys = keys, bloomFs = Some(fsys))
+    publish(fsys, rootP, stamped(Snapshot(v, "replace", keys, buckets,
+      ddl, uuid, entries,
+      statsCols = sc,
+      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
+      changeFeed = changeFeed, partSpec = pSpec,
+      colDefaults = colDefaults)))
+    v
+  }
+
   /** Validate write-default expressions: each column exists, each
     * expression is deterministic and CONSTANT-FOLDABLE (a default is a
     * value, not a per-row computation — Spark's own DEFAULT

@@ -575,6 +575,59 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
     assert(served.size === v2fresh.size)
   }
 
+  test("an UNLIMITED tail trigger also refuses an unservable commit " +
+      "BEFORE logging: the trigger that would cover it serves only the " +
+      "commits before it, and the next trigger refuses with the offset " +
+      "unlogged (no checkpoint wedge)") {
+    val root = freshRoot("unlimwedge")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 4)  // v1
+    SnapshotTable.append(rows(8 until 12, "b"), root)               // v2
+    SnapshotTable.overwrite(rows(100 until 104, "o"), root)         // v3
+    SnapshotTable.append(rows(12 until 16, "c"), root)              // v4
+    val st = mkStream(root,
+      SnapshotStreamOptions(startingVersion = Some("2"))) // NO limits
+    val limit = st.getDefaultReadLimit // allAvailable
+    val a0 = st.initialOffset().asInstanceOf[SnapshotOffset] // anchor v1
+    // trigger 1: v2 serves; the walk stops BEFORE v3 instead of
+    // wedging on it or silently jumping to v4
+    val o1 = st.latestOffset(a0, limit).asInstanceOf[SnapshotOffset]
+    assert(o1 === SnapshotOffset(2))
+    val vs = SnapshotTable.versions(spark, root)
+    val v2fresh = vs.find(_.version == 2L).get.entries.map(_._2)
+      .diff(vs.find(_.version == 1L).get.entries.map(_._2))
+    assert(st.rangeDirs(a0, o1).toSet === v2fresh.toSet)
+    // trigger 2: the unservable commit is next — refuse in
+    // latestOffset, before any offset is logged
+    val e = intercept[Exception](st.latestOffset(o1, limit))
+    assert(e.getMessage.contains("overwrite"))
+  }
+
+  test("CDF stream admission refuses an unservable commit BEFORE " +
+      "logging, serving the commits before it first (batch plan-time " +
+      "refusal can no longer wedge the checkpoint)") {
+    import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl}
+    val root = freshRoot("cdfwedge")
+    SnapshotTable.create(rows(0 until 8, "a"), root, Seq("id"), 2,
+      changeFeed = true)                                            // v1
+    SnapshotTable.append(rows(8 until 12, "b"), root)               // v2
+    SnapshotTable.overwrite(rows(100 until 104, "o"), root)         // v3 (no change data)
+    SnapshotTable.append(rows(12 until 16, "c"), root)              // v4
+    val stream = new SnapshotCdfScan(headSnap(root), root, Some(1L), None)
+      .toMicroBatchStream("unused").asInstanceOf[SupportsAdmissionControl]
+    // unlimited trigger from the feed start: v1+v2 admit, the walk
+    // stops before v3
+    val o1 = stream.latestOffset(SnapshotOffset(0), ReadLimit.allAvailable())
+    assert(o1 === SnapshotOffset(2))
+    // next trigger: v3 is first — refusal with the offset unlogged
+    val e = intercept[Exception](
+      stream.latestOffset(SnapshotOffset(2), ReadLimit.allAvailable()))
+    assert(e.getMessage.contains("overwrite") ||
+      e.getMessage.contains("no recorded change data"))
+    // a budgeted trigger behaves identically
+    val o1b = stream.latestOffset(SnapshotOffset(0), ReadLimit.maxFiles(100))
+    assert(o1b === SnapshotOffset(2))
+  }
+
   test("startingVersion on an empty/not-yet-created table names the " +
       "real condition, not a phantom mid-stream vacuum") {
     val root = freshRoot("norootyet") // dir never created
