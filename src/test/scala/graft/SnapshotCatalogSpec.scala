@@ -87,6 +87,10 @@ class SnapshotCatalogSpec extends AnyFunSuite {
     sqlDf("CREATE TABLE snapcat.t3 PARTITIONED BY (bucket(4, id)) AS " +
       "SELECT id, CAST(id AS STRING) AS tag, id * 2 AS v " +
       "FROM range(5) AS r(id)")
+    // staged CTAS (StagingTableCatalog): definition AND data land in
+    // ONE atomic create commit — v1 carries the rows
+    assert(SnapshotTable.versions(spark, s"$warehouse/t3")
+      .map(s => (s.version, s.op)) === Seq((1L, "create")))
     assert(sqlDf("SELECT * FROM snapcat.t3").count() === 5L)
     sqlDf("ALTER TABLE snapcat.t3 ADD COLUMNS (score DOUBLE)")
     // new column reads as null backfill; old version lacks it entirely
@@ -94,12 +98,12 @@ class SnapshotCatalogSpec extends AnyFunSuite {
       Seq("id", "tag", "v", "score"))
     assert(sqlDf("SELECT * FROM snapcat.t3")
       .filter(col("score").isNull).count() === 5L)
-    assert(!sqlDf("SELECT * FROM snapcat.t3 VERSION AS OF 2")
+    assert(!sqlDf("SELECT * FROM snapcat.t3 VERSION AS OF 1")
       .columns.contains("score"))
     sqlDf("INSERT INTO snapcat.t3 VALUES (100, 'x', 200, 0.5)")
     sqlDf("ALTER TABLE snapcat.t3 RENAME TO snapcat.t3r")
     assert(sqlDf("SELECT * FROM snapcat.t3r").count() === 6L)
-    assert(sqlDf("SELECT * FROM snapcat.t3r VERSION AS OF 2").count() === 5L)
+    assert(sqlDf("SELECT * FROM snapcat.t3r VERSION AS OF 1").count() === 5L)
     assert(!new java.io.File(s"$warehouse/t3").exists)
     intercept[Exception](sqlDf("SELECT * FROM snapcat.t3"))
     // listings see the renamed table; DROP removes it
