@@ -48,8 +48,20 @@ object BenchGate {
     * extra dependency. Malformed files disarm the gate loudly (stderr)
     * rather than failing the bench. */
   def loadCanonical(path: String, sfDir: String): Map[String, Double] = {
-    val f = new java.io.File(path)
-    if (!f.isFile) return Map.empty
+    // the default path is repo-relative; a driver launched from another
+    // CWD must not silently disarm the gate (the exact failure mode it
+    // was built against) — fall back to the repo-absolute spelling and
+    // warn loudly when neither exists
+    val rel = new java.io.File(path)
+    val f =
+      if (rel.isFile || rel.isAbsolute) rel
+      else new java.io.File("/root/repo", path)
+    if (!f.isFile) {
+      System.err.println(s"[bench] canonical file $path not found " +
+        s"(cwd=${new java.io.File(".").getAbsolutePath}); contention " +
+        "gate runs on canary swing + spikes only")
+      return Map.empty
+    }
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(f)

@@ -59,8 +59,16 @@ object OnnxScorer {
     * header skipped — `tagger.py:32-36`'s pandas read, driver-side. */
   def loadVocab(path: String): Seq[String] = {
     val src = scala.io.Source.fromFile(path, "UTF-8")
-    try src.getLines().drop(1).filter(_.nonEmpty)
-      .map(_.split(",")(1)).toList
+    try src.getLines().drop(1).filter(_.nonEmpty).zipWithIndex
+      .map { case (l, i) =>
+        val fields = l.split(",", -1)
+        // fail loudly on malformed/quoted rows: a silently mis-parsed
+        // name would shift every tag-score alignment downstream
+        require(fields.length >= 2 && !fields(0).contains("\"") &&
+          !fields(1).startsWith("\""),
+          s"$path line ${i + 2} is not plain tag_id,name,... CSV: $l")
+        fields(1)
+      }.toList
     finally src.close()
   }
 }

@@ -756,9 +756,7 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     * so time travel fills each version's truth and plain ADD COLUMN
     * (no DEFAULT) keeps the null contract. */
   private def metaFor(st: StructType): StructType =
-    SnapshotTable.readSchemaMeta(physSchema(st),
-      snap.existsDefaults.map { case (c, d) =>
-        snap.colMap.getOrElse(c, c) -> d })
+    SnapshotTable.readSchemaMetaPhys(snap, physSchema(st))
 
   private def inner(paths: Seq[String]): Scan = {
     val b = GraftParquetBridge.parquetScanBuilder(
@@ -1195,6 +1193,7 @@ private[graft] class SnapshotMicroBatchStream(root: String,
     else if (next.op != "append" && next.op != "create" &&
         next.op != "clone" && next.op != "rescale" &&
         next.op != "compact" && next.op != "zorder" &&
+        next.op != "widen-column" &&
         next.op != "rename-column" && next.op != "drop-column" &&
         next.op != "set-constraint" && next.op != "drop-constraint" &&
         next.op != "repartition-spec" && next.op != "set-default" &&
@@ -1519,9 +1518,8 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
   // an ADD COLUMN … DEFAULT serves pre-add commits' rows with the
   // frozen fill — the same value a table read of those rows returns
   // (per-file footer truth, post-add files verbatim)
-  private val physTable = SnapshotTable.readSchemaMeta(
-    snap.physicalSchema(snap.schemaDdl),
-    snap.existsDefaults.map { case (c, d) => snap.physicalOf(c) -> d })
+  private val physTable = SnapshotTable.readSchemaMetaPhys(snap,
+    snap.physicalSchema(snap.schemaDdl))
   private val cdcFileSchema = physTable
     .add(SnapshotTable.ChangeTypeCol, "string")
 
@@ -1704,17 +1702,10 @@ private[graft] class SnapshotCdfMicroBatchStream(root: String,
     * checkpoint (the logged batch replays into the same error
     * forever, even after the advised compact). Clone commits only
     * exist at v1, so one manifest parse at feed start covers it. */
-  private def refuseUnservableV1(): Unit = {
-    SnapshotTable.versionWindow(spark, root, 1L, 1L).get(1L).foreach {
-      first =>
-        if (first.op == "clone" && first.deltas.nonEmpty)
-          sys.error(s"change feed at $root: clone commit v1 immutably " +
-            s"carries ${first.deltas.size} unresolved merge-on-read " +
-            "delta dir(s) — its feed can never serve v1; start the " +
-            "feed after a compact (startingVersion >= the compact " +
-            "commit), or re-clone from a compacted source")
-    }
-  }
+  private def refuseUnservableV1(): Unit =
+    SnapshotTable.versionWindow(spark, root, 1L, 1L).get(1L)
+      .flatMap(SnapshotCdfScan.unservableOp(root, _))
+      .foreach(sys.error)
 
   override def initialOffset(): Offset = {
     if (initial == 0L && head() >= 1L) refuseUnservableV1()

@@ -78,13 +78,11 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
       f.copy(name = snap.colMap.getOrElse(f.name, f.name))))
 
   /** Manifest existence defaults in physical-name space — the only
-    * default metadata allowed to reach the parquet plane (see
-    * [[SnapshotTable.readSchemaMeta]]): pre-add base/delta files fill
-    * the frozen ADD COLUMN value per footer truth. */
+    * default metadata allowed to reach the parquet plane: pre-add
+    * base/delta files fill the frozen ADD COLUMN value per footer
+    * truth ([[SnapshotTable.readSchemaMetaPhys]]). */
   private def metaFor(st: StructType): StructType =
-    SnapshotTable.readSchemaMeta(st,
-      snap.existsDefaults.map { case (c, d) =>
-        snap.colMap.getOrElse(c, c) -> d })
+    SnapshotTable.readSchemaMetaPhys(snap, st)
 
   private def innerScan(paths: Seq[String], schema: StructType,
       pushFilters: Boolean): Scan = {
@@ -404,13 +402,11 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
     .add("_sdv_pos", org.apache.spark.sql.types.LongType)
 
   /** Manifest existence defaults in physical-name space — the only
-    * default metadata allowed to reach the parquet plane (see
-    * [[SnapshotTable.readSchemaMeta]]): pre-add base/delta files fill
-    * the frozen ADD COLUMN value per footer truth. */
+    * default metadata allowed to reach the parquet plane: pre-add
+    * base/delta files fill the frozen ADD COLUMN value per footer
+    * truth ([[SnapshotTable.readSchemaMetaPhys]]). */
   private def metaFor(st: StructType): StructType =
-    SnapshotTable.readSchemaMeta(st,
-      snap.existsDefaults.map { case (c, d) =>
-        snap.colMap.getOrElse(c, c) -> d })
+    SnapshotTable.readSchemaMetaPhys(snap, st)
 
   private def innerScan(paths: Seq[String], schema: StructType,
       tblSchema: StructType, pushFilters: Boolean): Scan = {

@@ -1471,6 +1471,14 @@ object SnapshotTable {
       f.copy(metadata = mb.build())
     })
 
+  /** [[readSchemaMeta]] with the snapshot's exists map relabeled to
+    * PHYSICAL names — the one spelling all three scan planes
+    * (SnapshotScan, the MOR scans) hand the delegated parquet layer. */
+  private[sources] def readSchemaMetaPhys(snap: Snapshot,
+      st: StructType): StructType =
+    readSchemaMeta(st, snap.existsDefaults.map { case (c, d) =>
+      snap.physicalOf(c) -> d })
+
   /** Attach the MANIFEST's frozen existence defaults ([[addColumns]],
     * logical names) to a read schema as `EXISTS_DEFAULT` field
     * metadata, after stripping whatever the catalog session attached
@@ -2741,6 +2749,22 @@ object SnapshotTable {
               .exists { case (a, m) => a == app && m >= n }
           }
           if (replayed) return cur2.version // the batch already landed
+          // a concurrent REPLACE swapped the table's WHOLE definition —
+          // possibly at the same bucket count, with empty colMap and
+          // constraints on both sides, so none of the structural checks
+          // below would see it. A batch staged against the old
+          // definition (rows bucketed by the OLD keys, the OLD schema's
+          // columns) must never rebase onto the replaced table: scan
+          // the contested window's ops explicitly
+          val contested = listManifests(fsys, rootP, line).versions
+            .filter { case (sv, _) =>
+              sv > cur.version && sv <= cur2.version }
+          if (contested.exists { case (sv, sp) =>
+              parseManifest(fsys, sp, sv).op == "replace" })
+            throw new ConcurrentCommitException(
+              s"${p.opKind} raced a concurrent CREATE OR REPLACE at " +
+                s"$root — the table's definition changed; retry the " +
+                "whole operation against the replaced table")
           // a concurrent column RENAME/DROP changed the logical view:
           // my pending ddl speaks the OLD logical names, and merging it
           // against the new head would re-add renamed columns as ghosts
@@ -3146,10 +3170,11 @@ object SnapshotTable {
     val cur = current(spark, root)
     val schema = StructType.fromDDL(cur.schemaDdl)
     val reserved = (cur.colMap.values ++ cur.droppedPhys).toSet
+    require(cols.map(_._1.name).distinct.size == cols.size,
+      s"duplicate column names in ADD COLUMNS: ${cols.map(_._1.name)}")
     val frozen = cols.map { case (f0, d) =>
       val f = f0.copy(nullable = true) // absent in old files ⇒ nullable
-      require(!schema.fieldNames.contains(f.name) &&
-        !cols.exists(c => c._1.name == f.name && c._1.ne(f0)),
+      require(!schema.fieldNames.contains(f.name),
         s"ADD COLUMN '${f.name}': column already exists")
       require(!reserved.contains(f.name),
         s"ADD COLUMN '${f.name}': name is reserved by column mapping")

@@ -107,6 +107,33 @@ class SnapshotConcurrencySpec extends AnyFunSuite {
       SnapshotTable.upsert(rows(Seq(idA), "A"), root, mat = tap))
   }
 
+  test("no writer rebases over a concurrent CREATE OR REPLACE: the " +
+      "table's whole definition changed (possibly at the same bucket " +
+      "count, empty colMap/constraints both sides — invisible to the " +
+      "structural checks), so the race must fail loudly") {
+    val root = freshRoot("replrace")
+    SnapshotTable.create(rows(0L until 16L, "base"), root, Seq("id"),
+      Buckets)
+    val tap = Materialize.Tap(() => {
+      // same bucket count, fresh definition — wins version 2
+      SnapshotTable.replaceTable(Seq((1L, "x")).toDF("k", "t"), root,
+        Seq("k"), Buckets)
+      ()
+    })
+    // merge-on-read upsert otherwise rebases over ANYTHING — the
+    // replace check must stop it before it attaches old-key delta
+    // dirs to the replaced table
+    val e = intercept[ConcurrentCommitException](
+      SnapshotTable.upsert(rows(Seq(idA), "A"), root, mat = tap,
+        retries = 3, mergeOnRead = true))
+    assert(e.getMessage.contains("REPLACE"))
+    // the replaced table is exactly what its writer published
+    assert(SnapshotTable.read(spark, root).columns.toSeq === Seq("k", "t"))
+    assert(SnapshotTable.read(spark, root).count() === 1L)
+    assert(SnapshotTable.versions(spark, root).map(_.op) ===
+      Seq("create", "replace"))
+  }
+
   test("delete rebases over a disjoint-bucket commit") {
     val root = freshRoot("del")
     SnapshotTable.create(rows(0L until 64L, "base"), root, Seq("id"), Buckets)

@@ -628,6 +628,27 @@ class SnapshotStreamAdmissionSpec extends AnyFunSuite {
     assert(o1b === SnapshotOffset(2))
   }
 
+  test("a widen-column commit is pure metadata to a tailing stream " +
+      "(zero fresh dirs, NO refusal) — same contract as the CDF twin " +
+      "and batch readChanges") {
+    val root = freshRoot("widenstream")
+    SnapshotTable.create(Seq((1L, "a", 1), (2L, "b", 2))
+      .toDF("id", "tag", "v"), root, Seq("id"), 2)            // v1
+    val st = mkStream(root,
+      SnapshotStreamOptions(startingVersion = Some("2")))
+    val a0 = st.initialOffset().asInstanceOf[SnapshotOffset]  // anchor v1
+    SnapshotTable.widenColumn(spark, root, "v", "BIGINT")     // v2
+    SnapshotTable.append(Seq((3L, "c", 3L)).toDF("id", "tag", "v"),
+      root)                                                   // v3
+    val limit = st.getDefaultReadLimit
+    val o1 = st.latestOffset(a0, limit).asInstanceOf[SnapshotOffset]
+    assert(o1 === SnapshotOffset(3)) // walked THROUGH the widen commit
+    val vs = SnapshotTable.versions(spark, root)
+    val v3fresh = vs.find(_.version == 3L).get.entries.map(_._2)
+      .diff(vs.find(_.version == 2L).get.entries.map(_._2))
+    assert(st.rangeDirs(a0, o1).toSet === v3fresh.toSet)
+  }
+
   test("startingVersion on an empty/not-yet-created table names the " +
       "real condition, not a phantom mid-stream vacuum") {
     val root = freshRoot("norootyet") // dir never created
