@@ -632,37 +632,44 @@ object SourceQueries {
   }
 
   /** Z-order clustering through the catalog (`CALL system.zorder` —
-    * Delta's OPTIMIZE ZORDER BY shape): the rewrite must be
+    * Delta's OPTIMIZE ZORDER BY shape), k-D: three clustered dims
+    * (doc_id, n_chars, and a derived `spread` standing in for the
+    * third real-world dim — domain/date). The rewrite must be
     * content-identical (phase 1 reads the WHOLE table after it) and the
-    * clustered layout must still answer a 2-D box predicate exactly
-    * (phase 2) — the measured does-it-actually-prune bound lives in
-    * SnapshotV2Spec's z-order test (records scanned ≤ 1/4 of the table
-    * for a 1/64 box, vs no pruning at the pre-zorder version). */
+    * clustered layout must still answer a 3-D box predicate exactly
+    * (phase 2) — the measured does-it-actually-prune bounds live in
+    * SnapshotV2Spec's z-order test (2-D) and ZOrderSpec's 3-D slab
+    * test. */
   val q168 = Q("q168_snapshot_zorder",
-    """SELECT 1 AS phase, doc_id, lang, n_chars FROM documents
+    """SELECT 1 AS phase, doc_id, lang, n_chars,
+      |  (doc_id * 37) % 256 AS spread FROM documents
       |UNION ALL
-      |SELECT 2 AS phase, doc_id, lang, n_chars FROM documents
+      |SELECT 2 AS phase, doc_id, lang, n_chars,
+      |  (doc_id * 37) % 256 AS spread FROM documents
       |WHERE doc_id BETWEEN 100 AND 300 AND n_chars BETWEEN 500 AND 2000
+      |  AND (doc_id * 37) % 256 BETWEEN 32 AND 223
       |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
     val wh = scratch("snapcat_wh", dir)
     new java.io.File(wh).mkdirs()
     s.conf.set("spark.sql.catalog.graftcat", "graft.sources.SnapshotCatalog")
     s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (col("doc_id") * 37 % 256).as("spread"))
       .createOrReplaceTempView("q168_docs")
     s.sql("DROP TABLE IF EXISTS graftcat.docs_z")
     s.sql("CREATE TABLE graftcat.docs_z (doc_id BIGINT, lang STRING, " +
-      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+      "n_chars BIGINT, spread BIGINT) PARTITIONED BY (bucket(8, doc_id))")
     s.sql("INSERT INTO graftcat.docs_z SELECT * FROM q168_docs")
-    s.sql("CALL graftcat.system.zorder('docs_z', 'doc_id,n_chars', 8)")
-    s.sql("""SELECT 1 AS phase, doc_id, lang, n_chars
+    s.sql("CALL graftcat.system.zorder('docs_z', 'doc_id,n_chars,spread', 8)")
+    s.sql("""SELECT 1 AS phase, doc_id, lang, n_chars, spread
             |FROM graftcat.docs_z
             |UNION ALL
-            |SELECT 2 AS phase, doc_id, lang, n_chars
+            |SELECT 2 AS phase, doc_id, lang, n_chars, spread
             |FROM graftcat.docs_z
             |WHERE doc_id BETWEEN 100 AND 300
             |  AND n_chars BETWEEN 500 AND 2000
+            |  AND spread BETWEEN 32 AND 223
             |ORDER BY phase, doc_id""".stripMargin)
   }
 

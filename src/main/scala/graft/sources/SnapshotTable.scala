@@ -3864,10 +3864,12 @@ object SnapshotTable {
   /** Z-order clustering rewrite (Delta's `OPTIMIZE ZORDER BY` shape,
     * Armbrust VLDB'20 §4.2): content-identical like [[compact]], but
     * each key-hash bucket's rows are split into up to `slicesPerBucket`
-    * dirs by the Morton-interleaved rank of the two `cols`
-    * ([[graft.ops.ZOrder.zKey]], both dimensions min/max-normalized to
-    * `bits` bits in one O(table) agg pass), and sorted by z-key within
-    * each slice.
+    * dirs by the Morton-interleaved rank of the k `cols`
+    * ([[graft.ops.ZOrder.zKeyN]], every dimension min/max-normalized to
+    * `bits` bits — auto-narrowed so bits·k ≤ 62 — in one O(table) agg
+    * pass), and sorted by z-key within each slice. Real curation
+    * tables cluster on (domain, lang, date) at least, so k is 2..15,
+    * not just 2.
     *
     * Why slices: the manifest's data-skipping stats are PER DIR, so a
     * single compacted dir per bucket has bucket-wide min/max on every
@@ -3893,11 +3895,18 @@ object SnapshotTable {
     * refused loudly rather than silently useless). */
   def zorder(spark: SparkSession, root: String, cols: Seq[String],
       slicesPerBucket: Int = 8, bits: Int = 16): Long = {
-    require(cols.size == 2 && cols.distinct.size == 2,
-      s"z-order is 2-D here: pass exactly two distinct columns, got $cols")
+    require(cols.size >= 2 && cols.distinct.size == cols.size,
+      s"z-order needs >= 2 distinct columns, got $cols")
     require(slicesPerBucket >= 2 && slicesPerBucket <= 4096,
       s"slicesPerBucket must be in [2,4096]: $slicesPerBucket")
+    // bits·k must fit a non-negative long; k=3 at the default 16 bits is
+    // a 48-bit key (65k quantization steps per dim — far finer than any
+    // row-group envelope), and even k=6 still gets 10 bits per dim
     require(bits >= 4 && bits <= 21, s"bits must be in [4,21]: $bits")
+    val kBits = math.min(bits, 62 / cols.size)
+    require(kBits >= 4,
+      s"${cols.size} dims leave ${62 / cols.size} bits/dim (< 4) — " +
+        "too many z-order columns to quantize usefully; pass <= 15")
     val cur = current(spark, root)
     val schema = StructType.fromDDL(cur.schemaDdl)
     cols.foreach(c => require(schema.fieldNames.contains(c),
@@ -3906,26 +3915,28 @@ object SnapshotTable {
       s"z-order column $c is not in statsCols=${cur.statsCols} — no read " +
         "would ever prune on it; recreate the table with it in statsCols"))
     val data = read(spark, root)
-    val b = data.agg(
-      min(col(cols.head)).cast("double"), max(col(cols.head)).cast("double"),
-      min(col(cols(1))).cast("double"), max(col(cols(1))).cast("double"))
-      .head()
-    if (b.isNullAt(0) || b.isNullAt(2)) return cur.version // empty/all-null
-    val maxV = (1L << bits) - 1
+    // ONE O(table) agg pass for every dimension's min/max
+    val minMax = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val b = data.agg(minMax.head, minMax.tail: _*).head()
+    if (cols.indices.exists(d => b.isNullAt(2 * d)))
+      return cur.version // empty table or an all-null dimension
+    val maxV = (1L << kBits) - 1
     def norm(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)
       else least(lit(maxV), greatest(lit(0L),
         ((col(c).cast("double") - lo) / (hi - lo) * maxV).cast("long")))
-    val zk = graft.ops.ZOrder.zKey(
-      norm(cols.head, b.getDouble(0), b.getDouble(1)),
-      norm(cols(1), b.getDouble(2), b.getDouble(3)), bits)
+    val zk = graft.ops.ZOrder.zKeyN(
+      cols.zipWithIndex.map { case (c, d) =>
+        norm(c, b.getDouble(2 * d), b.getDouble(2 * d + 1)) },
+      kBits)
     // fixed-width z-range slices via exact bit shifts (slice count
     // rounds UP to a power of two — `/` on Columns is double division,
     // whose rounding could misplace boundary rows): the slice is the
     // top log2(slices) bits of the z-key
     val log2Slices = 64 - java.lang.Long
       .numberOfLeadingZeros(math.max(1L, slicesPerBucket.toLong - 1))
-    val shift = math.max(0, 2 * bits - log2Slices.toInt)
+    val shift = math.max(0, cols.size * kBits - log2Slices.toInt)
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
     val uuid = newUuid()
