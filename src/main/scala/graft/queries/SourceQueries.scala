@@ -1403,9 +1403,19 @@ object SourceQueries {
       |d2 AS (
       |  SELECT doc_id, lang, n_chars FROM d1
       |  WHERE NOT coalesce(lang = 'en', FALSE)
-      |  UNION ALL SELECT CAST(-1 AS BIGINT), 'en', CAST(3 AS BIGINT))
+      |  UNION ALL SELECT CAST(-1 AS BIGINT), 'en', CAST(3 AS BIGINT)),
+      |d3 AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents),
+      |d4 AS (
+      |  SELECT doc_id, lang, n_chars FROM d3
+      |  WHERE NOT coalesce(n_chars % 2 = 0, FALSE)
+      |  UNION ALL SELECT CAST(-2 AS BIGINT), 'xx', CAST(5 AS BIGINT))
       |SELECT 1 AS phase, doc_id, lang, n_chars FROM d1
       |UNION ALL SELECT 2 AS phase, doc_id, lang, n_chars FROM d2
+      |UNION ALL SELECT 3 AS phase, doc_id, lang, n_chars FROM d4
       |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
     import graft.sources.SnapshotTable
     import s.implicits._
@@ -1427,7 +1437,28 @@ object SourceQueries {
     val p2 = SnapshotTable.read(s, path)
       .select(lit(2).as("phase"), col("doc_id"), col("lang"),
         col("n_chars"))
-    p1.unionByName(p2).orderBy(col("phase"), col("doc_id"))
+    // phase 3: KEYED positional delete — a pending upsert-mor layer
+    // (winners shadow the base versions), then deleteWhere(mergeOnRead)
+    // tombstones matched winners AND their shadowed versions by
+    // position; the connector serves the mixed rows+pos snapshot
+    // through the replaying scan, and a fresh append of a new key
+    // rides over the tombstones untouched
+    val kpath = scratch("snapposk", dir)
+    rmTree(kpath)
+    SnapshotTable.create(d, kpath, Seq("doc_id"), 4)
+    SnapshotTable.upsert(
+      d.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L),
+      kpath, mergeOnRead = true)
+    SnapshotTable.deleteWhere(s, kpath, col("n_chars") % 2 === 0,
+      mergeOnRead = true)
+    SnapshotTable.append(
+      Seq((-2L, "xx", 5L)).toDF("doc_id", "lang", "n_chars"), kpath)
+    val p3 = s.read.format("graft-snapshot").load(kpath)
+      .select(lit(3).as("phase"), col("doc_id"), col("lang"),
+        col("n_chars"))
+    p1.unionByName(p2).unionByName(p3)
+      .orderBy(col("phase"), col("doc_id"))
   }
 
   /** Partition-pinned metadata-only retention DELETE

@@ -618,17 +618,21 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
           "compact the table first (SnapshotTable.compact / " +
           "CALL <cat>.system.compact)")
       if (snap.deltas.forall(_.kind == "pos"))
-        // keyless positional (deletion-vector) layer: the replaying
-        // scan anti-joins base rows' parquet row indexes against the
-        // small recorded position set
+        // positional (deletion-vector) layer only — keyless tables
+        // always, keyed tables with no pending event deltas: the
+        // replaying scan anti-joins base rows' parquet row indexes
+        // against the small recorded position set, no key machinery
         new SnapshotPosScan(snap, tableSchema, required, catalystFilters,
-          statsPruned(snap.entries, v1Filters.toSeq), snap.deltas, root)
+          reprune(snap.entries, v1Filters.toSeq), snap.deltas, root,
+          ignoreChanges, streamOpts)
       else {
         val hit = prunedBuckets(v1Filters.toSeq)
+        val (pos, events) = snap.deltas.partition(_.kind == "pos")
         new SnapshotMorScan(snap, tableSchema, required, catalystFilters,
           reprune(snap.entries, v1Filters.toSeq),
-          hit.fold(snap.deltas)(h => snap.deltas.filter(d => h(d.bucket))),
-          root, ignoreChanges, streamOpts)
+          hit.fold(events)(h => events.filter(d => h(d.bucket))),
+          root, ignoreChanges, streamOpts,
+          hit.fold(pos)(h => pos.filter(d => h(d.bucket))))
       }
     case None =>
       new SnapshotScan(snap, tableSchema, required, catalystFilters,

@@ -46,19 +46,36 @@ import org.apache.spark.sql.types.StructType
   * Storage-partitioned joins still hold: every partition is keyed by
   * its bucket ([[KeyedInputPartition]] semantics — a delta-bearing
   * bucket's partition contains ALL rows of its keys), so the scan
-  * reports the same `KeyGroupedPartitioning` as the clean scan. */
+  * reports the same `KeyGroupedPartitioning` as the clean scan.
+  *
+  * POSITIONAL tombstones (`posDeltas`, the keyed `deleteWhere
+  * mergeOnRead` layer) may coexist with the event kinds: when present,
+  * base and delta-row reads additionally carry the parquet row-index
+  * column and are split per file, and each replay partition drains its
+  * buckets' recorded `(file-suffix, row_index)` pairs into a dead-set
+  * consulted BEFORE event replay — a position-tombstoned delta row
+  * contributes no event, mirroring [[SnapshotTable.resolvedRead]]'s
+  * anti-join-then-replay order. Buckets whose only deltas are
+  * positional still pay the replay-partition shape here (empty event
+  * side, dead-set only); a table with NO event deltas routes to the
+  * cheaper [[SnapshotPosScan]] instead. */
 private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
     tableSchema: StructType, required: StructType,
     catalystFilters: Seq[Expression],
     baseEntries: Seq[(Int, String)],
     deltas: Seq[SnapshotTable.DeltaEntry],
     root: String, ignoreChanges: Boolean,
-    streamOpts: SnapshotStreamOptions = SnapshotStreamOptions())
+    streamOpts: SnapshotStreamOptions = SnapshotStreamOptions(),
+    posDeltas: Seq[SnapshotTable.DeltaEntry] = Seq.empty)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   require(snap.keys.nonEmpty, "merge-on-read deltas imply a keyed table")
+  require(deltas.forall(_.kind != "pos") && posDeltas.forall(_.kind == "pos"),
+    "positional deltas ride the posDeltas parameter, event kinds in deltas")
+
+  private val hasPos = posDeltas.nonEmpty
 
   /** Base/delta read schema: the required columns plus any key columns
     * the projection pruned away (resolution needs them), in table-schema
@@ -84,10 +101,20 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
   private def metaFor(st: StructType): StructType =
     SnapshotTable.readSchemaMetaPhys(snap, st)
 
+  /** Parquet row-index generated column — appended LAST to base/delta
+    * read schemas when positional tombstones are present, so every
+    * prefix-bound projection (keys, required) is position-stable. */
+  private val idxCol = GraftParquetBridge.rowIndexTempColumn
+  private def plusIdx(st: StructType): StructType = StructType(
+    st.fields :+ org.apache.spark.sql.types.StructField(idxCol,
+      org.apache.spark.sql.types.LongType))
+
   private def innerScan(paths: Seq[String], schema: StructType,
-      pushFilters: Boolean): Scan = {
+      pushFilters: Boolean, withIdx: Boolean = false): Scan = {
+    val tbl = metaFor(physSchema(tableSchema))
+    val sch = metaFor(physSchema(schema))
     val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths, metaFor(physSchema(tableSchema)))
+      SparkSession.active, paths, if (withIdx) plusIdx(tbl) else tbl)
     if (pushFilters) GraftParquetBridge.pushCatalystFilters(b,
       if (snap.colMap.isEmpty) catalystFilters
       else catalystFilters.map(_.transform {
@@ -95,14 +122,40 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
             if snap.colMap.contains(a.name) =>
           a.withName(snap.colMap(a.name))
       }))
-    GraftParquetBridge.pruneColumns(b, metaFor(physSchema(schema)))
+    GraftParquetBridge.pruneColumns(b, if (withIdx) plusIdx(sch) else sch)
+    GraftParquetBridge.buildScan(b)
+  }
+
+  /** Raw scan over positional tombstone dirs: their files carry key
+    * columns (bucket routing) plus the `(file-suffix, row_index)` pair;
+    * readers project just the pair. Never filter-pushed, never
+    * column-mapped (tombstone columns are reserved names). */
+  private val posTombSchema: StructType = new StructType()
+    .add(SnapshotTable.PosFileCol, org.apache.spark.sql.types.StringType)
+    .add(SnapshotTable.PosPosCol, org.apache.spark.sql.types.LongType)
+
+  private def posTombScan(paths: Seq[String]): Scan = {
+    val b = GraftParquetBridge.parquetScanBuilder(
+      SparkSession.active, paths, posTombSchema)
+    GraftParquetBridge.pruneColumns(b, posTombSchema)
     GraftParquetBridge.buildScan(b)
   }
 
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-snapshot v${snap.version} merge-on-read " +
-      s"(${baseEntries.size} base dirs, ${deltas.size} delta dirs)"
+      s"(${baseEntries.size} base dirs, ${deltas.size} delta dirs" +
+      (if (hasPos) s", ${posDeltas.size} pos tombstone dirs)" else ")")
+
+  private val SuffixRe = java.util.regex.Pattern.compile("(c\\d+-[^/]+/.*)$")
+
+  /** Stable commit-relative file suffix — the identity positional
+    * tombstones record ([[SnapshotTable.posFileOf]]'s driver twin). */
+  private def suffixOf(path: String): String = {
+    val m = SuffixRe.matcher(path)
+    require(m.find(), s"cannot derive a commit-relative suffix from $path")
+    m.group(1)
+  }
 
   /** Commit version encoded in a bucket-dir path (driver-side twin of
     * the read-path file parse; end-anchored so user path segments can't
@@ -120,7 +173,8 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
-    val buckets = (baseEntries.map(_._1) ++ deltas.map(_.bucket)).distinct
+    val buckets = (baseEntries.map(_._1) ++ deltas.map(_.bucket) ++
+      posDeltas.map(_.bucket)).distinct
     // mid-migration mixed layouts have no single bucket transform
     if (snap.mixedLayout) new UnknownPartitioning(buckets.size)
     else new KeyGroupedPartitioning(
@@ -146,7 +200,7 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val dirty = deltas.map(_.bucket).toSet
+      val dirty = (deltas.map(_.bucket) ++ posDeltas.map(_.bucket)).toSet
       // layout-aware split: an entry replays when ANY current bucket it
       // covers carries deltas (a historical-layout dir spans several
       // current buckets until migration)
@@ -158,13 +212,25 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
             .toBatch.planInputPartitions()
             .map(p => KeyedInputPartition(InternalRow(b), p))
       }
+      // with positional tombstones the splits are re-grouped per FILE
+      // (each tagged with its file's tombstone suffix); without, one
+      // empty tag per split — same driver cost either way
       def perDir(dirs: Seq[(Long, String)], schema: StructType,
-          push: Boolean): Seq[(Long, InputPartition)] =
+          push: Boolean): Seq[(Long, String, InputPartition)] =
         dirs.flatMap { case (seq, d) =>
-          innerScan(Seq(d), schema, push).toBatch.planInputPartitions()
-            .map(seq -> _)
+          val parts = innerScan(Seq(d), schema, push, withIdx = hasPos)
+            .toBatch.planInputPartitions()
+          if (!hasPos) parts.toSeq.map(p => (seq, "", p))
+          else GraftParquetBridge.splitPartitionsByFile(parts)
+            .map { case (f, p) => (seq, suffixOf(f), p) }
+        }
+      def perDirKeys(dirs: Seq[(Long, String)]): Seq[(Long, InputPartition)] =
+        dirs.flatMap { case (seq, d) =>
+          innerScan(Seq(d), keySchema, pushFilters = false).toBatch
+            .planInputPartitions().map(seq -> _)
         }
       val deltaBy = deltas.groupBy(_.bucket)
+      val posBy = posDeltas.groupBy(_.bucket)
       // REPLAY CLASSES: a historical-layout dir's rows span every
       // current bucket it covers, so those buckets' events must sit in
       // the same reader as the dir — union-find merges dirty buckets
@@ -190,13 +256,16 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
             case (e, home) if find(home) == cls => e
           }
           val ds = bs.toSeq.sorted.flatMap(b => deltaBy.getOrElse(b, Nil))
+          val ps = bs.toSeq.sorted.flatMap(b => posBy.getOrElse(b, Nil))
           MorInputPartition(cls,
             perDir(es.map { case (_, d) => seqOfDir(d) -> d }, withKeys,
               push = true),
             perDir(ds.filter(_.kind == "rows").map(d => d.seq -> d.dir),
               withKeys, push = false),
-            perDir(ds.filter(_.kind == "tomb").map(d => d.seq -> d.dir),
-              keySchema, push = false))
+            perDirKeys(ds.filter(_.kind == "tomb").map(d => d.seq -> d.dir)),
+            if (ps.isEmpty) Seq.empty
+            else posTombScan(ps.map(_.dir)).toBatch
+              .planInputPartitions().toSeq)
       }
       (cleanParts ++ dirtyParts).toArray
     }
@@ -205,16 +274,20 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
       new MorReaderFactory(
         innerScan(Seq.empty, required, pushFilters = true)
           .toBatch.createReaderFactory(),
-        innerScan(Seq.empty, withKeys, pushFilters = true)
-          .toBatch.createReaderFactory(),
-        innerScan(Seq.empty, withKeys, pushFilters = false)
-          .toBatch.createReaderFactory(),
+        innerScan(Seq.empty, withKeys, pushFilters = true,
+          withIdx = hasPos).toBatch.createReaderFactory(),
+        innerScan(Seq.empty, withKeys, pushFilters = false,
+          withIdx = hasPos).toBatch.createReaderFactory(),
         innerScan(Seq.empty, keySchema, pushFilters = false)
           .toBatch.createReaderFactory(),
-        withKeys.fields.map(_.dataType),
+        posTombScan(Seq.empty).toBatch.createReaderFactory(),
+        (if (hasPos) plusIdx(withKeys) else withKeys)
+          .fields.map(_.dataType),
         keySchema.fields.map(_.dataType),
         snap.keys.map(k => withKeys.fieldIndex(k)).toArray,
-        required.fieldNames.map(withKeys.fieldIndex))
+        required.fieldNames.map(withKeys.fieldIndex),
+        // row-index ordinal in base/delta rows; -1 = no positional layer
+        if (hasPos) withKeys.length else -1)
   }
 
   /** Streaming reads keep [[SnapshotScan]]'s exact contract: the stream
@@ -228,18 +301,21 @@ private[graft] class SnapshotMorScan(snap: SnapshotTable.Snapshot,
       ignoreChanges, streamOpts)
 }
 
-/** One delta-bearing bucket: base file partitions stamped with their
-  * commit version, delta-row and tombstone partitions stamped with
-  * their event seq. Keyed by bucket for storage-partitioned joins. */
+/** One delta-bearing bucket class: base and delta-row file partitions
+  * stamped with their commit version / event seq plus (when positional
+  * tombstones exist) their file's tombstone suffix; keyed tombstone
+  * partitions stamped with their seq; the class' positional tombstone
+  * partitions. Keyed by bucket for storage-partitioned joins. */
 private[graft] case class MorInputPartition(bucket: Int,
-    base: Seq[(Long, InputPartition)],
-    deltaRows: Seq[(Long, InputPartition)],
-    tombs: Seq[(Long, InputPartition)])
+    base: Seq[(Long, String, InputPartition)],
+    deltaRows: Seq[(Long, String, InputPartition)],
+    tombs: Seq[(Long, InputPartition)],
+    posTombs: Seq[InputPartition] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
   override def preferredLocations(): Array[String] =
-    (base ++ deltaRows).flatMap(_._2.preferredLocations()).distinct.toArray
+    (base ++ deltaRows).flatMap(_._3.preferredLocations()).distinct.toArray
 }
 
 /** Routes clean bucket partitions straight to the pruned parquet
@@ -247,29 +323,34 @@ private[graft] case class MorInputPartition(bucket: Int,
 private[graft] class MorReaderFactory(
     cleanF: PartitionReaderFactory, baseF: PartitionReaderFactory,
     deltaF: PartitionReaderFactory, tombF: PartitionReaderFactory,
+    posF: PartitionReaderFactory,
     withKeysTypes: Array[org.apache.spark.sql.types.DataType],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
-    keyIdx: Array[Int], requiredIdx: Array[Int])
+    keyIdx: Array[Int], requiredIdx: Array[Int], posIdx: Int)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case KeyedInputPartition(_, inner) => cleanF.createReader(inner)
       case m: MorInputPartition =>
-        new MorPartitionReader(m, baseF, deltaF, tombF, withKeysTypes,
-          keyTypes, keyIdx, requiredIdx)
+        new MorPartitionReader(m, baseF, deltaF, tombF, posF,
+          withKeysTypes, keyTypes, keyIdx, requiredIdx, posIdx)
       case other => cleanF.createReader(other)
     }
 }
 
 /** Per-bucket event replay (see [[SnapshotMorScan]]): drain the small
-  * delta side into memory, stream the base side against it. */
+  * delta side into memory, stream the base side against it. Positional
+  * tombstones (when present) drain first into per-file dead sets
+  * consulted before any event logic — a dead delta row contributes no
+  * event and no survivor, a dead base row never reaches the replay
+  * check. */
 private[graft] class MorPartitionReader(part: MorInputPartition,
     baseF: PartitionReaderFactory, deltaF: PartitionReaderFactory,
-    tombF: PartitionReaderFactory,
+    tombF: PartitionReaderFactory, posF: PartitionReaderFactory,
     withKeysTypes: Array[org.apache.spark.sql.types.DataType],
     keyTypes: Array[org.apache.spark.sql.types.DataType],
-    keyIdx: Array[Int], requiredIdx: Array[Int])
+    keyIdx: Array[Int], requiredIdx: Array[Int], posIdx: Int)
     extends PartitionReader[InternalRow] {
 
   // key extracted from a withKeys-shaped row / from a keys-only row
@@ -285,6 +366,25 @@ private[graft] class MorPartitionReader(part: MorInputPartition,
   /** Newest event seq per key — the whole delta side of ONE bucket. */
   private val maxEvent = new mutable.HashMap[UnsafeRow, Long]
   private val bufferedDeltas = mutable.ArrayBuffer.empty[(Long, UnsafeRow, UnsafeRow)]
+
+  /** (file suffix → recorded positions); O(class' tombstones) memory —
+    * the deletion-vector residency bound. */
+  private val dead = new mutable.HashMap[String, java.util.HashSet[java.lang.Long]]
+  part.posTombs.foreach { tp =>
+    val r = posF.createReader(tp)
+    try while (r.next()) {
+      val row = r.get()
+      if (!row.isNullAt(0) && !row.isNullAt(1))
+        dead.getOrElseUpdate(row.getUTF8String(0).toString,
+          new java.util.HashSet[java.lang.Long]()).add(row.getLong(1))
+    } finally r.close()
+  }
+
+  private def isDead(suffix: String, row: InternalRow): Boolean =
+    posIdx >= 0 && {
+      val s = dead.getOrElse(suffix, null)
+      s != null && s.contains(row.getLong(posIdx))
+    }
 
   private def drain(parts: Seq[(Long, InputPartition)],
       f: PartitionReaderFactory)(use: (Long, InternalRow) => Unit): Unit =
@@ -303,10 +403,19 @@ private[graft] class MorPartitionReader(part: MorInputPartition,
   drain(part.tombs, tombF) { (seq, row) =>
     bump(keyOfTomb(row).copy(), seq)
   }
-  drain(part.deltaRows, deltaF) { (seq, row) =>
-    val key = keyOfFull(row).copy()
-    bump(key, seq)
-    bufferedDeltas += ((seq, key, row.asInstanceOf[UnsafeRow].copy()))
+  part.deltaRows.foreach { case (seq, suffix, p) =>
+    val r = deltaF.createReader(p)
+    try while (r.next()) {
+      val row = r.get()
+      // position-tombstoned delta rows vanish BEFORE event building
+      // (their key's superseded versions were tombstoned by the same
+      // delete commit, so dropping the event resurrects nothing)
+      if (!isDead(suffix, row)) {
+        val key = keyOfFull(row).copy()
+        bump(key, seq)
+        bufferedDeltas += ((seq, key, row.asInstanceOf[UnsafeRow].copy()))
+      }
+    } finally r.close()
   }
 
   /** Surviving delta rows: newest event of their key, and that event is
@@ -319,6 +428,7 @@ private[graft] class MorPartitionReader(part: MorInputPartition,
   private val basePartsIt = part.base.iterator
   private var baseReader: PartitionReader[InternalRow] = _
   private var baseSeq: Long = Long.MinValue
+  private var baseSuffix: String = ""
   private var currentRow: InternalRow = _
   private var inSurvivors = false
 
@@ -327,15 +437,18 @@ private[graft] class MorPartitionReader(part: MorInputPartition,
       if (baseReader == null) {
         if (!basePartsIt.hasNext) { inSurvivors = true }
         else {
-          val (seq, p) = basePartsIt.next()
+          val (seq, suffix, p) = basePartsIt.next()
           baseSeq = seq
+          baseSuffix = suffix
           baseReader = baseF.createReader(p)
         }
       } else if (baseReader.next()) {
         val row = baseReader.get()
-        // a base row survives iff no delta event is newer than its
-        // commit (events never share a version with a base commit)
-        if (maxEvent.getOrElse(keyOfFull(row), Long.MinValue) < baseSeq) {
+        // a base row survives iff its position is not tombstoned and no
+        // delta event is newer than its commit (events never share a
+        // version with a base commit)
+        if (!isDead(baseSuffix, row) &&
+            maxEvent.getOrElse(keyOfFull(row), Long.MinValue) < baseSeq) {
           currentRow = toRequired(row)
           return true
         }
@@ -354,10 +467,18 @@ private[graft] class MorPartitionReader(part: MorInputPartition,
     if (baseReader != null) { baseReader.close(); baseReader = null }
 }
 
-/** Resolution-aware DSv2 scan for KEYLESS snapshots carrying positional
-  * (deletion-vector) deltas — the connector half of the `kind = "pos"`
-  * replay in [[SnapshotTable.resolvedRead]]: a row lives unless some
-  * retained pos delta recorded its physical `(file-suffix, row_index)`.
+/** Resolution-aware DSv2 scan for snapshots whose ONLY deltas are
+  * positional (deletion-vector) — the connector half of the
+  * `kind = "pos"` replay in [[SnapshotTable.resolvedRead]]: a row lives
+  * unless some retained pos delta recorded its physical
+  * `(file-suffix, row_index)`. Keyless tables always land here; KEYED
+  * tables land here when no event deltas are pending (the common
+  * keyed-`deleteWhere(mergeOnRead)` case — position replay is
+  * key-agnostic, so the keyed machinery is unnecessary). A keyed table
+  * read through this scan does NOT report key-grouped partitioning
+  * (splits regroup per file, not per bucket); storage-partitioned joins
+  * resume after compaction, mixed-kind snapshots use
+  * [[SnapshotMorScan]].
   *
   * Plan shape: base FILES are listed driver-side (O(files), the same
   * listing the manifest writer paid) and round-robined into at most
@@ -377,11 +498,14 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
     catalystFilters: Seq[Expression],
     baseEntries: Seq[(Int, String)],
     posDeltas: Seq[SnapshotTable.DeltaEntry],
-    root: String)
+    root: String, ignoreChanges: Boolean = false,
+    streamOpts: SnapshotStreamOptions = SnapshotStreamOptions())
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
-  require(snap.keys.isEmpty, "positional deltas imply a keyless table")
+  require(posDeltas.forall(_.kind == "pos"),
+    "SnapshotPosScan serves pos-only delta sets; event kinds replay " +
+      "through SnapshotMorScan")
 
   private def physSchema(st: StructType): StructType =
     if (snap.colMap.isEmpty) st
@@ -493,6 +617,16 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
         withIdx.fields.map(_.dataType),
         required.length)
   }
+
+  /** Same streaming contract as [[SnapshotMorScan]]: tail APPEND
+    * commits by entry-diff; tombstone commits add no entries, so they
+    * fail the non-append gate (or skip under `ignoreChanges`). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(root,
+      paths => innerScan(paths, physSchema(required),
+        physSchema(tableSchema), pushFilters = true),
+      ignoreChanges, streamOpts)
 }
 
 /** One group of base-file splits (each tagged with its file's stable

@@ -1877,19 +1877,24 @@ object SnapshotTable {
 
   private def resolvedRead(spark: SparkSession, snap: Snapshot,
       buckets: Option[Set[Int]], ddl: String): DataFrame = {
-    // positional (deletion-vector) deltas — the KEYLESS shape: a row
-    // lives unless some retained pos delta recorded its (file, pos).
-    // Physical identities are immutable and set-like (ordering between
-    // pos commits is irrelevant; duplicates are idempotent), so replay
-    // is one anti-join of the base against the SMALL tombstone side —
-    // the Delta deletion-vector read shape, never a shuffle of the base
-    // by key. Kinds never mix: keyed tables carry rows/tomb, keyless
-    // carry pos.
+    // positional (deletion-vector) deltas: a row lives unless some
+    // retained pos delta recorded its (file, pos). Physical identities
+    // are immutable and set-like (ordering between pos commits is
+    // irrelevant; duplicates are idempotent), so replay is one anti-join
+    // of the physical reads against the SMALL tombstone side — the
+    // Delta deletion-vector read shape, never a shuffle of the base by
+    // key. Keyless tables carry ONLY pos deltas; keyed tables may mix
+    // pos with rows/tomb event kinds ([[deleteWhere]] merge-on-read
+    // layered over pending upserts), in which case the anti-join runs
+    // BEFORE event replay on every physical read — base groups and
+    // rows-delta frames alike — so a tombstoned delta winner's event
+    // dies with it (its superseded versions are tombstoned by the same
+    // commit; see the keyed deleteWhere harvest).
     val posDs = snap.deltas.filter(_.kind == "pos")
-    if (posDs.nonEmpty) {
-      require(snap.keys.isEmpty && posDs.size == snap.deltas.size,
-        s"corrupt manifest: positional deltas on a keyed table " +
-          s"(keys=${snap.keys}, kinds=${snap.deltas.map(_.kind).distinct})")
+    if (posDs.nonEmpty && snap.keys.isEmpty) {
+      require(posDs.size == snap.deltas.size,
+        s"corrupt manifest: keyed delta kinds on a keyless table " +
+          s"(kinds=${snap.deltas.map(_.kind).distinct})")
       val sel = buckets match {
         case Some(st) => snap.entries.filter(e => snap.entryHit(e, st))
         case None => snap.entries
@@ -1902,6 +1907,28 @@ object SnapshotTable {
           Seq(PosFileCol, PosPosCol), "left_anti")
         .select(outCols: _*)
     }
+    // keyed physical read: with pos tombstones present every data read
+    // (base dirs and rows-delta dirs) anti-joins them away first. The
+    // commit-version column (when a caller needs it for replay) is
+    // derived BEFORE the anti-join — from the already-projected
+    // [[PosFileCol]] suffix on the pos path, because input_file_name()
+    // is undefined on the far side of an exchange.
+    val outCols0 = StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq
+    def readData(dirs: Seq[String], seqCol: Option[String]): DataFrame =
+      if (posDs.isEmpty) {
+        val df = readEntries(spark, ddl, snap.colMap, dirs,
+          snap.existsDefaults)
+        seqCol.fold(df)(c => df.withColumn(c, fileCommitVersion))
+      } else {
+        val withPos = readEntriesWithPos(spark, ddl, snap.colMap, dirs,
+          snap.existsDefaults)
+        val stamped = seqCol.fold(withPos)(c => withPos.withColumn(c,
+          regexp_extract(col(PosFileCol), "^c(\\d+)-", 1).cast("long")))
+        stamped.join(spark.read.schema(posTombSchema)
+            .parquet(posDs.map(_.dir): _*),
+            Seq(PosFileCol, PosPosCol), "left_anti")
+          .select(outCols0 ++ seqCol.map(col).toSeq: _*)
+      }
     val sel: Int => Boolean = b => buckets.forall(_.contains(b))
     // selection and row filtering are in CURRENT-layout bucket space;
     // entries written under a historical layout (post-rescale, before
@@ -1912,17 +1939,25 @@ object SnapshotTable {
     val exactFilter: Option[org.apache.spark.sql.Column] = buckets
       .filter(_ => snap.keys.nonEmpty && snap.mixedLayout)
       .map(s => bucketOf(snap.keys, snap.buckets).isin(s.toSeq: _*))
-    def readGroups(es: Seq[(Int, String)]): DataFrame = {
+    val SeqCol = "_mor_seq"
+    val MaxCol = "_mor_max"
+    def readGroups(es: Seq[(Int, String)],
+        seqCol: Option[String] = None): DataFrame = {
       val groups = es.groupBy(e => snap.layoutOf(e._2)).toSeq.sortBy(_._1)
-      if (groups.isEmpty) emptyDf(spark, StructType.fromDDL(ddl))
+      if (groups.isEmpty)
+        emptyDf(spark, seqCol.foldLeft(StructType.fromDDL(ddl))(
+          (s, c) => s.add(c, org.apache.spark.sql.types.LongType)))
       else groups.map { case (l, ge) =>
-        val df = readEntries(spark, ddl, snap.colMap, ge.map(_._2),
-          snap.existsDefaults)
+        val df = readData(ge.map(_._2), seqCol)
         if (l == snap.buckets) df
         else exactFilter.fold(df)(df.filter)
       }.reduce(_.unionByName(_))
     }
-    val dirty = snap.deltas.iterator.map(_.bucket).filter(sel).toSet
+    // pos deltas never force the event replay: buckets whose only
+    // deltas are positional stay on the clean path (the anti-join in
+    // readData already resolved them)
+    val dirty = snap.deltas.iterator.filter(_.kind != "pos")
+      .map(_.bucket).filter(sel).toSet
     // an old-layout entry is dirty when ANY current bucket it covers
     // carries deltas: its rows route through the replay join (a no-op
     // for event-free keys), never past a tombstone
@@ -1937,16 +1972,12 @@ object SnapshotTable {
     val keySchema = StructType(
       schema.fields.filter(f => snap.keys.contains(f.name)))
     val keyCols = snap.keys.map(col)
-    val SeqCol = "_mor_seq"
-    val MaxCol = "_mor_max"
-    val ds = snap.deltas.filter(d => dirty(d.bucket))
+    val ds = snap.deltas.filter(d => d.kind != "pos" && dirty(d.bucket))
     // one frame per (kind, seq): the union width is the number of
     // RETAINED merge-on-read commits, bounded by the compaction cadence
     val rowFrames = ds.filter(_.kind == "rows").groupBy(_.seq).toSeq
       .sortBy(_._1).map { case (s, es) =>
-        readEntries(spark, ddl, snap.colMap, es.map(_.dir),
-          snap.existsDefaults)
-          .withColumn(SeqCol, lit(s))
+        readData(es.map(_.dir), None).withColumn(SeqCol, lit(s))
       }
     // key columns are never renameable, so the tombstone key schema is
     // physical == logical
@@ -1962,8 +1993,7 @@ object SnapshotTable {
     val maxEvents = events.groupBy(keyCols: _*)
       .agg(max(col(SeqCol)).as(MaxCol))
     val outCols = schema.fieldNames.map(col).toIndexedSeq
-    val base = readGroups(selected.filter(entryDirty))
-      .withColumn(SeqCol, fileCommitVersion)
+    val base = readGroups(selected.filter(entryDirty), Some(SeqCol))
     val liveBase = base.join(maxEvents, snap.keys, "left")
       .filter(col(MaxCol).isNull || col(MaxCol) < col(SeqCol))
       .select(outCols: _*)
@@ -3481,17 +3511,18 @@ object SnapshotTable {
     *     cutoff-straddling day — the 100 TB retention shape. With no
     *     stats power (untranslatable/nondeterministic predicate,
     *     pending merge-on-read deltas) it degrades to the full rewrite.
-    *   - POSITIONAL MERGE-ON-READ (`mergeOnRead = true`, KEYLESS tables
-    *     only — the deletion-vector shape): the commit writes ONLY the
-    *     matched rows' physical positions (`(file-suffix, row_index)`
-    *     pairs from the parquet reader's file metadata) as a `pos`
-    *     delta layer; reads anti-join the base against that small side
-    *     until [[compact]] folds it in. O(matched) data written, zero
-    *     existing bytes rewritten — the keyless twin of the keyed
-    *     tombstone layer, closing the "a keyless DELETE degrades to a
-    *     full copy-on-write" gap. Keyed tables keep their exact keyed
-    *     spellings ([[delete]]); positional layers on them would have
-    *     to interleave with key-event replay ordering for no win.
+    *   - POSITIONAL MERGE-ON-READ (`mergeOnRead = true` — the
+    *     deletion-vector shape, key-agnostic like Delta/Iceberg DVs):
+    *     the commit writes ONLY the doomed rows' physical positions
+    *     (`(file-suffix, row_index)` pairs from the parquet reader's
+    *     file metadata) as a `pos` delta layer; reads anti-join the
+    *     physical data against that small side until [[compact]] folds
+    *     it in. O(matched) data written, zero existing bytes rewritten.
+    *     Keyless tables tombstone exactly the matched positions; KEYED
+    *     tables additionally tombstone the superseded versions of each
+    *     matched key ([[deleteWherePosKeyed]]) so event replay can
+    *     never resurrect them — and their reads then pay the cheap
+    *     anti-join instead of the keyed replay joins.
     *
     * Change feed: the pinned copy-on-write commit records its deleted
     * rows as commit-time change data (reading only the dropped/boundary
@@ -3516,11 +3547,9 @@ object SnapshotTable {
           "meaningful with mergeOnRead = true")
       return deleteWhereCow(spark, root, cur, condition, branch)
     }
-    require(cur.keys.isEmpty,
-      s"positional merge-on-read deletes are the KEYLESS-table shape; " +
-        s"table at $root is keyed ${cur.keys.mkString(",")} — use " +
-        "delete(keysDf, mergeOnRead = true) (tombstones) or the " +
-        "copy-on-write spelling")
+    if (cur.keys.nonEmpty)
+      return deleteWherePosKeyed(spark, root, cur, condition, retries,
+        branch)
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
     val uuid = newUuid()
@@ -3542,6 +3571,115 @@ object SnapshotTable {
       Pending("delete-pos", cur.schemaDdl, uuid, v, entries, st, rw,
         dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
         hit = Some(Set(0)), txn = None,
+        cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
+  }
+
+  /** Positional (deletion-vector) predicate DELETE on a KEYED table —
+    * the key-agnostic Delta/Iceberg DV shape, so a keyed table's
+    * predicate delete is O(matched) written bytes and its subsequent
+    * reads pay one broadcast anti-join instead of keyed-replay joins.
+    *
+    * The tombstone set is exactly the physical rows a copy-on-write
+    * `overwrite(resolvedRead.filter(!cond))` would drop:
+    *   - every LIVE row matching `condition` (plain base rows and
+    *     rows-delta winners alike), by its own `(file, pos)`;
+    *   - every SHADOWED physical row of a matched key (blind-append
+    *     base copies and superseded delta versions): the winner's
+    *     shadowing event dies with the winner's physical row, and an
+    *     un-tombstoned superseded version would resurrect through
+    *     replay. Keys whose live rows are plain base rows have no
+    *     shadowed versions, so matching one blind-append copy of a key
+    *     never touches its other (independent, live) copies.
+    * Keyed tombstone EVENT dirs (`kind = "tomb"`) hold no data rows and
+    * are never position-tombstoned; their events keep shadowing.
+    *
+    * Cost shape at 100 TB: one resolved scan of the table (any
+    * predicate delete pays that), with the event table and the matched
+    * key set on the broadcast side — the base is never shuffled by
+    * key. The commit's pos dirs are bucket-partitioned by the matched
+    * keys' hash, so targeted compaction folds them per bucket and the
+    * rebase guard pins only the hit buckets. Zero matches commit
+    * nothing and return the current version. */
+  private def deleteWherePosKeyed(spark: SparkSession, root: String,
+      cur: Snapshot, condition: org.apache.spark.sql.Column,
+      retries: Int, branch: Option[String]): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val ddl = cur.schemaDdl
+    val keyCols = cur.keys.map(col)
+    val posDs = cur.deltas.filter(_.kind == "pos")
+    val SeqCol = "_mor_seq"
+    val MaxCol = "_mor_max"
+    // physical rows (already-tombstoned positions excluded) with their
+    // position identity and commit version; seq parses from the
+    // projected file suffix (input_file_name() is unsafe post-join)
+    def physRead(dirs: Seq[String], seq: Option[Long]): DataFrame = {
+      val df = readEntriesWithPos(spark, ddl, cur.colMap, dirs,
+        cur.existsDefaults)
+        .withColumn(SeqCol, seq.fold(
+          regexp_extract(col(PosFileCol), "^c(\\d+)-", 1)
+            .cast("long"))(lit(_)))
+      if (posDs.isEmpty) df
+      else df.join(spark.read.schema(posTombSchema)
+          .parquet(posDs.map(_.dir): _*),
+        Seq(PosFileCol, PosPosCol), "left_anti")
+    }
+    val basePhys = physRead(cur.entries.map(_._2).distinct, None)
+    val rowDs = cur.deltas.filter(_.kind == "rows")
+    val rowPhys = rowDs.groupBy(_.seq).toSeq.sortBy(_._1).map {
+      case (s, es) => physRead(es.map(_.dir), Some(s))
+    }
+    val keySchema = StructType(StructType.fromDDL(ddl).fields
+      .filter(f => cur.keys.contains(f.name)))
+    val tombEvents = cur.deltas.filter(_.kind == "tomb")
+      .groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, es) =>
+        spark.read.schema(keySchema).parquet(es.map(_.dir): _*)
+          .withColumn(SeqCol, lit(s))
+      }
+    val eventFrames = rowPhys.map(
+      _.select(keyCols :+ col(SeqCol): _*)) ++ tombEvents
+    // per-key newest event (delta keys only — small, broadcast side)
+    val maxEvents = eventFrames.reduceOption(_.unionByName(_))
+      .map(_.groupBy(keyCols: _*).agg(max(col(SeqCol)).as(MaxCol)))
+    val allPhys = rowPhys.foldLeft(basePhys)(_.unionByName(_))
+    val (live, shadowed) = maxEvents match {
+      case None => (basePhys, emptyDf(spark, basePhys.schema))
+      case Some(me) =>
+        val joined = allPhys.join(broadcast(me), cur.keys, "left")
+        (joined.filter(col(MaxCol).isNull || col(MaxCol) <= col(SeqCol))
+           .drop(MaxCol),
+         joined.filter(col(MaxCol) > col(SeqCol)).drop(MaxCol))
+    }
+    // `condition` may be nondeterministic: pin the matched rows once,
+    // before the key set, the tombstones, and the change rows read them
+    val matched = Materialize.Local(
+      live.filter(coalesce(condition, lit(false))))
+    if (matched.isEmpty) return cur.version
+    val matchedKeys = matched.select(keyCols: _*).distinct()
+    val posCols = Seq(col(PosFileCol), col(PosPosCol))
+    val tomb = matched.select(keyCols ++ posCols: _*)
+      .unionByName(shadowed
+        .join(broadcast(matchedKeys), cur.keys, "left_semi")
+        .select(keyCols ++ posCols: _*))
+    val v = cur.version + 1
+    val uuid = newUuid()
+    // key columns ride in the tombstone files solely to bucket-route
+    // them ([[writeCommitData]]'s hash); readers project (file, pos)
+    val entries = writeCommitData(tomb, rootP, v, cur.keys, cur.buckets,
+      uuid, fsys)
+    val (st, rw) = computeStats(spark, entries, tomb.schema.toDDL,
+      Seq.empty)
+    val cdcDir =
+      if (!cur.changeFeed) None
+      else Some(writeChangeData(
+        matched.select(StructType.fromDDL(ddl).fieldNames
+            .map(col).toIndexedSeq: _*)
+          .withColumn(ChangeTypeCol, lit("delete")),
+        rootP, v, uuid, cur.colMap))
+    val hit = entries.map(_._1).toSet
+    commitRebasing(spark, root, fsys, rootP, cur,
+      Pending("delete-pos", ddl, uuid, v, entries, st, rw,
+        dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
+        hit = Some(hit), txn = None,
         cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
   }
 

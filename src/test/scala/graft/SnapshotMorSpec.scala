@@ -437,16 +437,11 @@ class SnapshotMorSpec extends AnyFunSuite {
       asSet(rows(5 until 20, "a")))
   }
 
-  test("positional deletes fail-fast on concurrent data commits and " +
-      "refuse keyed tables; change feed reports the deleted rows") {
+  test("positional deletes fail-fast on concurrent data commits; " +
+      "change feed reports the deleted rows") {
     val root = freshRoot("posguard")
     SnapshotTable.create(rows(0 until 20, "a"), root, Seq.empty, 1,
       changeFeed = true)
-    // keyed table refusal
-    val keyedRoot = freshRoot("poskeyed")
-    SnapshotTable.create(rows(0 until 5, "a"), keyedRoot, Seq("id"), 2)
-    intercept[IllegalArgumentException](SnapshotTable.deleteWhere(
-      spark, keyedRoot, col("v") > 0L, mergeOnRead = true))
     // change feed: recorded change file carries the deleted rows
     SnapshotTable.deleteWhere(spark, root, col("id") < 3L,
       mergeOnRead = true)
@@ -462,5 +457,159 @@ class SnapshotMorSpec extends AnyFunSuite {
     assert(feed2.filter(col("_change_type") === "delete")
       .select("id").as[Long].collect().toSet === Set(0L, 1L, 2L))
     assert(feed2.filter(col("_change_type") === "insert").count() === 0L)
+  }
+
+  // ---- KEYED positional (deletion-vector) deleteWhere ----
+
+  test("keyed positional delete: per-bucket pos dirs, O(matched) " +
+      "commit, exact reads, deleted keys revive through later writes") {
+    val root = freshRoot("kpos")
+    SnapshotTable.create(rows(0 until 40, "a"), root, Seq("id"), 4)
+    val v2 = SnapshotTable.deleteWhere(spark, root, col("id") % 5L === 0L,
+      mergeOnRead = true)
+    val snap = snapAt(root, v2)
+    assert(snap.op === "delete-pos")
+    // base manifest lines carried verbatim, tombstones are pos deltas
+    // bucket-routed by the matched keys' hash
+    assert(snap.entries === snapAt(root, 1L).entries)
+    assert(snap.deltas.nonEmpty && snap.deltas.forall(d =>
+      d.kind === "pos" && d.seq === v2))
+    assert(asSet(SnapshotTable.read(spark, root)) ===
+      asSet(rows(0 until 40, "a").filter(col("id") % 5 =!= 0)))
+    // a fresh blind append of a deleted key lives (positions pin only
+    // the files that existed at delete time)
+    SnapshotTable.append(Seq((5L, "BACK", 1L)).toDF("id", "tag", "v"), root)
+    assert(asSet(SnapshotTable.read(spark, root))
+      .filter(_._1 == 5L) === Set((5L, "BACK", 1L)))
+    // and a mor upsert of another deleted key revives it
+    SnapshotTable.upsert(Seq((10L, "UP", 2L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true)
+    assert(asSet(SnapshotTable.read(spark, root))
+      .filter(_._1 == 10L) === Set((10L, "UP", 2L)))
+    // zero matches: no commit
+    val head = SnapshotTable.versions(spark, root).map(_.version).max
+    assert(SnapshotTable.deleteWhere(spark, root, col("id") === -99L,
+      mergeOnRead = true) === head)
+  }
+
+  test("keyed positional delete matches the copy-on-write twin across " +
+      "pending event layers, blind-append copies, and shadowed versions") {
+    def build(mor: Boolean): String = {
+      val root = freshRoot(if (mor) "kposm" else "kposc")
+      SnapshotTable.create(rows(0 until 30, "a"), root, Seq("id"), 4)
+      // blind-append copies of key 3 (only one matches the predicate)
+      SnapshotTable.append(Seq((3L, "COPY", 777L)).toDF("id", "tag", "v"),
+        root)
+      // pending event layers: a delta winner for 6 (shadowing v=60) and
+      // a keyed tombstone for 7
+      SnapshotTable.upsert(Seq((6L, "WIN", 600L)).toDF("id", "tag", "v"),
+        root, mergeOnRead = true)
+      SnapshotTable.delete(Seq(7L).toDF("id"), root, mergeOnRead = true)
+      // the predicate matches: the WINNER of 6 (v=600), one copy of 3
+      // (v=777), and the plain rows 5/15/25 (v%100==50 none; use v set)
+      SnapshotTable.deleteWhere(spark, root,
+        col("v") === 600L || col("v") === 777L || col("v") === 50L,
+        mergeOnRead = mor)
+      root
+    }
+    val mor = build(mor = true)
+    val cow = build(mor = false)
+    assert(asSet(SnapshotTable.read(spark, mor)) ===
+      asSet(SnapshotTable.read(spark, cow)))
+    // key 6 is fully gone (its shadowed base version v=60 must NOT
+    // resurrect through replay), key 3's untouched copy survives
+    val got = asSet(SnapshotTable.read(spark, mor))
+    assert(!got.exists(_._1 == 6L))
+    assert(got.filter(_._1 == 3L) === Set((3L, "a", 30L)))
+    // shadowed versions are not live: a predicate hitting ONLY the
+    // shadowed v=60 of key 6 is a no-op on a fresh twin
+    val root3 = freshRoot("kposhid")
+    SnapshotTable.create(rows(0 until 10, "a"), root3, Seq("id"), 2)
+    SnapshotTable.upsert(Seq((6L, "WIN", 600L)).toDF("id", "tag", "v"),
+      root3, mergeOnRead = true)
+    val head = SnapshotTable.versions(spark, root3).map(_.version).max
+    assert(SnapshotTable.deleteWhere(spark, root3, col("v") === 60L,
+      mergeOnRead = true) === head)
+    assert(asSet(SnapshotTable.read(spark, root3))
+      .filter(_._1 == 6L) === Set((6L, "WIN", 600L)))
+  }
+
+  test("the connector serves keyed positional layers: pos-only via the " +
+      "positional scan, mixed kinds via the replaying scan, pushdown " +
+      "stays exact; compaction folds the layer away") {
+    val root = freshRoot("kposconn")
+    SnapshotTable.create(rows(0 until 100, "a"), root, Seq("id"), 8)
+    SnapshotTable.deleteWhere(spark, root, col("id") % 10L === 0L,
+      mergeOnRead = true)
+    val df = spark.read.format("graft-snapshot").load(root)
+    // pos-only keyed snapshot plans the positional scan
+    assert(df.queryExecution.executedPlan.toString
+      .contains("positional merge-on-read"))
+    assert(df.count() === 90L)
+    assert(df.filter(col("id") === 20L).count() === 0L)
+    assert(df.filter(col("id") === 21L).select("v").as[Long].head() === 210L)
+    // layer an event delta on top: mixed kinds plan the replaying scan
+    SnapshotTable.upsert(Seq((21L, "UP", 1L)).toDF("id", "tag", "v"),
+      root, mergeOnRead = true)
+    val df2 = spark.read.format("graft-snapshot").load(root)
+    assert(df2.queryExecution.executedPlan.toString
+      .contains("merge-on-read ("))
+    assert(df2.count() === 90L)
+    assert(df2.filter(col("id") === 21L).select("tag").as[String]
+      .head() === "UP")
+    assert(df2.filter(col("id") === 30L).count() === 0L)
+    // readForKeys prunes buckets and still resolves the pos layer
+    assert(SnapshotTable.readForKeys(
+      Seq(10L, 11L).toDF("id"), root).count() === 1L)
+    // compaction folds everything; the plain pruned scan returns
+    val vC = SnapshotTable.compact(spark, root)
+    assert(snapAt(root, vC).deltas.isEmpty)
+    assert(spark.read.format("graft-snapshot").load(root).count() === 90L)
+  }
+
+  test("keyed positional write amplification: the delete commits " +
+      "O(matched) bytes, never a bucket rewrite; targeted compaction " +
+      "folds only the fragmented buckets' pos lines") {
+    val root = freshRoot("kposamp")
+    SnapshotTable.create(rows(0 until 2000, "a"), root, Seq("id"), 4)
+    val baseBytes = snapAt(root, 1L).dirBytes.values.sum
+    val v2 = SnapshotTable.deleteWhere(spark, root, col("id") === 42L,
+      mergeOnRead = true)
+    val snap = snapAt(root, v2)
+    val posBytes = snap.deltas.map(d => snap.dirBytes(d.dir)).sum
+    assert(posBytes > 0 && posBytes < baseBytes / 10,
+      s"1-row positional delete wrote $posBytes bytes vs $baseBytes base")
+    // the single matched key tombstones exactly one bucket's line
+    assert(snap.deltas.map(_.bucket).distinct.size === 1)
+    // targeted compaction with a threshold only the pos-bearing bucket
+    // exceeds folds that bucket and carries the rest verbatim
+    val vC = SnapshotTable.compact(spark, root, maxDirsPerBucket = 1)
+    val after = snapAt(root, vC)
+    assert(after.deltas.isEmpty)
+    assert(SnapshotTable.read(spark, root).count() === 1999L)
+  }
+
+  test("keyed positional delete change feed: cdc commits record the " +
+      "resolved deleted rows; the batch-diff spelling agrees without " +
+      "a feed") {
+    def run(feed: Boolean): Unit = {
+      val root = freshRoot(s"kposcdf$feed")
+      SnapshotTable.create(rows(0 until 20, "a"), root, Seq("id"), 2,
+        changeFeed = feed)
+      SnapshotTable.upsert(Seq((4L, "WIN", 400L)).toDF("id", "tag", "v"),
+        root, mergeOnRead = true)
+      SnapshotTable.deleteWhere(spark, root,
+        col("id") === 4L || col("id") === 9L, mergeOnRead = true)
+      val v = SnapshotTable.versions(spark, root).map(_.version).max
+      val changes = SnapshotTable.readChanges(spark, root, v - 1, v)
+      assert(changes.filter(col("_change_type") === "delete")
+        .select("id", "tag", "v").as[(Long, String, Long)].collect()
+        .toSet === Set((4L, "WIN", 400L), (9L, "a", 90L)),
+        s"feed=$feed")
+      assert(changes.filter(col("_change_type") === "insert")
+        .count() === 0L, s"feed=$feed")
+    }
+    run(feed = true)
+    run(feed = false)
   }
 }
