@@ -788,6 +788,15 @@ object SourceQueries {
       |UNION ALL
       |SELECT 2 AS phase, doc_id, 'ins' AS lang, n_chars FROM documents
       |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+      |UNION ALL
+      |SELECT 3 AS phase, doc_id, lang, n_chars FROM documents
+      |WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0
+      |UNION ALL
+      |SELECT 3 AS phase, doc_id, lang, n_chars + 100000 AS n_chars
+      |FROM documents WHERE doc_id % 6 = 0 AND n_chars >= 1000
+      |UNION ALL
+      |SELECT 3 AS phase, doc_id, 'ins' AS lang, n_chars FROM documents
+      |WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
       |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
     val wh = scratch("snapcat_wh", dir)
     new java.io.File(wh).mkdirs()
@@ -796,23 +805,37 @@ object SourceQueries {
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .createOrReplaceTempView("q171_docs")
-    s.sql("DROP TABLE IF EXISTS graftcat.docs_m")
-    s.sql("CREATE TABLE graftcat.docs_m (doc_id BIGINT, lang STRING, " +
-      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
-    s.sql("INSERT INTO graftcat.docs_m " +
-      "SELECT * FROM q171_docs WHERE doc_id % 2 = 0")
-    s.sql("""MERGE INTO graftcat.docs_m t
+    val mergeSql = (t: String) => s"""MERGE INTO graftcat.$t t
             |USING (SELECT * FROM q171_docs WHERE doc_id % 3 = 0) src
             |ON t.doc_id = src.doc_id
             |WHEN MATCHED AND src.n_chars < 1000 THEN DELETE
             |WHEN MATCHED THEN UPDATE SET n_chars = src.n_chars + 100000
             |WHEN NOT MATCHED THEN
             |  INSERT (doc_id, lang, n_chars)
-            |  VALUES (src.doc_id, 'ins', src.n_chars)""".stripMargin)
+            |  VALUES (src.doc_id, 'ins', src.n_chars)""".stripMargin
+    s.sql("DROP TABLE IF EXISTS graftcat.docs_m")
+    s.sql("CREATE TABLE graftcat.docs_m (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    s.sql("INSERT INTO graftcat.docs_m " +
+      "SELECT * FROM q171_docs WHERE doc_id % 2 = 0")
+    s.sql(mergeSql("docs_m"))
+    // phase 3: the SAME merge through the DELTA-BASED (merge-on-read)
+    // row-level path — `rowlevelmode` routes it to positional
+    // tombstones + replacement rows (one O(matched) commit, base
+    // entries untouched) and reads resolve the layer transparently
+    s.sql("DROP TABLE IF EXISTS graftcat.docs_mm")
+    s.sql("CREATE TABLE graftcat.docs_mm (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id)) " +
+      "TBLPROPERTIES ('rowlevelmode'='merge-on-read')")
+    s.sql("INSERT INTO graftcat.docs_mm " +
+      "SELECT * FROM q171_docs WHERE doc_id % 2 = 0")
+    s.sql(mergeSql("docs_mm"))
     s.sql("""SELECT 1 AS phase, doc_id, lang, n_chars
             |FROM graftcat.docs_m VERSION AS OF 2
             |UNION ALL
             |SELECT 2 AS phase, doc_id, lang, n_chars FROM graftcat.docs_m
+            |UNION ALL
+            |SELECT 3 AS phase, doc_id, lang, n_chars FROM graftcat.docs_mm
             |ORDER BY phase, doc_id""".stripMargin)
   }
 
@@ -840,6 +863,14 @@ object SourceQueries {
       |       n_chars + (CASE WHEN doc_id IN (1, 2, 3) THEN 1000000
       |                  ELSE 0 END) AS n_chars
       |FROM documents
+      |UNION ALL
+      |SELECT 4 AS phase, doc_id,
+      |       CASE WHEN n_chars + (CASE WHEN doc_id IN (1, 2, 3)
+      |                            THEN 1000000 ELSE 0 END) < 800
+      |            THEN 'xx' ELSE lang END AS lang,
+      |       n_chars + (CASE WHEN doc_id IN (1, 2, 3) THEN 1000000
+      |                  ELSE 0 END) AS n_chars
+      |FROM documents
       |ORDER BY phase, doc_id""".stripMargin) { (s, dir) =>
     val wh = scratch("snapcat_wh", dir)
     new java.io.File(wh).mkdirs()
@@ -855,6 +886,17 @@ object SourceQueries {
     s.sql("UPDATE graftcat.docs_u SET n_chars = n_chars + 1000000 " +
       "WHERE doc_id IN (1, 2, 3)")
     s.sql("UPDATE graftcat.docs_u SET lang = 'xx' WHERE n_chars < 800")
+    // phase 4: the same two updates through the DELTA-BASED
+    // (merge-on-read) path — two consecutive MOR statements compose
+    // (the second's identity scan reads through the first's pos layer)
+    s.sql("DROP TABLE IF EXISTS graftcat.docs_um")
+    s.sql("CREATE TABLE graftcat.docs_um (doc_id BIGINT, lang STRING, " +
+      "n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id)) " +
+      "TBLPROPERTIES ('rowlevelmode'='merge-on-read')")
+    s.sql("INSERT INTO graftcat.docs_um SELECT * FROM q172_docs")
+    s.sql("UPDATE graftcat.docs_um SET n_chars = n_chars + 1000000 " +
+      "WHERE doc_id IN (1, 2, 3)")
+    s.sql("UPDATE graftcat.docs_um SET lang = 'xx' WHERE n_chars < 800")
     s.sql("""SELECT 1 AS phase, doc_id, lang, n_chars
             |FROM graftcat.docs_u VERSION AS OF 2
             |UNION ALL
@@ -862,6 +904,8 @@ object SourceQueries {
             |FROM graftcat.docs_u VERSION AS OF 3
             |UNION ALL
             |SELECT 3 AS phase, doc_id, lang, n_chars FROM graftcat.docs_u
+            |UNION ALL
+            |SELECT 4 AS phase, doc_id, lang, n_chars FROM graftcat.docs_um
             |ORDER BY phase, doc_id""".stripMargin)
   }
 

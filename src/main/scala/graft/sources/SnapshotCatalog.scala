@@ -208,7 +208,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private case class TableDef(keys: Seq[String], buckets: Int,
       partitionBy: Seq[String], statsCols: Option[Seq[String]],
       changeFeed: Boolean, colDefaults: Map[String, String],
-      stripped: StructType)
+      stripped: StructType, props: Map[String, String])
 
   private def parseTableDef(schema: StructType,
       partitions: Array[Transform],
@@ -246,10 +246,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Some(f.name -> f.metadata.getString("CURRENT_DEFAULT"))
       else None
     }.toMap
+    // sticky manifest-persisted properties (whitelisted; everything
+    // else in the map is either engine-parsed above or Spark-internal)
+    val persisted = Seq(SnapshotTable.RowLevelModeProp)
+      .flatMap(k => prop(k).map(k -> _)).toMap
     TableDef(keys, buckets, partitionBy,
       prop("statscols").map(_.split(",").toSeq.filter(_.nonEmpty)),
       prop("changefeed").exists(_.toBoolean), colDefaults,
-      SnapshotTable.stripDefaultMeta(schema))
+      SnapshotTable.stripDefaultMeta(schema), persisted)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -263,7 +267,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], d.stripped)
     SnapshotTable.create(empty, root, d.keys, d.buckets, d.statsCols,
       changeFeed = d.changeFeed, partitionBy = d.partitionBy,
-      colDefaults = d.colDefaults)
+      colDefaults = d.colDefaults, props = d.props)
     loadTable(ident)
   }
 
@@ -309,11 +313,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       if (orReplace)
         SnapshotTable.replaceTable(data, root, d.keys, d.buckets,
           d.statsCols, changeFeed = d.changeFeed,
-          partitionBy = d.partitionBy, colDefaults = d.colDefaults)
+          partitionBy = d.partitionBy, colDefaults = d.colDefaults,
+          props = d.props)
       else
         SnapshotTable.create(data, root, d.keys, d.buckets, d.statsCols,
           changeFeed = d.changeFeed, partitionBy = d.partitionBy,
-          colDefaults = d.colDefaults)
+          colDefaults = d.colDefaults, props = d.props)
       ()
     }
     override def abortStagedChanges(): Unit = () // nothing published
@@ -371,8 +376,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     final case class ChDefault(name: String, sql: Option[String]) extends Ch
     val adds = scala.collection.mutable.ArrayBuffer
       .empty[(org.apache.spark.sql.types.StructField, Option[String])]
+    val propChanges = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Option[String])]
     val ordered = scala.collection.mutable.ArrayBuffer.empty[Ch]
     changes.foreach {
+      // SET/UNSET TBLPROPERTIES: sticky manifest properties, each a
+      // pure-metadata commit after the column changes
+      case sp: TableChange.SetProperty =>
+        propChanges += (sp.property -> Some(sp.value))
+      case rp: TableChange.RemoveProperty =>
+        propChanges += (rp.property -> None)
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMN unsupported: ${a.fieldNames.mkString(".")}")
@@ -477,6 +490,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
     if (adds.nonEmpty)
       SnapshotTable.addColumns(spark, root, adds.toSeq)
+    propChanges.foreach { case (k, v) =>
+      SnapshotTable.setTableProperty(spark, root, k, v)
+    }
     loadTable(ident)
   }
 
@@ -667,16 +683,24 @@ private[sources] class SnapshotCatalogTable(path: String,
     with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  /** `UPDATE` / `MERGE INTO` / residual `DELETE` via group-based
-    * copy-on-write ([[SnapshotRowLevelOperation]]). Keyed `DELETE`s
-    * still take the metadata path below: Spark's
-    * `OptimizeMetadataOnlyDeleteFromTable` converts the rewritten plan
-    * back to [[deleteWhere]] whenever [[canDeleteWhere]] accepts the
-    * predicate, so point deletes never rewrite a file. */
+  /** `UPDATE` / `MERGE INTO` / residual `DELETE`, commit shape chosen
+    * by the sticky `rowlevelmode` table property: group-based
+    * copy-on-write by default ([[SnapshotRowLevelOperation]] — replaces
+    * the scanned groups), or delta-based merge-on-read
+    * ([[SnapshotDeltaRowLevelOperation]] — O(matched) positional
+    * tombstones + replacement rows) under `'merge-on-read'`. Keyed
+    * `DELETE`s still take the metadata path below in either mode:
+    * Spark's `OptimizeMetadataOnlyDeleteFromTable` converts the
+    * rewritten plan back to [[deleteWhere]] whenever [[canDeleteWhere]]
+    * accepts the predicate, so point deletes never write a file. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new SnapshotRowLevelOperation(path, snapshot, info.command)
+    () =>
+      if (snapshot != null && snapshot.props
+          .get(SnapshotTable.RowLevelModeProp).contains("merge-on-read"))
+        new SnapshotDeltaRowLevelOperation(path, snapshot, info.command)
+      else new SnapshotRowLevelOperation(path, snapshot, info.command)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -785,10 +809,15 @@ private[sources] class SnapshotCatalogTable(path: String,
       case None =>
         val pred = filters.flatMap(toColumn(_)).reduceOption(_ && _)
           .getOrElse(lit(true))
-        if (snapshot.keys.isEmpty)
-          // keyless: positional merge-on-read — O(matched) tombstone
-          // positions instead of a full copy-on-write rewrite (the
-          // deletion-vector shape; compact folds it away)
+        if (snapshot.keys.isEmpty || snapshot.props
+            .get(SnapshotTable.RowLevelModeProp).contains("merge-on-read"))
+          // positional merge-on-read — O(matched) tombstone positions
+          // instead of a copy-on-write rewrite (the deletion-vector
+          // shape; compact folds it away). Keyless tables always;
+          // keyed tables under `rowlevelmode = 'merge-on-read'`.
+          // Untranslatable predicates (subqueries) never reach here —
+          // canDeleteWhere refuses and Spark plans the row-level
+          // operation instead (delta-based in the same mode).
           SnapshotTable.deleteWhere(spark, path, pred, mergeOnRead = true)
         else
           // keyed: the partition/stats-pinned copy-on-write DELETE —

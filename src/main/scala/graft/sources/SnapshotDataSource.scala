@@ -295,7 +295,31 @@ private[graft] object SnapshotV2Table {
 
 private[graft] class SnapshotV2Table(path: String,
     val snapshot: SnapshotTable.Snapshot,
-    readChangeFeed: Boolean = false) extends Table with SupportsRead {
+    readChangeFeed: Boolean = false) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row-identity metadata columns (`_sdv_file`, `_sdv_pos`): the
+    * physical position every positional (deletion-vector) surface
+    * speaks — deleteWhere tombstones, the delta-based row-level
+    * operations' rowId, and user-queryable provenance. Synthesized by
+    * the scan ([[SnapshotPosScan]]); never stored in data files. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    import org.apache.spark.sql.connector.catalog.MetadataColumn
+    import org.apache.spark.sql.types.DataType
+    def mc(n: String, t: DataType, doc: String): MetadataColumn =
+      new MetadataColumn {
+        override def name(): String = n
+        override def dataType(): DataType = t
+        override def isNullable: Boolean = false
+        override def comment(): String = doc
+      }
+    Array(
+      mc(SnapshotTable.PosFileCol, org.apache.spark.sql.types.StringType,
+        "commit-relative file suffix of the row's data file"),
+      mc(SnapshotTable.PosPosCol, org.apache.spark.sql.types.LongType,
+        "row index within the row's data file"))
+  }
 
   /** null snapshot = missing table placeholder (write flows only).
     * Change-feed reads surface the table schema PLUS the two change
@@ -316,6 +340,15 @@ private[graft] class SnapshotV2Table(path: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
+
+  /** Sticky manifest properties (SHOW TBLPROPERTIES surface). */
+  override def properties(): util.Map[String, String] =
+    if (snapshot == null) util.Collections.emptyMap()
+    else {
+      val m = new util.HashMap[String, String]()
+      snapshot.props.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     if (snapshot == null)
@@ -626,6 +659,12 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
           reprune(snap.entries, v1Filters.toSeq), snap.deltas, root,
           ignoreChanges, streamOpts)
       else {
+        require(!needsIdentity(),
+          s"row-identity metadata columns on snapshot v${snap.version} " +
+            s"with unresolved EVENT delta dirs (kinds " +
+            s"${snap.deltas.map(_.kind).distinct.mkString(",")}) — " +
+            "positions are undefined under key-event replay; compact " +
+            "the table first")
         val hit = prunedBuckets(v1Filters.toSeq)
         val (pos, events) = snap.deltas.partition(_.kind == "pos")
         new SnapshotMorScan(snap, tableSchema, required, catalystFilters,
@@ -634,11 +673,23 @@ private[graft] class SnapshotScanBuilder(snap: SnapshotTable.Snapshot,
           root, ignoreChanges, streamOpts,
           hit.fold(pos)(h => pos.filter(d => h(d.bucket))))
       }
+    case None if needsIdentity() =>
+      // row-identity metadata columns requested (`_sdv_file`,
+      // `_sdv_pos` — SELECTed provenance or a delta-based row-level
+      // operation's rowId): the positional scan synthesizes them from
+      // split suffix + parquet row index, with an empty tombstone set
+      new SnapshotPosScan(snap, tableSchema, required, catalystFilters,
+        reprune(snap.entries, v1Filters.toSeq), Seq.empty, root,
+        ignoreChanges, streamOpts)
     case None =>
       new SnapshotScan(snap, tableSchema, required, catalystFilters,
         reprune(snap.entries, v1Filters.toSeq), root, ignoreChanges,
         reprune, runtimeFilterKeysOnly, streamOpts)
   }
+
+  private def needsIdentity(): Boolean =
+    required.fieldNames.exists(n =>
+      n == SnapshotTable.PosFileCol || n == SnapshotTable.PosPosCol)
 }
 
 /** The built scan: batch reads delegate to Spark's vectorized

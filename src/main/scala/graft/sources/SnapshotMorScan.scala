@@ -512,14 +512,49 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
     else StructType(st.fields.map(f =>
       f.copy(name = snap.colMap.getOrElse(f.name, f.name))))
 
-  /** Base read schema: the physicalized required columns plus the
-    * parquet readers' row-index generated column (always LAST, so the
-    * reader's projection drops a fixed tail index). */
+  /** The scan can SYNTHESIZE the row-identity metadata columns
+    * (`_sdv_file`, `_sdv_pos`) when the required schema asks for them —
+    * the surface Spark's delta-based row-level operations bind their
+    * positional rowId to ([[SnapshotDeltaRowLevelOperation]]), and a
+    * user-queryable provenance column besides. Identity values come
+    * from the reader itself (split suffix + parquet row index), so
+    * data files never store them. */
+  private val IdentityNames: Set[String] =
+    Set(SnapshotTable.PosFileCol, SnapshotTable.PosPosCol)
+
+  /** Data columns the parquet readers must produce (identity columns
+    * are reader-synthesized). */
+  private val dataRequired: StructType = StructType(
+    required.fields.filterNot(f => IdentityNames(f.name)))
+
+  /** Base read schema: the physicalized data columns plus the parquet
+    * readers' row-index generated column (always LAST, so data-column
+    * ordinals are stable). */
   private val idxCol = org.apache.spark.sql.GraftParquetBridge.rowIndexTempColumn
   private val withIdx: StructType = StructType(
-    physSchema(required).fields :+
+    physSchema(dataRequired).fields :+
       org.apache.spark.sql.types.StructField(idxCol,
         org.apache.spark.sql.types.LongType))
+
+  /** Reader-side row layout is JoinedRow([data..., rowIdx], [suffix]);
+    * one bind per required output field. */
+  private val rowIdxPos = dataRequired.length
+  private val suffixPos = rowIdxPos + 1
+  private val outBinds: Array[Int] = required.fields.map { f =>
+    if (f.name == SnapshotTable.PosPosCol) rowIdxPos
+    else if (f.name == SnapshotTable.PosFileCol) suffixPos
+    else dataRequired.fieldIndex(f.name)
+  }
+  private val joinedTypes: Array[org.apache.spark.sql.types.DataType] =
+    withIdx.fields.map(_.dataType) :+
+      org.apache.spark.sql.types.StringType
+
+  /** Filters referencing identity columns can't reach the parquet
+    * plane (files don't store them); they stay residual above the scan
+    * (this connector never claims pushed filters as non-residual). */
+  private val pushableFilters: Seq[Expression] =
+    catalystFilters.filterNot(_.references.exists(
+      a => IdentityNames(a.name)))
 
   private val tombSchema: StructType = new StructType()
     .add("_sdv_file", org.apache.spark.sql.types.StringType)
@@ -537,8 +572,8 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
     val b = GraftParquetBridge.parquetScanBuilder(
       SparkSession.active, paths, metaFor(tblSchema))
     if (pushFilters) GraftParquetBridge.pushCatalystFilters(b,
-      if (snap.colMap.isEmpty) catalystFilters
-      else catalystFilters.map(_.transform {
+      if (snap.colMap.isEmpty) pushableFilters
+      else pushableFilters.map(_.transform {
         case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
             if snap.colMap.contains(a.name) =>
           a.withName(snap.colMap(a.name))
@@ -614,19 +649,22 @@ private[graft] class SnapshotPosScan(snap: SnapshotTable.Snapshot,
           .toBatch.createReaderFactory(),
         innerScan(Seq.empty, tombSchema, tombSchema, pushFilters = false)
           .toBatch.createReaderFactory(),
-        withIdx.fields.map(_.dataType),
-        required.length)
+        joinedTypes, outBinds)
   }
 
   /** Same streaming contract as [[SnapshotMorScan]]: tail APPEND
     * commits by entry-diff; tombstone commits add no entries, so they
     * fail the non-append gate (or skip under `ignoreChanges`). */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(dataRequired.length == required.length,
+      "row-identity metadata columns are a batch-read surface; " +
+        "streaming reads cannot synthesize them")
     new SnapshotMicroBatchStream(root,
       paths => innerScan(paths, physSchema(required),
         physSchema(tableSchema), pushFilters = true),
       ignoreChanges, streamOpts)
+  }
 }
 
 /** One group of base-file splits (each tagged with its file's stable
@@ -640,27 +678,34 @@ private[graft] case class PosInputPartition(
 
 private[graft] class PosReaderFactory(baseF: PartitionReaderFactory,
     tombF: PartitionReaderFactory,
-    withIdxTypes: Array[org.apache.spark.sql.types.DataType],
-    requiredLen: Int) extends PartitionReaderFactory {
+    joinedTypes: Array[org.apache.spark.sql.types.DataType],
+    outBinds: Array[Int]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case pos: PosInputPartition =>
-        new PosPartitionReader(pos, baseF, tombF, withIdxTypes, requiredLen)
+        new PosPartitionReader(pos, baseF, tombF, joinedTypes, outBinds)
       case other => baseF.createReader(other)
     }
 }
 
 /** Positional replay: drain the tombstone side into a per-file position
-  * set, stream base splits dropping recorded positions. */
+  * set, stream base splits dropping recorded positions; identity
+  * columns (when bound past the data row) synthesize from the split's
+  * suffix and the parquet row index. */
 private[graft] class PosPartitionReader(part: PosInputPartition,
     baseF: PartitionReaderFactory, tombF: PartitionReaderFactory,
-    withIdxTypes: Array[org.apache.spark.sql.types.DataType],
-    requiredLen: Int) extends PartitionReader[InternalRow] {
+    joinedTypes: Array[org.apache.spark.sql.types.DataType],
+    outBinds: Array[Int]) extends PartitionReader[InternalRow] {
 
   private val toRequired = UnsafeProjection.create(
-    (0 until requiredLen).map(
-      i => BoundReference(i, withIdxTypes(i), nullable = true): Expression))
-  private val idxPos = withIdxTypes.length - 1
+    outBinds.toIndexedSeq.map(
+      i => BoundReference(i, joinedTypes(i), nullable = true): Expression))
+  // joined layout: [data..., rowIdx, suffix]
+  private val idxPos = joinedTypes.length - 2
+  private val suffixRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+  private val joined =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow()
 
   // (file suffix → recorded positions); O(retained tombstones) memory
   private val dead = new mutable.HashMap[String, java.util.HashSet[java.lang.Long]]
@@ -685,11 +730,13 @@ private[graft] class PosPartitionReader(part: PosInputPartition,
         if (!basePartsIt.hasNext) return false
         val (suffix, p) = basePartsIt.next()
         deadHere = dead.getOrElse(suffix, null)
+        suffixRow.update(0,
+          org.apache.spark.unsafe.types.UTF8String.fromString(suffix))
         baseReader = baseF.createReader(p)
       } else if (baseReader.next()) {
         val row = baseReader.get()
         if (deadHere == null || !deadHere.contains(row.getLong(idxPos))) {
-          currentRow = toRequired(row)
+          currentRow = toRequired(joined.apply(row, suffixRow))
           return true
         }
       } else {

@@ -133,7 +133,12 @@ object SnapshotTable {
       constraints: Map[String, String] = Map.empty,
       partSpec: Seq[PartField] = Seq.empty,
       colDefaults: Map[String, String] = Map.empty,
-      existsDefaults: Map[String, String] = Map.empty) {
+      existsDefaults: Map[String, String] = Map.empty,
+      /** Sticky free-form table properties (`prop=` manifest lines),
+        * carried forward by every commit like [[changeFeed]]. First
+        * recognized key: `rowlevelmode` (`copy-on-write` default /
+        * `merge-on-read`) routing SQL row-level operations. */
+      props: Map[String, String] = Map.empty) {
 
     /** GUARANTEED per-dir column bounds derived from the partition
       * value segments (`_pt{i}=v`) in each entry dir's path — the
@@ -1118,6 +1123,11 @@ object SnapshotTable {
         val Array(c, d) = l.drop("existsdefault=".length).split("\t", 2)
         c -> d
     }.toMap
+    val props = lines.collect {
+      case l if l.startsWith("prop=") =>
+        val Array(k, pv) = l.drop("prop=".length).split("\t", 2)
+        k -> pv
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -1139,7 +1149,7 @@ object SnapshotTable {
         .getOrElse(Seq.empty), constraints,
       fieldOpt("partspec").map(s => parsePartSpec(s.split(",").toSeq))
         .getOrElse(Seq.empty),
-      colDefaults, existsDefaults)
+      colDefaults, existsDefaults, props)
   }
 
   // ---- consolidated checkpoints ----
@@ -2522,6 +2532,9 @@ object SnapshotTable {
         body ++= s"partspec=$ser" += '\n'
       }
       if (snap.changeFeed) body ++= "changefeed=true" += '\n'
+      snap.props.toSeq.sortBy(_._1).foreach { case (k, pv) =>
+        body ++= s"prop=$k\t$pv" += '\n'
+      }
       snap.cdc.foreach(d => body ++= s"cdc=$d" += '\n')
       snap.txn.foreach { case (app, ver) =>
         require(!app.contains('\n') && !app.contains('\t'),
@@ -2705,7 +2718,7 @@ object SnapshotTable {
         colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)
+      existsDefaults = cur.existsDefaults, props = cur.props)
       case "upsert" | "delete" =>
         val h = p.hit.get
         Snapshot(v, p.opKind, cur.keys, cur.buckets, ddl, p.uuid,
@@ -2719,7 +2732,7 @@ object SnapshotTable {
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)
+      existsDefaults = cur.existsDefaults, props = cur.props)
       case "upsert-mor" | "delete-mor" | "delete-pos" =>
         val kind = p.opKind match {
           case "upsert-mor" => "rows"
@@ -2738,7 +2751,7 @@ object SnapshotTable {
           colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)
+      existsDefaults = cur.existsDefaults, props = cur.props)
       case other => sys.error(s"rebasing undefined for op $other")
     }
   }
@@ -2916,7 +2929,57 @@ object SnapshotTable {
       colMap = base.colMap, droppedPhys = base.droppedPhys,
       constraints = base.constraints, partSpec = base.partSpec,
       colDefaults = base.colDefaults,
-      existsDefaults = base.existsDefaults)))
+      existsDefaults = base.existsDefaults, props = base.props)))
+    v
+  }
+
+  /** Publish one delta-based row-level commit ([[graft.sources
+    * .SnapshotDeltaRowLevelOperation]], the merge-on-read twin of
+    * [[commitReplace]]): `dataDirs` (replacement/insert rows, already
+    * staged bucket-partitioned) join the manifest as ordinary entries;
+    * `posDirs` join as per-bucket positional tombstone deltas stamped
+    * with this commit's version. O(matched) bytes total — no existing
+    * entry leaves the manifest. Optimistic concurrency: positions pin
+    * the scanned snapshot's files, so the base must still be current.
+    * Zero staged dirs (a DML that matched nothing) commits nothing. */
+  private[sources] def commitWriteDelta(spark: SparkSession, root: String,
+      base: Snapshot, dataDirs: Seq[(Int, String)],
+      posDirs: Seq[(Int, String)], op: String, uuid: String): Long = {
+    val (fsys, rootP) = fs(spark, root)
+    val cur = current(spark, root)
+    if (cur.version != base.version)
+      throw new ConcurrentCommitException(
+        s"row-level $op read version ${base.version} but " +
+          s"${cur.version} is now current at $root; retry the statement")
+    // the operation scan admits only positional pending deltas (its
+    // identity gate); an event layer here means the guard was bypassed
+    require(base.deltas.forall(_.kind == "pos"),
+      s"write-delta commit over event delta kinds " +
+        s"${base.deltas.map(_.kind).distinct}")
+    if (dataDirs.isEmpty && posDirs.isEmpty) return cur.version
+    val v = base.version + 1
+    if (base.constraints.nonEmpty && dataDirs.nonEmpty)
+      requireConstraints(readEntries(spark, base.schemaDdl, base.colMap,
+        dataDirs.map(_._2), base.existsDefaults), base, op)
+    val (st, rw) = computeStats(spark, dataDirs, base.schemaDdl,
+      base.statsCols, base.colMap, base.keys, Some(fsys))
+    val (pst, prw) = computeStats(spark, posDirs, posTombSchema.toDDL,
+      Seq.empty)
+    publish(fsys, rootP, stamped(Snapshot(v, op, base.keys, base.buckets,
+      base.schemaDdl, uuid, base.entries ++ dataDirs,
+      statsCols = base.statsCols,
+      dirStats = base.dirStats ++ st ++ pst,
+      dirRows = base.dirRows ++ rw ++ prw,
+      dirBytes = base.dirBytes ++
+        dirSizes(fsys, dataDirs) ++ dirSizes(fsys, posDirs),
+      deltas = base.deltas ++
+        posDirs.map { case (b, d) => DeltaEntry(b, v, "pos", d) },
+      changeFeed = base.changeFeed,
+      dirLayout = base.dirLayout,
+      colMap = base.colMap, droppedPhys = base.droppedPhys,
+      constraints = base.constraints, partSpec = base.partSpec,
+      colDefaults = base.colDefaults,
+      existsDefaults = base.existsDefaults, props = base.props)))
     v
   }
 
@@ -2987,8 +3050,10 @@ object SnapshotTable {
       txn: Option[(String, Long)] = None,
       changeFeed: Boolean = false,
       partitionBy: Seq[String] = Seq.empty,
-      colDefaults: Map[String, String] = Map.empty): Long = {
+      colDefaults: Map[String, String] = Map.empty,
+      props: Map[String, String] = Map.empty): Long = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    requireProps(props)
     requireCols(df, keys)
     validateDefaults(df.sparkSession, df.schema, colDefaults)
     // identity/date partition transforms, fixed for the table's life
@@ -3016,7 +3081,7 @@ object SnapshotTable {
       statsCols = sc,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       txn = txn, changeFeed = changeFeed, partSpec = pSpec,
-      colDefaults = colDefaults)))
+      colDefaults = colDefaults, props = props)))
     1L
   }
 
@@ -3041,13 +3106,15 @@ object SnapshotTable {
       buckets: Int = 16, statsCols: Option[Seq[String]] = None,
       changeFeed: Boolean = false,
       partitionBy: Seq[String] = Seq.empty,
-      colDefaults: Map[String, String] = Map.empty): Long = {
+      colDefaults: Map[String, String] = Map.empty,
+      props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     val cur = headOption(spark, root).getOrElse(
       return create(df, root, keys, buckets, statsCols,
         changeFeed = changeFeed, partitionBy = partitionBy,
-        colDefaults = colDefaults))
+        colDefaults = colDefaults, props = props))
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    requireProps(props)
     requireCols(df, keys)
     validateDefaults(spark, df.schema, colDefaults)
     val pSpec = parsePartSpec(partitionBy)
@@ -3070,7 +3137,7 @@ object SnapshotTable {
       statsCols = sc,
       dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
       changeFeed = changeFeed, partSpec = pSpec,
-      colDefaults = colDefaults)))
+      colDefaults = colDefaults, props = props)))
     v
   }
 
@@ -3146,6 +3213,37 @@ object SnapshotTable {
     * an error / mergeSchema null-backfill, documented divergence).
     * Time travel serves each version's own defaults. Returns the
     * committed version. */
+  /** Recognized sticky table properties and their legal values; other
+    * keys are carried opaquely (forward compatibility) but must be
+    * line-safe for the line-oriented manifest. */
+  private[sources] val RowLevelModeProp = "rowlevelmode"
+  private def requireProps(props: Map[String, String]): Unit = {
+    props.foreach { case (k, v) =>
+      require(!k.contains('\n') && !k.contains('\t') &&
+        !v.contains('\n') && !v.contains('\t') && k.nonEmpty,
+        s"table property '$k' -> '$v' is not line-safe")
+    }
+    props.get(RowLevelModeProp).foreach(v => require(
+      v == "copy-on-write" || v == "merge-on-read",
+      s"$RowLevelModeProp must be copy-on-write or merge-on-read: $v"))
+  }
+
+  /** `ALTER TABLE … SET/UNSET TBLPROPERTIES` — one pure-metadata commit
+    * (`op = "set-prop"`); `None` removes the key. Properties are sticky:
+    * every subsequent commit carries them forward. */
+  def setTableProperty(spark: SparkSession, root: String, key: String,
+      value: Option[String]): Long = {
+    val cur = current(spark, root)
+    val next = value.fold(cur.props - key)(v => cur.props + (key -> v))
+    requireProps(next)
+    val (fsys, rootP) = fs(spark, root)
+    val v = cur.version + 1
+    publish(fsys, rootP, stamped(cur.copy(version = v,
+      op = "set-prop", uuid = newUuid(), txn = None, cdc = None,
+      props = next)))
+    v
+  }
+
   def setColumnDefault(spark: SparkSession, root: String, column: String,
       default: Option[String]): Long = {
     val cur = current(spark, root)
@@ -3302,7 +3400,7 @@ object SnapshotTable {
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)), branch)
+      existsDefaults = cur.existsDefaults, props = cur.props)), branch)
     v
   }
 
@@ -3742,7 +3840,7 @@ object SnapshotTable {
       dirLayout = cur.dirLayout, colMap = cur.colMap,
       droppedPhys = cur.droppedPhys, constraints = cur.constraints,
       partSpec = cur.partSpec, colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)), branch)
+      existsDefaults = cur.existsDefaults, props = cur.props)), branch)
     v
   }
 
@@ -3876,7 +3974,7 @@ object SnapshotTable {
       // the table's future writes
       constraints = target.constraints, partSpec = target.partSpec,
       colDefaults = target.colDefaults,
-      existsDefaults = target.existsDefaults)))
+      existsDefaults = target.existsDefaults, props = target.props)))
     v
   }
 
@@ -3935,7 +4033,7 @@ object SnapshotTable {
       colMap = src.colMap, droppedPhys = src.droppedPhys,
       constraints = src.constraints, partSpec = src.partSpec,
       colDefaults = src.colDefaults,
-      existsDefaults = src.existsDefaults)))
+      existsDefaults = src.existsDefaults, props = src.props)))
     // best-effort registration AT THE SOURCE, after the clone is
     // published (an unregistered-but-published clone degrades to the
     // Delta caveat; a registered-but-unpublished one would pin garbage)
@@ -4115,7 +4213,7 @@ object SnapshotTable {
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)))
+      existsDefaults = cur.existsDefaults, props = cur.props)))
     v
   }
 
@@ -4247,7 +4345,7 @@ object SnapshotTable {
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)))
+      existsDefaults = cur.existsDefaults, props = cur.props)))
     v
   }
 
@@ -4306,7 +4404,7 @@ object SnapshotTable {
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = newSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)), branch)
+      existsDefaults = cur.existsDefaults, props = cur.props)), branch)
     v
   }
 
@@ -4567,7 +4665,8 @@ object SnapshotTable {
       colMap = newMap, droppedPhys = newDropped,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = newDefaults.getOrElse(cur.colDefaults),
-      existsDefaults = newExists.getOrElse(cur.existsDefaults))))
+      existsDefaults = newExists.getOrElse(cur.existsDefaults),
+      props = cur.props)))
     v
   }
 
@@ -4631,7 +4730,7 @@ object SnapshotTable {
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)))
+      existsDefaults = cur.existsDefaults, props = cur.props)))
     v
   }
 
@@ -4681,7 +4780,7 @@ object SnapshotTable {
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults)))
+      existsDefaults = cur.existsDefaults, props = cur.props)))
     v
   }
 
