@@ -24,11 +24,14 @@ object ProfileQuery {
     val jobs = mutable.LinkedHashMap[Int, JobRec]()
     val stages = mutable.LinkedHashMap[Int, StageRec]()
     val execs = mutable.LinkedHashMap[Long, (Long, Long)]() // id -> (start, end)
+    val execDesc = mutable.LinkedHashMap[Long, String]() // id -> callsite
     var enabled = false
     override def onOtherEvent(e: SparkListenerEvent): Unit = if (enabled)
       e match {
         case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
           execs(s.executionId) = (s.time, 0L)
+          execDesc(s.executionId) = s.description.linesIterator
+            .nextOption().getOrElse("?").take(100)
         case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
           execs.get(s.executionId).foreach(t =>
             execs(s.executionId) = (t._1, s.time))
@@ -37,6 +40,11 @@ object ProfileQuery {
     override def onJobStart(e: SparkListenerJobStart): Unit = if (enabled) {
       val desc = Option(e.properties)
         .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .orElse(Option(e.properties).flatMap(p =>
+          // attribute SQL-execution jobs to their execution's callsite
+          Option(p.getProperty("spark.sql.execution.id")).map(id =>
+            "sql#" + id + " " + execDesc.getOrElse(id.toLong, "")))
+          .filter(_.nonEmpty))
         .orElse(Option(e.properties)
           .flatMap(p => Option(p.getProperty("callSite.short"))))
         .getOrElse("?")
@@ -60,7 +68,9 @@ object ProfileQuery {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // same default as Bench.scala so an env-less profile represents what
+    // Bench measures (parallelism, shuffle.partitions, skew behavior)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -78,6 +88,16 @@ object ProfileQuery {
     // (plans/r16 deliverable). Dumped from the warm run's DataFrame.
     val plansDir = sys.env.get("SPARK_GRAFT_PLANS_DIR")
     val plansSuffix = sys.env.getOrElse("SPARK_GRAFT_PLANS_SUFFIX", "before")
+    // validate names up front: a typo aborts BEFORE any query runs (and
+    // with near-matches), instead of a NoSuchElementException mid-run
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      val near = unknown.map(u => u + " (try: " + SparkEntry.queries.keys
+        .filter(_.take(4) == u.take(4)).take(3).mkString(", ") + ")")
+      System.err.println(s"unknown queries: ${near.mkString("; ")}")
+      spark.stop(); sys.exit(2)
+    }
+    try {
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       // cold run (not profiled) to absorb JIT/classload for this path
@@ -94,8 +114,17 @@ object ProfileQuery {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wallMs = (System.nanoTime() - t0) / 1e6
+      // drain the async listener bus BEFORE disabling, so trailing
+      // JobEnd/StageCompleted/SQLExecutionEnd events still land (an
+      // undrained bus leaves end=0 records that inflate driverGap);
+      // listenerBus is private[spark], hence reflection
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", java.lang.Long.TYPE)
+          .invoke(bus, java.lang.Long.valueOf(2000L))
+      } catch { case _: Throwable => Thread.sleep(300) }
       prof.enabled = false
-      Thread.sleep(200) // let listener drain
       // merge job intervals to compute driver-gap
       val iv = prof.jobs.values.toSeq.filter(_.end > 0)
         .map(j => (j.start, j.end)).sortBy(_._1)
@@ -131,6 +160,6 @@ object ProfileQuery {
           f"in=${s.inputB / 1e6}%.1fMB sr=${s.shufReadB / 1e6}%.1fMB " +
           f"sw=${s.shufWriteB / 1e6}%.1fMB  ${s.name.take(90)}")
     }
-    spark.stop()
+    } finally spark.stop()
   }
 }
