@@ -76,22 +76,32 @@ object Graph {
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
     val prob = mat(e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("tw")).as("p")))
-    val dangling = mat(nodes.join(outW.select(col("src").as("node")),
-      Seq("node"), "left_anti"))
-    var ranks = mat(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    // the dangling flag rides ON the rank table (derived once, carried
+    // through every checkpoint): the per-round dangling-mass aggregate
+    // is then a filter+sum SCAN of the already-materialized ranks
+    // instead of an anti-join table plus a per-round join (guide §2.4 —
+    // one less join subplan per iteration, same float arithmetic)
+    var ranks = mat(nodes
+      .join(outW.select(col("src").as("node"), lit(true).as("_out")),
+        Seq("node"), "left")
+      .select(col("node"), lit(1.0 / n).as("rank"),
+        coalesce(col("_out"), lit(false)).as("_out")))
     for (_ <- 1 to iters) {
       // dangling mass rides IN-PLAN as a broadcast 1-row aggregate — no
       // per-round driver action
-      val dm = broadcast(dangling.join(ranks, "node")
+      val dm = broadcast(ranks.filter(!col("_out"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
-      val contrib = prob.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = prob
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst")).agg(sum(col("p") * col("rank")).as("c"))
         .select(col("dst").as("node"), col("c"))
-      ranks = mat(nodes.join(contrib, Seq("node"), "left").crossJoin(dm)
+      ranks = mat(ranks.select(col("node"), col("_out"))
+        .join(contrib, Seq("node"), "left").crossJoin(dm)
         .select(col("node"), (lit((1 - damping) / n) + lit(damping) *
-          (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank")))
+          (coalesce(col("c"), lit(0.0)) + col("dm") / lit(n))).as("rank"),
+          col("_out")))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Personalized PageRank / TrustRank (Gyöngyi, Garcia-Molina, Pedersen,
@@ -135,23 +145,32 @@ object Graph {
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
     val prob = mat(e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("tw")).as("p")))
-    val dangling = mat(nodes.join(outW.select(col("src").as("node")),
-      Seq("node"), "left_anti"))
-    val tele = mat(nodes.join(t0, Seq("node"), "left")
-      .select(col("node"), coalesce(col("t"), lit(0.0)).as("t")))
-    var ranks = mat(tele.select(col("node"), col("t").as("rank")))
+    // teleport value AND dangling flag ride ON the rank table (derived
+    // once, carried through every checkpoint): each round reads t from
+    // its own materialized input and the dangling mass is a filter+sum
+    // scan — two fewer per-round joins than the join-per-round spelling
+    // (guide §2.4), identical float arithmetic
+    var ranks = mat(nodes.join(t0, Seq("node"), "left")
+      .join(outW.select(col("src").as("node"), lit(true).as("_out")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("t"), lit(0.0)).as("t"),
+        coalesce(col("_out"), lit(false)).as("_out"))
+      .select(col("node"), col("t").as("rank"), col("t"), col("_out")))
     for (_ <- 1 to iters) {
       // same in-plan dangling-mass broadcast as [[pageRank]]
-      val dm = broadcast(dangling.join(ranks, "node")
+      val dm = broadcast(ranks.filter(!col("_out"))
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm")))
-      val contrib = prob.join(ranks.withColumnRenamed("node", "src"), "src")
+      val contrib = prob
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
         .groupBy(col("dst")).agg(sum(col("p") * col("rank")).as("c"))
         .select(col("dst").as("node"), col("c"))
-      ranks = mat(tele.join(contrib, Seq("node"), "left").crossJoin(dm)
+      ranks = mat(ranks.select(col("node"), col("t"), col("_out"))
+        .join(contrib, Seq("node"), "left").crossJoin(dm)
         .select(col("node"), (lit(1 - damping) * col("t") + lit(damping) *
-          (coalesce(col("c"), lit(0.0)) + col("dm") * col("t"))).as("rank")))
+          (coalesce(col("c"), lit(0.0)) + col("dm") * col("t"))).as("rank"),
+          col("t"), col("_out")))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** k-core peeling after exactly `rounds` rounds: each round computes

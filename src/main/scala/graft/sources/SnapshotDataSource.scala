@@ -814,8 +814,15 @@ private[graft] class SnapshotScan(snap: SnapshotTable.Snapshot,
     SnapshotTable.readSchemaMetaPhys(snap, physSchema(st))
 
   private def inner(paths: Seq[String]): Scan = {
-    val b = GraftParquetBridge.parquetScanBuilder(
-      SparkSession.active, paths, metaFor(tableSchema))
+    // manifest-recorded file lists make the delegated scan listing-free
+    // (guide §6); dirs without a recorded list fall back to discovery
+    val b = SnapshotTable.coveredFiles(paths, snap.dirFiles) match {
+      case Some(fl) => org.apache.spark.sql.GraftFileListBridge
+        .parquetScanBuilderFiles(SparkSession.active, fl,
+          metaFor(tableSchema))
+      case None => GraftParquetBridge.parquetScanBuilder(
+        SparkSession.active, paths, metaFor(tableSchema))
+    }
     GraftParquetBridge.pushCatalystFilters(b, physFilters(catalystFilters))
     GraftParquetBridge.pruneColumns(b, metaFor(required))
     GraftParquetBridge.buildScan(b)
@@ -1586,13 +1593,25 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
 
   private def spark = SparkSession.active
 
-  private def rawInner(paths: Seq[String]): Scan = {
-    val b = GraftParquetBridge.parquetScanBuilder(spark, paths, physTable)
+  private def rawInner(paths: Seq[String],
+      files: Map[String, Seq[(String, Long)]] = Map.empty): Scan = {
+    val b = SnapshotTable.coveredFiles(paths, files) match {
+      case Some(fl) => org.apache.spark.sql.GraftFileListBridge
+        .parquetScanBuilderFiles(spark, fl, physTable)
+      case None =>
+        GraftParquetBridge.parquetScanBuilder(spark, paths, physTable)
+    }
     GraftParquetBridge.pruneColumns(b, physTable)
     GraftParquetBridge.buildScan(b)
   }
-  private def cdcInner(paths: Seq[String]): Scan = {
-    val b = GraftParquetBridge.parquetScanBuilder(spark, paths, cdcFileSchema)
+  private def cdcInner(paths: Seq[String],
+      files: Map[String, Seq[(String, Long)]] = Map.empty): Scan = {
+    val b = SnapshotTable.coveredFiles(paths, files) match {
+      case Some(fl) => org.apache.spark.sql.GraftFileListBridge
+        .parquetScanBuilderFiles(spark, fl, cdcFileSchema)
+      case None =>
+        GraftParquetBridge.parquetScanBuilder(spark, paths, cdcFileSchema)
+    }
     GraftParquetBridge.pruneColumns(b, cdcFileSchema)
     GraftParquetBridge.buildScan(b)
   }
@@ -1612,8 +1631,9 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
     SnapshotCdfScan.unservableOp(root, next).foreach(sys.error)
     def raw(dirs: Seq[String]): Array[InputPartition] =
       if (dirs.isEmpty) Array.empty
-      else rawInner(dirs).toBatch.planInputPartitions().map(p =>
-        CdfInputPartition(p, fromCdc = false, "insert", next.version))
+      else rawInner(dirs, next.dirFiles).toBatch.planInputPartitions()
+        .map(p =>
+          CdfInputPartition(p, fromCdc = false, "insert", next.version))
     next.op match {
       case "create" | "clone" => raw(next.entries.map(_._2))
       case "append" =>
@@ -1621,8 +1641,9 @@ private[graft] class SnapshotCdfScan(snap: SnapshotTable.Snapshot,
           prev.getOrElse(sys.error(s"change feed needs version " +
             s"${next.version - 1} at $root (vacuumed?)")).entries.map(_._2)))
       case "upsert" | "delete" | "delete-pos" if next.cdc.isDefined =>
-        cdcInner(Seq(next.cdc.get)).toBatch.planInputPartitions().map(p =>
-          CdfInputPartition(p, fromCdc = true, null, next.version))
+        cdcInner(Seq(next.cdc.get), next.dirFiles).toBatch
+          .planInputPartitions().map(p =>
+            CdfInputPartition(p, fromCdc = true, null, next.version))
       case "widen-column" =>
         Array.empty // pure-metadata commit: zero row changes
       case "zorder" | "compact" => Array.empty // content-neutral rewrites

@@ -138,7 +138,15 @@ object SnapshotTable {
         * carried forward by every commit like [[changeFeed]]. First
         * recognized key: `rowlevelmode` (`copy-on-write` default /
         * `merge-on-read`) routing SQL row-level operations. */
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      /** Per-dir DATA file lists `(name, bytes)` recorded by the writing
+        * commit (`files=` manifest lines) — dirs are immutable once
+        * published, so a recorded list is exact forever. Readers with a
+        * complete list for their dir set scan with ZERO filesystem
+        * listings ([[org.apache.spark.sql.GraftFileListBridge]]); a dir
+        * absent from the map (pre-file-list manifests, renamed clones)
+        * only costs the old listing fallback, never correctness. */
+      dirFiles: Map[String, Seq[(String, Long)]] = Map.empty) {
 
     /** GUARANTEED per-dir column bounds derived from the partition
       * value segments (`_pt{i}=v`) in each entry dir's path — the
@@ -507,7 +515,8 @@ object SnapshotTable {
       schemaDdl: String, statsCols: Seq[String],
       colMap: Map[String, String] = Map.empty,
       bloomKeys: Seq[String] = Seq.empty,
-      bloomFs: Option[FileSystem] = None)
+      bloomFs: Option[FileSystem] = None,
+      files: Map[String, Seq[(String, Long)]] = Map.empty)
       : (Map[String, Map[String, ColStats]], Map[String, Long]) = {
     // files store PHYSICAL names; stats and statsCols are keyed physical
     val schema = StructType(StructType.fromDDL(schemaDdl).fields.map(f =>
@@ -542,7 +551,15 @@ object SnapshotTable {
     val aggs = (count(lit(1)).as("cnt:") +: present.flatMap(c => Seq(
       min(col(c)).as(s"lo:$c"), max(col(c)).as(s"hi:$c"),
       max(when(col(c).isNull, 1).otherwise(0)).as(s"nn:$c")))) ++ bloomAgg
-    val rows = spark.read.schema(schema).parquet(entries.map(_._2): _*)
+    // the commit walk already knows every file: read them explicitly
+    // (zero listing RPCs, no distributed listing job) when covered
+    val scan =
+      if (entries.forall(e => files.contains(e._2)))
+        org.apache.spark.sql.GraftFileListBridge.parquetDf(spark,
+          entries.flatMap(e => files(e._2).map { case (n, len) =>
+            (e._2 + "/" + n, len) }), schema)
+      else spark.read.schema(schema).parquet(entries.map(_._2): _*)
+    val rows = scan
       .groupBy(regexp_extract(input_file_name(),
         s"($BucketCol=\\d+(?:/[^/]+=[^/]+)*)/[^/]+$$", 1).as("_b"))
       .agg(aggs.head, aggs.tail: _*)
@@ -587,30 +604,36 @@ object SnapshotTable {
     (statsMap, allRows)
   }
 
-  /** Exact on-disk DATA bytes per fresh dir — one driver listing per
-    * dir, O(commit dirs), feeding the planner-statistics field of the
-    * manifest. Hidden sidecars (`.bloom`, markers) are index metadata,
-    * not scan input, so they stay out of the size a join planner
-    * compares against its broadcast threshold. */
-  private def dirSizes(fsys: FileSystem,
-      entries: Seq[(Int, String)]): Map[String, Long] =
+  /** DATA file names+bytes of already-written dirs — one driver listing
+    * per dir, O(dirs), feeding the manifest's `files=`/`bytes=` fields
+    * for dirs that were not produced by this process's own commit walk
+    * (clone-by-reference, imported dirs). Hidden sidecars (`.bloom`,
+    * markers) are index metadata, not scan input, so they stay out of
+    * both the file list and the size a join planner compares against
+    * its broadcast threshold. */
+  private def dirFileLists(fsys: FileSystem,
+      entries: Seq[(Int, String)]): Map[String, Seq[(String, Long)]] =
     entries.map { case (_, d) =>
       d -> fsys.listStatus(new Path(d)).iterator
         .filter(st => st.isFile && {
           val n = st.getPath.getName
           !n.startsWith(".") && !n.startsWith("_")
-        }).map(_.getLen).sum
-    }.toMap
+        }).map(st => (st.getPath.getName, st.getLen))
+        .toSeq.sortBy(_._1)
+    }.filter { case (_, fs) => fs.forall(f => fileListSafe(f._1)) }.toMap
 
-  /** On-disk bytes of a commit's `_cdc` change dir, keyed like
-    * [[dirSizes]] — recorded so a rate-limited change-feed reader can
-    * charge a cdc commit's REAL size against its byte budget instead
-    * of "unknown" (one extra listing on the commit that already paid
-    * one per fresh dir). */
-  private def cdcSizes(fsys: FileSystem,
-      cdc: Option[String]): Map[String, Long] =
-    cdc.fold(Map.empty[String, Long])(d =>
-      dirSizes(fsys, Seq(0 -> d)))
+  private def bytesOf(files: Map[String, Seq[(String, Long)]])
+      : Map[String, Long] =
+    files.map { case (d, fs) => d -> fs.iterator.map(_._2).sum }
+
+  /** File list of a commit's `_cdc` change dir, keyed like
+    * [[dirFileLists]] — recorded so a rate-limited change-feed reader
+    * can charge a cdc commit's REAL size against its byte budget
+    * instead of "unknown" (one listing on the commit). */
+  private def cdcFiles(fsys: FileSystem,
+      cdc: Option[String]): Map[String, Seq[(String, Long)]] =
+    cdc.fold(Map.empty[String, Seq[(String, Long)]])(d =>
+      dirFileLists(fsys, Seq(0 -> d)))
 
   // stats serialization: one flat JSON object per dir, our own
   // writer/parser (the grammar is fixed and tab/newline-free so the
@@ -1128,6 +1151,15 @@ object SnapshotTable {
         val Array(k, pv) = l.drop("prop=".length).split("\t", 2)
         k -> pv
     }.toMap
+    val dirFiles = lines.collect {
+      case l if l.startsWith("files=") =>
+        val Array(dir, fl) = l.drop("files=".length).split("\t", 2)
+        dir -> fl.split(",").toSeq.filter(_.nonEmpty).map { ent =>
+          val i = ent.lastIndexOf(':')
+          require(i > 0, s"manifest $p has malformed files entry: $ent")
+          (ent.take(i), ent.drop(i + 1).toLong)
+        }
+    }.toMap
     Snapshot(v, field("op"),
       field("keys").split(",").toSeq.filter(_.nonEmpty),
       field("buckets").toInt, schemaDdl, field("uuid"), entries,
@@ -1149,7 +1181,7 @@ object SnapshotTable {
         .getOrElse(Seq.empty), constraints,
       fieldOpt("partspec").map(s => parsePartSpec(s.split(",").toSeq))
         .getOrElse(Seq.empty),
-      colDefaults, existsDefaults, props)
+      colDefaults, existsDefaults, props, dirFiles)
   }
 
   // ---- consolidated checkpoints ----
@@ -1786,9 +1818,33 @@ object SnapshotTable {
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+  /** Explicit (path, bytes) list when `files` covers EVERY requested
+    * dir; None → the caller's directory-listing fallback. */
+  private[sources] def coveredFiles(dirs: Seq[String],
+      files: Map[String, Seq[(String, Long)]])
+      : Option[Seq[(String, Long)]] =
+    if (dirs.nonEmpty && dirs.forall(files.contains))
+      Some(dirs.flatMap(d =>
+        files(d).map { case (n, len) => (d + "/" + n, len) }))
+    else None
+
+  /** Parquet scan of `dirs` under an explicit schema — listing-free
+    * via the manifest-recorded file lists when they cover every dir
+    * (guide §6: zero FS listings, no distributed listing job), else
+    * the plain multi-dir read. */
+  private def parquetDirs(spark: SparkSession, schema: StructType,
+      dirs: Seq[String],
+      files: Map[String, Seq[(String, Long)]]): DataFrame =
+    coveredFiles(dirs, files) match {
+      case Some(fl) =>
+        org.apache.spark.sql.GraftFileListBridge.parquetDf(spark, fl, schema)
+      case None => spark.read.schema(schema).parquet(dirs: _*)
+    }
+
   private def readEntries(spark: SparkSession, schemaDdl: String,
       colMap: Map[String, String], dirs: Seq[String],
-      exists: Map[String, String] = Map.empty): DataFrame = {
+      exists: Map[String, String] = Map.empty,
+      files: Map[String, Seq[(String, Long)]] = Map.empty): DataFrame = {
     val logical = StructType.fromDDL(schemaDdl)
     if (dirs.isEmpty) emptyDf(spark, logical)
     // explicit schema: bucket dirs carry no _gb column (it lives in the
@@ -1798,13 +1854,13 @@ object SnapshotTable {
     // defaults ride as EXISTS_DEFAULT field metadata ([[readSchemaMeta]])
     // so pre-add files fill per footer truth.
     else if (colMap.isEmpty)
-      spark.read.schema(readSchemaMeta(logical, exists)).parquet(dirs: _*)
+      parquetDirs(spark, readSchemaMeta(logical, exists), dirs, files)
     else {
       val phys = StructType(logical.fields.map(f =>
         f.copy(name = colMap.getOrElse(f.name, f.name))))
       val physExists = exists.map { case (c, d) =>
         colMap.getOrElse(c, c) -> d }
-      spark.read.schema(readSchemaMeta(phys, physExists)).parquet(dirs: _*)
+      parquetDirs(spark, readSchemaMeta(phys, physExists), dirs, files)
         .toDF(logical.fieldNames.toIndexedSeq: _*)
     }
   }
@@ -1856,14 +1912,15 @@ object SnapshotTable {
     * exact under splits, filters, and row-group skipping). */
   private def readEntriesWithPos(spark: SparkSession, schemaDdl: String,
       colMap: Map[String, String], dirs: Seq[String],
-      exists: Map[String, String] = Map.empty): DataFrame = {
+      exists: Map[String, String] = Map.empty,
+      files: Map[String, Seq[(String, Long)]] = Map.empty): DataFrame = {
     val logical = StructType.fromDDL(schemaDdl)
     val out = StructType(logical.fields ++ posTombSchema.fields)
     if (dirs.isEmpty) return emptyDf(spark, out)
     val phys = StructType(logical.fields.map(f =>
       f.copy(name = colMap.getOrElse(f.name, f.name))))
     val physExists = exists.map { case (c, d) => colMap.getOrElse(c, c) -> d }
-    spark.read.schema(readSchemaMeta(phys, physExists)).parquet(dirs: _*)
+    parquetDirs(spark, readSchemaMeta(phys, physExists), dirs, files)
       .select(logical.fields.map(f =>
         col(colMap.getOrElse(f.name, f.name)).as(f.name)).toIndexedSeq ++
         Seq(posFileOf.as(PosFileCol),
@@ -1877,11 +1934,11 @@ object SnapshotTable {
   private def resolvedReadWithPos(spark: SparkSession,
       snap: Snapshot): DataFrame = {
     val base = readEntriesWithPos(spark, snap.schemaDdl, snap.colMap,
-      snap.entries.map(_._2), snap.existsDefaults)
+      snap.entries.map(_._2), snap.existsDefaults, snap.dirFiles)
     val posDs = snap.deltas.filter(_.kind == "pos")
     if (posDs.isEmpty) base
     else base.join(
-      spark.read.schema(posTombSchema).parquet(posDs.map(_.dir): _*),
+      parquetDirs(spark, posTombSchema, posDs.map(_.dir), snap.dirFiles),
       Seq(PosFileCol, PosPosCol), "left_anti")
   }
 
@@ -1911,9 +1968,9 @@ object SnapshotTable {
       }
       val outCols = StructType.fromDDL(ddl).fieldNames.map(col).toIndexedSeq
       return readEntriesWithPos(spark, ddl, snap.colMap, sel.map(_._2),
-          snap.existsDefaults)
-        .join(spark.read.schema(posTombSchema)
-          .parquet(posDs.map(_.dir): _*),
+          snap.existsDefaults, snap.dirFiles)
+        .join(parquetDirs(spark, posTombSchema, posDs.map(_.dir),
+            snap.dirFiles),
           Seq(PosFileCol, PosPosCol), "left_anti")
         .select(outCols: _*)
     }
@@ -1927,15 +1984,15 @@ object SnapshotTable {
     def readData(dirs: Seq[String], seqCol: Option[String]): DataFrame =
       if (posDs.isEmpty) {
         val df = readEntries(spark, ddl, snap.colMap, dirs,
-          snap.existsDefaults)
+          snap.existsDefaults, snap.dirFiles)
         seqCol.fold(df)(c => df.withColumn(c, fileCommitVersion))
       } else {
         val withPos = readEntriesWithPos(spark, ddl, snap.colMap, dirs,
-          snap.existsDefaults)
+          snap.existsDefaults, snap.dirFiles)
         val stamped = seqCol.fold(withPos)(c => withPos.withColumn(c,
           regexp_extract(col(PosFileCol), "^c(\\d+)-", 1).cast("long")))
-        stamped.join(spark.read.schema(posTombSchema)
-            .parquet(posDs.map(_.dir): _*),
+        stamped.join(parquetDirs(spark, posTombSchema, posDs.map(_.dir),
+            snap.dirFiles),
             Seq(PosFileCol, PosPosCol), "left_anti")
           .select(outCols0 ++ seqCol.map(col).toSeq: _*)
       }
@@ -1993,7 +2050,7 @@ object SnapshotTable {
     // physical == logical
     val tombEvents = ds.filter(_.kind == "tomb").groupBy(_.seq).toSeq
       .sortBy(_._1).map { case (s, es) =>
-        spark.read.schema(keySchema).parquet(es.map(_.dir): _*)
+        parquetDirs(spark, keySchema, es.map(_.dir), snap.dirFiles)
           .withColumn(SeqCol, lit(s))
       }
     val events = (rowFrames.map(_.select(keyCols :+ col(SeqCol): _*)) ++
@@ -2102,6 +2159,30 @@ object SnapshotTable {
     * [[graft.ops.Cdc]] apply side. Schema drift across the range is
     * handled by reading every commit under ITS OWN manifest schema and
     * unioning by name (missing columns backfill null). */
+  /** Two-directional multiset diff in ONE aggregation — the
+    * `new.exceptAll(old) ∪ old.exceptAll(new)` pair spelled as
+    * union+group (guide §2.4: the pair computes each input subtree
+    * TWICE and pays four shuffled subplans; this computes each side
+    * once and pays a single shuffle): per distinct row, the signed
+    * count n(new) − n(old) is positive for rows to emit as `insert`
+    * (that many times) and negative for `delete` — exactly the
+    * exceptAll multiset semantics, including null-safe grouping. */
+  private def symmetricDiff(newSide: DataFrame,
+      oldSide: DataFrame): DataFrame = {
+    val cols = newSide.columns.toSeq
+    val sign = "_graft_diff_sign"
+    val rep = "_graft_diff_rep"
+    newSide.withColumn(sign, lit(1L))
+      .unionByName(oldSide.withColumn(sign, lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col(sign)).as(sign))
+      .filter(col(sign) =!= 0L)
+      .withColumn(ChangeTypeCol,
+        when(col(sign) > 0L, "insert").otherwise("delete"))
+      .withColumn(rep, explode(sequence(lit(1L), abs(col(sign)))))
+      .drop(sign, rep)
+  }
+
   def readChanges(spark: SparkSession, root: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     val (fsys, rootP) = fs(spark, root)
@@ -2150,7 +2231,8 @@ object SnapshotTable {
           val logical = StructType.fromDDL(next.schemaDdl)
           val schema = next.physicalSchema(next.schemaDdl)
             .add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
-          Some(spark.read.schema(schema).parquet(next.cdc.get)
+          Some(parquetDirs(spark, schema, Seq(next.cdc.get),
+              next.dirFiles)
             .toDF((logical.fieldNames :+ ChangeTypeCol).toIndexedSeq: _*)
             .withColumn(CommitVersionCol, lit(next.version)))
         case "append" =>
@@ -2162,7 +2244,7 @@ object SnapshotTable {
           if (fresh.isEmpty) None
           else Some(tag(
             readEntries(spark, next.schemaDdl, next.colMap, fresh,
-              next.existsDefaults),
+              next.existsDefaults, next.dirFiles),
             "insert"))
         case "upsert-mor" | "delete-mor" =>
           // the commit wrote ONLY delta dirs: changed keys = the fresh
@@ -2181,10 +2263,10 @@ object SnapshotTable {
             val newRows =
               if (rowDirs.isEmpty) emptyDf(spark, schema)
               else readEntries(spark, next.schemaDdl, next.colMap, rowDirs,
-                next.existsDefaults)
+                next.existsDefaults, next.dirFiles)
             val tombKeys =
               if (tombDirs.isEmpty) emptyDf(spark, keySchema)
-              else spark.read.schema(keySchema).parquet(tombDirs: _*)
+              else parquetDirs(spark, keySchema, tombDirs, next.dirFiles)
             val changedKeys = newRows.select(keyCols: _*)
               .unionByName(tombKeys).distinct()
             val hitB = fresh.map(_.bucket).toSet
@@ -2192,8 +2274,8 @@ object SnapshotTable {
               resolvedRead(spark, prev, Some(hitB), prev.schemaDdl))
               .join(changedKeys, next.keys, "left_semi")
             val newSide = newRows.select(cols.map(col): _*)
-            Some(tag(newSide.exceptAll(oldSide), "insert")
-              .unionByName(tag(oldSide.exceptAll(newSide), "delete")))
+            Some(symmetricDiff(newSide, oldSide)
+              .withColumn(CommitVersionCol, lit(next.version)))
           }
         case _ =>
           // bucket-granular diff in CURRENT-layout bucket space: only
@@ -2235,8 +2317,8 @@ object SnapshotTable {
             val newSide =
               resolvedRead(spark, next, changed, next.schemaDdl)
                 .select(cols.map(col): _*)
-            Some(tag(newSide.exceptAll(oldAligned), "insert")
-              .unionByName(tag(oldAligned.exceptAll(newSide), "delete")))
+            Some(symmetricDiff(newSide, oldAligned)
+              .withColumn(CommitVersionCol, lit(next.version)))
           }
       }
     }
@@ -2300,6 +2382,20 @@ object SnapshotTable {
     * directly addressable by the change feed, and renamed/swept along
     * with its commit dir by rebase and vacuum. Must run AFTER
     * [[writeCommitData]] created the commit dir. Returns the dir. */
+  /** Hadoop-side write options for snapshot-internal parquet writes
+    * (merged into the write job's Hadoop conf by
+    * `newHadoopConfWithOptions`). Commit dirs are INVISIBLE until the
+    * manifest publish names them, so FileOutputCommitter v2 (task
+    * commits rename straight into the destination, in parallel, and
+    * job commit is a no-op) is exactly as safe as v1's sequential
+    * driver-side merge — a crashed job leaves orphan files in a dir no
+    * manifest references, reclaimed by vacuum. Skipping the _SUCCESS
+    * marker drops one FS create per commit; readers trust manifests,
+    * never markers. Guide §5 (driver does no data work) / §6. */
+  private val commitWriteOptions = Map(
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2",
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false")
+
   private def writeChangeData(changes: DataFrame, root: Path,
       version: Long, uuid: String,
       colMap: Map[String, String] = Map.empty): String = {
@@ -2308,18 +2404,19 @@ object SnapshotTable {
     val phys = if (colMap.isEmpty) changes
       else changes.select(changes.columns.map(c =>
         col(c).as(colMap.getOrElse(c, c))).toIndexedSeq: _*)
-    phys.write.parquet(dir.toString)
+    phys.write.options(commitWriteOptions).parquet(dir.toString)
     dir.toString
   }
 
   /** Write `df`'s rows bucket-partitioned under a fresh commit dir;
-    * returns (bucket → dir) for the buckets that actually received
-    * rows. */
+    * returns the commit's entries (bucket → dir for the buckets that
+    * actually received rows) plus their file lists and sizes, from one
+    * post-write walk. */
   private def writeCommitData(df: DataFrame, root: Path, version: Long,
       keys: Seq[String], buckets: Int, uuid: String,
       fsys: FileSystem, colMap: Map[String, String] = Map.empty,
       partSpec: Seq[PartField] = Seq.empty)
-      : Seq[(Int, String)] = {
+      : CommitFiles = {
     val commitDir = new Path(new Path(root, "data"), s"c$version-$uuid")
     // files land under PHYSICAL column names (one atomic select so even
     // swap-renames relabel correctly); keys are never renameable, so the
@@ -2343,26 +2440,55 @@ object SnapshotTable {
           partValueCol(f, schema(f.col).dataType))
     }
     withPt.repartition((col(BucketCol) +: ptNames.map(col)): _*)
-      .write.partitionBy((BucketCol +: ptNames): _*)
+      .write.options(commitWriteOptions)
+      .partitionBy((BucketCol +: ptNames): _*)
       .parquet(commitDir.toString)
-    enumerateEntries(fsys, commitDir, buckets)
+    enumerateCommit(fsys, commitDir, buckets)
   }
 
-  /** Entries of a freshly-written commit dir: one per LEAF data dir
-    * under each `_gb=b` (the bucket dir itself when unpartitioned,
-    * each `_pt…`/`_zs…` leaf otherwise), name-sorted for deterministic
-    * manifests. */
-  private def enumerateEntries(fsys: FileSystem, commitDir: Path,
-      buckets: Int): Seq[(Int, String)] = {
+  /** A freshly-written commit dir's layout from ONE recursive walk:
+    * entries (bucket → leaf data dir, name-sorted for deterministic
+    * manifests), per-dir DATA file lists (hidden `.`/`_` names excluded
+    * — the same visibility rule Spark's own listing applies), and the
+    * byte totals derived from them. Previously the enumerate walk and a
+    * separate dirSizes listing each paid their own per-dir RPCs; the
+    * file lists now also ride into the manifest (`files=` lines) so
+    * READS never list at all (guide §6). */
+  private final case class CommitFiles(entries: Seq[(Int, String)],
+      files: Map[String, Seq[(String, Long)]]) {
+    def bytes: Map[String, Long] =
+      files.map { case (d, fs) => d -> fs.iterator.map(_._2).sum }
+  }
+
+  /** A file name a manifest `files=` line can carry verbatim. Parquet
+    * part names always qualify; an exotic name only downgrades its dir
+    * to the listing fallback. */
+  private def fileListSafe(n: String): Boolean =
+    !(n.contains(',') || n.contains(':') || n.contains('\t') ||
+      n.contains('\n'))
+
+  private def enumerateCommit(fsys: FileSystem, commitDir: Path,
+      buckets: Int): CommitFiles = {
+    val fileMap = Map.newBuilder[String, Seq[(String, Long)]]
     def leaves(d: Path): Seq[Path] = {
-      val subs = fsys.listStatus(d).toSeq.filter(_.isDirectory)
-      if (subs.isEmpty) Seq(d)
-      else subs.sortBy(_.getPath.getName).flatMap(s => leaves(s.getPath))
+      val st = fsys.listStatus(d).toSeq
+      val subs = st.filter(_.isDirectory)
+      if (subs.isEmpty) {
+        val data = st.filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith(".") && !n.startsWith("_")
+        }).map(s => (s.getPath.getName, s.getLen))
+          .sortBy(_._1)
+        if (data.forall(f => fileListSafe(f._1)))
+          fileMap += d.toString -> data
+        Seq(d)
+      } else subs.sortBy(_.getPath.getName).flatMap(s => leaves(s.getPath))
     }
-    (0 until buckets).flatMap { b =>
+    val entries = (0 until buckets).flatMap { b =>
       val d = new Path(commitDir, s"$BucketCol=$b")
       if (fsys.exists(d)) leaves(d).map(b -> _.toString) else Seq.empty
     }
+    CommitFiles(entries, fileMap.result())
   }
 
   /** Serialize the publish critical section on filesystems whose rename
@@ -2586,6 +2712,11 @@ object SnapshotTable {
         .foreach { case (d, n) => body ++= s"rows=$d\t$n" += '\n' }
       snap.dirBytes.toSeq.filter(e => live(e._1)).sortBy(_._1)
         .foreach { case (d, n) => body ++= s"bytes=$d\t$n" += '\n' }
+      snap.dirFiles.toSeq.filter(e => live(e._1)).sortBy(_._1)
+        .foreach { case (d, fs) =>
+          body ++= s"files=$d\t${fs.map { case (n, len) => s"$n:$len" }
+            .mkString(",")}" += '\n'
+        }
       body.toString
     }
   }
@@ -2644,6 +2775,9 @@ object SnapshotTable {
       rows: Map[String, Long], bytes: Map[String, Long],
       hit: Option[Set[Int]], txn: Option[(String, Long)],
       cdc: Option[String] = None,
+      /** per-dir data file lists of this commit's fresh dirs (staged
+        * entries + cdc), keyed by dir like `bytes`. */
+      files: Map[String, Seq[(String, Long)]] = Map.empty,
       /** bucket layout the staged dirs were written under (the base
         * head's `buckets`); a rebase onto a rescaled head keeps appends
         * (tagging their dirs with this historical layout) and refuses
@@ -2693,6 +2827,7 @@ object SnapshotTable {
       stats = p.stats.map { case (d, s) => (mv(d), s) },
       rows = p.rows.map { case (d, n) => (mv(d), n) },
       bytes = p.bytes.map { case (d, n) => (mv(d), n) },
+      files = p.files.map { case (d, fs) => (mv(d), fs) },
       cdc = p.cdc.map(mv))
   }
 
@@ -2713,6 +2848,7 @@ object SnapshotTable {
         statsCols = cur.statsCols,
         dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
         dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
+        dirFiles = cur.dirFiles ++ p.files,
         deltas = cur.deltas, changeFeed = cur.changeFeed, cdc = p.cdc,
         dirLayout = cur.dirLayout ++ myLayout,
         colMap = cur.colMap, droppedPhys = cur.droppedPhys,
@@ -2726,6 +2862,7 @@ object SnapshotTable {
           statsCols = cur.statsCols,
           dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
           dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
+          dirFiles = cur.dirFiles ++ p.files,
           deltas = cur.deltas.filterNot(d => h(d.bucket)),
           changeFeed = cur.changeFeed, cdc = p.cdc,
           dirLayout = cur.dirLayout,
@@ -2744,6 +2881,7 @@ object SnapshotTable {
           statsCols = cur.statsCols,
           dirStats = cur.dirStats ++ p.stats, dirRows = cur.dirRows ++ p.rows,
           dirBytes = cur.dirBytes ++ p.bytes, txn = p.txn,
+          dirFiles = cur.dirFiles ++ p.files,
           deltas = cur.deltas ++
             p.entries.map { case (b, d) => DeltaEntry(b, v, kind, d) },
           changeFeed = cur.changeFeed, cdc = p.cdc,
@@ -2903,18 +3041,19 @@ object SnapshotTable {
     // row-level SQL writes stream on executors past the driver-side
     // batch probe — validate the staged parquet before it becomes
     // visible (one O(replacement) scan, only on constrained tables)
+    val stagedF = dirFileLists(fsys, stagedDirs)
     if (base.constraints.nonEmpty)
       requireConstraints(readEntries(spark, base.schemaDdl, base.colMap,
-        stagedDirs.map(_._2), base.existsDefaults), base, op)
+        stagedDirs.map(_._2), base.existsDefaults, stagedF), base, op)
     val (st, rw) = computeStats(spark, stagedDirs, base.schemaDdl,
-      base.statsCols, base.colMap, base.keys, Some(fsys))
+      base.statsCols, base.colMap, base.keys, Some(fsys),
+      files = stagedF)
     publish(fsys, rootP, stamped(Snapshot(v, op, base.keys, base.buckets,
       base.schemaDdl, uuid, kept ++ stagedDirs,
       statsCols = base.statsCols,
       dirStats = (base.dirStats -- removedDirs) ++ st,
       dirRows = (base.dirRows -- removedDirs) ++ rw,
-      dirBytes = (base.dirBytes -- removedDirs) ++
-        dirSizes(fsys, stagedDirs),
+      dirBytes = (base.dirBytes -- removedDirs) ++ bytesOf(stagedF),
       // the operation scan refuses delta-bearing snapshots, so this is
       // empty in practice — carried through so a future reader of this
       // code can't silently drop a layer
@@ -2929,7 +3068,8 @@ object SnapshotTable {
       colMap = base.colMap, droppedPhys = base.droppedPhys,
       constraints = base.constraints, partSpec = base.partSpec,
       colDefaults = base.colDefaults,
-      existsDefaults = base.existsDefaults, props = base.props)))
+      existsDefaults = base.existsDefaults, props = base.props,
+      dirFiles = (base.dirFiles -- removedDirs) ++ stagedF)))
     v
   }
 
@@ -2958,20 +3098,21 @@ object SnapshotTable {
         s"${base.deltas.map(_.kind).distinct}")
     if (dataDirs.isEmpty && posDirs.isEmpty) return cur.version
     val v = base.version + 1
+    val dataF = dirFileLists(fsys, dataDirs)
     if (base.constraints.nonEmpty && dataDirs.nonEmpty)
       requireConstraints(readEntries(spark, base.schemaDdl, base.colMap,
-        dataDirs.map(_._2), base.existsDefaults), base, op)
+        dataDirs.map(_._2), base.existsDefaults, dataF), base, op)
+    val posF = dirFileLists(fsys, posDirs)
     val (st, rw) = computeStats(spark, dataDirs, base.schemaDdl,
-      base.statsCols, base.colMap, base.keys, Some(fsys))
+      base.statsCols, base.colMap, base.keys, Some(fsys), files = dataF)
     val (pst, prw) = computeStats(spark, posDirs, posTombSchema.toDDL,
-      Seq.empty)
+      Seq.empty, files = posF)
     publish(fsys, rootP, stamped(Snapshot(v, op, base.keys, base.buckets,
       base.schemaDdl, uuid, base.entries ++ dataDirs,
       statsCols = base.statsCols,
       dirStats = base.dirStats ++ st ++ pst,
       dirRows = base.dirRows ++ rw ++ prw,
-      dirBytes = base.dirBytes ++
-        dirSizes(fsys, dataDirs) ++ dirSizes(fsys, posDirs),
+      dirBytes = base.dirBytes ++ bytesOf(dataF) ++ bytesOf(posF),
       deltas = base.deltas ++
         posDirs.map { case (b, d) => DeltaEntry(b, v, "pos", d) },
       changeFeed = base.changeFeed,
@@ -2979,7 +3120,8 @@ object SnapshotTable {
       colMap = base.colMap, droppedPhys = base.droppedPhys,
       constraints = base.constraints, partSpec = base.partSpec,
       colDefaults = base.colDefaults,
-      existsDefaults = base.existsDefaults, props = base.props)))
+      existsDefaults = base.existsDefaults, props = base.props,
+      dirFiles = base.dirFiles ++ dataF ++ posF)))
     v
   }
 
@@ -3072,16 +3214,18 @@ object SnapshotTable {
       s"snapshot table already exists at $root")
     val uuid = newUuid()
     val ddl = df.schema.toDDL
-    val entries = writeCommitData(df, rootP, 1L, keys, buckets, uuid, fsys,
+    val cd = writeCommitData(df, rootP, 1L, keys, buckets, uuid, fsys,
       partSpec = pSpec)
+    val entries = cd.entries
     val (st, rw) = computeStats(df.sparkSession, entries, ddl, sc,
-      bloomKeys = keys, bloomFs = Some(fsys))
+      bloomKeys = keys, bloomFs = Some(fsys), files = cd.files)
     publish(fsys, rootP, stamped(Snapshot(1L, "create", keys, buckets,
       ddl, uuid, entries,
       statsCols = sc,
-      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
+      dirStats = st, dirRows = rw, dirBytes = cd.bytes,
       txn = txn, changeFeed = changeFeed, partSpec = pSpec,
-      colDefaults = colDefaults, props = props)))
+      colDefaults = colDefaults, props = props,
+      dirFiles = cd.files)))
     1L
   }
 
@@ -3128,16 +3272,18 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val ddl = df.schema.toDDL
-    val entries = writeCommitData(df, rootP, v, keys, buckets, uuid, fsys,
+    val cd = writeCommitData(df, rootP, v, keys, buckets, uuid, fsys,
       partSpec = pSpec)
+    val entries = cd.entries
     val (st, rw) = computeStats(spark, entries, ddl, sc,
-      bloomKeys = keys, bloomFs = Some(fsys))
+      bloomKeys = keys, bloomFs = Some(fsys), files = cd.files)
     publish(fsys, rootP, stamped(Snapshot(v, "replace", keys, buckets,
       ddl, uuid, entries,
       statsCols = sc,
-      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
+      dirStats = st, dirRows = rw, dirBytes = cd.bytes,
       changeFeed = changeFeed, partSpec = pSpec,
-      colDefaults = colDefaults, props = props)))
+      colDefaults = colDefaults, props = props,
+      dirFiles = cd.files)))
     v
   }
 
@@ -3353,13 +3499,14 @@ object SnapshotTable {
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
     val uuid = newUuid()
-    val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
+    val cd = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
+    val entries = cd.entries
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
-      cur.colMap, cur.keys, Some(fsys))
+      cur.colMap, cur.keys, Some(fsys), files = cd.files)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("append", ddl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries), hit = None, txn = txn,
+        cd.bytes, hit = None, txn = txn, files = cd.files,
         layoutBuckets = cur.buckets), retries, branch)
   }
 
@@ -3388,19 +3535,21 @@ object SnapshotTable {
     val (fsys, rootP) = fs(spark, root)
     val v = cur.version + 1
     val uuid = newUuid()
-    val entries = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
+    val cd = writeCommitData(aligned(df, ddl), rootP, v, cur.keys,
       cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
+    val entries = cd.entries
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
-      cur.colMap, cur.keys, Some(fsys))
+      cur.colMap, cur.keys, Some(fsys), files = cd.files)
     publish(fsys, rootP, stamped(Snapshot(v, op, cur.keys,
       cur.buckets, ddl, uuid, entries,
       statsCols = cur.statsCols,
-      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
+      dirStats = st, dirRows = rw, dirBytes = cd.bytes,
       txn = txn, changeFeed = cur.changeFeed,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults, props = cur.props)), branch)
+      existsDefaults = cur.existsDefaults, props = cur.props,
+      dirFiles = cd.files)), branch)
     v
   }
 
@@ -3461,34 +3610,54 @@ object SnapshotTable {
     val keyCols = cur.keys.map(col)
     val batch = mat(df.withColumn(BucketCol, bucketOf(cur.keys, cur.buckets)))
     requireConstraints(batch, cur, "upsert")
-    if (checkDuplicates) {
+    // merge-on-write fuses the duplicate-key guard into the hit-bucket
+    // aggregation below (guide §1.2/§5: one action instead of two over
+    // the same materialized batch); merge-on-read never derives a hit
+    // set, so it keeps the standalone 1-row guard probe.
+    def dupExample(): Unit = {
       val dupKeys = batch.groupBy(keyCols: _*).count()
         .filter(col("count") > 1).limit(1).collect() // 1-row guard probe
       require(dupKeys.isEmpty, "upsert batch has duplicate key tuples " +
         s"(e.g. ${dupKeys.headOption.getOrElse("")}); last-write-wins " +
         "needs one row per key — pre-dedup the batch")
     }
+    if (checkDuplicates && mergeOnRead) dupExample()
     val v = cur.version + 1
     val uuid = newUuid()
     if (mergeOnRead) {
-      val entries = writeCommitData(aligned(batch.drop(BucketCol), ddl),
+      val cd = writeCommitData(aligned(batch.drop(BucketCol), ddl),
         rootP, v, cur.keys, cur.buckets, uuid, fsys, cur.colMap)
+      val entries = cd.entries
       // no bloom sidecars for DELTA dirs: reads never bloom-prune them
       // (their events shadow older rows), so the 16 KB filter would be
       // pure write amplification on the O(batch) commit path
       val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
-        cur.colMap)
+        cur.colMap, files = cd.files)
       // a merge-on-read commit is an EVENT layer with no read-dependency:
       // it rebases over any concurrent commit (re-stamped to the new
       // version — "applied after the winner")
       return commitRebasing(spark, root, fsys, rootP, cur,
         Pending("upsert-mor", ddl, uuid, v, entries, st, rw,
-          dirSizes(fsys, entries), hit = None, txn = txn,
+          cd.bytes, hit = None, txn = txn, files = cd.files,
           layoutBuckets = cur.buckets), retries, branch)
+    }
+    // ONE aggregation job serves the dup guard AND the hit-bucket set
+    // (previously two collects): per-(bucket, key) counts roll up to a
+    // per-bucket max, so the collect still moves O(buckets) rows and
+    // duplicate detection rides along for free. The example-row probe
+    // (a second tiny job) is paid only on the failure path.
+    val bucketMax = batch
+      .groupBy((col(BucketCol) +: keyCols): _*).agg(count(lit(1)).as("c"))
+      .groupBy(col(BucketCol)).agg(max(col("c")).as("mx"))
+      .collect()
+    if (checkDuplicates && bucketMax.exists(_.getLong(1) > 1L)) {
+      dupExample()
+      require(requirement = false, "upsert batch has duplicate key tuples; " +
+        "last-write-wins needs one row per key — pre-dedup the batch")
     }
     // closure over historical layouts: hit old dirs are read WHOLE and
     // their rows migrate into current-layout dirs with this commit
-    val hit = hitClosure(cur, hitBuckets(batch))
+    val hit = hitClosure(cur, bucketMax.map(_.getInt(0)).toSet)
     // prior files read under the COMMIT schema (on an evolving upsert
     // the old files lack the new columns and backfill null) and
     // RESOLVED: pending deltas in the hit buckets merge in here and
@@ -3499,8 +3668,9 @@ object SnapshotTable {
     val merged = priorHit
       .join(batch.select(keyCols: _*), cur.keys, "left_anti")
       .unionByName(aligned(batch.drop(BucketCol), ddl))
-    val entries = writeCommitData(merged, rootP, v, cur.keys,
+    val cd = writeCommitData(merged, rootP, v, cur.keys,
       cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
+    val entries = cd.entries
     requireSubset(entries, hit, "upsert")
     // commit-time change file (the Delta CDF shape): diff-exact rows —
     // inserts = batch minus identical displaced rows, deletes = displaced
@@ -3513,20 +3683,19 @@ object SnapshotTable {
         val displaced = priorHit
           .join(batch.select(keyCols: _*), cur.keys, "left_semi")
         val batchA = aligned(batch.drop(BucketCol), ddl)
-        Some(writeChangeData(
-          batchA.exceptAll(displaced)
-            .withColumn(ChangeTypeCol, lit("insert"))
-          .unionByName(displaced.exceptAll(batchA)
-            .withColumn(ChangeTypeCol, lit("delete"))),
+        // one aggregation instead of an exceptAll pair (same rows)
+        Some(writeChangeData(symmetricDiff(batchA, displaced),
           rootP, v, uuid, cur.colMap))
       }
+    val cdcF = cdcFiles(fsys, cdcDir)
     val (st, rw) = computeStats(spark, entries, ddl, cur.statsCols,
-      cur.colMap, cur.keys, Some(fsys))
+      cur.colMap, cur.keys, Some(fsys), files = cd.files)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("upsert", ddl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
+        cd.bytes ++ bytesOf(cdcF),
         hit = Some(hit), txn = txn,
-        cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
+        cdc = cdcDir, files = cd.files ++ cdcF,
+        layoutBuckets = cur.buckets), retries, branch)
   }
 
   /** Keyed delete: rows whose key tuple appears in `keysDf` are removed;
@@ -3559,14 +3728,15 @@ object SnapshotTable {
     val uuid = newUuid()
     if (mergeOnRead) {
       val tombs = batch.drop(BucketCol)
-      val entries = writeCommitData(tombs, rootP, v, cur.keys,
+      val cd = writeCommitData(tombs, rootP, v, cur.keys,
         cur.buckets, uuid, fsys, cur.colMap)
+      val entries = cd.entries
       // tombstone dirs are events too: never bloom-pruned, no sidecar
       val (st, rw) = computeStats(spark, entries, tombs.schema.toDDL,
-        cur.statsCols, cur.colMap)
+        cur.statsCols, cur.colMap, files = cd.files)
       return commitRebasing(spark, root, fsys, rootP, cur,
         Pending("delete-mor", cur.schemaDdl, uuid, v, entries, st, rw,
-          dirSizes(fsys, entries), hit = None, txn = None,
+          cd.bytes, hit = None, txn = None, files = cd.files,
           layoutBuckets = cur.buckets), retries, branch)
     }
     // closure over historical layouts: hit old dirs are read WHOLE and
@@ -3574,8 +3744,9 @@ object SnapshotTable {
     val hit = hitClosure(cur, hitBuckets(batch))
     val priorHit = resolvedRead(spark, cur, Some(hit), cur.schemaDdl)
     val kept = priorHit.join(batch.drop(BucketCol), cur.keys, "left_anti")
-    val entries = writeCommitData(kept, rootP, v, cur.keys,
+    val cd = writeCommitData(kept, rootP, v, cur.keys,
       cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
+    val entries = cd.entries
     requireSubset(entries, hit, "delete")
     val cdcDir =
       if (!cur.changeFeed) None
@@ -3583,13 +3754,15 @@ object SnapshotTable {
         priorHit.join(batch.drop(BucketCol), cur.keys, "left_semi")
           .withColumn(ChangeTypeCol, lit("delete")),
         rootP, v, uuid, cur.colMap))
+    val cdcF = cdcFiles(fsys, cdcDir)
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
-      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys), files = cd.files)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete", cur.schemaDdl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
+        cd.bytes ++ bytesOf(cdcF),
         hit = Some(hit), txn = None,
-        cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
+        cdc = cdcDir, files = cd.files ++ cdcF,
+        layoutBuckets = cur.buckets), retries, branch)
   }
 
   /** Predicate DELETE. Two commit shapes, same semantics (rows where
@@ -3655,21 +3828,24 @@ object SnapshotTable {
       resolvedReadWithPos(spark, cur)
         .filter(coalesce(condition, lit(false))))
     val tomb = matched.select(col(PosFileCol), col(PosPosCol))
-    val entries = writeCommitData(tomb, rootP, v, Seq.empty, cur.buckets,
+    val cd = writeCommitData(tomb, rootP, v, Seq.empty, cur.buckets,
       uuid, fsys)
+    val entries = cd.entries
     val (st, rw) = computeStats(spark, entries, posTombSchema.toDDL,
-      Seq.empty)
+      Seq.empty, files = cd.files)
     val cdcDir =
       if (!cur.changeFeed) None
       else Some(writeChangeData(
         matched.drop(PosFileCol, PosPosCol)
           .withColumn(ChangeTypeCol, lit("delete")),
         rootP, v, uuid, cur.colMap))
+    val cdcF = cdcFiles(fsys, cdcDir)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete-pos", cur.schemaDdl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
+        cd.bytes ++ bytesOf(cdcF),
         hit = Some(Set(0)), txn = None,
-        cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
+        cdc = cdcDir, files = cd.files ++ cdcF,
+        layoutBuckets = cur.buckets), retries, branch)
   }
 
   /** Positional (deletion-vector) predicate DELETE on a KEYED table —
@@ -3712,13 +3888,13 @@ object SnapshotTable {
     // projected file suffix (input_file_name() is unsafe post-join)
     def physRead(dirs: Seq[String], seq: Option[Long]): DataFrame = {
       val df = readEntriesWithPos(spark, ddl, cur.colMap, dirs,
-        cur.existsDefaults)
+        cur.existsDefaults, cur.dirFiles)
         .withColumn(SeqCol, seq.fold(
           regexp_extract(col(PosFileCol), "^c(\\d+)-", 1)
             .cast("long"))(lit(_)))
       if (posDs.isEmpty) df
-      else df.join(spark.read.schema(posTombSchema)
-          .parquet(posDs.map(_.dir): _*),
+      else df.join(parquetDirs(spark, posTombSchema, posDs.map(_.dir),
+          cur.dirFiles),
         Seq(PosFileCol, PosPosCol), "left_anti")
     }
     val basePhys = physRead(cur.entries.map(_._2).distinct, None)
@@ -3730,7 +3906,7 @@ object SnapshotTable {
       .filter(f => cur.keys.contains(f.name)))
     val tombEvents = cur.deltas.filter(_.kind == "tomb")
       .groupBy(_.seq).toSeq.sortBy(_._1).map { case (s, es) =>
-        spark.read.schema(keySchema).parquet(es.map(_.dir): _*)
+        parquetDirs(spark, keySchema, es.map(_.dir), cur.dirFiles)
           .withColumn(SeqCol, lit(s))
       }
     val eventFrames = rowPhys.map(
@@ -3762,10 +3938,11 @@ object SnapshotTable {
     val uuid = newUuid()
     // key columns ride in the tombstone files solely to bucket-route
     // them ([[writeCommitData]]'s hash); readers project (file, pos)
-    val entries = writeCommitData(tomb, rootP, v, cur.keys, cur.buckets,
+    val cd = writeCommitData(tomb, rootP, v, cur.keys, cur.buckets,
       uuid, fsys)
+    val entries = cd.entries
     val (st, rw) = computeStats(spark, entries, tomb.schema.toDDL,
-      Seq.empty)
+      Seq.empty, files = cd.files)
     val cdcDir =
       if (!cur.changeFeed) None
       else Some(writeChangeData(
@@ -3774,11 +3951,13 @@ object SnapshotTable {
           .withColumn(ChangeTypeCol, lit("delete")),
         rootP, v, uuid, cur.colMap))
     val hit = entries.map(_._1).toSet
+    val cdcF = cdcFiles(fsys, cdcDir)
     commitRebasing(spark, root, fsys, rootP, cur,
       Pending("delete-pos", ddl, uuid, v, entries, st, rw,
-        dirSizes(fsys, entries) ++ cdcSizes(fsys, cdcDir),
+        cd.bytes ++ bytesOf(cdcF),
         hit = Some(hit), txn = None,
-        cdc = cdcDir, layoutBuckets = cur.buckets), retries, branch)
+        cdc = cdcDir, files = cd.files ++ cdcF,
+        layoutBuckets = cur.buckets), retries, branch)
   }
 
   /** Copy-on-write predicate DELETE, partition/stats-pinned (see
@@ -3802,16 +3981,17 @@ object SnapshotTable {
     val rewriteDirs = rewrite.map(_._2)
     // deltas are empty by classification's precondition, so a plain
     // dir read IS the resolved content of the boundary dirs
-    val newEntries =
-      if (rewrite.isEmpty) Seq.empty[(Int, String)]
+    val cd =
+      if (rewrite.isEmpty) CommitFiles(Seq.empty, Map.empty)
       else writeCommitData(
         readEntries(spark, cur.schemaDdl, cur.colMap, rewriteDirs,
-          cur.existsDefaults)
+          cur.existsDefaults, cur.dirFiles)
           .filter(not(coalesce(condition, lit(false)))),
         rootP, v, cur.keys, cur.buckets, uuid, fsys, cur.colMap,
         cur.partSpec)
+    val newEntries = cd.entries
     val (st, rw) = computeStats(spark, newEntries, cur.schemaDdl,
-      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys), files = cd.files)
     // commit-time change data from the DROPPED + boundary dirs only —
     // O(deleted rows), never O(table); classification guarantees the
     // predicate is deterministic, so this re-evaluation matches the
@@ -3821,7 +4001,7 @@ object SnapshotTable {
       else {
         val deadDirs = dropped.map(_._2) ++ rewriteDirs
         val dead = readEntries(spark, cur.schemaDdl, cur.colMap, deadDirs,
-          cur.existsDefaults)
+          cur.existsDefaults, cur.dirFiles)
           .filter(
             if (rewrite.isEmpty) lit(true) // dropped dirs die wholesale
             else coalesce(condition, lit(false)))
@@ -3829,18 +4009,19 @@ object SnapshotTable {
           dead.withColumn(ChangeTypeCol, lit("delete")),
           rootP, v, uuid, cur.colMap))
       }
+    val cdcF = cdcFiles(fsys, cdcDir)
     publish(fsys, rootP, stamped(Snapshot(v, "delete", cur.keys,
       cur.buckets, cur.schemaDdl, uuid,
       kept ++ newEntries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, newEntries) ++
-        cdcSizes(fsys, cdcDir),
+      dirBytes = cur.dirBytes ++ cd.bytes ++ bytesOf(cdcF),
       deltas = Seq.empty, changeFeed = cur.changeFeed, cdc = cdcDir,
       dirLayout = cur.dirLayout, colMap = cur.colMap,
       droppedPhys = cur.droppedPhys, constraints = cur.constraints,
       partSpec = cur.partSpec, colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults, props = cur.props)), branch)
+      existsDefaults = cur.existsDefaults, props = cur.props,
+      dirFiles = cur.dirFiles ++ cd.files ++ cdcF)), branch)
     v
   }
 
@@ -3974,7 +4155,8 @@ object SnapshotTable {
       // the table's future writes
       constraints = target.constraints, partSpec = target.partSpec,
       colDefaults = target.colDefaults,
-      existsDefaults = target.existsDefaults, props = target.props)))
+      existsDefaults = target.existsDefaults, props = target.props,
+      dirFiles = target.dirFiles)))
     v
   }
 
@@ -4033,7 +4215,8 @@ object SnapshotTable {
       colMap = src.colMap, droppedPhys = src.droppedPhys,
       constraints = src.constraints, partSpec = src.partSpec,
       colDefaults = src.colDefaults,
-      existsDefaults = src.existsDefaults, props = src.props)))
+      existsDefaults = src.existsDefaults, props = src.props,
+      dirFiles = src.dirFiles)))
     // best-effort registration AT THE SOURCE, after the clone is
     // published (an unregistered-but-published clone degrades to the
     // Delta caveat; a registered-but-unpublished one would pin garbage)
@@ -4199,21 +4382,23 @@ object SnapshotTable {
       d.withColumn(s"$PartPrefix${f.idx}",
         partValueCol(f, out1.schema(f.col).dataType))
     }
-    out.write
+    out.write.options(commitWriteOptions)
       .partitionBy((BucketCol +: ptNames :+ ZSliceCol): _*)
       .parquet(commitDir.toString)
-    val entries = enumerateEntries(fsys, commitDir, cur.buckets)
+    val cd = enumerateCommit(fsys, commitDir, cur.buckets)
+    val entries = cd.entries
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
-      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys), files = cd.files)
     publish(fsys, rootP, stamped(Snapshot(v, "zorder", cur.keys,
       cur.buckets, cur.schemaDdl, uuid, entries,
       statsCols = cur.statsCols,
-      dirStats = st, dirRows = rw, dirBytes = dirSizes(fsys, entries),
+      dirStats = st, dirRows = rw, dirBytes = cd.bytes,
       changeFeed = cur.changeFeed,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults, props = cur.props)))
+      existsDefaults = cur.existsDefaults, props = cur.props,
+      dirFiles = cd.files)))
     v
   }
 
@@ -4272,6 +4457,9 @@ object SnapshotTable {
               s"bytes=${moved(dir)}\t$n"
             } else if (l.startsWith("cdc=")) {
               s"cdc=${moved(l.drop("cdc=".length))}"
+            } else if (l.startsWith("files=")) {
+              val Array(dir, fl) = l.drop("files=".length).split("\t", 2)
+              s"files=${moved(dir)}\t$fl"
             } else if (l.startsWith("layout=")) {
               val Array(dir, n) = l.drop("layout=".length).split("\t", 2)
               s"layout=${moved(dir)}\t$n"
@@ -4345,7 +4533,8 @@ object SnapshotTable {
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults, props = cur.props)))
+      existsDefaults = cur.existsDefaults, props = cur.props,
+      dirFiles = cur.dirFiles)))
     v
   }
 
@@ -4404,7 +4593,8 @@ object SnapshotTable {
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = newSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults, props = cur.props)), branch)
+      existsDefaults = cur.existsDefaults, props = cur.props,
+      dirFiles = cur.dirFiles)), branch)
     v
   }
 
@@ -4711,26 +4901,28 @@ object SnapshotTable {
     val rows = resolvedRead(spark, cur, Some(target), cur.schemaDdl)
     val v = cur.version + 1
     val uuid = newUuid()
-    val entries = writeCommitData(rows, rootP, v, cur.keys,
+    val cd = writeCommitData(rows, rootP, v, cur.keys,
       cur.buckets, uuid, fsys, cur.colMap, cur.partSpec)
+    val entries = cd.entries
     // committed parquet is deterministic input: rows rehash to exactly
     // their original buckets, so the produced set must stay inside target
     requireSubset(entries, target, "compact")
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
-      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys), files = cd.files)
     publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
       cur.buckets, cur.schemaDdl, uuid,
       cur.entries.filterNot(e => cur.entryHit(e, target)) ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
+      dirBytes = cur.dirBytes ++ cd.bytes,
       deltas = cur.deltas.filterNot(d => target(d.bucket)),
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout,
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults, props = cur.props)))
+      existsDefaults = cur.existsDefaults, props = cur.props,
+      dirFiles = cur.dirFiles ++ cd.files)))
     v
   }
 
@@ -4762,25 +4954,27 @@ object SnapshotTable {
     val v = cur.version + 1
     val uuid = newUuid()
     val rows = readEntries(spark, cur.schemaDdl, cur.colMap,
-      target.map(_._2), cur.existsDefaults)
-    val entries = writeCommitData(rows, rootP, v, cur.keys, cur.buckets,
+      target.map(_._2), cur.existsDefaults, cur.dirFiles)
+    val cd = writeCommitData(rows, rootP, v, cur.keys, cur.buckets,
       uuid, fsys, cur.colMap, cur.partSpec)
+    val entries = cd.entries
     val (st, rw) = computeStats(spark, entries, cur.schemaDdl,
-      cur.statsCols, cur.colMap, cur.keys, Some(fsys))
+      cur.statsCols, cur.colMap, cur.keys, Some(fsys), files = cd.files)
     val targetDirs = target.map(_._2).toSet
     publish(fsys, rootP, stamped(Snapshot(v, "compact", cur.keys,
       cur.buckets, cur.schemaDdl, uuid,
       cur.entries.filterNot(e => targetDirs(e._2)) ++ entries,
       statsCols = cur.statsCols,
       dirStats = cur.dirStats ++ st, dirRows = cur.dirRows ++ rw,
-      dirBytes = cur.dirBytes ++ dirSizes(fsys, entries),
+      dirBytes = cur.dirBytes ++ cd.bytes,
       deltas = cur.deltas, // empty: classification refuses delta tables
       changeFeed = cur.changeFeed,
       dirLayout = cur.dirLayout, // rewritten dirs are current-layout
       colMap = cur.colMap, droppedPhys = cur.droppedPhys,
       constraints = cur.constraints, partSpec = cur.partSpec,
       colDefaults = cur.colDefaults,
-      existsDefaults = cur.existsDefaults, props = cur.props)))
+      existsDefaults = cur.existsDefaults, props = cur.props,
+      dirFiles = cur.dirFiles ++ cd.files)))
     v
   }
 

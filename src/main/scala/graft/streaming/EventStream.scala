@@ -247,15 +247,23 @@ object EventStream {
     * SPARK-24699, same as [[hourlyLateDrain]]'s bridge). So the input is
     * staged as mtime-ordered files, one micro-batch each:
     *
-    *   b0  all real events;
-    *   b1  two SENTINEL rows (a click and a purchase, `user_id` −1/−2)
-    *       10 h past the corpus max — each side's watermark node must
-    *       see the advance, and the query watermark is their min;
-    *   b2  empty bridge — rotates the advance into the effective
+    *   b0  all real events PLUS two SENTINEL rows (a click and a
+    *       purchase, `user_id` −1/−2) 10 h past the corpus max — the
+    *       late filter runs with the watermark at batch START (zero for
+    *       b0), so the sentinels can ride with the real rows without
+    *       affecting any in-batch match, and each side's watermark node
+    *       sees the advance when b0 completes (the query watermark is
+    *       their min);
+    *   b1  empty bridge — rotates the advance into the effective
     *       watermark and evicts, emitting every real unmatched click's
     *       NULL row (10 h ≫ the 1 h delay + 10 min window, so no
-    *       boundary races);
-    *   b3  empty — safety margin, harmless.
+    *       boundary races).
+    *
+    * (Previously four staged batches — sentinels and a trailing safety
+    * batch each their own micro-batch; each batch costs a full state
+    * round-trip of every join state store plus offset/commit WAL writes,
+    * so the fold halves the drain's fixed cost. Guide §5: the driver
+    * does less protocol work per result.)
     *
     * The sentinel click itself never evicts (nothing outruns it), never
     * emits, and is filtered by `user_id >= 0` regardless — so the drain
@@ -276,10 +284,8 @@ object EventStream {
         lit("purchase").as("event_type"), lit(0.0).as("value"), lit("{}").as("props")))
       .select(events.columns.map(col).toIndexedSeq: _*) // canonical column order
     val stream = stagedStream(ss, Seq(
-      events,
-      sentinels,
-      events.filter(lit(false)), // bridge
-      events.filter(lit(false))))
+      events.unionByName(sentinels),
+      events.filter(lit(false)))) // bridge: evicts + emits NULL rows
     val name = "graft_stream_ssjoin_left"
     val q = clickPurchaseJoin(stream, "left_outer")
       .writeStream.format("memory").queryName(name)
