@@ -2079,6 +2079,17 @@ object SnapshotTable {
     * invisible to this scan (snapshot isolation). Merge-on-read deltas
     * resolve transparently ([[resolvedRead]]); a delta-free snapshot
     * reads its files straight through. */
+  /** Test seam: [[resolvedRead]] of an explicit snapshot value (lets a
+    * spec strip `dirFiles` to prove the listing fallback reads the same
+    * rows the list-driven path serves). */
+  private[graft] def readSnapshotForTest(spark: SparkSession,
+      snap: Snapshot): DataFrame =
+    resolvedRead(spark, snap, None, snap.schemaDdl)
+
+  /** Test seam: [[symmetricDiff]] (the exceptAll-pair replacement). */
+  private[graft] def symmetricDiffForTest(newSide: DataFrame,
+      oldSide: DataFrame): DataFrame = symmetricDiff(newSide, oldSide)
+
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None,
       asOfTimestamp: Option[Long] = None,
